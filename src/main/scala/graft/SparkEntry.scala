@@ -1,13 +1,569 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator family from SURVEY §2 (or
+  * a north-star training-data op) over the driver's parquet testdata, with an
+  * equivalent DuckDB SQL oracle in [[oracleSql]]. Column names and types are
+  * aligned between both sides (the driver hash-compares after sorting columns
+  * by name). Numeric outputs avoid raw double aggregates: money-ish sums go
+  * through DECIMAL (exact, associative), ratios/cosines are computed with
+  * deterministic left-to-right double folds and rounded to 4dp on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` carries a TIMESTAMP(NANOS) parquet column, which Spark only
+    * reads via the nanosAsLong legacy conf; convert ns→µs with exact integer
+    * division (a double roundtrip at 1e18 magnitudes would wobble near
+    * second boundaries) and rebuild a timestamp. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Synthetic CDR lines derived deterministically from `events`: a 6-field
+    * comma-delimited record whose 2-char prefix routes it to one of 11
+    * logical tables s60..s70 (SURVEY §1.1). Mirrored exactly by [[CdrSql]]
+    * on the DuckDB side. */
+  private def cdrLines(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      concat_ws(",",
+        (lit(60) + col("event_id") % 11).cast("string"),
+        col("event_id").cast("string"),
+        col("user_id").cast("string"),
+        col("event_type"),
+        date_format(col("ts"), "yyyyMMddHHmmss"),
+        get_json_object(col("props"), "$.k")).as("value"))
+
+  private val CdrSql =
+    """WITH cdr AS (SELECT event_id, user_id, ts, concat_ws(',',
+      |  CAST(60 + event_id % 11 AS VARCHAR), CAST(event_id AS VARCHAR),
+      |  CAST(user_id AS VARCHAR), event_type, strftime(ts, '%Y%m%d%H%M%S'),
+      |  json_extract_string(props, '$.k')) AS value FROM events)
+      |""".stripMargin
+
+  /** LAC,CI-style code map built from `nation`:
+    * key = "nationkey,regionkey", value = n_name (SURVEY §2.1 S5/S7). */
+  private def nationDim(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(
+      concat_ws(",", col("n_nationkey").cast("string"),
+        col("n_regionkey").cast("string")).as("key"),
+      col("n_name").as("dim_value"))
+
+  private val NationDimSql =
+    """dim AS (SELECT concat_ws(',', CAST(n_nationkey AS VARCHAR),
+      |  CAST(n_regionkey AS VARCHAR)) AS key, n_name AS dim_value
+      |  FROM nation)
+      |""".stripMargin
+
+  /** Flagship: the s61 "2g_call" enrichment pipeline (SURVEY §7.3) over the
+    * synthetic CDR lines — route prefix 61 → parse → arity filter → mask →
+    * composite-key broadcast inner join → project. */
+  private def flagship(s: SparkSession, dir: String): DataFrame = {
+    import CdrOps._
+    val lines = routeTo(cdrLines(s, dir), "61")
+    val parsed = arityFilter(parseDelim(lines, ","), 6)
+    val keyed = parsed.withColumn("la_ci",
+      concat_ws(",",
+        (field(1).cast("long") % 30).cast("string"),
+        (field(5).cast("long") % 5).cast("string")))
+    val masked = maskFields(keyed, Seq(2, 5))
+    enrichLookup(masked, nationDim(s, dir), col("la_ci"))
+      .select(
+        field(1).cast("long").as("orig_id"),
+        field(2).as("phone1_m"),
+        field(4).as("starttime"),
+        col("dim_value").as("area"),
+        lit("2g_call").as("tag"))
+  }
+
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    flagship(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── relational core (bench headliners) ────────────────────────────
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_base"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(38,4)").as("sum_disc"),
+          count(lit(1)).as("n"))
+    }),
+    "q2_broadcast_join" -> ((s, dir) => {
+      val part = t(s, dir, "part").filter(col("p_size") < 15)
+      t(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"))
+    }),
+    "q3_shuffle_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+    "q4_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+    }),
+    "q5_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    }),
+
+    // ── CDR operator parity (SURVEY §2) ───────────────────────────────
+    "cdr_route_count" -> ((s, dir) => {
+      CdrOps.withRecordType(cdrLines(s, dir))
+        .groupBy("record_type").agg(count(lit(1)).as("n"))
+    }),
+    "cdr_parse_fields" -> ((s, dir) => {
+      import CdrOps._
+      parseDelim(cdrLines(s, dir), ",").select(
+        field(1).cast("long").as("orig_id"),
+        field(3).as("event_type"),
+        field(4).as("dt"),
+        fieldOrError(8).as("oob"))
+    }),
+    "cdr_arity_filter" -> ((s, dir) => {
+      import CdrOps._
+      val dirty = cdrLines(s, dir).withColumn("value",
+        when(col("event_id") % 7 === 0, concat(col("value"), lit(",x")))
+          .otherwise(col("value")))
+      arityFilter(parseDelim(dirty, ","), 6)
+        .transform(withRecordType(_))
+        .groupBy("record_type").agg(count(lit(1)).as("n"))
+    }),
+    "cdr_mask" -> ((s, dir) => {
+      import CdrOps._
+      val parsed = parseDelim(cdrLines(s, dir), ",")
+        .withColumn("orig_id", field(1).cast("long"))
+      rejoin(maskFields(parsed, Seq(2, 5)), ",", out = "value_masked")
+        .select("orig_id", "value_masked")
+    }),
+    "cdr_mask_empty" -> ((s, dir) => {
+      events(s, dir).select(
+        col("event_id"),
+        md5(when(col("event_id") % 5 === 0, lit(""))
+          .otherwise(col("event_type"))).as("masked"))
+    }),
+    "cdr_drop_fields" -> ((s, dir) => {
+      import CdrOps._
+      val parsed = parseDelim(cdrLines(s, dir), ",")
+        .withColumn("orig_id", field(1).cast("long"))
+      rejoin(dropFields(parsed, Seq(3, 5)), ",", out = "value_dropped")
+        .select("orig_id", "value_dropped")
+    }),
+    "cdr_project_fields" -> ((s, dir) => {
+      import CdrOps._
+      val parsed = parseDelim(cdrLines(s, dir), ",")
+        .withColumn("orig_id", field(1).cast("long"))
+      rejoin(projectFields(parsed, Seq(4, 1, 0)), ",", out = "value_proj")
+        .select("orig_id", "value_proj")
+    }),
+    "cdr_enrich_join" -> ((s, dir) => {
+      val fact = events(s, dir).withColumn("la_ci",
+        concat_ws(",",
+          (col("user_id") % 30).cast("string"),
+          (col("event_id") % 5).cast("string")))
+      CdrOps.enrichLookup(fact, nationDim(s, dir), col("la_ci"))
+        .select(
+          col("event_id"),
+          md5(col("user_id").cast("string")).as("phone_m"),
+          col("dim_value").as("area"),
+          lit("2g_call").as("tag"))
+    }),
+    "cdr_enrich_dual" -> ((s, dir) => {
+      val e = events(s, dir)
+      val yaxin = CdrOps.enrichLookup(
+        e.withColumn("la_ci", concat_ws(",",
+          (col("user_id") % 30).cast("string"),
+          (col("event_id") % 5).cast("string"))),
+        nationDim(s, dir), col("la_ci"))
+        .select(col("event_id"), lit("yaxin").as("partner"),
+          col("dim_value").as("area"))
+      val regionDim = t(s, dir, "region").select(
+        col("r_regionkey").cast("string").as("key"),
+        col("r_name").as("dim_value"))
+      val yiyang = CdrOps.enrichLookup(
+        e.withColumn("rkey", (col("user_id") % 7).cast("string")),
+        regionDim, col("rkey"))
+        .select(col("event_id"), lit("yiyang").as("partner"),
+          col("dim_value").as("area"))
+      yaxin.unionByName(yiyang)
+    }),
+    "cdr_group_concat" -> ((s, dir) => {
+      CdrOps.groupConcat(
+        CdrOps.withRecordType(cdrLines(s, dir)), col("record_type"))
+    }),
+    "cdr_archive_layout" -> ((s, dir) => {
+      CdrOps.withRecordType(cdrLines(s, dir))
+        .groupBy(date_format(col("ts"), "yyyyMMdd").as("dt"),
+          col("record_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "flagship_s61" -> ((s, dir) => flagship(s, dir)),
+
+    // ── text analysis (north-star) ────────────────────────────────────
+    "doc_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCount(t(s, dir, "documents"))),
+    "doc_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"))),
+    "doc_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"))),
+
+    // ── dedup (north-star) ────────────────────────────────────────────
+    "doc_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"))),
+    "doc_minhash" -> ((s, dir) =>
+      Dedup.minhash(t(s, dir, "documents"), k = 4)),
+    "doc_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhash(t(s, dir, "documents"), k = 4), rowsPerBand = 2)),
+    "doc_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"))),
+    "doc_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"))),
+
+    // ── similarity search (north-star) ────────────────────────────────
+    "emb_norms" -> ((s, dir) =>
+      Similarity.norms(t(s, dir, "embeddings"))),
+    "emb_knn_brute" -> ((s, dir) =>
+      Similarity.knnBrute(t(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
+    "emb_knn_lsh" -> ((s, dir) =>
+      Similarity.knnLsh(t(s, dir, "embeddings"), col("vec_id") < 8, k = 3)),
+    "emb_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // ── events: windowed agg + JSON + multimodal plumbing ─────────────
+    "events_window_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(
+          date_format(window(col("ts"), "10 minutes").getField("start"),
+            "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_value"))
+    }),
+    "events_json_extract" -> ((s, dir) => {
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+    "multimodal_meta" -> ((s, dir) => {
+      val nb = length(encode(col("text"), "UTF-8")).cast("long")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nb.as("n_bytes"),
+        (lit(64) + nb % 32).cast("long").as("fake_width"),
+        (lit(64) + floor(nb / 32) % 32).cast("long").as("fake_height"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_broadcast_join" ->
+      """SELECT p_brand, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 15 GROUP BY p_brand""".stripMargin,
+    "q3_shuffle_join" ->
+      """SELECT c_mktsegment,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        | count(*) AS n
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q4_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 3""".stripMargin,
+
+    "cdr_route_count" -> (CdrSql +
+      """SELECT substring(value, 1, 2) AS record_type, count(*) AS n
+        |FROM cdr GROUP BY 1""".stripMargin),
+    "cdr_parse_fields" -> (CdrSql +
+      """SELECT CAST(f[2] AS BIGINT) AS orig_id, f[4] AS event_type,
+        | f[5] AS dt, coalesce(f[9], 'ERROR') AS oob
+        |FROM (SELECT string_split(value, ',') AS f FROM cdr) t""".stripMargin),
+    "cdr_arity_filter" -> (CdrSql +
+      """, dirty AS (SELECT CASE WHEN event_id % 7 = 0
+        |   THEN value || ',x' ELSE value END AS value FROM cdr)
+        |SELECT substring(value, 1, 2) AS record_type, count(*) AS n
+        |FROM dirty WHERE len(string_split(value, ',')) = 6
+        |GROUP BY 1""".stripMargin),
+    "cdr_mask" -> (CdrSql +
+      """SELECT CAST(f[2] AS BIGINT) AS orig_id,
+        | array_to_string(list_transform(range(1, len(f) + 1),
+        |   i -> CASE WHEN i IN (3, 6) THEN md5(f[i]) ELSE f[i] END),
+        |   ',') AS value_masked
+        |FROM (SELECT string_split(value, ',') AS f FROM cdr) t""".stripMargin),
+    "cdr_mask_empty" ->
+      """SELECT event_id, md5(CASE WHEN event_id % 5 = 0 THEN ''
+        | ELSE event_type END) AS masked FROM events""".stripMargin,
+    "cdr_drop_fields" -> (CdrSql +
+      """SELECT CAST(f[2] AS BIGINT) AS orig_id,
+        | array_to_string(list_transform(
+        |   list_filter(range(1, len(f) + 1), i -> i <> 4 AND i <> 6),
+        |   i -> f[i]), ',') AS value_dropped
+        |FROM (SELECT string_split(value, ',') AS f FROM cdr) t""".stripMargin),
+    "cdr_project_fields" -> (CdrSql +
+      """SELECT CAST(f[2] AS BIGINT) AS orig_id,
+        | concat_ws(',', f[5], f[2], f[1]) AS value_proj
+        |FROM (SELECT string_split(value, ',') AS f FROM cdr) t""".stripMargin),
+    "cdr_enrich_join" -> ("WITH " + NationDimSql +
+      """SELECT event_id, md5(CAST(user_id AS VARCHAR)) AS phone_m,
+        | dim_value AS area, '2g_call' AS tag
+        |FROM events JOIN dim ON concat_ws(',',
+        |  CAST(user_id % 30 AS VARCHAR),
+        |  CAST(event_id % 5 AS VARCHAR)) = dim.key
+        |WHERE dim_value <> ''""".stripMargin),
+    "cdr_enrich_dual" -> ("WITH " + NationDimSql +
+      """SELECT event_id, 'yaxin' AS partner, dim_value AS area
+        |FROM events JOIN dim ON concat_ws(',',
+        |  CAST(user_id % 30 AS VARCHAR),
+        |  CAST(event_id % 5 AS VARCHAR)) = dim.key
+        |WHERE dim_value <> ''
+        |UNION ALL
+        |SELECT event_id, 'yiyang' AS partner, r_name AS area
+        |FROM events JOIN region
+        |  ON CAST(user_id % 7 AS VARCHAR) = CAST(r_regionkey AS VARCHAR)
+        |WHERE r_name <> ''""".stripMargin),
+    "cdr_group_concat" -> (CdrSql +
+      """SELECT substring(value, 1, 2) AS group_key,
+        | array_to_string(list_sort(list(value)), chr(10)) AS content,
+        | count(*) AS n
+        |FROM cdr GROUP BY 1""".stripMargin),
+    "cdr_archive_layout" -> (CdrSql +
+      """SELECT strftime(ts, '%Y%m%d') AS dt,
+        | substring(value, 1, 2) AS record_type, count(*) AS n
+        |FROM cdr GROUP BY 1, 2""".stripMargin),
+    "flagship_s61" -> (CdrSql + ", " + NationDimSql +
+      """, p AS (SELECT string_split(value, ',') AS f FROM cdr
+        |   WHERE value LIKE '61%'),
+        | c AS (SELECT f FROM p WHERE len(f) = 6),
+        | k AS (SELECT f, concat_ws(',',
+        |   CAST(CAST(f[2] AS BIGINT) % 30 AS VARCHAR),
+        |   CAST(CAST(f[6] AS BIGINT) % 5 AS VARCHAR)) AS la_ci FROM c)
+        |SELECT CAST(f[2] AS BIGINT) AS orig_id, md5(f[3]) AS phone1_m,
+        | f[5] AS starttime, dim_value AS area, '2g_call' AS tag
+        |FROM k JOIN dim ON k.la_ci = dim.key
+        |WHERE dim_value <> ''""".stripMargin),
+
+    "doc_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+        |FROM documents""".stripMargin,
+    "doc_quality" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words,
+        |  text FROM documents)
+        |SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(words, w -> list_contains(
+        |   ['the','a','of','and','to','in','is'], w))) AS BIGINT) AS stop_cnt,
+        | round(len(list_filter(words, w -> list_contains(
+        |   ['the','a','of','and','to','in','is'], w))) / len(words), 4)
+        |   AS stop_ratio,
+        | CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+        |   AS punct_cnt,
+        | round((n_chars - (len(words) - 1)) / len(words), 4) AS mean_tok_len
+        |FROM w""".stripMargin,
+    "doc_langid" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words
+        |  FROM documents),
+        | sc AS (SELECT doc_id, lang,
+        |  len(list_filter(words, w -> list_contains(
+        |    ['the','a','of','and','to','in','is'], w))) AS en,
+        |  len(list_filter(words, w -> list_contains(
+        |    ['el','la','de','y','en','es','un'], w))) AS es,
+        |  len(list_filter(words, w -> list_contains(
+        |    ['der','die','das','und','zu','ist','ein'], w))) AS de
+        |  FROM w)
+        |SELECT doc_id, lang,
+        | CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+        |      WHEN es >= de AND es > 0 THEN 'es'
+        |      WHEN de > 0 THEN 'de'
+        |      ELSE 'unknown' END AS lang_guess
+        |FROM sc""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "doc_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "doc_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh)
+        |SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+        | min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |FROM sd GROUP BY doc_id, seed""".stripMargin,
+    "doc_lsh_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM banded a JOIN banded b
+        | ON a.band = b.band AND a.bucket = b.bucket
+        |  AND a.doc_id < b.doc_id""".stripMargin,
+    "doc_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, lang, source, n_chars,
+        |  string_split(text, ' ') AS words FROM documents),
+        | sets AS (SELECT doc_id, lang, source, n_chars // 50 AS len_bucket,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM w WHERE len(words) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+        |FROM sets a JOIN sets b
+        | ON a.lang = b.lang AND a.source = b.source
+        |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id""".stripMargin,
+    // doc_simhash: no oracle (conv/bit ops not portably expressible) —
+    // covered by a ScalaTest golden test; driver records rows-only.
+
+    "emb_norms" ->
+      """SELECT vec_id, round(sqrt(list_aggregate(list_transform(
+        |  embedding::DOUBLE[], x -> x * x), 'sum')), 4) AS l2
+        |FROM embeddings""".stripMargin,
+    "emb_knn_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | s AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM q, e c WHERE c.vec_id <> q_id)
+        |SELECT q_id, c_id, round(cos, 4) AS score
+        |FROM (SELECT q_id, c_id, cos, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+        |WHERE rn <= 5""".stripMargin,
+    "emb_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  concat(
+        |   CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+        |   CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
+        |   CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
+        |   CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e
+        |  WHERE vec_id < 8),
+        | s AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM q JOIN e c ON q.bucket = c.bucket
+        |  WHERE c.vec_id <> q_id)
+        |SELECT q_id, c_id, round(cos, 4) AS score
+        |FROM (SELECT q_id, c_id, cos, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+        |WHERE rn <= 3""".stripMargin,
+    "emb_near_dup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  concat(
+        |   CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+        |   CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
+        |   CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
+        |   CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        | p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   list_aggregate(list_transform(range(1, len(a.v) + 1),
+        |     i -> a.v[i] * b.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(a.v) + 1),
+        |     i -> a.v[i] * a.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * b.v[i]), 'sum'))) AS cos
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 4) AS score
+        |FROM p WHERE cos > 0.4""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+        |  '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |   AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(64 + octet_length(encode(text)) % 32 AS BIGINT) AS fake_width,
+        | CAST(64 + (octet_length(encode(text)) // 32) % 32 AS BIGINT)
+        |   AS fake_height
+        |FROM documents""".stripMargin,
+  )
 }

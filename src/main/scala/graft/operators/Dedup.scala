@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over
+  * `documents(doc_id, text, …)`. No reference counterpart (SURVEY §2.8
+  * north-star).
+  *
+  * Scale posture: every variant is shuffle-bounded by (doc_id → small
+  * signature) maps followed by a groupBy/join on the signature — never an
+  * all-pairs cross join. At 100 TB the LSH band join's bucket sizes bound the
+  * candidate-pair blowup; the exact variant is a single hash aggregate.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the min doc_id per group.
+    * One hash-aggregate; partial aggregation makes the shuffle carry at most
+    * one row per (partition, fingerprint). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Word-level 3-shingles of `text` (docs with <3 tokens are dropped —
+    * sequence() needs a non-negative span). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " ", -1))
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingle_arr",
+        transform(sequence(lit(0), size(col("words")) - 3), i =>
+          concat_ws(" ",
+            element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2),
+            element_at(col("words"), i + 3))))
+
+  /** MinHash signatures: for each of `k` seeds, the minimum md5 of
+    * `seed + ":" + shingle` over the doc's shingles. Using the hex string
+    * ordering as the hash universe keeps the op oracle-expressible and
+    * engine-portable; one row per (doc_id, seed).
+    *
+    * Plan shape: explode(shingles) × k seeds → partial min per partition →
+    * single shuffle on doc_id. */
+  def minhash(docs: DataFrame, k: Int = 4): DataFrame = {
+    val sh = shingles(docs)
+      .select(col("doc_id"), explode(col("shingle_arr")).as("shingle"))
+    val seeds = (0 until k).map(lit(_))
+    sh.select(col("doc_id"), col("shingle"),
+        explode(array(seeds: _*)).as("seed0"))
+      .select(col("doc_id"), col("seed0").cast("long").as("seed"),
+        col("shingle"))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
+        col("shingle")))).as("minhash"))
+  }
+
+  /** LSH banding over the minhash signatures: `rowsPerBand` consecutive seeds
+    * hash into one band bucket; docs sharing any (band, bucket) become a
+    * candidate pair. Returns distinct (doc_a < doc_b) pairs.
+    *
+    * The self-join is on (band, bucket) — bucket cardinality bounds the
+    * join's blowup, so the plan survives scale-up as long as bands are
+    * selective (more bands ⇒ higher recall, bigger buckets ⇒ more work). */
+  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+    val banded = sigs
+      .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("seed"),
+          col("minhash")))), s => s.getField("minhash")), "|")).as("bucket"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"),
+      col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"),
+      col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** N-gram Jaccard similarity over blocked pairs: blocks are
+    * (lang, source, n_chars bucket) — deterministic, selective blocking that
+    * bounds pair counts at scale; within a block, Jaccard over the distinct
+    * 3-shingle sets. */
+  def ngramJaccard(docs: DataFrame, charBucket: Int = 50): DataFrame = {
+    val sets = shingles(docs).select(
+      col("doc_id"), col("lang"), col("source"),
+      floor(col("n_chars") / charBucket).as("len_bucket"),
+      array_sort(array_distinct(col("shingle_arr"))).as("sset"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("len_bucket"), col("sset").as("set_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("len_bucket"), col("sset").as("set_b"))
+    a.join(b, Seq("lang", "source", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+            (size(col("set_a")) + size(col("set_b")) -
+              size(array_intersect(col("set_a"), col("set_b")))), 4)
+          .as("jaccard"))
+  }
+
+  /** SimHash-style 32-bit fingerprint: for each of 8 hex nibbles sampled
+    * from each token's md5, majority-vote the bits. Deterministic, portable
+    * construction (bit i of the fingerprint = 1 iff the count of tokens whose
+    * md5 has bit i set exceeds half the token count). One explode + one
+    * groupBy(doc_id). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), " ", -1)).as("token"))
+      .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10)
+        .cast("long"))
+    val bitCols = (0 until 32).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"b$i")
+    }
+    val aggs = count(lit(1)).as("n") +: bitCols
+    val voted = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until 32).map { i =>
+      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), fp.as("simhash"))
+  }
+}

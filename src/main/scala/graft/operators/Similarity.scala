@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`), for a
+  * training-data pipeline. No reference counterpart (SURVEY §2.8 north-star).
+  *
+  * All vector math uses higher-order functions (`zip_with` + `aggregate`) —
+  * codegen'd, no UDFs, deterministic left-to-right double summation (which
+  * keeps results bit-identical across engines that fold the same way).
+  *
+  * Scale posture: the brute-force variant is O(|Q|·|C|) and is only sane for
+  * small query sets (it broadcasts Q); the sign-LSH variant buckets both
+  * sides so the join is equi on bucket — the 100 TB path.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** vec_id, l2 — norm table (rounded 4dp for portability). */
+  def norms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), round(l2(col("embedding")), 4).as("l2"))
+
+  /** Brute-force cosine top-k: for each query vector (`queryPred`), the k
+    * nearest other vectors. The query side is broadcast, so the plan is one
+    * scan of the corpus per batch of queries — no shuffle of the corpus.
+    * Ties break on candidate id for determinism. */
+  def knnBrute(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("score"))
+  }
+
+  /** Sign-LSH bucket key: the sign bits of a fixed set of dimensions
+    * (1-based). A degenerate random-hyperplane LSH with axis-aligned
+    * hyperplanes — deterministic and engine-portable. */
+  def signBucket(v: Column, dims: Seq[Int]): Column =
+    concat_ws("", dims.map(d =>
+      when(element_at(v, d) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-bucketed ANN: candidates must share the sign-bucket with the query;
+    * then exact cosine + top-k inside the bucket. Equi-join on the bucket key
+    * ⇒ shuffle-partitionable by bucket; with b sign bits the corpus fans into
+    * 2^b buckets, bounding each join partition at scale. */
+  def knnLsh(emb: DataFrame, queryPred: Column, k: Int = 3,
+             dims: Seq[Int] = Seq(1, 17, 33, 49)): DataFrame = {
+    val withB = emb.withColumn("bucket", signBucket(col("embedding"), dims))
+    val q = withB.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("bucket"))
+    val c = withB.select(col("vec_id").as("c_id"),
+      col("embedding").as("cv"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("score"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: distinct (a < b) pairs sharing a
+    * sign-bucket with cosine above `threshold`. */
+  def cosineNearDup(emb: DataFrame, threshold: Double = 0.95,
+                    dims: Seq[Int] = Seq(1, 17, 33, 49)): DataFrame = {
+    val withB = emb.withColumn("bucket", signBucket(col("embedding"), dims))
+    val a = withB.select(col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("bucket"))
+    val b = withB.select(col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("score"))
+  }
+}

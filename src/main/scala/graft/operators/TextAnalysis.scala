@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over a
+  * `documents(doc_id, text, lang, source, n_chars)` table. No reference
+  * counterpart (SURVEY §2.8 north-star) — all built-in, codegen-friendly
+  * expressions; no UDFs, so every op stays inside whole-stage codegen and
+  * scales by partition count alone (no shuffle except the final aggregates
+  * callers add).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text`. */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Stopword sets used by the quality / language heuristics. Deliberately
+    * tiny and hard-coded: deterministic and oracle-expressible. */
+  val enStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val esStop: Seq[String] = Seq("el", "la", "de", "y", "en", "es", "un")
+  val deStop: Seq[String] = Seq("der", "die", "das", "und", "zu", "ist", "ein")
+
+  private def stopHits(words: Column, stops: Seq[String]): Column =
+    size(filter(words, w => w.isin(stops.map(lit): _*)))
+
+  /** doc_id, n_tokens, n_chars — token counting (whitespace tokenizer). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      col("n_chars"))
+
+  /** Quality scoring: token count, stopword count/ratio, punctuation count,
+    * mean token length — the standard cheap text-quality signals. Ratios are
+    * rounded to 4dp (pure double arithmetic, deterministic). */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = docs.withColumn("words", tokens(col("text")))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+    w.select(
+      col("doc_id"),
+      col("n_tokens"),
+      stopHits(col("words"), enStop).cast("long").as("stop_cnt"),
+      round(stopHits(col("words"), enStop) / col("n_tokens"), 4)
+        .as("stop_ratio"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long")
+        .as("punct_cnt"),
+      round((col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"), 4)
+        .as("mean_tok_len"))
+  }
+
+  /** N-gram-free language-ID heuristic: score each language by stopword hits
+    * and pick the argmax (en > es > de > unknown on ties — fixed priority so
+    * the choice is total and deterministic). */
+  def languageId(docs: DataFrame): DataFrame = {
+    val w = docs.withColumn("words", tokens(col("text")))
+    val en = stopHits(col("words"), enStop)
+    val es = stopHits(col("words"), esStop)
+    val de = stopHits(col("words"), deStop)
+    w.select(
+      col("doc_id"),
+      col("lang"),
+      when(en >= es && en >= de && en > 0, "en")
+        .when(es >= de && es > 0, "es")
+        .when(de > 0, "de")
+        .otherwise("unknown").as("lang_guess"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
+    * text. The cheap exact-dedup key. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+}
