@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flume-event-shaped source: rows of `body: binary` + `headers:
+  * map<string,string>` where `headers['flieName']` [sic — the reference's
+  * typo'd header key] carries the originating filename.
+  *
+  * The reference pulls these events from Flume agents over Avro RPC
+  * (`FlumeUtils.createPollingStream`, reference:
+  * src/StreamingFlumeProcess.scala:89-101) and unions the per-agent streams
+  * (:102). With no Flume/Avro dependency available, the connector boundary is
+  * re-drawn at a spool DIRECTORY: each file dropped there becomes a stream of
+  * events (one per line), `body` = line bytes, filename in the header — the
+  * same contract the downstream pipeline consumes
+  * (src/StreamingFlumeProcess.scala:117-121).
+  *
+  * Batch twin reads the same layout for tests/backfill.
+  */
+object FlumeLikeSource {
+
+  val HeaderFileName = "flieName" // [sic] reference key
+
+  /** Streaming read: Structured Streaming file source (exactly-once file
+    * tracking via the query's checkpoint — stronger than the reference's
+    * receiver replication) → (body, headers). */
+  def readStream(spark: SparkSession, spoolDir: String): DataFrame =
+    project(
+      spark.readStream
+        .format("text")
+        .load(spoolDir)
+        .select(col("value"), col("_metadata.file_path").as("path")))
+
+  /** Batch twin over the same spool layout. */
+  def read(spark: SparkSession, spoolDir: String): DataFrame =
+    project(
+      spark.read
+        .format("text")
+        .load(spoolDir)
+        .select(col("value"), col("_metadata.file_path").as("path")))
+
+  private def project(df: DataFrame): DataFrame =
+    df.select(
+      encode(col("value"), "UTF-8").as("body"),
+      map(
+        lit(HeaderFileName),
+        element_at(split(col("path"), "/"), -1)).as("headers"))
+
+  /** The reference's event→(file, value) projection
+    * (src/StreamingFlumeProcess.scala:117-121). */
+  def toFileValue(events: DataFrame): DataFrame =
+    events.select(
+      element_at(col("headers"), HeaderFileName).as("file"),
+      decode(col("body"), "UTF-8").as("value"))
+}

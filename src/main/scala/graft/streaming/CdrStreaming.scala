@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.{CdrOps, TableSpec}
+import graft.sinks.FtpLikeSink
+
+/** Structured Streaming shell: the reference's DStream jobs re-expressed as
+  * streaming queries over the same operator library used in batch.
+  *
+  * Reference → here:
+  *  - 11 per-prefix `filter` legs + 11 `saveAsTextFiles` sinks over one
+  *    cached socket stream (src/StreamingSocketProcess.scala:124-159) →
+  *    ONE pass deriving `record_type` + ONE partitioned file sink
+  *    (`partitionBy(dt, record_type)`) — no re-scan, no per-leg cache;
+  *  - driver-clock day partition computed once at graph build (the stale-date
+  *    bug, SURVEY §2.9.5) → `dt` derived from data/batch event time;
+  *  - `concurrentJobs` job overlap → independent streaming queries;
+  *  - checkpoint + `getOrCreate` driver recovery (at-least-once) →
+  *    `checkpointLocation` (exactly-once source offsets);
+  *  - 200 s window re-archive duplication (SURVEY §2.9.6) → tumbling window
+  *    aggregation with a watermark: each record counted exactly once.
+  */
+object CdrStreaming {
+
+  /** Socket source (dev parity with the reference's `socketTextStream`,
+    * src/StreamingSocketProcess.scala:124); tests use MemoryStream. */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** Single-pass routed archive (replaces K1/K3 + P1/P2): derive
+    * `record_type` from the prefix and `dt` from the record's start-time
+    * field when parseable, else the batch processing date. Unknown prefixes
+    * land in their own partitions — nothing is dropped from the archive. */
+  def routedArchive(lines: DataFrame, outDir: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.ProcessingTime("20 seconds"))
+      : StreamingQuery = {
+    // try_element_at: archive-only prefixes are free-form — a short or empty
+    // line must fall back to the batch date, not error (ANSI mode throws on
+    // plain element_at out-of-bounds). Only a yyyyMMdd-shaped start-time
+    // field may drive the partition; anything else takes the batch date —
+    // a free-form field must not mint arbitrary partition values.
+    val startField =
+      substring(try_element_at(split(col("value"), ","), lit(2)), 1, 8)
+    val routed = CdrOps.withRecordType(lines)
+      .withColumn("dt",
+        coalesce(
+          when(startField.rlike("^[0-9]{8}$"), startField),
+          date_format(current_timestamp(), "yyyyMMdd")))
+    routed
+      .select("value", "dt", "record_type")
+      .writeStream
+      .format("text")
+      .partitionBy("dt", "record_type")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Flagship streaming enrichment: the s61-style parse → arity → mask →
+    * broadcast join pipeline running per micro-batch, dual-written to two
+    * partner directories through the transactional [[FtpLikeSink]]
+    * (replaces K7; the join is against a static dim — Catalyst re-plans a
+    * broadcast hash join inside every batch). */
+  def enrichToPartners(lines: DataFrame, spec: TableSpec, dim: DataFrame,
+                       sink: FtpLikeSink, checkpointDir: String,
+                       trigger: Trigger = Trigger.ProcessingTime("20 seconds"))
+      : StreamingQuery = {
+    CdrOps.enrichPipeline(lines, spec, dim)
+      .select(concat_ws(",", col("*")).as("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.writeBatch(batch, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Tumbling-window per-type counts with a watermark (the correct-once
+    * replacement for the reference's overlapping 200 s window archive,
+    * src/StreamingSocketProcess60.scala:121): requires a `ts` timestamp
+    * column on `lines`. */
+  def windowedCounts(lines: DataFrame, window_ : String = "200 seconds",
+                     watermark: String = "60 seconds"): DataFrame =
+    CdrOps.withRecordType(lines)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("record_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("win_start"),
+        col("record_type"), col("n"))
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class NorthStarSpec extends SparkTestBase {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text) =>
+      (id, text, "en", "srcA", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private val dupText = "the quick brown fox jumps over the lazy dog again"
+  private val docs = docsDf(Seq(
+    1L -> dupText,
+    2L -> dupText, // exact duplicate of 1
+    3L -> (dupText + " slightly"), // near-duplicate of 1
+    4L -> "completely different words about spark catalyst physical plans"))
+
+  test("Dedup.exact groups duplicates, keeps min doc_id") {
+    val out = Dedup.exact(docs).filter(col("n_dupes") > 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 1L && out.head.getLong(2) == 2L)
+  }
+
+  test("Dedup.minhash: identical docs have identical signatures; LSH pairs " +
+    "them; near-dup shares most bands") {
+    val sigs = Dedup.minhash(docs, k = 4)
+    val byDoc = sigs.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) != byDoc(4L))
+    val pairs = Dedup.lshCandidatePairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("Dedup.ngramJaccard: 1.0 for identical, high for near-dup, low " +
+    "across different docs") {
+    val j = Dedup.ngramJaccard(docs, charBucket = 1000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.7)
+    assert(j.getOrElse((1L, 4L), 0.0) < 0.1)
+  }
+
+  test("Dedup.simhash: equal texts → equal fingerprints; near-dups closer " +
+    "in Hamming distance than unrelated docs") {
+    val fp = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) == fp(2L))
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+  }
+
+  test("TextAnalysis: token counts, quality signals, language id, " +
+    "fingerprint") {
+    val d = docsDf(Seq(5L -> "the cat sat on the mat"))
+    assert(TextAnalysis.tokenCount(d).head.getLong(1) == 6L)
+    val q = TextAnalysis.quality(d).head
+    assert(q.getLong(1) == 6L) // n_tokens
+    assert(q.getLong(2) == 2L) // "the" x2
+    assert(q.getDouble(3) == math.rint(2.0 / 6.0 * 10000) / 10000)
+    val es = docsDf(Seq(6L -> "el gato en la casa es un misterio"))
+    assert(TextAnalysis.languageId(es).head.getString(2) == "es")
+    assert(TextAnalysis.languageId(d).head.getString(2) == "en")
+    val f1 = TextAnalysis.fingerprint(docsDf(Seq(7L -> "a  b\tc")))
+      .head.getString(1)
+    val f2 = TextAnalysis.fingerprint(docsDf(Seq(8L -> "a b c")))
+      .head.getString(1)
+    assert(f1 == f2) // whitespace-normalized
+  }
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("Similarity: cosine=1 for identical, 0 for orthogonal; knn ranks " +
+    "the duplicate first") {
+    val emb = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f), // identical to 0
+      2L -> Seq(0f, 1f, 0f, 0f), // orthogonal
+      3L -> Seq(0.9f, 0.1f, 0f, 0f))) // close
+    val knn = Similarity.knnBrute(emb, col("vec_id") === 0, k = 3).collect()
+    assert(knn.length == 3)
+    assert(knn.head.getLong(1) == 1L && knn.head.getDouble(2) == 1.0)
+    val last = knn.last
+    assert(last.getLong(1) == 2L && last.getDouble(2) == 0.0)
+    val norms = Similarity.norms(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(norms(0L) == 1.0)
+  }
+
+  test("Similarity.knnLsh: only same-bucket candidates; near-dup pairs " +
+    "found above threshold") {
+    val emb = embDf(Seq(
+      0L -> Seq.fill(64)(0.5f),
+      1L -> Seq.fill(64)(0.5f),
+      2L -> Seq.fill(64)(-0.5f))) // opposite bucket
+    val knn = Similarity.knnLsh(emb, col("vec_id") === 0, k = 5).collect()
+    assert(knn.map(_.getLong(1)).toSet == Set(1L)) // 2 is in another bucket
+    val dups = Similarity.cosineNearDup(emb, threshold = 0.95).collect()
+    assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L)))
+  }
+}

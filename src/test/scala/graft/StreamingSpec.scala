@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{CdrOps, TableSpec}
+import graft.sinks.FtpLikeSink
+import graft.sources.FlumeLikeSource
+import graft.streaming.CdrStreaming
+
+class StreamingSpec extends SparkTestBase {
+
+  test("routedArchive: one-pass partitionBy(dt, record_type) layout, " +
+    "data-derived day partition, nothing dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[String]
+    val out = tmpDir("archive")
+    val cp = tmpDir("cp")
+    val q = CdrStreaming.routedArchive(input.toDF(), out, cp,
+      Trigger.ProcessingTime(0))
+    input.addData(CdrFixtures.s61Lines.filter(_.nonEmpty))
+    q.processAllAvailable()
+    q.stop()
+    val archived = s.read.format("text").load(out)
+    // every non-empty line archived exactly once
+    assert(archived.count() ==
+      CdrFixtures.s61Lines.count(_.nonEmpty))
+    // partition values are type-inferred on read-back (dt → int)
+    val parts = archived.select(col("dt"), col("record_type")).distinct()
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    // s61 rows partition under their data-derived start date
+    assert(parts.contains(("20160114", "61")))
+    // unknown prefix still archived under its own record_type
+    assert(parts.exists(_._2 == "99"))
+  }
+
+  test("enrichToPartners: flagship pipeline per micro-batch, dual-partner " +
+    "tmp+rename commit, idempotent batch dirs") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[String]
+    val target = tmpDir("partners")
+    val dead = tmpDir("dead")
+    val cp = tmpDir("cp2")
+    val dim = CdrOps.loadCodeMap(
+      CdrOps.parseDelim(CdrFixtures.yaxinTsv.toDF("value"), "\t"),
+      (0, 1), 2, 3)
+    val sink = new FtpLikeSink(target, dead, Seq("yaxin", "yiyang"))
+    val q = CdrStreaming.enrichToPartners(input.toDF(), TableSpec.s61, dim,
+      sink, cp, Trigger.ProcessingTime(0))
+    input.addData(CdrFixtures.s61Lines)
+    q.processAllAvailable()
+    q.stop()
+    def partnerLines(p: String): Seq[String] = {
+      val dirs = Files.list(Paths.get(target, p)).toArray.map(_.toString)
+      dirs.flatMap(d => s.read.textFile(d).collect()).toSeq
+    }
+    val yaxin = partnerLines("yaxin")
+    val yiyang = partnerLines("yiyang")
+    assert(yaxin.nonEmpty && yaxin.sorted == yiyang.sorted)
+    assert(yaxin.forall(_.endsWith(",2g_call")))
+    // no uncommitted @tmp files left anywhere
+    val leftovers = Files.walk(Paths.get(target)).toArray
+      .map(_.toString).filter(_.endsWith("@tmp"))
+    assert(leftovers.isEmpty)
+  }
+
+  test("windowedCounts: tumbling window + watermark counts each record " +
+    "exactly once (vs the reference's overlapping-window duplication)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val lines = input.toDF().toDF("ts", "value")
+    val agg = CdrStreaming.windowedCounts(lines, "200 seconds", "60 seconds")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wc").trigger(Trigger.ProcessingTime(0))
+      .start()
+    def t(sec: Int) = java.sql.Timestamp.valueOf(
+      s"2024-01-01 00:0${sec / 60}:${"%02d".format(sec % 60)}")
+    input.addData(Seq(
+      (t(10), "61,a"), (t(20), "61,b"), (t(30), "62,c"),
+      (t(210), "61,d")))
+    q.processAllAvailable()
+    val rows = s.sql("SELECT record_type, n FROM wc ORDER BY record_type, n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    q.stop()
+    // 4 input records → total n of 4, no window overlap duplication
+    assert(rows.map(_._2).sum == 4)
+    assert(rows.toSet == Set(("61", 2L), ("61", 1L), ("62", 1L)))
+  }
+
+  test("FlumeLikeSource: spool dir → (body, headers[flieName]); " +
+    "batch and streaming agree") {
+    val s = spark
+    val spool = tmpDir("spool")
+    Files.write(Paths.get(spool, "2015101509540700756011117.txt"),
+      s"${CdrFixtures.gnLine(1)}\n${CdrFixtures.gnLine(2)}".getBytes)
+    Files.write(Paths.get(spool, "f2.txt"), CdrFixtures.gnLine(3).getBytes)
+    val batch = FlumeLikeSource.toFileValue(FlumeLikeSource.read(s, spool))
+    val got = batch.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.length == 3)
+    assert(got.count(_._1 == "2015101509540700756011117.txt") == 2)
+    assert(got.exists(r => r._1 == "f2.txt" &&
+      r._2 == CdrFixtures.gnLine(3)))
+
+    implicit val ctx = s.sqlContext
+    val stream = FlumeLikeSource.toFileValue(
+      FlumeLikeSource.readStream(s, spool))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("flume").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    val streamed = s.sql("SELECT file, value FROM flume").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(streamed == got.toSet)
+  }
+}
