@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Runnable tour of the library over the smallest testdata: the flagship
+  * enrichment plus the multimodal pipeline. Usage:
+  * `sbt "runMain graft.Example [sfDir]"`. */
+object Example {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val flag = SparkEntry.queries("flagship_s61")(spark, sfDir)
+    println(s"[example] flagship_s61 rows=${flag.count()}")
+    flag.show(3, truncate = false)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val withP = Multimodal.withBinaryPayload(docs)
+    val meta = Multimodal.decodeMeta(withP)
+    println(s"[example] decodeMeta rows=${meta.count()}")
+    meta.show(3)
+    val frames = Multimodal.frameSample(withP, every = 2, frameBytes = 64)
+    println(s"[example] frameSample frames=${frames.count()} " +
+      s"from docs=${docs.count()}")
+    val resized = Multimodal.resize(withP, 16, 16)
+    println("[example] resize max payload bytes = " +
+      resized.select(max(length(col("payload")))).head.get(0))
+    val feats = Multimodal.extractFeatures(withP, dim = 8)
+    println("[example] features sample = " +
+      feats.head().features.map(f => f"$f%.3f").mkString("[", ",", "]"))
+    spark.stop()
+  }
+}

@@ -285,6 +285,9 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"))).toDF()),
     "multimodal_meta" -> ((s, dir) => {
       val nb = length(encode(col("text"), "UTF-8")).cast("long")
       t(s, dir, "documents").select(
@@ -558,6 +561,16 @@ object SparkEntry {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(64 + octet_length(encode(text)) % 32 AS INTEGER) AS width,
+        | CAST(64 + (octet_length(encode(text)) // 32) % 32 AS INTEGER)
+        |   AS height,
+        | CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames,
+        | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'img'
+        |   ELSE 'vid' END AS format
+        |FROM documents""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

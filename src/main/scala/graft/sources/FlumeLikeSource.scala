@@ -32,6 +32,14 @@ object FlumeLikeSource {
         .load(spoolDir)
         .select(col("value"), col("_metadata.file_path").as("path")))
 
+  /** Union of several spool directories into one event stream — the
+    * reference's per-agent stream union (`ssc.union(buf)`, reference:
+    * src/StreamingFlumeProcess.scala:89-102): bag semantics, no dedup, no
+    * shuffle (a union is a plan-level concat of sources). */
+  def readStreamUnion(spark: SparkSession, spoolDirs: Seq[String])
+      : DataFrame =
+    spoolDirs.map(readStream(spark, _)).reduce(_.union(_))
+
   /** Batch twin over the same spool layout. */
   def read(spark: SparkSession, spoolDir: String): DataFrame =
     project(

@@ -37,7 +37,8 @@ object CdrStreaming {
     * field when parseable, else the batch processing date. Unknown prefixes
     * land in their own partitions — nothing is dropped from the archive. */
   def routedArchive(lines: DataFrame, outDir: String, checkpointDir: String,
-                    trigger: Trigger = Trigger.ProcessingTime("20 seconds"))
+                    trigger: Trigger = Trigger.ProcessingTime("20 seconds"),
+                    maxRecordsPerFile: Int = 100000)
       : StreamingQuery = {
     // try_element_at: archive-only prefixes are free-form — a short or empty
     // line must fall back to the batch date, not error (ANSI mode throws on
@@ -51,12 +52,16 @@ object CdrStreaming {
         coalesce(
           when(startField.rlike("^[0-9]{8}$"), startField),
           date_format(current_timestamp(), "yyyyMMdd")))
+    // maxRecordsPerFile = the reference's size-based flush granularity
+    // (`cache` records per file append, src/ProcessSums.scala:286-311) —
+    // bounds file sizes without its repartition(1) single-writer bottleneck.
     routed
       .select("value", "dt", "record_type")
       .writeStream
       .format("text")
       .partitionBy("dt", "record_type")
       .option("path", outDir)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
@@ -81,6 +86,26 @@ object CdrStreaming {
       .trigger(trigger)
       .start()
   }
+
+  /** Group-by-source-file archive (replaces K8, the Flume-side
+    * group-adjacent-by-filename writers, reference:
+    * src/ProcessSum1.scala:244-324,372-530): one output partition per
+    * originating file via `partitionBy(file)` — a true group-by, strict
+    * superset of the reference's adjacency-run grouping (SURVEY §2.9.3).
+    * Input: (file, value) rows from [[graft.sources.FlumeLikeSource]]. */
+  def archiveByFile(fileValue: DataFrame, outDir: String,
+                    checkpointDir: String,
+                    trigger: Trigger = Trigger.ProcessingTime("20 seconds"),
+                    maxRecordsPerFile: Int = 100000): StreamingQuery =
+    fileValue
+      .writeStream
+      .format("text")
+      .partitionBy("file")
+      .option("path", outDir)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 
   /** Tumbling-window per-type counts with a watermark (the correct-once
     * replacement for the reference's overlapping 200 s window archive,
