@@ -143,6 +143,49 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "rn")
     }),
 
+    // ── beyond-reference relational ops (SURVEY §2.8 declared-absent) ──
+    "q6_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz"))
+        .groupBy(date_format(col("l_shipdate"), "yyyyMM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("revenue"))
+    }),
+    "q7_distinct" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n"))
+    }),
+    "q8_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("k"))
+      val i = o.intersect(c).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect"))
+      val e = c.except(o).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except"))
+      i.unionByName(e).select("op", "n")
+    }),
+    "q9_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("c_nationkey").cast("string"), lit("ALL"))
+            .as("nat"),
+          col("n"))
+    }),
+    "q10_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
     // ── CDR operator parity (SURVEY §2) ───────────────────────────────
     "cdr_route_count" -> ((s, dir) => {
       CdrOps.withRecordType(cdrLines(s, dir))
@@ -327,6 +370,38 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         | FROM orders) t WHERE rn <= 3""".stripMargin,
+
+    "q6_filter_pushdown" ->
+      """SELECT strftime(l_shipdate, '%Y%m') AS month, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |   AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q7_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        | count(*) AS n
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q8_setops" ->
+      """SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0) t
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+        |  EXCEPT
+        |  SELECT o_custkey AS k FROM orders) t2""".stripMargin,
+    "q9_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        | coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nat,
+        | count(*) AS n
+        |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey)""".stripMargin,
 
     "cdr_route_count" -> (CdrSql +
       """SELECT substring(value, 1, 2) AS record_type, count(*) AS n

@@ -87,6 +87,50 @@ object CdrStreaming {
       .start()
   }
 
+  /** The Flume-path lifecycle end-to-end (reference
+    * StreamingFlumeProcess, src/StreamingFlumeProcess.scala:34-239):
+    * events(body, headers) → (file, value) → MD5-mask GN identifier columns
+    * 0,1,2,7 (src/StreamingFlumeProcess.scala:146-149) → dual write: a
+    * date-partitioned text archive (day derived from the record's own
+    * timestamp field 17, not the driver clock — fixing SURVEY §2.9.5) and a
+    * partner delivery through the transactional [[FtpLikeSink]].
+    * `project` additionally applies the 44→10 projection
+    * (src/DesenPross.scala:167-176). */
+  def flumeDesensitize(events: DataFrame, archiveDir: String,
+                       sink: FtpLikeSink, checkpointDir: String,
+                       trigger: Trigger = Trigger.ProcessingTime("20 seconds"),
+                       project: Boolean = false): StreamingQuery = {
+    import graft.sources.FlumeLikeSource
+    val spec = TableSpec.gn44
+    val parsed = CdrOps.parseDelim(FlumeLikeSource.toFileValue(events), "|")
+    val masked = CdrOps.maskFields(parsed, spec.maskCols)
+    // day partition from the record's own event timestamp (field 17,
+    // 'yyyy-MM-dd HH:mm:ss.SSSSSS'), resolved BEFORE any projection;
+    // free-form rows fall back to the batch date
+    val ts17 = substring(
+      try_element_at(col("f"), lit(spec.starttimeCol + 1)), 1, 10)
+    val withDtCol = masked.withColumn("dt", coalesce(
+      when(ts17.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+        regexp_replace(ts17, "-", "")),
+      date_format(current_timestamp(), "yyyyMMdd")))
+    val shaped =
+      if (project) CdrOps.projectFields(withDtCol, TableSpec.gn44Projection)
+      else withDtCol
+    val withDt = CdrOps.rejoin(shaped, "|").select("value", "dt")
+    withDt.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          b.write.mode("append").partitionBy("dt").format("text")
+            .save(archiveDir)
+          sink.writeBatch(b.select("value"), batchId)
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Group-by-source-file archive (replaces K8, the Flume-side
     * group-adjacent-by-filename writers, reference:
     * src/ProcessSum1.scala:244-324,372-530): one output partition per

@@ -96,6 +96,41 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSet == Set(("61", 2L), ("61", 1L), ("62", 1L)))
   }
 
+  test("flumeDesensitize: full Flume lifecycle — mask 0,1,2,7, archive by " +
+    "record-derived date, partner delivery; field 17 intact") {
+    val s = spark
+    import s.implicits._
+    val spool = tmpDir("gnspool")
+    val archive = tmpDir("gnarch")
+    val target = tmpDir("gntgt")
+    val cp = tmpDir("gncp")
+    Files.write(Paths.get(spool, "2015101509540700756011117.txt"),
+      (1 to 3).map(CdrFixtures.gnLine).mkString("\n").getBytes)
+    val sink = new FtpLikeSink(target, tmpDir("gndead"), Seq("partner1"))
+    val q = CdrStreaming.flumeDesensitize(
+      graft.sources.FlumeLikeSource.readStream(s, spool),
+      archive, sink, cp, Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    q.stop()
+    val archived = s.read.format("text").load(archive)
+    assert(archived.count() == 3)
+    // date partition derived from the record's field 17 (2015-12-09)
+    assert(archived.select("dt").distinct().head.get(0).toString ==
+      "20151209")
+    val lines = archived.select("value").collect().map(_.getString(0))
+    lines.foreach { l =>
+      val f = l.split("\\|", -1)
+      assert(f.length == 44)
+      assert(f(0).matches("[0-9a-f]{32}")) // MSISDN masked
+      assert(f(7).matches("[0-9a-f]{32}")) // IMEI masked
+      assert(f(17) == "2015-12-09 16:45:21.208811") // timestamp intact
+    }
+    // partner got the identical masked payload
+    val partner = s.read.textFile(s"$target/partner1/batch=0")
+      .collect().sorted
+    assert(partner.toSeq == lines.sorted.toSeq)
+  }
+
   test("FlumeLikeSource: spool dir → (body, headers[flieName]); " +
     "batch and streaming agree") {
     val s = spark
