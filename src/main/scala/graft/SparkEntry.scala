@@ -287,6 +287,10 @@ object SparkEntry {
       TextAnalysis.languageId(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "doc_token_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCount(t(s, dir, "documents"))),
+    "doc_rolling_fp" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
 
     // ── dedup (north-star) ────────────────────────────────────────────
     "doc_dedup_exact" -> ((s, dir) =>
@@ -308,6 +312,9 @@ object SparkEntry {
       Similarity.knnBrute(t(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
     "emb_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(t(s, dir, "embeddings"), col("vec_id") < 8, k = 3)),
+    "emb_knn_ivf" -> ((s, dir) =>
+      // rows-only: KMeans coarse quantizer is not SQL-expressible
+      Similarity.knnIvf(t(s, dir, "embeddings"), col("vec_id") < 8, k = 3)),
     "emb_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
 
@@ -511,6 +518,21 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id,
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "doc_token_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(len(list_distinct(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+        |   AS n_distinct_tokens
+        |FROM documents""".stripMargin,
+    "doc_rolling_fp" ->
+      """SELECT doc_id,
+        | list_aggregate(list_transform(
+        |   range(1, greatest(length(text) - 7, 1) + 1),
+        |   i -> md5(substr(text, CAST(i AS INTEGER), 8))), 'min')
+        |   AS rolling_fp
         |FROM documents""".stripMargin,
     "doc_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle fact tables ONCE on their join key so
+  * every subsequent join/aggregation on that key runs shuffle-free — the
+  * 100 TB answer to "this join shuffles 100 TB every run" (SURVEY §7.1:
+  * bucketing / pre-partitioning for co-located joins).
+  *
+  * Spark's bucketing lives in the catalog (`bucketBy` requires
+  * `saveAsTable`); readers of both sides get `HashPartitioning(key, n)`
+  * output partitioning, and Catalyst elides the Exchange on joins whose keys
+  * match the bucket spec. */
+object Bucketing {
+
+  /** Persist `df` as a bucketed managed table (overwriting any previous
+    * one). `buckets` should match the downstream parallelism target. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 32,
+                    sortBy: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+    sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
+  /** Join two bucketed tables on their bucket key. When both sides share the
+    * same bucket count, the physical plan has NO Exchange under the join —
+    * verify with `countExchanges`. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** Number of shuffle Exchange operators in the final physical plan — the
+    * observable for "this join is co-located". Traverses through AQE's
+    * adaptive plan and materialized query stages (a post-execution adaptive
+    * plan hides its exchanges inside `ShuffleQueryStageExec`). */
+  def countExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+}

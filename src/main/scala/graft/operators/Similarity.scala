@@ -99,6 +99,58 @@ object Similarity {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("score"))
   }
 
+  /** IVF (inverted-file) ANN — the other scale path besides sign-LSH:
+    * coarse-quantize the corpus into `nlist` KMeans cells (seeded,
+    * deterministic training), then search only the `nprobe` cells whose
+    * centroids are nearest each query. Corpus-side work per query drops from
+    * O(N) to O(N · nprobe / nlist); the cell assignment is a one-off batch
+    * job whose output would be persisted (bucketed by cell) in production.
+    *
+    * Not oracle-expressible (KMeans training is not SQL) — covered by
+    * ScalaTest with clustered fixtures; the driver records rows-only. */
+  def knnIvf(emb: DataFrame, queryPred: Column, k: Int = 3,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    val withVec = emb
+      .withColumn("dvec", col("embedding").cast("array<double>"))
+      .withColumn("vec", array_to_vector(col("dvec")))
+    val model = new KMeans().setK(nlist).setSeed(42)
+      .setFeaturesCol("vec").setPredictionCol("cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("dvec"), col("cell"))
+      .withColumn("nrm", l2(col("embedding")))
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray)
+      }.toIndexedSeq).toDF("cell", "centroid")
+    // nprobe nearest cells per query vector (tiny: |Q| × nlist)
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("dvec").as("qdv"), col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        dot(col("qdv"), col("qdv")) -
+          lit(2) * dot(col("qdv"), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("q_nrm"), col("cell"))
+    // search only the probed cells
+    val c = assigned.select(col("vec_id").as("c_id"),
+      col("embedding").as("cv"), col("nrm").as("c_nrm"), col("cell"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: distinct (a < b) pairs sharing a
     * sign-bucket with cosine above `threshold`. */
   def cosineNearDup(emb: DataFrame, threshold: Double = 0.95,

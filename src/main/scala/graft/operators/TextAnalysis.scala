@@ -72,4 +72,28 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+
+  /** BPE-ish token counting: a subword-style regex (letter runs / digit
+    * runs / single punctuation) rather than whitespace — the
+    * tokenizer-adjacent count an LLM-data pipeline budgets by. */
+  def bpeTokenCount(docs: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+  }
+
+  /** Rolling-hash document fingerprint: the minimum hash over all character
+    * 8-grams (a content-defined fingerprint stable under local edits
+    * elsewhere in the document — winnowing with a whole-document window).
+    * The md5-hex string ordering is the hash universe, keeping the op
+    * engine-portable. */
+  def rollingFingerprint(docs: DataFrame, gram: Int = 8): DataFrame =
+    docs.select(
+      col("doc_id"),
+      array_min(transform(
+        sequence(lit(1), greatest(length(col("text")) - (gram - 1), lit(1))),
+        i => md5(col("text").substr(i, lit(gram))))).as("rolling_fp"))
 }

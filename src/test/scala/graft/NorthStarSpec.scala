@@ -98,6 +98,25 @@ class NorthStarSpec extends SparkTestBase {
     assert(norms(0L) == 1.0)
   }
 
+  test("Similarity.knnIvf: probes nearest cells only and finds in-cluster " +
+    "neighbors") {
+    val rnd = new scala.util.Random(3)
+    def around(base: Float) =
+      Seq.tabulate(16)(i => base + (if (i == 0) 0f else rnd.nextFloat() * 0.05f))
+    // three tight clusters at distinct corners
+    val rows = (0 until 10).map(i => (i.toLong, around(1f))) ++
+      (10 until 20).map(i => (i.toLong, around(-1f))) ++
+      (20 until 30).map(i => (i.toLong, Seq.tabulate(16)(j =>
+        if (j % 2 == 0) 1f else -1f)))
+    val emb = embDf(rows)
+    val knn = Similarity.knnIvf(emb, col("vec_id") === 0, k = 3,
+      nlist = 3, nprobe = 1).collect()
+    assert(knn.length == 3)
+    // all neighbors come from vec 0's own cluster (ids 1..9)
+    assert(knn.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 9))
+    assert(knn.forall(_.getDouble(2) > 0.99))
+  }
+
   test("Similarity.knnLsh: only same-bucket candidates; near-dup pairs " +
     "found above threshold") {
     val emb = embDf(Seq(
