@@ -37,6 +37,30 @@ object Example {
     val feats = Multimodal.extractFeatures(withP, dim = 8)
     println("[example] features sample = " +
       feats.head().features.map(f => f"$f%.3f").mkString("[", ",", "]"))
+
+    // streaming sessionization with custom keyed state
+    {
+      import graft.streaming.Sessionize
+      import graft.streaming.Sessionize._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[Evt]
+      def ts(sec: Long) = new java.sql.Timestamp((100000 + sec) * 1000)
+      val q = Sessionize.sessions(
+        input.toDS().withWatermark("ts", "0 seconds"), gapSeconds = 600)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("example_sessions").trigger(Trigger.ProcessingTime(0))
+        .start()
+      input.addData(Seq(Evt(1, ts(0), 1.0), Evt(1, ts(10), 2.0),
+        Evt(1, ts(2000), 4.0), Evt(2, ts(1990), 8.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(3, ts(10000), 0.0)))
+      q.processAllAvailable()
+      q.stop()
+      println("[example] streaming sessions:")
+      spark.sql("SELECT * FROM example_sessions ORDER BY user_id").show()
+    }
     spark.stop()
   }
 }

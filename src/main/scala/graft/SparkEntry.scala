@@ -330,6 +330,8 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)"))
             .cast("decimal(38,2)").as("sum_value"))
     }),
+    "events_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionsBatch(events(s, dir), 1800)),
     "events_json_extract" -> ((s, dir) => {
       events(s, dir).select(
         col("event_id"),
@@ -654,6 +656,20 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
         |   AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts)) > 1800 * 1000000
+        |   THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        | s AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY
+        |   user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, sid, count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "events_json_extract" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

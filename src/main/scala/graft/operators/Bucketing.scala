@@ -18,6 +18,14 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 32,
                     sortBy: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    // drop any previous table AND its location: a stale warehouse dir from
+    // a dead session makes CREATE TABLE fail with LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
     sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)

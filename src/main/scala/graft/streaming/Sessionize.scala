@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization over an event stream — custom keyed state via
+  * `flatMapGroupsWithState` (the Structured Streaming state primitive; the
+  * reference keeps no stream state at all, SURVEY §2.6 T8 — this is a
+  * north-star capability a training-data/clickstream pipeline needs).
+  *
+  * A session = consecutive events of one user with gaps < `gapSeconds`.
+  * The streaming variant emits a session when event time passes its
+  * gap-timeout (watermark-driven, append mode — late data beyond the
+  * watermark is dropped deterministically). The batch twin computes the same
+  * sessions with window functions and is DuckDB-oracle-checkable.
+  *
+  * Scale: state is one small record per ACTIVE user (not per event);
+  * partitioning is by user key, so state shards across executors.
+  */
+object Sessionize {
+
+  case class Evt(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long,
+                        sum_value: Double)
+
+  implicit val evtEnc: Encoder[Evt] = Encoders.product[Evt]
+  implicit val stEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Streaming sessionize: `events` must be a streaming Dataset[Evt] with a
+    * watermark already applied on `ts`. */
+  def sessions(events: Dataset[Evt], gapSeconds: Long): Dataset[SessionOut] =
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Evt],
+         state: GroupState[SessionState]) =>
+          val gapMs = gapSeconds * 1000
+          def toOut(s: SessionState) = SessionOut(user,
+            new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toOut).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var emitted = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) => // gap exceeded: close previous session
+                  emitted ::= toOut(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            emitted.reverseIterator
+          }
+      }
+
+  /** Batch twin: identical session boundaries via window functions
+    * (new-session flag on gap > threshold, running sum as session id). */
+  def sessionsBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // microsecond-precision gap compare (a seconds-truncated compare would
+    // disagree with the oracle at fractional-second boundaries)
+    val us = unix_micros(col("ts"))
+    val newSession = when(
+      us - lag(us, 1).over(byUser) > gapSeconds * 1000000L ||
+        lag(us, 1).over(byUser).isNull, 1).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("sid",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"))
+  }
+}

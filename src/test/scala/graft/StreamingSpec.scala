@@ -131,6 +131,41 @@ class StreamingSpec extends SparkTestBase {
     assert(partner.toSeq == lines.sorted.toSeq)
   }
 
+  test("Sessionize: flatMapGroupsWithState emits sessions on gap close " +
+    "and event-time timeout; state is per-user") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Evt]
+    // offset from epoch 0: the initial watermark is 0 and an event AT the
+    // watermark is treated as late by stateful ops
+    def ts(sec: Long) = new java.sql.Timestamp((100000 + sec) * 1000)
+    val sess = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "0 seconds"), gapSeconds = 600)
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sess").trigger(Trigger.ProcessingTime(0)).start()
+    // one batch: two sessions for user 1 (gap 0→10 vs 2000), user 2 active
+    input.addData(Seq(
+      Evt(1L, ts(0), 1.0), Evt(1L, ts(10), 2.0), Evt(1L, ts(2000), 4.0),
+      Evt(2L, ts(1990), 8.0)))
+    q.processAllAvailable()
+    // second batch advances the watermark far past all timeouts
+    input.addData(Seq(Evt(3L, ts(10000), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT user_id, n_events, sum_value FROM sess ORDER BY user_id, " +
+        "n_events DESC").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // user1: closed-in-batch session (2 events) + timed-out tail (1 event);
+    // user2: timed-out single-event session
+    assert(rows.contains((1L, 2L, 3.0)))
+    assert(rows.contains((1L, 1L, 4.0)))
+    assert(rows.contains((2L, 1L, 8.0)))
+  }
+
   test("FlumeLikeSource: spool dir → (body, headers[flieName]); " +
     "batch and streaming agree") {
     val s = spark
