@@ -287,6 +287,8 @@ object SparkEntry {
       TextAnalysis.languageId(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "doc_langid_ngram" -> ((s, dir) =>
+      TextAnalysis.languageIdNgram(t(s, dir, "documents"))),
     "doc_token_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTokenCount(t(s, dir, "documents"))),
     "doc_rolling_fp" -> ((s, dir) =>
@@ -521,6 +523,25 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "doc_langid_ngram" ->
+      """WITH t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        | sc AS (SELECT doc_id, lang,
+        |  CAST((length(lt) - length(regexp_replace(lt, 'th', '', 'g'))) / 2 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'he', '', 'g'))) / 2 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'ing', '', 'g'))) / 3 AS BIGINT) AS en,
+        |  CAST((length(lt) - length(regexp_replace(lt, 'ción', '', 'g'))) / 4 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'que', '', 'g'))) / 3 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'los', '', 'g'))) / 3 AS BIGINT) AS es,
+        |  CAST((length(lt) - length(regexp_replace(lt, 'sch', '', 'g'))) / 3 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'der', '', 'g'))) / 3 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'ein', '', 'g'))) / 3 AS BIGINT) AS de
+        |  FROM t)
+        |SELECT doc_id, lang,
+        | CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+        |      WHEN es >= de AND es > 0 THEN 'es'
+        |      WHEN de > 0 THEN 'de'
+        |      ELSE 'unknown' END AS lang_guess_ngram
+        |FROM sc""".stripMargin,
     "doc_token_bpe" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text,

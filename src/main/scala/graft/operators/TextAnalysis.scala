@@ -66,6 +66,26 @@ object TextAnalysis {
         .otherwise("unknown").as("lang_guess"))
   }
 
+  /** Character-n-gram language heuristic: score each language by counts of
+    * its characteristic bigrams/trigrams in the lower-cased text (the
+    * classic profile approach at its smallest); argmax with a fixed
+    * priority. Complements the stopword-based [[languageId]]. */
+  def languageIdNgram(docs: DataFrame): DataFrame = {
+    def occurrences(t: Column, gram: String): Column =
+      ((length(t) - length(regexp_replace(t, gram, ""))) / gram.length)
+        .cast("long")
+    val t = lower(col("text"))
+    val en = Seq("th", "he", "ing").map(occurrences(t, _)).reduce(_ + _)
+    val es = Seq("ción", "que", "los").map(occurrences(t, _)).reduce(_ + _)
+    val de = Seq("sch", "der", "ein").map(occurrences(t, _)).reduce(_ + _)
+    docs.select(
+      col("doc_id"), col("lang"),
+      when(en >= es && en >= de && en > 0, "en")
+        .when(es >= de && es > 0, "es")
+        .when(de > 0, "de")
+        .otherwise("unknown").as("lang_guess_ngram"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. The cheap exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
