@@ -306,6 +306,8 @@ object SparkEntry {
       Dedup.ngramJaccard(t(s, dir, "documents"))),
     "doc_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"))),
+    "doc_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupPipeline(t(s, dir, "documents"), 0.8)),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -609,6 +611,27 @@ object SparkEntry {
     // doc_simhash: no oracle (conv/bit ops not portably expressible) —
     // covered by a ScalaTest golden test; driver records rows-only.
 
+    "doc_dedup_pipeline" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        | exact_drop AS (SELECT a.doc_id AS drop_id FROM fp a JOIN fp b
+        |   ON a.fp = b.fp AND b.doc_id < a.doc_id),
+        | w AS (SELECT doc_id, lang, source, n_chars,
+        |   string_split(text, ' ') AS words FROM documents),
+        | sets AS (SELECT doc_id, lang, source, n_chars // 50 AS len_bucket,
+        |   list_sort(list_distinct(list_transform(
+        |     range(1, len(words) - 1), i ->
+        |     concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM w WHERE len(words) >= 3),
+        | near_drop AS (SELECT b.doc_id AS drop_id
+        |  FROM sets a JOIN sets b
+        |   ON a.lang = b.lang AND a.source = b.source
+        |    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT drop_id FROM exact_drop
+        |  UNION SELECT drop_id FROM near_drop)""".stripMargin,
     "emb_norms" ->
       """SELECT vec_id, round(sqrt(list_aggregate(list_transform(
         |  embedding::DOUBLE[], x -> x * x), 'sum')), 4) AS l2

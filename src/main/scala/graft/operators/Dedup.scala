@@ -94,7 +94,14 @@ object Dedup {
     * (lang, source, n_chars bucket) — deterministic, selective blocking that
     * bounds pair counts at scale; within a block, Jaccard over the distinct
     * 3-shingle sets. */
-  def ngramJaccard(docs: DataFrame, charBucket: Int = 50): DataFrame = {
+  def ngramJaccard(docs: DataFrame, charBucket: Int = 50): DataFrame =
+    ngramJaccardRaw(docs, charBucket)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+
+  /** Unrounded variant — thresholding must compare exact values so both
+    * engines agree at the boundary. */
+  private[operators] def ngramJaccardRaw(docs: DataFrame,
+                                         charBucket: Int): DataFrame = {
     val sets = shingles(docs).select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / charBucket).as("len_bucket"),
@@ -107,11 +114,30 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
-        round(
-          size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-            (size(col("set_a")) + size(col("set_b")) -
-              size(array_intersect(col("set_a"), col("set_b")))), 4)
+        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          (size(col("set_a")) + size(col("set_b")) -
+            size(array_intersect(col("set_a"), col("set_b")))))
           .as("jaccard"))
+  }
+
+  /** The user-facing dedup endpoint: drop exact duplicates (keep min
+    * doc_id) and near-duplicates (blocked n-gram Jaccard ≥ threshold, keep
+    * the smaller id of each pair), return the surviving documents.
+    * Anti-join against a small drop-list — the corpus itself is scanned
+    * once and never shuffled. */
+  def dedupPipeline(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                    charBucket: Int = 50): DataFrame = {
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val exactDrop = fp.as("a")
+      .join(fp.as("b"), col("a.fp") === col("b.fp") &&
+        col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("drop_id"))
+    val nearDrop = ngramJaccardRaw(docs, charBucket)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_b").as("drop_id"))
+    val drops = exactDrop.unionByName(nearDrop).distinct()
+    docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
+      .select("doc_id", "lang", "source")
   }
 
   /** SimHash-style 32-bit fingerprint: for each of 8 hex nibbles sampled

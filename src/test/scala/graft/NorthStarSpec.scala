@@ -48,6 +48,17 @@ class NorthStarSpec extends SparkTestBase {
     assert(j.getOrElse((1L, 4L), 0.0) < 0.1)
   }
 
+  test("Dedup.dedupPipeline: drops exact and near duplicates, keeps min id") {
+    // doc 2 = exact dup of 1; doc 3 = near-dup (jaccard 8/9 ≈ 0.89 ≥ 0.8)
+    val kept = Dedup.dedupPipeline(docs, jaccardThreshold = 0.8,
+      charBucket = 1000).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+    // with an impossible threshold only the exact dup goes
+    val kept2 = Dedup.dedupPipeline(docs, jaccardThreshold = 1.1,
+      charBucket = 1000).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq == Seq(1L, 3L, 4L))
+  }
+
   test("Dedup.simhash: equal texts → equal fingerprints; near-dups closer " +
     "in Hamming distance than unrelated docs") {
     val fp = Dedup.simhash(docs).collect()
