@@ -608,8 +608,24 @@ object SparkEntry {
         |FROM sets a JOIN sets b
         | ON a.lang = b.lang AND a.source = b.source
         |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id""".stripMargin,
-    // doc_simhash: no oracle (conv/bit ops not portably expressible) —
-    // covered by a ScalaTest golden test; driver records rows-only.
+    // doc_simhash oracle: reconstruct Spark's conv(substr(md5,1,8),16,10)
+    // from hex digits (strpos-based) and majority-vote each of the 32 bits;
+    // the per-bit expressions are generated programmatically.
+    "doc_simhash" -> {
+      val bitTerms = (0 until 32).map(i =>
+        s"(CASE WHEN sum((hv >> $i) & 1) * 2 > count(*) " +
+          s"THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+         |  AS token FROM documents),
+         | h AS (SELECT doc_id, list_aggregate(list_transform(range(1, 9),
+         |   j -> CAST(strpos('0123456789abcdef',
+         |     substr(md5(token), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+         |     * (CAST(1 AS BIGINT) << (4 * (8 - CAST(j AS INTEGER))))),
+         |   'sum') AS hv FROM tok)
+         |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+         |FROM h GROUP BY doc_id""".stripMargin
+    },
 
     "doc_dedup_pipeline" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
