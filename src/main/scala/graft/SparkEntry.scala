@@ -179,6 +179,14 @@ object SparkEntry {
             .as("nat"),
           col("n"))
     }),
+    "q11_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+    }),
     "q10_anti_join" -> ((s, dir) => {
       t(s, dir, "customer")
         .join(t(s, dir, "orders"),
@@ -411,6 +419,12 @@ object SparkEntry {
         | coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nat,
         | count(*) AS n
         |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin,
+    "q11_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q10_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
