@@ -179,6 +179,29 @@ object SparkEntry {
             .as("nat"),
           col("n"))
     }),
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ev_ms"))
+      val snap = t(s, dir, "orders")
+        .groupBy(col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("snap_ms"))
+        .agg(max(col("o_orderkey")).as("snap_order"))
+      TemporalJoins.asOfJoin(ev, snap,
+        col("user_id"), col("o_custkey"), col("ev_ms"), col("snap_ms"),
+        Seq("snap_order"))
+    }),
+    "range_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ev_ms"))
+      val win = events(s, dir).filter(col("event_type") === "error")
+        .select(col("event_id").as("win_id"), col("user_id").as("win_user"),
+          unix_millis(col("ts")).as("win_ms"))
+      TemporalJoins.rangeJoinBucketed(ev, win,
+        col("user_id"), col("win_user"), col("ev_ms"),
+        col("win_ms"), col("win_ms") + lit(1800000L),
+        bucketMs = 1800000L)
+        .select("event_id", "win_id")
+    }),
     "q11_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -419,6 +442,23 @@ object SparkEntry {
         | coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nat,
         | count(*) AS n
         |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin,
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ev_ms
+        |  FROM events),
+        | snap AS (SELECT o_custkey, epoch_ms(o_orderdate) AS snap_ms,
+        |   max(o_orderkey) AS snap_order
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ev_ms, s.snap_order
+        |FROM e ASOF LEFT JOIN snap s
+        | ON e.user_id = s.o_custkey AND s.snap_ms <= e.ev_ms""".stripMargin,
+    "range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ev_ms
+        |  FROM events),
+        | w AS (SELECT event_id AS win_id, user_id AS win_user,
+        |   epoch_ms(ts) AS win_ms FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, w.win_id
+        |FROM e JOIN w ON e.user_id = w.win_user
+        | AND e.ev_ms >= w.win_ms AND e.ev_ms < w.win_ms + 1800000""".stripMargin,
     "q11_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
