@@ -320,6 +320,8 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "doc_langid_ngram" -> ((s, dir) =>
       TextAnalysis.languageIdNgram(t(s, dir, "documents"))),
+    "doc_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(t(s, dir, "documents"))),
     "doc_token_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTokenCount(t(s, dir, "documents"))),
     "doc_rolling_fp" -> ((s, dir) =>
@@ -598,6 +600,18 @@ object SparkEntry {
         |      WHEN de > 0 THEN 'de'
         |      ELSE 'unknown' END AS lang_guess_ngram
         |FROM sc""".stripMargin,
+    "doc_quality_filter" ->
+      """WITH w AS (SELECT doc_id, lang, source,
+        |  string_split(text, ' ') AS words FROM documents),
+        | q AS (SELECT doc_id, lang, source,
+        |  CAST(len(words) AS BIGINT) AS n_tokens,
+        |  round(len(list_filter(words, x -> list_contains(
+        |    ['the','a','of','and','to','in','is'], x))) / len(words), 4)
+        |    AS stop_ratio
+        |  FROM w)
+        |SELECT doc_id, lang, source, n_tokens FROM q
+        |WHERE n_tokens >= 15 AND n_tokens <= 100000
+        |  AND stop_ratio <= 0.5""".stripMargin,
     "doc_token_bpe" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text,

@@ -66,6 +66,21 @@ object TextAnalysis {
         .otherwise("unknown").as("lang_guess"))
   }
 
+  /** Quality FILTER endpoint: keep documents passing the cheap quality
+    * gates (min/max token counts, bounded stopword ratio) — the operation a
+    * training-data pipeline actually runs with [[quality]]'s signals. */
+  def qualityFilter(docs: DataFrame, minTokens: Long = 15,
+                    maxTokens: Long = 100000,
+                    maxStopRatio: Double = 0.5): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("n_tokens"),
+      col("stop_ratio"))
+    docs.join(q, "doc_id")
+      .filter(col("n_tokens") >= minTokens &&
+        col("n_tokens") <= maxTokens &&
+        col("stop_ratio") <= maxStopRatio)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+  }
+
   /** Character-n-gram language heuristic: score each language by counts of
     * its characteristic bigrams/trigrams in the lower-cased text (the
     * classic profile approach at its smallest); argmax with a fixed

@@ -86,6 +86,26 @@ class NorthStarSpec extends SparkTestBase {
     assert(f1 == f2) // whitespace-normalized
   }
 
+  test("TextAnalysis.qualityFilter keeps long low-stopword docs only") {
+    val good = ("spark catalyst tungsten " * 10).trim // 30 tokens, no stops
+    val short = "tiny doc here"
+    val stoppy = ("the a of and to in is " * 5).trim // all stopwords
+    val d = docsDf(Seq(10L -> good, 11L -> short, 12L -> stoppy))
+    val kept = TextAnalysis.qualityFilter(d, minTokens = 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(10L))
+  }
+
+  test("approx_count_distinct (HLL) within 5% of exact on real data") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val r = docs.agg(
+      countDistinct(col("text")).as("exact"),
+      approx_count_distinct(col("text")).as("approx")).head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
   private def embDf(rows: Seq[(Long, Seq[Float])]) = {
     val s = spark
     import s.implicits._
