@@ -6,12 +6,17 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line {"metric":"total","value":N,"unit":"sec",
   * "queries":{...},"sf":...}.
   *
-  * Methodology: each query is executed once to warm the JVM (Catalyst
-  * planning + janino whole-stage-codegen compilation — fixed costs that
-  * amortize away in any long-running/large-scale deployment, and the
-  * reference's own SLO is steady-state per-batch time), then timed on the
-  * second execution. `cold_total` reports the first-pass wall clock for
-  * reference.
+  * Methodology:
+  *   - Each query is materialized with a `noop`-format write, which forces
+  *     every output column through the full plan. A bare `count()` (round-1
+  *     harness) lets Catalyst prune deterministic projections, so map-only
+  *     operators timed as a parquet row-count — fiction for
+  *     `cdr_mask`-class queries.
+  *   - `value` (the headline metric) is the COLD first-run total: Catalyst
+  *     planning + janino codegen included, matching how a fresh job would
+  *     see it. The steady-state second pass is reported under `warm_total` /
+  *     `warm_queries` (the reference's own SLO is steady-state per-batch
+  *     time, but the headline stays comparable across rounds).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,23 +27,26 @@ object Bench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => return -1.0 }
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val cold = names.map(n => n -> once(n)).toMap
-    val results = names.map(n => n -> once(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val coldTotal = cold.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val cold = names.map(n => n -> once(n))
+    val warm = names.map(n => n -> once(n))
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def total(kvs: Seq[(String, Double)]): Double =
+      kvs.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${obj(cold)},"warm_total":${total(warm)},"warm_queries":${obj(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,14 +22,14 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** `events` carries a TIMESTAMP(NANOS) parquet column, which Spark only
-    * reads via the nanosAsLong legacy conf; convert ns→µs with exact integer
-    * division (a double roundtrip at 1e18 magnitudes would wobble near
-    * second boundaries) and rebuild a timestamp. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * reads via the nanosAsLong legacy conf (set ONCE in the Verify/Bench/test
+    * session builders — not here, so concurrent query construction never
+    * mutates shared session conf); convert ns→µs with exact integer division
+    * (a double roundtrip at 1e18 magnitudes would wobble near second
+    * boundaries) and rebuild a timestamp. */
+  private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
 
   /** Synthetic CDR lines derived deterministically from `events`: a 6-field
     * comma-delimited record whose 2-char prefix routes it to one of 11
@@ -93,18 +93,25 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── relational core (bench headliners) ────────────────────────────
+    // Money sums are emitted as exact BIGINT cents (row-level DECIMAL →
+    // ×100/×10000 → long, summed as longs): associative, and unambiguous in
+    // any hash canonicalizer — wide DECIMAL(38,x) outputs hash-mismatched in
+    // round 1 despite exact value equality.
     "q1_agg" -> ((s, dir) => {
+      val qtyC = (col("l_quantity").cast("decimal(18,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      val baseC = (col("l_extendedprice").cast("decimal(18,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      // price(18,2) × (1-disc)(4,2) = DECIMAL(23,4), ×10000 → exact c4 units
+      val discC4 = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")) *
+        lit(10000).cast("decimal(5,0)")).cast("long")
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_base"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,2)") -
-                col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,4)").as("sum_disc"),
+          sum(qtyC).as("sum_qty_c"),
+          sum(baseC).as("sum_base_c"),
+          sum(discC4).as("sum_disc_c4"),
           count(lit(1)).as("n"))
     }),
     "q2_broadcast_join" -> ((s, dir) => {
@@ -114,8 +121,8 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"))
+          sum((col("l_quantity").cast("decimal(18,2)") *
+            lit(100).cast("decimal(3,0)")).cast("long")).as("sum_qty_c"))
     }),
     "q3_shuffle_join" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -150,8 +157,8 @@ object SparkEntry {
           && col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz"))
         .groupBy(date_format(col("l_shipdate"), "yyyyMM").as("month"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("revenue"))
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            lit(100).cast("decimal(3,0)")).cast("long")).as("revenue_c"))
     }),
     "q7_distinct" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -364,8 +371,8 @@ object SparkEntry {
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_value"))
+          sum((col("value").cast("decimal(18,2)") *
+            lit(100).cast("decimal(3,0)")).cast("long")).as("sum_value_c"))
     }),
     "events_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.sessionsBatch(events(s, dir), 1800)),
@@ -390,14 +397,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc,
+        | CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_c,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_c4,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q2_broadcast_join" ->
       """SELECT p_brand, count(*) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        | CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size < 15 GROUP BY p_brand""".stripMargin,
     "q3_shuffle_join" ->
@@ -419,8 +426,8 @@ object SparkEntry {
 
     "q6_filter_pushdown" ->
       """SELECT strftime(l_shipdate, '%Y%m') AS month, count(*) AS n,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-        |   AS revenue
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |   AS revenue_c
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -781,8 +788,8 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
         |  '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         | count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
-        |   AS sum_value
+        | CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |   AS sum_value_c
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
