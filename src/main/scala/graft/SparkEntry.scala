@@ -702,21 +702,38 @@ object SparkEntry {
          |FROM h GROUP BY doc_id""".stripMargin
     },
 
+    // Mirrors the LSH-candidate pipeline: MinHash (k=4) → banding
+    // (2 rows/band) → candidate pairs → exact shingle Jaccard ≥ 0.8 on
+    // candidates only → drop larger id; exact dups by md5(text).
     "doc_dedup_pipeline" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
         | exact_drop AS (SELECT a.doc_id AS drop_id FROM fp a JOIN fp b
         |   ON a.fp = b.fp AND b.doc_id < a.doc_id),
-        | w AS (SELECT doc_id, lang, source, n_chars,
-        |   string_split(text, ' ') AS words FROM documents),
-        | sets AS (SELECT doc_id, lang, source, n_chars // 50 AS len_bucket,
-        |   list_sort(list_distinct(list_transform(
-        |     range(1, len(words) - 1), i ->
-        |     concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
-        |  FROM w WHERE len(words) >= 3),
-        | near_drop AS (SELECT b.doc_id AS drop_id
-        |  FROM sets a JOIN sets b
-        |   ON a.lang = b.lang AND a.source = b.source
-        |    AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        | w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | near_drop AS (SELECT c.doc_b AS drop_id
+        |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+        |   JOIN sets b ON b.doc_id = c.doc_b
         |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
         |   (len(a.sset) + len(b.sset) -
         |    len(list_intersect(a.sset, b.sset))) >= 0.8)

@@ -61,4 +61,26 @@ object Bucketing {
     }
     walk(df.queryExecution.executedPlan)
   }
+
+  /** Render the FULL final physical plan as text, descending through AQE
+    * wrappers and materialized query stages (whose default toString elides
+    * their subtree) — the observable for plan-shape assertions like "this
+    * subtree is a ReusedExchange" or "no join on column X survived". */
+  def fullPlanString(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sb = new StringBuilder
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      sb.append("  " * depth).append(p.nodeName).append(' ')
+        .append(p.simpleStringWithNodeId()).append('\n')
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      kids.foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
+    sb.toString
+  }
 }

@@ -72,15 +72,17 @@ object Dedup {
     * join's blowup, so the plan survives scale-up as long as bands are
     * selective (more bands ⇒ higher recall, bigger buckets ⇒ more work). */
   def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame = {
-    // persist: both sides of the self-join would otherwise recompute the
-    // full minhash lineage (explode + hash + shuffle) from scratch.
+    // No cache: both sides of the self-join share an IDENTICAL shuffle
+    // subtree (explode + hash + exchange), so Catalyst's ReuseExchange rule
+    // materializes it once and only the cheap post-shuffle aggregate runs
+    // per branch. (A persist() here leaked cached blocks for the session
+    // lifetime — callers had no seam to unpersist.)
     val banded = sigs
       .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
       .groupBy("doc_id", "band")
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct(col("seed"),
           col("minhash")))), s => s.getField("minhash")), "|")).as("bucket"))
-      .persist()
     val a = banded.select(col("doc_id").as("doc_a"), col("band"),
       col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"),
@@ -121,19 +123,35 @@ object Dedup {
   }
 
   /** The user-facing dedup endpoint: drop exact duplicates (keep min
-    * doc_id) and near-duplicates (blocked n-gram Jaccard ≥ threshold, keep
-    * the smaller id of each pair), return the surviving documents.
-    * Anti-join against a small drop-list — the corpus itself is scanned
-    * once and never shuffled. */
+    * doc_id) and near-duplicates, return the surviving documents.
+    *
+    * Near-dup candidate generation is MinHash-LSH banding
+    * ([[lshCandidatePairs]]): bucket-bounded, never all-pairs — the blocked
+    * Jaccard variant ([[ngramJaccard]]) degrades to O(block²) when one
+    * (lang, source) block dominates a real corpus. Exact shingle Jaccard is
+    * then computed ONLY on candidate pairs, and the larger doc_id of each
+    * pair with jaccard ≥ threshold is dropped. Final anti-join against the
+    * small drop-list — the corpus itself is scanned once and never
+    * shuffled. */
   def dedupPipeline(docs: DataFrame, jaccardThreshold: Double = 0.8,
-                    charBucket: Int = 50): DataFrame = {
+                    minhashK: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
     val exactDrop = fp.as("a")
       .join(fp.as("b"), col("a.fp") === col("b.fp") &&
         col("b.doc_id") < col("a.doc_id"))
       .select(col("a.doc_id").as("drop_id"))
-    val nearDrop = ngramJaccardRaw(docs, charBucket)
-      .filter(col("jaccard") >= jaccardThreshold)
+    val cand = lshCandidatePairs(minhash(docs, minhashK), rowsPerBand)
+    val sets = shingles(docs).select(col("doc_id"),
+      array_sort(array_distinct(col("shingle_arr"))).as("sset"))
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    val nearDrop = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")),
+        "doc_b")
+      .filter((inter.cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - inter))
+        >= jaccardThreshold)
       .select(col("doc_b").as("drop_id"))
     val drops = exactDrop.unionByName(nearDrop).distinct()
     docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
