@@ -356,9 +356,13 @@ object SparkEntry {
       Similarity.knnBrute(t(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
     "emb_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(t(s, dir, "embeddings"), col("vec_id") < 8, k = 3)),
-    "emb_knn_ivf" -> ((s, dir) =>
-      // rows-only: KMeans coarse quantizer is not SQL-expressible
-      Similarity.knnIvf(t(s, dir, "embeddings"), col("vec_id") < 8, k = 3)),
+    "emb_knn_ivf" -> ((s, dir) => {
+      // seeded (SQL-expressible) centroids → the whole IVF chain is
+      // value-checked; the KMeans sample-fit path is spec-covered
+      val e = t(s, dir, "embeddings")
+      Similarity.knnIvf(e, col("vec_id") < 8, k = 3, nlist = 16, nprobe = 4,
+        centroids = Some(Similarity.ivfSeedCentroids(e, 16)))
+    }),
     "emb_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
 
@@ -759,47 +763,92 @@ object SparkEntry {
         |FROM (SELECT q_id, c_id, cos, row_number() OVER
         |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
         |WHERE rn <= 5""".stripMargin,
+    // Banded multi-probe sign-LSH: 4 bands × 8 sign bits (dims b*16+1 ..
+    // b*16+8, bit j weighted 2^j), candidates = union of same-(band,bucket)
+    // matches, deduped before top-k — mirrors Similarity.knnLsh exactly.
     "emb_knn_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-        |  concat(
-        |   CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
-        |  FROM embeddings),
-        | q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | bb AS (SELECT vec_id, v, band,
+        |   list_aggregate(list_transform(range(0, 8), j ->
+        |     CASE WHEN v[band * 16 + j + 1] >= 0
+        |       THEN 1 << j ELSE 0 END), 'sum') AS bucket
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+        | q AS (SELECT vec_id AS q_id, v AS qv, band, bucket FROM bb
         |  WHERE vec_id < 8),
-        | s AS (SELECT q_id, c.vec_id AS c_id,
+        | s AS (SELECT DISTINCT q_id, c.vec_id AS c_id,
         |   list_aggregate(list_transform(range(1, len(qv) + 1),
         |     i -> qv[i] * c.v[i]), 'sum') /
         |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
         |     i -> qv[i] * qv[i]), 'sum')) *
         |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
         |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
-        |  FROM q JOIN e c ON q.bucket = c.bucket
+        |  FROM q JOIN bb c ON q.band = c.band AND q.bucket = c.bucket
         |  WHERE c.vec_id <> q_id)
         |SELECT q_id, c_id, round(cos, 4) AS score
         |FROM (SELECT q_id, c_id, cos, row_number() OVER
         |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
         |WHERE rn <= 3""".stripMargin,
     "emb_near_dup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-        |  concat(
-        |   CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
-        |  FROM embeddings),
-        | p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | bb AS (SELECT vec_id, v, band,
+        |   list_aggregate(list_transform(range(0, 8), j ->
+        |     CASE WHEN v[band * 16 + j + 1] >= 0
+        |       THEN 1 << j ELSE 0 END), 'sum') AS bucket
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+        | p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |   list_aggregate(list_transform(range(1, len(a.v) + 1),
         |     i -> a.v[i] * b.v[i]), 'sum') /
         |   (sqrt(list_aggregate(list_transform(range(1, len(a.v) + 1),
         |     i -> a.v[i] * a.v[i]), 'sum')) *
         |    sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
         |     i -> b.v[i] * b.v[i]), 'sum'))) AS cos
-        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+        |   AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 4) AS score
         |FROM p WHERE cos > 0.4""".stripMargin,
+    // Seeded-centroid IVF: centroids = vectors 0..15; assign = argmin L2²
+    // (ties → lower cell); probe 4 nearest cells per query; exact cosine +
+    // top-3 inside probed cells — mirrors Similarity.knnIvf(ivfSeedCentroids).
+    "emb_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell FROM
+        |   (SELECT vec_id, v, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM a WHERE vec_id < 8),
+        | p AS (SELECT q_id, qv, cell FROM
+        |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
+        |     (PARTITION BY q.q_id ORDER BY
+        |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * q.qv[i]), 'sum')
+        |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * cent.c[i]), 'sum')
+        |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
+        |    FROM q, cent) t
+        |  WHERE prn <= 4),
+        | s AS (SELECT p.q_id, a.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * a.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * p.qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(a.v) + 1),
+        |     i -> a.v[i] * a.v[i]), 'sum'))) AS cos
+        |  FROM p JOIN a ON p.cell = a.cell
+        |  WHERE a.vec_id <> p.q_id)
+        |SELECT q_id, c_id, round(cos, 4) AS score
+        |FROM (SELECT q_id, c_id, cos, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+        |WHERE rn <= 3""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),

@@ -72,19 +72,27 @@ case class DotProduct(left: Expression, right: Expression)
       case t => throw new IllegalStateException(s"unsupported $t")
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Identifiers MUST come from freshName: `a`/`b` are the children's
+      // VALUE code, which is only sometimes a bare variable — e.g. a
+      // foldable child arrives as `((ArrayData) references[1])`, and
+      // splicing that into an identifier is a Janino syntax error that
+      // silently drops the whole projection to interpreted mode.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n$a = $a.numElements();
-         |if ($b.numElements() != n$a) {
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc$a = 0.0;
-         |  for (int i$a = 0; i$a < n$a; i$a++) {
-         |    if ($a.isNullAt(i$a) || $b.isNullAt(i$a)) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |      ${ev.isNull} = true; break;
          |    }
-         |    acc$a += (double) $a.$getter(i$a) * (double) $b.$getter(i$a);
+         |    $acc += (double) $a.$getter($i) * (double) $b.$getter($i);
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = acc$a;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -19,8 +19,14 @@ import org.apache.spark.sql.functions._
   * bit-for-bit.
   *
   * Scale posture: the brute-force variant is O(|Q|·|C|) and is only sane for
-  * small query sets (it broadcasts Q); the sign-LSH variant buckets both
-  * sides so the join is equi on bucket — the 100 TB path.
+  * small query sets (it broadcasts Q); the sign-LSH variant hashes every
+  * vector into `nBands` tables keyed by a `bits`-bit sign bucket and takes
+  * the UNION of same-bucket candidates across tables (banded multi-probe).
+  * Each table's join key has 2^bits values, so the per-bucket candidate set
+  * is ~N/2^bits — at 100 TB run bits=16..32 to bound it; more bands buy
+  * recall back at linear (not quadratic) cost. The IVF variant coarse-
+  * quantizes the corpus into cells once (a persistable batch job) and
+  * searches only the `nprobe` cells nearest each query.
   */
 object Similarity {
 
@@ -63,30 +69,54 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Sign-LSH bucket key: the sign bits of a fixed set of dimensions
-    * (1-based). A degenerate random-hyperplane LSH with axis-aligned
-    * hyperplanes — deterministic and engine-portable. */
-  def signBucket(v: Column, dims: Seq[Int]): Column =
-    concat_ws("", dims.map(d =>
-      when(element_at(v, d) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  /** 1-based dims feeding each sign-LSH band: `nBands` bands of `bits` dims,
+    * strided so bands read disjoint regions of the vector. Dims beyond the
+    * vector's length contribute a 0 bit (via `try_element_at` null → 0), so
+    * a config sized for 64-dim vectors degrades gracefully on shorter ones. */
+  def lshBandDims(nBands: Int, bits: Int, stride: Int): Seq[Seq[Int]] =
+    (0 until nBands).map(b => (1 to bits).map(_ + b * stride))
 
-  /** LSH-bucketed ANN: candidates must share the sign-bucket with the query;
-    * then exact cosine + top-k inside the bucket. Equi-join on the bucket key
-    * ⇒ shuffle-partitionable by bucket; with b sign bits the corpus fans into
-    * 2^b buckets, bounding each join partition at scale. */
+  /** Integer sign-bucket of `v` over 1-based `dims`: bit j is set iff
+    * v(dims(j)) ≥ 0. A degenerate random-hyperplane LSH with axis-aligned
+    * hyperplanes — deterministic and engine-portable (the oracle derives the
+    * identical key), and a LONG join key instead of a string. */
+  def signBucketInt(v: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, j) =>
+      when(try_element_at(v, lit(d)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** One row per (vector, band) with that band's bucket key — the multi-probe
+    * hash tables, produced in a single pass (one explode, no shuffle). */
+  private def bandedBuckets(emb: DataFrame,
+                            bands: Seq[Seq[Int]]): DataFrame =
+    emb.withColumn("nrm", l2(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array(bands.map(d =>
+          signBucketInt(col("embedding"), d)): _*)).as(Seq("band", "bucket")))
+
+  /** Banded sign-LSH ANN: a candidate must share ANY band's bucket with the
+    * query (union across `nBands` tables), then exact cosine + top-k on the
+    * deduped candidate set. The join is equi on (band, bucket) — nBands·2^bits
+    * partitionable keys — so no per-bucket all-pairs blowup survives a
+    * scale-up as long as `bits` is sized to the corpus (16–32 at 100 TB;
+    * 8 here so small-SF test data still yields candidates). A pair matching
+    * several bands costs one extra dot per extra band, removed by the
+    * pre-topK `distinct`. */
   def knnLsh(emb: DataFrame, queryPred: Column, k: Int = 3,
-             dims: Seq[Int] = Seq(1, 17, 33, 49)): DataFrame = {
-    val withB = emb.withColumn("bucket", signBucket(col("embedding"), dims))
-      .withColumn("nrm", l2(col("embedding")))
-    val q = withB.filter(queryPred)
+             bits: Int = 8, nBands: Int = 4, stride: Int = 16): DataFrame = {
+    val banded = bandedBuckets(emb, lshBandDims(nBands, bits, stride))
+    val q = banded.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("nrm").as("q_nrm"), col("bucket"))
-    val c = withB.select(col("vec_id").as("c_id"),
-      col("embedding").as("cv"), col("nrm").as("c_nrm"), col("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+        col("nrm").as("q_nrm"), col("band"), col("bucket"))
+    val c = banded.select(col("vec_id").as("c_id"),
+      col("embedding").as("cv"), col("nrm").as("c_nrm"),
+      col("band"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .distinct()
     topK(scored, k)
   }
 
@@ -99,41 +129,115 @@ object Similarity {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("score"))
   }
 
-  /** IVF (inverted-file) ANN — the other scale path besides sign-LSH:
-    * coarse-quantize the corpus into `nlist` KMeans cells (seeded,
-    * deterministic training), then search only the `nprobe` cells whose
-    * centroids are nearest each query. Corpus-side work per query drops from
-    * O(N) to O(N · nprobe / nlist); the cell assignment is a one-off batch
-    * job whose output would be persisted (bucketed by cell) in production.
-    *
-    * Not oracle-expressible (KMeans training is not SQL) — covered by
-    * ScalaTest with clustered fixtures; the driver records rows-only. */
-  def knnIvf(emb: DataFrame, queryPred: Column, k: Int = 3,
-             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs: distinct (a < b) pairs sharing
+    * ANY band's sign-bucket (banded multi-probe, same tables as [[knnLsh]])
+    * with cosine above `threshold`. */
+  def cosineNearDup(emb: DataFrame, threshold: Double = 0.95,
+                    bits: Int = 8, nBands: Int = 4,
+                    stride: Int = 16): DataFrame = {
+    val banded = bandedBuckets(emb, lshBandDims(nBands, bits, stride))
+    val a = banded.select(col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("nrm_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nrm_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") > threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .distinct()
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("score"))
+  }
+
+  // ── IVF (inverted-file) ANN ────────────────────────────────────────────
+  // Coarse-quantize the corpus into `nlist` cells, then search only the
+  // `nprobe` cells whose centroids are nearest each query: corpus-side work
+  // per query drops from O(N) to O(N · nprobe / nlist). The cell assignment
+  // is a one-off batch job ([[ivfAssign]]) whose output is persisted
+  // bucketed by cell ([[ivfWriteIndex]]) in production — NOT refit per query.
+
+  /** Production centroid fit: seeded KMeans over a BOUNDED sample (at most
+    * ~`maxSample` rows) — at 100 TB a full-corpus fit is a second full scan
+    * per invocation for no recall benefit. Returns (cell: int,
+    * centroid: array<double>). */
+  def ivfFitCentroids(emb: DataFrame, nlist: Int,
+                      maxSample: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = emb.sparkSession
-    val withVec = emb
-      .withColumn("dvec", col("embedding").cast("array<double>"))
-      .withColumn("vec", array_to_vector(col("dvec")))
+    val n = emb.count()
+    val sampled =
+      if (n > maxSample) emb.sample(withReplacement = false,
+        fraction = maxSample.toDouble / n, seed = 42)
+      else emb
+    val withVec = sampled
+      .withColumn("vec", array_to_vector(col("embedding").cast("array<double>")))
     val model = new KMeans().setK(nlist).setSeed(42)
       .setFeaturesCol("vec").setPredictionCol("cell")
       .fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("dvec"), col("cell"))
-      .withColumn("nrm", l2(col("embedding")))
-    val centroids = spark.createDataFrame(
+    val spark = emb.sparkSession
+    spark.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray)
+        (i, c.toArray.toSeq)
       }.toIndexedSeq).toDF("cell", "centroid")
+  }
+
+  /** Deterministic, SQL-expressible centroid seed: the vectors with
+    * `vec_id < nlist` (assumes dense ids — fine for a seeded index; the
+    * oracle reproduces it verbatim). Production quality comes from
+    * [[ivfFitCentroids]]; this variant exists so the whole IVF chain is
+    * value-checkable against a SQL oracle. */
+  def ivfSeedCentroids(emb: DataFrame, nlist: Int): DataFrame =
+    emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").cast("array<double>").as("centroid"))
+
+  /** Assign every vector to its nearest centroid (min L2², ties → lower
+    * cell). Broadcast the centroids; the per-vector argmin partial-aggregates
+    * map-side (`min_by` over the broadcast fan-out collapses to one row per
+    * vector before the shuffle), so the only shuffle is the final one-row-
+    * per-vector hash agg. This is the index-build job — persist its output
+    * with [[ivfWriteIndex]], don't recompute per query. */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val dv = col("embedding").cast("array<double>")
+    emb
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        dot(dv, dv) - lit(2) * dot(dv, col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"))
+  }
+
+  /** Persist the IVF index as a cell-bucketed table: every later probe join
+    * on `cell` is co-located (no corpus shuffle at query time). */
+  def ivfWriteIndex(emb: DataFrame, centroids: DataFrame, table: String,
+                    buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(ivfAssign(emb, centroids), table, "cell",
+      buckets, sortBy = Some("vec_id"))
+
+  /** IVF ANN query: `nprobe` nearest cells per query (tiny |Q| × nlist
+    * broadcast cross), exact cosine + top-k inside the probed cells.
+    * Centroids: pass `Some(...)` (e.g. [[ivfSeedCentroids]] or a persisted
+    * fit) — the query path never refits; `None` falls back to a sample fit
+    * ([[ivfFitCentroids]]) for self-contained use. */
+  def knnIvf(emb: DataFrame, queryPred: Column, k: Int = 3,
+             nlist: Int = 16, nprobe: Int = 4,
+             centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfFitCentroids(emb, nlist))
+    val assigned = ivfAssign(emb, cents)
+      .withColumn("nrm", l2(col("embedding")))
     // nprobe nearest cells per query vector (tiny: |Q| × nlist)
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("dvec").as("qdv"), col("nrm").as("q_nrm"))
+        col("embedding").cast("array<double>").as("qdv"),
+        col("nrm").as("q_nrm"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cdist"), col("cell"))
-    val probes = q.crossJoin(broadcast(centroids))
+    val probes = q.crossJoin(broadcast(cents))
       .withColumn("cdist",
         dot(col("qdv"), col("qdv")) -
           lit(2) * dot(col("qdv"), col("centroid")) +
@@ -149,23 +253,5 @@ object Similarity {
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
     topK(scored, k)
-  }
-
-  /** Embedding-cosine near-duplicate pairs: distinct (a < b) pairs sharing a
-    * sign-bucket with cosine above `threshold`. */
-  def cosineNearDup(emb: DataFrame, threshold: Double = 0.95,
-                    dims: Seq[Int] = Seq(1, 17, 33, 49)): DataFrame = {
-    val withB = emb.withColumn("bucket", signBucket(col("embedding"), dims))
-      .withColumn("nrm", l2(col("embedding")))
-    val a = withB.select(col("vec_id").as("vec_a"),
-      col("embedding").as("va"), col("nrm").as("nrm_a"), col("bucket"))
-    val b = withB.select(col("vec_id").as("vec_b"),
-      col("embedding").as("vb"), col("nrm").as("nrm_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos",
-        dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
-      .filter(col("cos") > threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("score"))
   }
 }

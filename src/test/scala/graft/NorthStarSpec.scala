@@ -162,4 +162,40 @@ class NorthStarSpec extends SparkTestBase {
     assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((0L, 1L)))
   }
+
+  test("Similarity.knnLsh banded multi-probe: ANY matching band makes a " +
+    "candidate; no band match → excluded") {
+    // query: all positive. vec 1 matches only band 0 (dims 1..16 positive),
+    // vec 2 matches only band 3 (dims 49..64 positive), vec 3 matches none.
+    val emb = embDf(Seq(
+      0L -> Seq.fill(64)(0.5f),
+      1L -> (Seq.fill(16)(0.5f) ++ Seq.fill(48)(-0.5f)),
+      2L -> (Seq.fill(48)(-0.5f) ++ Seq.fill(16)(0.5f)),
+      3L -> Seq.fill(64)(-0.5f)))
+    val knn = Similarity.knnLsh(emb, col("vec_id") === 0, k = 5).collect()
+    assert(knn.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+
+  test("Similarity.knnIvf with seeded centroids: full probe == brute force; " +
+    "ivfWriteIndex persists a cell-bucketed index") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfSeedCentroids(emb, 8)
+    // probing every cell must degrade to exhaustive search
+    val full = Similarity.knnIvf(emb, col("vec_id") < 4, k = 3,
+      nlist = 8, nprobe = 8, centroids = Some(cents))
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 4, k = 3)
+    assert(full.collect().toSet == brute.collect().toSet)
+    // persisted index: bucketed by cell, assignments match ivfAssign
+    Similarity.ivfWriteIndex(emb, cents, "ivf_index_test", buckets = 8)
+    val idx = spark.table("ivf_index_test")
+    val live = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1))
+    val persisted = idx.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(persisted.toMap == live.toMap)
+    // a join keyed on cell against the bucketed side needs no extra shuffle
+    // of the index (its scan carries HashPartitioning(cell, 8))
+    spark.sql("DROP TABLE IF EXISTS ivf_index_test")
+  }
 }
