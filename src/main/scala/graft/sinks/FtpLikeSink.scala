@@ -1,8 +1,8 @@
 package graft.sinks
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.util.SerializableConfiguration
 
 /** Transactional "FTP-style" file sink: visibility-atomic commit via
   * tmp+rename, bounded retry, and a dead-letter fallback directory — the
@@ -26,8 +26,12 @@ import org.apache.spark.sql.DataFrame
   * duplicates (SURVEY §7.4 "At-least-once → exactly-once").
   *
   * Scale posture: the Spark job writes the batch ONCE (executors, in
-  * parallel); the per-partner commit is a driver-side metadata rename, not a
-  * data copy, except for the final partner which also renames staged files.
+  * parallel) into a staging dir; the (partner × staged-file) commit fan-out
+  * then runs as a distributed Spark job — each copy+tmp+rename executes on an
+  * executor, so no batch byte ever funnels through the driver JVM (the
+  * reference's `repartition(1)`-plus-driver-FTP bottleneck is the
+  * anti-pattern this replaces). The driver only performs metadata operations:
+  * listing the staged files and preparing/deleting batch directories.
   */
 class FtpLikeSink(
     targetRoot: String,
@@ -35,41 +39,57 @@ class FtpLikeSink(
     partners: Seq[String],
     maxRetries: Int = 3,
     /** Test seam: rename interceptor — returns true on success. Defaults to
-      * the real FileSystem rename. */
+      * the real FileSystem rename. Must be serializable: it is shipped to
+      * executors inside the commit tasks. */
     renameOp: Option[(FileSystem, Path, Path) => Boolean] = None)
     extends Serializable {
 
-  private def fs(conf: Configuration, p: String): FileSystem =
+  private def fs(conf: org.apache.hadoop.conf.Configuration,
+                 p: String): FileSystem =
     new Path(p).getFileSystem(conf)
 
   /** `foreachBatch` handler: write `df` (single string column `value`) once,
     * then commit to every partner with tmp+rename; failed partners fall back
-    * to the dead-letter dir. */
+    * to the dead-letter dir. Commits are a distributed `foreach` over the
+    * (partner × staged-file) work list — executor-parallel, driver-free. */
   def writeBatch(df: DataFrame, batchId: Long): Unit = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val sc = df.sparkSession.sparkContext
+    val conf = sc.hadoopConfiguration
     val staging = s"$targetRoot/_staging/batch=$batchId"
     df.write.mode("overwrite").text(staging)
     val filesystem = fs(conf, targetRoot)
     val staged = filesystem.listStatus(new Path(staging))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
-      .map(_.getPath)
+      .map(_.getPath.toString)
+    // Driver: metadata-only prep. Overwrite each whole batch dir: redelivered
+    // batches (at-least-once foreachBatch) replace rather than accumulate —
+    // part-file names carry fresh UUIDs per delivery, so append would
+    // duplicate.
     partners.foreach { partner =>
       val dstDir = new Path(s"$targetRoot/$partner/batch=$batchId")
-      // Overwrite the whole batch dir: redelivered batches (at-least-once
-      // foreachBatch) replace rather than accumulate — part-file names carry
-      // fresh UUIDs per delivery, so append would duplicate.
       filesystem.delete(dstDir, true)
       filesystem.mkdirs(dstDir)
-      staged.foreach { src =>
-        commitOne(filesystem, src, dstDir, batchId)
+    }
+    // Executors: the data plane. One task per (partner, staged file).
+    val work = for (p <- partners; s <- staged) yield (p, s)
+    if (work.nonEmpty) {
+      val serConf = new SerializableConfiguration(conf)
+      val root = targetRoot
+      val slices = math.min(work.length, sc.defaultParallelism).max(1)
+      sc.parallelize(work, slices).foreach { case (partner, srcStr) =>
+        val src = new Path(srcStr)
+        val taskFs = src.getFileSystem(serConf.value)
+        commitOne(taskFs, src,
+          new Path(s"$root/$partner/batch=$batchId"), batchId)
       }
     }
-    filesystem.delete(new Path(s"$targetRoot/_staging/batch=$batchId"), true)
+    filesystem.delete(new Path(staging), true)
   }
 
   /** Copy `src` into `dstDir` as `<name>@tmp`, then rename to `<name>`;
-    * retry up to `maxRetries`; dead-letter on give-up. */
+    * retry up to `maxRetries`; dead-letter on give-up. Runs inside an
+    * executor task (one invocation per staged file per partner). */
   private def commitOne(filesystem: FileSystem, src: Path, dstDir: Path,
                         batchId: Long): Unit = {
     val tmp = new Path(dstDir, src.getName + "@tmp")
@@ -82,8 +102,7 @@ class FtpLikeSink(
       attempt += 1
       try {
         if (filesystem.exists(tmp)) filesystem.delete(tmp, false)
-        org.apache.hadoop.fs.FileUtil.copy(
-          filesystem, src, filesystem, tmp, false, true,
+        FileUtil.copy(filesystem, src, filesystem, tmp, false, true,
           filesystem.getConf)
         done = rename(filesystem, tmp, fin)
       } catch { case _: Exception => done = false }
@@ -95,8 +114,8 @@ class FtpLikeSink(
       val dl = new Path(
         s"$deadLetterRoot/batch=$batchId/${partner}_${src.getName}")
       filesystem.mkdirs(dl.getParent)
-      org.apache.hadoop.fs.FileUtil.copy(
-        filesystem, src, filesystem, dl, false, true, filesystem.getConf)
+      FileUtil.copy(filesystem, src, filesystem, dl, false, true,
+        filesystem.getConf)
     }
   }
 }

@@ -55,6 +55,24 @@ class FtpLikeSinkSpec extends SparkTestBase {
       Files.list(Paths.get(dead, "batch=2")).toArray.isEmpty)
   }
 
+  test("multi-file batches commit executor-parallel: every staged part " +
+    "reaches every partner") {
+    val target = tmpDir("sink5")
+    val sink = new FtpLikeSink(target, tmpDir("dl5"), Seq("yaxin", "yiyang"))
+    val rows = (1 to 40).map(i => f"r$i%02d")
+    // repartition(8): eight staged part files × two partners = 16 commit
+    // tasks, all running as a distributed foreach (no driver copy path)
+    sink.writeBatch(df(rows).repartition(8), 11L)
+    Seq("yaxin", "yiyang").foreach { p =>
+      val dir = Paths.get(target, p, "batch=11")
+      val parts = Files.list(dir).toArray.map(_.toString)
+        .filter(f => f.split("/").last.startsWith("part-"))
+      assert(parts.length == 8)
+      val lines = spark.read.textFile(s"$target/$p/batch=11").collect().sorted
+      assert(lines.toSeq == rows)
+    }
+  }
+
   test("give-up falls back to the dead-letter dir — data never dropped") {
     val target = tmpDir("sink4")
     val dead = tmpDir("dl4")
