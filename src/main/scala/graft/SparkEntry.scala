@@ -88,10 +88,74 @@ object SparkEntry {
         lit("2g_call").as("tag"))
   }
 
+  /** Synthetic full-arity CDR lines for `spec` (s62..s66), derived
+    * deterministically from `events`: field 0 routes (spec prefix for 1/3 of
+    * events, "99" otherwise), the start-time/LAC/CI/mask positions carry
+    * meaningful values, every other position a small deterministic filler;
+    * every 13th record gets a trailing extra field so the arity filter has
+    * real work. Mirrored exactly by [[specLinesSql]] on the DuckDB side —
+    * together they value-prove the arity-91/50/61 parse→mask→enrich paths
+    * (reference tables: src/StreamingSocketProcess.scala:18-23,178-266). */
+  private def specLines(s: SparkSession, dir: String,
+                        spec: TableSpec): DataFrame = {
+    val fields: Seq[Column] = (0 until spec.fieldCount).map { j =>
+      if (j == 0)
+        when(col("event_id") % 3 === 0, lit(spec.prefix)).otherwise(lit("99"))
+      else if (j == spec.starttimeCol) date_format(col("ts"), "yyyyMMddHHmmss")
+      else if (j == spec.lacCol) (col("user_id") % 30).cast("string")
+      else if (j == spec.ciCol) (col("event_id") % 5).cast("string")
+      else if (spec.maskCols.contains(j))
+        (lit(13800000000L) + col("user_id") * 7 + lit(j)).cast("string")
+      else ((col("event_id") + lit(j)) % 97).cast("string")
+    }
+    events(s, dir)
+      .select(col("event_id"), concat_ws(",", fields: _*).as("value"))
+      .withColumn("value",
+        when(col("event_id") % 13 === 0, concat(col("value"), lit(",x")))
+          .otherwise(col("value")))
+      .select("value")
+  }
+
+  /** DuckDB mirror of [[specLines]] + [[CdrOps.enrichPipeline]] for `spec`. */
+  private def specEnrichSql(spec: TableSpec): String = {
+    val fields = (0 until spec.fieldCount).map { j =>
+      if (j == 0)
+        s"CASE WHEN event_id % 3 = 0 THEN '${spec.prefix}' ELSE '99' END"
+      else if (j == spec.starttimeCol) "strftime(ts, '%Y%m%d%H%M%S')"
+      else if (j == spec.lacCol) "CAST(user_id % 30 AS VARCHAR)"
+      else if (j == spec.ciCol) "CAST(event_id % 5 AS VARCHAR)"
+      else if (spec.maskCols.contains(j))
+        s"CAST(13800000000 + user_id * 7 + $j AS VARCHAR)"
+      else s"CAST((event_id + $j) % 97 AS VARCHAR)"
+    }
+    val phones = spec.maskCols.zipWithIndex.map { case (c, i) =>
+      s"md5(f[${c + 1}]) AS phone${i + 1}_m"
+    }.mkString(", ")
+    s"""WITH $NationDimSql, synth AS (SELECT event_id,
+       |   concat_ws(',', ${fields.mkString(",\n     ")}) AS v0 FROM events),
+       | lines AS (SELECT CASE WHEN event_id % 13 = 0 THEN v0 || ',x'
+       |   ELSE v0 END AS value FROM synth),
+       | p AS (SELECT string_split(value, ',') AS f FROM lines
+       |   WHERE value LIKE '${spec.prefix}%'),
+       | c AS (SELECT f FROM p WHERE len(f) = ${spec.fieldCount}),
+       | k AS (SELECT f, concat_ws(',', f[${spec.lacCol + 1}],
+       |   f[${spec.ciCol + 1}]) AS la_ci FROM c)
+       |SELECT $phones, f[${spec.starttimeCol + 1}] AS starttime,
+       | dim_value AS area, '${spec.tag}' AS tag
+       |FROM k JOIN dim ON k.la_ci = dim.key
+       |WHERE dim_value <> ''""".stripMargin
+  }
+
+  /** The five non-flagship enrichable tables (flagship covers s61). */
+  private val specTables: Seq[TableSpec] =
+    Seq(TableSpec.s62, TableSpec.s63, TableSpec.s64, TableSpec.s65,
+      TableSpec.s66)
+
   def entry(spark: SparkSession): DataFrame =
     flagship(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // ── relational core (bench headliners) ────────────────────────────
     // Money sums are emitted as exact BIGINT cents (row-level DECIMAL →
     // ×100/×10000 → long, summed as longs): associative, and unambiguous in
@@ -315,6 +379,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
     "flagship_s61" -> ((s, dir) => flagship(s, dir)),
+  ) ++ specTables.map { spec =>
+    s"enrich_${spec.name}" -> ((s: SparkSession, dir: String) =>
+      CdrOps.enrichPipeline(specLines(s, dir, spec), spec, nationDim(s, dir)))
+  }.toMap ++ Map[String, (SparkSession, String) => DataFrame](
 
     // ── text analysis (north-star) ────────────────────────────────────
     "doc_token_count" -> ((s, dir) =>
@@ -553,6 +621,8 @@ object SparkEntry {
         | f[5] AS starttime, dim_value AS area, '2g_call' AS tag
         |FROM k JOIN dim ON k.la_ci = dim.key
         |WHERE dim_value <> ''""".stripMargin),
+  ) ++ specTables.map(spec =>
+    s"enrich_${spec.name}" -> specEnrichSql(spec)).toMap ++ Map(
 
     "doc_token_count" ->
       """SELECT doc_id,
