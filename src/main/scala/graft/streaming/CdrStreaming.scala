@@ -87,6 +87,28 @@ object CdrStreaming {
       .start()
   }
 
+  /** Raw pass-through partner delivery — the reference's LIVE behavior: its
+    * enrichment legs are commented out and every raw record is shipped
+    * verbatim to BOTH partner buffers (src/ProcessSums.scala:368-382 —
+    * `sum1`/`sum2` accumulate `record` directly, `processTable` disabled at
+    * :370-371; SURVEY §2.9.1 keeps this as a sink mode distinct from
+    * [[enrichToPartners]]). Optional `prefix` restricts delivery to one
+    * logical table's records; `None` ships everything. */
+  def rawToPartners(lines: DataFrame, sink: FtpLikeSink, checkpointDir: String,
+                    prefix: Option[String] = None,
+                    trigger: Trigger = Trigger.ProcessingTime("20 seconds"))
+      : StreamingQuery = {
+    val routed = prefix.fold(lines)(p => CdrOps.routeTo(lines, p))
+    routed.select(col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.writeBatch(batch, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** The Flume-path lifecycle end-to-end (reference
     * StreamingFlumeProcess, src/StreamingFlumeProcess.scala:34-239):
     * events(body, headers) → (file, value) → MD5-mask GN identifier columns

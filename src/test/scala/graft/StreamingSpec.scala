@@ -71,6 +71,29 @@ class StreamingSpec extends SparkTestBase {
     assert(leftovers.isEmpty)
   }
 
+  test("rawToPartners: unenriched records reach both partner dirs " +
+    "byte-identical (the reference's live pass-through mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[String]
+    val target = tmpDir("rawpartners")
+    val sink = new FtpLikeSink(target, tmpDir("rawdead"),
+      Seq("yaxin", "yiyang"))
+    val q = CdrStreaming.rawToPartners(input.toDF(), sink, tmpDir("rawcp"),
+      prefix = Some("61"), trigger = Trigger.ProcessingTime(0))
+    input.addData(CdrFixtures.s61Lines)
+    q.processAllAvailable()
+    q.stop()
+    val expected = CdrFixtures.s61Lines.filter(_.startsWith("61")).sorted
+    Seq("yaxin", "yiyang").foreach { p =>
+      val dirs = Files.list(Paths.get(target, p)).toArray.map(_.toString)
+      val got = dirs.flatMap(d => s.read.textFile(d).collect()).toSeq.sorted
+      // raw bytes, not the enriched projection
+      assert(got == expected)
+    }
+  }
+
   test("windowedCounts: tumbling window + watermark counts each record " +
     "exactly once (vs the reference's overlapping-window duplication)") {
     val s = spark
