@@ -106,18 +106,30 @@ object CdrOps {
     fact.join(broadcast(d), factKey === d("key"), "inner").drop("key")
   }
 
-  /** Load a TSV code map as a (key, dim_value) dimension DataFrame.
-    * Strict-arity variants of the reference's driver-side HashMap loaders
+  /** Load a TSV code map as a (key, dim_value) dimension DataFrame —
+    * the reference's driver-side HashMap loaders re-expressed
     * (readFromHDFS11: key=c0,c1 val=c2 arity==3,
     * src/StreamingSocketProcess.scala:46-59; readFromHDFS22: key=c1,c2
-    * val=c5 arity==7, src/ProcessSums.scala:61-74). Instead of collecting to
-    * the driver we keep it a DataFrame and let `broadcast()` ship it. */
+    * val=c5, src/ProcessSums.scala:61-74). Instead of collecting to
+    * the driver we keep it a DataFrame and let `broadcast()` ship it.
+    *
+    * `strict = true` is the guarded contract: rows must match `arity`
+    * exactly. `strict = false` is the reference's LIVE 7-col variant — its
+    * arity guard is commented out (src/StreamingSocketProcess.scala:68-70),
+    * so under/over-arity rows are kept as long as the key/value positions
+    * exist (the reference would crash on rows missing them; we drop those —
+    * a loader must not fail the job on one short line). */
   def loadCodeMap(df: DataFrame, keyIdxs: (Int, Int), valIdx: Int,
-                  arity: Int, f: String = "f"): DataFrame =
-    arityFilter(df, arity, f)
-      .select(
-        concat_ws(",", field(keyIdxs._1, f), field(keyIdxs._2, f)).as("key"),
-        field(valIdx, f).as("dim_value"))
+                  arity: Int, f: String = "f",
+                  strict: Boolean = true): DataFrame = {
+    val kept =
+      if (strict) arityFilter(df, arity, f)
+      else df.filter(
+        size(col(f)) > lit(keyIdxs._1 max keyIdxs._2 max valIdx))
+    kept.select(
+      concat_ws(",", field(keyIdxs._1, f), field(keyIdxs._2, f)).as("key"),
+      field(valIdx, f).as("dim_value"))
+  }
 
   /** Per-key content aggregation: the bag of records for a key as one
     * newline-joined string (reference's buffer-accumulate writers,

@@ -86,6 +86,20 @@ class CdrOpsSpec extends SparkTestBase {
     assert(yiyang.count() == 2) // short row dropped
   }
 
+  test("loadCodeMap lenient mode keeps under-arity rows whose key/value " +
+    "positions exist (the reference's commented-out 7-col guard)") {
+    // same fixture, one 6-col row added: strict drops it, lenient keeps it
+    val rows = CdrFixtures.yiyangTsv :+ "x\t9999\t55\ty\tz\tzone_Z"
+    val parsed = parseDelim(linesDf(rows), "\t")
+    val strict = loadCodeMap(parsed, (1, 2), 5, 7)
+    assert(strict.count() == 2)
+    val lenient = loadCodeMap(parsed, (1, 2), 5, 7, strict = false)
+    // 2 full rows + the 6-col row; "short\trow" still dropped (no value col)
+    assert(lenient.count() == 3)
+    assert(lenient.filter(col("key") === "9999,55")
+      .head.getString(1) == "zone_Z")
+  }
+
   test("enrichLookup: inner join drops no-match AND empty dim values") {
     val s = spark
     import s.implicits._
