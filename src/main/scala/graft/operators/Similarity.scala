@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,21 +195,40 @@ object Similarity {
         col("embedding").cast("array<double>").as("centroid"))
 
   /** Assign every vector to its nearest centroid (min L2², ties → lower
-    * cell). Broadcast the centroids; the per-vector argmin partial-aggregates
-    * map-side (`min_by` over the broadcast fan-out collapses to one row per
-    * vector before the shuffle), so the only shuffle is the final one-row-
-    * per-vector hash agg. This is the index-build job — persist its output
-    * with [[ivfWriteIndex]], don't recompute per query. */
+    * cell) as a MAP-ONLY projection: the (tiny, ≤ nlist-row) centroid table
+    * is materialized once at plan-build time and inlined as literal arrays,
+    * so the argmin is `array_min` over per-cell (distance, cell) structs —
+    * zero shuffles, zero joins; the corpus is scanned exactly once. (The
+    * former formulation — `crossJoin(broadcast(centroids))` then
+    * `groupBy(vec_id)` — fanned every vector out ×nlist and shuffled the
+    * full corpus per index build.) This is the index-build job — persist its
+    * output with [[ivfWriteIndex]], don't recompute per query.
+    *
+    * Arithmetic is kept identical to the SQL oracle and the probe path:
+    * ‖v−c‖² expanded as v·v − 2·(v·c) + c·c with left-to-right double
+    * folds, so assignments agree bit-for-bit across engines. Expression
+    * size bounds `nlist` at a few thousand cells (codegen splits the array
+    * into methods); shard the centroid list and min over shards beyond
+    * that. */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect() // bounded: ≤ nlist centroid rows, never corpus data
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign: empty centroid table")
     val dv = col("embedding").cast("array<double>")
-    emb
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist",
-        dot(dv, dv) - lit(2) * dot(dv, col("centroid")) +
-          dot(col("centroid"), col("centroid")))
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"))
+    val vv = dot(dv, dv)
+    val candidates = array(cents.map { case (cellId, cvec) =>
+      val cArr = array(cvec.map(lit): _*)
+      // c·c folded on the driver, left-to-right — same order as DotProduct
+      val cc = cvec.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        (vv - lit(2) * dot(dv, cArr) + lit(cc)).as("cdist"),
+        lit(cellId).as("cell"))
+    }.toIndexedSeq: _*)
+    emb.withColumn("cell", array_min(candidates).getField("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
   /** Persist the IVF index as a cell-bucketed table: every later probe join
@@ -228,8 +247,26 @@ object Similarity {
              nlist: Int = 16, nprobe: Int = 4,
              centroids: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfFitCentroids(emb, nlist))
-    val assigned = ivfAssign(emb, cents)
-      .withColumn("nrm", l2(col("embedding")))
+    ivfSearch(ivfAssign(emb, cents), cents, queryPred, k, nprobe)
+  }
+
+  /** IVF ANN query against a PERSISTED index — the production query path.
+    * `indexTable` is [[ivfWriteIndex]] output (vec_id, embedding, cell;
+    * bucketed by cell): probe-join-only at query time, no assignment
+    * recompute, and the bucketed scan carries HashPartitioning(cell) so the
+    * probe join shuffles nothing on the index side. `centroids` must be the
+    * same table the index was built with. */
+  def knnIvfIndexed(spark: SparkSession, indexTable: String,
+                    centroids: DataFrame, queryPred: Column, k: Int = 3,
+                    nprobe: Int = 4): DataFrame =
+    ivfSearch(spark.table(indexTable), centroids, queryPred, k, nprobe)
+
+  /** Probe + exact-rescore stage shared by [[knnIvf]] (inline assign) and
+    * [[knnIvfIndexed]] (persisted index): `nprobe` nearest cells per query,
+    * exact cosine + top-k inside the probed cells only. */
+  private def ivfSearch(index: DataFrame, cents: DataFrame,
+                        queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val assigned = index.withColumn("nrm", l2(col("embedding")))
     // nprobe nearest cells per query vector (tiny: |Q| × nlist)
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),

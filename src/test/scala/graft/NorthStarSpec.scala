@@ -176,6 +176,47 @@ class NorthStarSpec extends SparkTestBase {
     assert(knn.map(_.getLong(1)).toSet == Set(1L, 2L))
   }
 
+  test("Similarity.ivfAssign is map-only: zero shuffles, no join — one " +
+    "corpus scan per index build") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfSeedCentroids(emb, 8)
+    val assigned = Similarity.ivfAssign(emb, cents)
+    assert(graft.operators.Bucketing.countExchanges(assigned) == 0)
+    val plan = graft.operators.Bucketing.fullPlanString(assigned)
+    assert(!plan.contains("Join"), s"assign must not join:\n$plan")
+    // still correct: every vector lands in a cell, queries = their own cell
+    val cells = assigned.filter(col("vec_id") < 8)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0L until 8L).forall(i => cells(i) == i.toInt))
+  }
+
+  test("Similarity.knnIvfIndexed: persisted-index query path matches inline " +
+    "knnIvf, scans the bucketed index, and never recomputes assignment") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfSeedCentroids(emb, 8)
+    Similarity.ivfWriteIndex(emb, cents, "ivf_index_q", buckets = 8)
+    try {
+      val indexed = Similarity.knnIvfIndexed(spark, "ivf_index_q", cents,
+        col("vec_id") < 4, k = 3, nprobe = 2)
+      val inline = Similarity.knnIvf(emb, col("vec_id") < 4, k = 3,
+        nlist = 8, nprobe = 2, centroids = Some(cents))
+      assert(indexed.collect().toSet == inline.collect().toSet)
+      val plan = graft.operators.Bucketing.fullPlanString(indexed)
+      // the query plan reads the persisted index...
+      assert(plan.contains("ivf_index_q"), s"must scan the index:\n$plan")
+      // ...does not re-run the assignment argmin (its signature expression)...
+      assert(!plan.contains("array_min"), s"no assign recompute:\n$plan")
+      // ...and the cell probe join broadcasts the tiny probe side, so the
+      // index side is never shuffled (the only exchanges are over the
+      // |Q|-sized probe/topK windows)
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(!plan.contains("SortMergeJoin"), s"index side shuffled:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_index_q")
+  }
+
   test("Similarity.knnIvf with seeded centroids: full probe == brute force; " +
     "ivfWriteIndex persists a cell-bucketed index") {
     val emb = spark.read
