@@ -412,6 +412,12 @@ object SparkEntry {
         Dedup.minhash(t(s, dir, "documents"), k = 4), rowsPerBand = 2)),
     "doc_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"))),
+    "doc_ngram_jaccard_lsh" -> ((s, dir) => {
+      // candidate-bounded near-dup scoring: LSH pairs → exact Jaccard
+      val d = t(s, dir, "documents")
+      Dedup.ngramJaccardOn(d,
+        Dedup.lshCandidatePairs(Dedup.minhash(d, k = 4), rowsPerBand = 2))
+    }),
     "doc_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"))),
     "doc_dedup_pipeline" -> ((s, dir) =>
@@ -742,6 +748,8 @@ object SparkEntry {
         |FROM banded a JOIN banded b
         | ON a.band = b.band AND a.bucket = b.bucket
         |  AND a.doc_id < b.doc_id""".stripMargin,
+    // the `blocks HAVING count(*) <= 1000` clause mirrors ngramJaccard's
+    // enforced maxBlockDocs guard (default 1000)
     "doc_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, lang, source, n_chars,
         |  string_split(text, ' ') AS words FROM documents),
@@ -749,14 +757,49 @@ object SparkEntry {
         |  list_sort(list_distinct(list_transform(
         |    range(1, len(words) - 1), i ->
         |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
-        |  FROM w WHERE len(words) >= 3)
+        |  FROM w WHERE len(words) >= 3),
+        | blocks AS (SELECT lang, source, len_bucket FROM sets
+        |  GROUP BY lang, source, len_bucket HAVING count(*) <= 1000),
+        | bounded AS (SELECT s.* FROM sets s JOIN blocks k
+        |  ON s.lang = k.lang AND s.source = k.source
+        |   AND s.len_bucket = k.len_bucket)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
         |   (len(a.sset) + len(b.sset) -
         |    len(list_intersect(a.sset, b.sset))), 4) AS jaccard
-        |FROM sets a JOIN sets b
+        |FROM bounded a JOIN bounded b
         | ON a.lang = b.lang AND a.source = b.source
         |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id""".stripMargin,
+    "doc_ngram_jaccard_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g)
+        |SELECT c.doc_a, c.doc_b,
+        | round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+        |FROM cand c JOIN sets a ON c.doc_a = a.doc_id
+        | JOIN sets b ON c.doc_b = b.doc_id""".stripMargin,
     // doc_simhash oracle: reconstruct Spark's conv(substr(md5,1,8),16,10)
     // from hex digits (strpos-based) and majority-vote each of the 32 bits;
     // the per-bit expressions are generated programmatically.

@@ -93,25 +93,39 @@ object Dedup {
   }
 
   /** N-gram Jaccard similarity over blocked pairs: blocks are
-    * (lang, source, n_chars bucket) — deterministic, selective blocking that
-    * bounds pair counts at scale; within a block, Jaccard over the distinct
-    * 3-shingle sets. */
-  def ngramJaccard(docs: DataFrame, charBucket: Int = 50): DataFrame =
-    ngramJaccardRaw(docs, charBucket)
+    * (lang, source, n_chars bucket) — deterministic, selective blocking;
+    * within a block, Jaccard over the distinct 3-shingle sets.
+    *
+    * Within-block work is quadratic, so `maxBlockDocs` ENFORCES a bound:
+    * blocks holding more documents are excluded from pairing entirely (a
+    * hot (lang, source) block in a real corpus would otherwise send
+    * block²/2 pairs through the join). Oversized blocks are the LSH path's
+    * job — score [[lshCandidatePairs]] with [[ngramJaccardOn]] instead,
+    * which is candidate-bounded, never all-pairs. */
+  def ngramJaccard(docs: DataFrame, charBucket: Int = 50,
+                   maxBlockDocs: Int = 1000): DataFrame =
+    ngramJaccardRaw(docs, charBucket, maxBlockDocs)
       .withColumn("jaccard", round(col("jaccard"), 4))
 
   /** Unrounded variant — thresholding must compare exact values so both
     * engines agree at the boundary. */
-  private[operators] def ngramJaccardRaw(docs: DataFrame,
-                                         charBucket: Int): DataFrame = {
+  private[operators] def ngramJaccardRaw(docs: DataFrame, charBucket: Int,
+                                         maxBlockDocs: Int = 1000): DataFrame = {
     val sets = shingles(docs).select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / charBucket).as("len_bucket"),
       array_sort(array_distinct(col("shingle_arr"))).as("sset"))
-    val a = sets.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-      col("len_bucket"), col("sset").as("set_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
-      col("len_bucket"), col("sset").as("set_b"))
+    // block-size guard: the census aggregate prunes to the 3 key columns
+    // (no shingle work) and its post-agg output is tiny → broadcast back
+    val blockOk = sets.groupBy("lang", "source", "len_bucket").count()
+      .filter(col("count") <= maxBlockDocs)
+      .select("lang", "source", "len_bucket")
+    val bounded = sets.join(broadcast(blockOk),
+      Seq("lang", "source", "len_bucket"))
+    val a = bounded.select(col("doc_id").as("doc_a"), col("lang"),
+      col("source"), col("len_bucket"), col("sset").as("set_a"))
+    val b = bounded.select(col("doc_id").as("doc_b"), col("lang"),
+      col("source"), col("len_bucket"), col("sset").as("set_b"))
     a.join(b, Seq("lang", "source", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(
@@ -120,6 +134,32 @@ object Dedup {
           (size(col("set_a")) + size(col("set_b")) -
             size(array_intersect(col("set_a"), col("set_b")))))
           .as("jaccard"))
+  }
+
+  /** Exact shingle Jaccard scored ONLY on the supplied `pairs`
+    * (doc_a, doc_b) — the scale path for near-dup scoring: source pairs
+    * from [[lshCandidatePairs]] and the cost is candidate-bounded instead
+    * of block-quadratic. Two equi-joins on doc id attach each side's
+    * distinct-shingle set. */
+  def ngramJaccardOn(docs: DataFrame, pairs: DataFrame): DataFrame =
+    jaccardOnPairsRaw(docs, pairs)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+
+  /** Unrounded [[ngramJaccardOn]] — thresholding compares exact values. */
+  private def jaccardOnPairsRaw(docs: DataFrame,
+                                pairs: DataFrame): DataFrame = {
+    val sets = shingles(docs).select(col("doc_id"),
+      array_sort(array_distinct(col("shingle_arr"))).as("sset"))
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - inter)).as("jaccard"))
   }
 
   /** The user-facing dedup endpoint: drop exact duplicates (keep min
@@ -141,17 +181,8 @@ object Dedup {
         col("b.doc_id") < col("a.doc_id"))
       .select(col("a.doc_id").as("drop_id"))
     val cand = lshCandidatePairs(minhash(docs, minhashK), rowsPerBand)
-    val sets = shingles(docs).select(col("doc_id"),
-      array_sort(array_distinct(col("shingle_arr"))).as("sset"))
-    val inter = size(array_intersect(col("set_a"), col("set_b")))
-    val nearDrop = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")),
-        "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")),
-        "doc_b")
-      .filter((inter.cast("double") /
-        (size(col("set_a")) + size(col("set_b")) - inter))
-        >= jaccardThreshold)
+    val nearDrop = jaccardOnPairsRaw(docs, cand)
+      .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_b").as("drop_id"))
     val drops = exactDrop.unionByName(nearDrop).distinct()
     docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")

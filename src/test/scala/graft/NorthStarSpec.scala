@@ -48,6 +48,27 @@ class NorthStarSpec extends SparkTestBase {
     assert(j.getOrElse((1L, 4L), 0.0) < 0.1)
   }
 
+  test("Dedup.ngramJaccard maxBlockDocs guard excludes oversized blocks; " +
+    "ngramJaccardOn scores LSH candidates only") {
+    // all 4 fixture docs share one (en, srcA, bucket 0) block of size 4
+    val guarded = Dedup.ngramJaccard(docs, charBucket = 1000,
+      maxBlockDocs = 3)
+    assert(guarded.count() == 0) // block of 4 > cap 3 → no quadratic pairs
+    val unguarded = Dedup.ngramJaccard(docs, charBucket = 1000,
+      maxBlockDocs = 4)
+    assert(unguarded.count() == 6) // 4 choose 2
+    // LSH-sourced scoring: only candidate pairs get a score, values match
+    // the blocked variant on the shared pairs
+    val cand = Dedup.lshCandidatePairs(Dedup.minhash(docs, k = 4),
+      rowsPerBand = 1)
+    val scored = Dedup.ngramJaccardOn(docs, cand).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val blocked = unguarded.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(scored.nonEmpty && scored.keySet.subsetOf(blocked.keySet))
+    assert(scored.forall { case (k, v) => blocked(k) == v })
+  }
+
   test("Dedup.dedupPipeline: drops exact and near duplicates, keeps min id") {
     // doc 2 = exact dup of 1; doc 3 = near-dup (jaccard 8/9 ≈ 0.89 ≥ 0.8).
     // rowsPerBand=1 → candidate on ANY matching minhash (max LSH recall so
