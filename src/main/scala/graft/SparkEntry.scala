@@ -281,6 +281,23 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
           count(lit(1)).as("n"))
     }),
+    // Production twin of q11: exact per-group percentile buffers and sorts
+    // every value in the group (super-linear memory/time at 100× — the one
+    // headline agg that would not survive the scale-up), while
+    // approx_percentile streams a bounded KLL-style sketch through the
+    // partial/merge agg path. No DuckDB oracle (sketch internals differ
+    // across engines — driver records the weaker rows-only check); value
+    // tolerance vs the exact query is spec-asserted (PlanShapeSpec).
+    "q11_percentile_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr(
+            "approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+          round(expr(
+            "approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+    }),
     "q10_anti_join" -> ((s, dir) => {
       t(s, dir, "customer")
         .join(t(s, dir, "orders"),
@@ -437,6 +454,20 @@ object SparkEntry {
       Similarity.knnIvf(e, col("vec_id") < 8, k = 3, nlist = 16, nprobe = 4,
         centroids = Some(Similarity.ivfSeedCentroids(e, 16)))
     }),
+    "emb_knn_ivf_indexed" -> ((s, dir) => {
+      // The production IVF flow: build the cell-bucketed index ONCE per
+      // (session, dataset) — skipped when the table already exists, so a
+      // steady-state (warm) run measures the pure probe path — then
+      // probe-join it. Same oracle as emb_knn_ivf: the chain is
+      // deterministic, so inline and indexed results are identical.
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfSeedCentroids(e, 16)
+      val table = s"graft_ivf_idx_${math.abs(dir.hashCode.toLong)}"
+      if (!s.catalog.tableExists(table))
+        Similarity.ivfWriteIndex(e, cents, table, buckets = 8)
+      Similarity.knnIvfIndexed(s, table, cents, col("vec_id") < 8,
+        k = 3, nprobe = 4)
+    }),
     "emb_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
 
@@ -471,6 +502,50 @@ object SparkEntry {
         (lit(64) + floor(nb / 32) % 32).cast("long").as("fake_height"))
     }),
   )
+
+  /** Seeded-centroid IVF oracle, shared by `emb_knn_ivf` (inline assign)
+    * and `emb_knn_ivf_indexed` (persisted bucketed index): the chain is
+    * deterministic, so both paths return identical rows. */
+  private val IvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+      | d AS (SELECT e.vec_id, e.v, cent.cell,
+      |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+      |     i -> e.v[i] * e.v[i]), 'sum')
+      |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+      |     i -> e.v[i] * cent.c[i]), 'sum')
+      |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+      |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+      |  FROM e, cent),
+      | a AS (SELECT vec_id, v, cell FROM
+      |   (SELECT vec_id, v, cell, row_number() OVER
+      |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+      |  WHERE rn = 1),
+      | q AS (SELECT vec_id AS q_id, v AS qv FROM a WHERE vec_id < 8),
+      | p AS (SELECT q_id, qv, cell FROM
+      |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
+      |     (PARTITION BY q.q_id ORDER BY
+      |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |         i -> q.qv[i] * q.qv[i]), 'sum')
+      |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |         i -> q.qv[i] * cent.c[i]), 'sum')
+      |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+      |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
+      |    FROM q, cent) t
+      |  WHERE prn <= 4),
+      | s AS (SELECT p.q_id, a.vec_id AS c_id,
+      |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
+      |     i -> p.qv[i] * a.v[i]), 'sum') /
+      |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+      |     i -> p.qv[i] * p.qv[i]), 'sum')) *
+      |    sqrt(list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |     i -> a.v[i] * a.v[i]), 'sum'))) AS cos
+      |  FROM p JOIN a ON p.cell = a.cell
+      |  WHERE a.vec_id <> p.q_id)
+      |SELECT q_id, c_id, round(cos, 4) AS score
+      |FROM (SELECT q_id, c_id, cos, row_number() OVER
+      |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+      |WHERE rn <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -922,46 +997,10 @@ object SparkEntry {
     // Seeded-centroid IVF: centroids = vectors 0..15; assign = argmin L2²
     // (ties → lower cell); probe 4 nearest cells per query; exact cosine +
     // top-3 inside probed cells — mirrors Similarity.knnIvf(ivfSeedCentroids).
-    "emb_knn_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
-        | d AS (SELECT e.vec_id, e.v, cent.cell,
-        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
-        |     i -> e.v[i] * e.v[i]), 'sum')
-        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
-        |     i -> e.v[i] * cent.c[i]), 'sum')
-        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
-        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
-        |  FROM e, cent),
-        | a AS (SELECT vec_id, v, cell FROM
-        |   (SELECT vec_id, v, cell, row_number() OVER
-        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
-        |  WHERE rn = 1),
-        | q AS (SELECT vec_id AS q_id, v AS qv FROM a WHERE vec_id < 8),
-        | p AS (SELECT q_id, qv, cell FROM
-        |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
-        |     (PARTITION BY q.q_id ORDER BY
-        |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
-        |         i -> q.qv[i] * q.qv[i]), 'sum')
-        |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
-        |         i -> q.qv[i] * cent.c[i]), 'sum')
-        |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
-        |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
-        |    FROM q, cent) t
-        |  WHERE prn <= 4),
-        | s AS (SELECT p.q_id, a.vec_id AS c_id,
-        |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
-        |     i -> p.qv[i] * a.v[i]), 'sum') /
-        |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
-        |     i -> p.qv[i] * p.qv[i]), 'sum')) *
-        |    sqrt(list_aggregate(list_transform(range(1, len(a.v) + 1),
-        |     i -> a.v[i] * a.v[i]), 'sum'))) AS cos
-        |  FROM p JOIN a ON p.cell = a.cell
-        |  WHERE a.vec_id <> p.q_id)
-        |SELECT q_id, c_id, round(cos, 4) AS score
-        |FROM (SELECT q_id, c_id, cos, row_number() OVER
-        |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
-        |WHERE rn <= 3""".stripMargin,
+    // The indexed variant runs the identical deterministic chain through a
+    // persisted bucketed index, so it shares this oracle verbatim.
+    "emb_knn_ivf" -> IvfOracleSql,
+    "emb_knn_ivf_indexed" -> IvfOracleSql,
 
     "events_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),

@@ -107,6 +107,37 @@ object Dedup {
     ngramJaccardRaw(docs, charBucket, maxBlockDocs)
       .withColumn("jaccard", round(col("jaccard"), 4))
 
+  /** Name of the named observation emitted by [[ngramJaccard]]; metrics:
+    * `docs_in_excluded_blocks` (documents silently removed from pairing by
+    * the `maxBlockDocs` guard) and `n_excluded_blocks`. Retrieve via a
+    * `QueryExecutionListener` (`qe.observedMetrics(NgramBlockGuardMetric)`).
+    * At 100 TB a hot (lang, source) block can hold most of a corpus — an
+    * operator that silently unpairs it is a data-loss trap, so the exclusion
+    * is surfaced on every run. [[dedupPipeline]] (LSH-candidate scoring) is
+    * the complete path that covers oversized blocks.
+    *
+    * Known edge: if EVERY block is oversized, AQE's empty-relation
+    * propagation prunes the (empty) census join side — plan, CollectMetrics
+    * and all — so no observation fires; the result being empty is the loud
+    * signal there. For a pruning-proof audit, [[ngramJaccardExcludedBlocks]]
+    * returns the excluded blocks as a first-class DataFrame. */
+  val NgramBlockGuardMetric = "ngram_jaccard_block_guard"
+
+  /** The blocks [[ngramJaccard]] EXCLUDES under the same parameters, as a
+    * first-class output: (lang, source, len_bucket, n_docs) for every block
+    * over `maxBlockDocs`. Run alongside ngramJaccard at scale — its union
+    * with the paired blocks is the whole corpus, so "what did the guard
+    * drop?" is a query, not a log grep. */
+  def ngramJaccardExcludedBlocks(docs: DataFrame, charBucket: Int = 50,
+                                 maxBlockDocs: Int = 1000): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / charBucket).as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket").count()
+      .filter(col("count") > maxBlockDocs)
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("count").as("n_docs"))
+
   /** Unrounded variant — thresholding must compare exact values so both
     * engines agree at the boundary. */
   private[operators] def ngramJaccardRaw(docs: DataFrame, charBucket: Int,
@@ -116,8 +147,14 @@ object Dedup {
       floor(col("n_chars") / charBucket).as("len_bucket"),
       array_sort(array_distinct(col("shingle_arr"))).as("sset"))
     // block-size guard: the census aggregate prunes to the 3 key columns
-    // (no shingle work) and its post-agg output is tiny → broadcast back
+    // (no shingle work) and its post-agg output is tiny → broadcast back.
+    // The observe node rides the (tiny) census subtree, so the exclusion
+    // counters cost one pass over ≤|blocks| rows, not over the corpus.
+    val oversized = when(col("count") > maxBlockDocs, col("count"))
     val blockOk = sets.groupBy("lang", "source", "len_bucket").count()
+      .observe(NgramBlockGuardMetric,
+        coalesce(sum(oversized), lit(0L)).as("docs_in_excluded_blocks"),
+        count(oversized).as("n_excluded_blocks"))
       .filter(col("count") <= maxBlockDocs)
       .select("lang", "source", "len_bucket")
     val bounded = sets.join(broadcast(blockOk),

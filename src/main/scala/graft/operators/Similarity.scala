@@ -211,12 +211,19 @@ object Similarity {
     * into methods); shard the centroid list and min over shards beyond
     * that. */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    // NOTE: eagerly runs a (tiny) Spark job here — the centroid table is
+    // collected at plan-CONSTRUCTION time, not at execution time. Callers
+    // treating this as a pure lazy plan constructor pay one small job up
+    // front. Null cells/centroids are rejected rather than NPE-ing deep in
+    // the map below.
     val cents = centroids
+      .filter(col("cell").isNotNull && col("centroid").isNotNull)
       .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
       .collect() // bounded: ≤ nlist centroid rows, never corpus data
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    require(cents.nonEmpty, "ivfAssign: empty centroid table")
+    require(cents.nonEmpty,
+      "ivfAssign: centroid table has no non-null (cell, centroid) rows")
     val dv = col("embedding").cast("array<double>")
     val vv = dot(dv, dv)
     val candidates = array(cents.map { case (cellId, cvec) =>
@@ -227,7 +234,13 @@ object Similarity {
         (vv - lit(2) * dot(dv, cArr) + lit(cc)).as("cdist"),
         lit(cellId).as("cell"))
     }.toIndexedSeq: _*)
-    emb.withColumn("cell", array_min(candidates).getField("cell"))
+    // coalesce makes `cell` statically NON-nullable (the argmin array is
+    // never empty, so the -1 arm is dead): without it, a downstream join on
+    // `cell` makes InferFiltersFromConstraints add `isnotnull(cell)`, and
+    // predicate pushdown inlines the ENTIRE argmin expression into a Filter
+    // under this Project — the corpus then pays the argmin twice per row.
+    emb.withColumn("cell",
+        coalesce(array_min(candidates).getField("cell"), lit(-1)))
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
@@ -247,7 +260,14 @@ object Similarity {
              nlist: Int = 16, nprobe: Int = 4,
              centroids: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfFitCentroids(emb, nlist))
-    ivfSearch(ivfAssign(emb, cents), cents, queryPred, k, nprobe)
+    // The query branch is carved from the RAW frame: queries never need a
+    // cell assignment (they probe cells by centroid distance), so the
+    // expensive argmin expression appears in exactly ONE plan branch (the
+    // corpus side). The former shape fed both branches from the assigned
+    // frame; even with column pruning the duplicated subtree doubled
+    // optimizer/codegen work and, pre-pruning, the assign itself (the r4
+    // `emb_knn_ivf` 3× regression).
+    ivfSearch(ivfAssign(emb, cents), emb, cents, queryPred, k, nprobe)
   }
 
   /** IVF ANN query against a PERSISTED index — the production query path.
@@ -259,19 +279,24 @@ object Similarity {
   def knnIvfIndexed(spark: SparkSession, indexTable: String,
                     centroids: DataFrame, queryPred: Column, k: Int = 3,
                     nprobe: Int = 4): DataFrame =
-    ivfSearch(spark.table(indexTable), centroids, queryPred, k, nprobe)
+    ivfSearch(spark.table(indexTable), spark.table(indexTable), centroids,
+      queryPred, k, nprobe)
 
   /** Probe + exact-rescore stage shared by [[knnIvf]] (inline assign) and
     * [[knnIvfIndexed]] (persisted index): `nprobe` nearest cells per query,
-    * exact cosine + top-k inside the probed cells only. */
-  private def ivfSearch(index: DataFrame, cents: DataFrame,
+    * exact cosine + top-k inside the probed cells only. `queries` is the
+    * frame the query vectors are filtered from — it needs vec_id + embedding
+    * only (NO cell column), so callers with an expensive assignment plan
+    * pass the cheap pre-assignment frame here. */
+  private def ivfSearch(index: DataFrame, queries: DataFrame,
+                        cents: DataFrame,
                         queryPred: Column, k: Int, nprobe: Int): DataFrame = {
     val assigned = index.withColumn("nrm", l2(col("embedding")))
     // nprobe nearest cells per query vector (tiny: |Q| × nlist)
-    val q = assigned.filter(queryPred)
+    val q = queries.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("embedding").cast("array<double>").as("qdv"),
-        col("nrm").as("q_nrm"))
+        l2(col("embedding")).as("q_nrm"))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cdist"), col("cell"))
     val probes = q.crossJoin(broadcast(cents))

@@ -1,6 +1,9 @@
 package graft.sinks
 
+import java.io.IOException
+
 import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.util.SerializableConfiguration
 
@@ -9,8 +12,8 @@ import org.apache.spark.util.SerializableConfiguration
   * reference's partner-delivery protocol re-expressed over a Hadoop
   * FileSystem (local `file://` in tests, `hdfs://`/object stores in prod):
   *
-  *  - upload as `<name>@tmp`, then rename to the final name so downstream
-  *    pollers never observe partial files (reference `FTPWrite`,
+  *  - upload as `<name>@tmp<attempt>`, then rename to the final name so
+  *    downstream pollers never observe partial files (reference `FTPWrite`,
   *    src/ProcessSum1.scala:114-182 — tmp suffix at :122, rename at
   *    :152-158);
   *  - retry each commit up to `maxRetries` times (reference retry loop w/
@@ -21,9 +24,22 @@ import org.apache.spark.util.SerializableConfiguration
   *  - dual-partner fan-out: one upstream write, N partner commits
   *    (reference dual-write, src/ProcessSums.scala:334-418).
   *
-  * Idempotence: every batch lands under `batch=<id>/`, so Structured
-  * Streaming's at-least-once `foreachBatch` redelivery overwrites rather than
-  * duplicates (SURVEY §7.4 "At-least-once → exactly-once").
+  * Idempotence & crash safety:
+  *  - every batch lands under `batch=<id>/`, so Structured Streaming's
+  *    at-least-once `foreachBatch` redelivery REPLACES rather than
+  *    duplicates (SURVEY §7.4 "At-least-once → exactly-once");
+  *  - each delivery commits into a fresh hidden `.batch=<id>.inprogress`
+  *    dir and publishes it with a single metadata rename only AFTER the
+  *    whole commit job succeeded — a crash mid-redelivery leaves the
+  *    previous delivery untouched (no destroy-then-fail window), and a
+  *    restart from the checkpoint re-runs the batch from scratch;
+  *  - `commitOne` is idempotent under Spark task re-execution/speculation:
+  *    an existing final file short-circuits to success (HDFS `rename` onto
+  *    an existing target returns false — without the check, a re-run of an
+  *    already-committed task would burn its retries and dead-letter a file
+  *    that was in fact delivered), and tmp names carry the task attempt id
+  *    so concurrent attempts never interleave on the same tmp path;
+  *  - staging is cleaned in try/finally, so no failure mode leaks it.
   *
   * Scale posture: the Spark job writes the batch ONCE (executors, in
   * parallel) into a staging dir; the (partner × staged-file) commit fan-out
@@ -31,7 +47,8 @@ import org.apache.spark.util.SerializableConfiguration
   * executor, so no batch byte ever funnels through the driver JVM (the
   * reference's `repartition(1)`-plus-driver-FTP bottleneck is the
   * anti-pattern this replaces). The driver only performs metadata operations:
-  * listing the staged files and preparing/deleting batch directories.
+  * listing the staged files, preparing in-progress directories, and the
+  * final publish renames.
   */
 class FtpLikeSink(
     targetRoot: String,
@@ -48,6 +65,14 @@ class FtpLikeSink(
                  p: String): FileSystem =
     new Path(p).getFileSystem(conf)
 
+  private def liveDir(partner: String, batchId: Long) =
+    new Path(s"$targetRoot/$partner/batch=$batchId")
+
+  /** Hidden (dot-prefixed: Spark/Hadoop readers skip it) per-delivery
+    * commit dir; published by rename once the commit job has succeeded. */
+  private def inProgressDir(partner: String, batchId: Long) =
+    new Path(s"$targetRoot/$partner/.batch=$batchId.inprogress")
+
   /** `foreachBatch` handler: write `df` (single string column `value`) once,
     * then commit to every partner with tmp+rename; failed partners fall back
     * to the dead-letter dir. Commits are a distributed `foreach` over the
@@ -56,57 +81,85 @@ class FtpLikeSink(
     val sc = df.sparkSession.sparkContext
     val conf = sc.hadoopConfiguration
     val staging = s"$targetRoot/_staging/batch=$batchId"
-    df.write.mode("overwrite").text(staging)
     val filesystem = fs(conf, targetRoot)
-    val staged = filesystem.listStatus(new Path(staging))
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
-    // Driver: metadata-only prep. Overwrite each whole batch dir: redelivered
-    // batches (at-least-once foreachBatch) replace rather than accumulate —
-    // part-file names carry fresh UUIDs per delivery, so append would
-    // duplicate.
-    partners.foreach { partner =>
-      val dstDir = new Path(s"$targetRoot/$partner/batch=$batchId")
-      filesystem.delete(dstDir, true)
-      filesystem.mkdirs(dstDir)
-    }
-    // Executors: the data plane. One task per (partner, staged file).
-    val work = for (p <- partners; s <- staged) yield (p, s)
-    if (work.nonEmpty) {
-      val serConf = new SerializableConfiguration(conf)
-      val root = targetRoot
-      val slices = math.min(work.length, sc.defaultParallelism).max(1)
-      sc.parallelize(work, slices).foreach { case (partner, srcStr) =>
-        val src = new Path(srcStr)
-        val taskFs = src.getFileSystem(serConf.value)
-        commitOne(taskFs, src,
-          new Path(s"$root/$partner/batch=$batchId"), batchId)
+    try {
+      df.write.mode("overwrite").text(staging)
+      val staged = filesystem.listStatus(new Path(staging))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
+      // Driver: metadata-only prep. Commits land in a FRESH in-progress dir
+      // per partner — the currently-published batch dir (a previous
+      // delivery of this id, if any) stays visible and intact until the
+      // commit job has fully succeeded.
+      partners.foreach { partner =>
+        val inprog = inProgressDir(partner, batchId)
+        filesystem.delete(inprog, true) // leftover from a crashed delivery
+        filesystem.mkdirs(inprog)
       }
+      // Executors: the data plane. One task per (partner, staged file).
+      val work = for (p <- partners; s <- staged) yield (p, s)
+      if (work.nonEmpty) {
+        val serConf = new SerializableConfiguration(conf)
+        val root = targetRoot
+        val slices = math.min(work.length, sc.defaultParallelism).max(1)
+        sc.parallelize(work, slices).foreach { case (partner, srcStr) =>
+          val src = new Path(srcStr)
+          val taskFs = src.getFileSystem(serConf.value)
+          commitOne(taskFs, src,
+            new Path(s"$root/$partner/.batch=$batchId.inprogress"), batchId)
+        }
+      }
+      // Publish: only now that every commit task succeeded does the old
+      // delivery get replaced — one delete + one rename per partner, both
+      // metadata ops. (At-least-once redelivery thus REPLACES atomically;
+      // part-file names carry fresh UUIDs per delivery, so an append would
+      // duplicate.)
+      partners.foreach { partner =>
+        val live = liveDir(partner, batchId)
+        filesystem.delete(live, true)
+        if (!filesystem.rename(inProgressDir(partner, batchId), live))
+          throw new IOException(
+            s"FtpLikeSink: failed to publish $live for batch $batchId")
+      }
+    } finally {
+      // No failure mode leaks staged bytes; in-progress dirs are left for
+      // the next delivery of the same id to clear (they are hidden).
+      filesystem.delete(new Path(staging), true)
     }
-    filesystem.delete(new Path(staging), true)
   }
 
-  /** Copy `src` into `dstDir` as `<name>@tmp`, then rename to `<name>`;
-    * retry up to `maxRetries`; dead-letter on give-up. Runs inside an
-    * executor task (one invocation per staged file per partner). */
+  /** Copy `src` into `dstDir` as `<name>@tmp<attempt>`, then rename to
+    * `<name>`; retry up to `maxRetries`; dead-letter on give-up. Runs inside
+    * an executor task (one invocation per staged file per partner) and is
+    * idempotent under task re-execution: an already-present final file is
+    * success, never a retry burn. */
   private def commitOne(filesystem: FileSystem, src: Path, dstDir: Path,
                         batchId: Long): Unit = {
-    val tmp = new Path(dstDir, src.getName + "@tmp")
     val fin = new Path(dstDir, src.getName)
+    // Attempt-unique tmp path: a speculative/re-executed attempt must never
+    // delete or rename a concurrent attempt's half-copied tmp file.
+    val attemptTag =
+      Option(TaskContext.get()).map(_.taskAttemptId().toString).getOrElse("0")
+    val tmp = new Path(dstDir, s"${src.getName}@tmp$attemptTag")
     val rename = renameOp.getOrElse(
       (f: FileSystem, a: Path, b: Path) => f.rename(a, b))
     var attempt = 0
-    var done = false
+    var done = filesystem.exists(fin) // re-run of an already-committed task
     while (!done && attempt < maxRetries) {
       attempt += 1
       try {
         if (filesystem.exists(tmp)) filesystem.delete(tmp, false)
         FileUtil.copy(filesystem, src, filesystem, tmp, false, true,
           filesystem.getConf)
-        done = rename(filesystem, tmp, fin)
-      } catch { case _: Exception => done = false }
+        // rename onto an existing target returns false on HDFS: if the
+        // final file exists, a concurrent attempt delivered it — success.
+        done = rename(filesystem, tmp, fin) || filesystem.exists(fin)
+      } catch { case _: Exception => done = filesystem.exists(fin) }
     }
+    try { // drop our tmp if the rename lost the race but fin exists
+      if (filesystem.exists(tmp)) filesystem.delete(tmp, false)
+    } catch { case _: Exception => () }
     if (!done) {
       // Data preserved on the fallback path, never dropped
       // (reference logs 数据丢失…写入HDFS and writes to HDFS instead).

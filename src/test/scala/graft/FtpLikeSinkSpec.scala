@@ -1,19 +1,55 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 import graft.sinks.FtpLikeSink
 
+/** Companion holds test-seam state as STATICS: the rename interceptor
+  * closure is serialized into every commit task (even in local mode), so an
+  * instance-captured counter would be cloned per task and shared-count
+  * semantics would silently break on multi-file batches. Statics are
+  * re-resolved to the one JVM-wide object at closure deserialization. */
+object FtpLikeSinkSpec {
+  /** Per-test-key fail-N-times counters, keyed explicitly so concurrently
+    * running tests never share a counter. */
+  val failCounts = new ConcurrentHashMap[String, AtomicInteger]()
+
+  /** While true, [[chaosRename]] throws on every rename. */
+  val chaosArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Escapes `commitOne`'s `catch { case _: Exception }` retry net — models
+    * an executor crash mid-commit (task fails, commit job aborts). */
+  class CommitChaosError extends Error("injected commit crash")
+
+  def flakyRename(key: String): (FileSystem, Path, Path) => Boolean =
+    (fs: FileSystem, a: Path, b: Path) =>
+      if (failCounts.get(key).getAndDecrement() > 0) false
+      else fs.rename(a, b)
+
+  val chaosRename: (FileSystem, Path, Path) => Boolean =
+    (fs: FileSystem, a: Path, b: Path) =>
+      if (chaosArmed.get()) throw new CommitChaosError else fs.rename(a, b)
+}
+
 class FtpLikeSinkSpec extends SparkTestBase {
+  import FtpLikeSinkSpec._
 
   private def df(lines: Seq[String]) = {
     val s = spark
     import s.implicits._
     lines.toDF("value")
   }
+
+  /** Visible (non-hidden) entries of a partner batch dir. */
+  private def visible(dir: java.nio.file.Path): Seq[String] =
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).toArray.map(_.toString)
+      .filter(p => { val n = p.split("/").last
+        !n.startsWith(".") && !n.startsWith("_") }).toSeq
 
   test("happy path: per-partner batch dirs, tmp+rename, staging cleaned") {
     val target = tmpDir("sink")
@@ -25,9 +61,9 @@ class FtpLikeSinkSpec extends SparkTestBase {
       assert(lines.toSeq == Seq("r1", "r2", "r3"))
     }
     assert(!Files.exists(Paths.get(target, "_staging", "batch=7")))
-    val tmps = Files.walk(Paths.get(target)).toArray.map(_.toString)
-      .filter(_.endsWith("@tmp"))
-    assert(tmps.isEmpty)
+    val leftovers = Files.walk(Paths.get(target)).toArray.map(_.toString)
+      .filter(f => f.contains("@tmp") || f.contains(".inprogress"))
+    assert(leftovers.isEmpty)
   }
 
   test("idempotent redelivery: rewriting the same batchId overwrites, " +
@@ -43,11 +79,9 @@ class FtpLikeSinkSpec extends SparkTestBase {
   test("transient rename failures are retried to success") {
     val target = tmpDir("sink3")
     val dead = tmpDir("dl3")
-    val failures = new AtomicInteger(2) // fail first two attempts
-    val flaky = (fs: FileSystem, a: Path, b: Path) =>
-      if (failures.getAndDecrement() > 0) false else fs.rename(a, b)
+    failCounts.put("transient", new AtomicInteger(2)) // fail first two
     val sink = new FtpLikeSink(target, dead, Seq("yaxin"),
-      maxRetries = 3, renameOp = Some(flaky))
+      maxRetries = 3, renameOp = Some(flakyRename("transient")))
     sink.writeBatch(df(Seq("x")).coalesce(1), 2L)
     assert(spark.read.textFile(s"$target/yaxin/batch=2").collect().toSeq ==
       Seq("x"))
@@ -87,5 +121,120 @@ class FtpLikeSinkSpec extends SparkTestBase {
       new String(Files.readAllBytes(Paths.get(p))).split("\n")).sorted
     assert(content.toSeq == Seq("x", "y"))
     assert(dl.forall(_.contains("yaxin_")))
+  }
+
+  test("commitOne is idempotent under task re-execution: a rename that " +
+    "lands but reports failure (HDFS rename-onto-existing semantics) is " +
+    "delivered, not dead-lettered") {
+    val target = tmpDir("sink6")
+    val dead = tmpDir("dl6")
+    // Models the ADVICE scenario: the commit happened (file is at its final
+    // path) but the attempt observes rename=false — e.g. a re-executed task
+    // whose predecessor already renamed, or HDFS rename onto an existing
+    // target. The exists(fin) short-circuit must report success instead of
+    // burning retries into the dead-letter dir.
+    val landsButLies = (f: FileSystem, a: Path, b: Path) => {
+      f.rename(a, b); false
+    }
+    val sink = new FtpLikeSink(target, dead, Seq("yaxin"), maxRetries = 2,
+      renameOp = Some(landsButLies))
+    sink.writeBatch(df(Seq("v1", "v2")).coalesce(1), 4L)
+    assert(spark.read.textFile(s"$target/yaxin/batch=4").collect()
+      .sorted.toSeq == Seq("v1", "v2"))
+    assert(!Files.exists(Paths.get(dead, "batch=4")) ||
+      Files.list(Paths.get(dead, "batch=4")).toArray.isEmpty)
+    // no tmp residue from the lying attempts
+    val residue = Files.walk(Paths.get(target)).toArray.map(_.toString)
+      .filter(_.contains("@tmp"))
+    assert(residue.isEmpty)
+  }
+
+  test("crashed redelivery preserves the previous delivery: no " +
+    "destroy-then-fail window, staging cleaned even on failure") {
+    val target = tmpDir("sink7")
+    val dead = tmpDir("dl7")
+    // delivery 1: published
+    new FtpLikeSink(target, dead, Seq("yaxin", "yiyang"))
+      .writeBatch(df(Seq("old1", "old2")), 9L)
+    // delivery 2 of the same batch id crashes mid-commit
+    chaosArmed.set(true)
+    val chaosSink = new FtpLikeSink(target, dead, Seq("yaxin", "yiyang"),
+      renameOp = Some(chaosRename))
+    try {
+      intercept[Exception] { // SparkException wrapping the task crash
+        chaosSink.writeBatch(df(Seq("new1", "new2")), 9L)
+      }
+    } finally chaosArmed.set(false)
+    // downstream pollers still see the FULL previous delivery
+    Seq("yaxin", "yiyang").foreach { p =>
+      val lines = spark.read.textFile(s"$target/$p/batch=9").collect().sorted
+      assert(lines.toSeq == Seq("old1", "old2"),
+        s"partner $p lost the previous delivery")
+    }
+    // and the staging dir did not leak despite the crash
+    assert(!Files.exists(Paths.get(target, "_staging", "batch=9")))
+    // a later clean redelivery replaces the batch atomically
+    new FtpLikeSink(target, dead, Seq("yaxin", "yiyang"))
+      .writeBatch(df(Seq("new1", "new2")), 9L)
+    Seq("yaxin", "yiyang").foreach { p =>
+      val lines = spark.read.textFile(s"$target/$p/batch=9").collect().sorted
+      assert(lines.toSeq == Seq("new1", "new2"))
+      assert(visible(Paths.get(target, p)).forall(_.contains("batch=9")))
+    }
+  }
+
+  test("exactly-once across a streaming crash: kill after partial commit, " +
+    "restart from checkpoint — no duplicate, no loss") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val target = tmpDir("sink8")
+    val dead = tmpDir("dl8")
+    val cp = tmpDir("cp8")
+    val input = MemoryStream[String]
+    input.addData("e1", "e2", "e3")
+    val sink = new FtpLikeSink(target, dead, Seq("yaxin", "yiyang"),
+      renameOp = Some(chaosRename))
+
+    // run 1: every rename throws -> the commit job aborts after staging,
+    // the query dies before the batch is committed to the offsets log
+    chaosArmed.set(true)
+    val q1 = input.toDF().writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.writeBatch(batch, id))
+      .start()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    chaosArmed.set(false)
+
+    // run 2: same checkpoint, same source — Structured Streaming redelivers
+    // the uncommitted batch; the sink replaces whatever partial state the
+    // crash left behind
+    val q2 = input.toDF().writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.writeBatch(batch, id))
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    Seq("yaxin", "yiyang").foreach { p =>
+      // exactly the three records, exactly once, in exactly one batch dir
+      val batchDirs = visible(Paths.get(target, p))
+      assert(batchDirs.length == 1 && batchDirs.head.endsWith("batch=0"),
+        s"partner $p dirs: $batchDirs")
+      val lines = spark.read.textFile(s"$target/$p/batch=0").collect().sorted
+      assert(lines.toSeq == Seq("e1", "e2", "e3"))
+      // no half-committed residue anywhere under the partner dir
+      val residue = Files.walk(Paths.get(target, p)).toArray.map(_.toString)
+        .filter(f => f.contains("@tmp") || f.contains(".inprogress"))
+      assert(residue.isEmpty, s"partner $p residue: $residue")
+    }
+    // nothing was dead-lettered: the crash aborted the job, it did not
+    // spill deliverable data to the fallback path
+    assert(!Files.exists(Paths.get(dead)) ||
+      Files.walk(Paths.get(dead)).toArray.length <= 1)
   }
 }

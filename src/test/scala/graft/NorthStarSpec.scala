@@ -69,6 +69,60 @@ class NorthStarSpec extends SparkTestBase {
     assert(scored.forall { case (k, v) => blocked(k) == v })
   }
 
+  test("Dedup.ngramJaccard block guard is observable: excluded-block " +
+    "counters fire on an oversized block") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get(Dedup.NgramBlockGuardMetric)
+          .foreach(r => observed = Some(r))
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    // 4-doc (en, srcA) block + a 2-doc (de, srcA) block: with cap 3 the en
+    // block is excluded while the de block survives. (A surviving block is
+    // required for the observation to fire at all: if EVERY block is
+    // excluded, AQE empty-propagation prunes the census subtree — the
+    // documented edge; ngramJaccardExcludedBlocks is the pruning-proof
+    // audit.)
+    val s = spark
+    import s.implicits._
+    val mixed = docs.unionByName(Seq(
+      (90L, "der hund läuft durch den großen park heute morgen", "de",
+        "srcA", 49L),
+      (91L, "die katze schläft auf dem warmen sofa den ganzen tag", "de",
+        "srcA", 53L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.ngramJaccard(mixed, charBucket = 1000, maxBlockDocs = 3).collect()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (observed.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = observed.getOrElse(fail("block-guard observation never fired"))
+      assert(m.getAs[Long]("docs_in_excluded_blocks") == 4L)
+      assert(m.getAs[Long]("n_excluded_blocks") == 1L)
+
+      // and a corpus with no oversized blocks reports zero
+      observed = None
+      Dedup.ngramJaccard(mixed, charBucket = 1000, maxBlockDocs = 4).collect()
+      val deadline2 = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (observed.isEmpty && System.nanoTime() < deadline2)
+        Thread.sleep(50)
+      val m2 = observed.getOrElse(fail("observation missing on clean run"))
+      assert(m2.getAs[Long]("docs_in_excluded_blocks") == 0L)
+      assert(m2.getAs[Long]("n_excluded_blocks") == 0L)
+
+      // the pruning-proof audit output names the excluded block exactly
+      val excl = Dedup.ngramJaccardExcludedBlocks(mixed, charBucket = 1000,
+        maxBlockDocs = 3).collect()
+      assert(excl.length == 1)
+      assert(excl.head.getString(0) == "en" && excl.head.getLong(3) == 4L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("Dedup.dedupPipeline: drops exact and near duplicates, keeps min id") {
     // doc 2 = exact dup of 1; doc 3 = near-dup (jaccard 8/9 ≈ 0.89 ≥ 0.8).
     // rowsPerBand=1 → candidate on ANY matching minhash (max LSH recall so
@@ -213,6 +267,52 @@ class NorthStarSpec extends SparkTestBase {
     assert((0L until 8L).forall(i => cells(i) == i.toInt))
   }
 
+  /** Occurrences of the IVF assign's signature expression (the argmin
+    * `array_min` over centroid-distance structs) in the OPTIMIZED logical
+    * plan — counted structurally, not via plan strings (node renderings
+    * truncate expression lists, so a `plan.contains("array_min")` check is
+    * vacuous). */
+  private def countAssignArgmin(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.expressions.ArrayMin
+    df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect { case _: ArrayMin => 1 }.sum).sum
+    }.sum
+  }
+
+  test("Similarity.knnIvf inline path evaluates the assign argmin exactly " +
+    "once: the query branch is carved from the raw frame") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfSeedCentroids(emb, 8)
+    val knn = Similarity.knnIvf(emb, col("vec_id") < 4, k = 3,
+      nlist = 8, nprobe = 2, centroids = Some(cents))
+    // the assign argmin must appear in exactly ONE plan branch (the
+    // corpus/candidate side) — the r4 shape duplicated it into the query
+    // branch, doubling the per-query corpus work
+    val occurrences = countAssignArgmin(knn)
+    assert(occurrences == 1,
+      s"assign subtree duplicated ($occurrences× in optimized plan)")
+  }
+
+  test("Similarity.ivfAssign rejects all-null centroid tables instead of " +
+    "NPE-ing at plan build") {
+    val s = spark
+    import s.implicits._
+    val emb = embDf(Seq(0L -> Seq(1f, 0f)))
+    val nullCents = Seq((Option.empty[Int], Option.empty[Seq[Double]]))
+      .toDF("cell", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(emb, nullCents)
+    }
+    assert(e.getMessage.contains("non-null"))
+    // null rows are dropped, non-null ones still drive the assignment
+    val mixed = Seq((Option(0), Option(Seq(1.0, 0.0))),
+      (Option.empty[Int], Option.empty[Seq[Double]]))
+      .toDF("cell", "centroid")
+    val out = Similarity.ivfAssign(emb, mixed).collect()
+    assert(out.length == 1 && out.head.getInt(2) == 0)
+  }
+
   test("Similarity.knnIvfIndexed: persisted-index query path matches inline " +
     "knnIvf, scans the bucketed index, and never recomputes assignment") {
     val emb = spark.read
@@ -228,8 +328,9 @@ class NorthStarSpec extends SparkTestBase {
       val plan = graft.operators.Bucketing.fullPlanString(indexed)
       // the query plan reads the persisted index...
       assert(plan.contains("ivf_index_q"), s"must scan the index:\n$plan")
-      // ...does not re-run the assignment argmin (its signature expression)...
-      assert(!plan.contains("array_min"), s"no assign recompute:\n$plan")
+      // ...does not re-run the assignment argmin (structural check — plan
+      // strings truncate expressions, so a string match proves nothing)...
+      assert(countAssignArgmin(indexed) == 0, "no assign recompute")
       // ...and the cell probe join broadcasts the tiny probe side, so the
       // index side is never shuffled (the only exchanges are over the
       // |Q|-sized probe/topK windows)

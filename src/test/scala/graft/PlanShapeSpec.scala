@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Bucketing
+
+/** Plan-shape CI gate for the headline queries (round-3 task 8 / round-4
+  * task 3): correctness tests catch wrong VALUES, but a plan regression —
+  * a broadcast decaying to a shuffle join, a join degenerating to a
+  * cartesian, the LSH self-join losing its exchange reuse — produces the
+  * same rows 100× slower and at 100 TB doesn't finish at all. These
+  * assertions pin the plan invariants the bench numbers depend on, so a
+  * deliberate plan-breaking edit (e.g. dropping the broadcast hint past the
+  * auto-broadcast threshold, or de-duplicating the LSH subtrees) fails CI
+  * instead of a human bench audit three rounds later.
+  *
+  * Each query is EXECUTED first (collect at sf0.001) so AQE's final adaptive
+  * plan — the one that actually ran, stage reuse included — is what gets
+  * inspected, not the initial speculative plan.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Run `name` to completion and return (row count, final physical plan). */
+  private def ran(name: String): (Long, String, DataFrame) = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val n = df.collect().length.toLong
+    (n, Bucketing.fullPlanString(df), df)
+  }
+
+  private def assertNoPlanBombs(name: String, plan: String): Unit = {
+    assert(!plan.contains("CartesianProduct"),
+      s"$name plans a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$name plans a nested-loop join:\n$plan")
+  }
+
+  test("q1_agg: single shuffle (partial agg pushed map-side), no joins") {
+    val (n, plan, df) = ran("q1_agg")
+    assert(n > 0)
+    assertNoPlanBombs("q1_agg", plan)
+    assert(!plan.contains("Join"), s"q1_agg must not join:\n$plan")
+    assert(Bucketing.countExchanges(df) == 1,
+      s"q1_agg needs exactly the one groupBy exchange:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"q1_agg must hash-aggregate (sort-agg means codegen fell off):\n$plan")
+  }
+
+  test("q2_broadcast_join: the dim join stays broadcast, fact side never " +
+    "shuffled for the join") {
+    val (n, plan, _) = ran("q2_broadcast_join")
+    assert(n > 0)
+    assertNoPlanBombs("q2_broadcast_join", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part-dim join must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact side shuffled for the dim join:\n$plan")
+  }
+
+  test("q3_shuffle_join: equi-joins only — no cartesian, no nested loop") {
+    val (n, plan, _) = ran("q3_shuffle_join")
+    assert(n > 0)
+    assertNoPlanBombs("q3_shuffle_join", plan)
+    // 3-table join chain: both joins survive as real equi-joins (broadcast
+    // or shuffled — AQE picks by size), never a degenerate product. Count
+    // plan LINES (each line renders the node name twice: nodeName + its
+    // simpleString).
+    val joins = plan.linesIterator.count(l =>
+      l.trim.startsWith("BroadcastHashJoin") ||
+        l.trim.startsWith("SortMergeJoin") ||
+        l.trim.startsWith("ShuffledHashJoin"))
+    assert(joins == 2, s"q3 must keep exactly two equi-joins:\n$plan")
+  }
+
+  test("flagship_s61: code-map enrich stays a broadcast join") {
+    val (n, plan, _) = ran("flagship_s61")
+    assert(n > 0)
+    assertNoPlanBombs("flagship_s61", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"enrich lookup must broadcast the code map:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"CDR fact side shuffled for the code-map join:\n$plan")
+  }
+
+  test("doc_lsh_pairs: the banded self-join reuses ONE exchange for both " +
+    "sides (the minhash subtree is computed once)") {
+    val (n, plan, _) = ran("doc_lsh_pairs")
+    assert(n > 0)
+    assertNoPlanBombs("doc_lsh_pairs", plan)
+    assert(plan.contains("ReusedExchange"),
+      s"LSH self-join lost exchange reuse — shingle+minhash now runs twice:\n$plan")
+  }
+
+  test("q11_percentile_approx: sketch agg within 1% of the exact " +
+    "percentiles, same groups") {
+    val exact = SparkEntry.queries("q11_percentile")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val approx = SparkEntry.queries("q11_percentile_approx")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (p50, p95)) <- exact) {
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - p50) / p50 < 0.01, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) / p95 < 0.01, s"$k p95: $a95 vs $p95")
+    }
+    // and the plan is a plain two-phase hash agg — no per-group sort buffer
+    val df = SparkEntry.queries("q11_percentile_approx")(spark, dir)
+    df.collect()
+    val plan = Bucketing.fullPlanString(df)
+    assert(!plan.contains("Sort "), s"approx percentile must not sort:\n$plan")
+  }
+}
