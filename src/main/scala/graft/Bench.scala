@@ -19,21 +19,31 @@ import org.apache.spark.sql.SparkSession
   *     `cdr_mask`-class queries.
   *   - `value` (the headline metric) is the COLD first-run total: Catalyst
   *     planning + janino codegen included, matching how a fresh job would
-  *     see it. The steady-state second pass is reported under `warm_total` /
-  *     `warm_queries` (the reference's own SLO is steady-state per-batch
-  *     time, but the headline stays comparable across rounds).
-  *   - A FAILED query must make the bench WORSE, never better: it is charged
-  *     `max(elapsed-at-failure, 60 s)` in the totals (a failure can never
-  *     undercut a slow success) AND reported verbatim under "errors" with
-  *     its exception. The pre-r5 harness recorded failures as -1.0 and
-  *     filtered them out of the total — a broken query improved the
-  *     headline, which was exactly backwards.
+  *     see it. Steady state is measured as the MEDIAN of `WarmTrials` (3)
+  *     further passes per query — a background-load spike on one trial
+  *     (r5's phantom 19 s `enrich_s66`) lands in `warm_max`, never in the
+  *     reported `warm_queries`/`warm_total`; the per-query min/max spread
+  *     is published so contention is visible instead of silently absorbed.
+  *   - A FAILED query makes the bench worse, never better, under a floor
+  *     guarantee: it is charged `max(elapsed-at-failure, 60 s)` in the
+  *     totals AND reported verbatim under "errors" with its exception.
+  *     (The floor is not a ceiling-proof: a query whose healthy cost
+  *     exceeds 60 s could in principle fail fast for less than its true
+  *     cost — at ~1-5 s per query here the floor is >10× any healthy
+  *     time, and `n_err != 0` disqualifies the artifact regardless. The
+  *     pre-r5 harness recorded failures as -1.0 and filtered them out of
+  *     the total — a broken query improved the headline, exactly
+  *     backwards.)
   */
 object Bench {
 
   /** Penalty charged to the totals per failed query (seconds), if larger
     * than the time actually spent before the failure. */
   private val FailurePenaltySec = 60.0
+
+  /** Steady-state trials per query; the reported warm time is their median
+    * (odd count → a true element, no averaging of unlike trials). */
+  private val WarmTrials = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,7 +76,23 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> once(n))
-    val warm = names.map(n => n -> once(n))
+    // Warm trials are grouped per PASS (all queries, then repeat), not per
+    // query back-to-back: a transient machine-wide load spike then taints
+    // one trial of many queries instead of all trials of one, and the
+    // median discards it.
+    val warmTrials: Seq[Seq[(String, (Double, Option[String]))]] =
+      (1 to WarmTrials).map(_ => names.map(n => n -> once(n)))
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    /** (median seconds, first error if any trial failed) per query. */
+    val warm: Seq[(String, (Double, Option[String]))] = names.zipWithIndex
+      .map { case (n, i) =>
+        val trials = warmTrials.map(_(i)._2)
+        n -> (median(trials.map(_._1)), trials.flatMap(_._2).headOption)
+      }
+    val warmMin = names.zipWithIndex.map { case (n, i) =>
+      n -> warmTrials.map(_(i)._2._1).min }
+    val warmMax = names.zipWithIndex.map { case (n, i) =>
+      n -> warmTrials.map(_(i)._2._1).max }
 
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -81,6 +107,8 @@ object Bench {
     def timesObj(kvs: Seq[(String, (Double, Option[String]))]): String =
       kvs.map { case (k, (v, _)) => jsonStr(k) + ":" + v }
         .mkString("{", ",", "}")
+    def numsObj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
     def errsObj(kvs: Seq[(String, (Double, Option[String]))]): String =
       kvs.collect { case (k, (_, Some(e))) => jsonStr(k) + ":" + jsonStr(e) }
         .mkString("{", ",", "}")
@@ -93,6 +121,8 @@ object Bench {
         s""","queries":${timesObj(cold)},"errors":${errsObj(cold)}""" +
         s""","warm_total":${total(warm)},"warm_queries":${timesObj(warm)}""" +
         s""","warm_errors":${errsObj(warm)},"n_err":$nErr""" +
+        s""","warm_trials":$WarmTrials,"warm_min":${numsObj(warmMin)}""" +
+        s""","warm_max":${numsObj(warmMax)}""" +
         s""","failure_penalty_sec":$FailurePenaltySec,"sf":${jsonStr(sfDir)}}"""
     println(line)
     Files.write(Paths.get(outPath),

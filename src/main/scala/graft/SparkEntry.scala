@@ -456,15 +456,36 @@ object SparkEntry {
     }),
     "emb_knn_ivf_indexed" -> ((s, dir) => {
       // The production IVF flow: build the cell-bucketed index ONCE per
-      // (session, dataset) — skipped when the table already exists, so a
-      // steady-state (warm) run measures the pure probe path — then
-      // probe-join it. Same oracle as emb_knn_ivf: the chain is
-      // deterministic, so inline and indexed results are identical.
+      // dataset VERSION — the table name embeds a fingerprint of the input
+      // files (path, length, mtime), so a rebuilt/changed dataset under the
+      // same dir gets a fresh index instead of silently serving a stale one
+      // (the metastore persists across JVMs in this cwd), and two distinct
+      // dirs can never collide on a name. Warm runs skip straight to the
+      // probe path. Same oracle as emb_knn_ivf: the chain is deterministic,
+      // so inline and indexed results are identical.
       val e = t(s, dir, "embeddings")
       val cents = Similarity.ivfSeedCentroids(e, 16)
-      val table = s"graft_ivf_idx_${math.abs(dir.hashCode.toLong)}"
-      if (!s.catalog.tableExists(table))
+      val conf = s.sparkContext.hadoopConfiguration
+      val sig = e.inputFiles.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }.mkString("\n")
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(12)
+      val dirTag = math.abs(dir.hashCode.toLong)
+      val table = s"graft_ivf_idx_${dirTag}_$fp"
+      if (!s.catalog.tableExists(table)) {
+        // stale siblings (same dir, older fingerprint) are dead weight in
+        // the warehouse — drop before building the current version
+        s.catalog.listTables().collect()
+          .map(_.name)
+          .filter(n => n.startsWith(s"graft_ivf_idx_${dirTag}_") &&
+            n != table)
+          .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
         Similarity.ivfWriteIndex(e, cents, table, buckets = 8)
+      }
       Similarity.knnIvfIndexed(s, table, cents, col("vec_id") < 8,
         k = 3, nprobe = 4)
     }),

@@ -101,13 +101,23 @@ object Dedup {
     * hot (lang, source) block in a real corpus would otherwise send
     * block²/2 pairs through the join). Oversized blocks are the LSH path's
     * job — score [[lshCandidatePairs]] with [[ngramJaccardOn]] instead,
-    * which is candidate-bounded, never all-pairs. */
+    * which is candidate-bounded, never all-pairs.
+    *
+    * `metricName` names the block-guard `observe` node. Spark requires
+    * observed-metric names to be UNIQUE within one query, so composing two
+    * ngramJaccard invocations into a single query (e.g. a union over two
+    * corpora) needs a distinct name per call — the default covers the
+    * one-call-per-query case. */
   def ngramJaccard(docs: DataFrame, charBucket: Int = 50,
-                   maxBlockDocs: Int = 1000): DataFrame =
-    ngramJaccardRaw(docs, charBucket, maxBlockDocs)
+                   maxBlockDocs: Int = 1000,
+                   metricName: String = NgramBlockGuardMetric): DataFrame =
+    ngramJaccardRaw(docs, charBucket, maxBlockDocs, metricName)
       .withColumn("jaccard", round(col("jaccard"), 4))
 
-  /** Name of the named observation emitted by [[ngramJaccard]]; metrics:
+  /** DEFAULT name of the named observation emitted by [[ngramJaccard]]
+    * (override per call via its `metricName` parameter when composing
+    * several invocations into one query — observation names must be unique
+    * per query); metrics:
     * `docs_in_excluded_blocks` (documents silently removed from pairing by
     * the `maxBlockDocs` guard) and `n_excluded_blocks`. Retrieve via a
     * `QueryExecutionListener` (`qe.observedMetrics(NgramBlockGuardMetric)`).
@@ -140,8 +150,9 @@ object Dedup {
 
   /** Unrounded variant — thresholding must compare exact values so both
     * engines agree at the boundary. */
-  private[operators] def ngramJaccardRaw(docs: DataFrame, charBucket: Int,
-                                         maxBlockDocs: Int = 1000): DataFrame = {
+  private[operators] def ngramJaccardRaw(
+      docs: DataFrame, charBucket: Int, maxBlockDocs: Int = 1000,
+      metricName: String = NgramBlockGuardMetric): DataFrame = {
     val sets = shingles(docs).select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / charBucket).as("len_bucket"),
@@ -152,7 +163,7 @@ object Dedup {
     // counters cost one pass over ≤|blocks| rows, not over the corpus.
     val oversized = when(col("count") > maxBlockDocs, col("count"))
     val blockOk = sets.groupBy("lang", "source", "len_bucket").count()
-      .observe(NgramBlockGuardMetric,
+      .observe(metricName,
         coalesce(sum(oversized), lit(0L)).as("docs_in_excluded_blocks"),
         count(oversized).as("n_excluded_blocks"))
       .filter(col("count") <= maxBlockDocs)

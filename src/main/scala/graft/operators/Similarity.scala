@@ -160,18 +160,42 @@ object Similarity {
   // bucketed by cell ([[ivfWriteIndex]]) in production — NOT refit per query.
 
   /** Production centroid fit: seeded KMeans over a BOUNDED sample (at most
-    * ~`maxSample` rows) — at 100 TB a full-corpus fit is a second full scan
+    * `maxSample` rows) — at 100 TB a full-corpus fit is a second full scan
     * per invocation for no recall benefit. Returns (cell: int,
-    * centroid: array<double>). */
+    * centroid: array<double>).
+    *
+    * The sample is a per-partition seeded reservoir of
+    * ceil(maxSample / numPartitions) rows: ONE pass over the corpus, no
+    * `count()` pre-scan (the former `sample(maxSample/count)` formulation
+    * paid a full extra corpus scan per fit just to learn the fraction).
+    * Partitions smaller than their quota contribute everything they have;
+    * uneven partition sizes skew the sample toward small partitions — for
+    * centroid SEEDING that bias is irrelevant (KMeans refines), and the
+    * trade buys back a full scan at 100 TB. */
   def ivfFitCentroids(emb: DataFrame, nlist: Int,
                       maxSample: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val n = emb.count()
+    val narrowed = emb.select(col("embedding"))
+    val nParts = math.max(1, narrowed.rdd.getNumPartitions)
+    val perPart = math.max(1, (maxSample + nParts - 1) / nParts)
+    val sampledRdd = narrowed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rnd = new java.util.Random(42L * 1000003 + pid)
+      val buf = new Array[org.apache.spark.sql.Row](perPart)
+      var seen = 0
+      while (it.hasNext) {
+        val r = it.next()
+        if (seen < perPart) buf(seen) = r
+        else {
+          val j = rnd.nextInt(seen + 1)
+          if (j < perPart) buf(j) = r
+        }
+        seen += 1
+      }
+      buf.iterator.take(math.min(seen, perPart))
+    }
     val sampled =
-      if (n > maxSample) emb.sample(withReplacement = false,
-        fraction = maxSample.toDouble / n, seed = 42)
-      else emb
+      emb.sparkSession.createDataFrame(sampledRdd, narrowed.schema)
     val withVec = sampled
       .withColumn("vec", array_to_vector(col("embedding").cast("array<double>")))
     val model = new KMeans().setK(nlist).setSeed(42)
@@ -206,11 +230,19 @@ object Similarity {
     *
     * Arithmetic is kept identical to the SQL oracle and the probe path:
     * ‖v−c‖² expanded as v·v − 2·(v·c) + c·c with left-to-right double
-    * folds, so assignments agree bit-for-bit across engines. Expression
-    * size bounds `nlist` at a few thousand cells (codegen splits the array
-    * into methods); shard the centroid list and min over shards beyond
-    * that. */
-  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    * folds, so assignments agree bit-for-bit across engines.
+    *
+    * The argmin is SHARDED: centroids are grouped into `shardSize`-cell
+    * shards, each shard contributes its own `array_min` struct, and the
+    * global min is `array_min` over the ≤ nlist/shardSize shard-mins. Min
+    * is associative and the struct ordering (cdist, cell) is total, so
+    * sharding never changes the result; what it buys is codegen
+    * survivability — each shard's CreateArray is a subexpression janino can
+    * split into its own method, so nlist in the thousands (spec-proven at
+    * 4096) no longer blows the 64 KB method limit into interpreted
+    * fallback. */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame,
+                shardSize: Int = 256): DataFrame = {
     // NOTE: eagerly runs a (tiny) Spark job here — the centroid table is
     // collected at plan-CONSTRUCTION time, not at execution time. Callers
     // treating this as a pure lazy plan constructor pay one small job up
@@ -226,21 +258,28 @@ object Similarity {
       "ivfAssign: centroid table has no non-null (cell, centroid) rows")
     val dv = col("embedding").cast("array<double>")
     val vv = dot(dv, dv)
-    val candidates = array(cents.map { case (cellId, cvec) =>
+    def candStruct(cellId: Int, cvec: Seq[Double]): Column = {
       val cArr = array(cvec.map(lit): _*)
       // c·c folded on the driver, left-to-right — same order as DotProduct
       val cc = cvec.foldLeft(0.0)((a, x) => a + x * x)
       struct(
         (vv - lit(2) * dot(dv, cArr) + lit(cc)).as("cdist"),
         lit(cellId).as("cell"))
-    }.toIndexedSeq: _*)
+    }
+    val shardMins: Seq[Column] = cents.grouped(math.max(1, shardSize))
+      .map(shard => array_min(array(shard.map {
+        case (cellId, cvec) => candStruct(cellId, cvec)
+      }.toIndexedSeq: _*)))
+      .toSeq
+    val best =
+      if (shardMins.size == 1) shardMins.head
+      else array_min(array(shardMins: _*))
     // coalesce makes `cell` statically NON-nullable (the argmin array is
     // never empty, so the -1 arm is dead): without it, a downstream join on
     // `cell` makes InferFiltersFromConstraints add `isnotnull(cell)`, and
     // predicate pushdown inlines the ENTIRE argmin expression into a Filter
     // under this Project — the corpus then pays the argmin twice per row.
-    emb.withColumn("cell",
-        coalesce(array_min(candidates).getField("cell"), lit(-1)))
+    emb.withColumn("cell", coalesce(best.getField("cell"), lit(-1)))
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 

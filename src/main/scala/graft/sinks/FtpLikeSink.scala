@@ -29,10 +29,19 @@ import org.apache.spark.util.SerializableConfiguration
   *    at-least-once `foreachBatch` redelivery REPLACES rather than
   *    duplicates (SURVEY §7.4 "At-least-once → exactly-once");
   *  - each delivery commits into a fresh hidden `.batch=<id>.inprogress`
-  *    dir and publishes it with a single metadata rename only AFTER the
-  *    whole commit job succeeded — a crash mid-redelivery leaves the
-  *    previous delivery untouched (no destroy-then-fail window), and a
-  *    restart from the checkpoint re-runs the batch from scratch;
+  *    dir and publishes it only AFTER the whole commit job succeeded — a
+  *    crash mid-redelivery leaves the previous delivery untouched. Publish
+  *    is rename-aside (live → `.batch=<id>.old`), rename-in
+  *    (`.inprogress` → live), delete-old: the window where no live dir is
+  *    visible is a single metadata rename (not a recursive delete), a
+  *    failed rename-in restores the previous delivery from `.old`, and a
+  *    crash anywhere leaves at least one complete copy on disk (healed by
+  *    checkpoint-driven redelivery of the same batch id);
+  *  - hidden dirs orphaned by crashed deliveries of OLDER batch ids
+  *    (`.batch=<id'>.inprogress` / `.old` with id' < current id) are swept
+  *    at the start of every delivery: Structured Streaming hands
+  *    `foreachBatch` monotonically increasing ids, so a strictly-older
+  *    hidden dir can never be redelivered and is garbage;
   *  - `commitOne` is idempotent under Spark task re-execution/speculation:
   *    an existing final file short-circuits to success (HDFS `rename` onto
   *    an existing target returns false — without the check, a re-run of an
@@ -58,7 +67,12 @@ class FtpLikeSink(
     /** Test seam: rename interceptor — returns true on success. Defaults to
       * the real FileSystem rename. Must be serializable: it is shipped to
       * executors inside the commit tasks. */
-    renameOp: Option[(FileSystem, Path, Path) => Boolean] = None)
+    renameOp: Option[(FileSystem, Path, Path) => Boolean] = None,
+    /** Test seam: driver-side PUBLISH rename interceptor (rename-aside and
+      * rename-in). Lets specs crash between the two publish renames to prove
+      * the previous delivery survives in `.old`. Driver-only, so it need not
+      * be serializable-friendly beyond the class itself. */
+    publishRenameOp: Option[(FileSystem, Path, Path) => Boolean] = None)
     extends Serializable {
 
   private def fs(conf: org.apache.hadoop.conf.Configuration,
@@ -73,6 +87,34 @@ class FtpLikeSink(
   private def inProgressDir(partner: String, batchId: Long) =
     new Path(s"$targetRoot/$partner/.batch=$batchId.inprogress")
 
+  /** Hidden parking spot for the previous delivery of `batchId` during
+    * publish: rename-aside target, deleted once the new delivery is live. */
+  private def oldDir(partner: String, batchId: Long) =
+    new Path(s"$targetRoot/$partner/.batch=$batchId.old")
+
+  private val HiddenBatchDir = """\.batch=(\d+)\.(inprogress|old)""".r
+
+  /** Sweep hidden dirs left by crashed deliveries of STRICTLY OLDER batch
+    * ids. `foreachBatch` ids are monotonic per query, so once `currentId`
+    * is being delivered, no id' < currentId can ever be redelivered — its
+    * `.inprogress`/`.old` leftovers are unreachable garbage (a query
+    * abandoned mid-delivery would otherwise leak them forever). The current
+    * id's own hidden dirs are NOT touched here: `.old` for the current id is
+    * recovered (see prep below), not dropped. Driver metadata-only. */
+  private def sweepOrphans(filesystem: FileSystem, currentId: Long): Unit =
+    partners.foreach { partner =>
+      val pd = new Path(s"$targetRoot/$partner")
+      if (filesystem.exists(pd)) {
+        filesystem.listStatus(pd).foreach { st =>
+          st.getPath.getName match {
+            case HiddenBatchDir(id, _) if id.toLong < currentId =>
+              filesystem.delete(st.getPath, true)
+            case _ => ()
+          }
+        }
+      }
+    }
+
   /** `foreachBatch` handler: write `df` (single string column `value`) once,
     * then commit to every partner with tmp+rename; failed partners fall back
     * to the dead-letter dir. Commits are a distributed `foreach` over the
@@ -83,6 +125,7 @@ class FtpLikeSink(
     val staging = s"$targetRoot/_staging/batch=$batchId"
     val filesystem = fs(conf, targetRoot)
     try {
+      sweepOrphans(filesystem, batchId)
       df.write.mode("overwrite").text(staging)
       val staged = filesystem.listStatus(new Path(staging))
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
@@ -111,20 +154,41 @@ class FtpLikeSink(
         }
       }
       // Publish: only now that every commit task succeeded does the old
-      // delivery get replaced — one delete + one rename per partner, both
-      // metadata ops. (At-least-once redelivery thus REPLACES atomically;
-      // part-file names carry fresh UUIDs per delivery, so an append would
-      // duplicate.)
+      // delivery get replaced. Rename-aside → rename-in → delete-old, all
+      // metadata ops: the only instant with no visible live dir is between
+      // the two renames (a previous delete-then-rename scheme held the gap
+      // open for a whole recursive delete, and a crash inside it destroyed
+      // the old delivery before the new one was visible). A failed or
+      // crashed rename-in restores/retains the previous delivery via
+      // `.old`; redelivery of the same batch id heals the rest. (Redelivery
+      // REPLACES: part-file names carry fresh UUIDs per delivery, so an
+      // append would duplicate.)
+      val pubRename = publishRenameOp.getOrElse(
+        (f: FileSystem, a: Path, b: Path) => f.rename(a, b))
       partners.foreach { partner =>
         val live = liveDir(partner, batchId)
-        filesystem.delete(live, true)
-        if (!filesystem.rename(inProgressDir(partner, batchId), live))
+        val old = oldDir(partner, batchId)
+        val movedAside = filesystem.exists(live) && {
+          // a parked copy from a crashed publish is superseded by `live`
+          filesystem.delete(old, true)
+          pubRename(filesystem, live, old)
+        }
+        def restore(): Unit =
+          if (movedAside) { filesystem.rename(old, live); () }
+        val renamedIn =
+          try pubRename(filesystem, inProgressDir(partner, batchId), live)
+          catch { case e: Exception => restore(); throw e }
+        if (!renamedIn) {
+          restore()
           throw new IOException(
             s"FtpLikeSink: failed to publish $live for batch $batchId")
+        }
+        filesystem.delete(old, true)
       }
     } finally {
-      // No failure mode leaks staged bytes; in-progress dirs are left for
-      // the next delivery of the same id to clear (they are hidden).
+      // No failure mode leaks staged bytes; hidden in-progress/.old dirs
+      // are cleared by a redelivery of the same id or by the next
+      // delivery's orphan sweep (they are invisible to readers meanwhile).
       filesystem.delete(new Path(staging), true)
     }
   }

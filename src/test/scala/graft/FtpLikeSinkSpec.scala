@@ -33,6 +33,21 @@ object FtpLikeSinkSpec {
   val chaosRename: (FileSystem, Path, Path) => Boolean =
     (fs: FileSystem, a: Path, b: Path) =>
       if (chaosArmed.get()) throw new CommitChaosError else fs.rename(a, b)
+
+  /** Publish seam: performs the first `okCalls` publish renames for real,
+    * then throws — models a driver crash BETWEEN the publish rename-aside
+    * and rename-in (okCalls=1 for a single partner). Driver-side only. */
+  def crashingPublish(key: String): (FileSystem, Path, Path) => Boolean =
+    (fs: FileSystem, a: Path, b: Path) =>
+      if (failCounts.get(key).getAndDecrement() > 0) fs.rename(a, b)
+      else throw new CommitChaosError
+
+  /** Publish seam: rename-aside real, rename-in reports false (soft
+    * publish failure — the sink must restore the previous delivery). */
+  def lyingPublish(key: String): (FileSystem, Path, Path) => Boolean =
+    (fs: FileSystem, a: Path, b: Path) =>
+      if (failCounts.get(key).getAndDecrement() > 0) fs.rename(a, b)
+      else false
 }
 
 class FtpLikeSinkSpec extends SparkTestBase {
@@ -181,6 +196,81 @@ class FtpLikeSinkSpec extends SparkTestBase {
       assert(lines.toSeq == Seq("new1", "new2"))
       assert(visible(Paths.get(target, p)).forall(_.contains("batch=9")))
     }
+  }
+
+  test("publish crash between rename-aside and rename-in: the previous " +
+    "delivery survives complete in .old (never zero copies on disk); " +
+    "redelivery publishes and clears the parked copy") {
+    val target = tmpDir("sink9")
+    val dead = tmpDir("dl9")
+    new FtpLikeSink(target, dead, Seq("yaxin"))
+      .writeBatch(df(Seq("old1", "old2")), 5L)
+    // call 1 (rename live → .old) succeeds; call 2 (rename-in) crashes hard
+    // (an Error escapes the restore catch — a true driver-death model)
+    failCounts.put("pubcrash", new AtomicInteger(1))
+    val crashing = new FtpLikeSink(target, dead, Seq("yaxin"),
+      publishRenameOp = Some(crashingPublish("pubcrash")))
+    intercept[CommitChaosError] {
+      crashing.writeBatch(df(Seq("new1", "new2")), 5L)
+    }
+    // the live dir is gone, but a COMPLETE previous delivery is parked
+    assert(!Files.exists(Paths.get(target, "yaxin", "batch=5")))
+    val parked = s"$target/yaxin/.batch=5.old"
+    assert(Files.exists(Paths.get(parked)), "previous delivery lost")
+    assert(spark.read.textFile(parked).collect().sorted.toSeq ==
+      Seq("old1", "old2"))
+    // checkpoint-driven redelivery of the same id heals: new data live,
+    // no hidden residue left behind
+    new FtpLikeSink(target, dead, Seq("yaxin"))
+      .writeBatch(df(Seq("new1", "new2")), 5L)
+    assert(spark.read.textFile(s"$target/yaxin/batch=5").collect()
+      .sorted.toSeq == Seq("new1", "new2"))
+    val hidden = Files.list(Paths.get(target, "yaxin")).toArray
+      .map(_.toString).filter(_.split("/").last.startsWith("."))
+    assert(hidden.isEmpty, s"hidden residue: ${hidden.mkString(",")}")
+  }
+
+  test("failed publish rename (returns false) restores the previous " +
+    "delivery to the live dir before failing the batch") {
+    val target = tmpDir("sink11")
+    val dead = tmpDir("dl11")
+    new FtpLikeSink(target, dead, Seq("yaxin"))
+      .writeBatch(df(Seq("old1")), 6L)
+    failCounts.put("publie", new AtomicInteger(1)) // aside ok, rename-in lies
+    val lying = new FtpLikeSink(target, dead, Seq("yaxin"),
+      publishRenameOp = Some(lyingPublish("publie")))
+    intercept[java.io.IOException] {
+      lying.writeBatch(df(Seq("new1")), 6L)
+    }
+    // the sink rolled the parked copy straight back: old delivery is LIVE
+    assert(spark.read.textFile(s"$target/yaxin/batch=6").collect().toSeq ==
+      Seq("old1"))
+    assert(!Files.exists(Paths.get(target, "yaxin", ".batch=6.old")))
+  }
+
+  test("orphaned hidden dirs of strictly-older batch ids are swept by the " +
+    "next delivery; newer in-flight ids and published dirs are untouched") {
+    val target = tmpDir("sink10")
+    val sink = new FtpLikeSink(target, tmpDir("dl10"), Seq("yaxin"))
+    sink.writeBatch(df(Seq("a")), 1L)
+    // a crashed delivery of batch 2 whose query was abandoned for good,
+    // plus a stale parked copy of batch 0
+    Files.createDirectories(Paths.get(target, "yaxin", ".batch=2.inprogress"))
+    Files.write(Paths.get(target, "yaxin", ".batch=2.inprogress", "part-x"),
+      "zzz".getBytes)
+    Files.createDirectories(Paths.get(target, "yaxin", ".batch=0.old"))
+    // a hidden dir of a NEWER id (still deliverable) must survive the sweep
+    Files.createDirectories(Paths.get(target, "yaxin", ".batch=9.inprogress"))
+    sink.writeBatch(df(Seq("b")), 4L)
+    val hidden = Files.list(Paths.get(target, "yaxin")).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith(".")).toSet
+    assert(hidden == Set(".batch=9.inprogress"),
+      s"sweep kept/dropped the wrong dirs: $hidden")
+    // published deliveries are intact
+    assert(spark.read.textFile(s"$target/yaxin/batch=1").collect().toSeq ==
+      Seq("a"))
+    assert(spark.read.textFile(s"$target/yaxin/batch=4").collect().toSeq ==
+      Seq("b"))
   }
 
   test("exactly-once across a streaming crash: kill after partial commit, " +

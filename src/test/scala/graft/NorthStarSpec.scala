@@ -294,6 +294,58 @@ class NorthStarSpec extends SparkTestBase {
       s"assign subtree duplicated ($occurrences× in optimized plan)")
   }
 
+  test("Similarity.ivfAssign sharded argmin: sharding never changes the " +
+    "assignment, and nlist=4096 executes under CODEGEN_ONLY (no " +
+    "interpreted fallback)") {
+    val s = spark
+    import s.implicits._
+    // value-invariance: 40 cells assigned with tiny shards vs one shard
+    val cents40 = (0 until 40).map(c => (c, Seq(c.toDouble, 0.0)))
+      .toDF("cell", "centroid")
+    val emb40 = embDf((0 until 25).map(i => (i.toLong, Seq(i * 1.6f, 0f))))
+    val sharded = Similarity.ivfAssign(emb40, cents40, shardSize = 7)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val single = Similarity.ivfAssign(emb40, cents40, shardSize = 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(sharded == single, "sharding changed the assignment")
+    // scale the cell count past the single-array codegen bound: 4096
+    // centroids; CODEGEN_ONLY turns any silent interpreted fallback into
+    // a hard failure (the pre-shard formulation dies here)
+    val bigCents = (0 until 4096).map(c => (c, Seq(c.toDouble, 0.0, 0.0)))
+      .toDF("cell", "centroid")
+    val emb = embDf(Seq(0L -> Seq(7f, 0f, 0f), 1L -> Seq(4000.2f, 0f, 0f),
+      2L -> Seq(123.4f, 0f, 0f)))
+    val prev = s.conf.getOption("spark.sql.codegen.factoryMode")
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = Similarity.ivfAssign(emb, bigCents)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(out == Map(0L -> 7, 1L -> 4000, 2L -> 123))
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => s.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("Similarity.ivfFitCentroids: bounded reservoir sample (no count() " +
+    "pre-scan) still fits nlist centroids of the right shape") {
+    val rnd = new scala.util.Random(7)
+    val emb = embDf((0 until 300).map { i =>
+      val base = (i % 3) * 10f - 10f // three well-separated clusters
+      (i.toLong, Seq.tabulate(4)(_ => base + rnd.nextFloat() * 0.1f))
+    }).repartition(4)
+    val cents = Similarity.ivfFitCentroids(emb, nlist = 3, maxSample = 60)
+      .collect()
+    assert(cents.length == 3)
+    assert(cents.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
+    // every centroid sits near one of the three true cluster centers —
+    // a 60-row reservoir out of 300 is plenty for KMeans to land
+    val centers = cents.map(_.getSeq[Double](1).head)
+    assert(centers.forall(c =>
+      Seq(-10.0, 0.0, 10.0).exists(t => math.abs(c - t) < 1.0)),
+      s"centroids off-cluster: ${centers.mkString(",")}")
+  }
+
   test("Similarity.ivfAssign rejects all-null centroid tables instead of " +
     "NPE-ing at plan build") {
     val s = spark

@@ -91,6 +91,60 @@ class PlanShapeSpec extends SparkTestBase {
       s"LSH self-join lost exchange reuse — shingle+minhash now runs twice:\n$plan")
   }
 
+  test("enrich_s62: the 91-arity parse→mask→enrich keeps its code-map " +
+    "broadcast join — fact side never shuffled") {
+    val (n, plan, _) = ran("enrich_s62")
+    assert(n > 0)
+    assertNoPlanBombs("enrich_s62", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"code-map enrich must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact side shuffled for the code-map join:\n$plan")
+  }
+
+  test("cdr_enrich_dual: BOTH partner enrich joins stay broadcast — the " +
+    "fact stream is scanned, never shuffled, for either partner") {
+    val (n, plan, _) = ran("cdr_enrich_dual")
+    assert(n > 0)
+    assertNoPlanBombs("cdr_enrich_dual", plan)
+    val bhj = plan.linesIterator
+      .count(_.trim.startsWith("BroadcastHashJoin"))
+    assert(bhj == 2, s"both partner joins must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact side shuffled for a partner join:\n$plan")
+  }
+
+  test("emb_knn_ivf_indexed: the probe join broadcasts the |Q|-side — the " +
+    "bucketed index is scanned with NO cell-side exchange") {
+    try {
+      val (n, plan, _) = ran("emb_knn_ivf_indexed")
+      assert(n > 0)
+      // NOT assertNoPlanBombs: the probe stage deliberately crosses the
+      // tiny |Q| query set with the ≤nlist broadcast centroid table, which
+      // Spark plans as a BroadcastNestedLoopJoin — bounded at |Q|×nlist
+      // rows, never corpus-sized (Similarity.ivfSearch scaladoc). A true
+      // cartesian over non-broadcast inputs is still a bomb.
+      assert(!plan.contains("CartesianProduct"),
+        s"emb_knn_ivf_indexed plans a cartesian product:\n$plan")
+      assert(plan.contains("graft_ivf_idx_"),
+        s"must scan the persisted index table:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"probe join must broadcast the probes:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"index side shuffled for the probe join:\n$plan")
+      // the only hash exchanges are the |Q|-sized window sorts (q_id) —
+      // never a corpus-wide repartition on cell
+      assert(!plan.contains("Exchange hashpartitioning(cell"),
+        s"index side re-shuffled on cell:\n$plan")
+    } finally {
+      // the entry builds a real metastore table — don't leak it into the
+      // test warehouse across runs
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_ivf_idx_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("q11_percentile_approx: sketch agg within 1% of the exact " +
     "percentiles, same groups") {
     val exact = SparkEntry.queries("q11_percentile")(spark, dir)

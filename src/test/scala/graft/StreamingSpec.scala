@@ -71,6 +71,66 @@ class StreamingSpec extends SparkTestBase {
     assert(leftovers.isEmpty)
   }
 
+  test("concurrent queries: s62 + s65 enrich legs AND the routed archive " +
+    "run simultaneously against ONE source — per-partner rows match the " +
+    "batch twin, no checkpoint/temp-dir collision (the reference's " +
+    "19-output-op, concurrentJobs=10 batch, " +
+    "src/StreamingSocketProcess.scala:102,178-266)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[String]
+    val lines = input.toDF()
+    // one mixed feed: s62 records, s65 records, an unknown prefix
+    val lines62 = (0 until 6).map(i =>
+      CdrFixtures.cleanLine(TableSpec.s62, i, "4527", s"1003$i"))
+    val lines65 = (0 until 4).map(i =>
+      CdrFixtures.cleanLine(TableSpec.s65, i, "4527", s"1003$i"))
+    val all = lines62 ++ lines65 ++ Seq("99unknown,prefix,line")
+    val dim = CdrOps.loadCodeMap(
+      CdrOps.parseDelim(CdrFixtures.yaxinTsv.toDF("value"), "\t"),
+      (0, 1), 2, 3)
+    val (t62, t65, arch) = (tmpDir("c62"), tmpDir("c65"), tmpDir("carc"))
+    val sink62 = new FtpLikeSink(t62, tmpDir("cd62"), Seq("yaxin", "yiyang"))
+    val sink65 = new FtpLikeSink(t65, tmpDir("cd65"), Seq("yaxin", "yiyang"))
+    // all three queries START before any data arrives, each with its own
+    // checkpoint — then process the same micro-batch concurrently
+    val q62 = CdrStreaming.enrichToPartners(lines, TableSpec.s62, dim,
+      sink62, tmpDir("ccp62"), Trigger.ProcessingTime(0))
+    val q65 = CdrStreaming.enrichToPartners(lines, TableSpec.s65, dim,
+      sink65, tmpDir("ccp65"), Trigger.ProcessingTime(0))
+    val qArc = CdrStreaming.routedArchive(lines, arch, tmpDir("ccparc"),
+      Trigger.ProcessingTime(0))
+    input.addData(all)
+    val queries = Seq(q62, q65, qArc)
+    try queries.foreach(_.processAllAvailable())
+    finally queries.foreach(_.stop())
+    // per-table oracle = the batch twin of the same operator pipeline
+    def expected(spec: TableSpec): Seq[String] =
+      CdrOps.enrichPipeline(all.toDF("value"), spec, dim)
+        .select(concat_ws(",", col("*")))
+        .collect().map(_.getString(0)).sorted.toSeq
+    def delivered(root: String, partner: String): Seq[String] = {
+      val dirs = Files.list(Paths.get(root, partner)).toArray
+        .map(_.toString).filter(!_.split("/").last.startsWith("."))
+      dirs.flatMap(d => s.read.textFile(d).collect()).sorted.toSeq
+    }
+    val exp62 = expected(TableSpec.s62)
+    val exp65 = expected(TableSpec.s65)
+    assert(exp62.nonEmpty && exp62.forall(_.endsWith(",3g_call")))
+    assert(exp65.nonEmpty && exp65.forall(_.endsWith(",2g_sms")))
+    Seq("yaxin", "yiyang").foreach { p =>
+      assert(delivered(t62, p) == exp62, s"s62 leg, partner $p")
+      assert(delivered(t65, p) == exp65, s"s65 leg, partner $p")
+    }
+    // the archive saw EVERY record of the shared batch exactly once,
+    // routed into per-type partitions — no cross-query interference
+    val archived = s.read.format("text").load(arch)
+    assert(archived.count() == all.size)
+    assert(archived.select("record_type").distinct().collect()
+      .map(_.get(0).toString).toSet == Set("62", "65", "99"))
+  }
+
   test("rawToPartners: unenriched records reach both partner dirs " +
     "byte-identical (the reference's live pass-through mode)") {
     val s = spark
