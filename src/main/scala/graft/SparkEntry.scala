@@ -418,6 +418,11 @@ object SparkEntry {
       TextAnalysis.bpeTokenCount(t(s, dir, "documents"))),
     "doc_rolling_fp" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
+    "doc_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
+    // EAGER: label propagation runs jobs at construction (see scaladoc)
+    "doc_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(t(s, dir, "documents"), 0.8)),
 
     // ── dedup (north-star) ────────────────────────────────────────────
     "doc_dedup_exact" -> ((s, dir) =>
@@ -810,6 +815,63 @@ object SparkEntry {
         |   i -> md5(substr(text, CAST(i AS INTEGER), 8))), 'min')
         |   AS rolling_fp
         |FROM documents""".stripMargin,
+    // per-token log-probs rounded to 1e-8 micros and summed as BIGINT —
+    // order-independent, so both engines agree bit-for-bit (see
+    // TextAnalysis.unigramLogProb)
+    "doc_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        | vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM vocab),
+        | lp AS (SELECT t.doc_id,
+        |   CAST(round(ln(CAST(v.cnt AS DOUBLE) /
+        |     (SELECT n_total FROM tot)) * 1e8) AS BIGINT) AS lp_micro
+        |  FROM tok t JOIN vocab v USING (token))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(lp_micro) AS BIGINT) AS lp_sum,
+        | round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e8), 4)
+        |   AS avg_logprob
+        |FROM lp GROUP BY doc_id""".stripMargin,
+    // same LSH-candidate + Jaccard edge definition as doc_dedup_pipeline,
+    // then min-reachable-id per vertex via a recursive CTE — DuckDB's
+    // transitive closure vs the engine's iterative label propagation
+    "doc_dup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | edges AS (SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+        |   JOIN sets b ON b.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+        | nbr AS (SELECT doc_a AS s, doc_b AS d FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        | reach(id, comp) AS (
+        |   SELECT DISTINCT s, s FROM nbr
+        |   UNION
+        |   SELECT n.s, r.comp FROM nbr n JOIN reach r ON n.d = r.id)
+        |SELECT id AS doc_id, min(comp) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
     "doc_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY md5(text)""".stripMargin,

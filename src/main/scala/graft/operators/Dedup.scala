@@ -237,6 +237,77 @@ object Dedup {
       .select("doc_id", "lang", "source")
   }
 
+  /** Connected-component clustering of the near-duplicate graph: edges are
+    * LSH candidate pairs ([[lshCandidatePairs]]) whose exact shingle Jaccard
+    * meets `jaccardThreshold`; each document in the graph is labeled with the
+    * smallest doc_id reachable from it (its cluster id). Documents with no
+    * near-dup edge do not appear — they are their own singleton clusters.
+    *
+    * Why this exists alongside [[dedupPipeline]]: pairwise larger-id dropping
+    * is NOT transitive-closure dedup. On the path graph 1–3–2 (edges (1,3)
+    * and (2,3)) the pairwise rule drops only 3 and keeps BOTH 1 and 2, while
+    * cluster-aware dedup keeps exactly one document per component — the
+    * semantics a production corpus-dedup actually wants (near-dup chains are
+    * common: v1≈v2≈v3 of the same page where v1 and v3 differ too much to
+    * pair directly).
+    *
+    * Algorithm: iterative min-label propagation (each round every vertex
+    * takes the min of its own and its neighbors' labels) to fixpoint —
+    * converges in graph-diameter rounds; near-dup components in a real
+    * corpus are shallow (versions of one page), so the round count is small
+    * and each round is one equi-join + one aggregate on the edge list, never
+    * anything quadratic. The edge list and each round's labels are
+    * `localCheckpoint`ed: the loop is driver-controlled, so without
+    * truncation iteration k would replay all k-1 prior rounds (O(d²) total
+    * work) and the plan would grow unboundedly. Checkpoint blocks are
+    * reclaimed by the ContextCleaner once unreferenced (GC-based — bounded,
+    * unlike a session-lifetime persist). At extreme diameters or adversarial
+    * graphs, pointer-jumping (large-star/small-star) halves the round count
+    * exponentially — documented upgrade path, not needed for near-dup
+    * shapes.
+    *
+    * EAGER: runs Spark jobs at call time (checkpoints + one convergence
+    * check per round), like the IVF index build. Throws if `maxIters` rounds
+    * do not converge — a loud failure instead of silently-unconverged
+    * clusters. */
+  def dupClusters(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                  minhashK: Int = 4, rowsPerBand: Int = 2,
+                  maxIters: Int = 50): DataFrame = {
+    val edges = jaccardOnPairsRaw(docs,
+      lshCandidatePairs(minhash(docs, minhashK), rowsPerBand))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected neighbor list, materialized ONCE — every round re-reads it
+    val nbr = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
+    var comp = nbr.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // each edge forwards its source's current label to its destination;
+      // a vertex keeps the min of its own and all incoming labels
+      val msgs = nbr.join(comp.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = comp.unionByName(msgs)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next
+        .join(comp.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev")).isEmpty
+      comp = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters: no fixpoint after $maxIters rounds — component " +
+          "diameter exceeds the bound; raise maxIters or switch to " +
+          "pointer-jumping")
+    comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
   /** SimHash-style 32-bit fingerprint: for each of 8 hex nibbles sampled
     * from each token's md5, majority-vote the bits. Deterministic, portable
     * construction (bit i of the fingerprint = 1 iff the count of tokens whose

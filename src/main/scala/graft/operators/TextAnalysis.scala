@@ -120,6 +120,43 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
   }
 
+  /** Corpus-unigram log-probability scoring — the perplexity-filter twin
+    * used by LLM data curation (docs whose tokens are improbable under the
+    * corpus's own unigram model are boilerplate/noise candidates; docs too
+    * probable are template spam). Per doc: mean over tokens of
+    * ln(count(token) / total_tokens), where counts come from THIS corpus.
+    *
+    * Oracle-parity construction: per-token log-probs are rounded to 1e-8 and
+    * summed as exact BIGINT micros — integer addition is order-independent,
+    * so the aggregate is deterministic under any partitioning and the 1e-8
+    * grid absorbs last-ulp ln() differences across engines (double-sum
+    * ordering was the one nondeterminism every other ratio op here dodges
+    * with left-to-right folds; a group-by sum has no fold order to pin).
+    *
+    * Plan shape at scale: one explode (tokens), one token-keyed aggregate
+    * (vocab — partial agg makes the shuffle carry distinct tokens per
+    * partition), one join tokens→vocab (AQE broadcasts the vocab when it
+    * fits — natural-language vocab is ~millions of rows, well under fact
+    * size; otherwise a shuffle join co-keyed on token), one doc-keyed
+    * aggregate (partial agg → ≤1 row per doc per partition). The total-token
+    * scalar joins in as a 1-row broadcast. No UDFs, no collect. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val lpMicro = round(log(col("cnt").cast("double") /
+      col("n_total").cast("double")) * 1e8, 0).cast("long")
+    tok.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), lpMicro.as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("lp_sum"),
+        round(col("lp_sum").cast("double") / (col("n_tokens") * 1e8), 4)
+          .as("avg_logprob"))
+  }
+
   /** Rolling-hash document fingerprint: the minimum hash over all character
     * 8-grams (a content-defined fingerprint stable under local edits
     * elsewhere in the document — winnowing with a whole-document window).

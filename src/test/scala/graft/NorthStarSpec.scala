@@ -413,4 +413,49 @@ class NorthStarSpec extends SparkTestBase {
     // of the index (its scan carries HashPartitioning(cell, 8))
     spark.sql("DROP TABLE IF EXISTS ivf_index_test")
   }
+
+  test("Dedup.dupClusters: near-dup CHAIN collapses to one component — " +
+    "where pairwise dropping keeps two survivors") {
+    // 50-word docs; B(id 3) differs from A(id 1) at word 10, C(id 2)
+    // differs from B at word 40. Adjacent pairs share 45/51 shingles
+    // (jaccard ~0.88 ≥ 0.8); the far pair (A,C) only 42/54 (~0.78 < 0.8).
+    // Graph: 1–3–2, the path-graph counter-example from the scaladoc.
+    val words = (0 until 50).map(i => f"tok$i%02d")
+    val a = words.mkString(" ")
+    val b = words.updated(10, "chainmidx").mkString(" ")
+    val c = words.updated(10, "chainmidx").updated(40, "chainendx")
+      .mkString(" ")
+    val chain = docsDf(Seq(1L -> a, 3L -> b, 2L -> c,
+      4L -> "completely different words about spark catalyst plans"))
+    val clusters = Dedup.dupClusters(chain, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"expected one component {1,2,3} labeled 1, got $clusters")
+    // the pairwise endpoint on the same corpus keeps BOTH chain ends (1 and
+    // 2): each edge only drops its larger id (3, twice) — the semantic gap
+    // dupClusters closes
+    val kept = Dedup.dedupPipeline(chain, 0.8).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
+  test("Dedup.dupClusters: no near-dup edges → empty result " +
+    "(singletons are implicit)") {
+    val distinct = docsDf(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six seven"))
+    assert(Dedup.dupClusters(distinct, 0.8).count() === 0L)
+  }
+
+  test("TextAnalysis.unigramLogProb: exact micro-sum parity values on a " +
+    "hand-computed corpus") {
+    // corpus: a:2 b:2 c:1, N=5. round(ln(0.4)*1e8) = -91629073,
+    // round(ln(0.2)*1e8) = -160943791.
+    val docs = docsDf(Seq(1L -> "a a b", 2L -> "b c"))
+    val out = TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, -274887219L, -0.9163)))
+    assert(out(2L) == ((2L, -252572864L, -1.2629)))
+  }
 }
