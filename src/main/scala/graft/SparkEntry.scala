@@ -420,6 +420,17 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
     "doc_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), n = 2)),
+    // eval split: every 100th doc id — deterministic, oracle-expressible;
+    // n=3 because the synthetic corpus has no longer cross-doc overlaps
+    // (production sweeps use 8-13)
+    "doc_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0), n = 3)
+    }),
     // EAGER: label propagation runs jobs at construction (see scaladoc)
     "doc_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(t(s, dir, "documents"), 0.8)),
@@ -832,6 +843,30 @@ object SparkEntry {
         | round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e8), 4)
         |   AS avg_logprob
         |FROM lp GROUP BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, CASE WHEN len(words) >= 2 THEN
+        |   list_transform(range(1, len(words)),
+        |     i -> array_to_string(list_slice(words, i, i + 1), ' '))
+        |   ELSE [] END AS grams FROM w)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        | CASE WHEN len(grams) > 0 THEN round(1.0 -
+        |   CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM g""".stripMargin,
+    "doc_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |   i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS gram
+        |  FROM w WHERE len(words) >= 3),
+        | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0)
+        |SELECT g.doc_id,
+        | CAST(count(DISTINCT g.gram) AS BIGINT) AS n_contaminated_grams
+        |FROM g JOIN ev USING (gram) WHERE g.doc_id % 100 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
     // same LSH-candidate + Jaccard edge definition as doc_dedup_pipeline,
     // then min-reachable-id per vertex via a recursive CTE — DuckDB's
     // transitive closure vs the engine's iterative label propagation

@@ -120,6 +120,57 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
   }
 
+  /** Sliding word n-grams of `text` as an array; empty when the document
+    * has fewer than n words. (The guard matters: `sequence(1, k)` DESCENDS
+    * for k < 1 instead of returning empty.) */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Within-document repetition scoring (the Gopher/RefinedWeb family of
+    * repetitious-text signals): the fraction of duplicated word n-grams,
+    * 1 − distinct/total. Template spam and boilerplate loops score high.
+    * Pure per-row map — no shuffle, scales by partition count alone. Docs
+    * with fewer than n words score 0.0 (no grams, nothing repeated). */
+  def repetition(docs: DataFrame, n: Int = 5): DataFrame = {
+    val g = wordNgrams(col("text"), n)
+    docs.select(
+      col("doc_id"),
+      size(g).cast("long").as("n_grams"),
+      size(array_distinct(g)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          round(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_grams"), 4))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Eval-set decontamination: flag corpus documents sharing any word
+    * n-gram with a held-out evaluation set — the benchmark-contamination
+    * sweep every LLM training pipeline runs before training. Returns
+    * (doc_id, n_contaminated_grams) for contaminated documents only; an
+    * anti-join against this result is the cleaned corpus.
+    *
+    * Plan shape at scale: the eval side (tiny by construction — benchmarks
+    * are thousands of docs, the corpus billions) collapses to distinct
+    * grams and BROADCASTS, so the corpus is one scan + explode with a
+    * map-side hash probe, never shuffled on gram. Production gram sizes are
+    * 8–13 tokens; `n` is a parameter because the right size is
+    * tokenizer-dependent. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+                    n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(wordNgrams(col("text"), n)).as("gram"))
+    grams(docs)
+      .join(broadcast(grams(evalDocs).select("gram").distinct()), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
+  }
+
   /** Corpus-unigram log-probability scoring — the perplexity-filter twin
     * used by LLM data curation (docs whose tokens are improbable under the
     * corpus's own unigram model are boilerplate/noise candidates; docs too

@@ -447,6 +447,28 @@ class NorthStarSpec extends SparkTestBase {
     assert(Dedup.dupClusters(distinct, 0.8).count() === 0L)
   }
 
+  test("TextAnalysis.repetition: duplicated n-grams counted exactly; " +
+    "sub-n docs score 0.0") {
+    // doc 1 bigrams: "a b","b a","a b","b c" → 4 total, 3 distinct, 0.25
+    val docs = docsDf(Seq(1L -> "a b a b c", 2L -> "x"))
+    val out = TextAnalysis.repetition(docs, n = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 3L, 0.25)))
+    assert(out(2L) == ((0L, 0L, 0.0)))
+  }
+
+  test("TextAnalysis.decontaminate: flags exactly the docs sharing an " +
+    "n-gram with the eval set, with the shared-gram count") {
+    val corpus = docsDf(Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "totally unrelated words here today"))
+    val eval_ = docsDf(Seq(100L -> "a quick brown fox runs"))
+    val out = TextAnalysis.decontaminate(corpus, eval_, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L)) // the one shared 3-gram: "quick brown fox"
+  }
+
   test("TextAnalysis.unigramLogProb: exact micro-sum parity values on a " +
     "hand-computed corpus") {
     // corpus: a:2 b:2 c:1, N=5. round(ln(0.4)*1e8) = -91629073,
