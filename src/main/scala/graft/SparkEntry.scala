@@ -422,6 +422,13 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2)),
+    "doc_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 5)),
+    "doc_mix_sample" -> ((s, dir) =>
+      TextAnalysis.mixSample(t(s, dir, "documents"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+        .select("doc_id", "lang", "source")),
     // eval split: every 100th doc id — deterministic, oracle-expressible;
     // n=3 because the synthetic corpus has no longer cross-doc overlaps
     // (production sweeps use 8-13)
@@ -856,6 +863,39 @@ object SparkEntry {
         |   CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
         |  ELSE 0.0 END AS rep_ratio
         |FROM g""".stripMargin,
+    // scores rounded to 4dp BEFORE ranking on both sides — ties then break
+    // on the term, so cross-engine ln() ulp noise cannot flip ranks
+    "doc_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        | scored AS (SELECT doc_id, term,
+        |   round(tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 4)
+        |     AS score
+        |  FROM tf JOIN df USING (term)),
+        | ranked AS (SELECT doc_id, term, score, row_number() OVER
+        |   (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, score
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    // thresholds: 0.5*65536=0x8000, 0.25*65536=0x4000, 0.1*65536~0x199a —
+    // fixed-width lowercase hex compares lexicographically == numerically
+    "doc_mix_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE
+        | WHEN source = 'src0' THEN TRUE
+        | WHEN source = 'src1' THEN
+        |   substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 4)
+        |     < '8000'
+        | WHEN source = 'src2' THEN
+        |   substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 4)
+        |     < '4000'
+        | ELSE
+        |   substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 4)
+        |     < '199a'
+        |END""".stripMargin,
     "doc_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
         |  FROM documents),

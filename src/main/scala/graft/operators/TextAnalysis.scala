@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline, over a
@@ -206,6 +207,60 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("lp_sum"),
         round(col("lp_sum").cast("double") / (col("n_tokens") * 1e8), 4)
           .as("avg_logprob"))
+  }
+
+  /** Top-k terms per document by TF-IDF (tf × ln(N/df)) — the classic
+    * keyword/topic signal a curation pipeline uses for domain tagging and
+    * near-topic sampling. Rank is deterministic: scores are ROUNDED to 4dp
+    * BEFORE ordering, then ties break on the term itself — so a last-ulp
+    * ln() divergence between engines cannot flip adjacent ranks (unrounded
+    * near-equal scores become exact ties with a total tiebreak).
+    *
+    * Plan shape at scale: (doc, term) and term aggregates are both partial-
+    * agg shuffles; the df side joins back keyed on term (AQE broadcasts a
+    * vocab that fits); the final top-k is a doc-keyed window over ≤|vocab|
+    * rows per doc. No all-pairs term work anywhere. */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(idf, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") *
+          log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "rank", "score")
+  }
+
+  /** Deterministic stratified corpus mixing (domain re-weighting): keep each
+    * document with its source's sampling rate, decided by the document's OWN
+    * id hash — `substr(md5("mix:" + doc_id), 1, 4)` compared against the
+    * rate's 16-bit hex threshold. Unlike `df.sample`/`sampleBy` this is
+    * reproducible across runs, engines, partitionings, and retries (a
+    * re-executed task keeps exactly the same rows — sampling that changes
+    * under speculative execution corrupts a training corpus), and it is
+    * oracle-expressible. Lexicographic compare of fixed-width lowercase hex
+    * == numeric compare, so no engine-specific hex→int conversion is needed.
+    * Pure per-row map: no shuffle, no state. */
+  def mixSample(docs: DataFrame, rates: Map[String, Double],
+                defaultRate: Double = 0.0): DataFrame = {
+    def thrHex(r: Double): String =
+      f"${math.max(0L, math.min(65535L, (r * 65536).round))}%04x"
+    val bucket =
+      substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4)
+    def keepAt(r: Double): Column =
+      if (r >= 1.0) lit(true) else bucket < lit(thrHex(r))
+    val keep = rates.foldLeft(keepAt(defaultRate)) {
+      case (acc, (src, r)) =>
+        when(col("source") === src, keepAt(r)).otherwise(acc)
+    }
+    docs.filter(keep)
   }
 
   /** Rolling-hash document fingerprint: the minimum hash over all character

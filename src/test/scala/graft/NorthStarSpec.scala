@@ -469,6 +469,31 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L)) // the one shared 3-gram: "quick brown fox"
   }
 
+  test("TextAnalysis.tfidfTopK: hand-computed scores and deterministic " +
+    "ranking") {
+    // N=3; df: apple 1, banana 2, cherry 2, dog 1
+    // doc1: apple 2*ln(3)=2.1972 rank 1, banana ln(1.5)=0.4055 rank 2
+    val docs = docsDf(Seq(1L -> "apple apple banana",
+      2L -> "banana cherry", 3L -> "cherry dog"))
+    val doc1 = TextAnalysis.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 == 1L).sortBy(_._3).toSeq
+    assert(doc1 == Seq((1L, "apple", 1L, 2.1972), (1L, "banana", 2L, 0.4055)))
+  }
+
+  test("TextAnalysis.mixSample: per-source hash sampling matches the " +
+    "driver-side predicate exactly; rate 1.0 keeps all, default 0 drops") {
+    val docs = docsDf((1L to 20L).map(i => i -> s"word$i more text"))
+    val kept = TextAnalysis.mixSample(docs, Map("srcA" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    val expected = (1L to 20L)
+      .filter(i => md5hex(s"mix:$i").substring(0, 4) < "8000").toSet
+    assert(kept == expected)
+    assert(expected.nonEmpty && expected.size < 20) // both branches exercised
+    assert(TextAnalysis.mixSample(docs, Map("srcA" -> 1.0)).count() === 20L)
+    assert(TextAnalysis.mixSample(docs, Map.empty).count() === 0L)
+  }
+
   test("TextAnalysis.unigramLogProb: exact micro-sum parity values on a " +
     "hand-computed corpus") {
     // corpus: a:2 b:2 c:1, N=5. round(ln(0.4)*1e8) = -91629073,
