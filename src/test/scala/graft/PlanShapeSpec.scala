@@ -165,4 +165,27 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = Bucketing.fullPlanString(df)
     assert(!plan.contains("Sort "), s"approx percentile must not sort:\n$plan")
   }
+
+  test("doc_mix_sample and doc_repetition are pure per-row maps: ZERO " +
+    "exchanges — the corpus is scanned once and never shuffled") {
+    for (q <- Seq("doc_mix_sample", "doc_repetition")) {
+      val (n, plan, df) = ran(q)
+      assert(n > 0)
+      assertNoPlanBombs(q, plan)
+      assert(Bucketing.countExchanges(df) == 0,
+        s"$q must not shuffle (map-only filter/projection):\n$plan")
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+    }
+  }
+
+  test("doc_decontaminate: the eval-gram side broadcasts — the corpus " +
+    "explode is probed map-side, never shuffled on gram") {
+    val (n, plan, _) = ran("doc_decontaminate")
+    assert(n > 0)
+    assertNoPlanBombs("doc_decontaminate", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled on gram for the contamination probe:\n$plan")
+  }
 }
