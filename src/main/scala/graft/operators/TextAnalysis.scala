@@ -137,18 +137,21 @@ object TextAnalysis {
     * 1 − distinct/total. Template spam and boilerplate loops score high.
     * Pure per-row map — no shuffle, scales by partition count alone. Docs
     * with fewer than n words score 0.0 (no grams, nothing repeated). */
-  def repetition(docs: DataFrame, n: Int = 5): DataFrame = {
-    val g = wordNgrams(col("text"), n)
-    docs.select(
-      col("doc_id"),
-      size(g).cast("long").as("n_grams"),
-      size(array_distinct(g)).cast("long").as("n_distinct"))
+  def repetition(docs: DataFrame, n: Int = 5): DataFrame =
+    // grams aliased in its OWN projection: higher-order functions are
+    // interpreted (no codegen subexpression elimination), and CollapseProject
+    // declines to re-inline a non-cheap alias referenced twice — so the gram
+    // array is built once per row, not once per use (measured 2× at sf0.1)
+    docs.select(col("doc_id"), wordNgrams(col("text"), n).as("grams"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
       .withColumn("rep_ratio",
         when(col("n_grams") > 0,
           round(lit(1.0) -
             col("n_distinct").cast("double") / col("n_grams"), 4))
           .otherwise(lit(0.0)))
-  }
 
   /** Eval-set decontamination: flag corpus documents sharing any word
     * n-gram with a held-out evaluation set — the benchmark-contamination
