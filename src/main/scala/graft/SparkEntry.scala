@@ -424,6 +424,13 @@ object SparkEntry {
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2)),
     "doc_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 5)),
+    "doc_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 64,
+        overlap = 8)),
+    "corpus_stats" -> ((s, dir) =>
+      CorpusOps.corpusStats(t(s, dir, "documents"))),
+    "doc_pack" -> ((s, dir) =>
+      CorpusOps.packSequences(t(s, dir, "documents"), maxTokens = 512)),
     "doc_mix_sample" -> ((s, dir) =>
       TextAnalysis.mixSample(t(s, dir, "documents"),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
@@ -880,6 +887,39 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, score
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "doc_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | s AS (SELECT doc_id, words,
+        |   range(1, greatest(len(words), 1) + 1, 56) AS starts FROM w),
+        | c AS (SELECT doc_id, unnest(list_transform(range(1, len(starts) + 1),
+        |   i -> struct_pack(idx := i,
+        |     chunk := list_slice(words, starts[i], starts[i] + 63)))) AS sc
+        |  FROM s)
+        |SELECT doc_id, CAST(sc.idx - 1 AS BIGINT) AS chunk_idx,
+        | CAST(len(sc.chunk) AS BIGINT) AS n_tokens,
+        | md5(array_to_string(sc.chunk, ' ')) AS chunk_fp
+        |FROM c""".stripMargin,
+    "corpus_stats" ->
+      """WITH base AS (SELECT source, lang,
+        |   len(string_split(text, ' ')) AS n_toks FROM documents),
+        | g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM base GROUP BY 1, 2),
+        | t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM g)
+        |SELECT source, lang, n_docs, n_tokens,
+        | round(CAST(n_tokens AS DOUBLE) / (SELECT total FROM t), 4)
+        |   AS token_share
+        |FROM g""".stripMargin,
+    "doc_pack" ->
+      """WITH base AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT doc_id, source, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM base)
+        |SELECT doc_id, source, n_tokens,
+        | CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
     // thresholds: 0.5*65536=0x8000, 0.25*65536=0x4000, 0.1*65536~0x199a —
     // fixed-width lowercase hex compares lexicographically == numerically
     "doc_mix_sample" ->

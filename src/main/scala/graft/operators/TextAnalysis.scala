@@ -175,6 +175,29 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
   }
 
+  /** Fixed-stride document chunking with overlap — the preprocessing step
+    * that turns long documents into bounded training/RAG windows. Chunk i
+    * covers tokens [1 + i·(chunkTokens − overlap), …][..chunkTokens]; the
+    * final chunk is short rather than padded, and a doc shorter than one
+    * chunk yields exactly one chunk. Emits (doc_id, chunk_idx, n_tokens,
+    * chunk_fp) — the fingerprint stands in for the chunk text so downstream
+    * exact-dedup over chunks is a join on fp, not a text shuffle. Pure
+    * per-row explode: no shuffle. */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64,
+            overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val step = chunkTokens - overlap
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), greatest(size(col("w")), lit(1)), lit(step)),
+        s => slice(col("w"), s, lit(chunkTokens)))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("col"))).as("chunk_fp"))
+  }
+
   /** Corpus-unigram log-probability scoring — the perplexity-filter twin
     * used by LLM data curation (docs whose tokens are improbable under the
     * corpus's own unigram model are boilerplate/noise candidates; docs too

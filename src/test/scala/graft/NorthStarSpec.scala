@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, Similarity, TextAnalysis}
 
 class NorthStarSpec extends SparkTestBase {
 
@@ -492,6 +492,46 @@ class NorthStarSpec extends SparkTestBase {
     assert(expected.nonEmpty && expected.size < 20) // both branches exercised
     assert(TextAnalysis.mixSample(docs, Map("srcA" -> 1.0)).count() === 20L)
     assert(TextAnalysis.mixSample(docs, Map.empty).count() === 0L)
+  }
+
+  test("TextAnalysis.chunk: stride windows with overlap, short tail, " +
+    "sub-chunk doc yields one chunk") {
+    val docs = docsDf(Seq(1L -> "a b c d e f g", 2L -> "x y"))
+    val out = TextAnalysis.chunk(docs, chunkTokens = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 4L, md5hex("a b c d")),
+      (1L, 1L, 4L, md5hex("d e f g")),
+      (1L, 2L, 1L, md5hex("g")),
+      (2L, 0L, 2L, md5hex("x y"))))
+  }
+
+  test("CorpusOps.corpusStats: per-stratum counts and token shares") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s1", 5L), (2L, "d e", "en", "s1", 3L),
+      (3L, "f g h i j", "de", "s2", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.corpusStats(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("s1", "en")) == ((2L, 5L, 0.5)))
+    assert(out(("s2", "de")) == ((1L, 5L, 0.5)))
+  }
+
+  test("CorpusOps.packSequences: offset-bin assignment by running token " +
+    "total per source") {
+    val s = spark
+    import s.implicits._
+    // 3 tokens per doc, bin 5: start offsets 0,3,6,9 → packs 0,0,1,1
+    val docs = (1L to 4L).map(i => (i, "a b c", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.packSequences(docs, maxTokens = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
   test("TextAnalysis.unigramLogProb: exact micro-sum parity values on a " +
