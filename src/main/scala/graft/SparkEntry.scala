@@ -521,6 +521,12 @@ object SparkEntry {
     }),
     "emb_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
+    "emb_knn_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        ann = Similarity.knnLsh(e, col("vec_id") < 8, k = 3),
+        truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
+    }),
 
     // ── events: windowed agg + JSON + multimodal plumbing ─────────────
     "events_window_agg" -> ((s, dir) => {
@@ -1192,6 +1198,45 @@ object SparkEntry {
         |   AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 4) AS score
         |FROM p WHERE cos > 0.4""".stripMargin,
+    // recall@3 of the sign-LSH ANN vs exact brute-force on the same probes:
+    // both CTE chains are the emb_knn_brute / emb_knn_lsh oracles at k=3
+    "emb_knn_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | bq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | bsc AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM bq, e c WHERE c.vec_id <> q_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM bsc) t WHERE rn <= 3),
+        | bb AS (SELECT vec_id, v, band,
+        |   list_aggregate(list_transform(range(0, 8), j ->
+        |     CASE WHEN v[band * 16 + j + 1] >= 0
+        |       THEN 1 << j ELSE 0 END), 'sum') AS bucket
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+        | lq AS (SELECT vec_id AS q_id, v AS qv, band, bucket FROM bb
+        |  WHERE vec_id < 8),
+        | lsc AS (SELECT DISTINCT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM lq JOIN bb c ON lq.band = c.band AND lq.bucket = c.bucket
+        |  WHERE c.vec_id <> q_id),
+        | ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM lsc) t WHERE rn <= 3)
+        |SELECT t.q_id, CAST(count(a.c_id) AS BIGINT) AS n_hit,
+        | round(count(a.c_id) / 3.0, 4) AS recall
+        |FROM truth t LEFT JOIN ann a USING (q_id, c_id)
+        |GROUP BY t.q_id""".stripMargin,
     // Seeded-centroid IVF: centroids = vectors 0..15; assign = argmin L2²
     // (ties → lower cell); probe 4 nearest cells per query; exact cosine +
     // top-3 inside probed cells — mirrors Similarity.knnIvf(ivfSeedCentroids).

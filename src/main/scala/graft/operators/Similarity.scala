@@ -129,6 +129,21 @@ object Similarity {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("score"))
   }
 
+  /** Recall@k evaluation of an ANN result against brute-force ground truth:
+    * per query, the fraction of the true top-k the ANN search found — the
+    * quality dial every approximate index (LSH bits/bands, IVF nprobe) is
+    * tuned by. Both inputs are (q_id, c_id, …) top-k frames (e.g.
+    * [[knnLsh]] vs [[knnBrute]] at the same k). Truth is ≤|Q|·k rows, so
+    * the join and aggregate are probe-bounded regardless of corpus size. */
+  def recallAtK(ann: DataFrame, truth: DataFrame, k: Int): DataFrame =
+    truth.select(col("q_id"), col("c_id"))
+      .join(ann.select(col("q_id"), col("c_id"), lit(1L).as("hit")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 4).as("recall"))
+
   /** Embedding-cosine near-duplicate pairs: distinct (a < b) pairs sharing
     * ANY band's sign-bucket (banded multi-probe, same tables as [[knnLsh]])
     * with cosine above `threshold`. */

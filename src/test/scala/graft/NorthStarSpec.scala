@@ -494,6 +494,19 @@ class NorthStarSpec extends SparkTestBase {
     assert(TextAnalysis.mixSample(docs, Map.empty).count() === 0L)
   }
 
+  test("Similarity.recallAtK: per-query hit fraction; zero-overlap query " +
+    "scores 0.0") {
+    val s = spark
+    import s.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("q_id", "c_id")
+    val ann = Seq((1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 97L), (2L, 98L), (2L, 99L)).toDF("q_id", "c_id")
+    val out = Similarity.recallAtK(ann, truth, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> ((2L, 0.6667)), 2L -> ((0L, 0.0))))
+  }
+
   test("TextAnalysis.chunk: stride windows with overlap, short tail, " +
     "sub-chunk doc yields one chunk") {
     val docs = docsDf(Seq(1L -> "a b c d e f g", 2L -> "x y"))
