@@ -527,6 +527,15 @@ object SparkEntry {
         ann = Similarity.knnLsh(e, col("vec_id") < 8, k = 3),
         truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
     }),
+    // recall cost of 4x SQ8 compression: brute kNN over the dequantized
+    // corpus vs exact — EAGER (collects the d-row param table)
+    "emb_knn_sq8_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        ann = Similarity.knnBrute(Similarity.sq8Dequantized(e),
+          col("vec_id") < 8, k = 3),
+        truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
+    }),
 
     // ── events: windowed agg + JSON + multimodal plumbing ─────────────
     "events_window_agg" -> ((s, dir) => {
@@ -1233,6 +1242,49 @@ object SparkEntry {
         | ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
         |     AS rn FROM lsc) t WHERE rn <= 3)
+        |SELECT t.q_id, CAST(count(a.c_id) AS BIGINT) AS n_hit,
+        | round(count(a.c_id) / 3.0, 4) AS recall
+        |FROM truth t LEFT JOIN ann a USING (q_id, c_id)
+        |GROUP BY t.q_id""".stripMargin,
+    // SQ8 round-trip (per-dim min/max, 255 levels, half-away rounding) then
+    // brute kNN on dequantized vs exact — the recall cost of 4x compression
+    "emb_knn_sq8_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | dims AS (SELECT pos, min(x) AS dmin, max(x) AS dmax FROM
+        |   (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+        |    FROM e) u
+        |  GROUP BY pos),
+        | darr AS (SELECT list(dmin ORDER BY pos) AS mins,
+        |   list(dmax - dmin ORDER BY pos) AS rngs FROM dims),
+        | dq AS (SELECT vec_id, list_transform(range(1, len(v) + 1), j ->
+        |   CASE WHEN rngs[j] > 0 THEN
+        |     mins[j] + round((v[j] - mins[j]) / rngs[j] * 255) * rngs[j]
+        |       / 255
+        |   ELSE mins[j] END) AS v FROM e, darr),
+        | tq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | tsc AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM tq, e c WHERE c.vec_id <> q_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM tsc) t WHERE rn <= 3),
+        | aq AS (SELECT vec_id AS q_id, v AS qv FROM dq WHERE vec_id < 8),
+        | anns AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM aq, dq c WHERE c.vec_id <> q_id),
+        | ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM anns) t WHERE rn <= 3)
         |SELECT t.q_id, CAST(count(a.c_id) AS BIGINT) AS n_hit,
         | round(count(a.c_id) / 3.0, 4) AS recall
         |FROM truth t LEFT JOIN ann a USING (q_id, c_id)

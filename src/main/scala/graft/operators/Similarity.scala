@@ -129,6 +129,46 @@ object Similarity {
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("score"))
   }
 
+  /** Per-dimension (min, max) quantization parameters for [[sq8Dequantized]]
+    * — one posexplode + a d-group aggregate (d = embedding dims, bounded by
+    * the model architecture, so the result is collectable like the ≤nlist
+    * centroid table). */
+  def sq8Params(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+
+  /** The corpus round-tripped through an 8-bit scalar quantizer (SQ8): each
+    * dimension is mapped to round((v−min)·255/range) and dequantized back —
+    * the standard 4× memory compression of a 100 TB float32 vector corpus
+    * (store the uint8 codes + 2·d floats of parameters; search on
+    * dequantized values). This op returns the DEQUANTIZED vectors so the
+    * quantization error is measurable: feed the result through [[knnBrute]]
+    * and [[recallAtK]] against the exact top-k to get the recall cost of
+    * the compression (the emb_knn_sq8_recall query does exactly that).
+    *
+    * Deterministic and oracle-portable: params are exact float min/max, the
+    * quantize/dequantize arithmetic is double with half-away rounding, and
+    * a zero-range dimension dequantizes to its constant. EAGER: collects
+    * the d-row param table at call time (bounded by dims, like the centroid
+    * read). */
+  def sq8Dequantized(emb: DataFrame): DataFrame = {
+    val params = sq8Params(emb).orderBy("pos").collect()
+    require(params.nonEmpty, "sq8Dequantized: empty corpus")
+    val minArr = array(params.map(r => lit(r.getFloat(1).toDouble)): _*)
+    val rngArr = array(params.map(r =>
+      lit(r.getFloat(2).toDouble - r.getFloat(1).toDouble)): _*)
+    emb.select(col("vec_id"),
+      transform(col("embedding"), (v, j) => {
+        val mn = element_at(minArr, j + lit(1))
+        val rg = element_at(rngArr, j + lit(1))
+        when(rg > 0,
+          mn + round((v.cast("double") - mn) / rg * 255, 0) * rg / 255)
+          .otherwise(mn)
+      }).as("embedding"),
+      col("label"))
+  }
+
   /** Recall@k evaluation of an ANN result against brute-force ground truth:
     * per query, the fraction of the true top-k the ANN search found — the
     * quality dial every approximate index (LSH bits/bands, IVF nprobe) is

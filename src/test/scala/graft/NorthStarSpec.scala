@@ -494,6 +494,28 @@ class NorthStarSpec extends SparkTestBase {
     assert(TextAnalysis.mixSample(docs, Map.empty).count() === 0L)
   }
 
+  test("Similarity.sq8Dequantized: round-trip error within half a " +
+    "quantization step; constant and endpoint values exact") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(
+      0L -> Array(0.0f, 1.0f, 5.0f),
+      1L -> Array(1.0f, 1.0f, -5.0f),
+      2L -> Array(0.5f, 1.0f, 0.0f))
+    val emb = vals.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val dq = Similarity.sq8Dequantized(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // per-dim ranges: 1.0, 0 (constant), 10 → max error range/255/2
+    val halfStep = Seq(0.5 / 255, 0.0, 5.0 / 255)
+    for ((id, v) <- vals; j <- v.indices)
+      assert(math.abs(dq(id)(j) - v(j)) <= halfStep(j) + 1e-12,
+        s"vec $id dim $j: ${dq(id)(j)} vs ${v(j)}")
+    // range endpoints land on exact quantization levels
+    assert(dq(0L)(0) == 0.0 && dq(1L)(0) == 1.0)
+    assert(dq(0L)(2) == 5.0 && dq(1L)(2) == -5.0)
+  }
+
   test("Similarity.recallAtK: per-query hit fraction; zero-overlap query " +
     "scores 0.0") {
     val s = spark
