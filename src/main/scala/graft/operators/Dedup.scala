@@ -223,18 +223,48 @@ object Dedup {
     * shuffled. */
   def dedupPipeline(docs: DataFrame, jaccardThreshold: Double = 0.8,
                     minhashK: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val drops = exactDrops(docs)
+      .unionByName(nearDrops(docs, jaccardThreshold, minhashK, rowsPerBand))
+      .distinct()
+    docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+  }
+
+  /** doc_ids losing to a smaller exact duplicate (may repeat a drop_id). */
+  private def exactDrops(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    val exactDrop = fp.as("a")
+    fp.as("a")
       .join(fp.as("b"), col("a.fp") === col("b.fp") &&
         col("b.doc_id") < col("a.doc_id"))
       .select(col("a.doc_id").as("drop_id"))
-    val cand = lshCandidatePairs(minhash(docs, minhashK), rowsPerBand)
-    val nearDrop = jaccardOnPairsRaw(docs, cand)
+  }
+
+  /** doc_ids losing a near-dup candidate pairing (may repeat a drop_id). */
+  private def nearDrops(docs: DataFrame, jaccardThreshold: Double,
+                        minhashK: Int, rowsPerBand: Int): DataFrame =
+    jaccardOnPairsRaw(docs,
+      lshCandidatePairs(minhash(docs, minhashK), rowsPerBand))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_b").as("drop_id"))
-    val drops = exactDrop.unionByName(nearDrop).distinct()
-    docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
-      .select("doc_id", "lang", "source")
+
+  /** One-row effectiveness summary of [[dedupPipeline]] under the same
+    * parameters — the number a pipeline owner actually watches per corpus
+    * drop: documents in, exact-dup drops, near-dup drops (a doc can be
+    * both; the union is what [[dedupPipeline]] removes), survivors. All
+    * four aggregates are single-row and broadcast-joined; the heavy lifting
+    * is the same LSH-candidate chain the pipeline itself runs. */
+  def dedupReport(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                  minhashK: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val exact = exactDrops(docs).distinct()
+    val near = nearDrops(docs, jaccardThreshold, minhashK, rowsPerBand)
+      .distinct()
+    val dropped = exact.unionByName(near).distinct()
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact_dropped"))))
+      .crossJoin(broadcast(near.agg(count(lit(1)).as("n_near_dropped"))))
+      .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_dropped"))))
+      .select(col("n_docs"), col("n_exact_dropped"), col("n_near_dropped"),
+        col("n_dropped"), (col("n_docs") - col("n_dropped")).as("n_kept"))
   }
 
   /** Connected-component clustering of the near-duplicate graph: edges are

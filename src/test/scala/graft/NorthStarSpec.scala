@@ -414,6 +414,18 @@ class NorthStarSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS ivf_index_test")
   }
 
+  test("Dedup.dedupReport: one-row summary matches the pipeline's drops " +
+    "(doc both exact- and near-dropped counted once in the union)") {
+    // fixture: 2 = exact dup of 1; 3 = near-dup of 1 AND 2 (jaccard ≥0.8);
+    // 2 is ALSO a near-drop (pair (1,2) has jaccard 1.0) — union dedups
+    val r = Dedup.dedupReport(docs, jaccardThreshold = 0.8, rowsPerBand = 1)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((4L, 1L, 2L, 2L, 2L)))
+  }
+
   test("Dedup.dupClusters: near-dup CHAIN collapses to one component — " +
     "where pairwise dropping keeps two survivors") {
     // 50-word docs; B(id 3) differs from A(id 1) at word 10, C(id 2)
