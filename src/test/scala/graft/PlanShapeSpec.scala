@@ -178,6 +178,39 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("sweep: EVERY registered query plans without a cartesian product or " +
+    "an unbounded nested-loop join (static plans; default-deny for future " +
+    "additions)") {
+    // Exceptions, each bounded by construction and covered by a targeted
+    // test or scaladoc above:
+    //  - EAGER queries run Spark jobs at DataFrame construction (IVF index
+    //    build / label propagation / SQ8 param collect) — too costly for a
+    //    static sweep, and each has its own targeted spec;
+    //  - the IVF family crosses the tiny |Q| probe set with the ≤nlist
+    //    broadcast centroid table (plans as BroadcastNestedLoopJoin, rows
+    //    bounded at |Q|×nlist);
+    //  - corpus_stats / doc_unigram_logprob / doc_tfidf_topk /
+    //    doc_dedup_report cross-join BROADCAST 1-row summary aggregates
+    //    (constant fan-out);
+    //  - emb_knn_brute (and emb_knn_recall, which embeds it as ground
+    //    truth) broadcasts the |Q| probe set against one corpus scan — the
+    //    brute-force baseline IS that product, documented small-Q-only.
+    val eager = Set("doc_dup_clusters", "emb_knn_sq8_recall",
+      "emb_knn_ivf_indexed")
+    val boundedNlj = Set("emb_knn_ivf", "corpus_stats",
+      "doc_unigram_logprob", "doc_tfidf_topk", "emb_knn_brute",
+      "emb_knn_recall", "doc_dedup_report")
+    for ((name, fn) <- SparkEntry.queries if !eager(name)) {
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      if (!boundedNlj(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join (if bounded by construction, " +
+            s"add it to boundedNlj with a comment):\n$plan")
+    }
+  }
+
   test("doc_decontaminate: the eval-gram side broadcasts — the corpus " +
     "explode is probed map-side, never shuffled on gram") {
     val (n, plan, _) = ran("doc_decontaminate")
