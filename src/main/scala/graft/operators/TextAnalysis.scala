@@ -293,11 +293,25 @@ object TextAnalysis {
     * 8-grams (a content-defined fingerprint stable under local edits
     * elsewhere in the document — winnowing with a whole-document window).
     * The md5-hex string ordering is the hash universe, keeping the op
-    * engine-portable. */
+    * engine-portable.
+    *
+    * Per-row memory is O(1) in document length: a running-min fold via
+    * `aggregate` keeps only the current-best 32-char digest, never an array
+    * of one digest per character position (min over strings is
+    * order-independent, so the fold computes the same value the
+    * materialize-then-array_min formulation would — without the ~64 bytes
+    * per input byte of transient row memory that OOMs an executor on a
+    * multi-MB crawl document). The position sequence itself is ints (4
+    * bytes/position), the unavoidable floor for a HOF-driven loop. The
+    * sentinel "g"*32 sorts above every hex digest and is always replaced:
+    * the sequence has ≥1 element even for sub-gram-length text (substr past
+    * the end shortens, matching the old semantics). */
   def rollingFingerprint(docs: DataFrame, gram: Int = 8): DataFrame =
     docs.select(
       col("doc_id"),
-      array_min(transform(
+      aggregate(
         sequence(lit(1), greatest(length(col("text")) - (gram - 1), lit(1))),
-        i => md5(col("text").substr(i, lit(gram))))).as("rolling_fp"))
+        lit("g" * 32),
+        (acc, i) => least(acc, md5(col("text").substr(i, lit(gram)))))
+        .as("rolling_fp"))
 }

@@ -581,6 +581,30 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("TextAnalysis.rollingFingerprint: running-min fold equals the " +
+    "driver-computed gram min, incl. on a multi-hundred-KB document") {
+    // hand case: every 8-gram's md5, min taken in the driver
+    val text = "abcdefghijkl"
+    val expect = (0 to text.length - 8)
+      .map(i => md5hex(text.substring(i, i + 8))).min
+    assert(TextAnalysis.rollingFingerprint(docsDf(Seq(1L -> text)))
+      .head.getString(1) == expect)
+    // sub-gram-length text: one window, substr shortens past the end
+    assert(TextAnalysis.rollingFingerprint(docsDf(Seq(2L -> "abc")))
+      .head.getString(1) == md5hex("abc"))
+    // multi-hundred-KB doc — the fold keeps one 32-char accumulator per row
+    // where the pre-r7 materialized form held ~64 bytes per character
+    // (~20 MB of transient row memory for this fixture); values must still
+    // match the driver-side exhaustive min exactly
+    val rnd = new scala.util.Random(11)
+    val big = Seq.fill(50000)(f"w${rnd.nextInt(100000)}%05d").mkString(" ")
+    assert(big.length > 290000)
+    val bigExpect = (0 to big.length - 8)
+      .map(i => md5hex(big.substring(i, i + 8))).min
+    assert(TextAnalysis.rollingFingerprint(docsDf(Seq(3L -> big)))
+      .head.getString(1) == bigExpect)
+  }
+
   test("TextAnalysis.unigramLogProb: exact micro-sum parity values on a " +
     "hand-computed corpus") {
     // corpus: a:2 b:2 c:1, N=5. round(ln(0.4)*1e8) = -91629073,
