@@ -35,18 +35,43 @@ object CorpusOps {
     * is deterministic across engines and retries). Output (doc_id, source,
     * n_tokens, pack_id).
     *
-    * Scale note: the window partitions by source — a single giant source
-    * serializes into one partition's sort. At 100 TB, pre-split hot sources
-    * on a salt that the pack_id offset arithmetic folds back in, or pack per
-    * (source, date) strata. */
-  def packSequences(docs: DataFrame, maxTokens: Long = 512): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    docs
+    * Scale note (the hot-source problem, solved by salt-and-fold-back): a
+    * naive `Window.partitionBy("source")` serializes a dominant source (one
+    * crawl dump = most of a corpus) into a single task's sort. Instead the
+    * prefix sum is computed distributively: docs are salted into CONTIGUOUS
+    * doc_id blocks (`salt = doc_id / saltWidth` — contiguity in the window's
+    * own order is what makes the decomposition exact, unlike a hash salt),
+    * the heavy window runs per (source, salt) in parallel, and each salt
+    * block's base offset — the exclusive scan of per-salt token totals, one
+    * row per (source, salt) — is folded back in with a broadcast join. The
+    * result is bit-identical to the single-window formulation for every
+    * input (global exclusive prefix = salt base + within-salt exclusive
+    * prefix), so salting is purely a physical rewrite. Per-task work drops
+    * from O(|source|·log) to O(saltWidth·log); the scan-of-totals window is
+    * |sources|·|salts| rows — driver-trivial even at 100 TB. */
+  def packSequences(docs: DataFrame, maxTokens: Long = 512,
+      saltWidth: Long = 1L << 16): DataFrame = {
+    require(saltWidth > 0, s"saltWidth must be positive, got $saltWidth")
+    val toks = docs
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("salt", floor(col("doc_id") / lit(saltWidth)).cast("long"))
+    val wIn = Window.partitionBy("source", "salt").orderBy("doc_id")
+    val cum = toks.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    // exclusive scan of per-salt totals → each block's starting offset; one
+    // row per (source, salt), broadcast back onto the fact. Totals come from
+    // max(cum_in) on the SAME windowed branch (not a fresh agg over toks) so
+    // both consumers share one Exchange (ReuseExchange) and the tokenize +
+    // corpus shuffle happen exactly once.
+    val wBase = Window.partitionBy("source").orderBy("salt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = cum.groupBy("source", "salt")
+      .agg(max(col("cum_in")).as("salt_total"))
+      .select(col("source"), col("salt"),
+        coalesce(sum(col("salt_total")).over(wBase), lit(0L)).as("base"))
+    cum.join(broadcast(bases), Seq("source", "salt"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / lit(maxTokens).cast("double"))
-          .cast("long").as("pack_id"))
+        floor((col("base") + col("cum_in") - col("n_tokens"))
+          / lit(maxTokens).cast("double")).cast("long").as("pack_id"))
   }
 }

@@ -581,6 +581,58 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("CorpusOps.packSequences: salted prefix sum is bit-identical to the " +
+    "naive single-window formulation on a 90%-hot-source corpus, and the " +
+    "heavy window parallelizes over (source, salt)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 900 of 1000 docs in one hot source; variable token counts
+    val docs = (1L to 1000L).map { i =>
+      val src = if (i <= 900) "hot" else s"cold${i % 5}"
+      val text = Seq.fill(1 + rnd.nextInt(9))("tok").mkString(" ")
+      (i, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // tiny saltWidth → the hot source spans many salt blocks
+    val salted = CorpusOps.packSequences(docs, maxTokens = 7, saltWidth = 64)
+    // oracle: the pre-salt global-window formulation, computed in the driver
+    val toks = docs.collect().map(r =>
+      (r.getLong(0), r.getString(3), r.getString(1).split(" ").length.toLong))
+    val expect = toks.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val pack = cum / 7; cum += n; id -> pack
+      }
+    }.toMap
+    val got = salted.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expect)
+    // the hot source's window work is split across >1 salt block (i.e. >1
+    // task can sort in parallel), and the physical Window node actually
+    // partitions on (source, salt) — not source alone
+    val hotSalts = salted.where(col("source") === "hot")
+      .select(floor(col("doc_id") / 64).cast("long")).distinct().count()
+    assert(hotSalts >= 15, s"expected >=15 salt blocks in hot, got $hotSalts")
+    // descend through AQE wrappers (post-execution executedPlan is an
+    // AdaptiveSparkPlanExec whose children hide inside query stages)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match { case w: WindowExec => Seq(w); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(windows)
+    }
+    val windowNodes = windows(salted.queryExecution.executedPlan)
+    assert(windowNodes.exists(w =>
+      w.partitionSpec.map(_.toString).exists(_.contains("salt")) &&
+        w.partitionSpec.map(_.toString).exists(_.contains("source"))),
+      s"expected a Window partitioned on (source, salt):\n${windowNodes.map(_.partitionSpec).mkString("; ")}")
+  }
+
   test("TextAnalysis.rollingFingerprint: running-min fold equals the " +
     "driver-computed gram min, incl. on a multi-hundred-KB document") {
     // hand case: every 8-gram's md5, min taken in the driver
