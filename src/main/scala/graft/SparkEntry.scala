@@ -488,36 +488,10 @@ object SparkEntry {
     }),
     "emb_knn_ivf_indexed" -> ((s, dir) => {
       // The production IVF flow: build the cell-bucketed index ONCE per
-      // dataset VERSION — the table name embeds a fingerprint of the input
-      // files (path, length, mtime), so a rebuilt/changed dataset under the
-      // same dir gets a fresh index instead of silently serving a stale one
-      // (the metastore persists across JVMs in this cwd), and two distinct
-      // dirs can never collide on a name. Warm runs skip straight to the
-      // probe path. Same oracle as emb_knn_ivf: the chain is deterministic,
-      // so inline and indexed results are identical.
-      val e = t(s, dir, "embeddings")
-      val cents = Similarity.ivfSeedCentroids(e, 16)
-      val conf = s.sparkContext.hadoopConfiguration
-      val sig = e.inputFiles.sorted.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        s"$f:${st.getLen}:${st.getModificationTime}"
-      }.mkString("\n")
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(12)
-      val dirTag = math.abs(dir.hashCode.toLong)
-      val table = s"graft_ivf_idx_${dirTag}_$fp"
-      if (!s.catalog.tableExists(table)) {
-        // stale siblings (same dir, older fingerprint) are dead weight in
-        // the warehouse — drop before building the current version
-        s.catalog.listTables().collect()
-          .map(_.name)
-          .filter(n => n.startsWith(s"graft_ivf_idx_${dirTag}_") &&
-            n != table)
-          .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
-        Similarity.ivfWriteIndex(e, cents, table, buckets = 8)
-      }
+      // dataset VERSION (see ivfIndexedTable). Same oracle as emb_knn_ivf:
+      // the chain is deterministic, so inline and indexed results are
+      // identical.
+      val (table, cents) = ivfIndexedTable(s, dir)
       Similarity.knnIvfIndexed(s, table, cents, col("vec_id") < 8,
         k = 3, nprobe = 4)
     }),
@@ -530,12 +504,36 @@ object SparkEntry {
         truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
     }),
     // recall cost of 4x SQ8 compression: brute kNN over the dequantized
-    // corpus vs exact — EAGER (collects the d-row param table)
+    // corpus vs exact (sq8Dequantized is fully lazy — the d-row param table
+    // is a broadcast 1-row arrays frame, no plan-time job)
     "emb_knn_sq8_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.recallAtK(
         ann = Similarity.knnBrute(Similarity.sq8Dequantized(e),
           col("vec_id") < 8, k = 3),
+        truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
+    }),
+    // recall of the PRODUCTION IVF path (persisted bucketed index, default
+    // nprobe) vs brute ground truth — the quality dial emb_knn_ivf_indexed
+    // ships with, now measured instead of assumed
+    "emb_knn_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (table, cents) = ivfIndexedTable(s, dir)
+      Similarity.recallAtK(
+        ann = Similarity.knnIvfIndexed(s, table, cents, col("vec_id") < 8,
+          k = 3, nprobe = 4),
+        truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
+    }),
+    // IVF-SQ8 composition: cells assigned on the compressed codes, exact
+    // rescore inside the probed cells — store codes, rescore exact
+    "emb_knn_ivf_sq8" -> ((s, dir) =>
+      Similarity.knnIvfSq8(t(s, dir, "embeddings"), col("vec_id") < 8,
+        k = 3, nlist = 16, nprobe = 4)),
+    "emb_knn_ivf_sq8_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        ann = Similarity.knnIvfSq8(e, col("vec_id") < 8, k = 3,
+          nlist = 16, nprobe = 4),
         truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
     }),
 
@@ -570,6 +568,41 @@ object SparkEntry {
         (lit(64) + floor(nb / 32) % 32).cast("long").as("fake_height"))
     }),
   )
+
+  /** Build-or-reuse the persisted cell-bucketed IVF index for `dir`'s
+    * embeddings table; returns (table name, centroid frame). The table name
+    * embeds a fingerprint of the input files (path, length, mtime), so a
+    * rebuilt/changed dataset under the same dir gets a fresh index instead
+    * of silently serving a stale one (the metastore persists across JVMs in
+    * this cwd), and two distinct dirs can never collide on a name. Warm
+    * runs skip straight to the probe path. */
+  private def ivfIndexedTable(s: SparkSession,
+                              dir: String): (String, DataFrame) = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.ivfSeedCentroids(e, 16)
+    val conf = s.sparkContext.hadoopConfiguration
+    val sig = e.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }.mkString("\n")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    val dirTag = math.abs(dir.hashCode.toLong)
+    val table = s"graft_ivf_idx_${dirTag}_$fp"
+    if (!s.catalog.tableExists(table)) {
+      // stale siblings (same dir, older fingerprint) are dead weight in
+      // the warehouse — drop before building the current version
+      s.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => n.startsWith(s"graft_ivf_idx_${dirTag}_") &&
+          n != table)
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      Similarity.ivfWriteIndex(e, cents, table, buckets = 8)
+    }
+    (table, cents)
+  }
 
   /** Seeded-centroid IVF oracle, shared by `emb_knn_ivf` (inline assign)
     * and `emb_knn_ivf_indexed` (persisted bucketed index): the chain is
@@ -614,6 +647,89 @@ object SparkEntry {
       |FROM (SELECT q_id, c_id, cos, row_number() OVER
       |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
       |WHERE rn <= 3""".stripMargin
+
+  /** IVF-SQ8 oracle (emb_knn_ivf_sq8 / _recall): SQ8 round-trip (the
+    * emb_knn_sq8_recall dequantize chain verbatim), cells seeded from and
+    * assigned on the dequantized codes, probes computed with the EXACT
+    * query vector against the code-derived centroids, exact cosine rescore
+    * inside probed cells. `withRecall` swaps the top-3 tail for a recall@3
+    * comparison against brute ground truth. */
+  private def IvfSq8OracleSql(withRecall: Boolean): String = {
+    val prefix =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | dims AS (SELECT pos, min(x) AS dmin, max(x) AS dmax FROM
+        |   (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+        |    FROM e) u
+        |  GROUP BY pos),
+        | darr AS (SELECT list(dmin ORDER BY pos) AS mins,
+        |   list(dmax - dmin ORDER BY pos) AS rngs FROM dims),
+        | dq AS (SELECT vec_id, list_transform(range(1, len(v) + 1), j ->
+        |   CASE WHEN rngs[j] > 0 THEN
+        |     mins[j] + round((v[j] - mins[j]) / rngs[j] * 255) * rngs[j]
+        |       / 255
+        |   ELSE mins[j] END) AS v FROM e, darr),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM dq WHERE vec_id < 16),
+        | d AS (SELECT dq.vec_id, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(dq.v) + 1),
+        |     i -> dq.v[i] * dq.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(dq.v) + 1),
+        |     i -> dq.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM dq, cent),
+        | asg AS (SELECT vec_id, cell FROM
+        |   (SELECT vec_id, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | idx AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg
+        |  USING (vec_id)),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | p AS (SELECT q_id, qv, cell FROM
+        |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
+        |     (PARTITION BY q.q_id ORDER BY
+        |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * q.qv[i]), 'sum')
+        |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * cent.c[i]), 'sum')
+        |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
+        |    FROM q, cent) t
+        |  WHERE prn <= 4),
+        | s AS (SELECT p.q_id, idx.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * idx.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * p.qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(idx.v) + 1),
+        |     i -> idx.v[i] * idx.v[i]), 'sum'))) AS cos
+        |  FROM p JOIN idx ON p.cell = idx.cell
+        |  WHERE idx.vec_id <> p.q_id),
+        | ann AS (SELECT q_id, c_id, cos FROM (SELECT q_id, c_id, cos,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM s) t
+        |  WHERE rn <= 3)""".stripMargin
+    if (!withRecall)
+      prefix +
+        "\nSELECT q_id, c_id, round(cos, 4) AS score FROM ann"
+    else
+      prefix +
+        """,
+          | bsc AS (SELECT b.vec_id AS q_id, c.vec_id AS c_id,
+          |   list_aggregate(list_transform(range(1, len(b.v) + 1),
+          |     i -> b.v[i] * c.v[i]), 'sum') /
+          |   (sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
+          |     i -> b.v[i] * b.v[i]), 'sum')) *
+          |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+          |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+          |  FROM e b, e c WHERE b.vec_id < 8 AND c.vec_id <> b.vec_id),
+          | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+          |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+          |     AS rn FROM bsc) t WHERE rn <= 3)
+          |SELECT t.q_id, CAST(count(x.c_id) AS BIGINT) AS n_hit,
+          | round(count(x.c_id) / 3.0, 4) AS recall
+          |FROM truth t LEFT JOIN ann x USING (q_id, c_id)
+          |GROUP BY t.q_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1339,6 +1455,67 @@ object SparkEntry {
     // persisted bucketed index, so it shares this oracle verbatim.
     "emb_knn_ivf" -> IvfOracleSql,
     "emb_knn_ivf_indexed" -> IvfOracleSql,
+    // recall@3 of the persisted-index IVF path (identical chain to the IVF
+    // oracle) against brute-force ground truth on the same probes
+    "emb_knn_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell FROM
+        |   (SELECT vec_id, v, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM a WHERE vec_id < 8),
+        | p AS (SELECT q_id, qv, cell FROM
+        |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
+        |     (PARTITION BY q.q_id ORDER BY
+        |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * q.qv[i]), 'sum')
+        |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * cent.c[i]), 'sum')
+        |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
+        |    FROM q, cent) t
+        |  WHERE prn <= 4),
+        | s AS (SELECT p.q_id, a.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * a.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * p.qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(a.v) + 1),
+        |     i -> a.v[i] * a.v[i]), 'sum'))) AS cos
+        |  FROM p JOIN a ON p.cell = a.cell
+        |  WHERE a.vec_id <> p.q_id),
+        | ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+        |  WHERE rn <= 3),
+        | bsc AS (SELECT b.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * b.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM e b, e c WHERE b.vec_id < 8 AND c.vec_id <> b.vec_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM bsc)
+        |  t WHERE rn <= 3)
+        |SELECT t.q_id, CAST(count(x.c_id) AS BIGINT) AS n_hit,
+        | round(count(x.c_id) / 3.0, 4) AS recall
+        |FROM truth t LEFT JOIN ann x USING (q_id, c_id)
+        |GROUP BY t.q_id""".stripMargin,
+    // IVF-SQ8: cells seeded from and assigned on the SQ8-dequantized codes
+    // (what a code-only index can see); probe with the EXACT query vector;
+    // exact cosine rescore inside the probed cells
+    "emb_knn_ivf_sq8" -> IvfSq8OracleSql(withRecall = false),
+    "emb_knn_ivf_sq8_recall" -> IvfSq8OracleSql(withRecall = true),
 
     "events_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),

@@ -149,24 +149,44 @@ object Similarity {
     *
     * Deterministic and oracle-portable: params are exact float min/max, the
     * quantize/dequantize arithmetic is double with half-away rounding, and
-    * a zero-range dimension dequantizes to its constant. EAGER: collects
-    * the d-row param table at call time (bounded by dims, like the centroid
-    * read). */
-  def sq8Dequantized(emb: DataFrame): DataFrame = {
-    val params = sq8Params(emb).orderBy("pos").collect()
-    require(params.nonEmpty, "sq8Dequantized: empty corpus")
-    val minArr = array(params.map(r => lit(r.getFloat(1).toDouble)): _*)
-    val rngArr = array(params.map(r =>
-      lit(r.getFloat(2).toDouble - r.getFloat(1).toDouble)): _*)
-    emb.select(col("vec_id"),
-      transform(col("embedding"), (v, j) => {
-        val mn = element_at(minArr, j + lit(1))
-        val rg = element_at(rngArr, j + lit(1))
-        when(rg > 0,
-          mn + round((v.cast("double") - mn) / rg * 255, 0) * rg / 255)
-          .otherwise(mn)
-      }).as("embedding"),
-      col("label"))
+    * a zero-range dimension dequantizes to its constant.
+    *
+    * FULLY LAZY: the d-row param table is folded to a single (mins, rngs)
+    * array row and broadcast-crossed onto the corpus — no job runs until the
+    * result is acted on, so the plan sweep covers this unconditionally (the
+    * former formulation collected params into literals at plan-construction
+    * time). The 1-row cross is constant fan-out, same as corpus_stats. */
+  def sq8Dequantized(emb: DataFrame): DataFrame =
+    withSq8Dequantized(emb, "dq")
+      .select(col("vec_id"), col("dq").as("embedding"), col("label"))
+
+  /** [[sq8Dequantized]] as a column: the input frame plus a `dqName` column
+    * holding the SQ8 round-trip of `embedding`, both available in ONE corpus
+    * scan — what [[knnIvfSq8]] needs to assign cells on compressed vectors
+    * while rescoring on exact ones without a corpus self-join. */
+  def withSq8Dequantized(emb: DataFrame, dqName: String): DataFrame = {
+    // d rows → one row of position-ordered (mins, rngs) arrays; struct sort
+    // orders by pos (distinct), so the arrays index by dimension
+    val darr = sq8Params(emb).agg(
+      transform(
+        array_sort(collect_list(struct(col("pos"),
+          col("dmin").cast("double").as("mn")))),
+        s => s.getField("mn")).as("sq8_mins"),
+      transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("dmax").cast("double") - col("dmin").cast("double"))
+            .as("rg")))),
+        s => s.getField("rg")).as("sq8_rngs"))
+    emb.crossJoin(broadcast(darr))
+      .withColumn(dqName,
+        transform(col("embedding"), (v, j) => {
+          val mn = element_at(col("sq8_mins"), j + lit(1))
+          val rg = element_at(col("sq8_rngs"), j + lit(1))
+          when(rg > 0,
+            mn + round((v.cast("double") - mn) / rg * 255, 0) * rg / 255)
+            .otherwise(mn)
+        }))
+      .drop("sq8_mins", "sq8_rngs")
   }
 
   /** Recall@k evaluation of an ANN result against brute-force ground truth:
@@ -297,7 +317,8 @@ object Similarity {
     * 4096) no longer blows the 64 KB method limit into interpreted
     * fallback. */
   def ivfAssign(emb: DataFrame, centroids: DataFrame,
-                shardSize: Int = 256): DataFrame = {
+                shardSize: Int = 256,
+                assignOn: String = "embedding"): DataFrame = {
     // NOTE: eagerly runs a (tiny) Spark job here — the centroid table is
     // collected at plan-CONSTRUCTION time, not at execution time. Callers
     // treating this as a pure lazy plan constructor pay one small job up
@@ -311,7 +332,10 @@ object Similarity {
       .sortBy(_._1)
     require(cents.nonEmpty,
       "ivfAssign: centroid table has no non-null (cell, centroid) rows")
-    val dv = col("embedding").cast("array<double>")
+    // `assignOn` lets the argmin run on a different column than the one the
+    // index stores — e.g. assign on SQ8-dequantized codes, store exact
+    // vectors ([[knnIvfSq8]])
+    val dv = col(assignOn).cast("array<double>")
     val vv = dot(dv, dv)
     def candStruct(cellId: Int, cvec: Seq[Double]): Column = {
       val cArr = array(cvec.map(lit): _*)
@@ -375,6 +399,25 @@ object Similarity {
                     nprobe: Int = 4): DataFrame =
     ivfSearch(spark.table(indexTable), spark.table(indexTable), centroids,
       queryPred, k, nprobe)
+
+  /** IVF-SQ8 ANN — the standard production layout for a compressed vector
+    * index: cells are built over the SQ8-compressed corpus (centroids seeded
+    * from and assignment computed on the dequantized codes, i.e. what a code-
+    * only index can see), while SCORING inside the probed cells uses the
+    * exact full-precision vectors — "store codes, rescore exact". Both the
+    * compressed and exact columns ride ONE corpus scan
+    * ([[withSq8Dequantized]]); there is no corpus self-join. Recall cost of
+    * the composition is measured by `emb_knn_ivf_sq8_recall` against brute
+    * ground truth. */
+  def knnIvfSq8(emb: DataFrame, queryPred: Column, k: Int = 3,
+                nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val both = withSq8Dequantized(emb, "dq")
+    val cents = ivfSeedCentroids(
+      both.select(col("vec_id"), col("dq").as("embedding")), nlist)
+    // argmin on the codes; the projected index rows keep the EXACT vectors
+    val indexed = ivfAssign(both, cents, assignOn = "dq")
+    ivfSearch(indexed, emb, cents, queryPred, k, nprobe)
+  }
 
   /** Probe + exact-rescore stage shared by [[knnIvf]] (inline assign) and
     * [[knnIvfIndexed]] (persisted index): `nprobe` nearest cells per query,
