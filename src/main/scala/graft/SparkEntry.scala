@@ -445,6 +445,15 @@ object SparkEntry {
         d.filter(col("doc_id") % 100 =!= 0),
         d.filter(col("doc_id") % 100 === 0), n = 3)
     }),
+    // chunk-granular decontamination: drop the contaminated WINDOW, keep
+    // the rest of the document
+    "doc_chunk_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.decontaminateChunks(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0),
+        chunkTokens = 64, overlap = 8, n = 3)
+    }),
     // EAGER: label propagation runs jobs at construction (see scaladoc)
     "doc_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(t(s, dir, "documents"), 0.8)),
@@ -471,6 +480,10 @@ object SparkEntry {
       Dedup.dedupPipeline(t(s, dir, "documents"), 0.8)),
     "doc_dedup_report" -> ((s, dir) =>
       Dedup.dedupReport(t(s, dir, "documents"), 0.8)),
+    // exact dedup over chunk fingerprints — consumes doc_chunk's chunk_fp
+    "doc_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(t(s, dir, "documents"), chunkTokens = 64,
+        overlap = 8)),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -1033,6 +1046,55 @@ object SparkEntry {
         | CAST(len(sc.chunk) AS BIGINT) AS n_tokens,
         | md5(array_to_string(sc.chunk, ' ')) AS chunk_fp
         |FROM c""".stripMargin,
+    // chunk-level exact dedup: the doc_chunk chunking chain verbatim, then
+    // group by fingerprint keeping the lexicographically least
+    // (doc_id, chunk_idx) — two-stage min in SQL (min doc, then min idx
+    // within that doc) = Spark's single struct min
+    "doc_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | s AS (SELECT doc_id, words,
+        |   range(1, greatest(len(words), 1) + 1, 56) AS starts FROM w),
+        | c AS (SELECT doc_id, unnest(list_transform(range(1, len(starts) + 1),
+        |   i -> struct_pack(idx := i,
+        |     chunk := list_slice(words, starts[i], starts[i] + 63)))) AS sc
+        |  FROM s),
+        | ch AS (SELECT doc_id, CAST(sc.idx - 1 AS BIGINT) AS chunk_idx,
+        |   md5(array_to_string(sc.chunk, ' ')) AS chunk_fp FROM c),
+        | g AS (SELECT chunk_fp, min(doc_id) AS keep_doc_id,
+        |   count(*) AS n_dupes FROM ch GROUP BY chunk_fp)
+        |SELECT g.chunk_fp, g.keep_doc_id,
+        | CAST(min(ch.chunk_idx) AS BIGINT) AS keep_chunk_idx, g.n_dupes
+        |FROM g JOIN ch ON ch.chunk_fp = g.chunk_fp
+        | AND ch.doc_id = g.keep_doc_id
+        |GROUP BY g.chunk_fp, g.keep_doc_id, g.n_dupes""".stripMargin,
+    // chunk-level decontamination: eval 3-grams from whole eval docs
+    // (doc_decontaminate's ev CTE), probed against per-chunk 3-grams
+    "doc_chunk_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |   i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS gram
+        |  FROM w WHERE len(words) >= 3),
+        | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+        | s AS (SELECT doc_id, words,
+        |   range(1, greatest(len(words), 1) + 1, 56) AS starts FROM w
+        |  WHERE doc_id % 100 <> 0),
+        | c AS (SELECT doc_id, unnest(list_transform(range(1, len(starts) + 1),
+        |   i -> struct_pack(idx := i,
+        |     chunk := list_slice(words, starts[i], starts[i] + 63)))) AS sc
+        |  FROM s),
+        | ch AS (SELECT doc_id, CAST(sc.idx - 1 AS BIGINT) AS chunk_idx,
+        |   sc.chunk AS chunk FROM c),
+        | cg AS (SELECT doc_id, chunk_idx,
+        |   unnest(list_transform(range(1, len(chunk) - 1),
+        |     i -> array_to_string(list_slice(chunk, i, i + 2), ' ')))
+        |     AS gram
+        |  FROM ch WHERE len(chunk) >= 3)
+        |SELECT cg.doc_id, cg.chunk_idx,
+        | CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_contaminated_grams
+        |FROM cg JOIN ev USING (gram)
+        |GROUP BY cg.doc_id, cg.chunk_idx""".stripMargin,
     "corpus_stats" ->
       """WITH base AS (SELECT source, lang,
         |   len(string_split(text, ' ')) AS n_toks FROM documents),

@@ -21,6 +21,24 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Exact dedup at CHUNK granularity: group [[TextAnalysis.chunk]] windows
+    * by fingerprint, keep the lexicographically least (doc_id, chunk_idx)
+    * per group — catches boilerplate repeated INSIDE distinct documents
+    * (headers, license blocks, navigation) that whole-doc hashing can't see.
+    * Same scale shape as [[exact]]: the chunk explode is per-row, then one
+    * hash aggregate on the fingerprint; `min` over a (doc_id, chunk_idx)
+    * struct is a single partial-agg-friendly accumulator (no window). */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 64,
+                 overlap: Int = 8): DataFrame =
+    TextAnalysis.chunk(docs, chunkTokens, overlap)
+      .groupBy(col("chunk_fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keep"),
+        count(lit(1)).as("n_dupes"))
+      .select(col("chunk_fp"),
+        col("keep.doc_id").as("keep_doc_id"),
+        col("keep.chunk_idx").as("keep_chunk_idx"),
+        col("n_dupes"))
+
   /** Word-level 3-shingles of `text` (docs with <3 tokens are dropped).
     *
     * Formulated as zip_with over shifted slices rather than

@@ -184,18 +184,53 @@ object TextAnalysis {
     * exact-dedup over chunks is a join on fp, not a text shuffle. Pure
     * per-row explode: no shuffle. */
   def chunk(docs: DataFrame, chunkTokens: Int = 64,
-            overlap: Int = 8): DataFrame = {
+            overlap: Int = 8): DataFrame =
+    chunkArrays(docs, chunkTokens, overlap)
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("chunk_fp"))
+
+  /** [[chunk]] with the chunk's token ARRAY still in hand (`cw`) — the
+    * shared explode stage for fingerprinting ([[chunk]]) and chunk-level
+    * gram probing ([[decontaminateChunks]]). */
+  private def chunkArrays(docs: DataFrame, chunkTokens: Int,
+                          overlap: Int): DataFrame = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val step = chunkTokens - overlap
     docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(1), greatest(size(col("w")), lit(1)), lit(step)),
         s => slice(col("w"), s, lit(chunkTokens)))))
-      .select(
-        col("doc_id"),
-        col("pos").cast("long").as("chunk_idx"),
-        size(col("col")).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", col("col"))).as("chunk_fp"))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("cw"))
+  }
+
+  /** Eval-set decontamination at CHUNK granularity: for each training chunk
+    * ([[chunk]] windows), how many distinct eval n-grams it contains — so a
+    * pipeline can drop the contaminated WINDOW and keep the rest of a long
+    * document, instead of [[decontaminate]]'s whole-doc verdict. Same plan
+    * shape as the doc-level op: eval grams collapse to a broadcast distinct
+    * set; the corpus is one scan + chunk explode + gram explode with a
+    * map-side probe, never shuffled on gram. Grams never cross chunk
+    * boundaries (a gram spanning two chunks appears in the overlap region
+    * when overlap ≥ n — size overlap accordingly, documented tradeoff). */
+  def decontaminateChunks(docs: DataFrame, evalDocs: DataFrame,
+                          chunkTokens: Int = 64, overlap: Int = 8,
+                          n: Int = 8): DataFrame = {
+    val cw = col("cw")
+    val grams = chunkArrays(docs, chunkTokens, overlap)
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(when(size(cw) >= n,
+          transform(sequence(lit(1), size(cw) - (n - 1)),
+            i => concat_ws(" ", slice(cw, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val evalGrams = evalDocs
+      .select(explode(wordNgrams(col("text"), n)).as("gram")).distinct()
+    grams.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "chunk_idx")
+      .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
   }
 
   /** Corpus-unigram log-probability scoring — the perplexity-filter twin

@@ -633,6 +633,32 @@ class NorthStarSpec extends SparkTestBase {
       s"expected a Window partitioned on (source, salt):\n${windowNodes.map(_.partitionSpec).mkString("; ")}")
   }
 
+  test("Dedup.chunkDedup: shared chunk across docs groups by fingerprint, " +
+    "keeps lexicographically least (doc_id, chunk_idx)") {
+    // chunkTokens=2, overlap=0: doc1 "a b|c d", doc2 "a b|x" — the "a b"
+    // window repeats across docs
+    val d = docsDf(Seq(1L -> "a b c d", 2L -> "a b x"))
+    val out = Dedup.chunkDedup(d, chunkTokens = 2, overlap = 0).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 3) // "a b", "c d", "x"
+    val abFp = out.keys.find(k => out(k)._3 == 2L).get
+    assert(out(abFp) == ((1L, 0L, 2L))) // kept doc 1 chunk 0, 2 dupes
+    assert(out.values.count(_._3 == 1L) == 2)
+  }
+
+  test("TextAnalysis.decontaminateChunks: only the window containing eval " +
+    "grams is flagged; gram counts are per-chunk distinct") {
+    // train "a b c d e", chunkTokens=3 overlap=1 → chunks [a b c][c d e][e];
+    // eval "c d e" 2-grams {c d, d e} hit ONLY chunk 1 (both grams)
+    val train = docsDf(Seq(1L -> "a b c d e"))
+    val eval_ = docsDf(Seq(100L -> "c d e"))
+    val out = TextAnalysis.decontaminateChunks(train, eval_,
+      chunkTokens = 3, overlap = 1, n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 1L) -> 2L))
+  }
+
   test("TextAnalysis.rollingFingerprint: running-min fold equals the " +
     "driver-computed gram min, incl. on a multi-hundred-KB document") {
     // hand case: every 8-gram's md5, min taken in the driver
