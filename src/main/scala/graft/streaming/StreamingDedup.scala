@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Incremental deduplication for a DOCUMENT STREAM — the streaming twin of
   * `operators.Dedup.exact`: a training-data pipeline doesn't re-scan its
@@ -42,4 +44,58 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .join(knownFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
       .dropDuplicatesWithinWatermark("fp")
+
+  /** The unbounded-stream answer the watermarked variant's scaladoc names:
+    * watermark-bounded state catches SHORT-window repeats cheaply, and a
+    * per-batch fp-store COMPACTION catches the long tail — every delivered
+    * batch's fingerprints are appended to the store at `fpStorePath`, and
+    * each batch anti-joins the store read FRESH (so a duplicate arriving
+    * AFTER the watermark delay, when its dropDuplicates state is long
+    * evicted, is still dropped by the store probe). State is bounded by the
+    * watermark; the store is bounded by the number of DISTINCT documents
+    * ever seen — the right asymptote for an unbounded crawl stream.
+    *
+    * Delivery is `deliver(novelDocs, batchId)` BEFORE the store append:
+    * a crash between the two replays the batch and delivers again
+    * (at-least-once, the standard foreachBatch contract — deliver
+    * idempotently, e.g. FtpLikeSink's tmp+rename); the reverse order would
+    * LOSE the batch on replay (fps already in the store would anti-join the
+    * docs away before their only delivery). Store appends after a crash may
+    * duplicate fp rows — harmless: the probe `.distinct()`s, and a
+    * periodic rewrite can compact the store files offline.
+    *
+    * Scale shape per batch: one fresh store scan (fp column only — at
+    * 100 TB corpus scale the store is ~32 bytes × distinct docs, and AQE
+    * broadcasts it while it fits, shuffle-joins beyond), one batch-local
+    * dedup, one append of ≤|batch| fp rows. The stream is never shuffled
+    * against the corpus text — only against 32-char fingerprints.
+    *
+    * Returns the configured `DataStreamWriter` — caller sets checkpoint /
+    * trigger and starts it. */
+  def incrementalDedupCompacted(newDocs: DataFrame, fpStorePath: String,
+      tsCol: String, delay: String)(
+      deliver: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val deduped = newDocs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+    deduped.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val storePath = new org.apache.hadoop.fs.Path(fpStorePath)
+      val fs = storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val known =
+        if (fs.exists(storePath))
+          s.read.parquet(fpStorePath).select(col("fp")).distinct()
+        else
+          s.createDataFrame(s.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("fp", StringType))))
+      val novel = batch.dropDuplicates("fp")
+        .join(known, Seq("fp"), "left_anti")
+        .persist()
+      try {
+        deliver(novel, batchId)
+        novel.select(col("fp")).write.mode("append").parquet(fpStorePath)
+      } finally novel.unpersist()
+    }
+  }
 }

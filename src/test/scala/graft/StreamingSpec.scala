@@ -301,6 +301,48 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.sorted.toSeq == Seq("fresh a", "fresh b", "fresh c"))
   }
 
+  test("StreamingDedup.incrementalDedupCompacted: duplicate arriving AFTER " +
+    "the watermark delay (state evicted) is still dropped via the " +
+    "compacted fp store; known-corpus docs never delivered") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val store = tmpDir("sdedup_fp_store")
+    // seed the store with the known corpus's fingerprint
+    Seq("old doc one").toDF("text").select(md5(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(store)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("ts_ms", "text")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = graft.streaming.StreamingDedup
+      .incrementalDedupCompacted(docs, store, "ts", "10 seconds") {
+        (novel, _) => delivered.synchronized {
+          delivered ++= novel.collect().map(_.getAs[String]("text"))
+        }
+      }
+      .option("checkpointLocation", tmpDir("sdedup_cpt_cp"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: novel doc at t=1s + a known-corpus doc (store-probed away)
+    input.addData((1000L, "fresh a"), (1500L, "old doc one"))
+    q.processAllAvailable()
+    // batch 2: advance the watermark far past 1s + 10s so "fresh a"'s
+    // dropDuplicates state is EVICTED
+    input.addData((50000L, "advance"))
+    q.processAllAvailable()
+    // batch 3: "fresh a" again at t=100s — watermark state is long gone;
+    // only the compacted store can drop it now
+    input.addData((100000L, "fresh a"))
+    q.processAllAvailable()
+    q.stop()
+    val got = delivered.synchronized(delivered.sorted.toSeq)
+    assert(got == Seq("advance", "fresh a"),
+      s"expected exactly-once delivery via store compaction, got $got")
+    // the store accumulated every delivered fp (plus the seed)
+    val storeFps = s.read.parquet(store).select("fp").distinct().count()
+    assert(storeFps == 3L) // old doc one, fresh a, advance
+  }
+
   test("StreamingDedup.incrementalDedupWatermarked: dup within the " +
     "watermark dropped, state bounded by event time") {
     val s = spark
