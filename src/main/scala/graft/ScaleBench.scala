@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-stress bench: measures the four scale-critical paths (LSH candidate
-  * generation, the full dedup pipeline, sign-LSH kNN, and the persisted IVF
-  * probe) at 1×, 10×, and 100× the sf0.1 corpus, and reports warm-over-warm
+/** Scale-stress bench: measures the scale-critical paths (LSH candidate
+  * generation, the full dedup pipeline, sign-LSH kNN, the persisted IVF
+  * probe, and the two heaviest per-row text ops — rolling fingerprint and
+  * repetition scoring, the class where per-row MEMORY regressions hide)
+  * at 1×, 10×, and 100× the sf0.1 corpus, and reports warm-over-warm
   * growth ratios. This converts the plan-shape "scales" arguments in
   * SURVEY/VERDICT into measurements: a bucketed/candidate-bounded operator
   * should grow ≤~linearly in corpus size; a hidden all-pairs term would show
@@ -43,7 +45,7 @@ object ScaleBench {
 
   private val ScaleQueries =
     Seq("doc_lsh_pairs", "doc_dedup_pipeline", "emb_knn_lsh",
-      "emb_knn_ivf_indexed")
+      "emb_knn_ivf_indexed", "doc_rolling_fp", "doc_repetition")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** id remap stride between copies — far above any base id, so copy-0 keeps
