@@ -457,6 +457,16 @@ object SparkEntry {
     // EAGER: label propagation runs jobs at construction (see scaladoc)
     "doc_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(t(s, dir, "documents"), 0.8)),
+    // EAGER (embeds dupClusters): keep-longest representative per cluster
+    "doc_cluster_best" -> ((s, dir) =>
+      Dedup.clusterBest(t(s, dir, "documents"), 0.8)),
+    // PII redaction + audit counts (pure per-row map)
+    "doc_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(t(s, dir, "documents"))),
+    // per-source token-budget sampling in deterministic hash order
+    "doc_token_budget" -> ((s, dir) =>
+      CorpusOps.tokenBudgetSample(t(s, dir, "documents"),
+        budgetTokens = 800)),
 
     // ── dedup (north-star) ────────────────────────────────────────────
     "doc_dedup_exact" -> ((s, dir) =>
@@ -1182,6 +1192,78 @@ object SparkEntry {
         |   SELECT n.s, r.comp FROM nbr n JOIN reach r ON n.d = r.id)
         |SELECT id AS doc_id, min(comp) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+    // the doc_dup_clusters chain + per-doc token counts → keep-longest
+    // representative per cluster (ties → lower doc_id) + member count
+    "doc_cluster_best" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | edges AS (SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+        |   JOIN sets b ON b.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+        | nbr AS (SELECT doc_a AS s, doc_b AS d FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        | reach(id, comp) AS (
+        |   SELECT DISTINCT s, s FROM nbr
+        |   UNION
+        |   SELECT n.s, r.comp FROM nbr n JOIN reach r ON n.d = r.id),
+        | cl AS (SELECT id AS doc_id, min(comp) AS cluster_id
+        |  FROM reach GROUP BY id),
+        | tk AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | r AS (SELECT cl.cluster_id, cl.doc_id, tk.n_tokens,
+        |   row_number() OVER (PARTITION BY cl.cluster_id
+        |     ORDER BY tk.n_tokens DESC, cl.doc_id) AS rn,
+        |   count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+        |  FROM cl JOIN tk USING (doc_id))
+        |SELECT cluster_id, doc_id AS best_doc_id,
+        | n_tokens AS best_n_tokens, CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin,
+    "doc_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |   AS n_emails,
+        | CAST(len(regexp_extract_all(text,
+        |   '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        | regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |   'g'), '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')
+        |   AS clean_text
+        |FROM documents""".stripMargin,
+    "doc_token_budget" ->
+      """WITH b AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |   md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        | c AS (SELECT doc_id, source, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY source
+        |     ORDER BY ord, doc_id) AS cum
+        |  FROM b)
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800""".stripMargin,
     "doc_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -74,4 +74,39 @@ object CorpusOps {
         floor((col("base") + col("cum_in") - col("n_tokens"))
           / lit(maxTokens).cast("double")).cast("long").as("pack_id"))
   }
+
+  /** Token-budget stratified sampling: per source, keep documents — in a
+    * deterministic hash-shuffled order (md5 of doc_id), so the sample is
+    * unbiased w.r.t. corpus order and stable across retries/engines — until
+    * the stratum's cumulative token count exceeds `budgetTokens`. This is
+    * how real training mixes are specified ("200 B tokens of web, 50 B of
+    * code"), vs [[TextAnalysis.mixSample]]'s per-doc RATE semantics.
+    *
+    * Same salt-and-fold-back prefix sum as [[packSequences]], adapted to a
+    * hash order: the salt is the LEADING hex chars of the md5 order key —
+    * contiguous ranges of the window's own ordering, which is what makes
+    * per-salt cumsum + exclusive-scanned salt bases exactly equal the
+    * global cumsum. A dominant source splits across 16^saltChars parallel
+    * sorts; the scan-of-totals is |sources|·16^saltChars rows. */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
+      saltChars: Int = 1): DataFrame = {
+    require(saltChars >= 1 && saltChars <= 8,
+      s"saltChars must be in [1, 8], got $saltChars")
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .withColumn("salt", substring(col("ord"), 1, saltChars))
+    val wIn = Window.partitionBy("source", "salt").orderBy("ord", "doc_id")
+    val cum = toks.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val wBase = Window.partitionBy("source").orderBy("salt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = cum.groupBy("source", "salt")
+      .agg(max(col("cum_in")).as("salt_total"))
+      .select(col("source"), col("salt"),
+        coalesce(sum(col("salt_total")).over(wBase), lit(0L)).as("base"))
+    cum.join(broadcast(bases), Seq("source", "salt"))
+      .filter(col("base") + col("cum_in") <= budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
 }

@@ -356,6 +356,29 @@ object Dedup {
     comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
+  /** Representative selection per near-dup cluster — the step after
+    * [[dupClusters]] in a real curation run: of each cluster's members,
+    * KEEP the longest document (max token count, ties → lower doc_id — the
+    * standard keep-longest-duplicate heuristic) and report cluster size.
+    * One equi-join of the (small) cluster membership against per-doc token
+    * counts + one aggregate; `max` over a (n_tokens, −doc_id) struct is a
+    * single partial-agg-friendly accumulator, no window over the corpus.
+    * EAGER via [[dupClusters]] (label propagation runs at call time). */
+  def clusterBest(docs: DataFrame, jaccardThreshold: Double = 0.8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+    dupClusters(docs, jaccardThreshold).join(toks, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("best_doc_id"),
+        col("best.n_tokens").as("best_n_tokens"),
+        col("n_members"))
+  }
+
   /** SimHash-style 32-bit fingerprint: for each of 8 hex nibbles sampled
     * from each token's md5, majority-vote the bits. Deterministic, portable
     * construction (bit i of the fingerprint = 1 iff the count of tokens whose

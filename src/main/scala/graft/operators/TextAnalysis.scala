@@ -233,6 +233,27 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
   }
 
+  /** PII scrubbing — the corpus-scale sibling of the reference's per-field
+    * MD5 masking (SURVEY F1–F5): redact email addresses and phone-shaped
+    * numbers from free text and count what was removed, so a curation run
+    * can both clean and audit. Patterns are deliberately in the common
+    * subset of Java regex and RE2 (no backreferences, no lookaround) so the
+    * op is engine-portable; `\b`/`\d`/bounded quantifiers mean ASCII
+    * semantics in both. Pure per-row map — zero exchanges, scales by
+    * partition count alone. The oracle run proves cross-engine parity of
+    * the rewrite (clean corpora pass trivially; the redaction semantics are
+    * fixture-proven in NorthStarSpec). */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+        phone, "<PHONE>").as("clean_text"))
+  }
+
   /** Corpus-unigram log-probability scoring — the perplexity-filter twin
     * used by LLM data curation (docs whose tokens are improbable under the
     * corpus's own unigram model are boilerplate/noise candidates; docs too

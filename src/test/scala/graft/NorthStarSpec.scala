@@ -659,6 +659,60 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map((1L, 1L) -> 2L))
   }
 
+  test("TextAnalysis.piiScrub: emails and phone-shaped numbers redacted " +
+    "with counts; clean text untouched") {
+    val d = docsDf(Seq(
+      1L -> "contact a.smith+x@mail.example.com or 555-123-4567 today",
+      2L -> "no pii here at all",
+      3L -> "two mails x@y.io and z@w.co plus 01.2345.6789 not a phone"))
+    val out = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "contact <EMAIL> or <PHONE> today")))
+    assert(out(2L) == ((0L, 0L, "no pii here at all")))
+    // 01.2345.6789 does not match \d{3}[-.]\d{3,4}[-.]\d{4}
+    assert(out(3L) == ((2L, 0L,
+      "two mails <EMAIL> and <EMAIL> plus 01.2345.6789 not a phone")))
+  }
+
+  test("Dedup.clusterBest: keeps the longest member per near-dup cluster, " +
+    "ties to lower doc_id, reports cluster size") {
+    // docs 1,2,3 cluster (exact + near dup); best = 3 (9 tokens vs 9... )
+    val out = Dedup.clusterBest(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 1)
+    val (cid, bestId, bestTok, n) = out.head
+    assert(cid == 1L && n == 3L)
+    // doc 3 is dupText + " slightly" = 11 tokens, longest member
+    assert(bestId == 3L && bestTok == 11L)
+  }
+
+  test("CorpusOps.tokenBudgetSample: hash-ordered per-source budget cut is " +
+    "bit-identical to the naive single-window formulation, incl. across " +
+    "salt blocks") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val data = (1L to 400L).map { i =>
+      val src = if (i <= 300) "hot" else s"cold${i % 3}"
+      val text = Seq.fill(1 + rnd.nextInt(9))("tok").mkString(" ")
+      (i, text, "en", src, text.length.toLong)
+    }
+    val df = data.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusOps.tokenBudgetSample(df, budgetTokens = 150,
+      saltChars = 1).collect().map(_.getLong(0)).toSet
+    // oracle: plain per-source cumsum in (md5(doc_id), doc_id) order
+    val expect = data.groupBy(_._4).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.map(r => (md5hex(r._1.toString), r._1, r._2.split(" ").length))
+        .sortBy(x => (x._1, x._2))
+        .flatMap { case (_, id, n) =>
+          cum += n; if (cum <= 150) Some(id) else None
+        }
+    }.toSet
+    assert(got == expect && got.nonEmpty && got.size < 400)
+  }
+
   test("TextAnalysis.rollingFingerprint: running-min fold equals the " +
     "driver-computed gram min, incl. on a multi-hundred-KB document") {
     // hand case: every 8-gram's md5, min taken in the driver
