@@ -494,6 +494,9 @@ object SparkEntry {
     "doc_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(t(s, dir, "documents"), chunkTokens = 64,
         overlap = 8)),
+    // which sources are duplicate-heavy: per-source pipeline effectiveness
+    "doc_dedup_by_source" -> ((s, dir) =>
+      Dedup.dedupBySource(t(s, dir, "documents"), 0.8)),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -1407,6 +1410,47 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT drop_id FROM exact_drop
         |  UNION SELECT drop_id FROM near_drop)""".stripMargin,
+    // the doc_dedup_pipeline drop chain, grouped by source
+    "doc_dedup_by_source" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        | exact_drop AS (SELECT a.doc_id AS drop_id FROM fp a JOIN fp b
+        |   ON a.fp = b.fp AND b.doc_id < a.doc_id),
+        | w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | near_drop AS (SELECT c.doc_b AS drop_id
+        |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+        |   JOIN sets b ON b.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+        | drops AS (SELECT drop_id FROM exact_drop
+        |  UNION SELECT drop_id FROM near_drop)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(dr.drop_id) AS BIGINT) AS n_dropped,
+        | CAST(count(*) - count(dr.drop_id) AS BIGINT) AS n_kept,
+        | round(CAST(count(dr.drop_id) AS DOUBLE) / count(*), 4) AS drop_rate
+        |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.drop_id
+        |GROUP BY d.source""".stripMargin,
     // same chain as doc_dedup_pipeline, reduced to the one-row summary
     "doc_dedup_report" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -659,6 +659,17 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map((1L, 1L) -> 2L))
   }
 
+  test("Dedup.dedupBySource: per-source drop accounting matches the " +
+    "pipeline's union of exact and near drops") {
+    // fixture: docs 1..4 all srcA; 2 is an exact dup of 1, 3 a near dup
+    val out = Dedup.dedupBySource(docs, 0.8).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map("srcA" -> ((4L, 2L, 2L, 0.5))))
+    // cross-check: kept count equals the pipeline's survivor count
+    assert(Dedup.dedupPipeline(docs, 0.8).count() == 2L)
+  }
+
   test("TextAnalysis.piiScrub: emails and phone-shaped numbers redacted " +
     "with counts; clean text untouched") {
     val d = docsDf(Seq(
