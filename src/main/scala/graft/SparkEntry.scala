@@ -467,6 +467,15 @@ object SparkEntry {
     "doc_token_budget" -> ((s, dir) =>
       CorpusOps.tokenBudgetSample(t(s, dir, "documents"),
         budgetTokens = 800)),
+    // corpus token-length profile over fixed integer buckets
+    "doc_length_hist" -> ((s, dir) =>
+      CorpusOps.lengthHistogram(t(s, dir, "documents"))),
+    // IVF index health: per-cell occupancy + corpus share (seeded centroids
+    // so the whole chain is SQL-checkable, like emb_knn_ivf)
+    "emb_ivf_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfStats(e, Similarity.ivfSeedCentroids(e, 16))
+    }),
 
     // ── dedup (north-star) ────────────────────────────────────────────
     "doc_dedup_exact" -> ((s, dir) =>
@@ -1267,6 +1276,42 @@ object SparkEntry {
         |     ORDER BY ord, doc_id) AS cum
         |  FROM b)
         |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800""".stripMargin,
+    "doc_length_hist" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        | b AS (SELECT CASE
+        |   WHEN n < 16 THEN '0000-0015'
+        |   WHEN n < 64 THEN '0016-0063'
+        |   WHEN n < 256 THEN '0064-0255'
+        |   WHEN n < 1024 THEN '0256-1023'
+        |   WHEN n < 4096 THEN '1024-4095'
+        |   ELSE '4096+' END AS len_bucket, n FROM t)
+        |SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY len_bucket""".stripMargin,
+    // the IVF assignment chain (emb_knn_ivf oracle verbatim) grouped by
+    // cell + 1-row total for the share
+    "emb_ivf_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, cell FROM
+        |   (SELECT vec_id, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM a GROUP BY cell),
+        | tot AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS total FROM g)
+        |SELECT cell, n_vecs,
+        | round(CAST(n_vecs AS DOUBLE) / (SELECT total FROM tot), 4) AS share
+        |FROM g""".stripMargin,
     "doc_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY md5(text)""".stripMargin,

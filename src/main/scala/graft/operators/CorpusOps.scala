@@ -75,6 +75,25 @@ object CorpusOps {
           / lit(maxTokens).cast("double")).cast("long").as("pack_id"))
   }
 
+  /** Token-length histogram over fixed power-of-4 buckets — the profile a
+    * pipeline reads before choosing chunk sizes, packing bins, and
+    * length-filter thresholds. Buckets are INTEGER compares (no float
+    * log-bucketing, so engines can never disagree at a power-of-two
+    * boundary); labels zero-padded so lexicographic order is numeric order.
+    * Pure map + one ≤6-key aggregate: one corpus scan. */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val n = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val bucket = when(n < 16, lit("0000-0015"))
+      .when(n < 64, lit("0016-0063"))
+      .when(n < 256, lit("0064-0255"))
+      .when(n < 1024, lit("0256-1023"))
+      .when(n < 4096, lit("1024-4095"))
+      .otherwise(lit("4096+"))
+    docs.select(bucket.as("len_bucket"), n.as("tok"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+  }
+
   /** Token-budget stratified sampling: per source, keep documents — in a
     * deterministic hash-shuffled order (md5 of doc_id), so the sample is
     * unbiased w.r.t. corpus order and stable across retries/engines — until

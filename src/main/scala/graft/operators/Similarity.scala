@@ -362,6 +362,20 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** IVF index-health report: per-cell occupancy of an assignment — the
+    * dashboard an index operator reads before trusting probe latency (a
+    * skewed cell is a hot probe; many near-empty cells mean the centroid
+    * fit collapsed and recall is about to surprise someone). One map-only
+    * assignment scan + one ≤nlist-key aggregate; `share` is each cell's
+    * fraction of the corpus (1-row broadcast total, like corpus_stats). */
+  def ivfStats(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val g = ivfAssign(emb, centroids).groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+    g.crossJoin(broadcast(g.agg(sum(col("n_vecs")).as("total"))))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("total"), 4).as("share"))
+  }
+
   /** Persist the IVF index as a cell-bucketed table: every later probe join
     * on `cell` is co-located (no corpus shuffle at query time). */
   def ivfWriteIndex(emb: DataFrame, centroids: DataFrame, table: String,

@@ -659,6 +659,37 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map((1L, 1L) -> 2L))
   }
 
+  test("CorpusOps.lengthHistogram: integer bucket edges, doc and token " +
+    "totals per bucket") {
+    val d = docsDf(Seq(
+      1L -> Seq.fill(15)("w").mkString(" "),  // 15 → 0000-0015
+      2L -> Seq.fill(16)("w").mkString(" "),  // 16 → 0016-0063 (edge)
+      3L -> Seq.fill(63)("w").mkString(" "),  // 63 → 0016-0063
+      4L -> Seq.fill(300)("w").mkString(" "))) // 300 → 0256-1023
+    val out = CorpusOps.lengthHistogram(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "0000-0015" -> ((1L, 15L)),
+      "0016-0063" -> ((2L, 79L)),
+      "0256-1023" -> ((1L, 300L))))
+  }
+
+  test("Similarity.ivfStats: per-cell occupancy sums to the corpus and " +
+    "shares sum to 1") {
+    val s = spark
+    import s.implicits._
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)((i % 5).toFloat + 0.1f), "l"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfStats(emb,
+      Similarity.ivfSeedCentroids(emb, 4)).collect()
+    assert(out.map(_.getLong(1)).sum == 40L)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 0.01)
+    // 5 distinct vector values, 4 centroids (ids 0..3 = values 0..3 + .1):
+    // every vector lands in SOME cell, no cell lost
+    assert(out.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+  }
+
   test("Dedup.dedupBySource: per-source drop accounting matches the " +
     "pipeline's union of exact and near drops") {
     // fixture: docs 1..4 all srcA; 2 is an exact dup of 1, 3 a near dup

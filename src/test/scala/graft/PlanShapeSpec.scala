@@ -202,7 +202,7 @@ class PlanShapeSpec extends SparkTestBase {
     val boundedNlj = Set("emb_knn_ivf", "corpus_stats",
       "doc_unigram_logprob", "doc_tfidf_topk", "emb_knn_brute",
       "emb_knn_recall", "doc_dedup_report", "emb_knn_sq8_recall",
-      "emb_knn_ivf_sq8", "emb_knn_ivf_sq8_recall")
+      "emb_knn_ivf_sq8", "emb_knn_ivf_sq8_recall", "emb_ivf_stats")
     for ((name, fn) <- SparkEntry.queries if !eager(name)) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
