@@ -321,19 +321,25 @@ object Dedup {
     * pair directly).
     *
     * Algorithm: iterative min-label propagation (each round every vertex
-    * takes the min of its own and its neighbors' labels) to fixpoint —
-    * converges in graph-diameter rounds; near-dup components in a real
-    * corpus are shallow (versions of one page), so the round count is small
-    * and each round is one equi-join + one aggregate on the edge list, never
-    * anything quadratic. The edge list and each round's labels are
-    * `localCheckpoint`ed: the loop is driver-controlled, so without
-    * truncation iteration k would replay all k-1 prior rounds (O(d²) total
-    * work) and the plan would grow unboundedly. Checkpoint blocks are
-    * reclaimed by the ContextCleaner once unreferenced (GC-based — bounded,
-    * unlike a session-lifetime persist). At extreme diameters or adversarial
-    * graphs, pointer-jumping (large-star/small-star) halves the round count
-    * exponentially — documented upgrade path, not needed for near-dup
-    * shapes.
+    * takes the min of its own and its neighbors' labels) PLUS a
+    * pointer-jumping shortcut (`shortcut=true`, the default): after the
+    * neighbor min, every vertex also adopts its label's label —
+    * comp(v) ← min(comp(v), comp(comp(v))). Labels are always vertex ids
+    * (each label is the min id seen so far, and ids are vertices), so the
+    * lookup is one more equi-join of the label table with itself; with it
+    * the distance a label travels DOUBLES per round, so a component of
+    * diameter d converges in O(log d) rounds instead of O(d) — the
+    * difference between 4 rounds and 50 on an adversarial version-chain at
+    * 100 TB, where every round is a full pass over the edge list. The
+    * fixpoint (min reachable id per vertex) is algorithm-independent, so
+    * results are bit-identical with the shortcut on or off (spec-asserted
+    * on a 24-deep chain). Each round is two equi-joins + one aggregate on
+    * the edge/label tables, never anything quadratic. The edge list and
+    * each round's labels are `localCheckpoint`ed: the loop is
+    * driver-controlled, so without truncation iteration k would replay all
+    * k-1 prior rounds and the plan would grow unboundedly. Checkpoint
+    * blocks are reclaimed by the ContextCleaner once unreferenced
+    * (GC-based — bounded, unlike a session-lifetime persist).
     *
     * EAGER: runs Spark jobs at call time (checkpoints + one convergence
     * check per round), like the IVF index build. Throws if `maxIters` rounds
@@ -341,7 +347,7 @@ object Dedup {
     * clusters. */
   def dupClusters(docs: DataFrame, jaccardThreshold: Double = 0.8,
                   minhashK: Int = 4, rowsPerBand: Int = 2,
-                  maxIters: Int = 50): DataFrame = {
+                  maxIters: Int = 50, shortcut: Boolean = true): DataFrame = {
     val edges = jaccardOnPairsRaw(docs,
       lshCandidatePairs(minhash(docs, minhashK), rowsPerBand))
       .filter(col("jaccard") >= jaccardThreshold)
@@ -360,9 +366,20 @@ object Dedup {
       // a vertex keeps the min of its own and all incoming labels
       val msgs = nbr.join(comp.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      val next = comp.unionByName(msgs)
+      val propagated = comp.unionByName(msgs)
         .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+      val next = (if (!shortcut) propagated
+        else {
+          // pointer jump: follow the label one hop — comp(comp(v)) — and
+          // keep the min. Left join because a label's own row can lag a
+          // round behind; coalesce keeps the current label then.
+          val byId = propagated
+            .select(col("id").as("cid"), col("comp").as("ccomp"))
+          propagated.join(byId, col("comp") === col("cid"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("ccomp"), col("comp")))
+                .as("comp"))
+        }).localCheckpoint()
       converged = next
         .join(comp.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") < col("prev")).isEmpty
@@ -372,8 +389,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"dupClusters: no fixpoint after $maxIters rounds — component " +
-          "diameter exceeds the bound; raise maxIters or switch to " +
-          "pointer-jumping")
+          "diameter exceeds the bound; raise maxIters")
     comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 

@@ -690,6 +690,27 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
   }
 
+  test("Dedup.dupClusters: pointer-jumping shortcut is bit-identical to " +
+    "plain label propagation on a 24-deep near-dup chain") {
+    // sliding 40-word windows, step 2 → adjacent docs jaccard ≈ 0.9 (edge),
+    // 2-apart ≈ 0.77 (no edge): a deep path graph, the worst case for
+    // plain propagation and exactly what the shortcut is for
+    val vocab = (0 until 90).map(i => f"w$i%03d")
+    val chain = (0 until 24).map { i =>
+      (i + 1).toLong -> vocab.slice(i * 2, i * 2 + 40).mkString(" ")
+    }
+    val d = docsDf(chain)
+    val jumped = Dedup.dupClusters(d, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Dedup.dupClusters(d, 0.8, shortcut = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jumped == plain)
+    assert(jumped.nonEmpty)
+    // whatever edges LSH produced, every label must be a fixpoint: the min
+    // id of the member's component — and the chain head must label itself
+    assert(jumped.getOrElse(1L, 1L) == 1L)
+  }
+
   test("Dedup.dedupBySource: per-source drop accounting matches the " +
     "pipeline's union of exact and near drops") {
     // fixture: docs 1..4 all srcA; 2 is an exact dup of 1, 3 a near dup
