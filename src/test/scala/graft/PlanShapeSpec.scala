@@ -224,4 +224,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus shuffled on gram for the contamination probe:\n$plan")
   }
+
+  test("doc_chunk_decontaminate: same broadcast probe shape at chunk " +
+    "granularity — corpus never shuffled on gram") {
+    val (n, plan, _) = ran("doc_chunk_decontaminate")
+    assert(n > 0)
+    assertNoPlanBombs("doc_chunk_decontaminate", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled on gram for the chunk contamination probe:\n$plan")
+  }
+
+  test("doc_pack / doc_token_budget: the heavy window partitions on " +
+    "(source, salt) — a dominant source parallelizes instead of " +
+    "serializing one task") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match { case w: WindowExec => Seq(w); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self ++ kids.flatMap(windows)
+    }
+    for (q <- Seq("doc_pack", "doc_token_budget")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(df.collect().length > 0)
+      val ws = windows(df.queryExecution.executedPlan)
+      assert(ws.exists(w =>
+        w.partitionSpec.map(_.toString).exists(_.contains("salt"))),
+        s"$q: expected a salted window; partition specs: " +
+          ws.map(_.partitionSpec).mkString("; "))
+    }
+  }
 }
