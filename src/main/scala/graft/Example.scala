@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Runnable tour of the library over the smallest testdata: the flagship
-  * enrichment plus the multimodal pipeline. Usage:
+  * enrichment, the multimodal pipeline, the corpus-curation chain (dedup →
+  * clusters → representative keep → PII scrub → pack), ANN with measured
+  * recall, and streaming sessionization. Usage:
   * `sbt "runMain graft.Example [sfDir]"`. */
 object Example {
   def main(args: Array[String]): Unit = {
@@ -15,6 +17,7 @@ object Example {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -37,6 +40,32 @@ object Example {
     val feats = Multimodal.extractFeatures(withP, dim = 8)
     println("[example] features sample = " +
       feats.head().features.map(f => f"$f%.3f").mkString("[", ",", "]"))
+
+    // corpus curation: dedup effectiveness → near-dup clusters → keep the
+    // longest representative → scrub PII → pack what survives
+    {
+      import graft.operators.{CorpusOps, Dedup, TextAnalysis}
+      println("[example] dedup by source:")
+      Dedup.dedupBySource(docs, 0.8).orderBy("source").show(5)
+      val best = Dedup.clusterBest(docs, 0.8)
+      println(s"[example] near-dup clusters=${best.count()} " +
+        "(keep-longest representatives)")
+      val scrubbed = TextAnalysis.piiScrub(docs)
+      println("[example] pii removed: " + scrubbed
+        .agg(sum(col("n_emails") + col("n_phones"))).head.get(0))
+      println("[example] packing fill:")
+      CorpusOps.packStats(docs, maxTokens = 512).orderBy("source").show(3)
+    }
+
+    // ANN: IVF-SQ8 (codes in the cells, exact rescore) + measured recall
+    {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val ann = Similarity.knnIvfSq8(emb, col("vec_id") < 4, k = 3)
+      val truth = Similarity.knnBrute(emb, col("vec_id") < 4, k = 3)
+      println("[example] IVF-SQ8 recall@3 per query:")
+      Similarity.recallAtK(ann, truth, 3).orderBy("q_id").show()
+    }
 
     // streaming sessionization with custom keyed state
     {

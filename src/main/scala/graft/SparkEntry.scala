@@ -470,6 +470,10 @@ object SparkEntry {
     // corpus token-length profile over fixed integer buckets
     "doc_length_hist" -> ((s, dir) =>
       CorpusOps.lengthHistogram(t(s, dir, "documents"))),
+    // packing efficiency: bins + mean fill per source (maxTokens=512, as
+    // doc_pack)
+    "doc_pack_stats" -> ((s, dir) =>
+      CorpusOps.packStats(t(s, dir, "documents"), maxTokens = 512)),
     // IVF index health: per-cell occupancy + corpus share (seeded centroids
     // so the whole chain is SQL-checkable, like emb_knn_ivf)
     "emb_ivf_stats" -> ((s, dir) => {
@@ -1137,6 +1141,24 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens,
         | CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
+    // the doc_pack chain, rolled up to per-source bin count and mean fill
+    "doc_pack_stats" ->
+      """WITH base AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT doc_id, source, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM base),
+        | p AS (SELECT source, n_tokens,
+        |   CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id FROM c),
+        | bins AS (SELECT source, pack_id,
+        |   CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |  FROM p GROUP BY source, pack_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+        | CAST(sum(bin_tokens) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * 512), 4)
+        |   AS mean_fill
+        |FROM bins GROUP BY source""".stripMargin,
     // thresholds: 0.5*65536=0x8000, 0.25*65536=0x4000, 0.1*65536~0x199a —
     // fixed-width lowercase hex compares lexicographically == numerically
     "doc_mix_sample" ->

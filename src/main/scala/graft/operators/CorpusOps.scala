@@ -75,6 +75,24 @@ object CorpusOps {
           / lit(maxTokens).cast("double")).cast("long").as("pack_id"))
   }
 
+  /** Packing efficiency report over [[packSequences]] output: per source,
+    * the bin count and the mean fill fraction (tokens packed / capacity) —
+    * the number that tells a pipeline owner whether `maxTokens` is sized
+    * right (low fill = wasted sequence budget, the whole point of packing).
+    * One aggregate over the packing result; `fill` rounds 4dp for
+    * portability. */
+  def packStats(docs: DataFrame, maxTokens: Long = 512,
+                saltWidth: Long = 1L << 16): DataFrame =
+    packSequences(docs, maxTokens, saltWidth)
+      .groupBy("source", "pack_id")
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens")).as("n_tokens"))
+      .select(col("source"), col("n_bins"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          (col("n_bins") * lit(maxTokens)), 4).as("mean_fill"))
+
   /** Token-length histogram over fixed power-of-4 buckets — the profile a
     * pipeline reads before choosing chunk sizes, packing bins, and
     * length-filter thresholds. Buckets are INTEGER compares (no float

@@ -581,6 +581,21 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("CorpusOps.packStats: bins, tokens, and mean fill (can exceed 1.0 " +
+    "on bin-spanning docs — offset binning charges the bin of the first " +
+    "token)") {
+    val s = spark
+    import s.implicits._
+    // 4 docs x 3 tokens, bin 5 → packs 0,0,1,1; both bins hold 6 tokens
+    val docs = (1L to 4L).map(i => (i, "a b c", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.packStats(docs, maxTokens = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "s1" && r.getLong(1) == 2L &&
+      r.getLong(2) == 12L && r.getDouble(3) == 1.2)
+  }
+
   test("CorpusOps.packSequences: salted prefix sum is bit-identical to the " +
     "naive single-window formulation on a 90%-hot-source corpus, and the " +
     "heavy window parallelizes over (source, salt)") {
