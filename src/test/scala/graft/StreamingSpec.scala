@@ -275,6 +275,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == got.toSet)
   }
 
+  test("per-row text ops lift to Structured Streaming unchanged: piiScrub " +
+    "+ quality filter on a doc stream match their batch twins") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Seq(
+      (1L, "mail me at a@b.co " + Seq.fill(20)("the quick fox").mkString(" ")),
+      (2L, "short"),
+      (3L, Seq.fill(30)("clean text with the a of and to in is").mkString(" ")))
+    val mkDocs = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val input = MemoryStream[(Long, String)]
+    val streamed = graft.operators.TextAnalysis.piiScrub(
+      mkDocs(input.toDF().toDF("doc_id", "text")))
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("spii").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("SELECT * FROM spii").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    val batch = graft.operators.TextAnalysis.piiScrub(
+      mkDocs(rows.toDF("doc_id", "text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(got == batch)
+    assert(got.exists(_._2 == 1L)) // the email was counted and scrubbed
+  }
+
   test("StreamingDedup.incrementalDedup: known-corpus docs dropped; " +
     "within-stream repeats emitted once ACROSS micro-batches") {
     val s = spark
