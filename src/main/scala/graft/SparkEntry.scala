@@ -474,6 +474,9 @@ object SparkEntry {
     // doc_pack)
     "doc_pack_stats" -> ((s, dir) =>
       CorpusOps.packStats(t(s, dir, "documents"), maxTokens = 512)),
+    // temperature-scaled (T=2, sqrt) per-source sampling weights
+    "corpus_mix_weights" -> ((s, dir) =>
+      CorpusOps.mixtureWeights(t(s, dir, "documents"))),
     // IVF index health: per-cell occupancy + corpus share (seeded centroids
     // so the whole chain is SQL-checkable, like emb_knn_ivf)
     "emb_ivf_stats" -> ((s, dir) => {
@@ -510,6 +513,12 @@ object SparkEntry {
     // which sources are duplicate-heavy: per-source pipeline effectiveness
     "doc_dedup_by_source" -> ((s, dir) =>
       Dedup.dedupBySource(t(s, dir, "documents"), 0.8)),
+    // duplication-density summary: distinct-3-gram occurrence histogram
+    "corpus_ngram_hist" -> ((s, dir) =>
+      Dedup.ngramFrequencyHist(t(s, dir, "documents"))),
+    // which sources share text: distinct-shingle overlap per source pair
+    "corpus_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(t(s, dir, "documents"))),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -575,6 +584,10 @@ object SparkEntry {
           nlist = 16, nprobe = 4),
         truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
     }),
+    // kNN majority-vote label prediction + leave-one-out eval columns
+    "emb_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(t(s, dir, "embeddings"), col("vec_id") < 8,
+        k = 5)),
 
     // ── events: windowed agg + JSON + multimodal plumbing ─────────────
     "events_window_agg" -> ((s, dir) => {
@@ -1518,6 +1531,45 @@ object SparkEntry {
         | round(CAST(count(dr.drop_id) AS DOUBLE) / count(*), 4) AS drop_rate
         |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.drop_id
         |GROUP BY d.source""".stripMargin,
+    // occurrence histogram over ALL 3-shingle appearances (repeats within a
+    // doc count, matching how duplicated text inflates training loss)
+    "corpus_ngram_hist" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        | sh AS (SELECT unnest(list_transform(range(1, len(words) - 1),
+        |   i -> concat(words[i], ' ', words[i+1], ' ', words[i+2])))
+        |     AS shingle
+        |  FROM w WHERE len(words) >= 3),
+        | c AS (SELECT shingle, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM sh GROUP BY 1)
+        |SELECT n_occurrences, CAST(count(*) AS BIGINT) AS n_grams
+        |FROM c GROUP BY 1""".stripMargin,
+    // distinct shared 3-shingles per (source_a < source_b) pair — the SQL
+    // self-join is the oracle; the engine uses a join-free set expansion
+    "corpus_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS words
+        |  FROM documents),
+        | shx AS (SELECT source,
+        |   unnest(list_transform(range(1, len(words) - 1),
+        |   i -> concat(words[i], ' ', words[i+1], ' ', words[i+2])))
+        |     AS shingle
+        |  FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT DISTINCT source, shingle FROM shx)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | CAST(count(*) AS BIGINT) AS shared_grams
+        |FROM sh a JOIN sh b
+        | ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    // sqrt-temperature weights: sqrt is IEEE-exact in both engines, the
+    // ~|sources| double sum then rounds 4dp
+    "corpus_mix_weights" ->
+      """WITH g AS (SELECT source,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        | z AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM g)
+        |SELECT source, n_tokens,
+        | round(sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT z FROM z), 4)
+        |   AS weight
+        |FROM g""".stripMargin,
     // same chain as doc_dedup_pipeline, reduced to the one-row summary
     "doc_dedup_report" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
@@ -1771,6 +1823,32 @@ object SparkEntry {
     // exact cosine rescore inside the probed cells
     "emb_knn_ivf_sq8" -> IvfSq8OracleSql(withRecall = false),
     "emb_knn_ivf_sq8_recall" -> IvfSq8OracleSql(withRecall = true),
+    // kNN majority-vote classification: brute top-5 (emb_knn_brute CTE at
+    // k=5) → neighbor-label votes → argmax with (votes DESC, label) tie-break
+    "emb_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | s AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM q, e c WHERE c.vec_id <> q_id),
+        | nn AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM s) t WHERE rn <= 5),
+        | votes AS (SELECT nn.q_id, e.label AS pred_label,
+        |   CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM nn JOIN e ON e.vec_id = nn.c_id GROUP BY 1, 2),
+        | best AS (SELECT q_id, pred_label, n_votes FROM (SELECT q_id,
+        |   pred_label, n_votes, row_number() OVER (PARTITION BY q_id
+        |     ORDER BY n_votes DESC, pred_label) AS rn FROM votes) t
+        |  WHERE rn = 1)
+        |SELECT best.q_id, e.label, best.pred_label, best.n_votes
+        |FROM best JOIN e ON e.vec_id = best.q_id""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),

@@ -93,6 +93,31 @@ object CorpusOps {
         round(col("n_tokens").cast("double") /
           (col("n_bins") * lit(maxTokens)), 4).as("mean_fill"))
 
+  /** Temperature-scaled mixture weights: per-source sampling weight
+    * ∝ n_tokens^(1/T) with T = 2 (i.e. sqrt), normalized to sum to 1 — the
+    * standard recipe for up-weighting small corpus components (multilingual
+    * and multi-source training mixes both use it; T→∞ is uniform, T = 1 is
+    * proportional). The exponent is FIXED at 1/2 because sqrt is
+    * IEEE-exact in every engine, so the result is bit-portable where a
+    * general pow(x, 1/T) is not; other temperatures belong in the caller's
+    * own rounding contract.
+    *
+    * One stratum aggregate + a 1-row broadcast normalizer: the corpus is
+    * scanned once, the weight table is |sources| rows — driver-trivial at
+    * any scale. */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source").agg(sum(col("n_toks")).as("n_tokens"))
+    val z = perSrc.agg(
+      sum(sqrt(col("n_tokens").cast("double"))).as("z"))
+    perSrc.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")) / col("z"), 4)
+          .as("weight"))
+  }
+
   /** Token-length histogram over fixed power-of-4 buckets — the profile a
     * pipeline reads before choosing chunk sizes, packing bins, and
     * length-filter thresholds. Buckets are INTEGER compares (no float

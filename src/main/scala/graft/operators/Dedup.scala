@@ -416,6 +416,54 @@ object Dedup {
         col("n_members"))
   }
 
+  /** N-gram duplication histogram: how many distinct 3-shingles occur
+    * exactly `n_occurrences` times corpus-wide. THE summary statistic for
+    * duplication density (the "how much of my corpus is repeated text"
+    * number a data team reads before deciding whether near-dedup is worth
+    * its cost — a heavy tail here means yes). Occurrences count every
+    * appearance, including repeats within one document, matching how
+    * duplicated text inflates training loss.
+    *
+    * Plan shape: one explode → two hash aggregates (shingle counts, then the
+    * histogram). Both are partial-aggregated map-side, so the first shuffle
+    * carries ≤1 row per (partition, shingle) and the second ≤1 row per
+    * (partition, count value) — the histogram's key space is tiny. One
+    * corpus scan; scales like [[exact]]. */
+  def ngramFrequencyHist(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(explode(col("shingle_arr")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("n_occurrences"))
+      .groupBy("n_occurrences").agg(count(lit(1)).as("n_grams"))
+
+  /** Cross-source contamination matrix: for every pair of sources, the
+    * number of distinct 3-shingles they share — the report that tells a
+    * pipeline owner which corpus components overlap (a mirrored crawl, a
+    * re-scraped dump) before mixing weights are chosen.
+    *
+    * Plan shape — deliberately NOT a self-join on shingle: the shingle →
+    * sorted-distinct-source-set aggregate runs first (collect_set is bounded
+    * by |sources|, a config-sized constant), then the ≤C(|sources|,2) pairs
+    * per shingle are expanded per-row with array HOFs and re-aggregated.
+    * That keeps the plan at two hash aggregates + a bounded per-row flatMap
+    * — no join at all, so there is no bucket-skew blowup to mitigate: a
+    * stop-word shingle present in every source costs C(|sources|,2) rows,
+    * not |docs|² pairs. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val srcSets = shingles(docs)
+      .select(col("source"), explode(col("shingle_arr")).as("shingle"))
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+    val pairs = srcSets.select(explode(
+      flatten(transform(col("srcs"), (x, i) =>
+        transform(
+          slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+    pairs.groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** SimHash-style 32-bit fingerprint: for each of 8 hex nibbles sampled
     * from each token's md5, majority-vote the bits. Deterministic, portable
     * construction (bit i of the fingerprint = 1 iff the count of tokens whose

@@ -204,6 +204,34 @@ object Similarity {
       .select(col("q_id"), col("n_hit"),
         round(col("n_hit").cast("double") / k, 4).as("recall"))
 
+  /** kNN majority-vote classification: predict each query vector's label
+    * from its `k` nearest neighbors (exact cosine), tie-breaking toward the
+    * SMALLEST label so the prediction is deterministic. This is the
+    * embedding-space quality/topic classifier a curation pipeline runs when
+    * it has a small labeled seed set and a large unlabeled corpus — the
+    * labeled side is the corpus here, queries are the rows to classify.
+    * Output (q_id, label, pred_label, n_votes) pairs the prediction with the
+    * query's own label, so the same relation doubles as a leave-one-out
+    * accuracy evaluation.
+    *
+    * Plan shape: [[knnBrute]]'s broadcast-query scan (documented
+    * ground-truth path — swap in [[knnLsh]]/[[knnIvfIndexed]] candidates
+    * for production scale), then every post-scan relation is ≤|Q|·k rows:
+    * the label join broadcasts, and the vote/argmax window partitions on
+    * q_id over ≤k rows per group. */
+  def knnClassify(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val votes = knnBrute(emb, queryPred, k)
+      .join(broadcast(labels.withColumnRenamed("vec_id", "c_id")), "c_id")
+      .groupBy(col("q_id"), col("label").as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("n_votes").desc, col("pred_label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(labels.withColumnRenamed("vec_id", "q_id")), "q_id")
+      .select(col("q_id"), col("label"), col("pred_label"), col("n_votes"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: distinct (a < b) pairs sharing
     * ANY band's sign-bucket (banded multi-probe, same tables as [[knnLsh]])
     * with cosine above `threshold`. */

@@ -826,4 +826,80 @@ class NorthStarSpec extends SparkTestBase {
     assert(out(1L) == ((3L, -274887219L, -0.9163)))
     assert(out(2L) == ((2L, -252572864L, -1.2629)))
   }
+
+  private def srcDocsDf(rows: Seq[(Long, String, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text, src) =>
+      (id, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("Dedup.ngramFrequencyHist counts every shingle appearance, " +
+    "including within-doc repeats") {
+    // "a b c a b c a b" → shingles: abc, bca, cab, abc, bca, cab →
+    // {abc:2, bca:2, cab:2}; "x y z" → {xyz:1}
+    val docs = docsDf(Seq(1L -> "a b c a b c a b", 2L -> "x y z"))
+    val hist = Dedup.ngramFrequencyHist(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> 1L, 2L -> 3L))
+  }
+
+  test("Dedup.sourceOverlap: distinct shared shingles per source pair, " +
+    "join-free expansion matches the naive pair definition") {
+    val shared = "alpha beta gamma delta" // shingles abg, bgd
+    val docs = srcDocsDf(Seq(
+      (1L, shared, "s1"), (2L, shared, "s2"),
+      (3L, shared + " epsilon", "s3"), // adds gde; shares abg,bgd with s1/s2
+      (4L, "unrelated words entirely here", "s4"),
+      // duplicate doc within s1 must NOT double-count distinct shingles
+      (5L, shared, "s1")))
+    val out = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("s1", "s2") -> 2L, ("s1", "s3") -> 2L, ("s2", "s3") -> 2L))
+    // the expansion is agg-only: no join operator anywhere in the plan
+    val plan = Dedup.sourceOverlap(docs).queryExecution.executedPlan
+    assert(!plan.toString.toLowerCase.contains("join"))
+  }
+
+  test("CorpusOps.mixtureWeights: sqrt-temperature weights normalize to 1 " +
+    "and up-weight small sources") {
+    // s1: 8 tokens, s2: 2 tokens → weights sqrt(8):sqrt(2) = 2:1
+    val docs = srcDocsDf(Seq(
+      (1L, "a b c d e f g h", "s1"), (2L, "x y", "s2")))
+    val w = CorpusOps.mixtureWeights(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w("s1") == ((8L, 0.6667)) && w("s2") == ((2L, 0.3333)))
+    // proportional share would be 0.8/0.2 — temperature pulled 13pts toward
+    // uniform, the whole point of the op
+  }
+
+  test("Similarity.knnClassify: majority vote wins; ties break to the " +
+    "smallest label; output pairs prediction with the query's own label") {
+    val s = spark
+    import s.implicits._
+    // query 0 (label 9): top-3 neighbors 1,2 (label 5) + 3 (label 7) →
+    // majority 5 with 2 votes. query 20 (label 9): top-4 neighbors carry
+    // labels {6,6,8,8} → 2-2 tie → predict 6 (smallest label).
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 9),
+      (1L, Seq(0.99f, 0.1f, 0f, 0f), 5),
+      (2L, Seq(0.99f, -0.1f, 0f, 0f), 5),
+      (3L, Seq(0.9f, 0.3f, 0f, 0f), 7),
+      (20L, Seq(0f, 0f, 1f, 0f), 9),
+      (21L, Seq(0f, 0.1f, 0.99f, 0f), 6),
+      (22L, Seq(0f, -0.1f, 0.99f, 0f), 6),
+      (23L, Seq(0f, 0.2f, 0.95f, 0f), 8),
+      (24L, Seq(0f, -0.2f, 0.95f, 0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val k3 = Similarity.knnClassify(emb,
+        col("vec_id") === 0, k = 3).collect()
+    assert(k3.length == 1)
+    assert(k3.head.getLong(0) == 0L && k3.head.getInt(1) == 9 &&
+      k3.head.getInt(2) == 5 && k3.head.getLong(3) == 2L)
+    val tied = Similarity.knnClassify(emb,
+        col("vec_id") === 20, k = 4).collect()
+    assert(tied.head.getInt(2) == 6 && tied.head.getLong(3) == 2L)
+  }
 }
