@@ -588,6 +588,15 @@ object SparkEntry {
     "emb_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(t(s, dir, "embeddings"), col("vec_id") < 8,
         k = 5)),
+    // recall cost of 64x PQ compression (8 subspaces x 16 seeded codes):
+    // brute kNN over the decoded corpus vs exact ground truth
+    "emb_knn_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        ann = Similarity.knnBrute(Similarity.pqDecoded(e),
+          col("vec_id") < 8, k = 3),
+        truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
+    }),
 
     // ── events: windowed agg + JSON + multimodal plumbing ─────────────
     "events_window_agg" -> ((s, dir) => {
@@ -1849,6 +1858,50 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT best.q_id, e.label, best.pred_label, best.n_votes
         |FROM best JOIN e ON e.vec_id = best.q_id""".stripMargin,
+    // PQ round-trip (m=8 subspaces of 8 dims, codebook = subspace slices of
+    // vectors 0..15, argmin L2² ties→lower code) → brute kNN over the
+    // reconstruction vs exact brute ground truth, recall@3
+    "emb_knn_pq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
+        | dst AS (SELECT e.vec_id, s.j, cb.code,
+        |   list_aggregate(list_transform(range(1, 9),
+        |     i -> (e.v[s.j * 8 + i] - cb.cv[s.j * 8 + i]) *
+        |          (e.v[s.j * 8 + i] - cb.cv[s.j * 8 + i])), 'sum') AS dist
+        |  FROM e, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) s, cb),
+        | enc AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code,
+        |   row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code)
+        |     AS rn FROM dst) t WHERE rn = 1),
+        | rec AS (SELECT enc.vec_id,
+        |   flatten(array_agg(list_slice(cb.cv, enc.j * 8 + 1, enc.j * 8 + 8)
+        |     ORDER BY enc.j)) AS v
+        |  FROM enc JOIN cb ON cb.code = enc.code GROUP BY enc.vec_id),
+        | s2 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(q.v) + 1),
+        |     i -> q.v[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(q.v) + 1),
+        |     i -> q.v[i] * q.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM rec q, rec c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        | ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM s2) t WHERE rn <= 3),
+        | bsc AS (SELECT b.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * b.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM e b, e c WHERE b.vec_id < 8 AND c.vec_id <> b.vec_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM bsc)
+        |  t WHERE rn <= 3)
+        |SELECT t.q_id, CAST(count(x.c_id) AS BIGINT) AS n_hit,
+        | round(count(x.c_id) / 3.0, 4) AS recall
+        |FROM truth t LEFT JOIN ann x USING (q_id, c_id)
+        |GROUP BY t.q_id""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),

@@ -189,6 +189,54 @@ object Similarity {
       .drop("sq8_mins", "sq8_rngs")
   }
 
+  /** The corpus round-tripped through a product quantizer (PQ): the vector
+    * is split into `m` contiguous subspaces and each subspace is replaced by
+    * its nearest entry (L2², ties → lower code) in a `ksub`-entry codebook —
+    * the standard high-compression ANN code (m·log2(ksub) bits per vector;
+    * m=8, ksub=16 stores a 64-dim float32 vector in 4 bytes, 64×). Returns
+    * the DECODED vectors so the quantization error is measurable the same
+    * way as [[sq8Dequantized]]: brute kNN over the reconstruction vs exact
+    * ground truth (the emb_knn_pq_recall query).
+    *
+    * The codebook is seeded from vectors 0..ksub−1 (their subspace slices),
+    * like [[ivfSeedCentroids]] — deterministic and oracle-expressible; a
+    * production build would k-means each subspace on a reservoir sample
+    * exactly as the IVF fit does.
+    *
+    * FULLY LAZY, one corpus scan: the codebook folds to a single-row
+    * array-of-vectors frame broadcast onto the corpus (constant fan-out),
+    * and encode/decode run per-row as HOF folds — m·ksub·(d/m) = ksub·d
+    * multiply-adds per row, no shuffle, no join, no plan-time job. */
+  def pqDecoded(emb: DataFrame, m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(m > 0 && ksub > 0, s"m and ksub must be positive: $m, $ksub")
+    val cb = emb.filter(col("vec_id") < ksub)
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id").as("i"),
+          col("embedding").cast("array<double>").as("v")))),
+        s => s.getField("v")).as("pq_cb"))
+    val v = col("embedding").cast("array<double>")
+    val dsub = (size(v) / m).cast("int")
+    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), j => {
+      val lo = (j * dsub + 1).cast("int")
+      val qsub = slice(v, lo, dsub)
+      val best = aggregate(
+        sequence(lit(0), lit(ksub - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, c) => {
+          val csub = slice(element_at(col("pq_cb"), c.cast("int") + 1),
+            lo, dsub)
+          val dist = aggregate(
+            zip_with(qsub, csub, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, t) => a + t)
+          when(dist < acc.getField("d"),
+            struct(dist.as("d"), c.cast("int").as("c"))).otherwise(acc)
+        })
+      slice(element_at(col("pq_cb"), best.getField("c") + 1), lo, dsub)
+    }))
+    emb.crossJoin(broadcast(cb))
+      .select(col("vec_id"), recon.as("embedding"), col("label"))
+  }
+
   /** Recall@k evaluation of an ANN result against brute-force ground truth:
     * per query, the fraction of the true top-k the ANN search found — the
     * quality dial every approximate index (LSH bits/bands, IVF nprobe) is

@@ -902,4 +902,23 @@ class NorthStarSpec extends SparkTestBase {
         col("vec_id") === 20, k = 4).collect()
     assert(tied.head.getInt(2) == 6 && tied.head.getLong(3) == 2L)
   }
+
+  test("Similarity.pqDecoded: codebook vectors round-trip exactly; others " +
+    "reconstruct per-subspace from the nearest codeword (ties → lower code)") {
+    val s = spark
+    import s.implicits._
+    // m=2 subspaces of 2 dims, ksub=2 → codebook = vectors 0 and 1.
+    // vec 2: subspace [0.9,0.1] → code 0 ([1,0], L2² 0.02 vs 1.62);
+    //        subspace [0.2,0.9] → code 0 ([0,1], L2² 0.05 vs 1.45)
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f), 0),
+      (1L, Seq(0f, 1f, 1f, 0f), 1),
+      (2L, Seq(0.9f, 0.1f, 0.2f, 0.9f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val rec = Similarity.pqDecoded(emb, m = 2, ksub = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rec(0L) == Seq(1.0, 0.0, 0.0, 1.0))
+    assert(rec(1L) == Seq(0.0, 1.0, 1.0, 0.0))
+    assert(rec(2L) == Seq(1.0, 0.0, 0.0, 1.0))
+  }
 }

@@ -190,11 +190,14 @@ class PlanShapeSpec extends SparkTestBase {
     //    broadcast centroid table (plans as BroadcastNestedLoopJoin, rows
     //    bounded at |Q|×nlist);
     //  - corpus_stats / doc_unigram_logprob / doc_tfidf_topk /
-    //    doc_dedup_report cross-join BROADCAST 1-row summary aggregates
-    //    (constant fan-out); the SQ8 family adds the 1-row broadcast
-    //    (mins, rngs) param frame of the now-lazy sq8Dequantized;
-    //  - emb_knn_brute (and emb_knn_recall / emb_knn_sq8_recall, which
-    //    embed it as ground truth or ANN arm) broadcasts the |Q| probe set
+    //    doc_dedup_report / corpus_mix_weights cross-join BROADCAST 1-row
+    //    summary aggregates (constant fan-out); the SQ8 family adds the
+    //    1-row broadcast (mins, rngs) param frame of the now-lazy
+    //    sq8Dequantized, and emb_knn_pq_recall the 1-row broadcast
+    //    codebook frame of pqDecoded;
+    //  - emb_knn_brute (and emb_knn_recall / emb_knn_sq8_recall /
+    //    emb_knn_pq_recall / emb_knn_classify, which embed it as ground
+    //    truth, ANN arm, or neighbor source) broadcasts the |Q| probe set
     //    against one corpus scan — the brute-force baseline IS that
     //    product, documented small-Q-only.
     val eager = Set("doc_dup_clusters", "doc_cluster_best",
@@ -202,7 +205,8 @@ class PlanShapeSpec extends SparkTestBase {
     val boundedNlj = Set("emb_knn_ivf", "corpus_stats",
       "doc_unigram_logprob", "doc_tfidf_topk", "emb_knn_brute",
       "emb_knn_recall", "doc_dedup_report", "emb_knn_sq8_recall",
-      "emb_knn_ivf_sq8", "emb_knn_ivf_sq8_recall", "emb_ivf_stats")
+      "emb_knn_ivf_sq8", "emb_knn_ivf_sq8_recall", "emb_ivf_stats",
+      "corpus_mix_weights", "emb_knn_pq_recall", "emb_knn_classify")
     for ((name, fn) <- SparkEntry.queries if !eager(name)) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
