@@ -414,6 +414,9 @@ object SparkEntry {
       TextAnalysis.languageIdNgram(t(s, dir, "documents"))),
     "doc_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(t(s, dir, "documents"))),
+    // composite Gopher-style gate: per-rule signals + keep verdict
+    "doc_gopher_filter" -> ((s, dir) =>
+      TextAnalysis.gopherFilter(t(s, dir, "documents"))),
     "doc_token_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTokenCount(t(s, dir, "documents"))),
     "doc_rolling_fp" -> ((s, dir) =>
@@ -519,6 +522,9 @@ object SparkEntry {
     // which sources share text: distinct-shingle overlap per source pair
     "corpus_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(t(s, dir, "documents"))),
+    // one-row headline: fraction of shingle occurrences that are repeats
+    "corpus_dup_share" -> ((s, dir) =>
+      Dedup.dupTokenShare(t(s, dir, "documents"))),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -967,6 +973,30 @@ object SparkEntry {
         |   AS punct_cnt,
         | round((n_chars - (len(words) - 1)) / len(words), 4) AS mean_tok_len
         |FROM w""".stripMargin,
+    // rules compare the 4dp-ROUNDED signals on both sides, so the keep
+    // verdict can never flip on a float boundary
+    "doc_gopher_filter" ->
+      """WITH w AS (SELECT doc_id, source, n_chars,
+        |   string_split(text, ' ') AS words FROM documents),
+        | b AS (SELECT doc_id, source,
+        |   CAST(len(words) AS BIGINT) AS n_tokens,
+        |   round((n_chars - (len(words) - 1)) / len(words), 4)
+        |     AS mean_tok_len,
+        |   CAST(len(list_filter(words, w -> list_contains(
+        |     ['the','a','of','and','to','in','is'], w))) AS BIGINT)
+        |     AS stop_cnt,
+        |   CASE WHEN len(words) >= 2 THEN
+        |     round(1.0 - CAST(len(list_distinct(list_transform(
+        |       range(1, len(words)),
+        |       i -> concat(words[i], ' ', words[i+1])))) AS DOUBLE)
+        |       / (len(words) - 1), 4)
+        |    ELSE 0.0 END AS rep_2gram
+        |  FROM w)
+        |SELECT doc_id, source, n_tokens, mean_tok_len, stop_cnt, rep_2gram,
+        | (n_tokens >= 20 AND n_tokens <= 100000 AND stop_cnt >= 2
+        |  AND rep_2gram <= 0.05 AND mean_tok_len >= 3.0
+        |  AND mean_tok_len <= 10.0) AS keep
+        |FROM b""".stripMargin,
     "doc_langid" ->
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words
         |  FROM documents),
@@ -1540,6 +1570,19 @@ object SparkEntry {
         | round(CAST(count(dr.drop_id) AS DOUBLE) / count(*), 4) AS drop_rate
         |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.drop_id
         |GROUP BY d.source""".stripMargin,
+    // the ngram-hist chain folded to one row: repeat-occurrence share
+    "corpus_dup_share" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        | sh AS (SELECT unnest(list_transform(range(1, len(words) - 1),
+        |   i -> concat(words[i], ' ', words[i+1], ' ', words[i+2])))
+        |     AS shingle
+        |  FROM w WHERE len(words) >= 3),
+        | c AS (SELECT shingle, count(*) AS cnt FROM sh GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_shingles,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 4)
+        |   AS dup_share
+        |FROM c""".stripMargin,
     // occurrence histogram over ALL 3-shingle appearances (repeats within a
     // doc count, matching how duplicated text inflates training loss)
     "corpus_ngram_hist" ->

@@ -435,6 +435,22 @@ object Dedup {
       .groupBy("shingle").agg(count(lit(1)).as("n_occurrences"))
       .groupBy("n_occurrences").agg(count(lit(1)).as("n_grams"))
 
+  /** One-row duplication summary: of all 3-shingle occurrences corpus-wide,
+    * how many are REPEAT occurrences (beyond each distinct shingle's first)
+    * — `dup_share` is the headline "what fraction of my text is repeated"
+    * number, the scalar [[ngramFrequencyHist]] is the distribution of.
+    * Same chain (explode → shingle-count aggregate) folded to one row;
+    * scales identically. */
+  def dupTokenShare(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(explode(col("shingle_arr")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("n_shingles"), col("n_distinct"),
+        round((col("n_shingles") - col("n_distinct")).cast("double")
+          / col("n_shingles"), 4).as("dup_share"))
+
   /** Cross-source contamination matrix: for every pair of sources, the
     * number of distinct 3-shingles they share — the report that tells a
     * pipeline owner which corpus components overlap (a mirrored crawl, a

@@ -82,6 +82,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
   }
 
+  /** Composite Gopher-style quality gate: the conjunction-of-cheap-rules
+    * document filter every large-scale curation pipeline runs first (the
+    * Gopher/RefinedWeb recipe — token-count window, minimum stopword
+    * evidence, bounded duplicate-2-gram fraction, plausible mean token
+    * length). Emits the per-rule signals PLUS the verdict, so the same
+    * relation serves as the filter (`WHERE keep`) and as the audit of WHY
+    * documents fail — the report a pipeline owner reads before tuning
+    * thresholds.
+    *
+    * All rule comparisons run on the 4dp-ROUNDED signals, so the verdict is
+    * engine-portable (no float-boundary disagreement between engines can
+    * flip `keep`). Pure per-row map — two chained projections (the 2-gram
+    * array aliased once, as in [[repetition]]), zero exchanges. */
+  def gopherFilter(docs: DataFrame,
+      minTokens: Long = 20, maxTokens: Long = 100000,
+      minStopHits: Long = 2, maxRep2: Double = 0.05,
+      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        tokens(col("text")).as("words"),
+        wordNgrams(col("text"), 2).as("g2"))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("words")).cast("long").as("n_tokens"),
+        round((col("n_chars") - (size(col("words")) - 1))
+          / size(col("words")), 4).as("mean_tok_len"),
+        stopHits(col("words"), enStop).cast("long").as("stop_cnt"),
+        when(size(col("g2")) > 0,
+          round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+            / size(col("g2")), 4)).otherwise(lit(0.0)).as("rep_2gram"))
+    base.withColumn("keep",
+      col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("stop_cnt") >= minStopHits && col("rep_2gram") <= maxRep2 &&
+        col("mean_tok_len") >= minMeanTokLen &&
+        col("mean_tok_len") <= maxMeanTokLen)
+  }
+
   /** Character-n-gram language heuristic: score each language by counts of
     * its characteristic bigrams/trigrams in the lower-cased text (the
     * classic profile approach at its smallest); argmax with a fixed

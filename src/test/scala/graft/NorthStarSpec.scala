@@ -903,6 +903,38 @@ class NorthStarSpec extends SparkTestBase {
     assert(tied.head.getInt(2) == 6 && tied.head.getLong(3) == 2L)
   }
 
+  test("Dedup.dupTokenShare: repeat-occurrence share over all shingle " +
+    "appearances, hand-computed") {
+    // doc1: 6 shingle occurrences over 3 distinct; doc2: 1 distinct →
+    // total 7, distinct 4, dup_share = 3/7 = 0.4286
+    val docs = docsDf(Seq(1L -> "a b c a b c a b", 2L -> "x y z"))
+    val r = Dedup.dupTokenShare(docs).head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L &&
+      r.getDouble(2) == 0.4286)
+  }
+
+  test("TextAnalysis.gopherFilter: each rule independently fails its " +
+    "violating document; clean doc passes; signals are audit-readable") {
+    val stopPad = "the a of and to in is" // 7 stopwords
+    val clean = (stopPad + " spark catalyst tungsten shuffle " +
+      "broadcast partition executor codegen parquet predicate pushdown " +
+      "vector column") // 21 tokens, no repeated 2-grams
+    val docs = srcDocsDf(Seq(
+      (1L, clean, "s"),
+      (2L, "too short entirely", "s"), // n_tokens 3 < 20
+      (3L, clean.replace(stopPad,
+        "spark sql plan exec node tree leaf"), "s"), // 0 stopwords
+      (4L, stopPad + " " + Seq.fill(7)("dup gram").mkString(" "), "s")))
+    // doc 4: "dup gram" repeated → rep_2gram far above 0.05
+    val out = TextAnalysis.gopherFilter(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    val audit = TextAnalysis.gopherFilter(docs).filter(col("doc_id") === 4)
+      .head
+    assert(audit.getLong(4) >= 2L) // stopwords fine…
+    assert(audit.getDouble(5) > 0.05) // …repetition is what failed
+  }
+
   test("Similarity.pqDecoded: codebook vectors round-trip exactly; others " +
     "reconstruct per-subspace from the nearest codeword (ties → lower code)") {
     val s = spark
