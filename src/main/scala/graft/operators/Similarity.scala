@@ -198,43 +198,98 @@ object Similarity {
     * way as [[sq8Dequantized]]: brute kNN over the reconstruction vs exact
     * ground truth (the emb_knn_pq_recall query).
     *
-    * The codebook is seeded from vectors 0..ksub−1 (their subspace slices),
-    * like [[ivfSeedCentroids]] — deterministic and oracle-expressible; a
-    * production build would k-means each subspace on a reservoir sample
-    * exactly as the IVF fit does.
+    * By default the codebook is seeded from vectors 0..ksub−1 (their
+    * subspace slices), like [[ivfSeedCentroids]] — deterministic and
+    * oracle-expressible. Pass `codebook` = [[pqFitCodebook]]'s output for
+    * the production per-subspace k-means fit (spec-covered; not oracle'd —
+    * KMeans is engine-specific).
     *
     * FULLY LAZY, one corpus scan: the codebook folds to a single-row
     * array-of-vectors frame broadcast onto the corpus (constant fan-out),
     * and encode/decode run per-row as HOF folds — m·ksub·(d/m) = ksub·d
     * multiply-adds per row, no shuffle, no join, no plan-time job. */
-  def pqDecoded(emb: DataFrame, m: Int = 8, ksub: Int = 16): DataFrame = {
+  def pqDecoded(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+                codebook: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && ksub > 0, s"m and ksub must be positive: $m, $ksub")
-    val cb = emb.filter(col("vec_id") < ksub)
-      .agg(transform(
-        array_sort(collect_list(struct(col("vec_id").as("i"),
-          col("embedding").cast("array<double>").as("v")))),
-        s => s.getField("v")).as("pq_cb"))
+    // one-row nested frame pq_cb[j][code] = dsub-dim centroid, either from
+    // an explicit (j, code, centroid) codebook (the [[pqFitCodebook]]
+    // production path) or seeded from the subspace slices of vectors
+    // 0..ksub−1 (deterministic, oracle-expressible)
+    val cb = codebook match {
+      case Some(cbdf) =>
+        cbdf.groupBy(col("j"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("code"),
+              col("centroid").cast("array<double>").as("cv")))),
+            s => s.getField("cv")).as("percode"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("j"),
+              col("percode").as("p")))),
+            s => s.getField("p")).as("pq_cb"))
+      case None =>
+        val full = emb.filter(col("vec_id") < ksub)
+          .agg(transform(
+            array_sort(collect_list(struct(col("vec_id").as("i"),
+              col("embedding").cast("array<double>").as("v")))),
+            s => s.getField("v")).as("cb_full"))
+        val dsubS = (size(element_at(col("cb_full"), 1)) / m).cast("int")
+        full.select(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(col("cb_full"), cv =>
+            slice(cv, (j * dsubS + 1).cast("int"), dsubS))).as("pq_cb"))
+    }
     val v = col("embedding").cast("array<double>")
     val dsub = (size(v) / m).cast("int")
     val recon = flatten(transform(sequence(lit(0), lit(m - 1)), j => {
-      val lo = (j * dsub + 1).cast("int")
-      val qsub = slice(v, lo, dsub)
+      val cands = element_at(col("pq_cb"), j + 1)
+      val qsub = slice(v, (j * dsub + 1).cast("int"), dsub)
       val best = aggregate(
         sequence(lit(0), lit(ksub - 1)),
         struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
         (acc, c) => {
-          val csub = slice(element_at(col("pq_cb"), c.cast("int") + 1),
-            lo, dsub)
+          val csub = element_at(cands, c.cast("int") + 1)
           val dist = aggregate(
             zip_with(qsub, csub, (x, y) => (x - y) * (x - y)),
             lit(0.0), (a, t) => a + t)
           when(dist < acc.getField("d"),
             struct(dist.as("d"), c.cast("int").as("c"))).otherwise(acc)
         })
-      slice(element_at(col("pq_cb"), best.getField("c") + 1), lo, dsub)
+      element_at(cands, best.getField("c") + 1)
     }))
     emb.crossJoin(broadcast(cb))
       .select(col("vec_id"), recon.as("embedding"), col("label"))
+  }
+
+  /** Production PQ codebook fit: per-subspace seeded KMeans over ONE
+    * bounded reservoir sample of the corpus (shared across all `m` fits —
+    * the sample is taken once and cached, so the corpus is scanned once
+    * regardless of m). Returns (j, code, centroid) rows — dsub-dim
+    * centroids, `ksub` per subspace — consumable by [[pqDecoded]]'s
+    * `codebook` parameter. Same sampling rationale as [[ivfFitCentroids]]:
+    * at 100 TB a full-corpus fit buys no recall a bounded sample doesn't.
+    * EAGER like the IVF fit (KMeans runs jobs at call time); fit once per
+    * dataset version, not per query. */
+  def pqFitCodebook(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+                    maxSample: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    val sampled = reservoirSample(emb.select(col("embedding")), maxSample)
+      .withColumn("v", col("embedding").cast("array<double>")).cache()
+    try {
+      val d = sampled.select(size(col("v"))).head.getInt(0)
+      require(d % m == 0, s"dims $d not divisible by m=$m")
+      val dsub = d / m
+      val rows = (0 until m).flatMap { j =>
+        val sub = sampled.select(array_to_vector(
+          slice(col("v"), j * dsub + 1, dsub)).as("vec"))
+        val model = new KMeans().setK(ksub).setSeed(42L + j)
+          .setFeaturesCol("vec").setPredictionCol("code").fit(sub)
+        model.clusterCenters.zipWithIndex.map { case (c, code) =>
+          (j, code, c.toArray.toSeq)
+        }
+      }
+      spark.createDataFrame(rows.toIndexedSeq).toDF("j", "code", "centroid")
+    } finally sampled.unpersist()
   }
 
   /** Recall@k evaluation of an ANN result against brute-force ground truth:
@@ -327,7 +382,27 @@ object Similarity {
                       maxSample: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val narrowed = emb.select(col("embedding"))
+    val sampled = reservoirSample(emb.select(col("embedding")), maxSample)
+    val withVec = sampled
+      .withColumn("vec", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42)
+      .setFeaturesCol("vec").setPredictionCol("cell")
+      .fit(withVec)
+    val spark = emb.sparkSession
+    spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.toSeq)
+      }.toIndexedSeq).toDF("cell", "centroid")
+  }
+
+  /** Seeded per-partition reservoir of ceil(maxSample / numPartitions) rows
+    * — ONE pass, no `count()` pre-scan. Partitions smaller than their quota
+    * contribute everything; uneven partition sizes skew toward small
+    * partitions, which is irrelevant for centroid seeding (KMeans refines)
+    * and buys back a full corpus scan at 100 TB. Shared by the IVF and PQ
+    * fits. */
+  private def reservoirSample(narrowed: DataFrame,
+                              maxSample: Int): DataFrame = {
     val nParts = math.max(1, narrowed.rdd.getNumPartitions)
     val perPart = math.max(1, (maxSample + nParts - 1) / nParts)
     val sampledRdd = narrowed.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -345,18 +420,7 @@ object Similarity {
       }
       buf.iterator.take(math.min(seen, perPart))
     }
-    val sampled =
-      emb.sparkSession.createDataFrame(sampledRdd, narrowed.schema)
-    val withVec = sampled
-      .withColumn("vec", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(42)
-      .setFeaturesCol("vec").setPredictionCol("cell")
-      .fit(withVec)
-    val spark = emb.sparkSession
-    spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.toSeq)
-      }.toIndexedSeq).toDF("cell", "centroid")
+    narrowed.sparkSession.createDataFrame(sampledRdd, narrowed.schema)
   }
 
   /** Deterministic, SQL-expressible centroid seed: the vectors with

@@ -953,4 +953,34 @@ class NorthStarSpec extends SparkTestBase {
     assert(rec(1L) == Seq(0.0, 1.0, 1.0, 0.0))
     assert(rec(2L) == Seq(1.0, 0.0, 0.0, 1.0))
   }
+
+  test("Similarity.pqFitCodebook: per-subspace k-means recovers an exactly " +
+    "ksub-clustered corpus, so trained-codebook decode reconstructs it " +
+    "perfectly where the seeded codebook cannot") {
+    val s = spark
+    import s.implicits._
+    // Each subspace takes exactly 2 distinct values across the corpus, but
+    // vectors 0..1 (the SEEDED codebook) only ever see one of them in
+    // subspace 1 — the trained fit must discover both.
+    val a = Seq(1f, 0f); val b = Seq(0f, 1f)
+    val rows = (0L until 40L).map { i =>
+      val sub0 = if (i % 2 == 0) a else b
+      val sub1 = if (i < 2) a else if (i % 3 == 0) a else b // 0,1 both see a
+      (i, sub0 ++ sub1, i.toInt)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqFitCodebook(emb, m = 2, ksub = 2, maxSample = 100)
+    assert(cb.count() == 4) // 2 subspaces × 2 codes
+    val trained = Similarity.pqDecoded(emb, m = 2, ksub = 2,
+      codebook = Some(cb)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v, _) <- rows)
+      assert(trained(id) == v.map(_.toDouble),
+        s"vec $id not perfectly reconstructed: ${trained(id)}")
+    // the seeded codebook's subspace-1 entries are both `a` → every vector
+    // with sub1 == b is mis-reconstructed there; trained fixes exactly that
+    val seeded = Similarity.pqDecoded(emb, m = 2, ksub = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(seeded(5L).slice(2, 4) == Seq(1.0, 0.0)) // forced to `a`
+  }
 }

@@ -304,6 +304,39 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exists(_._2 == 1L)) // the email was counted and scrubbed
   }
 
+  test("gopherFilter lifts to Structured Streaming unchanged: the " +
+    "composite quality gate is per-row, so the streamed verdicts match " +
+    "the batch twin exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Seq(
+      (1L, "the a of and to in is spark catalyst tungsten shuffle " +
+        "broadcast partition executor codegen parquet predicate pushdown " +
+        "vector column"), // passes every rule
+      (2L, "way too short"), // fails token window
+      (3L, "the a of and to in is " +
+        Seq.fill(7)("dup gram").mkString(" "))) // fails repetition bound
+    val mkDocs = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.gopherFilter(
+        mkDocs(input.toDF().toDF("doc_id", "text")))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sgopher").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("SELECT doc_id, keep FROM sgopher").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = graft.operators.TextAnalysis.gopherFilter(
+        mkDocs(rows.toDF("doc_id", "text"))).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(got == batch)
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("StreamingDedup.incrementalDedup: known-corpus docs dropped; " +
     "within-stream repeats emitted once ACROSS micro-batches") {
     val s = spark
