@@ -41,10 +41,15 @@ object Example {
     println("[example] features sample = " +
       feats.head().features.map(f => f"$f%.3f").mkString("[", ",", "]"))
 
-    // corpus curation: dedup effectiveness → near-dup clusters → keep the
-    // longest representative → scrub PII → pack what survives
+    // corpus curation: quality gate → dedup effectiveness → near-dup
+    // clusters → keep the longest representative → scrub PII → pack what
+    // survives → choose the next mix
     {
       import graft.operators.{CorpusOps, Dedup, TextAnalysis}
+      println("[example] gopher gate verdicts:")
+      TextAnalysis.gopherFilter(docs).groupBy("keep").count().show()
+      println("[example] corpus duplication headline:")
+      Dedup.dupTokenShare(docs).show()
       println("[example] dedup by source:")
       Dedup.dedupBySource(docs, 0.8).orderBy("source").show(5)
       val best = Dedup.clusterBest(docs, 0.8)
@@ -55,6 +60,8 @@ object Example {
         .agg(sum(col("n_emails") + col("n_phones"))).head.get(0))
       println("[example] packing fill:")
       CorpusOps.packStats(docs, maxTokens = 512).orderBy("source").show(3)
+      println("[example] next-epoch mixture weights (sqrt temperature):")
+      CorpusOps.mixtureWeights(docs).orderBy("source").show(3)
     }
 
     // ANN: IVF-SQ8 (codes in the cells, exact rescore) + measured recall
@@ -65,6 +72,9 @@ object Example {
       val truth = Similarity.knnBrute(emb, col("vec_id") < 4, k = 3)
       println("[example] IVF-SQ8 recall@3 per query:")
       Similarity.recallAtK(ann, truth, 3).orderBy("q_id").show()
+      println("[example] kNN label vote (pred vs own label):")
+      Similarity.knnClassify(emb, col("vec_id") < 4, k = 5)
+        .orderBy("q_id").show()
     }
 
     // streaming sessionization with custom keyed state
