@@ -525,6 +525,23 @@ object SparkEntry {
     // one-row headline: fraction of shingle occurrences that are repeats
     "corpus_dup_share" -> ((s, dir) =>
       Dedup.dupTokenShare(t(s, dir, "documents"))),
+    // C4-style boilerplate-line removal, run at WORD granularity: the
+    // synthetic corpus is single-line by construction (no '\n'), so each
+    // token stands in for a line — same plan, same semantics; the
+    // multi-line contract is fixture-proven in NorthStarSpec
+    "doc_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(t(s, dir, "documents"), sep = " ", maxDocs = 400)),
+    // bloom-prefiltered new-batch-vs-corpus dedup (every 10th doc is the
+    // "new batch"). The fingerprint is a 10-token PREFIX hash — the loose
+    // key that makes this corpus (zero exact dupes by construction)
+    // exercise the drop path; production uses the full-content default
+    "doc_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0),
+        fp = md5(concat_ws(" ", slice(split(col("text"), " ", -1), 1, 10))))
+    }),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -551,6 +568,14 @@ object SparkEntry {
     }),
     "emb_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(t(s, dir, "embeddings"), threshold = 0.4)),
+    // SemDeDup over seeded IVF cells: within-cell cosine >= 0.4, keep the
+    // smaller vec_id; returns the KEPT rows (threshold matches
+    // emb_near_dup's boundary-safe precedent on this corpus)
+    "emb_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDedup(e, Similarity.ivfSeedCentroids(e, 16),
+        threshold = 0.4)
+    }),
     "emb_knn_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.recallAtK(
@@ -1583,6 +1608,42 @@ object SparkEntry {
         | round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 4)
         |   AS dup_share
         |FROM c""".stripMargin,
+    // C4-style boilerplate-line removal at word granularity (sep=' ',
+    // maxDocs=400, minChars=1): a trimmed "line" in > 400 distinct docs is
+    // removed everywhere except the min-doc_id doc; text reassembled in
+    // original order
+    "doc_line_dedup" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS ls
+        |  FROM documents),
+        | e AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |   i -> struct_pack(idx := i, line := ls[i]))) AS s FROM l),
+        | x AS (SELECT doc_id, s.idx AS line_idx, s.line AS line,
+        |   md5(trim(s.line)) AS fp,
+        |   length(trim(s.line)) >= 1 AS eligible FROM e),
+        | d AS (SELECT fp, min(doc_id) AS first_doc FROM x WHERE eligible
+        |  GROUP BY fp HAVING count(DISTINCT doc_id) > 400),
+        | k AS (SELECT x.doc_id, x.line_idx, x.line,
+        |   (NOT x.eligible OR d.fp IS NULL OR d.first_doc = x.doc_id)
+        |     AS keep
+        |  FROM x LEFT JOIN d USING (fp))
+        |SELECT doc_id,
+        | coalesce(string_agg(line, ' ' ORDER BY line_idx)
+        |   FILTER (WHERE keep), '') AS clean_text,
+        | count(*) AS n_lines,
+        | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id""".stripMargin,
+    // bloom-prefiltered incremental dedup: the bloom is a pure plan
+    // optimization (false positives die in the exact confirm join), so the
+    // oracle is the plain anti-join on the same 10-token-prefix fingerprint
+    "doc_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |   md5(array_to_string(list_slice(string_split(text, ' '), 1, 10),
+        |     ' ')) AS fp
+        |  FROM documents)
+        |SELECT n.doc_id, n.lang, n.source FROM d n
+        |WHERE n.doc_id % 10 = 0
+        | AND NOT EXISTS (SELECT 1 FROM d k
+        |   WHERE k.doc_id % 10 <> 0 AND k.fp = n.fp)""".stripMargin,
     // occurrence histogram over ALL 3-shingle appearances (repeats within a
     // doc count, matching how duplicated text inflates training loss)
     "corpus_ngram_hist" ->
@@ -1725,6 +1786,37 @@ object SparkEntry {
         |   AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 4) AS score
         |FROM p WHERE cos > 0.4""".stripMargin,
+    // SemDeDup: seeded-centroid cell assignment (emb_knn_ivf's `a` CTE),
+    // within-cell pairs with cosine >= 0.4 drop the larger vec_id; kept
+    // rows survive. Cell-size guard mirrored (HAVING <= 10000)
+    "emb_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | dd AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell FROM
+        |   (SELECT vec_id, v, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM dd) t
+        |  WHERE rn = 1),
+        | ok AS (SELECT cell FROM a GROUP BY cell
+        |  HAVING count(*) <= 10000),
+        | p AS (SELECT DISTINCT y.vec_id AS drop_id
+        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |   JOIN ok ON ok.cell = x.cell
+        |  WHERE list_aggregate(list_transform(range(1, len(x.v) + 1),
+        |     i -> x.v[i] * y.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(x.v) + 1),
+        |     i -> x.v[i] * x.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(y.v) + 1),
+        |     i -> y.v[i] * y.v[i]), 'sum'))) >= 0.4)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell FROM a
+        |WHERE a.vec_id NOT IN (SELECT drop_id FROM p)""".stripMargin,
     // recall@3 of the sign-LSH ANN vs exact brute-force on the same probes:
     // both CTE chains are the emb_knn_brute / emb_knn_lsh oracles at k=3
     "emb_knn_recall" ->

@@ -358,6 +358,49 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("score"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings into cells, compare
+    * vectors PAIRWISE only within their cell, and drop the larger vec_id of
+    * every within-cell pair with cosine ≥ `threshold`. Returns the KEPT
+    * rows as (vec_id, cell). This is the embedding-space sibling of
+    * [[Dedup.dedupPipeline]]: MinHash catches lexical near-dups, SemDeDup
+    * catches paraphrases and template rewrites that share no shingles.
+    *
+    * Deviation from the paper, documented: the paper keeps the member
+    * FARTHEST from its cluster centroid per duplicate group; this keeps the
+    * smallest vec_id — deterministic, engine-portable, and the same
+    * keep-min rule every other dedup op here uses.
+    *
+    * Scale shape: cell assignment is [[ivfAssign]]'s map-only argmin (one
+    * corpus scan, zero shuffles); the pairing is an equi-join on `cell`, so
+    * work is Σ|cell|² — bounded by choosing nlist ∝ √N, the paper's own
+    * recipe. `maxCellVecs` ENFORCES the bound the way [[Dedup.ngramJaccard]]
+    * guards blocks: cells holding more vectors are excluded from pairing
+    * entirely (their members are all kept) — a collapsed-centroid hot cell
+    * degrades recall, not the cluster. Excluded cells are queryable via
+    * [[ivfStats]] (occupancy > maxCellVecs). The final anti-join's right
+    * side is the (small) drop list; the corpus is never shuffled for it. */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame,
+                    threshold: Double = 0.95,
+                    maxCellVecs: Int = 10000): DataFrame = {
+    val assigned = ivfAssign(emb, centroids)
+      .withColumn("nrm", l2(col("embedding")))
+    val cellOk = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCellVecs).select("cell")
+    val bounded = assigned.join(broadcast(cellOk), Seq("cell"))
+    val a = bounded.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("nrm_a"))
+    val b = bounded.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nrm_b"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b"))
+        >= threshold)
+      .select(col("vec_b").as("drop_id")).distinct()
+    assigned.join(drops, col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
+
   // ── IVF (inverted-file) ANN ────────────────────────────────────────────
   // Coarse-quantize the corpus into `nlist` cells, then search only the
   // `nprobe` cells whose centroids are nearest each query: corpus-side work

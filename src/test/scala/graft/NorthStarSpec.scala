@@ -983,4 +983,60 @@ class NorthStarSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(seeded(5L).slice(2, 4) == Seq(1.0, 0.0)) // forced to `a`
   }
+
+  test("Dedup.lineDedup: boilerplate lines removed everywhere except the " +
+    "first doc; short lines exempt; text reassembled in original order") {
+    val docs = docsDf(Seq(
+      1L -> "COOKIE BANNER\nunique alpha body\nx",
+      2L -> "COOKIE BANNER\nunique beta body\nx",
+      3L -> "COOKIE BANNER\nunique gamma body",
+      4L -> "all original content here",
+      5L -> "COOKIE BANNER")) // every line boilerplate → empty, not absent
+    val out = Dedup.lineDedup(docs, sep = "\n", maxDocs = 2, minChars = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // banner is in 4 docs > maxDocs=2 → removed except in doc 1; "x" is in
+    // 2 docs but trimmed length 1 < minChars=2 → exempt everywhere
+    assert(out(1L) == (("COOKIE BANNER\nunique alpha body\nx", 3L, 0L)))
+    assert(out(2L) == (("unique beta body\nx", 3L, 1L)))
+    assert(out(3L) == (("unique gamma body", 2L, 1L)))
+    assert(out(4L) == (("all original content here", 1L, 0L)))
+    assert(out(5L) == (("", 1L, 1L)))
+  }
+
+  test("Dedup.incrementalDedup equals the plain anti-join — even with a " +
+    "tiny bloom forcing false positives through the confirm join") {
+    val known = docsDf(Seq(1L -> "aa bb", 2L -> "cc dd", 3L -> "ee ff"))
+    val fresh = docsDf(Seq(10L -> "aa bb", 11L -> "zz yy",
+      12L -> "qq ww", 13L -> "cc dd"))
+    // 8-bit sketch → near-certain false positives; result must not change
+    val tiny = Dedup.incrementalDedup(fresh, known,
+      estimatedItems = 4, numBits = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == Set(11L, 12L))
+    val sized = Dedup.incrementalDedup(fresh, known)
+      .collect().map(_.getLong(0)).toSet
+    assert(sized == Set(11L, 12L))
+  }
+
+  test("Similarity.semanticDedup: within-cell near-duplicates drop the " +
+    "larger vec_id; low-cosine cellmates survive; hot-cell guard keeps " +
+    "oversized cells whole") {
+    val emb = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), // centroid of cell 0
+      1L -> Seq(0f, 1f, 0f, 0f), // centroid of cell 1
+      2L -> Seq(0.99f, 0.01f, 0f, 0f), // cell 0, cos≈1 vs 0 → dropped
+      3L -> Seq(0f, 0.9f, 0.1f, 0f), // cell 1, cos≈0.99 vs 1 → dropped
+      4L -> Seq(-1f, 0.2f, 0f, 0f))) // cell 1, cos≈0.2 vs all → kept
+    val cents = Similarity.ivfSeedCentroids(emb, 2)
+    val kept = Similarity.semanticDedup(emb, cents, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set(0L, 1L, 4L))
+    assert(kept(0L) == 0L && kept(1L) == 1L && kept(4L) == 1L)
+    // maxCellVecs=1 → every cell oversized → excluded from pairing → all kept
+    val all = Similarity.semanticDedup(emb, cents, threshold = 0.9,
+      maxCellVecs = 1)
+    assert(all.count() == 5)
+  }
 }
