@@ -78,6 +78,74 @@ class PropertySpec extends SparkTestBase {
       .head.isNullAt(0))
   }
 
+  test("property: lineDedup matches a driver-side reference on random " +
+    "multi-line corpora (5 seeded trials)") {
+    val s = spark
+    import s.implicits._
+    val linePool = Vector("shared banner one", "shared banner two",
+      "common footer", "x", "  padded line  ")
+    for (trial <- 1 to 5) {
+      val docs = (1 to 12).map { id =>
+        val n = 1 + rnd.nextInt(5)
+        val lines = (0 until n).map { _ =>
+          if (rnd.nextBoolean()) linePool(rnd.nextInt(linePool.size))
+          else s"unique $trial $id ${token()}"
+        }
+        (id.toLong, lines.mkString("\n"))
+      }
+      val maxDocs = 1 + rnd.nextInt(3)
+      val minChars = 1 + rnd.nextInt(3)
+      // driver-side reference: same contract, scala collections
+      val eligible = (l: String) => l.trim.length >= minChars
+      val firstDoc = docs
+        .flatMap { case (id, t) => t.split("\n", -1).map(l => (l.trim, id)) }
+        .filter { case (l, _) => eligible(l) }
+        .groupBy(_._1)
+        .collect { case (l, xs) if xs.map(_._2).distinct.size > maxDocs =>
+          l -> xs.map(_._2).min }
+      val expect = docs.map { case (id, t) =>
+        val ls = t.split("\n", -1)
+        val kept = ls.filter(l => !eligible(l) ||
+          firstDoc.get(l.trim).forall(_ == id))
+        id -> ((kept.mkString("\n"), ls.length.toLong,
+          (ls.length - kept.length).toLong))
+      }.toMap
+      val got = graft.operators.Dedup.lineDedup(
+        docs.map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        sep = "\n", maxDocs = maxDocs, minChars = minChars)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      assert(got == expect, s"trial $trial maxDocs=$maxDocs " +
+        s"minChars=$minChars")
+    }
+  }
+
+  test("property: incrementalDedup equals set-difference semantics on " +
+    "random overlapping batches, bloom sized from 8 bits to defaults") {
+    val s = spark
+    import s.implicits._
+    def mk(ids: Seq[Long], texts: Seq[String]) =
+      ids.zip(texts).map { case (id, t) =>
+        (id, t, "en", "srcA", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (trial <- 1 to 5) {
+      val pool = Vector.fill(12)(s"$trial ${token()} ${token()}")
+      val knownTexts = Seq.fill(8)(pool(rnd.nextInt(pool.size)))
+      val newTexts = Seq.fill(8)(pool(rnd.nextInt(pool.size)))
+      val known = mk((1L to 8L), knownTexts)
+      val fresh = mk((101L to 108L), newTexts)
+      val expect = (101L to 108L).zip(newTexts)
+        .collect { case (id, t) if !knownTexts.contains(t) => id }.toSet
+      val bits = if (trial % 2 == 0) 8L else 1L << 23
+      val got = graft.operators.Dedup.incrementalDedup(fresh, known,
+        estimatedItems = 8, numBits = bits)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"trial $trial bits=$bits")
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val s = spark
     import s.implicits._
