@@ -55,6 +55,17 @@ object Example {
       val best = Dedup.clusterBest(docs, 0.8)
       println(s"[example] near-dup clusters=${best.count()} " +
         "(keep-longest representatives)")
+      println("[example] boilerplate line removal (word granularity):")
+      Dedup.lineDedup(docs, sep = " ", maxDocs = 40)
+        .agg(sum(col("n_lines")).as("lines_in"),
+          sum(col("n_removed")).as("lines_removed")).show()
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+      val survived = Dedup.incrementalDedup(
+        newBatch, docs.filter(col("doc_id") % 10 =!= 0),
+        fp = md5(concat_ws(" ",
+          slice(split(col("text"), " ", -1), 1, 10))))
+      println(s"[example] bloom incremental dedup: batch=" +
+        s"${newBatch.count()} survived=${survived.count()}")
       val scrubbed = TextAnalysis.piiScrub(docs)
       println("[example] pii removed: " + scrubbed
         .agg(sum(col("n_emails") + col("n_phones"))).head.get(0))
@@ -75,6 +86,10 @@ object Example {
       println("[example] kNN label vote (pred vs own label):")
       Similarity.knnClassify(emb, col("vec_id") < 4, k = 5)
         .orderBy("q_id").show()
+      val kept = Similarity.semanticDedup(emb,
+        Similarity.ivfSeedCentroids(emb, 8), threshold = 0.4)
+      println(s"[example] SemDeDup: kept ${kept.count()} of " +
+        s"${emb.count()} embeddings (cosine >= 0.4 within cell)")
     }
 
     // streaming sessionization with custom keyed state

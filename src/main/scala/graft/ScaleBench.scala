@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 
 /** Scale-stress bench: measures the scale-critical paths (LSH candidate
   * generation, the full dedup pipeline, sign-LSH kNN, the persisted IVF
-  * probe, and the two heaviest per-row text ops — rolling fingerprint and
-  * repetition scoring, the class where per-row MEMORY regressions hide)
+  * probe, the two heaviest per-row text ops — rolling fingerprint and
+  * repetition scoring, the class where per-row MEMORY regressions hide —
+  * plus line-level dedup and the bloom-prefiltered incremental dedup, the
+  * two corpus-wide join chains added in round 7)
   * at 1×, 10×, and 100× the sf0.1 corpus, and reports warm-over-warm
   * growth ratios. This converts the plan-shape "scales" arguments in
   * SURVEY/VERDICT into measurements: a bucketed/candidate-bounded operator
@@ -43,9 +45,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
+  /** Measured paths. `emb_semantic_dedup` is deliberately ABSENT: its
+    * within-cell pairing under the registered query's FIXED nlist=16 grows
+    * with the square of the corpus (the workload's construction, not the
+    * engine — SemDeDup's scale dial is nlist ∝ √N, per the operator
+    * scaladoc), and past `maxCellVecs` the hot-cell guard excludes cells
+    * wholesale, so a fixed-config ratio would measure either the quadratic
+    * workload or the guard's refusal — both already spec-documented. */
   private val ScaleQueries =
     Seq("doc_lsh_pairs", "doc_dedup_pipeline", "emb_knn_lsh",
-      "emb_knn_ivf_indexed", "doc_rolling_fp", "doc_repetition")
+      "emb_knn_ivf_indexed", "doc_rolling_fp", "doc_repetition",
+      "doc_line_dedup", "doc_dedup_incremental")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** id remap stride between copies — far above any base id, so copy-0 keeps

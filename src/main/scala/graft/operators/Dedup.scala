@@ -510,17 +510,32 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, knownDocs: DataFrame,
                        fp: Column = md5(col("text")),
                        estimatedItems: Long = 1L << 20,
-                       numBits: Long = 1L << 23): DataFrame = {
+                       numBits: Long = 1L << 23): DataFrame =
+    bloomAntiJoinFp(newDocs.withColumn("fp", fp),
+      knownDocs.select(fp.as("fp")), estimatedItems, numBits)
+      .select("doc_id", "lang", "source")
+
+  /** The bloom-prefiltered anti-join at the heart of [[incrementalDedup]],
+    * reusable wherever a SMALL keyed batch subtracts a HUGE key set (the
+    * streaming fp-store compaction probe is the other caller): rows of
+    * `batch` (must carry an `fp` column) minus those whose fp appears in
+    * `knownFps` ("fp" column). The bloom is aggregated over the batch and
+    * rides a lazy scalar subquery into the known-side scan as a map-only
+    * `might_contain` filter; the exact anti-join against the (bounded)
+    * survivors removes false positives, so the result is exactly the plain
+    * anti-join's. An EMPTY batch yields a null sketch, `might_contain`
+    * evaluates null, the filter keeps nothing — correct degenerate case. */
+  def bloomAntiJoinFp(batch: DataFrame, knownFps: DataFrame,
+                      estimatedItems: Long = 1L << 20,
+                      numBits: Long = 1L << 23): DataFrame = {
     import org.apache.spark.sql.GraftShims
-    val bloomDf = newDocs.agg(
-      GraftShims.bloomFilterAgg(xxhash64(fp), estimatedItems, numBits)
+    val bloomDf = batch.agg(
+      GraftShims.bloomFilterAgg(xxhash64(col("fp")), estimatedItems, numBits)
         .as("bf"))
-    val knownHits = knownDocs.select(fp.as("fp"))
+    val knownHits = knownFps.select(col("fp"))
       .filter(GraftShims.mightContain(
         GraftShims.scalarSubquery(bloomDf), xxhash64(col("fp"))))
-    newDocs.withColumn("fp", fp)
-      .join(knownHits, Seq("fp"), "left_anti")
-      .select("doc_id", "lang", "source")
+    batch.join(knownHits, Seq("fp"), "left_anti")
   }
 
   /** C4-style cross-corpus LINE dedup: a line (any `sep`-delimited segment,

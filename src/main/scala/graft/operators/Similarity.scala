@@ -383,8 +383,16 @@ object Similarity {
   def semanticDedup(emb: DataFrame, centroids: DataFrame,
                     threshold: Double = 0.95,
                     maxCellVecs: Int = 10000): DataFrame = {
+    // repartition(cell)-materialized because THREE consumers read the
+    // assignment (census, both self-join sides) and a map-only argmin has
+    // no exchange for ReuseExchange to latch onto — without it every branch
+    // re-runs the nlist·d argmin over the corpus. With it the argmin runs
+    // once, census and join sides inherit the hash(cell) partitioning, and
+    // the self-join is co-located — the same reason ivfWriteIndex buckets
+    // the persisted index by cell.
     val assigned = ivfAssign(emb, centroids)
       .withColumn("nrm", l2(col("embedding")))
+      .repartition(col("cell"))
     val cellOk = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxCellVecs).select("cell")
     val bounded = assigned.join(broadcast(cellOk), Seq("cell"))

@@ -64,11 +64,14 @@ object StreamingDedup {
     * duplicate fp rows — harmless: the probe `.distinct()`s, and a
     * periodic rewrite can compact the store files offline.
     *
-    * Scale shape per batch: one fresh store scan (fp column only — at
-    * 100 TB corpus scale the store is ~32 bytes × distinct docs, and AQE
-    * broadcasts it while it fits, shuffle-joins beyond), one batch-local
-    * dedup, one append of ≤|batch| fp rows. The stream is never shuffled
-    * against the corpus text — only against 32-char fingerprints.
+    * Scale shape per batch: one fresh store scan, prefiltered by a bloom
+    * over the BATCH's fingerprints ([[graft.operators.Dedup.bloomAntiJoinFp]]
+    * — the store scan is a map-only codegen'd `might_contain` probe that
+    * emits only fps colliding with the batch, so the store is never
+    * shuffled and never broadcast whole; the exact anti-join against the
+    * ≤|batch|+FP survivors settles it), one batch-local dedup, one append
+    * of ≤|batch| fp rows. The stream is never shuffled against the corpus
+    * text — only 32-char fingerprints ever cross stages.
     *
     * Returns the configured `DataStreamWriter` — caller sets checkpoint /
     * trigger and starts it. */
@@ -89,8 +92,8 @@ object StreamingDedup {
         else
           s.createDataFrame(s.sparkContext.emptyRDD[Row],
             StructType(Seq(StructField("fp", StringType))))
-      val novel = batch.dropDuplicates("fp")
-        .join(known, Seq("fp"), "left_anti")
+      val novel = graft.operators.Dedup
+        .bloomAntiJoinFp(batch.dropDuplicates("fp"), known)
         .persist()
       try {
         deliver(novel, batchId)

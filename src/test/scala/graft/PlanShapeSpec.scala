@@ -218,6 +218,40 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("doc_dedup_incremental: the bloom rides a subquery into a map-side " +
+    "might_contain probe — the known corpus is scanned, never shuffled; " +
+    "the confirm anti-join broadcasts the survivors") {
+    val (n, plan, df) = ran("doc_dedup_incremental")
+    assert(n > 0)
+    assertNoPlanBombs("doc_dedup_incremental", plan)
+    // expression-level details (the probe predicate, its subquery feed)
+    // need the verbose rendering — fullPlanString prints node names only
+    val verbose = df.queryExecution.executedPlan.toString
+    assert(verbose.contains("might_contain"),
+      s"bloom probe missing from the corpus scan:\n$verbose")
+    assert(verbose.toLowerCase.contains("subquery"),
+      s"bloom must arrive via a lazy scalar subquery, not a literal:" +
+        s"\n$verbose")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"confirm anti-join must broadcast the bloom survivors:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the confirm join:\n$plan")
+  }
+
+  test("doc_line_dedup: census and probe join on the line fingerprint — " +
+    "the offender list broadcasts; only the census and the doc-reassembly " +
+    "aggregates shuffle the exploded corpus") {
+    val (n, plan, df) = ran("doc_line_dedup")
+    assert(n > 0)
+    assertNoPlanBombs("doc_line_dedup", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate offender list must broadcast onto the lines:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"exploded corpus shuffled for the offender join:\n$plan")
+  }
+
   test("doc_decontaminate: the eval-gram side broadcasts — the corpus " +
     "explode is probed map-side, never shuffled on gram") {
     val (n, plan, _) = ran("doc_decontaminate")
