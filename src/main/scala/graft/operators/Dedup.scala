@@ -561,7 +561,10 @@ object Dedup {
     * broadcasts it when small — then one doc-keyed aggregate to reassemble.
     * Nothing is quadratic; the only all-corpus shuffles are the two hash
     * aggregates, both map-side combined. `sep` is a literal, regex-quoted
-    * before hitting `split`. */
+    * before hitting `split`. Per-row memory note (the doc_rolling_fp
+    * lesson): the reassembly collect_list buffers one document's own lines
+    * — O(doc size), the same order as the row it rebuilds, with NO
+    * amplification factor; the census side carries only (fp, doc_id). */
   def lineDedup(docs: DataFrame, sep: String = "\n", maxDocs: Int = 1,
                 minChars: Int = 1): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
