@@ -542,6 +542,14 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 0),
         fp = md5(concat_ws(" ", slice(split(col("text"), " ", -1), 1, 10))))
     }),
+    // incremental NEAR-dedup: the same new-batch split, LSH-banded against
+    // the rest of the corpus, exact Jaccard >= 0.8 on candidates
+    "doc_dedup_incremental_near" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.incrementalNearDedup(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0))
+    }),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -1632,6 +1640,42 @@ object SparkEntry {
         | count(*) AS n_lines,
         | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM k GROUP BY doc_id""".stripMargin,
+    // incremental near-dedup: the doc_ngram_jaccard_lsh chain with the
+    // candidate join split across the batch/corpus boundary, then an
+    // anti-join of the batch against the >= 0.8 drop list
+    "doc_dedup_incremental_near" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+        | sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | drops AS (SELECT DISTINCT c.doc_a FROM cand c
+        |  JOIN sets a ON c.doc_a = a.doc_id
+        |  JOIN sets b ON c.doc_b = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 10 = 0
+        | AND doc_id NOT IN (SELECT doc_a FROM drops)""".stripMargin,
     // bloom-prefiltered incremental dedup: the bloom is a pure plan
     // optimization (false positives die in the exact confirm join), so the
     // oracle is the plain anti-join on the same 10-token-prefix fingerprint

@@ -95,12 +95,7 @@ object Dedup {
     // materializes it once and only the cheap post-shuffle aggregate runs
     // per branch. (A persist() here leaked cached blocks for the session
     // lifetime — callers had no seam to unpersist.)
-    val banded = sigs
-      .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("seed"),
-          col("minhash")))), s => s.getField("minhash")), "|")).as("bucket"))
+    val banded = bandTable(sigs, rowsPerBand)
     val a = banded.select(col("doc_id").as("doc_a"), col("band"),
       col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"),
@@ -109,6 +104,20 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** LSH band table over [[minhash]] signatures: one (doc_id, band, bucket)
+    * row per band, where the bucket is the hash of the band's `rowsPerBand`
+    * consecutive minhashes. This is the join key space of every LSH dedup
+    * variant — and the relation to PERSIST at 100 TB (bucketed by
+    * (band, bucket), exactly like `Similarity.ivfWriteIndex` buckets cells)
+    * so incremental probes never re-sign the corpus. */
+  def bandTable(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame =
+    sigs
+      .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("seed"),
+          col("minhash")))), s => s.getField("minhash")), "|")).as("bucket"))
 
   /** N-gram Jaccard similarity over blocked pairs: blocks are
     * (lang, source, n_chars bucket) — deterministic, selective blocking;
@@ -214,18 +223,61 @@ object Dedup {
 
   /** Unrounded [[ngramJaccardOn]] — thresholding compares exact values. */
   private def jaccardOnPairsRaw(docs: DataFrame,
-                                pairs: DataFrame): DataFrame = {
-    val sets = shingles(docs).select(col("doc_id"),
+                                pairs: DataFrame): DataFrame =
+    jaccardAcross(docs, docs, pairs)
+
+  /** Exact shingle Jaccard on `pairs` (doc_a from `docsA`, doc_b from
+    * `docsB`) — the two-frame generalization [[incrementalNearDedup]]
+    * needs; both sides' shingle work survives only through the inner joins,
+    * so cost is candidate-bounded. */
+  private def jaccardAcross(docsA: DataFrame, docsB: DataFrame,
+                            pairs: DataFrame): DataFrame = {
+    def sets(d: DataFrame) = shingles(d).select(col("doc_id"),
       array_sort(array_distinct(col("shingle_arr"))).as("sset"))
     val inter = size(array_intersect(col("set_a"), col("set_b")))
     pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")),
-        "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")),
-        "doc_b")
+      .join(sets(docsA).select(col("doc_id").as("doc_a"),
+        col("sset").as("set_a")), "doc_a")
+      .join(sets(docsB).select(col("doc_id").as("doc_b"),
+        col("sset").as("set_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") /
           (size(col("set_a")) + size(col("set_b")) - inter)).as("jaccard"))
+  }
+
+  /** Incremental NEAR-duplicate dedup — the LSH sibling of the bloom-exact
+    * [[incrementalDedup]], closing the incremental story: drop new-batch
+    * documents whose exact shingle Jaccard against ANY known-corpus
+    * document reaches `jaccardThreshold`, where candidates come from a
+    * cross-frame band join (batch bands probe corpus bands) instead of a
+    * corpus self-join — today's crawl near-dedups against the 100 TB corpus
+    * WITHOUT re-running corpus-wide LSH. Identical text is a 1.0-Jaccard
+    * candidate by construction, so exact dups fall out too (docs under 3
+    * tokens carry no signature — route those through [[incrementalDedup]]).
+    *
+    * Scale shape: the batch side's signature chain is increment-sized; the
+    * corpus side is one signature pass at bench scale and a PERSISTED
+    * (band, bucket)-bucketed [[bandTable]] in production (build it with
+    * one `bucketBy((band, bucket)).saveAsTable` job per corpus version,
+    * like the IVF index) — then the probe join is co-located against the
+    * index with no corpus-side exchange. Scoring joins prune to candidate
+    * docs via the inner joins; the final anti-join's right side is the
+    * (small) drop list. */
+  def incrementalNearDedup(newDocs: DataFrame, knownDocs: DataFrame,
+                           jaccardThreshold: Double = 0.8,
+                           minhashK: Int = 4,
+                           rowsPerBand: Int = 2): DataFrame = {
+    val bNew = bandTable(minhash(newDocs, minhashK), rowsPerBand)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val bKnown = bandTable(minhash(knownDocs, minhashK), rowsPerBand)
+      .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val cands = bNew.join(bKnown, Seq("band", "bucket"))
+      .select("doc_a", "doc_b").distinct()
+    val drops = jaccardAcross(newDocs, knownDocs, cands)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a").as("drop_id")).distinct()
+    newDocs.join(drops, col("doc_id") === col("drop_id"), "left_anti")
+      .select("doc_id", "lang", "source")
   }
 
   /** The user-facing dedup endpoint: drop exact duplicates (keep min

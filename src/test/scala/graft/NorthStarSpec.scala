@@ -1020,6 +1020,21 @@ class NorthStarSpec extends SparkTestBase {
     assert(sized == Set(11L, 12L))
   }
 
+  test("Dedup.incrementalNearDedup: batch docs near-duplicating the " +
+    "corpus are dropped (exact dups fall out as 1.0-Jaccard candidates); " +
+    "novel docs survive") {
+    val known = docsDf(Seq(1L -> dupText,
+      4L -> ("completely different words about spark catalyst physical " +
+        "plans")))
+    val fresh = docsDf(Seq(
+      10L -> dupText, // exact duplicate of corpus doc 1
+      11L -> (dupText + " slightly"), // near-dup of 1 (J = 8/9 ≈ 0.89)
+      12L -> "totally novel content words nothing shared here at all"))
+    val out = Dedup.incrementalNearDedup(fresh, known)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L))
+  }
+
   test("Similarity.semanticDedup: within-cell near-duplicates drop the " +
     "larger vec_id; low-cosine cellmates survive; hot-cell guard keeps " +
     "oversized cells whole") {
