@@ -470,6 +470,9 @@ object SparkEntry {
     "doc_token_budget" -> ((s, dir) =>
       CorpusOps.tokenBudgetSample(t(s, dir, "documents"),
         budgetTokens = 800)),
+    // deterministic 98/1/1 train/val/test assignment by doc-id hash
+    "doc_split_assign" -> ((s, dir) =>
+      TextAnalysis.splitAssign(t(s, dir, "documents"))),
     // corpus token-length profile over fixed integer buckets
     "doc_length_hist" -> ((s, dir) =>
       CorpusOps.lengthHistogram(t(s, dir, "documents"))),
@@ -1383,6 +1386,17 @@ object SparkEntry {
         |     ORDER BY ord, doc_id) AS cum
         |  FROM b)
         |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800""".stripMargin,
+    // 98/1/1 hash split: cumulative 16-bit hex thresholds fae1 (= round
+    // (0.98*65536)) and fd71 (= round(0.99*65536)); lexicographic compare
+    // of fixed-width lowercase hex == numeric compare
+    "doc_split_assign" ->
+      """SELECT doc_id, lang, source,
+        | CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |     < 'fae1' THEN 'train'
+        |   WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |     < 'fd71' THEN 'val'
+        |   ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "doc_length_hist" ->
       """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |  FROM documents),

@@ -382,6 +382,38 @@ object TextAnalysis {
     docs.filter(keep)
   }
 
+  /** Deterministic train/validation/test split assignment — the step every
+    * training-data pipeline runs last, with the same contract as
+    * [[mixSample]]: the split is decided by the document's OWN id hash
+    * (`substr(md5("split:" + doc_id), 1, 4)` against cumulative 16-bit hex
+    * thresholds), so membership is reproducible across runs, engines,
+    * partitionings, and retries, and NO document ever migrates between
+    * splits when the corpus around it changes — the property that keeps a
+    * held-out set held out across corpus versions (random splits leak).
+    * `splits` are (name, weight) in order; weights must sum to 1 within
+    * 1e-9. The last split takes the hash tail, so rounding never orphans a
+    * document. Pure per-row map: no shuffle, no state. */
+  def splitAssign(docs: DataFrame,
+                  splits: Seq[(String, Double)] = Seq(
+                    "train" -> 0.98, "val" -> 0.01, "test" -> 0.01)
+                 ): DataFrame = {
+    require(splits.nonEmpty, "splitAssign: at least one split required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"splitAssign: weights must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    def thrHex(c: Double): String =
+      f"${math.max(0L, math.min(65535L, (c * 65536).round))}%04x"
+    val assigned = splits.init.zip(cums.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cum), tail) =>
+          when(bucket < lit(thrHex(cum)), lit(name)).otherwise(tail)
+      }
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      assigned.as("split"))
+  }
+
   /** Rolling-hash document fingerprint: the minimum hash over all character
     * 8-grams (a content-defined fingerprint stable under local edits
     * elsewhere in the document — winnowing with a whole-document window).

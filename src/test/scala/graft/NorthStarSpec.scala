@@ -1020,6 +1020,27 @@ class NorthStarSpec extends SparkTestBase {
     assert(sized == Set(11L, 12L))
   }
 
+  test("TextAnalysis.splitAssign: exhaustive, roughly proportional, and " +
+    "STABLE — a doc keeps its split when the corpus around it changes") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val docs = docsDf((1L to 200L).map(i => i -> s"doc number $i words"))
+    val a1 = TextAnalysis.splitAssign(docs, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a1.size == 200)
+    assert(a1.values.toSet.subsetOf(Set("train", "val", "test")))
+    val counts = a1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 120) // ~160 expected at 0.8
+    // the held-out property: membership is a pure function of doc_id, so
+    // shrinking the corpus to a quarter reassigns nothing
+    val sub = docsDf((1L to 50L).map(i => i -> s"doc number $i words"))
+    val a2 = TextAnalysis.splitAssign(sub, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a2.forall { case (id, sp) => a1(id) == sp })
+    intercept[IllegalArgumentException] {
+      TextAnalysis.splitAssign(docs, Seq("train" -> 0.5))
+    }
+  }
+
   test("Dedup.incrementalNearDedup: batch docs near-duplicating the " +
     "corpus are dropped (exact dups fall out as 1.0-Jaccard candidates); " +
     "novel docs survive") {

@@ -337,6 +337,39 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("StreamingDedup.incrementalNearDedupBatched: per-batch LSH probe " +
+    "vs the static corpus — near-dups of corpus docs never delivered, " +
+    "novel docs delivered") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val known = Seq((1L, base, "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val input = MemoryStream[(Long, String, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source")
+    val delivered = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = graft.streaming.StreamingDedup
+      .incrementalNearDedupBatched(docs, known) { (novel, _) =>
+        delivered.synchronized {
+          delivered ++= novel.collect().map(_.getLong(0))
+        }
+      }
+      .option("checkpointLocation", tmpDir("sneardedup_cp"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData((10L, base, "en", "srcA"), // exact dup of corpus doc
+      (11L, base + " slightly", "en", "srcA"), // near-dup (J ≈ 0.89)
+      (12L, "totally novel content words nothing shared here at all",
+        "en", "srcA"))
+    q.processAllAvailable()
+    input.addData(
+      (13L, "another batch of fresh unrelated material entirely",
+        "en", "srcA"))
+    q.processAllAvailable()
+    q.stop()
+    assert(delivered.sorted.toSeq == Seq(12L, 13L))
+  }
+
   test("StreamingDedup.incrementalDedup: known-corpus docs dropped; " +
     "within-stream repeats emitted once ACROSS micro-batches") {
     val s = spark
