@@ -553,6 +553,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 === 0),
         d.filter(col("doc_id") % 10 =!= 0))
     }),
+    // the production flow: probe a PERSISTED bucketed band+sets index,
+    // built once per corpus version (EAGER at construction, like
+    // emb_knn_ivf_indexed). Same oracle as the inline variant — the chain
+    // is deterministic, so both return identical rows.
+    "doc_dedup_incremental_near_indexed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (bands, sets) = nearDupIndexedTables(s, dir)
+      Dedup.incrementalNearDedupIndexed(s,
+        d.filter(col("doc_id") % 10 === 0), bands, sets)
+    }),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -679,6 +689,38 @@ object SparkEntry {
     * of silently serving a stale one (the metastore persists across JVMs in
     * this cwd), and two distinct dirs can never collide on a name. Warm
     * runs skip straight to the probe path. */
+  /** Persisted near-dup index (bands + shingle sets) for the documents
+    * table under `dir`, keyed by a dataset fingerprint exactly like
+    * [[ivfIndexedTable]]: a changed corpus forces a rebuild, stale
+    * same-dir siblings are dropped. Returns (bandsTable, setsTable). */
+  private def nearDupIndexedTables(s: SparkSession,
+                                   dir: String): (String, String) = {
+    val d = t(s, dir, "documents")
+    val conf = s.sparkContext.hadoopConfiguration
+    val sig = d.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }.mkString("\n")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    val dirTag = math.abs(dir.hashCode.toLong)
+    val bands = s"graft_neardup_bands_${dirTag}_$fp"
+    val sets = s"graft_neardup_sets_${dirTag}_$fp"
+    if (!s.catalog.tableExists(bands) || !s.catalog.tableExists(sets)) {
+      s.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => (n.startsWith(s"graft_neardup_bands_${dirTag}_") ||
+          n.startsWith(s"graft_neardup_sets_${dirTag}_")) &&
+          n != bands && n != sets)
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      Dedup.nearDupWriteIndex(d.filter(col("doc_id") % 10 =!= 0),
+        bands, sets, buckets = 8)
+    }
+    (bands, sets)
+  }
+
   private def ivfIndexedTable(s: SparkSession,
                               dir: String): (String, DataFrame) = {
     val e = t(s, dir, "embeddings")
@@ -706,6 +748,46 @@ object SparkEntry {
     }
     (table, cents)
   }
+
+  /** Incremental near-dedup oracle, shared by `doc_dedup_incremental_near`
+    * (inline corpus signatures) and `..._near_indexed` (persisted bucketed
+    * band + sets index): the doc_ngram_jaccard_lsh chain with the candidate
+    * join split across the batch/corpus boundary, then an anti-join of the
+    * batch against the >= 0.8 drop list. The chain is deterministic, so
+    * both paths return identical rows. */
+  private val NearDedupOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+      | sh AS (SELECT doc_id, unnest(list_transform(
+      |   range(1, len(words) - 1), i ->
+      |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      |  FROM g),
+      | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+      | mh AS (SELECT doc_id, seed,
+      |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+      |  FROM sd GROUP BY doc_id, seed),
+      | banded AS (SELECT doc_id, seed // 2 AS band,
+      |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+      |  FROM mh GROUP BY doc_id, seed // 2),
+      | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |   ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+      | sets AS (SELECT doc_id,
+      |  list_sort(list_distinct(list_transform(
+      |    range(1, len(words) - 1), i ->
+      |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+      |  FROM g),
+      | drops AS (SELECT DISTINCT c.doc_a FROM cand c
+      |  JOIN sets a ON c.doc_a = a.doc_id
+      |  JOIN sets b ON c.doc_b = b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+      |   (len(a.sset) + len(b.sset) -
+      |    len(list_intersect(a.sset, b.sset))) >= 0.8)
+      |SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id % 10 = 0
+      | AND doc_id NOT IN (SELECT doc_a FROM drops)""".stripMargin
 
   /** Seeded-centroid IVF oracle, shared by `emb_knn_ivf` (inline assign)
     * and `emb_knn_ivf_indexed` (persisted bucketed index): the chain is
@@ -1656,40 +1738,10 @@ object SparkEntry {
         |FROM k GROUP BY doc_id""".stripMargin,
     // incremental near-dedup: the doc_ngram_jaccard_lsh chain with the
     // candidate join split across the batch/corpus boundary, then an
-    // anti-join of the batch against the >= 0.8 drop list
-    "doc_dedup_incremental_near" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-        |  FROM documents),
-        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
-        | sh AS (SELECT doc_id, unnest(list_transform(
-        |   range(1, len(words) - 1), i ->
-        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
-        |  FROM g),
-        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
-        | mh AS (SELECT doc_id, seed,
-        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
-        |  FROM sd GROUP BY doc_id, seed),
-        | banded AS (SELECT doc_id, seed // 2 AS band,
-        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
-        |  FROM mh GROUP BY doc_id, seed // 2),
-        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b
-        |   ON a.band = b.band AND a.bucket = b.bucket
-        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
-        | sets AS (SELECT doc_id,
-        |  list_sort(list_distinct(list_transform(
-        |    range(1, len(words) - 1), i ->
-        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
-        |  FROM g),
-        | drops AS (SELECT DISTINCT c.doc_a FROM cand c
-        |  JOIN sets a ON c.doc_a = a.doc_id
-        |  JOIN sets b ON c.doc_b = b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
-        |   (len(a.sset) + len(b.sset) -
-        |    len(list_intersect(a.sset, b.sset))) >= 0.8)
-        |SELECT doc_id, lang, source FROM documents
-        |WHERE doc_id % 10 = 0
-        | AND doc_id NOT IN (SELECT doc_a FROM drops)""".stripMargin,
+    // anti-join of the batch against the >= 0.8 drop list. Shared with the
+    // persisted-index variant — deterministic chain, identical rows.
+    "doc_dedup_incremental_near" -> NearDedupOracleSql,
+    "doc_dedup_incremental_near_indexed" -> NearDedupOracleSql,
     // bloom-prefiltered incremental dedup: the bloom is a pure plan
     // optimization (false positives die in the exact confirm join), so the
     // oracle is the plain anti-join on the same 10-token-prefix fingerprint

@@ -226,24 +226,35 @@ object Dedup {
                                 pairs: DataFrame): DataFrame =
     jaccardAcross(docs, docs, pairs)
 
-  /** Exact shingle Jaccard on `pairs` (doc_a from `docsA`, doc_b from
-    * `docsB`) — the two-frame generalization [[incrementalNearDedup]]
-    * needs; both sides' shingle work survives only through the inner joins,
-    * so cost is candidate-bounded. */
-  private def jaccardAcross(docsA: DataFrame, docsB: DataFrame,
-                            pairs: DataFrame): DataFrame = {
-    def sets(d: DataFrame) = shingles(d).select(col("doc_id"),
+  /** (doc_id, sset) — each doc's sorted distinct 3-shingle set, the
+    * scoring-side relation of every exact-Jaccard variant. */
+  private def shingleSets(d: DataFrame): DataFrame =
+    shingles(d).select(col("doc_id"),
       array_sort(array_distinct(col("shingle_arr"))).as("sset"))
+
+  /** Exact Jaccard over two pre-built [[shingleSets]] relations on `pairs`
+    * (doc_a from `setsA`, doc_b from `setsB`); candidate-bounded via the
+    * inner joins. */
+  private def jaccardOnSets(setsA: DataFrame, setsB: DataFrame,
+                            pairs: DataFrame): DataFrame = {
     val inter = size(array_intersect(col("set_a"), col("set_b")))
     pairs
-      .join(sets(docsA).select(col("doc_id").as("doc_a"),
+      .join(setsA.select(col("doc_id").as("doc_a"),
         col("sset").as("set_a")), "doc_a")
-      .join(sets(docsB).select(col("doc_id").as("doc_b"),
+      .join(setsB.select(col("doc_id").as("doc_b"),
         col("sset").as("set_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") /
           (size(col("set_a")) + size(col("set_b")) - inter)).as("jaccard"))
   }
+
+  /** Exact shingle Jaccard on `pairs` (doc_a from `docsA`, doc_b from
+    * `docsB`) — the two-frame generalization [[incrementalNearDedup]]
+    * needs; both sides' shingle work survives only through the inner joins,
+    * so cost is candidate-bounded. */
+  private def jaccardAcross(docsA: DataFrame, docsB: DataFrame,
+                            pairs: DataFrame): DataFrame =
+    jaccardOnSets(shingleSets(docsA), shingleSets(docsB), pairs)
 
   /** Incremental NEAR-duplicate dedup — the LSH sibling of the bloom-exact
     * [[incrementalDedup]], closing the incremental story: drop new-batch
@@ -266,14 +277,60 @@ object Dedup {
   def incrementalNearDedup(newDocs: DataFrame, knownDocs: DataFrame,
                            jaccardThreshold: Double = 0.8,
                            minhashK: Int = 4,
-                           rowsPerBand: Int = 2): DataFrame = {
+                           rowsPerBand: Int = 2): DataFrame =
+    nearDedupProbe(newDocs,
+      bandTable(minhash(knownDocs, minhashK), rowsPerBand),
+      shingleSets(knownDocs), jaccardThreshold, minhashK, rowsPerBand)
+
+  /** Build the PERSISTED near-dup probe index for a corpus version — the
+    * production path the inline [[incrementalNearDedup]] scaladoc names:
+    * the LSH band table saved bucketed by `bucket` (probe joins then
+    * co-locate against the stored layout — bucket determines band content,
+    * so hash(bucket) clusters the (band, bucket) join keys) and the
+    * distinct-shingle sets saved bucketed by `doc_id` for the exact-scoring
+    * join. ONE signature pass over the corpus per version, amortized over
+    * every subsequent increment, vs re-signing 100 TB per probe. Space
+    * tradeoff, stated: the sets table is corpus-shingle-sized — the index
+    * trades storage for zero per-probe recompute (the alternative, re-
+    * reading raw docs to score candidates, re-pays tokenize+shingle per
+    * probe). EAGER: runs the two write jobs at call time; rebuild once per
+    * corpus version, like `Similarity.ivfWriteIndex`. */
+  def nearDupWriteIndex(docs: DataFrame, bandsTable: String,
+                        setsTable: String, minhashK: Int = 4,
+                        rowsPerBand: Int = 2, buckets: Int = 32): Unit = {
+    Bucketing.writeBucketed(bandTable(minhash(docs, minhashK), rowsPerBand),
+      bandsTable, "bucket", buckets)
+    Bucketing.writeBucketed(shingleSets(docs), setsTable, "doc_id", buckets)
+  }
+
+  /** [[incrementalNearDedup]] against a PERSISTED index
+    * ([[nearDupWriteIndex]] output) — query-time work is the increment's
+    * own signature chain plus two joins against stored relations; the
+    * corpus is not touched. Same parameters ⇒ identical results to the
+    * inline variant (the chain is deterministic). */
+  def incrementalNearDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+                                  newDocs: DataFrame, bandsTable: String,
+                                  setsTable: String,
+                                  jaccardThreshold: Double = 0.8,
+                                  minhashK: Int = 4,
+                                  rowsPerBand: Int = 2): DataFrame =
+    nearDedupProbe(newDocs, spark.table(bandsTable), spark.table(setsTable),
+      jaccardThreshold, minhashK, rowsPerBand)
+
+  /** Probe stage shared by the inline and indexed near-dedup variants:
+    * batch bands join known bands (band, bucket) → candidates; exact
+    * Jaccard on candidates via the known-side shingle sets; anti-join the
+    * drop list. */
+  private def nearDedupProbe(newDocs: DataFrame, knownBands: DataFrame,
+                             knownSets: DataFrame, jaccardThreshold: Double,
+                             minhashK: Int, rowsPerBand: Int): DataFrame = {
     val bNew = bandTable(minhash(newDocs, minhashK), rowsPerBand)
       .select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val bKnown = bandTable(minhash(knownDocs, minhashK), rowsPerBand)
+    val bKnown = knownBands
       .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     val cands = bNew.join(bKnown, Seq("band", "bucket"))
       .select("doc_a", "doc_b").distinct()
-    val drops = jaccardAcross(newDocs, knownDocs, cands)
+    val drops = jaccardOnSets(shingleSets(newDocs), knownSets, cands)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a").as("drop_id")).distinct()
     newDocs.join(drops, col("doc_id") === col("drop_id"), "left_anti")

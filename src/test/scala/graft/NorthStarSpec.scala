@@ -1056,6 +1056,26 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Set(12L))
   }
 
+  test("Dedup.incrementalNearDedupIndexed: the persisted band+sets index " +
+    "returns exactly the inline variant's rows") {
+    val s = spark
+    val known = docsDf(Seq(1L -> dupText,
+      4L -> ("completely different words about spark catalyst physical " +
+        "plans")))
+    val fresh = docsDf(Seq(
+      10L -> dupText,
+      11L -> (dupText + " slightly"),
+      12L -> "totally novel content words nothing shared here at all"))
+    Dedup.nearDupWriteIndex(known, "test_nd_bands", "test_nd_sets",
+      buckets = 2)
+    val indexed = Dedup.incrementalNearDedupIndexed(s, fresh,
+      "test_nd_bands", "test_nd_sets").collect().map(_.getLong(0)).toSet
+    val inline = Dedup.incrementalNearDedup(fresh, known)
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed == inline)
+    assert(indexed == Set(12L))
+  }
+
   test("Similarity.semanticDedup: within-cell near-duplicates drop the " +
     "larger vec_id; low-cosine cellmates survive; hot-cell guard keeps " +
     "oversized cells whole") {
