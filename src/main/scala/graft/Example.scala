@@ -60,12 +60,18 @@ object Example {
         .agg(sum(col("n_lines")).as("lines_in"),
           sum(col("n_removed")).as("lines_removed")).show()
       val newBatch = docs.filter(col("doc_id") % 10 === 0)
-      val survived = Dedup.incrementalDedup(
-        newBatch, docs.filter(col("doc_id") % 10 =!= 0),
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val survived = Dedup.incrementalDedup(newBatch, corpus,
         fp = md5(concat_ws(" ",
           slice(split(col("text"), " ", -1), 1, 10))))
       println(s"[example] bloom incremental dedup: batch=" +
         s"${newBatch.count()} survived=${survived.count()}")
+      val nearSurvived = Dedup.incrementalNearDedup(newBatch, corpus)
+      println(s"[example] LSH incremental near-dedup: batch=" +
+        s"${newBatch.count()} survived=${nearSurvived.count()}")
+      println("[example] train/val/test split sizes:")
+      TextAnalysis.splitAssign(docs).groupBy("split").count()
+        .orderBy("split").show()
       val scrubbed = TextAnalysis.piiScrub(docs)
       println("[example] pii removed: " + scrubbed
         .agg(sum(col("n_emails") + col("n_phones"))).head.get(0))
