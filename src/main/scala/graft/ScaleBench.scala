@@ -55,7 +55,8 @@ object ScaleBench {
   private val ScaleQueries =
     Seq("doc_lsh_pairs", "doc_dedup_pipeline", "emb_knn_lsh",
       "emb_knn_ivf_indexed", "doc_rolling_fp", "doc_repetition",
-      "doc_line_dedup", "doc_dedup_incremental")
+      "doc_line_dedup", "doc_dedup_incremental",
+      "doc_dedup_incremental_near")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** id remap stride between copies — far above any base id, so copy-0 keeps
