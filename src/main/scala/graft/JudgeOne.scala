@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Judge scratch: time individual SparkEntry queries (args: sfDir name...). */
+object JudgeOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = new java.io.PrintWriter(
+      new java.io.FileWriter("/tmp/judge_results.txt", true), true)
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        out.println(f"JUDGE $n ok ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch {
+        case e: Throwable =>
+          out.println(f"JUDGE $n FAIL ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    }
+    out.close()
+    spark.stop()
+  }
+}
