@@ -19,8 +19,8 @@ import org.apache.spark.sql.SparkSession
   *     `cdr_mask`-class queries.
   *   - `value` (the headline metric) is the COLD first-run total: Catalyst
   *     planning + janino codegen included, matching how a fresh job would
-  *     see it. Steady state is measured as the MEDIAN of `WarmTrials` (3)
-  *     further passes per query — a background-load spike on one trial
+  *     see it. Steady state is measured as the MEDIAN of up to `WarmTrials`
+  *     (3) further passes per query — a background-load spike on one trial
   *     (r5's phantom 19 s `enrich_s66`) lands in `warm_max`, never in the
   *     reported `warm_queries`/`warm_total`; the per-query min/max spread
   *     is published so contention is visible instead of silently absorbed.
@@ -34,6 +34,23 @@ import org.apache.spark.sql.SparkSession
   *     pre-r5 harness recorded failures as -1.0 and filtered them out of
   *     the total — a broken query improved the headline, exactly
   *     backwards.)
+  *   - KILL-SAFE, BUDGET-AWARE (round-8 harness, after the round-7 artifact
+  *     died rc=124 with nothing on stdout): the full JSON line is emitted
+  *     after EVERY QUERY of the cold pass (flagged `partial` until the
+  *     pass completes) and after each warm pass — to stdout and the out
+  *     file, so an external timeout kill at any point still leaves the
+  *     latest checkpoint artifact as the last parseable stdout line.
+  *     `warm_trials_done` says how many warm passes the line reflects
+  *     (0 = cold-only: warm_* fields then REPEAT the cold numbers as the
+  *     best available estimate and must be read as cold). A wall-clock
+  *     budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1500 s, measured from
+  *     JVM entry) is checked before each warm pass against the cost of the
+  *     previous pass; if the next pass cannot finish inside the budget it
+  *     is skipped and `budget_truncated` is true — the suite degrades to
+  *     fewer warm trials instead of a dead artifact. Totals never get
+  *     cheaper from truncation: cold `value` is always a full pass, and
+  *     skipping warm passes only widens the published spread, never
+  *     shrinks the reported median's trial count silently.
   */
 object Bench {
 
@@ -41,14 +58,17 @@ object Bench {
     * than the time actually spent before the failure. */
   private val FailurePenaltySec = 60.0
 
-  /** Steady-state trials per query; the reported warm time is their median
-    * (odd count → a true element, no averaging of unlike trials). */
+  /** Max steady-state trials per query; the reported warm time is the median
+    * of the trials that fit the budget. */
   private val WarmTrials = 3
 
   def main(args: Array[String]): Unit = {
+    val jvmT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,6 +78,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def elapsedTotalSec: Double = (System.nanoTime() - jvmT0) / 1e9
 
     /** (charged seconds, error message if the query failed) */
     def once(name: String): (Double, Option[String]) = {
@@ -75,24 +97,6 @@ object Bench {
       }
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val cold = names.map(n => n -> once(n))
-    // Warm trials are grouped per PASS (all queries, then repeat), not per
-    // query back-to-back: a transient machine-wide load spike then taints
-    // one trial of many queries instead of all trials of one, and the
-    // median discards it.
-    val warmTrials: Seq[Seq[(String, (Double, Option[String]))]] =
-      (1 to WarmTrials).map(_ => names.map(n => n -> once(n)))
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    /** (median seconds, first error if any trial failed) per query. */
-    val warm: Seq[(String, (Double, Option[String]))] = names.zipWithIndex
-      .map { case (n, i) =>
-        val trials = warmTrials.map(_(i)._2)
-        n -> (median(trials.map(_._1)), trials.flatMap(_._2).headOption)
-      }
-    val warmMin = names.zipWithIndex.map { case (n, i) =>
-      n -> warmTrials.map(_(i)._2._1).min }
-    val warmMax = names.zipWithIndex.map { case (n, i) =>
-      n -> warmTrials.map(_(i)._2._1).max }
 
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -114,19 +118,84 @@ object Bench {
         .mkString("{", ",", "}")
     def total(kvs: Seq[(String, (Double, Option[String]))]): Double =
       kvs.map(_._2._1).sum
-    val nErr = (cold ++ warm).count(_._2._2.isDefined)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    val line =
-      s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
-        s""","queries":${timesObj(cold)},"errors":${errsObj(cold)}""" +
-        s""","warm_total":${total(warm)},"warm_queries":${timesObj(warm)}""" +
-        s""","warm_errors":${errsObj(warm)},"n_err":$nErr""" +
-        s""","warm_trials":$WarmTrials,"warm_min":${numsObj(warmMin)}""" +
-        s""","warm_max":${numsObj(warmMax)}""" +
-        s""","failure_penalty_sec":$FailurePenaltySec,"sf":${jsonStr(sfDir)}}"""
-    println(line)
-    Files.write(Paths.get(outPath),
-      (line + "\n").getBytes(StandardCharsets.UTF_8))
+    /** Emit the artifact reflecting the passes completed so far. Called
+      * after every pass so a kill between passes loses at most one pass.
+      * `coldDone` < names.size marks a PARTIAL artifact (mid-cold-pass
+      * checkpoint): `partial` is true, totals cover only the finished
+      * queries, and `queries_done` says how many — an honest fragment
+      * beats the round-7 outcome (external timeout kill mid-pass, nothing
+      * parseable on stdout at all). */
+    def emit(cold: Seq[(String, (Double, Option[String]))],
+             warmTrials: Seq[Seq[(String, (Double, Option[String]))]],
+             truncated: Boolean): Unit = {
+      val coldDone = cold.size
+      // With zero completed warm passes the cold pass doubles as the only
+      // observation — warm_* then repeats cold, flagged by warm_trials_done=0.
+      val obs = if (warmTrials.isEmpty) Seq(cold) else warmTrials
+      val doneNames = names.take(coldDone)
+      val warm: Seq[(String, (Double, Option[String]))] = doneNames.zipWithIndex
+        .map { case (n, i) =>
+          val trials = obs.map(_(i)._2)
+          n -> (median(trials.map(_._1)), trials.flatMap(_._2).headOption)
+        }
+      val warmMin = doneNames.zipWithIndex.map { case (n, i) =>
+        n -> obs.map(_(i)._2._1).min }
+      val warmMax = doneNames.zipWithIndex.map { case (n, i) =>
+        n -> obs.map(_(i)._2._1).max }
+      val nErr = (cold ++ warm).count(_._2._2.isDefined)
+      val line =
+        s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
+          s""","queries":${timesObj(cold)},"errors":${errsObj(cold)}""" +
+          s""","warm_total":${total(warm)},"warm_queries":${timesObj(warm)}""" +
+          s""","warm_errors":${errsObj(warm)},"n_err":$nErr""" +
+          s""","warm_trials":${warmTrials.size},"warm_min":${numsObj(warmMin)}""" +
+          s""","warm_max":${numsObj(warmMax)}""" +
+          s""","warm_trials_done":${warmTrials.size}""" +
+          s""","partial":${coldDone < names.size}""" +
+          s""","queries_done":$coldDone,"n_queries":${names.size}""" +
+          s""","budget_truncated":$truncated""" +
+          s""","elapsed_total_sec":$elapsedTotalSec""" +
+          s""","failure_penalty_sec":$FailurePenaltySec,"sf":${jsonStr(sfDir)}}"""
+      println(line)
+      Console.out.flush()
+      Files.write(Paths.get(outPath),
+        (line + "\n").getBytes(StandardCharsets.UTF_8))
+    }
+
+    // Cold pass, checkpointed per query: a kill anywhere mid-pass leaves
+    // the last per-query partial line as the artifact.
+    var coldAcc = Vector.empty[(String, (Double, Option[String]))]
+    names.foreach { n =>
+      coldAcc = coldAcc :+ (n -> once(n))
+      emit(coldAcc, Nil, truncated = false)
+    }
+    val cold: Seq[(String, (Double, Option[String]))] = coldAcc
+    // Warm trials are grouped per PASS (all queries, then repeat), not per
+    // query back-to-back: a transient machine-wide load spike then taints
+    // one trial of many queries instead of all trials of one, and the
+    // median discards it.
+    var warmDone: Vector[Seq[(String, (Double, Option[String]))]] = Vector()
+    var lastPassSec = total(cold)
+    var truncated = false
+    var i = 0
+    while (i < WarmTrials && !truncated) {
+      // A pass is started only if the previous pass's cost (the best
+      // predictor of this one's) fits in the remaining budget with 20%
+      // headroom; otherwise stop — the emitted artifact stays whole.
+      if (elapsedTotalSec + lastPassSec * 1.2 > budgetSec) {
+        truncated = true
+        emit(cold, warmDone, truncated = true)
+      } else {
+        val t0 = System.nanoTime()
+        val pass = names.map(n => n -> once(n))
+        lastPassSec = (System.nanoTime() - t0) / 1e9
+        warmDone = warmDone :+ pass
+        emit(cold, warmDone, truncated = false)
+      }
+      i += 1
+    }
     spark.stop()
   }
 }

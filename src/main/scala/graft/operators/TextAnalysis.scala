@@ -405,10 +405,16 @@ object TextAnalysis {
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     def thrHex(c: Double): String =
       f"${math.max(0L, math.min(65535L, (c * 65536).round))}%04x"
+    // A cumulative threshold >= 1.0 covers the whole hash space — emit an
+    // unconditional keep (as mixSample's keepAt does) instead of clamping to
+    // 0xffff, which would leak the "ffff" bucket past a full-weight split
+    // into a zero-weight trailing one (e.g. train->1.0, test->0.0).
+    def below(cum: Double): Column =
+      if (cum >= 1.0) lit(true) else bucket < lit(thrHex(cum))
     val assigned = splits.init.zip(cums.init)
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), cum), tail) =>
-          when(bucket < lit(thrHex(cum)), lit(name)).otherwise(tail)
+          when(below(cum), lit(name)).otherwise(tail)
       }
     docs.select(col("doc_id"), col("lang"), col("source"),
       assigned.as("split"))

@@ -45,6 +45,24 @@ object StreamingDedup {
       .join(knownFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Per-micro-batch NEAR-dedup of a document stream against a static
+    * corpus — the streaming face of
+    * [[graft.operators.Dedup.incrementalNearDedup]]. Runs inside
+    * `foreachBatch` because the LSH chain aggregates (minhash, banding),
+    * which is natural over a completed micro-batch and unsupported
+    * mid-stream in append mode; each batch's survivors go to `deliver`
+    * (idempotent delivery expected, standard foreachBatch contract). At
+    * scale the corpus side reads a PERSISTED (band, bucket)-bucketed
+    * [[graft.operators.Dedup.bandTable]] rather than re-signing the corpus
+    * per batch — same production note as the batch operator. */
+  def incrementalNearDedupBatched(newDocs: DataFrame, knownDocs: DataFrame,
+      jaccardThreshold: Double = 0.8)(
+      deliver: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      deliver(graft.operators.Dedup.incrementalNearDedup(
+        batch, knownDocs, jaccardThreshold), batchId)
+    }
+
   /** The unbounded-stream answer the watermarked variant's scaladoc names:
     * watermark-bounded state catches SHORT-window repeats cheaply, and a
     * per-batch fp-store COMPACTION catches the long tail — every delivered
@@ -75,24 +93,6 @@ object StreamingDedup {
     *
     * Returns the configured `DataStreamWriter` — caller sets checkpoint /
     * trigger and starts it. */
-  /** Per-micro-batch NEAR-dedup of a document stream against a static
-    * corpus — the streaming face of
-    * [[graft.operators.Dedup.incrementalNearDedup]]. Runs inside
-    * `foreachBatch` because the LSH chain aggregates (minhash, banding),
-    * which is natural over a completed micro-batch and unsupported
-    * mid-stream in append mode; each batch's survivors go to `deliver`
-    * (idempotent delivery expected, standard foreachBatch contract). At
-    * scale the corpus side reads a PERSISTED (band, bucket)-bucketed
-    * [[graft.operators.Dedup.bandTable]] rather than re-signing the corpus
-    * per batch — same production note as the batch operator. */
-  def incrementalNearDedupBatched(newDocs: DataFrame, knownDocs: DataFrame,
-      jaccardThreshold: Double = 0.8)(
-      deliver: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      deliver(graft.operators.Dedup.incrementalNearDedup(
-        batch, knownDocs, jaccardThreshold), batchId)
-    }
-
   def incrementalDedupCompacted(newDocs: DataFrame, fpStorePath: String,
       tsCol: String, delay: String)(
       deliver: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {

@@ -1041,6 +1041,18 @@ class NorthStarSpec extends SparkTestBase {
     }
   }
 
+  test("TextAnalysis.splitAssign: a zero-weight trailing split gets ZERO " +
+    "docs — a full-weight prefix covers the whole hash space, 0xffff " +
+    "bucket included") {
+    // Enough ids that some md5("split:"+id) prefix plausibly nears the top
+    // of the space; the property must hold for every id regardless.
+    val docs = docsDf((1L to 2000L).map(i => i -> s"doc $i"))
+    val a = TextAnalysis
+      .splitAssign(docs, Seq("train" -> 1.0, "test" -> 0.0)).collect()
+      .map(_.getString(3))
+    assert(a.length == 2000 && a.forall(_ == "train"))
+  }
+
   test("Dedup.incrementalNearDedup: batch docs near-duplicating the " +
     "corpus are dropped (exact dups fall out as 1.0-Jaccard candidates); " +
     "novel docs survive") {
