@@ -563,6 +563,22 @@ object SparkEntry {
       Dedup.incrementalNearDedupIndexed(s,
         d.filter(col("doc_id") % 10 === 0), bands, sets)
     }),
+    // cross-split leakage audit: near-dup pairs straddling the split
+    // boundary. 50/50 split (thresholds 0.5 → hex 8000) so the synthetic
+    // corpus's near-dup pairs actually cross it — 98/1/1 would leave the
+    // audit vacuously empty at this SF
+    "doc_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakage(t(s, dir, "documents"),
+        splits = Seq("train" -> 0.5, "test" -> 0.5))),
+    // the audit's remedy: train-wins quarantine — the corpus split
+    // assignment minus every non-train member of a leaking pair
+    "doc_split_resolve" -> ((s, dir) =>
+      Dedup.resolveSplitLeakage(t(s, dir, "documents"),
+        splits = Seq("train" -> 0.5, "test" -> 0.5))),
+    // measured MinHash estimator error on LSH candidates — the dedup
+    // chain's recall-style quality dial
+    "doc_minhash_est" -> ((s, dir) =>
+      Dedup.minhashJaccardEst(t(s, dir, "documents"))),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -584,6 +600,14 @@ object SparkEntry {
       // the chain is deterministic, so inline and indexed results are
       // identical.
       val (table, cents) = ivfIndexedTable(s, dir)
+      Similarity.knnIvfIndexed(s, table, cents, col("vec_id") < 8,
+        k = 3, nprobe = 4)
+    }),
+    // the SAME probe against an index grown by ivfIndexAppend (build evens,
+    // append odds) — shares emb_knn_ivf's oracle: append-grown must serve
+    // identical results to one-shot-built
+    "emb_knn_ivf_appended" -> ((s, dir) => {
+      val (table, cents) = ivfAppendedTable(s, dir)
       Similarity.knnIvfIndexed(s, table, cents, col("vec_id") < 8,
         k = 3, nprobe = 4)
     }),
@@ -696,37 +720,59 @@ object SparkEntry {
   private def nearDupIndexedTables(s: SparkSession,
                                    dir: String): (String, String) = {
     val d = t(s, dir, "documents")
-    val conf = s.sparkContext.hadoopConfiguration
-    val sig = d.inputFiles.sorted.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
-    }.mkString("\n")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    val dirTag = math.abs(dir.hashCode.toLong)
-    val bands = s"graft_neardup_bands_${dirTag}_$fp"
-    val sets = s"graft_neardup_sets_${dirTag}_$fp"
-    if (!s.catalog.tableExists(bands) || !s.catalog.tableExists(sets)) {
-      s.catalog.listTables().collect()
-        .map(_.name)
-        .filter(n => (n.startsWith(s"graft_neardup_bands_${dirTag}_") ||
-          n.startsWith(s"graft_neardup_sets_${dirTag}_")) &&
-          n != bands && n != sets)
-        .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+    val names = versionedTables(s, dir, d,
+      Seq("graft_neardup_bands", "graft_neardup_sets")) { ns =>
       Dedup.nearDupWriteIndex(d.filter(col("doc_id") % 10 =!= 0),
-        bands, sets, buckets = 8)
+        ns(0), ns(1), buckets = 8)
     }
-    (bands, sets)
+    (names(0), names(1))
   }
 
   private def ivfIndexedTable(s: SparkSession,
                               dir: String): (String, DataFrame) = {
     val e = t(s, dir, "embeddings")
     val cents = Similarity.ivfSeedCentroids(e, 16)
+    val names = versionedTables(s, dir, e, Seq("graft_ivf_idx")) { ns =>
+      Similarity.ivfWriteIndex(e, cents, ns(0), buckets = 8)
+    }
+    (names(0), cents)
+  }
+
+  /** The append-MAINTENANCE twin of [[ivfIndexedTable]]: the same index
+    * content, but grown in two steps — build over the even vec_ids, then
+    * `ivfIndexAppend` the odds under the same centroids. Probing it must
+    * return exactly what the one-shot index returns (emb_knn_ivf_appended
+    * shares IvfOracleSql verbatim) — the value proof that append-grown
+    * indexes serve unchanged results, which is what makes append the
+    * 100 TB corpus-growth path (one pass over the increment, not a
+    * corpus-sized rebuild). */
+  private def ivfAppendedTable(s: SparkSession,
+                               dir: String): (String, DataFrame) = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.ivfSeedCentroids(e, 16)
+    val names = versionedTables(s, dir, e, Seq("graft_ivf_app")) { ns =>
+      Similarity.ivfWriteIndex(e.filter(col("vec_id") % 2 === 0), cents,
+        ns(0), buckets = 8)
+      Similarity.ivfIndexAppend(e.filter(col("vec_id") % 2 =!= 0), cents,
+        ns(0), buckets = 8)
+    }
+    (names(0), cents)
+  }
+
+  /** Fingerprint-versioned warehouse tables, shared by every persisted
+    * index: names are `<prefix>_<dirTag>_<fp>` where the fingerprint
+    * hashes the source frame's input files (path, length, mtime) — a
+    * changed dataset changes the names, forcing a rebuild instead of
+    * silently serving a stale index, and two dirs never collide. Stale
+    * same-prefix siblings (same dir, older fingerprint) are dead weight in
+    * the warehouse and are dropped before `build` runs; `build` runs once,
+    * only if any of the named tables is missing. Returns the table names
+    * in `prefixes` order. */
+  private def versionedTables(s: SparkSession, dir: String, src: DataFrame,
+                              prefixes: Seq[String])
+                             (build: Seq[String] => Unit): Seq[String] = {
     val conf = s.sparkContext.hadoopConfiguration
-    val sig = e.inputFiles.sorted.map { f =>
+    val sig = src.inputFiles.sorted.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       val st = p.getFileSystem(conf).getFileStatus(p)
       s"$f:${st.getLen}:${st.getModificationTime}"
@@ -735,18 +781,16 @@ object SparkEntry {
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
       .take(12)
     val dirTag = math.abs(dir.hashCode.toLong)
-    val table = s"graft_ivf_idx_${dirTag}_$fp"
-    if (!s.catalog.tableExists(table)) {
-      // stale siblings (same dir, older fingerprint) are dead weight in
-      // the warehouse — drop before building the current version
-      s.catalog.listTables().collect()
-        .map(_.name)
-        .filter(n => n.startsWith(s"graft_ivf_idx_${dirTag}_") &&
-          n != table)
+    val names = prefixes.map(p => s"${p}_${dirTag}_$fp")
+    if (!names.forall(s.catalog.tableExists)) {
+      s.catalog.listTables().collect().map(_.name)
+        .filter(n => prefixes.zip(names).exists { case (p, keep) =>
+          n.startsWith(s"${p}_${dirTag}_") && n != keep
+        })
         .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
-      Similarity.ivfWriteIndex(e, cents, table, buckets = 8)
+      build(names)
     }
-    (table, cents)
+    names
   }
 
   /** Incremental near-dedup oracle, shared by `doc_dedup_incremental_near`
@@ -1601,6 +1645,138 @@ object SparkEntry {
         |    len(list_intersect(a.sset, b.sset))), 4) AS jaccard
         |FROM cand c JOIN sets a ON c.doc_a = a.doc_id
         | JOIN sets b ON c.doc_b = b.doc_id""".stripMargin,
+    // the doc_ngram_jaccard_lsh chain thresholded at 0.8, each side joined
+    // to its 50/50 hash-split label (0.5 → 16-bit hex threshold 8000),
+    // keeping only boundary-crossing pairs
+    "doc_split_leakage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | scored AS (SELECT c.doc_a, c.doc_b,
+        |   round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |     (len(a.sset) + len(b.sset) -
+        |      len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+        |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id
+        |   JOIN sets b ON c.doc_b = b.doc_id),
+        | sp AS (SELECT doc_id,
+        |   CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |     < '8000' THEN 'train' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT s.doc_a, s.doc_b, pa.split AS split_a, pb.split AS split_b,
+        | s.jaccard
+        |FROM scored s JOIN sp pa ON pa.doc_id = s.doc_a
+        | JOIN sp pb ON pb.doc_id = s.doc_b
+        |WHERE s.jaccard >= 0.8 AND pa.split <> pb.split""".stripMargin,
+    // the leakage chain's remedy: split assignment minus the non-train
+    // members of leaking pairs (train-wins quarantine)
+    "doc_split_resolve" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | scored AS (SELECT c.doc_a, c.doc_b,
+        |   round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |     (len(a.sset) + len(b.sset) -
+        |      len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+        |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id
+        |   JOIN sets b ON c.doc_b = b.doc_id),
+        | sp AS (SELECT doc_id,
+        |   CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |     < '8000' THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        | leaks AS (SELECT s.doc_a, s.doc_b, pa.split AS split_a,
+        |   pb.split AS split_b
+        |  FROM scored s JOIN sp pa ON pa.doc_id = s.doc_a
+        |   JOIN sp pb ON pb.doc_id = s.doc_b
+        |  WHERE s.jaccard >= 0.8 AND pa.split <> pb.split),
+        | drops AS (SELECT DISTINCT doc_id FROM (
+        |   SELECT doc_a AS doc_id, split_a AS split FROM leaks
+        |   UNION ALL SELECT doc_b AS doc_id, split_b AS split FROM leaks)
+        |  WHERE split <> 'train')
+        |SELECT doc_id, split FROM sp
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
+    // MinHash estimate (share of the 4 seeds agreeing) vs exact Jaccard
+    // per LSH candidate pair, with the absolute error
+    "doc_minhash_est" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | est AS (SELECT c.doc_a, c.doc_b,
+        |   CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / 4 AS est
+        |  FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+        |   JOIN mh b ON b.doc_id = c.doc_b AND b.seed = a.seed
+        |  GROUP BY c.doc_a, c.doc_b),
+        | sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | ex AS (SELECT c.doc_a, c.doc_b,
+        |   round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |     (len(a.sset) + len(b.sset) -
+        |      len(list_intersect(a.sset, b.sset))), 4) AS jaccard_exact
+        |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id
+        |   JOIN sets b ON c.doc_b = b.doc_id)
+        |SELECT e.doc_a, e.doc_b, round(e.est, 4) AS jaccard_est,
+        | x.jaccard_exact,
+        | round(abs(round(e.est, 4) - x.jaccard_exact), 4) AS abs_err
+        |FROM est e JOIN ex x
+        | ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b""".stripMargin,
     // doc_simhash oracle: reconstruct Spark's conv(substr(md5,1,8),16,10)
     // from hex digits (strpos-based) and majority-vote each of the 32 bits;
     // the per-bit expressions are generated programmatically.
@@ -2016,6 +2192,8 @@ object SparkEntry {
     // persisted bucketed index, so it shares this oracle verbatim.
     "emb_knn_ivf" -> IvfOracleSql,
     "emb_knn_ivf_indexed" -> IvfOracleSql,
+    // append-grown index must serve the one-shot index's exact results
+    "emb_knn_ivf_appended" -> IvfOracleSql,
     // recall@3 of the persisted-index IVF path (identical chain to the IVF
     // oracle) against brute-force ground truth on the same probes
     "emb_knn_ivf_recall" ->

@@ -31,6 +31,24 @@ object Bucketing {
     sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Append `df` to an EXISTING bucketed table created by [[writeBucketed]],
+    * preserving the bucket layout: each appended file set is hashed into the
+    * same `buckets` buckets on `key`, so readers keep
+    * `HashPartitioning(key, n)` and co-located joins stay exchange-free
+    * after the append. Spark validates the (key, buckets) spec against the
+    * catalog and fails loudly on a mismatch rather than silently degrading
+    * the layout. This is the index-MAINTENANCE path: grow a persisted index
+    * by the increment's size instead of rewriting the corpus-sized table
+    * (at 100 TB a rebuild re-pays the full corpus scan; an append pays one
+    * pass over the batch). */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int = 32,
+                     sortBy: Option[String] = None): Unit = {
+    val w = df.write.mode("append").format("parquet")
+      .bucketBy(buckets, key)
+    sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** Join two bucketed tables on their bucket key. When both sides share the
     * same bucket count, the physical plan has NO Exchange under the join —
     * verify with `countExchanges`. */

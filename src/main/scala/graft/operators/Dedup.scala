@@ -108,8 +108,10 @@ object Dedup {
   /** LSH band table over [[minhash]] signatures: one (doc_id, band, bucket)
     * row per band, where the bucket is the hash of the band's `rowsPerBand`
     * consecutive minhashes. This is the join key space of every LSH dedup
-    * variant — and the relation to PERSIST at 100 TB (bucketed by
-    * (band, bucket), exactly like `Similarity.ivfWriteIndex` buckets cells)
+    * variant — and the relation to PERSIST at 100 TB (bucketed by `bucket`
+    * alone, as [[nearDupWriteIndex]] does: HashPartitioning(bucket) already
+    * satisfies the (band, bucket) equi-join's clustering requirement, and a
+    * one-column bucket spec survives `bucketBy`'s single-column hashing)
     * so incremental probes never re-sign the corpus. */
   def bandTable(sigs: DataFrame, rowsPerBand: Int = 2): DataFrame =
     sigs
@@ -611,7 +613,12 @@ object Dedup {
     *
     * Size the sketch for the INCREMENT: `estimatedItems` ≈ batch rows,
     * `numBits` ≈ 10× that for ~1% false positives (each FP costs one extra
-    * row through the confirm join, nothing more).
+    * row through the confirm join, nothing more). Ceilings: Spark's
+    * BloomFilterAggregate rejects `estimatedItems` / `numBits` above
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 64M bits) at analysis time — a
+    * billion-row increment needs those confs raised alongside the
+    * arguments, or the batch split into sub-increments.
     *
     * `fp` is the dedup key as an expression over a document row — default
     * full-content md5 (exact dedup); pass a looser key (normalized text, a
@@ -633,7 +640,16 @@ object Dedup {
     * `might_contain` filter; the exact anti-join against the (bounded)
     * survivors removes false positives, so the result is exactly the plain
     * anti-join's. An EMPTY batch yields a null sketch, `might_contain`
-    * evaluates null, the filter keeps nothing — correct degenerate case. */
+    * evaluates null, the filter keeps nothing — correct degenerate case.
+    *
+    * `batch`'s plan is evaluated TWICE — once under the bloom aggregate's
+    * scalar subquery and once as the anti-join probe side — so it must be
+    * DETERMINISTIC (no `rand()`-derived fp, no re-read of mutating input):
+    * a batch whose two evaluations disagree can build a sketch missing
+    * probe-side fps, and a known duplicate would survive. Callers with a
+    * non-deterministic upstream should `.persist()` or `.localCheckpoint()`
+    * the batch first (the streaming fp-store caller persists for delivery
+    * anyway; micro-batch sources are replay-stable by contract). */
   def bloomAntiJoinFp(batch: DataFrame, knownFps: DataFrame,
                       estimatedItems: Long = 1L << 20,
                       numBits: Long = 1L << 23): DataFrame = {
@@ -726,5 +742,122 @@ object Dedup {
       when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     voted.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Cross-split contamination audit: near-duplicate pairs whose members
+    * landed in DIFFERENT train/val/test splits — the leak a held-out set
+    * dies of (a test doc whose near-twin sits in train is evaluated on
+    * memorized content). Composes the standard chain: LSH candidates →
+    * exact Jaccard ≥ threshold → join each side to its
+    * [[TextAnalysis.splitAssign]] label → keep pairs with differing labels.
+    * Output: (doc_a, doc_b, split_a, split_b, jaccard).
+    *
+    * The right REMEDY is decided by the caller (usually: move or drop the
+    * non-train member); this op is the audit that makes the leak a number.
+    * Scale shape: the pair list is LSH-candidate-bounded (never all-pairs)
+    * and the split labels are a pure per-row map on each side — the two
+    * label joins add no shuffle beyond the pair join's own key exchange. */
+  def splitLeakage(docs: DataFrame,
+                   splits: Seq[(String, Double)] = Seq(
+                     "train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+                   jaccardThreshold: Double = 0.8,
+                   minhashK: Int = 4,
+                   rowsPerBand: Int = 2): DataFrame = {
+    val pairs = ngramJaccardOn(docs,
+      lshCandidatePairs(minhash(docs, minhashK), rowsPerBand))
+      .filter(col("jaccard") >= jaccardThreshold)
+    val sp = TextAnalysis.splitAssign(docs, splits)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+  }
+
+  /** The REMEDY for [[splitLeakage]]'s audit: re-materialize the split
+    * assignment with every leaking pair resolved, under the standard
+    * train-wins rule — train documents are never touched (removing train
+    * data buys nothing; the eval sets are what must be clean), and a
+    * non-train document is DROPPED iff it has a near-twin in any OTHER
+    * split (a test doc with a train twin is evaluated on memorized
+    * content; a val–test twin contaminates both, so both go). Output:
+    * (doc_id, split) of the surviving corpus — same shape as
+    * [[TextAnalysis.splitAssign]], minus the quarantined rows.
+    *
+    * Scale shape: [[splitLeakage]]'s candidate-bounded pair list feeds a
+    * (small) distinct drop list; the corpus pays one split-label map and
+    * one anti-join against that list — AQE broadcasts it, the corpus is
+    * never shuffled. */
+  def resolveSplitLeakage(docs: DataFrame,
+                          splits: Seq[(String, Double)] = Seq(
+                            "train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+                          jaccardThreshold: Double = 0.8,
+                          minhashK: Int = 4,
+                          rowsPerBand: Int = 2): DataFrame = {
+    val leaks = splitLeakage(docs, splits, jaccardThreshold, minhashK,
+      rowsPerBand)
+    val drops = leaks
+      .select(col("doc_a").as("doc_id"), col("split_a").as("split"))
+      .unionByName(leaks
+        .select(col("doc_b").as("doc_id"), col("split_b").as("split")))
+      .filter(col("split") =!= "train")
+      .select("doc_id").distinct()
+    TextAnalysis.splitAssign(docs, splits)
+      .select(col("doc_id"), col("split"))
+      .join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Measured MinHash estimator quality — the dedup chain's analogue of the
+    * ANN recall queries (quality dials must be measured, not argued): for
+    * every LSH candidate pair, the MinHash ESTIMATE of Jaccard (share of
+    * the k seeds whose minhashes agree — the unbiased estimator LSH banding
+    * thresholds implicitly) next to the EXACT shingle-set Jaccard and the
+    * absolute error. Tells an operator whether k is large enough for the
+    * corpus before trusting a band threshold at 100 TB. Output per pair:
+    * (doc_a, doc_b, jaccard_est, jaccard_exact, abs_err), all rounded to 4
+    * for engine parity.
+    *
+    * Scale shape: candidate-bounded like every LSH consumer — the signature
+    * join fans each pair out to its k seed rows (k·|pairs| rows, k tiny)
+    * and one aggregate folds them back; exact scoring rides the same
+    * candidate list. */
+  def minhashJaccardEst(docs: DataFrame, minhashK: Int = 4,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhash(docs, minhashK)
+    val pairs = lshCandidatePairs(sigs, rowsPerBand)
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("seed"),
+        col("minhash").as("mh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("seed"),
+        col("minhash").as("mh_b")), Seq("doc_b", "seed"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        .cast("double") / minhashK).as("est"))
+    est.join(ngramJaccardOn(docs, pairs), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est"), 4).as("jaccard_est"),
+        col("jaccard").as("jaccard_exact"),
+        round(abs(round(col("est"), 4) - col("jaccard")), 4).as("abs_err"))
+  }
+
+  /** Index MAINTENANCE for the persisted near-dup index: append a new
+    * batch's LSH bands and shingle sets to the [[nearDupWriteIndex]] tables
+    * IN PLACE, preserving their bucketed layout (probe joins stay
+    * co-located after the append — Spark validates the bucket spec against
+    * the catalog). This is the corpus-version upgrade path at 100 TB: one
+    * signature pass over the INCREMENT instead of re-signing the whole
+    * corpus, after which future increments probe a corpus+batch index.
+    * Typical cycle: probe batch → deliver survivors → append survivors
+    * here. EAGER: runs the two append jobs at call time, like the build. */
+  def nearDupIndexAppend(docs: DataFrame, bandsTable: String,
+                         setsTable: String, minhashK: Int = 4,
+                         rowsPerBand: Int = 2, buckets: Int = 32): Unit = {
+    Bucketing.appendBucketed(
+      bandTable(minhash(docs, minhashK), rowsPerBand), bandsTable,
+      "bucket", buckets)
+    Bucketing.appendBucketed(shingleSets(docs), setsTable, "doc_id", buckets)
   }
 }

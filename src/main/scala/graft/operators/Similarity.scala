@@ -574,6 +574,23 @@ object Similarity {
     Bucketing.writeBucketed(ivfAssign(emb, centroids), table, "cell",
       buckets, sortBy = Some("vec_id"))
 
+  /** Index MAINTENANCE for the persisted IVF index: assign a new batch of
+    * vectors to cells with the SAME centroid table the index was built
+    * with and append them to the [[ivfWriteIndex]] table in place,
+    * preserving its cell-bucketed layout (probe joins stay co-located
+    * after the append — Spark validates the bucket spec against the
+    * catalog). The 100 TB corpus-growth path: one map-only assignment pass
+    * over the INCREMENT instead of re-assigning the whole corpus, after
+    * which [[knnIvfIndexed]] probes corpus+batch transparently. Centroids
+    * are NOT refit — cell quality for the appended rows is whatever the
+    * original fit gives them (the standard IVF add contract; refit+rebuild
+    * once drift shows up in [[ivfStats]] occupancy). EAGER: runs the
+    * append job at call time, like the build. */
+  def ivfIndexAppend(emb: DataFrame, centroids: DataFrame, table: String,
+                     buckets: Int = 32): Unit =
+    Bucketing.appendBucketed(ivfAssign(emb, centroids), table, "cell",
+      buckets, sortBy = Some("vec_id"))
+
   /** IVF ANN query: `nprobe` nearest cells per query (tiny |Q| × nlist
     * broadcast cross), exact cosine + top-k inside the probed cells.
     * Centroids: pass `Some(...)` (e.g. [[ivfSeedCentroids]] or a persisted

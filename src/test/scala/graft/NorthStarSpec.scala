@@ -1088,6 +1088,89 @@ class NorthStarSpec extends SparkTestBase {
     assert(indexed == Set(12L))
   }
 
+  test("Dedup.nearDupIndexAppend: growing the persisted index by a batch " +
+    "equals a full rebuild over corpus+batch — later probes catch dups of " +
+    "the appended docs") {
+    val s = spark
+    val v1 = docsDf(Seq(1L -> dupText,
+      2L -> "completely different words about spark catalyst physical plans"))
+    val batch = docsDf(Seq(
+      20L -> "brand new second corpus version text arriving later"))
+    Dedup.nearDupWriteIndex(v1, "test_nda_bands", "test_nda_sets",
+      buckets = 2)
+    Dedup.nearDupIndexAppend(batch, "test_nda_bands", "test_nda_sets",
+      buckets = 2)
+    // an increment duplicating v1 (30), the appended batch (31), and
+    // nothing (32)
+    val probe = docsDf(Seq(30L -> dupText,
+      31L -> "brand new second corpus version text arriving later",
+      32L -> "totally unrelated fresh content words nothing shared at all"))
+    val viaAppend = Dedup.incrementalNearDedupIndexed(s, probe,
+      "test_nda_bands", "test_nda_sets").collect().map(_.getLong(0)).toSet
+    Dedup.nearDupWriteIndex(v1.unionByName(batch), "test_ndr_bands",
+      "test_ndr_sets", buckets = 2)
+    val viaRebuild = Dedup.incrementalNearDedupIndexed(s, probe,
+      "test_ndr_bands", "test_ndr_sets").collect().map(_.getLong(0)).toSet
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend == Set(32L))
+  }
+
+  test("Similarity.ivfIndexAppend: an index grown by append (build evens, " +
+    "append odds) serves exactly the one-shot index's probe results") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfSeedCentroids(emb, 8)
+    Similarity.ivfWriteIndex(emb, cents, "ivf_idx_full", buckets = 8)
+    Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0), cents,
+      "ivf_idx_grown", buckets = 8)
+    Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 2 =!= 0), cents,
+      "ivf_idx_grown", buckets = 8)
+    try {
+      val full = Similarity.knnIvfIndexed(spark, "ivf_idx_full", cents,
+        col("vec_id") < 4, k = 3, nprobe = 2).collect().toSet
+      val grown = Similarity.knnIvfIndexed(spark, "ivf_idx_grown", cents,
+        col("vec_id") < 4, k = 3, nprobe = 2)
+      assert(grown.collect().toSet == full)
+      // the appended files keep the bucketed layout: the probe join is
+      // still broadcast-over-bucketed-scan, index side never shuffled
+      val plan = graft.operators.Bucketing.fullPlanString(grown)
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(!plan.contains("SortMergeJoin"), s"index side shuffled:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_full")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_grown")
+    }
+  }
+
+  test("Dedup.resolveSplitLeakage: train-wins — the non-train member of a " +
+    "cross-split near-dup pair is quarantined, everything else keeps its " +
+    "assigned split") {
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    // pick a train id and a test id from the assignment itself (the split
+    // is a doc_id hash — which ids land where is opaque by design)
+    val ids = docsDf((1L to 40L).map(_ -> dupText))
+    val bySplit = TextAnalysis.splitAssign(ids, splits).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("doc_id"))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val trainId = bySplit("train").head
+    val testId = bySplit("test").head
+    val fillerA = bySplit("train")(1)
+    val fillerB = bySplit("test")(1)
+    val docs = docsDf(Seq(
+      trainId -> dupText,
+      testId -> (dupText + " slightly"), // near-dup straddling the boundary
+      fillerA -> "completely different words about spark catalyst plans",
+      fillerB -> "unrelated second filler content nothing shared here"))
+    val out = Dedup.resolveSplitLeakage(docs, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the test-side twin is gone; the train twin and both fillers survive
+    // with their original assignment
+    assert(!out.contains(testId))
+    assert(out(trainId) == "train")
+    assert(out(fillerA) == "train" && out(fillerB) == "test")
+    assert(out.size == 3)
+  }
+
   test("Similarity.semanticDedup: within-cell near-duplicates drop the " +
     "larger vec_id; low-cosine cellmates survive; hot-cell guard keeps " +
     "oversized cells whole") {

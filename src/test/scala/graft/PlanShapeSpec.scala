@@ -202,6 +202,7 @@ class PlanShapeSpec extends SparkTestBase {
     //    product, documented small-Q-only.
     val eager = Set("doc_dup_clusters", "doc_cluster_best",
       "emb_knn_ivf_indexed", "emb_knn_ivf_recall",
+      "emb_knn_ivf_appended",
       "doc_dedup_incremental_near_indexed")
     val boundedNlj = Set("emb_knn_ivf", "corpus_stats",
       "doc_unigram_logprob", "doc_tfidf_topk", "emb_knn_brute",
