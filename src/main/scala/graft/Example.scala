@@ -79,6 +79,16 @@ object Example {
       CorpusOps.packStats(docs, maxTokens = 512).orderBy("source").show(3)
       println("[example] next-epoch mixture weights (sqrt temperature):")
       CorpusOps.mixtureWeights(docs).orderBy("source").show(3)
+      val splits = Seq("train" -> 0.5, "test" -> 0.5)
+      val leaks = Dedup.splitLeakage(docs, splits)
+      println(s"[example] cross-split near-dup leaks: ${leaks.count()}; " +
+        "after train-wins quarantine:")
+      Dedup.resolveSplitLeakage(docs, splits).groupBy("split").count()
+        .orderBy("split").show()
+      println("[example] MinHash estimator error on LSH candidates:")
+      Dedup.minhashJaccardEst(docs)
+        .agg(round(avg(col("abs_err")), 4).as("mean_abs_err"),
+          round(max(col("abs_err")), 4).as("max_abs_err")).show()
     }
 
     // ANN: IVF-SQ8 (codes in the cells, exact rescore) + measured recall

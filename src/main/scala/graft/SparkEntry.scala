@@ -473,6 +473,12 @@ object SparkEntry {
     // deterministic 98/1/1 train/val/test assignment by doc-id hash
     "doc_split_assign" -> ((s, dir) =>
       TextAnalysis.splitAssign(t(s, dir, "documents"))),
+    // BM25 keyword search: top-10 docs for a 3-term query — the lexical
+    // retrieval primitive (one corpus agg broadcast back, per-row score,
+    // global TakeOrdered; the corpus is never shuffled)
+    "doc_search_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Search(t(s, dir, "documents"),
+        terms = Seq("hash", "join", "window"), k = 10)),
     // corpus token-length profile over fixed integer buckets
     "doc_length_hist" -> ((s, dir) =>
       CorpusOps.lengthHistogram(t(s, dir, "documents"))),
@@ -1523,6 +1529,35 @@ object SparkEntry {
         |     < 'fd71' THEN 'val'
         |   ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // BM25 with the Lucene idf; k1=1.2, b=0.75. Scores round to 4dp before
+    // the ordering, doc_id breaks ties (the tfidf determinism recipe); all
+    // scoring inputs (dl, N, df, tf) are integral doubles, so only ln()'s
+    // last ulp differs across engines — absorbed by the rounding
+    "doc_search_bm25" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | t AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl,
+        |   CAST(len(list_filter(words, x -> x = 'hash')) AS DOUBLE) AS tf0,
+        |   CAST(len(list_filter(words, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |   CAST(len(list_filter(words, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM w),
+        | st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |   avg(dl) AS avgdl,
+        |   sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |   sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |   sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM t)
+        |SELECT doc_id, round(
+        |   ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2 /
+        |     (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        | + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2 /
+        |     (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        | + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2 /
+        |     (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+        |FROM t, st
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 10""".stripMargin,
     "doc_length_hist" ->
       """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |  FROM documents),

@@ -357,6 +357,63 @@ object TextAnalysis {
       .select("doc_id", "term", "rank", "score")
   }
 
+  /** BM25 keyword search over the corpus: top-k documents for a free-text
+    * query given as a term list — the retrieval primitive a curation
+    * pipeline runs to pull topical slices ("find me the docs about X") and
+    * the lexical half of any hybrid lexical+embedding search. Okapi BM25
+    * with the Lucene idf variant: per term,
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1), and the document's score is
+    * Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). Scores are rounded
+    * to 4dp BEFORE the top-k ordering with doc_id as total tiebreak (the
+    * [[tfidfTopK]] determinism recipe), so a last-ulp ln() divergence
+    * between engines cannot flip adjacent ranks. Only documents matching
+    * at least one term are candidates. Output: (doc_id, score), top `k`
+    * by (score desc, doc_id asc).
+    *
+    * Parity note: every input to the scoring expression is EXACT — dl, N,
+    * df, tf are integral doubles (exact in IEEE up to 2^53), so avgdl and
+    * the per-row score are bit-determined regardless of aggregation order;
+    * the only engine wiggle is ln()'s last ulp, absorbed by the rounding.
+    *
+    * Plan shape at scale: ONE corpus aggregate (N, avgdl, per-term df —
+    * a 1-row frame broadcast back), then a pure per-row score map and a
+    * global TakeOrdered top-k: no join on term, no explode, no shuffle of
+    * the corpus. Term count is the query's size (a handful), so the
+    * per-row work is |terms| array scans. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Search: at least one query term")
+    val words = split(col("text"), lit(" "))
+    val toks = docs.select(col("doc_id"), words.as("words"),
+      size(words).cast("double").as("dl"))
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("words"), t), 1.0).otherwise(0.0))
+        .as(s"df_$i")
+    }
+    val aggs = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +: dfAggs
+    val stats = toks.agg(aggs.head, aggs.tail: _*)
+    val tfs = terms.indices.map { i =>
+      size(filter(col("words"), w => w === lit(terms(i))))
+        .cast("double").as(s"tf_$i")
+    }
+    val scored = toks.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +: col("n_docs") +:
+        col("avgdl") +: terms.indices.map(i => col(s"df_$i")) ++: tfs: _*)
+    val score = terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) /
+        (col(s"df_$i") + 0.5) + 1)
+      idf * col(s"tf_$i") * (k1 + 1) /
+        (col(s"tf_$i") +
+          lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _) // left-assoc fold — term order is the parity contract
+    scored
+      .filter(terms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic stratified corpus mixing (domain re-weighting): keep each
     * document with its source's sampling rate, decided by the document's OWN
     * id hash — `substr(md5("mix:" + doc_id), 1, 4)` compared against the

@@ -1115,6 +1115,25 @@ class NorthStarSpec extends SparkTestBase {
     assert(viaAppend == Set(32L))
   }
 
+  test("TextAnalysis.bm25Search: multi-term matches outrank single-term, " +
+    "term-free docs are excluded, k caps the result") {
+    val docs = docsDf(Seq(
+      1L -> "hash join window hash extra words padding here",
+      2L -> "hash alone among entirely unrelated other words",
+      3L -> "nothing relevant appears in this document at all",
+      4L -> "join join join join repeated but single term only"))
+    val out = TextAnalysis.bm25Search(docs,
+      terms = Seq("hash", "join", "window"), k = 10).collect()
+    val ids = out.map(_.getLong(0))
+    assert(!ids.contains(3L), "term-free doc must be excluded")
+    assert(ids.length == 3)
+    assert(ids.head == 1L, "the all-three-terms doc must rank first")
+    assert(out.forall(_.getDouble(1) > 0))
+    val capped = TextAnalysis.bm25Search(docs,
+      terms = Seq("hash", "join", "window"), k = 2).collect()
+    assert(capped.length == 2 && capped.head.getLong(0) == 1L)
+  }
+
   test("Similarity.ivfIndexAppend: an index grown by append (build evens, " +
     "append odds) serves exactly the one-shot index's probe results") {
     val emb = spark.read
