@@ -479,6 +479,17 @@ object SparkEntry {
     "doc_search_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Search(t(s, dir, "documents"),
         terms = Seq("hash", "join", "window"), k = 10)),
+    // hybrid retrieval: BM25 top-20 fused with brute-cosine top-20 (query
+    // vec 0) by reciprocal-rank fusion — rank-based, so the two score
+    // scales never need calibration; fusion work is pool-bounded
+    "doc_search_hybrid" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25Search(t(s, dir, "documents"),
+        terms = Seq("hash", "join", "window"), k = 20)
+      val sem = Similarity.knnBrute(t(s, dir, "embeddings"),
+        col("vec_id") === 0, k = 20)
+        .select(col("c_id").as("doc_id"), col("score"))
+      TextAnalysis.hybridRrf(lex, sem, k = 10)
+    }),
     // corpus token-length profile over fixed integer buckets
     "doc_length_hist" -> ((s, dir) =>
       CorpusOps.lengthHistogram(t(s, dir, "documents"))),
@@ -1557,6 +1568,65 @@ object SparkEntry {
         |FROM t, st
         |WHERE tf0 + tf1 + tf2 > 0
         |ORDER BY score DESC, doc_id ASC
+        |LIMIT 10""".stripMargin,
+    // RRF fusion of the BM25 top-20 and the brute-cosine top-20 for query
+    // vector 0. Selection inside the semantic arm ranks unrounded cos
+    // (mirroring knnBrute, proven by emb_knn_brute); the FUSED ranks are
+    // recomputed on the rounded arm scores with id tiebreak, mirroring
+    // hybridRrf. 1/(60+rank) has an integral denominator, so the rrf sum
+    // is bit-deterministic; round(,6) absorbs nothing but is kept for
+    // symmetry with the Spark side.
+    "doc_search_hybrid" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | t AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl,
+        |   CAST(len(list_filter(words, x -> x = 'hash')) AS DOUBLE) AS tf0,
+        |   CAST(len(list_filter(words, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |   CAST(len(list_filter(words, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM w),
+        | st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |   avg(dl) AS avgdl,
+        |   sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |   sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |   sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM t),
+        | lex AS (SELECT doc_id, round(
+        |    ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2 /
+        |      (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2 /
+        |      (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2 /
+        |      (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM t, st
+        |  WHERE tf0 + tf1 + tf2 > 0
+        |  ORDER BY score DESC, doc_id ASC
+        |  LIMIT 20),
+        | lexr AS (SELECT doc_id, CAST(row_number() OVER
+        |   (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+        |  FROM lex),
+        | e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        | sc AS (SELECT c.vec_id AS doc_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM q, e c WHERE c.vec_id <> 0),
+        | sem AS (SELECT doc_id, round(cos, 4) AS score
+        |  FROM (SELECT doc_id, cos, row_number() OVER
+        |    (ORDER BY cos DESC, doc_id) AS rn FROM sc) z
+        |  WHERE rn <= 20),
+        | semr AS (SELECT doc_id, CAST(row_number() OVER
+        |   (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS sem_rank
+        |  FROM sem)
+        |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank,
+        | s.sem_rank,
+        | round(coalesce(1.0 / (60 + l.lex_rank), 0)
+        |   + coalesce(1.0 / (60 + s.sem_rank), 0), 6) AS rrf
+        |FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+        |ORDER BY rrf DESC, doc_id ASC
         |LIMIT 10""".stripMargin,
     "doc_length_hist" ->
       """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n

@@ -414,6 +414,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Hybrid retrieval fusion via Reciprocal Rank Fusion (RRF): combine a
+    * lexical arm (e.g. [[bm25Search]]) and a semantic arm (e.g.
+    * `Similarity.knnBrute` projected onto the doc id space) into one
+    * ranking — rrf(d) = Σ_arm 1/(kRrf + rank_arm(d)), an arm that missed
+    * the doc contributing 0. The standard robust fusion: rank-based, so
+    * the arms' incomparable score scales (BM25 vs cosine) never need
+    * calibration. Both inputs are (doc_id, score) top-pool frames; ranks
+    * are recomputed here on the arms' ROUNDED scores with doc_id as total
+    * tiebreak, so rank assignment is engine-portable (ranking unrounded
+    * near-ties would be ulp-sensitive). Output: (doc_id, lex_rank,
+    * sem_rank, rrf), null rank where an arm missed, top `k` by
+    * (rrf desc, doc_id).
+    *
+    * Scale shape: both arms are top-POOL frames (tiny by construction) —
+    * the single-partition rank windows and the full-outer fuse are
+    * pool-bounded; corpus-scale cost lives inside the arms, not here. */
+  def hybridRrf(lexical: DataFrame, semantic: DataFrame, k: Int = 10,
+                kRrf: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, rankName: String): DataFrame =
+      df.select(col("doc_id"), col("score"))
+        .withColumn(rankName, row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+        .drop("score")
+    ranked(lexical, "lex_rank")
+      .join(ranked(semantic, "sem_rank"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic stratified corpus mixing (domain re-weighting): keep each
     * document with its source's sampling rate, decided by the document's OWN
     * id hash — `substr(md5("mix:" + doc_id), 1, 4)` compared against the

@@ -1134,6 +1134,26 @@ class NorthStarSpec extends SparkTestBase {
     assert(capped.length == 2 && capped.head.getLong(0) == 1L)
   }
 
+  test("TextAnalysis.hybridRrf: a doc found by both arms outranks " +
+    "single-arm docs; arm-miss ranks are null; k caps the fusion") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((1L, 5.0), (2L, 4.0), (3L, 3.0))
+      .toDF("doc_id", "score")
+    val sem = Seq((1L, 0.9), (7L, 0.8), (8L, 0.7))
+      .toDF("doc_id", "score")
+    val out = TextAnalysis.hybridRrf(lex, sem, k = 10).collect()
+    assert(out.head.getLong(0) == 1L, "both-arms doc must rank first")
+    // doc 1: 1/(60+1) + 1/(60+1); single-arm best (2 or 7): 1/62 + 0
+    assert(out.head.getDouble(3) > out(1).getDouble(3))
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(byId(2L)._2.isEmpty, "lexical-only doc has null sem_rank")
+    assert(byId(7L)._1.isEmpty, "semantic-only doc has null lex_rank")
+    assert(out.length == 5)
+    assert(TextAnalysis.hybridRrf(lex, sem, k = 2).collect().length == 2)
+  }
+
   test("Similarity.ivfIndexAppend: an index grown by append (build evens, " +
     "append odds) serves exactly the one-shot index's probe results") {
     val emb = spark.read
