@@ -57,6 +57,27 @@ class PlanShapeSpec extends SparkTestBase {
       s"fact side shuffled for the dim join:\n$plan")
   }
 
+  test("doc_search_bm25: the 1-row stats frame broadcasts back onto the " +
+    "corpus scan and the top-k is a TakeOrdered — the corpus is never " +
+    "shuffled or sort-merge-joined") {
+    val (n, plan, _) = ran("doc_search_bm25")
+    assert(n > 0)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"stats must broadcast, not shuffle the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered, not full sort:\n$plan")
+  }
+
+  test("doc_search_hybrid: fusion is pool-bounded — the arm join never " +
+    "sort-merges a corpus-sized side and the final top-k is TakeOrdered") {
+    val (n, plan, _) = ran("doc_search_hybrid")
+    assert(n > 0)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fused top-k must be TakeOrdered:\n$plan")
+  }
+
   test("q3_shuffle_join: equi-joins only — no cartesian, no nested loop") {
     val (n, plan, _) = ran("q3_shuffle_join")
     assert(n > 0)
@@ -208,7 +229,11 @@ class PlanShapeSpec extends SparkTestBase {
       "doc_unigram_logprob", "doc_tfidf_topk", "emb_knn_brute",
       "emb_knn_recall", "doc_dedup_report", "emb_knn_sq8_recall",
       "emb_knn_ivf_sq8", "emb_knn_ivf_sq8_recall", "emb_ivf_stats",
-      "corpus_mix_weights", "emb_knn_pq_recall", "emb_knn_classify")
+      "corpus_mix_weights", "emb_knn_pq_recall", "emb_knn_classify",
+      // bm25's 1-row (N, avgdl, df) stats frame crossJoin-broadcasts back
+      // onto the corpus — constant fan-out; hybrid embeds bm25 AND
+      // knnBrute's |Q|=1 probe product
+      "doc_search_bm25", "doc_search_hybrid")
     for ((name, fn) <- SparkEntry.queries if !eager(name)) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
