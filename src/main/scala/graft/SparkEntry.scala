@@ -768,10 +768,19 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     val cents = Similarity.ivfSeedCentroids(e, 16)
     val names = versionedTables(s, dir, e, Seq("graft_ivf_app")) { ns =>
+      // Build under a staging name and RENAME once complete: the final
+      // name must never exist half-appended (a kill between the build and
+      // the append would otherwise register an evens-only index that the
+      // exists-guard then serves forever). The `__bld` name shares the
+      // prefix, so an abandoned staging table is swept as stale by the
+      // next versionedTables rebuild.
+      val bld = ns(0) + "__bld"
+      s.sql(s"DROP TABLE IF EXISTS $bld")
       Similarity.ivfWriteIndex(e.filter(col("vec_id") % 2 === 0), cents,
-        ns(0), buckets = 8)
+        bld, buckets = 8)
       Similarity.ivfIndexAppend(e.filter(col("vec_id") % 2 =!= 0), cents,
-        ns(0), buckets = 8)
+        bld, buckets = 8)
+      s.sql(s"ALTER TABLE $bld RENAME TO ${ns(0)}")
     }
     (names(0), cents)
   }
@@ -800,11 +809,27 @@ object SparkEntry {
     val dirTag = math.abs(dir.hashCode.toLong)
     val names = prefixes.map(p => s"${p}_${dirTag}_$fp")
     if (!names.forall(s.catalog.tableExists)) {
+      // Any same-prefix table reaching this branch is stale (older
+      // fingerprint) or PARTIAL — a kill mid-build can register a subset
+      // of the named tables, or a staging table that never renamed — so
+      // drop every registration for the prefix, current names included,
+      // and rebuild from nothing.
       s.catalog.listTables().collect().map(_.name)
-        .filter(n => prefixes.zip(names).exists { case (p, keep) =>
-          n.startsWith(s"${p}_${dirTag}_") && n != keep
-        })
+        .filter(n => prefixes.exists(p => n.startsWith(s"${p}_${dirTag}_")))
         .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      // ...then sweep orphan warehouse DIRS for the prefix: a CTAS killed
+      // before catalog registration leaves a non-empty unregistered
+      // location, and the rebuild's CTAS would refuse it
+      // (allowNonEmptyLocationInCTAS is off) — the build would then fail
+      // every session until someone hand-deleted the dir.
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(conf)
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        val n = st.getPath.getName
+        if (prefixes.exists(p => n.startsWith(s"${p}_${dirTag}_")))
+          fs.delete(st.getPath, true)
+      }
       build(names)
     }
     names
