@@ -406,6 +406,9 @@ object SparkEntry {
       TextAnalysis.tokenCount(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"))),
+    // per-feed quality dashboard: integral-sum ratios only
+    "corpus_quality_by_source" -> ((s, dir) =>
+      TextAnalysis.qualityBySource(t(s, dir, "documents"))),
     "doc_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) =>
@@ -592,6 +595,10 @@ object SparkEntry {
     "doc_split_resolve" -> ((s, dir) =>
       Dedup.resolveSplitLeakage(t(s, dir, "documents"),
         splits = Seq("train" -> 0.5, "test" -> 0.5))),
+    // threshold-sensitivity table for the near-dup dial: candidate chain
+    // runs once, four thresholds read off it
+    "doc_dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(t(s, dir, "documents"))),
     // measured MinHash estimator error on LSH candidates — the dedup
     // chain's recall-style quality dial
     "doc_minhash_est" -> ((s, dir) =>
@@ -1164,6 +1171,22 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
         |FROM documents""".stripMargin,
+    // integral-sum quotients only (Σstop/Σtokens etc.) — exact in IEEE
+    // regardless of aggregation order, so 4dp rounding is portable
+    "corpus_quality_by_source" ->
+      """WITH w AS (SELECT source, n_chars, string_split(text, ' ') AS words,
+        |  text FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(words)) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(len(words)) AS DOUBLE) / count(*), 4)
+        |   AS mean_tokens,
+        | round(CAST(sum(len(list_filter(words, x -> list_contains(
+        |     ['the','a','of','and','to','in','is'], x)))) AS DOUBLE) /
+        |   sum(len(words)), 4) AS stop_share,
+        | round(CAST(sum(length(regexp_replace(text, '[^.,!?;:]', '', 'g')))
+        |     AS DOUBLE) / sum(n_chars), 4) AS punct_share
+        |FROM w
+        |GROUP BY source""".stripMargin,
     "doc_quality" ->
       """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words,
         |  text FROM documents)
@@ -1817,6 +1840,46 @@ object SparkEntry {
         |FROM scored s JOIN sp pa ON pa.doc_id = s.doc_a
         | JOIN sp pb ON pb.doc_id = s.doc_b
         |WHERE s.jaccard >= 0.8 AND pa.split <> pb.split""".stripMargin,
+    // one candidate chain, four thresholds read off it; compares the
+    // 4dp-rounded jaccard (round-before-compare contract)
+    "doc_dedup_threshold_sweep" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | scored AS (SELECT c.doc_a, c.doc_b,
+        |   round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |     (len(a.sset) + len(b.sset) -
+        |      len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+        |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id
+        |   JOIN sets b ON c.doc_b = b.doc_id),
+        | th AS (SELECT unnest([0.5, 0.7, 0.8, 0.9]) AS threshold)
+        |SELECT threshold,
+        | CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_pairs,
+        | CAST(count(DISTINCT CASE WHEN jaccard >= threshold THEN doc_b END)
+        |   AS BIGINT) AS n_dropped
+        |FROM th CROSS JOIN scored
+        |GROUP BY threshold""".stripMargin,
     // the leakage chain's remedy: split assignment minus the non-train
     // members of leaking pairs (train-wins quarantine)
     "doc_split_resolve" ->

@@ -777,6 +777,35 @@ object Dedup {
       .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
   }
 
+  /** Threshold-sensitivity sweep for the near-dup pipeline: how many
+    * candidate pairs score ≥ t, and how many documents the pairwise
+    * larger-id rule would drop, for EACH threshold in one pass — the table
+    * a pipeline owner reads to pick the Jaccard dial before a corpus run
+    * (dropping 2% at 0.9 vs 15% at 0.7 is a budget decision, not a guess).
+    * The expensive chain (LSH candidates + exact Jaccard) runs ONCE; the
+    * sweep is a |thresholds| × |candidates| conditional aggregate over a
+    * tiny broadcast thresholds frame. Output per threshold:
+    * (threshold, n_pairs, n_dropped). Thresholds are compared against the
+    * 4dp-ROUNDED jaccard (the same value every scoring query publishes),
+    * so the sweep is engine-portable by the usual round-before-compare
+    * contract. A corpus with zero LSH candidates yields an empty sweep. */
+  def thresholdSweep(docs: DataFrame,
+                     thresholds: Seq[Double] = Seq(0.5, 0.7, 0.8, 0.9),
+                     minhashK: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: at least one threshold")
+    val scored = ngramJaccardOn(docs,
+      lshCandidatePairs(minhash(docs, minhashK), rowsPerBand))
+    val th = docs.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    broadcast(th).crossJoin(scored)
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_pairs"),
+        countDistinct(when(col("jaccard") >= col("threshold"),
+          col("doc_b"))).as("n_dropped"))
+  }
+
   /** The REMEDY for [[splitLeakage]]'s audit: re-materialize the split
     * assignment with every leaking pair resolved, under the standard
     * train-wins rule — train documents are never touched (removing train

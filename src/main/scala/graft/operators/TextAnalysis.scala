@@ -67,6 +67,32 @@ object TextAnalysis {
         .otherwise("unknown").as("lang_guess"))
   }
 
+  /** Per-SOURCE quality drilldown — the corpus-health dashboard behind
+    * [[quality]]'s per-doc signals: token volume, mean document length,
+    * stopword share, and punctuation share, aggregated by feed. A curation
+    * owner reads this before the per-doc gates (a feed whose stop_share
+    * collapsed is broken upstream; per-doc filtering would silently eat
+    * it). Every ratio is an INTEGRAL-sum quotient (Σstop/Σtokens,
+    * Σpunct/Σchars, Σtokens/N) — exact in IEEE regardless of aggregation
+    * order, so the 4dp rounding is engine-portable by construction, never
+    * by luck. One corpus scan, one ≤|sources|-key aggregate. */
+  def qualityBySource(docs: DataFrame): DataFrame = {
+    val w = docs
+      .withColumn("words", tokens(col("text")))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+    w.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4)
+          .as("mean_tokens"),
+        round(sum(stopHits(col("words"), enStop).cast("long"))
+          .cast("double") / sum(col("n_tokens")), 4).as("stop_share"),
+        round(sum(length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+          .cast("long")).cast("double") / sum(col("n_chars")), 4)
+          .as("punct_share"))
+  }
+
   /** Quality FILTER endpoint: keep documents passing the cheap quality
     * gates (min/max token counts, bounded stopword ratio) — the operation a
     * training-data pipeline actually runs with [[quality]]'s signals. */

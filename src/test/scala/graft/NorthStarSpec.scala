@@ -1134,6 +1134,37 @@ class NorthStarSpec extends SparkTestBase {
     assert(capped.length == 2 && capped.head.getLong(0) == 1L)
   }
 
+  test("Dedup.thresholdSweep: counts are monotonically non-increasing in " +
+    "the threshold and agree with the single-threshold pipeline") {
+    val sweep = Dedup.thresholdSweep(docs,
+      thresholds = Seq(0.5, 0.8, 0.99)).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sweep.keySet == Set(0.5, 0.8, 0.99))
+    assert(sweep(0.5)._1 >= sweep(0.8)._1 && sweep(0.8)._1 >= sweep(0.99)._1)
+    assert(sweep(0.5)._2 >= sweep(0.8)._2)
+    // docs fixture: 1 and 2 exact dups, 3 a near-dup of both — at 0.8 the
+    // pairwise larger-id rule drops 2 and 3 (two distinct doc_b losers)
+    assert(sweep(0.8)._2 == 2L)
+  }
+
+  test("TextAnalysis.qualityBySource: integral-sum ratios per feed") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the a of and is", "en", "srcA", 15L),
+      (2L, "word word word word", "en", "srcA", 19L),
+      (3L, "no stops here, really.", "en", "srcB", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.qualityBySource(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("srcA").getLong(1) == 2L) // n_docs
+    assert(out("srcA").getLong(2) == 9L) // 5 + 4 tokens
+    // srcA: 5 of 9 tokens are stopwords
+    assert(out("srcA").getDouble(4) == math.rint(5.0 / 9 * 1e4) / 1e4)
+    // srcB: one comma + one period in 22 chars
+    assert(out("srcB").getDouble(5) == math.rint(2.0 / 22 * 1e4) / 1e4)
+  }
+
   test("TextAnalysis.hybridRrf: a doc found by both arms outranks " +
     "single-arm docs; arm-miss ranks are null; k caps the fusion") {
     val s = spark

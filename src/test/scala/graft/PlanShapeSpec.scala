@@ -233,7 +233,10 @@ class PlanShapeSpec extends SparkTestBase {
       // bm25's 1-row (N, avgdl, df) stats frame crossJoin-broadcasts back
       // onto the corpus — constant fan-out; hybrid embeds bm25 AND
       // knnBrute's |Q|=1 probe product
-      "doc_search_bm25", "doc_search_hybrid")
+      "doc_search_bm25", "doc_search_hybrid",
+      // the |thresholds|-row sweep frame fans out onto the (LSH-bounded)
+      // candidate list — constant fan-out over a bounded relation
+      "doc_dedup_threshold_sweep")
     for ((name, fn) <- SparkEntry.queries if !eager(name)) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
