@@ -89,6 +89,13 @@ object Example {
       Dedup.minhashJaccardEst(docs)
         .agg(round(avg(col("abs_err")), 4).as("mean_abs_err"),
           round(max(col("abs_err")), 4).as("max_abs_err")).show()
+      println("[example] near-dup threshold sensitivity:")
+      Dedup.thresholdSweep(docs).orderBy("threshold").show()
+      println("[example] per-source quality dashboard:")
+      TextAnalysis.qualityBySource(docs).orderBy("source").show(3)
+      println("[example] BM25 top-5 for 'hash join window':")
+      TextAnalysis.bm25Search(docs,
+        Seq("hash", "join", "window"), k = 5).show()
     }
 
     // ANN: IVF-SQ8 (codes in the cells, exact rescore) + measured recall
