@@ -493,6 +493,17 @@ object SparkEntry {
         .select(col("c_id").as("doc_id"), col("score"))
       TextAnalysis.hybridRrf(lex, sem, k = 10)
     }),
+    // version-to-version corpus diff: v1 drops the %10==3 ids, v2 drops
+    // the %10==7 ids and edits the %20==0 texts — added/removed/changed/
+    // unchanged counts are the re-index work estimate between drops
+    "corpus_version_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.corpusDiff(
+        d.filter(col("doc_id") % 10 =!= 3),
+        d.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text", when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+    }),
     // corpus token-length profile over fixed integer buckets
     "doc_length_hist" -> ((s, dir) =>
       CorpusOps.lengthHistogram(t(s, dir, "documents"))),
@@ -1171,6 +1182,22 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
         |FROM documents""".stripMargin,
+    "corpus_version_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents
+        |  WHERE doc_id % 10 <> 3),
+        | b AS (SELECT doc_id, md5(CASE WHEN doc_id % 20 = 0
+        |     THEN text || ' v2' ELSE text END) AS fp_b FROM documents
+        |  WHERE doc_id % 10 <> 7)
+        |SELECT
+        | CAST(sum(CASE WHEN fp_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_added,
+        | CAST(sum(CASE WHEN fp_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_removed,
+        | CAST(sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NOT NULL
+        |     AND fp_a <> fp_b THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        | CAST(sum(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_unchanged
+        |FROM a FULL JOIN b USING (doc_id)""".stripMargin,
     // integral-sum quotients only (Σstop/Σtokens etc.) — exact in IEEE
     // regardless of aggregation order, so 4dp rounding is portable
     "corpus_quality_by_source" ->

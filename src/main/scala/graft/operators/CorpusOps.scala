@@ -124,6 +124,33 @@ object CorpusOps {
     * log-bucketing, so engines can never disagree at a power-of-two
     * boundary); labels zero-padded so lexicographic order is numeric order.
     * Pure map + one ≤6-key aggregate: one corpus scan. */
+  /** Corpus VERSION diff — the one-row report a pipeline owner reads
+    * between corpus drops, before anything downstream re-runs: how many
+    * documents arrived, disappeared, changed content (same doc_id,
+    * different full-text fingerprint), or carried over unchanged. Changed
+    * docs matter most operationally: they invalidate cached signatures,
+    * persisted index rows, and split assignments for exactly those ids —
+    * this count is the re-index work estimate, and added+changed is the
+    * increment the append-maintenance paths ([[graft.operators.Dedup
+    * .nearDupIndexAppend]], `Similarity.ivfIndexAppend`) would ingest.
+    *
+    * Scale shape: one md5 projection per side, a full-outer equi-join on
+    * doc_id (both sides hash-partition once; pre-bucketed corpus tables
+    * co-locate it to zero exchanges), one 1-row aggregate. Nothing
+    * quadratic, nothing collected. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("fp_a"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when(col("fp_a").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("fp_b").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("fp_a").isNotNull && col("fp_b").isNotNull &&
+          col("fp_a") =!= col("fp_b"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("fp_a") === col("fp_b"), 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
+
   def lengthHistogram(docs: DataFrame): DataFrame = {
     val n = size(TextAnalysis.tokens(col("text"))).cast("long")
     val bucket = when(n < 16, lit("0000-0015"))

@@ -1134,6 +1134,18 @@ class NorthStarSpec extends SparkTestBase {
     assert(capped.length == 2 && capped.head.getLong(0) == 1L)
   }
 
+  test("CorpusOps.corpusDiff: added/removed/changed/unchanged counts " +
+    "across two corpus versions") {
+    val v1 = docsDf(Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    val v2 = docsDf(Seq(2L -> "beta", 3L -> "gamma EDITED",
+      4L -> "delta", 5L -> "epsilon"))
+    val r = operators.CorpusOps.corpusDiff(v1, v2).head()
+    assert(r.getLong(0) == 2L) // 4, 5 added
+    assert(r.getLong(1) == 1L) // 1 removed
+    assert(r.getLong(2) == 1L) // 3 changed
+    assert(r.getLong(3) == 1L) // 2 unchanged
+  }
+
   test("Dedup.thresholdSweep: counts are monotonically non-increasing in " +
     "the threshold and agree with the single-threshold pipeline") {
     val sweep = Dedup.thresholdSweep(docs,
