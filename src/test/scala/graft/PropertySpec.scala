@@ -146,6 +146,31 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: retrieval and sweep results are invariant under " +
+    "repartitioning (retry/speculation stability)") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("hash", "join", "window", "scan", "merge", "row",
+      "batch", "sort", "filter")
+    def text(): String =
+      List.fill(5 + rnd.nextInt(30))(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    val docs = (1L to 60L).map(i => (i, text(), "en", "srcA"))
+      .map { case (i, t, l, src) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val terms = Seq("hash", "join", "window")
+    val base = graft.operators.TextAnalysis
+      .bm25Search(docs, terms, k = 10).collect().toSeq
+    val shuffled = graft.operators.TextAnalysis
+      .bm25Search(docs.repartition(7), terms, k = 10).collect().toSeq
+    assert(base == shuffled, "bm25 ranking must not depend on layout")
+    val sweepA = graft.operators.Dedup.thresholdSweep(docs)
+      .collect().sortBy(_.getDouble(0)).toSeq
+    val sweepB = graft.operators.Dedup.thresholdSweep(docs.repartition(5))
+      .collect().sortBy(_.getDouble(0)).toSeq
+    assert(sweepA == sweepB, "sweep counts must not depend on layout")
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val s = spark
     import s.implicits._
