@@ -520,6 +520,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfStats(e, Similarity.ivfSeedCentroids(e, 16))
     }),
+    // occupancy drift between the full corpus and a v2 that lost every
+    // vec_id % 5 == 1 — the when-to-refit signal for append-grown indexes
+    "emb_ivf_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfDrift(e, e.filter(col("vec_id") % 5 =!= 1),
+        Similarity.ivfSeedCentroids(e, 16))
+    }),
 
     // ── dedup (north-star) ────────────────────────────────────────────
     "doc_dedup_exact" -> ((s, dir) =>
@@ -1739,6 +1746,44 @@ object SparkEntry {
         |SELECT cell, n_vecs,
         | round(CAST(n_vecs AS DOUBLE) / (SELECT total FROM tot), 4) AS share
         |FROM g""".stripMargin,
+    // two ivf_stats chains under the SAME centroid table (seeded from the
+    // FULL corpus), full-outer joined on cell; share_delta subtracts two
+    // 4dp-rounded shares — exact, portable
+    "emb_ivf_drift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d1 AS (SELECT e.vec_id, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a1 AS (SELECT vec_id, cell FROM
+        |   (SELECT vec_id, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d1) t
+        |  WHERE rn = 1),
+        | g1 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_v1
+        |  FROM a1 GROUP BY cell),
+        | t1 AS (SELECT CAST(sum(n_v1) AS DOUBLE) AS total FROM g1),
+        | s1 AS (SELECT cell, n_v1,
+        |   round(CAST(n_v1 AS DOUBLE) / (SELECT total FROM t1), 4)
+        |     AS share_v1 FROM g1),
+        | a2 AS (SELECT vec_id, cell FROM a1 WHERE vec_id % 5 <> 1),
+        | g2 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_v2
+        |  FROM a2 GROUP BY cell),
+        | t2 AS (SELECT CAST(sum(n_v2) AS DOUBLE) AS total FROM g2),
+        | s2 AS (SELECT cell, n_v2,
+        |   round(CAST(n_v2 AS DOUBLE) / (SELECT total FROM t2), 4)
+        |     AS share_v2 FROM g2)
+        |SELECT coalesce(s1.cell, s2.cell) AS cell,
+        | coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2,
+        | coalesce(share_v1, 0) AS share_v1,
+        | coalesce(share_v2, 0) AS share_v2,
+        | round(coalesce(share_v2, 0) - coalesce(share_v1, 0), 4)
+        |   AS share_delta
+        |FROM s1 FULL JOIN s2 ON s1.cell = s2.cell""".stripMargin,
     "doc_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY md5(text)""".stripMargin,

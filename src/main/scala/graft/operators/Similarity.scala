@@ -567,6 +567,32 @@ object Similarity {
         round(col("n_vecs").cast("double") / col("total"), 4).as("share"))
   }
 
+  /** IVF occupancy DRIFT between two corpus versions under the SAME
+    * centroids — the "when to refit" signal [[ivfIndexAppend]]'s contract
+    * defers to: appends never refit, so cell occupancy shifts as the
+    * corpus evolves, and once cells run hot (probe latency) or hollow
+    * (wasted probes) the operator refits and rebuilds. Per cell:
+    * occupancy and corpus share in each version plus the share delta.
+    * The delta subtracts two already-4dp-rounded shares, so it is exact
+    * and engine-portable. Scale shape: two [[ivfStats]] passes (each one
+    * map-only assignment scan + ≤nlist-key aggregate) and a ≤nlist-row
+    * full-outer join — version-sized scans, index-sized everything else. */
+  def ivfDrift(v1: DataFrame, v2: DataFrame,
+               centroids: DataFrame): DataFrame = {
+    val a = ivfStats(v1, centroids).select(col("cell"),
+      col("n_vecs").as("n_v1"), col("share").as("share_v1"))
+    val b = ivfStats(v2, centroids).select(col("cell"),
+      col("n_vecs").as("n_v2"), col("share").as("share_v2"))
+    a.join(b, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        coalesce(col("share_v1"), lit(0.0)).as("share_v1"),
+        coalesce(col("share_v2"), lit(0.0)).as("share_v2"),
+        round(coalesce(col("share_v2"), lit(0.0)) -
+          coalesce(col("share_v1"), lit(0.0)), 4).as("share_delta"))
+  }
+
   /** Persist the IVF index as a cell-bucketed table: every later probe join
     * on `cell` is co-located (no corpus shuffle at query time). */
   def ivfWriteIndex(emb: DataFrame, centroids: DataFrame, table: String,

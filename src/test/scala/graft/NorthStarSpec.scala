@@ -1134,6 +1134,29 @@ class NorthStarSpec extends SparkTestBase {
     assert(capped.length == 2 && capped.head.getLong(0) == 1L)
   }
 
+  test("Similarity.ivfDrift: a vanished cluster shows as a negative share " +
+    "delta; untouched cells gain share; zero-occupancy side coalesces") {
+    val rnd = new scala.util.Random(7)
+    def around(base: Float) =
+      Seq.tabulate(8)(i => base + (if (i == 0) 0f else rnd.nextFloat() * 0.05f))
+    // two tight clusters; v2 loses cluster B entirely
+    val rows = (0 until 6).map(i => (i.toLong, around(1f))) ++
+      (6 until 12).map(i => (i.toLong, around(-1f)))
+    val emb = embDf(rows)
+    // centroids seeded from one representative of each cluster
+    val out = Similarity.ivfDrift(emb,
+      emb.filter(col("vec_id") < 6), // cluster B gone in v2
+      Similarity.ivfSeedCentroids(
+        embDf(Seq(0L -> around(1f), 1L -> around(-1f))), 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val cellA = out.values.find(_.getLong(2) > 0).get // survives in v2
+    val cellB = out.values.find(_.getLong(2) == 0).get // vanished
+    assert(cellB.getLong(1) > 0 && cellB.getLong(2) == 0)
+    assert(cellB.getDouble(5) < 0, "vanished cluster must lose share")
+    assert(cellA.getDouble(4) == 1.0, "survivor holds the whole v2 corpus")
+    assert(cellA.getDouble(5) > 0)
+  }
+
   test("CorpusOps.corpusDiff: added/removed/changed/unchanged counts " +
     "across two corpus versions") {
     val v1 = docsDf(Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))

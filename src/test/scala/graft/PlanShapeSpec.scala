@@ -236,7 +236,9 @@ class PlanShapeSpec extends SparkTestBase {
       "doc_search_bm25", "doc_search_hybrid",
       // the |thresholds|-row sweep frame fans out onto the (LSH-bounded)
       // candidate list — constant fan-out over a bounded relation
-      "doc_dedup_threshold_sweep")
+      "doc_dedup_threshold_sweep",
+      // two ivfStats passes, each with its 1-row total crossJoin
+      "emb_ivf_drift")
     for ((name, fn) <- SparkEntry.queries if !eager(name)) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
