@@ -171,6 +171,47 @@ class PropertySpec extends SparkTestBase {
     assert(sweepA == sweepB, "sweep counts must not depend on layout")
   }
 
+  test("property: bm25Search matches a driver-side reference " +
+    "implementation on random corpora (20 trials)") {
+    val s = spark
+    import s.implicits._
+    val pool = Seq("hash", "join", "window", "scan", "merge", "row",
+      "batch", "sort", "filter", "agg")
+    val terms = Seq("hash", "join", "window")
+    val k1 = 1.2; val b = 0.75
+    for (_ <- 1 to 20) {
+      val corpus = (1L to (10 + rnd.nextInt(40)).toLong).map(i =>
+        i -> List.fill(3 + rnd.nextInt(25))(pool(rnd.nextInt(pool.size)))
+          .mkString(" "))
+      val docs = corpus.map { case (i, t) =>
+        (i, t, "en", "srcA", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = graft.operators.TextAnalysis
+        .bm25Search(docs, terms, k = corpus.size).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // independent reference: same formula, plain Scala over the seq
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val n = toks.size.toDouble
+      val avgdl = toks.map(_._2.size).sum.toDouble / n
+      val dfs = terms.map(t =>
+        t -> toks.count(_._2.contains(t)).toDouble).toMap
+      val want = toks.flatMap { case (id, ws) =>
+        val dl = ws.size.toDouble
+        val score = terms.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          val idf = math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1)
+          idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        }.sum
+        if (score > 0) Some(id -> math.rint(score * 1e4) / 1e4) else None
+      }.toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, v) =>
+        assert(math.abs(v - want(id)) < 1e-9,
+          s"doc $id: spark=$v ref=${want(id)}")
+      }
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val s = spark
     import s.implicits._
