@@ -735,6 +735,12 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
+    // strict-order behavior funnel over each user's own timeline
+    "events_funnel" -> ((s, dir) =>
+      Funnels.funnel(events(s, dir), Seq("view", "click", "purchase"))),
+    // day-offset retention vs each user's first-seen day
+    "events_retention" -> ((s, dir) =>
+      Funnels.retention(events(s, dir))),
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
         Multimodal.withBinaryPayload(t(s, dir, "documents"))).toDF()),
@@ -2616,6 +2622,36 @@ object SparkEntry {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    // strict-order funnel: step i's first occurrence must be AFTER step
+    // i-1's first qualifying occurrence, per user
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        | s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+        |  CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+        |  CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
+    // day-offset retention; share = integral-count quotient
+    "events_retention" ->
+      """WITH dd AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        | f AS (SELECT u, min(d) AS d0 FROM dd GROUP BY 1),
+        | o AS (SELECT dd.u, date_diff('day', f.d0, dd.d) AS day_offset
+        |  FROM dd JOIN f ON dd.u = f.u)
+        |SELECT day_offset, CAST(count(DISTINCT u) AS BIGINT) AS n_active,
+        | CAST((SELECT count(*) FROM f) AS BIGINT) AS n_cohort,
+        | round(CAST(count(DISTINCT u) AS DOUBLE) /
+        |   (SELECT count(*) FROM f), 4) AS share
+        |FROM o WHERE day_offset IN (0, 1, 3, 7, 14)
+        |GROUP BY day_offset""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

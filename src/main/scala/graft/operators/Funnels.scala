@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-behavior analytics over an event stream — the funnel and
+  * retention reports every product-analytics engine ships and the
+  * reference's CDR world would call usage analysis. Both are composed from
+  * equi-joins and aggregates keyed on the user, so they scale like any
+  * hash-partitioned pipeline: no window over the whole stream, nothing
+  * quadratic, nothing collected. */
+object Funnels {
+
+  /** Strict-order funnel: for each step i, the users whose FIRST qualifying
+    * occurrence of step i happens strictly AFTER their first qualifying
+    * occurrence of step i−1 (the classic "view → click → purchase within
+    * the account's own timeline" report). Emits one row per step:
+    * (step_idx, step, n_users), n_users non-increasing by construction.
+    *
+    * Scale shape: step i is one equi-join (user) of the step-i events
+    * against the step-(i−1) reach frame plus a per-user min — S joins for
+    * an S-step funnel, each keyed on user_id, shuffle-partitioned like any
+    * hash join; the unioned count rows are 1-row aggregates. The reach
+    * chain is rebuilt per step count (S is small — funnels are 3-6 steps;
+    * a shared-prefix reuse would save S²/2 tiny joins and cost the plan
+    * its laziness). */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    var reached: DataFrame = null
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      val occ = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("u"), col(tsCol).as("t"))
+      reached =
+        if (i == 0) occ.groupBy("u").agg(min(col("t")).as("t"))
+        else occ.join(reached.select(col("u"), col("t").as("tp")), Seq("u"))
+          .filter(col("t") > col("tp"))
+          .groupBy("u").agg(min(col("t")).as("t"))
+      reached.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
+          col("n_users"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  /** Day-offset retention: share of the user base active again k days
+    * after their own first-seen day, for each requested offset. Output per
+    * offset: (day_offset, n_active, n_cohort, share) — the share an
+    * integral-count quotient, so the 4dp rounding is engine-portable.
+    * Offsets with zero active users are absent (the report reads "no one
+    * came back", not a fabricated zero row).
+    *
+    * Scale shape: one distinct (user, day) projection, a per-user min, one
+    * self-equi-join on user, a ≤|offsets|-key aggregate, and a 1-row
+    * cohort total broadcast back — stream-sized scans, user-keyed
+    * shuffles only. */
+  def retention(events: DataFrame, offsets: Seq[Int] = Seq(0, 1, 3, 7, 14),
+                userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    require(offsets.nonEmpty, "retention: at least one offset")
+    val days = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val first = days.groupBy("u").agg(min(col("d")).as("d0"))
+    val offs = days.join(first, Seq("u"))
+      .select(col("u"),
+        datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+    val total = first.agg(count(lit(1)).cast("long").as("n_cohort"))
+    offs.filter(col("day_offset").isInCollection(offsets.map(_.toLong)))
+      .groupBy("day_offset")
+      .agg(countDistinct(col("u")).as("n_active"))
+      .crossJoin(broadcast(total))
+      .select(col("day_offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 4)
+          .as("share"))
+  }
+}

@@ -1157,6 +1157,47 @@ class NorthStarSpec extends SparkTestBase {
     assert(cellA.getDouble(5) > 0)
   }
 
+  test("Funnels.funnel: strict temporal order per user — out-of-order " +
+    "steps don't count; counts are non-increasing") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      // user 1: view -> click -> purchase, in order: reaches all 3
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      // user 2: click BEFORE first view: reaches only step 1
+      (2L, ts(0), "click"), (2L, ts(10), "view"),
+      // user 3: purchase BEFORE click: reaches 2 steps
+      (3L, ts(0), "view"), (3L, ts(5), "purchase"), (3L, ts(10), "click"),
+      // user 4: never views
+      (4L, ts(0), "click"), (4L, ts(5), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = operators.Funnels
+      .funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("Funnels.retention: day offsets measured from each user's own " +
+    "first-seen day; share is n_active/n_cohort") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.time.LocalDate.of(2024, 1, 1 + day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(3)),  // cohort day 0, back on 1, 3
+      (2L, ts(2)), (2L, ts(3)),               // cohort day 2, back on +1
+      (3L, ts(5)))                            // cohort day 5, never back
+      .toDF("user_id", "ts")
+    val out = operators.Funnels.retention(ev, offsets = Seq(0, 1, 3))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == ((3L, 3L, 1.0)))
+    assert(out(1L) == ((2L, 3L, math.rint(2.0 / 3 * 1e4) / 1e4)))
+    assert(out(3L) == ((1L, 3L, math.rint(1.0 / 3 * 1e4) / 1e4)))
+  }
+
   test("CorpusOps.corpusDiff: added/removed/changed/unchanged counts " +
     "across two corpus versions") {
     val v1 = docsDf(Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))

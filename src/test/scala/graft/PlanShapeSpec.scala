@@ -238,7 +238,9 @@ class PlanShapeSpec extends SparkTestBase {
       // candidate list — constant fan-out over a bounded relation
       "doc_dedup_threshold_sweep",
       // two ivfStats passes, each with its 1-row total crossJoin
-      "emb_ivf_drift")
+      "emb_ivf_drift",
+      // the 1-row cohort total broadcast back onto the ≤|offsets| rows
+      "events_retention")
     for ((name, fn) <- SparkEntry.queries if !eager(name)) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
