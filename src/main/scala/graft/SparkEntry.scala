@@ -741,6 +741,9 @@ object SparkEntry {
     // day-offset retention vs each user's first-seen day
     "events_retention" -> ((s, dir) =>
       Funnels.retention(events(s, dir))),
+    // most common 3-step behavior sequences, top 10
+    "events_top_paths" -> ((s, dir) =>
+      Funnels.topPaths(events(s, dir))),
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
         Multimodal.withBinaryPayload(t(s, dir, "documents"))).toDF()),
@@ -2639,6 +2642,19 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
         |  CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
+    // per-user (ts, event_id)-ordered sequences -> consecutive triples ->
+    // global top-10 by (count desc, path asc)
+    "events_top_paths" ->
+      """WITH s AS (SELECT user_id,
+        |   list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1),
+        | p AS (SELECT unnest(list_transform(range(1, len(seq) - 1), i ->
+        |   concat_ws('>', seq[i], seq[i+1], seq[i+2]))) AS path
+        |  FROM s WHERE len(seq) >= 3)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY path
+        |ORDER BY n DESC, path ASC
+        |LIMIT 10""".stripMargin,
     // day-offset retention; share = integral-count quotient
     "events_retention" ->
       """WITH dd AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

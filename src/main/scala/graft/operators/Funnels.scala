@@ -44,6 +44,37 @@ object Funnels {
     counts.reduce(_ unionByName _)
   }
 
+  /** Most common length-`n` behavior sequences: each user's events in
+    * (ts, event_id) order yield their consecutive `n`-step paths
+    * ("view>click>purchase"), counted globally, top `k` by (count desc,
+    * path asc) — the exploratory report that tells an analyst WHICH
+    * funnels are worth defining before [[funnel]] measures one. The
+    * per-user ordering key includes event_id, so ties at the same
+    * timestamp order deterministically across engines and layouts.
+    *
+    * Scale shape: one user-keyed aggregate builds each user's sequence
+    * (per-user event counts are session-scale, not corpus-scale — same
+    * state assumption as sessionization), a per-row window slide emits
+    * paths, and the count is an ordinary partial-agg shuffle on the path
+    * key; top-k is a TakeOrdered. */
+  def topPaths(events: DataFrame, n: Int = 3, k: Int = 10,
+               userCol: String = "user_id", tsCol: String = "ts",
+               typeCol: String = "event_type"): DataFrame = {
+    require(n >= 2, "topPaths: need length >= 2")
+    val seqs = events.groupBy(col(userCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(tsCol), col("event_id"),
+          col(typeCol).as("et")))),
+        s => s.getField("et")).as("seq"))
+    seqs.filter(size(col("seq")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("seq")) - (n - 1)),
+        i => concat_ws(">", slice(col("seq"), i, lit(n))))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Day-offset retention: share of the user base active again k days
     * after their own first-seen day, for each requested offset. Output per
     * offset: (day_offset, n_active, n_cohort, share) — the share an

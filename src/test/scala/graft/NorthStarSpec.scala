@@ -1178,6 +1178,25 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("Funnels.topPaths: consecutive n-grams over each user's ordered " +
+    "timeline; same-timestamp ties break on event_id") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (10L, 1L, ts(0), "view"), (11L, 1L, ts(5), "click"),
+      (12L, 1L, ts(9), "purchase"),
+      (20L, 2L, ts(0), "view"), (21L, 2L, ts(5), "click"),
+      (22L, 2L, ts(9), "purchase"),
+      // user 3: two events share ts(0); event_id orders view before click
+      (30L, 3L, ts(0), "view"), (31L, 3L, ts(0), "click"),
+      (32L, 3L, ts(5), "error"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = operators.Funnels.topPaths(ev, n = 3, k = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("view>click>purchase" -> 2L, "view>click>error" -> 1L))
+  }
+
   test("Funnels.retention: day offsets measured from each user's own " +
     "first-seen day; share is n_active/n_cohort") {
     val s = spark
