@@ -212,6 +212,41 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: funnel matches a driver-side reference on random event " +
+    "streams (20 trials)") {
+    val s = spark
+    import s.implicits._
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val steps = Seq("view", "click", "purchase")
+    for (_ <- 1 to 20) {
+      val ev = (1 to (30 + rnd.nextInt(120))).map { i =>
+        (i.toLong, (1 + rnd.nextInt(12)).toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 100L),
+          types(rnd.nextInt(types.size)))
+      }
+      val df = ev.toDF("event_id", "user_id", "ts", "event_type")
+      val got = graft.operators.Funnels.funnel(df, steps).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // reference: per user, walk steps taking the min qualifying ts
+      // strictly after the previous step's chosen ts
+      val byUser = ev.groupBy(_._2)
+      val reached = steps.indices.map { upto =>
+        byUser.count { case (_, rows) =>
+          var prev = Long.MinValue
+          var ok = true
+          for (si <- 0 to upto if ok) {
+            val cands = rows.filter(r => r._4 == steps(si) &&
+              (si == 0 || r._3.getTime > prev)).map(_._3.getTime)
+            if (cands.isEmpty) ok = false else prev = cands.min
+          }
+          ok
+        }.toLong
+      }
+      assert(got == steps.indices.map(i => (i + 1).toLong -> reached(i))
+        .toMap, s"events: ${ev.size}")
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val s = spark
     import s.implicits._
