@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the bench artifact; sbt's `[success] Total time…` trailer otherwise prints
+// AFTER the forked JVM's final JSON line and breaks that parse (rounds 7-8:
+// `parsed: null`). Suppressing the success banner makes the Bench JSON line
+// the truly-last stdout line. `BENCH.out.json` (cwd) is the canonical
+// fallback artifact either way — see README.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// …and route the forked run's streams RAW to this process's stdout/stderr:
+// the default LoggedOutput strategy prefixes every forked stdout line with
+// "[info] ", which corrupts the artifact line just as thoroughly as a
+// trailing banner would.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,6 +40,8 @@ import org.apache.spark.sql.SparkSession
   *     pass completes) and after each warm pass — to stdout and the out
   *     file, so an external timeout kill at any point still leaves the
   *     latest checkpoint artifact as the last parseable stdout line.
+  *     `warm_trials` is the CONFIGURED trial count (the constant 3) so
+  *     cross-round artifact comparisons see the planned methodology;
   *     `warm_trials_done` says how many warm passes the line reflects
   *     (0 = cold-only: warm_* fields then REPEAT the cold numbers as the
   *     best available estimate and must be read as cold). A wall-clock
@@ -150,7 +152,7 @@ object Bench {
           s""","queries":${timesObj(cold)},"errors":${errsObj(cold)}""" +
           s""","warm_total":${total(warm)},"warm_queries":${timesObj(warm)}""" +
           s""","warm_errors":${errsObj(warm)},"n_err":$nErr""" +
-          s""","warm_trials":${warmTrials.size},"warm_min":${numsObj(warmMin)}""" +
+          s""","warm_trials":$WarmTrials,"warm_min":${numsObj(warmMin)}""" +
           s""","warm_max":${numsObj(warmMax)}""" +
           s""","warm_trials_done":${warmTrials.size}""" +
           s""","partial":${coldDone < names.size}""" +
@@ -196,6 +198,13 @@ object Bench {
       }
       i += 1
     }
+    // The driver parses the LAST stdout line as the artifact (r7/r8 lost it
+    // to trailing output). `emit` is pure string formatting, so: quieten the
+    // logger, stop Spark (its stop-time stderr chatter lands NOW, and sbt
+    // relays forked stderr onto stdout), then re-emit the final line as the
+    // last thing this JVM writes.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    emit(cold, warmDone, truncated)
   }
 }

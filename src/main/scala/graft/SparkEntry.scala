@@ -738,6 +738,11 @@ object SparkEntry {
     // strict-order behavior funnel over each user's own timeline
     "events_funnel" -> ((s, dir) =>
       Funnels.funnel(events(s, dir), Seq("view", "click", "purchase"))),
+    // conversion-window funnel: each step must land within 24h of the
+    // previous step's first qualifying occurrence
+    "events_funnel_windowed" -> ((s, dir) =>
+      Funnels.funnel(events(s, dir), Seq("view", "click", "purchase"),
+        within = Some(expr("INTERVAL 24 HOURS")))),
     // day-offset retention vs each user's first-seen day
     "events_retention" -> ((s, dir) =>
       Funnels.retention(events(s, dir))),
@@ -2635,6 +2640,25 @@ object SparkEntry {
         |  WHERE e.event_type = 'click' GROUP BY 1),
         | s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
         |  JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+        |  CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+        |  CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
+    // windowed funnel: same reach chain with a 24h bound between
+    // consecutive steps' first qualifying occurrences
+    "events_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |   AND e.ts <= s1.t + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        | s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |   AND e.ts <= s2.t + INTERVAL 24 HOUR
         |  WHERE e.event_type = 'purchase' GROUP BY 1)
         |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
         |  CAST(count(*) AS BIGINT) AS n_users FROM s1

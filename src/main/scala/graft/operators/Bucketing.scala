@@ -44,6 +44,14 @@ object Bucketing {
   def appendBucketed(df: DataFrame, table: String, key: String,
                      buckets: Int = 32,
                      sortBy: Option[String] = None): Unit = {
+    // mode("append").saveAsTable would silently CREATE a missing table, and
+    // an append-before-build against a mistyped name then registers an
+    // increment-only "index" that later probes would serve as if it were
+    // the full corpus. Appending requires the table to already exist.
+    require(df.sparkSession.catalog.tableExists(table),
+      s"appendBucketed: table '$table' does not exist — build it with " +
+        "writeBucketed first (append-before-build would register an " +
+        "increment-only index)")
     val w = df.write.mode("append").format("parquet")
       .bucketBy(buckets, key)
     sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)

@@ -141,14 +141,19 @@ object CorpusOps {
   def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
     val a = v1.select(col("doc_id"), md5(col("text")).as("fp_a"))
     val b = v2.select(col("doc_id"), md5(col("text")).as("fp_b"))
+    // coalesce: sum over ZERO rows is null; the empty-vs-empty diff must
+    // still read 0/0/0/0 per the one-row report contract.
     a.join(b, Seq("doc_id"), "full_outer")
       .agg(
-        sum(when(col("fp_a").isNull, 1L).otherwise(0L)).as("n_added"),
-        sum(when(col("fp_b").isNull, 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("fp_a").isNotNull && col("fp_b").isNotNull &&
-          col("fp_a") =!= col("fp_b"), 1L).otherwise(0L)).as("n_changed"),
-        sum(when(col("fp_a") === col("fp_b"), 1L).otherwise(0L))
-          .as("n_unchanged"))
+        coalesce(sum(when(col("fp_a").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_added"),
+        coalesce(sum(when(col("fp_b").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_removed"),
+        coalesce(sum(when(col("fp_a").isNotNull && col("fp_b").isNotNull &&
+          col("fp_a") =!= col("fp_b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_changed"),
+        coalesce(sum(when(col("fp_a") === col("fp_b"), 1L).otherwise(0L)),
+          lit(0L)).as("n_unchanged"))
   }
 
   def lengthHistogram(docs: DataFrame): DataFrame = {

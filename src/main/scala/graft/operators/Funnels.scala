@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-behavior analytics over an event stream — the funnel and
@@ -17,16 +18,27 @@ object Funnels {
     * the account's own timeline" report). Emits one row per step:
     * (step_idx, step, n_users), n_users non-increasing by construction.
     *
+    * `within` adds the CONVERSION-WINDOW variant every real funnel report
+    * uses ("click within 2 hours of the view"): step i qualifies only when
+    * its first strictly-later occurrence lands at most `within` after the
+    * user's step-(i−1) reach time — e.g.
+    * `within = Some(expr("INTERVAL 2 HOURS"))`. The bound applies between
+    * CONSECUTIVE steps (each measured from the previous step's first
+    * qualifying time), not from the funnel's start; n_users stays
+    * non-increasing by construction since the window only filters.
+    *
     * Scale shape: step i is one equi-join (user) of the step-i events
     * against the step-(i−1) reach frame plus a per-user min — S joins for
     * an S-step funnel, each keyed on user_id, shuffle-partitioned like any
-    * hash join; the unioned count rows are 1-row aggregates. The reach
-    * chain is rebuilt per step count (S is small — funnels are 3-6 steps;
-    * a shared-prefix reuse would save S²/2 tiny joins and cost the plan
-    * its laziness). */
+    * hash join; the window bound is a post-join filter on already-joined
+    * rows (no extra shuffle); the unioned count rows are 1-row aggregates.
+    * The reach chain is rebuilt per step count (S is small — funnels are
+    * 3-6 steps; a shared-prefix reuse would save S²/2 tiny joins and cost
+    * the plan its laziness). */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", tsCol: String = "ts",
-             typeCol: String = "event_type"): DataFrame = {
+             typeCol: String = "event_type",
+             within: Option[Column] = None): DataFrame = {
     require(steps.nonEmpty, "funnel: at least one step")
     var reached: DataFrame = null
     val counts = steps.zipWithIndex.map { case (st, i) =>
@@ -35,7 +47,8 @@ object Funnels {
       reached =
         if (i == 0) occ.groupBy("u").agg(min(col("t")).as("t"))
         else occ.join(reached.select(col("u"), col("t").as("tp")), Seq("u"))
-          .filter(col("t") > col("tp"))
+          .filter(col("t") > col("tp") &&
+            within.map(w => col("t") <= col("tp") + w).getOrElse(lit(true)))
           .groupBy("u").agg(min(col("t")).as("t"))
       reached.agg(count(lit(1)).cast("long").as("n_users"))
         .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
@@ -52,18 +65,40 @@ object Funnels {
     * per-user ordering key includes event_id, so ties at the same
     * timestamp order deterministically across engines and layouts.
     *
-    * Scale shape: one user-keyed aggregate builds each user's sequence
-    * (per-user event counts are session-scale, not corpus-scale — same
-    * state assumption as sessionization), a per-row window slide emits
-    * paths, and the count is an ordinary partial-agg shuffle on the path
-    * key; top-k is a TakeOrdered. */
+    * Scale shape: per-user state is HARD-BOUNDED at `maxEvents` — a
+    * row_number() over (user, ts, event_id) keeps each user's FIRST
+    * `maxEvents` events BEFORE the sequence aggregate, so a firehose/bot
+    * user with 10M events contributes a capped array, not a single-row
+    * memory spike. The bound must sit before collect_list, not after: the
+    * window's per-partition sort spills to disk under pressure, while an
+    * aggregation buffer holding an unbounded list cannot — slicing the
+    * collected array would bound the OUTPUT but not the buffer that
+    * builds it. Truncated (cap-hitting) users are observable via the
+    * `top_paths_input` metric (`n_capped_users`). The window's user-hash
+    * shuffle is the same distribution the sequence aggregate needs, so
+    * the cap costs a sort, not an extra exchange; the path count is an
+    * ordinary partial-agg shuffle on the path key; top-k is a
+    * TakeOrdered. */
   def topPaths(events: DataFrame, n: Int = 3, k: Int = 10,
                userCol: String = "user_id", tsCol: String = "ts",
-               typeCol: String = "event_type"): DataFrame = {
+               typeCol: String = "event_type",
+               eventIdCol: String = "event_id",
+               maxEvents: Int = 10000): DataFrame = {
     require(n >= 2, "topPaths: need length >= 2")
-    val seqs = events.groupBy(col(userCol))
+    require(maxEvents >= n, s"topPaths: maxEvents ($maxEvents) must cover " +
+      s"at least one $n-step path")
+    val ordered = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(eventIdCol))
+    val bounded = events
+      .select(col(userCol), col(tsCol), col(eventIdCol), col(typeCol))
+      .withColumn("rn", row_number().over(ordered))
+      .filter(col("rn") <= maxEvents)
+      .observe("top_paths_input",
+        sum(when(col("rn") === maxEvents, 1L).otherwise(0L))
+          .as("n_capped_users"))
+    val seqs = bounded.groupBy(col(userCol))
       .agg(transform(
-        array_sort(collect_list(struct(col(tsCol), col("event_id"),
+        array_sort(collect_list(struct(col(tsCol), col(eventIdCol),
           col(typeCol).as("et")))),
         s => s.getField("et")).as("seq"))
     seqs.filter(size(col("seq")) >= n)

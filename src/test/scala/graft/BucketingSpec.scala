@@ -34,4 +34,16 @@ class BucketingSpec extends SparkTestBase {
       s.sql("DROP TABLE IF EXISTS or_b")
     }
   }
+
+  test("appendBucketed refuses a missing table — append-before-build must " +
+    "fail loudly, not register an increment-only index") {
+    val s = spark
+    val df = s.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.appendBucketed(df, "no_such_bucketed_table", "r_regionkey")
+    }
+    assert(e.getMessage.contains("does not exist"))
+    assert(!s.catalog.tableExists("no_such_bucketed_table"),
+      "the refused append must not have created the table")
+  }
 }

@@ -1197,6 +1197,56 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map("view>click>purchase" -> 2L, "view>click>error" -> 1L))
   }
 
+  test("Funnels.topPaths: firehose user is truncated to its first " +
+    "maxEvents events — per-user state is bounded, tail never counted") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // user 1 = firehose: 50 views then a final click — with maxEvents=10
+    // only the first 10 views survive, so NO view>click path may appear.
+    val firehose = (0 until 50).map(i => (100L + i, 1L, ts(i), "view")) :+
+      ((999L, 1L, ts(60), "click"))
+    // user 2 = normal, under the cap, must be unaffected
+    val normal = Seq((200L, 2L, ts(0), "view"), (201L, 2L, ts(1), "click"))
+    val ev = (firehose ++ normal)
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = operators.Funnels.topPaths(ev, n = 2, k = 10, maxEvents = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // firehose: 9 view>view pairs from its first 10 events; its click is
+    // beyond the cap. normal: one view>click.
+    assert(out == Map("view>view" -> 9L, "view>click" -> 1L))
+    // with the cap above the user's volume, results are the uncapped ones
+    val uncapped = operators.Funnels.topPaths(ev, n = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uncapped == Map("view>view" -> 49L, "view>click" -> 2L))
+  }
+
+  test("Funnels.funnel: conversion window bounds each step relative to " +
+    "the previous step's first qualifying time") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      // user 1 converts fast: view@0, click@10, purchase@20
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      // user 2 clicks too late for a 60s window (click@120)
+      (2L, ts(0), "view"), (2L, ts(120), "click"),
+      // user 3: click inside the window, purchase outside ITS window
+      // (measured from the click at 30, not from the view)
+      (3L, ts(0), "view"), (3L, ts(30), "click"), (3L, ts(150), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val within = Some(org.apache.spark.sql.functions.expr("INTERVAL 60 SECONDS"))
+    val out = operators.Funnels
+      .funnel(ev, Seq("view", "click", "purchase"), within = within)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // unwindowed: user 2's late click and user 3's late purchase count
+    val loose = operators.Funnels
+      .funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose == Map(1L -> 3L, 2L -> 3L, 3L -> 2L))
+  }
+
   test("Funnels.retention: day offsets measured from each user's own " +
     "first-seen day; share is n_active/n_cohort") {
     val s = spark
@@ -1227,6 +1277,11 @@ class NorthStarSpec extends SparkTestBase {
     assert(r.getLong(1) == 1L) // 1 removed
     assert(r.getLong(2) == 1L) // 3 changed
     assert(r.getLong(3) == 1L) // 2 unchanged
+    // degenerate empty-vs-empty diff still reads 0/0/0/0, not nulls (sum
+    // over zero rows is null without the coalesce)
+    val empty = docsDf(Seq.empty)
+    val z = operators.CorpusOps.corpusDiff(empty, empty).head()
+    assert((0 to 3).forall(i => !z.isNullAt(i) && z.getLong(i) == 0L))
   }
 
   test("Dedup.thresholdSweep: counts are monotonically non-increasing in " +
