@@ -199,56 +199,66 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("sweep: EVERY registered query plans without a cartesian product or " +
-    "an unbounded nested-loop join (static plans; default-deny for future " +
-    "additions)") {
-    // Exceptions, each bounded by construction and covered by a targeted
-    // test or scaladoc above:
-    //  - EAGER queries run Spark jobs at DataFrame construction (IVF index
-    //    build / label propagation / SQ8 param collect) — too costly for a
-    //    static sweep, and each has its own targeted spec;
-    //  - the IVF family crosses the tiny |Q| probe set with the ≤nlist
-    //    broadcast centroid table (plans as BroadcastNestedLoopJoin, rows
-    //    bounded at |Q|×nlist);
-    //  - corpus_stats / doc_unigram_logprob / doc_tfidf_topk /
-    //    doc_dedup_report / corpus_mix_weights cross-join BROADCAST 1-row
-    //    summary aggregates (constant fan-out); the SQ8 family adds the
-    //    1-row broadcast (mins, rngs) param frame of the now-lazy
-    //    sq8Dequantized, and emb_knn_pq_recall the 1-row broadcast
-    //    codebook frame of pqDecoded;
-    //  - emb_knn_brute (and emb_knn_recall / emb_knn_sq8_recall /
-    //    emb_knn_pq_recall / emb_knn_classify, which embed it as ground
-    //    truth, ANN arm, or neighbor source) broadcasts the |Q| probe set
-    //    against one corpus scan — the brute-force baseline IS that
-    //    product, documented small-Q-only.
+  test("sweep: EVERY registered query plans without a cartesian product, " +
+    "and every broadcast nested-loop join MEASURES a tiny build side " +
+    "(default-deny for future additions; no name allowlist to go stale)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    // EAGER queries run Spark jobs at DataFrame construction (IVF index
+    // build / label propagation / persisted-index probes) — too costly for
+    // this sweep, and each has its own targeted spec:
     val eager = Set("doc_dup_clusters", "doc_cluster_best",
       "emb_knn_ivf_indexed", "emb_knn_ivf_recall",
       "emb_knn_ivf_appended",
       "doc_dedup_incremental_near_indexed")
-    val boundedNlj = Set("emb_knn_ivf", "corpus_stats",
-      "doc_unigram_logprob", "doc_tfidf_topk", "emb_knn_brute",
-      "emb_knn_recall", "doc_dedup_report", "emb_knn_sq8_recall",
-      "emb_knn_ivf_sq8", "emb_knn_ivf_sq8_recall", "emb_ivf_stats",
-      "corpus_mix_weights", "emb_knn_pq_recall", "emb_knn_classify",
-      // bm25's 1-row (N, avgdl, df) stats frame crossJoin-broadcasts back
-      // onto the corpus — constant fan-out; hybrid embeds bm25 AND
-      // knnBrute's |Q|=1 probe product
-      "doc_search_bm25", "doc_search_hybrid",
-      // the |thresholds|-row sweep frame fans out onto the (LSH-bounded)
-      // candidate list — constant fan-out over a bounded relation
-      "doc_dedup_threshold_sweep",
-      // two ivfStats passes, each with its 1-row total crossJoin
-      "emb_ivf_drift",
-      // the 1-row cohort total broadcast back onto the ≤|offsets| rows
-      "events_retention")
+    // A nested-loop join is legitimate ONLY when its broadcast side is a
+    // constant-size frame: a 1-row summary aggregate broadcast back onto
+    // the corpus, a |Q|-row probe set, a ≤nlist centroid table, a
+    // |thresholds| sweep frame. Instead of trusting a per-name comment
+    // (the r8 list had grown to 19 entries), MEASURE it: run the query,
+    // then read each BNLJ build side's broadcast numOutputRows metric and
+    // bound it. The bound (64) sits far above every legitimate frame
+    // (largest: ~40-row fusion pools) and far below the smallest corpus
+    // at this SF (documents/embeddings: 500 rows) — a corpus-sided NLJ
+    // cannot sneak under it, at this SF or any larger one.
+    val MaxNljBuildRows = 64L
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
     for ((name, fn) <- SparkEntry.queries if !eager(name)) {
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"$name plans a cartesian product:\n$plan")
-      if (!boundedNlj(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a nested-loop join (if bounded by construction, " +
-            s"add it to boundedNlj with a comment):\n$plan")
+      val df = fn(spark, dir)
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(!planStr.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$planStr")
+      if (planStr.contains("BroadcastNestedLoopJoin")) {
+        df.collect() // materialize so broadcast metrics carry real counts
+        val nljs = nodes(df.queryExecution.executedPlan)
+          .collect { case j: BroadcastNestedLoopJoinExec => j }
+        // (AQE may have re-planned the speculative BNLJ away — then there
+        // is nothing left to measure and the query is clean.)
+        nljs.foreach { j =>
+          val build = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          val measured = nodes(build).collectFirst {
+            case e: BroadcastExchangeLike => e.metrics("numOutputRows").value
+          }
+          assert(measured.isDefined,
+            s"$name: BNLJ build side has no broadcast row metric:\n$planStr")
+          assert(measured.get <= MaxNljBuildRows,
+            s"$name: nested-loop join broadcasts ${measured.get} rows " +
+              s"(> $MaxNljBuildRows) — corpus-sided NLJ, fix the plan " +
+              s"instead of raising the bound:\n$planStr")
+        }
+      }
     }
   }
 
