@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of [[graft.operators.Funnels.funnel]] — a per-user
+  * step tracker via `flatMapGroupsWithState`, completing the events family
+  * the way [[StreamingDedup]] completes dedup: the batch funnel re-scans
+  * the event log per report; this emits each user's step advancement AS IT
+  * HAPPENS, so the live conversion dashboard is a `groupBy(step_idx).count`
+  * over the emitted rows.
+  *
+  * Semantics match the batch op: a user advances to step i when a step-i
+  * event lands strictly AFTER their step-(i−1) reach time (their FIRST
+  * qualifying occurrence — later duplicates are ignored), optionally within
+  * `withinSeconds` of it (the conversion window). Events are processed in
+  * event-time order within each micro-batch; late events that arrive in a
+  * LATER batch than a step they should have preceded are a streaming
+  * reality the batch twin doesn't have — counts match on in-order inputs
+  * (spec-proven), and the watermark bounds how late data can matter at all.
+  *
+  * Scale/state contract: ONE tiny (step, reach_ts) record per user still
+  * MID-funnel — no event buffering (unlike topPaths, nothing accumulates
+  * per event). State is removed the moment a user completes the last step;
+  * with a conversion window set, a user whose window has expired can never
+  * advance again, so their state is reaped by an event-time timeout at
+  * `reach_ts + withinSeconds` — under a window, state holds only users who
+  * can still convert. Without a window the funnel is open-ended and state
+  * is one record per ever-seen incomplete user (document the retention
+  * choice; real deployments should set a window). */
+object StreamingFunnel {
+
+  case class FEvt(user_id: Long, ts: Timestamp, event_type: String)
+  /** `step` = number of steps reached so far; `reachTs` = epoch-ms reach
+    * time of the latest reached step. */
+  case class FunnelState(step: Int, reachTs: Long)
+  case class StepReached(user_id: Long, step_idx: Long, step: String,
+                         reach_ts: Timestamp)
+
+  implicit val evtEnc: Encoder[FEvt] = Encoders.product[FEvt]
+  implicit val stEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+  implicit val outEnc: Encoder[StepReached] = Encoders.product[StepReached]
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** `events` must be a streaming Dataset[FEvt] with a watermark applied on
+    * `ts` (required by the event-time timeout that reaps expired-window
+    * users). Emits one StepReached row per (user, newly reached step). */
+  def funnelSteps(events: Dataset[FEvt], steps: Seq[String],
+                  withinSeconds: Option[Long] = None): Dataset[StepReached] = {
+    require(steps.nonEmpty, "funnelSteps: at least one step")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StepReached](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[FEvt],
+         state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // conversion window expired — this user can never advance
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = List.newBuilder[StepReached]
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              if (s.step < steps.length && e.event_type == steps(s.step)) {
+                val t = e.ts.getTime
+                val qualifies =
+                  if (s.step == 0) true
+                  else t > s.reachTs &&
+                    withinSeconds.forall(w => t <= s.reachTs + w * 1000L)
+                if (qualifies) {
+                  s = FunnelState(s.step + 1, t)
+                  out += StepReached(user, s.step.toLong, steps(s.step - 1),
+                    new Timestamp(t))
+                }
+              }
+            }
+            if (s.step >= steps.length) {
+              // funnel complete — nothing left to track
+              if (state.exists) state.remove()
+            } else {
+              state.update(s)
+              // reap only under a window (clamped above the watermark —
+              // a stale reachTs must not throw); windowless funnels are
+              // open-ended by contract
+              if (s.step > 0) withinSeconds.foreach { w =>
+                state.setTimeoutTimestamp(math.max(s.reachTs + w * 1000L,
+                  state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

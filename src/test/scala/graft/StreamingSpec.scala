@@ -462,4 +462,53 @@ class StreamingSpec extends SparkTestBase {
       .map(_.getString(0))
     assert(rows.sorted.toSeq == Seq("fresh a", "fresh b"))
   }
+
+  test("StreamingFunnel: per-user step tracker matches the batch funnel " +
+    "on in-order input, windowed and unwindowed; emits steps as they " +
+    "happen") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FEvt
+    implicit val ctx = s.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp((100000 + sec) * 1000)
+    val steps = Seq("view", "click", "purchase")
+    // u1 converts fully inside the 60s windows; u2's click and u3's
+    // purchase are too late for the window but fine without one; u9 only
+    // views (and advances the watermark past every timeout)
+    val batch1 = Seq(
+      FEvt(1L, ts(100), "view"), FEvt(2L, ts(100), "view"),
+      FEvt(3L, ts(100), "view"),
+      FEvt(1L, ts(110), "click"), FEvt(3L, ts(130), "click"))
+    val batch2 = Seq(
+      FEvt(1L, ts(140), "purchase"), FEvt(2L, ts(220), "click"),
+      FEvt(3L, ts(250), "purchase"))
+    val batch3 = Seq(FEvt(9L, ts(10000), "view"))
+    def run(name: String, within: Option[Long]): Map[Long, Long] = {
+      val input = MemoryStream[FEvt]
+      val q = StreamingFunnel.funnelSteps(
+        input.toDS().withWatermark("ts", "0 seconds"), steps, within)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir(s"${name}_cp"))
+        .trigger(Trigger.ProcessingTime(0)).start()
+      Seq(batch1, batch2, batch3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      s.sql(s"SELECT step_idx, count(*) FROM $name GROUP BY 1").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def batchCounts(within: Option[org.apache.spark.sql.Column]) =
+      graft.operators.Funnels.funnel(
+        (batch1 ++ batch2 ++ batch3).toDS().toDF(), steps, within = within)
+        .collect().filter(_.getLong(2) > 0)
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val windowed = run("sfunnel_w", Some(60L))
+    assert(windowed == Map(1L -> 4L, 2L -> 2L, 3L -> 1L))
+    assert(windowed == batchCounts(
+      Some(org.apache.spark.sql.functions.expr("INTERVAL 60 SECONDS"))))
+    val open = run("sfunnel_o", None)
+    assert(open == Map(1L -> 4L, 2L -> 3L, 3L -> 2L))
+    assert(open == batchCounts(None))
+  }
 }
