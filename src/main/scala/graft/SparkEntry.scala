@@ -743,6 +743,13 @@ object SparkEntry {
     "events_funnel_windowed" -> ((s, dir) =>
       Funnels.funnel(events(s, dir), Seq("view", "click", "purchase"),
         within = Some(expr("INTERVAL 24 HOURS")))),
+    // A/B funnel: same reach chain per experiment arm (user_id parity —
+    // an arm assignment is a pure function of the user)
+    "events_funnel_ab" -> ((s, dir) =>
+      Funnels.funnelBySegment(events(s, dir),
+        Seq("view", "click", "purchase"),
+        segment = when(pmod(col("user_id"), lit(2)) === 0, lit("control"))
+          .otherwise(lit("variant")))),
     // day-offset retention vs each user's first-seen day
     "events_retention" -> ((s, dir) =>
       Funnels.retention(events(s, dir))),
@@ -2666,6 +2673,24 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
         |  CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
+    // A/B funnel: reach chain per user_id-parity experiment arm
+    "events_funnel_ab" ->
+      """WITH s1 AS (SELECT user_id AS u,
+        |   CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'variant' END
+        |     AS seg, min(ts) AS t
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        | s2 AS (SELECT e.user_id AS u, s1.seg, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1, 2),
+        | s3 AS (SELECT e.user_id AS u, s2.seg, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, seg,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s1 GROUP BY seg
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', seg,
+        |  CAST(count(*) AS BIGINT) FROM s2 GROUP BY seg
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', seg,
+        |  CAST(count(*) AS BIGINT) FROM s3 GROUP BY seg""".stripMargin,
     // per-user (ts, event_id)-ordered sequences -> consecutive triples ->
     // global top-10 by (count desc, path asc)
     "events_top_paths" ->

@@ -57,6 +57,49 @@ object Funnels {
     counts.reduce(_ unionByName _)
   }
 
+  /** Segmented funnel — the A/B-comparison form of [[funnel]]: the same
+    * strict-order per-user reach chain, reported PER SEGMENT (experiment
+    * arm, country, platform…). Emits one row per (step, segment):
+    * (step_idx, step, seg, n_users); within each segment n_users is
+    * non-increasing by construction. `segment` must be constant per user
+    * (an arm assignment is a pure function of the user); it is evaluated
+    * on each event row and resolved per user as `min(seg)`, so a
+    * non-constant column degrades deterministically instead of
+    * double-counting users.
+    *
+    * Scale shape: identical to [[funnel]] — S user-keyed equi-joins; the
+    * segment tag rides the reach frames (no extra join, no extra shuffle:
+    * the per-user min(seg) folds into the same aggregate that computes
+    * the reach time); the counts are ≤|segments|-row aggregates. */
+  def funnelBySegment(events: DataFrame, steps: Seq[String],
+                      segment: Column,
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      typeCol: String = "event_type",
+                      within: Option[Column] = None): DataFrame = {
+    require(steps.nonEmpty, "funnelBySegment: at least one step")
+    var reached: DataFrame = null
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      val occ = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("u"), col(tsCol).as("t"), segment.as("seg"))
+      reached =
+        if (i == 0)
+          occ.groupBy("u")
+            .agg(min(col("t")).as("t"), min(col("seg")).as("seg"))
+        else occ.drop("seg")
+          .join(reached.select(col("u"), col("t").as("tp"), col("seg")),
+            Seq("u"))
+          .filter(col("t") > col("tp") &&
+            within.map(w => col("t") <= col("tp") + w).getOrElse(lit(true)))
+          .groupBy("u")
+          .agg(min(col("t")).as("t"), min(col("seg")).as("seg"))
+      reached.groupBy("seg")
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
+          col("seg"), col("n_users"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
   /** Most common length-`n` behavior sequences: each user's events in
     * (ts, event_id) order yield their consecutive `n`-step paths
     * ("view>click>purchase"), counted globally, top `k` by (count desc,

@@ -1197,6 +1197,34 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Map("view>click>purchase" -> 2L, "view>click>error" -> 1L))
   }
 
+  test("Funnels.funnelBySegment: per-arm reach chains stay separate; " +
+    "counts within each segment are non-increasing") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      // arm A (even users): 2 full conversions
+      (2L, ts(0), "view"), (2L, ts(10), "click"), (2L, ts(20), "purchase"),
+      (4L, ts(0), "view"), (4L, ts(10), "click"), (4L, ts(20), "purchase"),
+      // arm B (odd users): views only, one click out of order
+      (1L, ts(5), "click"), (1L, ts(10), "view"),
+      (3L, ts(0), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val seg = org.apache.spark.sql.functions.when(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lit(2)) === 0,
+      org.apache.spark.sql.functions.lit("A"))
+      .otherwise(org.apache.spark.sql.functions.lit("B"))
+    val out = operators.Funnels
+      .funnelBySegment(ev, Seq("view", "click", "purchase"), seg)
+      .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(out == Map(
+      (1L, "A") -> 2L, (2L, "A") -> 2L, (3L, "A") -> 2L,
+      (1L, "B") -> 2L)) // B: both odd users viewed; no qualifying click
+  }
+
   test("Funnels.topPaths: firehose user is truncated to its first " +
     "maxEvents events — per-user state is bounded, tail never counted") {
     val s = spark
