@@ -750,6 +750,10 @@ object SparkEntry {
         Seq("view", "click", "purchase"),
         segment = when(pmod(col("user_id"), lit(2)) === 0, lit("control"))
           .otherwise(lit("variant")))),
+    // time-to-convert per funnel transition (avg/min/max epoch-ms)
+    "events_funnel_latency" -> ((s, dir) =>
+      Funnels.funnelLatency(events(s, dir),
+        Seq("view", "click", "purchase"))),
     // day-offset retention vs each user's first-seen day
     "events_retention" -> ((s, dir) =>
       Funnels.retention(events(s, dir))),
@@ -2704,6 +2708,26 @@ object SparkEntry {
         |FROM p GROUP BY path
         |ORDER BY n DESC, path ASC
         |LIMIT 10""".stripMargin,
+    // time-to-convert per funnel transition; deltas are integral epoch-ms,
+    // avg is the only rounded quotient (4dp)
+    "events_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id AS u, min(e.ts) AS t, min(s1.t) AS tp
+        |  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        | s3 AS (SELECT e.user_id AS u, min(e.ts) AS t, min(s2.t) AS tp
+        |  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        | d2 AS (SELECT date_diff('millisecond', tp, t) AS ms FROM s2),
+        | d3 AS (SELECT date_diff('millisecond', tp, t) AS ms FROM s3)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS from_step,
+        |  'click' AS to_step, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(avg(ms), 4) AS avg_ms, CAST(min(ms) AS BIGINT) AS min_ms,
+        |  CAST(max(ms) AS BIGINT) AS max_ms FROM d2
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', 'purchase',
+        |  CAST(count(*) AS BIGINT), round(avg(ms), 4),
+        |  CAST(min(ms) AS BIGINT), CAST(max(ms) AS BIGINT) FROM d3""".stripMargin,
     // day-offset retention; share = integral-count quotient
     "events_retention" ->
       """WITH dd AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

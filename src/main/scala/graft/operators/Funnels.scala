@@ -100,6 +100,56 @@ object Funnels {
     counts.reduce(_ unionByName _)
   }
 
+  /** Time-to-convert for each consecutive funnel transition: among the
+    * users who reach step i (same strict-order first-qualifying-occurrence
+    * semantics as [[funnel]], including the optional `within` bound), the
+    * gap between their step-(i−1) reach time and their step-i reach time.
+    * Emits one row per transition: (step_idx, from_step, to_step, n_users,
+    * avg_ms, min_ms, max_ms) — the "how long does the funnel take", which
+    * the step-count report can't answer. Deltas are integral epoch-ms
+    * (exact, engine-portable); only the avg is a rounded quotient (4dp,
+    * same contract as [[retention]].share). A transition nobody completes
+    * reports n_users=0 with null avg/min/max (an aggregate over zero rows,
+    * not a fabricated zero).
+    *
+    * Scale shape: identical to [[funnel]] — S user-keyed equi-joins; the
+    * previous reach time rides the same per-user aggregate that computes
+    * the reach time (min over a per-user-constant column — no extra join,
+    * no extra shuffle); each transition row is a 1-row aggregate. */
+  def funnelLatency(events: DataFrame, steps: Seq[String],
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type",
+                    within: Option[Column] = None): DataFrame = {
+    require(steps.size >= 2, "funnelLatency: need at least two steps")
+    var reached: DataFrame = null
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      val occ = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("u"), col(tsCol).as("t"))
+      if (i == 0) {
+        reached = occ.groupBy("u").agg(min(col("t")).as("t"))
+        None
+      } else {
+        reached = occ
+          .join(reached.select(col("u"), col("t").as("tp")), Seq("u"))
+          .filter(col("t") > col("tp") &&
+            within.map(w => col("t") <= col("tp") + w).getOrElse(lit(true)))
+          .groupBy("u")
+          // tp is per-user constant (it came out of a groupBy on u), so
+          // min() just carries it through the reach aggregate
+          .agg(min(col("t")).as("t"), min(col("tp")).as("tp"))
+        val ms = (unix_millis(col("t")) - unix_millis(col("tp"))).as("ms")
+        Some(reached.select(ms)
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            round(avg(col("ms")), 4).as("avg_ms"),
+            min(col("ms")).as("min_ms"), max(col("ms")).as("max_ms"))
+          .select(lit(i.toLong).as("step_idx"),
+            lit(steps(i - 1)).as("from_step"), lit(st).as("to_step"),
+            col("n_users"), col("avg_ms"), col("min_ms"), col("max_ms")))
+      }
+    }
+    rows.flatten.reduce(_ unionByName _)
+  }
+
   /** Most common length-`n` behavior sequences: each user's events in
     * (ts, event_id) order yield their consecutive `n`-step paths
     * ("view>click>purchase"), counted globally, top `k` by (count desc,

@@ -1275,6 +1275,40 @@ class NorthStarSpec extends SparkTestBase {
     assert(loose == Map(1L -> 3L, 2L -> 3L, 3L -> 2L))
   }
 
+  test("Funnels.funnelLatency: per-transition deltas measured between " +
+    "reach times; empty transition reports 0 users with null stats") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      // user 1: view@0 -> click@10 -> purchase@30 (deltas 10s, 20s)
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(30), "purchase"),
+      // user 2: view@0 -> click@50; the SECOND click@70 must not matter
+      // (delta measured to the FIRST qualifying occurrence)
+      (2L, ts(0), "view"), (2L, ts(50), "click"), (2L, ts(70), "click"),
+      // user 3: click before view — never reaches step 2
+      (3L, ts(5), "click"), (3L, ts(10), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = operators.Funnels
+      .funnelLatency(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val t1 = out(1L) // view -> click: users 1 (10s) and 2 (50s)
+    assert(t1.getString(1) == "view" && t1.getString(2) == "click")
+    assert(t1.getLong(3) == 2L)
+    assert(t1.getDouble(4) == 30000.0) // avg(10000, 50000)
+    assert(t1.getLong(5) == 10000L && t1.getLong(6) == 50000L)
+    val t2 = out(2L) // click -> purchase: user 1 only (20s)
+    assert(t2.getLong(3) == 1L && t2.getDouble(4) == 20000.0)
+    assert(t2.getLong(5) == 20000L && t2.getLong(6) == 20000L)
+    // nobody purchases twice -> a 4th step has zero converters
+    val out4 = operators.Funnels
+      .funnelLatency(ev, Seq("view", "click", "purchase", "refund"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val t3 = out4(3L)
+    assert(t3.getLong(3) == 0L && t3.isNullAt(4) && t3.isNullAt(5) &&
+      t3.isNullAt(6))
+  }
+
   test("Funnels.retention: day offsets measured from each user's own " +
     "first-seen day; share is n_active/n_cohort") {
     val s = spark
