@@ -426,6 +426,9 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
     "doc_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
+    // CCNet-style head/middle/tail tertiles by unigram-logprob score
+    "doc_quality_buckets" -> ((s, dir) =>
+      TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2)),
     "doc_tfidf_topk" -> ((s, dir) =>
@@ -757,6 +760,9 @@ object SparkEntry {
     // day-offset retention vs each user's first-seen day
     "events_retention" -> ((s, dir) =>
       Funnels.retention(events(s, dir))),
+    // per-day DAU / trailing-7-day WAU / stickiness
+    "events_engagement" -> ((s, dir) =>
+      Funnels.engagement(events(s, dir))),
     // most common 3-step behavior sequences, top 10
     "events_top_paths" -> ((s, dir) =>
       Funnels.topPaths(events(s, dir))),
@@ -1367,6 +1373,36 @@ object SparkEntry {
         | round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e8), 4)
         |   AS avg_logprob
         |FROM lp GROUP BY doc_id""".stripMargin,
+    // head/middle/tail tertiles by integral micro-logprob mean; cutoffs =
+    // exact values at integer ranks ceil(n/3), ceil(2n/3) off a score
+    // histogram (no double percentile anywhere near the boundary)
+    "doc_quality_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        | vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        | tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM vocab),
+        | lp AS (SELECT t.doc_id,
+        |   CAST(round(ln(CAST(v.cnt AS DOUBLE) /
+        |     (SELECT n_total FROM tot)) * 1e8) AS BIGINT) AS lp_micro
+        |  FROM tok t JOIN vocab v USING (token)),
+        | d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |   CAST(round(CAST(sum(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+        |     AS score
+        |  FROM lp GROUP BY doc_id),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        | c AS (SELECT score, sum(cnt) OVER (ORDER BY score) AS cum
+        |  FROM (SELECT score, count(*) AS cnt FROM d GROUP BY score)),
+        | cuts AS (SELECT
+        |   min(CASE WHEN cum >= (SELECT (n + 2) // 3 FROM nn)
+        |     THEN score END) AS c1,
+        |   min(CASE WHEN cum >= (SELECT (2 * n + 2) // 3 FROM nn)
+        |     THEN score END) AS c2 FROM c)
+        |SELECT CASE WHEN score <= c1 THEN 'tail'
+        |   WHEN score <= c2 THEN 'middle' ELSE 'head' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | round(CAST(count(*) AS DOUBLE) / (SELECT n FROM nn), 4) AS share
+        |FROM d, cuts GROUP BY 1, c1, c2""".stripMargin,
     "doc_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
         |  FROM documents),
@@ -2728,6 +2764,20 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS BIGINT), 'click', 'purchase',
         |  CAST(count(*) AS BIGINT), round(avg(ms), 4),
         |  CAST(min(ms) AS BIGINT), CAST(max(ms) AS BIGINT) FROM d3""".stripMargin,
+    // per-day DAU / trailing-7-day WAU / stickiness; the trailing distinct
+    // window is a 7-day coverage explode + plain distinct count
+    "events_engagement" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        | dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        | cov AS (SELECT DISTINCT u, d + CAST(off AS INTEGER) AS d
+        |  FROM ud, range(0, 7) t(off)),
+        | wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau
+        |  FROM cov GROUP BY 1)
+        |SELECT dau.d AS day, dau.dau, wau.wau,
+        | round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
     // day-offset retention; share = integral-count quotient
     "events_retention" ->
       """WITH dd AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

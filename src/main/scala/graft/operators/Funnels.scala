@@ -203,6 +203,41 @@ object Funnels {
       .limit(k)
   }
 
+  /** Daily engagement: per calendar day, DAU (distinct active users),
+    * trailing-`windowDays` WAU (distinct users active in the window ENDING
+    * that day), and stickiness = DAU/WAU — the DAU/MAU-style health metric
+    * every analytics engine reports. Output per day with any activity:
+    * (day, dau, wau, stickiness); counts exact BIGINT, stickiness the
+    * usual 4dp integral-count quotient.
+    *
+    * The trailing window is computed WITHOUT a distinct-over-window (which
+    * no engine does distributively): each distinct (user, day) activity row
+    * "covers" days d..d+W−1 via a W-element explode, and WAU(x) is then a
+    * plain distinct count per covered day — turning a windowed distinct
+    * into two ordinary partial-agg shuffles at a ×W row cost (W is 7;
+    * the exploded frame is user-day-scale, tiny next to the event stream).
+    *
+    * Scale shape: one distinct (user, day) projection off the stream (the
+    * only event-scale scan), a ×W explode + distinct on user-keyed
+    * shuffles, two per-day aggregates (≤days keys), and a day-keyed join
+    * of two day-sized frames (AQE broadcasts). */
+  def engagement(events: DataFrame, windowDays: Int = 7,
+                 userCol: String = "user_id",
+                 tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, "engagement: window must be >= 1 day")
+    val ud = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val dau = ud.groupBy("d").agg(count(lit(1)).cast("long").as("dau"))
+    val wau = ud
+      .select(col("u"), col("d"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(col("u"), date_add(col("d"), col("off")).as("d")).distinct()
+      .groupBy("d").agg(count(lit(1)).cast("long").as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
   /** Day-offset retention: share of the user base active again k days
     * after their own first-seen day, for each requested offset. Output per
     * offset: (day_offset, n_active, n_cohort, share) — the share an

@@ -354,6 +354,56 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** CCNet-style quality bucketing: score each doc by its mean corpus-
+    * unigram log-probability per token (see [[unigramLogProb]]) and split
+    * the corpus into head / middle / tail TERTILES by that score — the
+    * standard "keep the head, sample the middle, drop the tail" curation
+    * partition. Output: one row per non-empty bucket — (bucket, n_docs,
+    * n_tokens, share); head = highest-probability third.
+    *
+    * Determinism across engines is rank-free and double-free at the
+    * boundary: the per-doc score is an integral micro-logprob mean
+    * (round(lp_sum / n_tokens) as BIGINT), cutoffs are the exact values at
+    * integer ranks ceil(n/3) and ceil(2n/3) (computed with `div`, never a
+    * double percentile), and bucketing compares BIGINT score to BIGINT
+    * cutoff — ties at a cutoff land identically everywhere. Bucket sizes
+    * are therefore only approximately n/3 when many docs share the cutoff
+    * score (value-based split, the deterministic choice).
+    *
+    * Plan shape at scale: [[unigramLogProb]]'s shuffles, then a per-score
+    * histogram (partial-agg shuffle over ~|distinct integral scores|
+    * keys), a cumulative sum over that HISTOGRAM (an unpartitioned window,
+    * but over distinct-score rows — millions at worst, not corpus-scale;
+    * the standard exact-quantile-at-scale shape), and a 1-row cutoff frame
+    * broadcast back over the doc scores. Swap the exact cutoffs for
+    * `percentile_approx` at 100 TB if the distinct-score histogram ever
+    * dominates — the bucketing join is unchanged. */
+  def qualityBuckets(docs: DataFrame): DataFrame = {
+    val lp = unigramLogProb(docs).select(col("doc_id"), col("n_tokens"),
+      round(col("lp_sum").cast("double") / col("n_tokens"), 0).cast("long")
+        .as("score"))
+    val n = lp.agg(count(lit(1)).cast("long").as("n"))
+    val cum = lp.groupBy("score").agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy("score")))
+      .crossJoin(broadcast(n))
+    val cuts = cum.agg(
+      min(when(col("cum") >= expr("(n + 2) div 3"), col("score"))).as("c1"),
+      min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("score")))
+        .as("c2"))
+    lp.crossJoin(broadcast(cuts)).crossJoin(broadcast(n))
+      .select(
+        when(col("score") <= col("c1"), lit("tail"))
+          .when(col("score") <= col("c2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"),
+        col("n_tokens"), col("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        round(count(lit(1)).cast("double") / first(col("n")), 4)
+          .as("share"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf × ln(N/df)) — the classic
     * keyword/topic signal a curation pipeline uses for domain tagging and
     * near-topic sampling. Rank is deterministic: scores are ROUNDED to 4dp

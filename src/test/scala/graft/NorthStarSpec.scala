@@ -1329,6 +1329,47 @@ class NorthStarSpec extends SparkTestBase {
     assert(out(3L) == ((1L, 3L, math.rint(1.0 / 3 * 1e4) / 1e4)))
   }
 
+  test("Funnels.engagement: trailing-7-day WAU covers each activity day's " +
+    "window; stickiness = dau/wau") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.time.LocalDate.of(2024, 1, 1 + day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)),   // u1 on days 0 and 1
+      (2L, ts(0)), (2L, ts(0)),   // u2 twice on day 0 (distinct collapses)
+      (3L, ts(8)))                // u3 alone on day 8 (outside u1/u2 window)
+      .toDF("user_id", "ts")
+    val out = operators.Funnels.engagement(ev).collect()
+      .map(r => r.getDate(0).toLocalDate.getDayOfMonth - 1 ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // day 0: dau {u1,u2}; wau(trailing) also {u1,u2}
+    assert(out(0) == ((2L, 2L, 1.0)))
+    // day 1: dau {u1}; window d-5..d1 still covers day-0 activity -> wau 2
+    assert(out(1) == ((1L, 2L, 0.5)))
+    // day 8: only u3 — days 0/1 are 7+ days back, outside the window
+    assert(out(8) == ((1L, 1L, 1.0)))
+    assert(out.size == 3, "only days with activity are reported")
+  }
+
+  test("TextAnalysis.qualityBuckets: value-cutoff tertiles by unigram " +
+    "score — head gets the most probable docs") {
+    // 6 docs, 3 clearly separated score levels (2 docs each):
+    // all-common tokens (head) / mixed (middle) / all-singletons (tail)
+    val docs6 = docsDf(Seq(
+      1L -> "a a a a", 2L -> "a a a a",
+      3L -> "a a z1 a", 4L -> "a a z2 a",
+      5L -> "u1 u2 u3 u4", 6L -> "v1 v2 v3 v4"))
+    val out = TextAnalysis.qualityBuckets(docs6).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val third = 0.3333 // round(2/6, 4)
+    assert(out("head") == ((2L, 8L, third)))
+    assert(out("middle") == ((2L, 8L, third)))
+    assert(out("tail") == ((2L, 8L, third)))
+  }
+
   test("CorpusOps.corpusDiff: added/removed/changed/unchanged counts " +
     "across two corpus versions") {
     val v1 = docsDf(Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
