@@ -429,6 +429,10 @@ object SparkEntry {
     // CCNet-style head/middle/tail tertiles by unigram-logprob score
     "doc_quality_buckets" -> ((s, dir) =>
       TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
+    // production twin: sketch cutoffs (no oracle — spec-gated vs exact,
+    // same pattern as q11_percentile_approx)
+    "doc_quality_buckets_approx" -> ((s, dir) =>
+      TextAnalysis.qualityBucketsApprox(t(s, dir, "documents"))),
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2)),
     "doc_tfidf_topk" -> ((s, dir) =>
@@ -763,6 +767,10 @@ object SparkEntry {
     // per-day DAU / trailing-7-day WAU / stickiness
     "events_engagement" -> ((s, dir) =>
       Funnels.engagement(events(s, dir))),
+    // days whose volume exceeds 2x their trailing-week baseline mean;
+    // exact-integer spike predicate
+    "events_spike_days" -> ((s, dir) =>
+      Funnels.spikeDays(events(s, dir))),
     // most common 3-step behavior sequences, top 10
     "events_top_paths" -> ((s, dir) =>
       Funnels.topPaths(events(s, dir))),
@@ -2778,6 +2786,22 @@ object SparkEntry {
         |SELECT dau.d AS day, dau.dau, wau.wau,
         | round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
         |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
+    // spike days: baseline = sum over the 7 PRIOR active days; the flag is
+    // exact integer arithmetic (n * baseline_days > 2 * baseline_sum)
+    "events_spike_days" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |   CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+        | base AS (SELECT d + CAST(off AS INTEGER) AS d,
+        |   CAST(sum(n_events) AS BIGINT) AS baseline_sum,
+        |   CAST(count(*) AS BIGINT) AS baseline_days
+        |  FROM daily, range(1, 8) t(off) GROUP BY 1)
+        |SELECT daily.d AS day, daily.n_events,
+        | CAST(COALESCE(base.baseline_sum, 0) AS BIGINT) AS baseline_sum,
+        | CAST(COALESCE(base.baseline_days, 0) AS BIGINT) AS baseline_days,
+        | CAST(CASE WHEN COALESCE(base.baseline_days, 0) > 0 AND
+        |   daily.n_events * base.baseline_days > 2 * base.baseline_sum
+        |  THEN 1 ELSE 0 END AS BIGINT) AS spike
+        |FROM daily LEFT JOIN base ON daily.d = base.d""".stripMargin,
     // day-offset retention; share = integral-count quotient
     "events_retention" ->
       """WITH dd AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

@@ -238,6 +238,48 @@ object Funnels {
         round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
   }
 
+  /** Traffic-anomaly days: per calendar day, the event count vs the sum
+    * over the `window` PRIOR active days (the trailing baseline, current
+    * day excluded), flagging days whose volume exceeds `factor`× the
+    * baseline mean. The monitoring report the reference's record-count
+    * metrics (F10/F11) feed in production — "which days blew past their
+    * own trailing week".
+    *
+    * The spike predicate is EXACT integer arithmetic:
+    * `n_events * baseline_days > factor * baseline_sum` — no mean, no
+    * stddev, no double anywhere near the flag, so the flag can never flip
+    * on a last-ulp division difference between engines. Days with no
+    * prior activity in the window report baseline 0/0 and never spike
+    * (there is nothing to compare against). Output: (day, n_events,
+    * baseline_sum, baseline_days, spike 0/1).
+    *
+    * Scale shape: one event-scale scan into a per-day aggregate (≤days
+    * keys); the baseline is the same coverage-explode trick as
+    * [[engagement]] — each day's count covers the NEXT `window` days via
+    * a ×W explode over the tiny per-day frame — then a day-keyed left
+    * join of two day-sized frames (AQE broadcasts). */
+  def spikeDays(events: DataFrame, window: Int = 7, factor: Int = 2,
+                tsCol: String = "ts"): DataFrame = {
+    require(window >= 1 && factor >= 1, "spikeDays: window, factor >= 1")
+    val daily = events.select(to_date(col(tsCol)).as("d"))
+      .groupBy("d").agg(count(lit(1)).cast("long").as("n_events"))
+    val base = daily
+      .select(col("d"), col("n_events"),
+        explode(sequence(lit(1), lit(window))).as("off"))
+      .select(date_add(col("d"), col("off")).as("d"), col("n_events"))
+      .groupBy("d")
+      .agg(sum(col("n_events")).cast("long").as("baseline_sum"),
+        count(lit(1)).cast("long").as("baseline_days"))
+    val bd = coalesce(col("baseline_days"), lit(0L))
+    val bs = coalesce(col("baseline_sum"), lit(0L))
+    daily.join(base, Seq("d"), "left")
+      .select(col("d").as("day"), col("n_events"),
+        bs.as("baseline_sum"), bd.as("baseline_days"),
+        when(bd > 0 &&
+          col("n_events") * bd > lit(factor.toLong) * bs, 1L)
+          .otherwise(0L).as("spike"))
+  }
+
   /** Day-offset retention: share of the user base active again k days
     * after their own first-seen day, for each requested offset. Output per
     * offset: (day_offset, n_active, n_cohort, share) — the share an

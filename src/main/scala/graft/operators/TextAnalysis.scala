@@ -379,9 +379,7 @@ object TextAnalysis {
     * `percentile_approx` at 100 TB if the distinct-score histogram ever
     * dominates — the bucketing join is unchanged. */
   def qualityBuckets(docs: DataFrame): DataFrame = {
-    val lp = unigramLogProb(docs).select(col("doc_id"), col("n_tokens"),
-      round(col("lp_sum").cast("double") / col("n_tokens"), 0).cast("long")
-        .as("score"))
+    val lp = scoredDocs(docs)
     val n = lp.agg(count(lit(1)).cast("long").as("n"))
     val cum = lp.groupBy("score").agg(count(lit(1)).cast("long").as("cnt"))
       .withColumn("cum",
@@ -391,6 +389,41 @@ object TextAnalysis {
       min(when(col("cum") >= expr("(n + 2) div 3"), col("score"))).as("c1"),
       min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("score")))
         .as("c2"))
+    bucketByCuts(lp, cuts, n)
+  }
+
+  /** Production twin of [[qualityBuckets]] for the 100 TB path: cutoffs
+    * come from `percentile_approx` (a mergeable sketch — one partial-agg
+    * pass, no per-score histogram, no unpartitioned window) instead of
+    * exact integer ranks. Same output shape and the same value-based
+    * bucketing; bucket sizes drift from exact tertiles only as far as the
+    * sketch's rank error (bounded by `accuracy`, spec-gated like
+    * q11_percentile_approx). Not oracle-backed — DuckDB has no twin of
+    * Spark's sketch. */
+  def qualityBucketsApprox(docs: DataFrame,
+                           accuracy: Int = 10000): DataFrame = {
+    val lp = scoredDocs(docs)
+    val n = lp.agg(count(lit(1)).cast("long").as("n"))
+    val cuts = lp.agg(expr(
+      s"percentile_approx(score, array(0.3333333333333333D, " +
+        s"0.6666666666666666D), $accuracy)").as("cs"))
+      .select(element_at(col("cs"), 1).as("c1"),
+        element_at(col("cs"), 2).as("c2"))
+    bucketByCuts(lp, cuts, n)
+  }
+
+  /** Per-doc integral micro-logprob mean — the shared score frame of the
+    * quality-bucket pair. */
+  private def scoredDocs(docs: DataFrame): DataFrame =
+    unigramLogProb(docs).select(col("doc_id"), col("n_tokens"),
+      round(col("lp_sum").cast("double") / col("n_tokens"), 0).cast("long")
+        .as("score"))
+
+  /** Value-based head/middle/tail split of the score frame against a
+    * 1-row (c1, c2) cutoff frame; shared by the exact and approx
+    * variants. */
+  private def bucketByCuts(lp: DataFrame, cuts: DataFrame,
+                           n: DataFrame): DataFrame =
     lp.crossJoin(broadcast(cuts)).crossJoin(broadcast(n))
       .select(
         when(col("score") <= col("c1"), lit("tail"))
@@ -402,7 +435,6 @@ object TextAnalysis {
         sum(col("n_tokens")).cast("long").as("n_tokens"),
         round(count(lit(1)).cast("double") / first(col("n")), 4)
           .as("share"))
-  }
 
   /** Top-k terms per document by TF-IDF (tf × ln(N/df)) — the classic
     * keyword/topic signal a curation pipeline uses for domain tagging and

@@ -1370,6 +1370,46 @@ class NorthStarSpec extends SparkTestBase {
     assert(out("tail") == ((2L, 8L, third)))
   }
 
+  test("Funnels.spikeDays: integer spike predicate vs the trailing-week " +
+    "baseline; no-baseline days never spike") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      java.time.LocalDate.of(2024, 1, 1 + day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli +
+        i * 1000L)
+    // day 0: 2 events, day 1: 2, day 2: 10 (spike), day 3: 3,
+    // day 12: 100 but NO activity in its trailing 7 days -> never a spike
+    val ev = ((0 until 2).map(i => (1L, ts(0, i))) ++
+      (0 until 2).map(i => (1L, ts(1, i))) ++
+      (0 until 10).map(i => (1L, ts(2, i))) ++
+      (0 until 3).map(i => (1L, ts(3, i))) ++
+      (0 until 100).map(i => (1L, ts(12, i)))).toDF("user_id", "ts")
+    val out = operators.Funnels.spikeDays(ev).collect()
+      .map(r => r.getDate(0).toLocalDate.getDayOfMonth - 1 ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0) == ((2L, 0L, 0L, 0L)))   // first day: no baseline
+    assert(out(1) == ((2L, 2L, 1L, 0L)))   // 2*1 > 2*2 false
+    assert(out(2) == ((10L, 4L, 2L, 1L)))  // 10*2 > 2*4 -> spike
+    assert(out(3) == ((3L, 14L, 3L, 0L)))  // 3*3 > 2*14 false
+    assert(out(12) == ((100L, 0L, 0L, 0L))) // big but baseline-less
+  }
+
+  test("TextAnalysis.qualityBucketsApprox: sketch cutoffs reproduce the " +
+    "exact tertiles on a cleanly separated corpus") {
+    val docs6 = docsDf(Seq(
+      1L -> "a a a a", 2L -> "a a a a",
+      3L -> "a a z1 a", 4L -> "a a z2 a",
+      5L -> "u1 u2 u3 u4", 6L -> "v1 v2 v3 v4"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = asMap(TextAnalysis.qualityBuckets(docs6))
+    val approx = asMap(TextAnalysis.qualityBucketsApprox(docs6))
+    assert(approx == exact)
+    assert(approx.values.map(_._1).sum == 6L, "every doc lands in a bucket")
+  }
+
   test("CorpusOps.corpusDiff: added/removed/changed/unchanged counts " +
     "across two corpus versions") {
     val v1 = docsDf(Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
