@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * probe, the two heaviest per-row text ops — rolling fingerprint and
   * repetition scoring, the class where per-row MEMORY regressions hide —
   * plus line-level dedup and the bloom-prefiltered incremental dedup, the
-  * two corpus-wide join chains added in round 7, and BM25 retrieval —
-  * one corpus aggregate + per-row score + TakeOrdered, expected ~linear)
+  * two corpus-wide join chains added in round 7, BM25 retrieval —
+  * one corpus aggregate + per-row score + TakeOrdered, expected ~linear —
+  * and the exact-vs-sketch quality-tertile pair added in round 9)
   * at 1×, 10×, and 100× the sf0.1 corpus, and reports warm-over-warm
   * growth ratios. This converts the plan-shape "scales" arguments in
   * SURVEY/VERDICT into measurements: a bucketed/candidate-bounded operator
@@ -57,7 +58,14 @@ object ScaleBench {
     Seq("doc_lsh_pairs", "doc_dedup_pipeline", "emb_knn_lsh",
       "emb_knn_ivf_indexed", "doc_rolling_fp", "doc_repetition",
       "doc_line_dedup", "doc_dedup_incremental",
-      "doc_dedup_incremental_near", "doc_search_bm25")
+      "doc_dedup_incremental_near", "doc_search_bm25",
+      // the quality-tertile PAIR: exact integer-rank cutoffs (per-score
+      // histogram + an unpartitioned window over distinct scores — the
+      // one debatable shape, measured here) vs the percentile_approx
+      // sketch twin (pure partial-agg). The 100 TB question this cell
+      // answers: when does the exact path's histogram window start to
+      // cost, and what does switching to the sketch buy at that point?
+      "doc_quality_buckets", "doc_quality_buckets_approx")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the
