@@ -774,6 +774,13 @@ object SparkEntry {
     // most common 3-step behavior sequences, top 10
     "events_top_paths" -> ((s, dir) =>
       Funnels.topPaths(events(s, dir))),
+    // Markov transition matrix: consecutive event-type handoffs per user,
+    // with per-from_type outgoing probabilities
+    "events_transition_matrix" -> ((s, dir) =>
+      Funnels.transitionMatrix(events(s, dir))),
+    // weekly cohort retention matrix: first-active ISO week x week offset
+    "events_cohort_retention" -> ((s, dir) =>
+      Funnels.cohortRetention(events(s, dir))),
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
         Multimodal.withBinaryPayload(t(s, dir, "documents"))).toDF()),
@@ -2802,6 +2809,36 @@ object SparkEntry {
         |   daily.n_events * base.baseline_days > 2 * base.baseline_sum
         |  THEN 1 ELSE 0 END AS BIGINT) AS spike
         |FROM daily LEFT JOIN base ON daily.d = base.d""".stripMargin,
+    // Markov transitions: lead over each user's (ts, event_id) order; p is
+    // each (from, to) count over its from_type's outgoing total
+    "events_transition_matrix" ->
+      """WITH pr AS (SELECT event_type AS from_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        | round(CAST(count(*) AS DOUBLE) /
+        |   sum(count(*)) OVER (PARTITION BY from_type), 4) AS p
+        |FROM pr WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin,
+    // weekly cohort retention: cohort = ISO week (Monday) of each user's
+    // first active day; offset = whole weeks since that first day
+    "events_cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        | f AS (SELECT u, min(d) AS d0 FROM ud GROUP BY 1),
+        | fc AS (SELECT u, d0, date_trunc('week', d0) AS cw FROM f),
+        | sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+        |  FROM fc GROUP BY 1),
+        | act AS (SELECT fc.cw,
+        |   CAST(date_diff('day', fc.d0, ud.d) // 7 AS BIGINT)
+        |     AS week_offset,
+        |   CAST(count(DISTINCT ud.u) AS BIGINT) AS n_active
+        |  FROM ud JOIN fc ON ud.u = fc.u GROUP BY 1, 2)
+        |SELECT act.cw AS cohort_week, act.week_offset, act.n_active,
+        | sz.n_cohort,
+        | round(CAST(act.n_active AS DOUBLE) / sz.n_cohort, 4) AS share
+        |FROM act JOIN sz ON act.cw = sz.cw""".stripMargin,
     // day-offset retention; share = integral-count quotient
     "events_retention" ->
       """WITH dd AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

@@ -280,6 +280,78 @@ object Funnels {
           .otherwise(0L).as("spike"))
   }
 
+  /** Markov transition matrix over event types: for every CONSECUTIVE pair
+    * of events in a user's (ts, event_id)-ordered timeline, how often does
+    * `from_type` hand off to `to_type`, and with what probability among all
+    * of `from_type`'s outgoing transitions. Output one row per observed
+    * (from_type, to_type): (from_type, to_type, n, p) — n exact BIGINT,
+    * p = n / Σ n over the same from_type, the usual 4dp integral-count
+    * quotient. The report behind "what do users do AFTER a view": the
+    * one-step version of [[topPaths]] with probabilities instead of raw
+    * path strings. Each user's LAST event has no successor and contributes
+    * no pair (lead is null, filtered).
+    *
+    * Scale shape: ONE user-keyed window (lead over (ts, event_id) — the
+    * same hash-shuffle + per-partition sort sessionization pays; per-row
+    * state is O(1), nothing collected per user), then a partial-agg
+    * shuffle on (from, to) into a ≤|types|²-row frame; the probability
+    * denominator is a window over THAT tiny frame partitioned by
+    * from_type, not over the event stream. */
+  def transitionMatrix(events: DataFrame,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       typeCol: String = "event_type",
+                       eventIdCol: String = "event_id"): DataFrame = {
+    val ordered = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(eventIdCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(eventIdCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(ordered))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      round(col("n").cast("double") / sum(col("n")).over(wFrom), 4).as("p"))
+  }
+
+  /** Weekly cohort retention matrix — [[retention]] with the cohort
+    * dimension every growth report actually plots: users are grouped by
+    * the ISO week (Monday) of their FIRST active day, and each cohort's
+    * activity is bucketed by whole-week offset from that first day.
+    * Output one row per (cohort_week, week_offset) with any activity:
+    * (cohort_week, week_offset, n_active, n_cohort, share) — counts exact
+    * BIGINT, share the 4dp integral-count quotient. week_offset is
+    * floor(days-since-first / 7), measured from each user's OWN first day
+    * (not the cohort week's Monday), so offset 0 is always "their first
+    * week" regardless of which weekday they arrived.
+    *
+    * Scale shape: one distinct (user, day) projection off the stream, a
+    * per-user min, one user-keyed equi-join of day rows to first-days, a
+    * ≤cohorts×offsets-key aggregate, and a cohort-week-keyed join of two
+    * cohort-sized frames (AQE broadcasts) — stream-sized scans, user-keyed
+    * shuffles only, nothing windowed over the stream. */
+  def cohortRetention(events: DataFrame,
+                      userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val first = ud.groupBy("u").agg(min(col("d")).as("d0"))
+      .withColumn("cw", date_trunc("week", col("d0")).cast("date"))
+    val sizes = first.groupBy("cw")
+      .agg(count(lit(1)).cast("long").as("n_cohort"))
+    val active = ud.join(first, Seq("u"))
+      .groupBy(col("cw"),
+        floor(datediff(col("d"), col("d0")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("u")).as("n_active"))
+    active.join(sizes, Seq("cw"))
+      .select(col("cw").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 4)
+          .as("share"))
+  }
+
   /** Day-offset retention: share of the user base active again k days
     * after their own first-seen day, for each requested offset. Output per
     * offset: (day_offset, n_active, n_cohort, share) — the share an

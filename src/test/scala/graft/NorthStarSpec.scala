@@ -1353,6 +1353,57 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.size == 3, "only days with activity are reported")
   }
 
+  test("Funnels.transitionMatrix: consecutive handoffs per user; p sums " +
+    "to 1 within each from_type; last events contribute no pair") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      // user 1: view -> click -> view   (view->click, click->view)
+      (10L, 1L, ts(0), "view"), (11L, 1L, ts(5), "click"),
+      (12L, 1L, ts(9), "view"),
+      // user 2: view -> purchase        (view->purchase)
+      (20L, 2L, ts(0), "view"), (21L, 2L, ts(5), "purchase"),
+      // user 3: same-ts tie ordered by event_id: view(30) -> click(31)
+      (30L, 3L, ts(0), "view"), (31L, 3L, ts(0), "click"),
+      // user 4: single event — no successor, no pair
+      (40L, 4L, ts(0), "error"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = operators.Funnels.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // view's outgoing: click x2 (u1, u3), purchase x1
+    assert(out(("view", "click")) == ((2L, 0.6667)))
+    assert(out(("view", "purchase")) == ((1L, 0.3333)))
+    assert(out(("click", "view")) == ((1L, 1.0)))
+    assert(out.size == 3, "no pair from a user's last event")
+  }
+
+  test("Funnels.cohortRetention: cohort = ISO week of first day; offsets " +
+    "measured from each user's own first day") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      // 2024-01-01 is a Monday: days 0..6 are week 1, day 7 starts week 2
+      java.time.LocalDate.of(2024, 1, 1 + day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(3)), (1L, ts(8)),  // w1 cohort; off 0, 0, 1
+      (2L, ts(2)), (2L, ts(9)),               // w1 cohort (Wed); off 0, 1
+      (3L, ts(7)))                            // w2 cohort; off 0 only
+      .toDF("user_id", "ts")
+    val out = operators.Funnels.cohortRetention(ev).collect()
+      .map(r => (r.getDate(0).toLocalDate.getDayOfMonth,
+        r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // week-1 cohort (Monday Jan 1): u1, u2 — both active at offsets 0 and 1
+    assert(out((1, 0L)) == ((2L, 2L, 1.0)))
+    assert(out((1, 1L)) == ((2L, 2L, 1.0)))
+    // week-2 cohort (Monday Jan 8): u3 — offset 0 only
+    assert(out((8, 0L)) == ((1L, 1L, 1.0)))
+    assert(out.size == 3)
+  }
+
   test("TextAnalysis.qualityBuckets: value-cutoff tertiles by unigram " +
     "score — head gets the most probable docs") {
     // 6 docs, 3 clearly separated score levels (2 docs each):
