@@ -551,6 +551,13 @@ object SparkEntry {
       Dedup.ngramJaccardOn(d,
         Dedup.lshCandidatePairs(Dedup.minhash(d, k = 4), rowsPerBand = 2))
     }),
+    // fuzzy dedup: LSH candidates confirmed by normalized edit distance —
+    // catches character-level near-dups shingle Jaccard under-scores
+    "doc_dedup_fuzzy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.editSimilarityOn(d,
+        Dedup.lshCandidatePairs(Dedup.minhash(d, k = 4), rowsPerBand = 2))
+    }),
     "doc_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"))),
     "doc_dedup_pipeline" -> ((s, dir) =>
@@ -1894,6 +1901,35 @@ object SparkEntry {
         |FROM banded a JOIN banded b
         | ON a.band = b.band AND a.bucket = b.bucket
         |  AND a.doc_id < b.doc_id""".stripMargin,
+    // the doc_lsh_pairs candidate chain, each pair confirmed by Levenshtein:
+    // sim = 1 - lev/max(len) rounded 4dp
+    "doc_dedup_fuzzy" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        | CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        | CASE WHEN greatest(length(a.text), length(b.text)) > 0 THEN
+        |   round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |     greatest(length(a.text), length(b.text)), 4)
+        |  ELSE 1.0 END AS sim
+        |FROM cand c JOIN documents a ON c.doc_a = a.doc_id
+        | JOIN documents b ON c.doc_b = b.doc_id""".stripMargin,
     // the `blocks HAVING count(*) <= 1000` clause mirrors ngramJaccard's
     // enforced maxBlockDocs guard (default 1000)
     "doc_ngram_jaccard" ->

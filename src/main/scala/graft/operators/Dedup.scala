@@ -223,6 +223,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
 
+  /** Edit-distance CONFIRMATION of candidate pairs — the fuzzy-dedup
+    * scoring the shingle-Jaccard family can't give: Levenshtein distance is
+    * sensitive to character-level edits (OCR noise, typo farms, template
+    * fills) that leave most 3-shingles intact. Scored ONLY on the supplied
+    * `pairs` (normally [[lshCandidatePairs]] output), like
+    * [[ngramJaccardOn]]: two equi-joins attach each side's text, then
+    * per-pair `levenshtein` plus the normalized similarity
+    * 1 − lev/max(|a|,|b|), rounded 4dp (two identical empty texts read
+    * sim 1.0, not 0/0). Output: (doc_a, doc_b, lev, sim); threshold
+    * downstream on the rounded value.
+    *
+    * Scale shape: candidate-bounded — the corpus is touched only by the
+    * two doc-id equi-joins; nothing quadratic in the corpus. The per-PAIR
+    * cost is O(|a|·|b|) dynamic programming, so at 100 TB the dial is the
+    * LSH band config that bounds |pairs| (and, for long documents, capping
+    * compare length or using Spark's thresholded
+    * `levenshtein(l, r, threshold)` — constant thresholds only — to
+    * early-exit hopeless pairs). */
+  def editSimilarityOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lev = levenshtein(col("text_a"), col("text_b")).cast("long")
+    val maxLen = greatest(length(col("text_a")), length(col("text_b")))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("text").as("text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), lev.as("lev"),
+        when(maxLen > 0,
+          round(lit(1.0) - lev.cast("double") / maxLen.cast("double"), 4))
+          .otherwise(lit(1.0)).as("sim"))
+  }
+
   /** Unrounded [[ngramJaccardOn]] — thresholding compares exact values. */
   private def jaccardOnPairsRaw(docs: DataFrame,
                                 pairs: DataFrame): DataFrame =

@@ -1353,6 +1353,29 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.size == 3, "only days with activity are reported")
   }
 
+  test("Dedup.editSimilarityOn: character-level typos score high where " +
+    "shingle Jaccard collapses; empty pair reads 1.0") {
+    val s = spark
+    import s.implicits._
+    // every word typo'd by one char: all 3-shingles differ (Jaccard 0)
+    // but the strings are a few edits apart (high edit similarity)
+    val clean = "alpha bravo charlie delta echo"
+    val typos = "alpah bravo charlei delta ecoh"
+    val d = docsDf(Seq(1L -> clean, 2L -> typos, 3L -> ""))
+      .union(docsDf(Seq(4L -> "")))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editSimilarityOn(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val (lev, sim) = out((1L, 2L))
+    assert(lev > 0 && lev <= 6, s"a few char edits, got $lev")
+    assert(sim > 0.75, s"edit similarity should stay high, got $sim")
+    val jac = Dedup.ngramJaccardOn(d, pairs.filter(col("doc_a") === 1L))
+      .collect().head.getDouble(2)
+    assert(jac == 0.0, "all shingles broken by the typos")
+    assert(out((3L, 4L)) == ((0L, 1.0)), "empty-vs-empty is identity")
+  }
+
   test("Funnels.transitionMatrix: consecutive handoffs per user; p sums " +
     "to 1 within each from_type; last events contribute no pair") {
     val s = spark
