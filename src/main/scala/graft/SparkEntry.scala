@@ -304,6 +304,34 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
+    // TPC-H q12 shape: conditional (CASE) aggregation over a fact-fact
+    // equi-join — the priority-mix report. The shipdate filter pushes to
+    // the lineitem scan; the join shuffles both sides on orderkey once
+    // and both CASE sums fold into ONE partial aggregate pass.
+    "q12_case_agg" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01"))
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+    // TPC-H q13 shape: order-count distribution over a LEFT join (zero-
+    // order customers stay). Two aggregate hops: the per-customer count
+    // reuses the join's custkey partitioning (no extra shuffle), then the
+    // tiny histogram agg shuffles ≤ |distinct counts| rows.
+    "q13_outer_agg" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
 
     // ── CDR operator parity (SURVEY §2) ───────────────────────────────
     "cdr_route_count" -> ((s, dir) => {
@@ -1160,6 +1188,21 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q12_case_agg" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q13_outer_agg" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1) t
+        |GROUP BY c_count""".stripMargin,
     "q10_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
