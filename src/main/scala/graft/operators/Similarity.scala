@@ -214,7 +214,19 @@ object Similarity {
     * and encode/decode run per-row as HOF folds — m·ksub·(d/m) = ksub·d
     * multiply-adds per row, no shuffle, no join, no plan-time job. */
   def pqDecoded(emb: DataFrame, m: Int = 8, ksub: Int = 16,
-                codebook: Option[DataFrame] = None): DataFrame = {
+                codebook: Option[DataFrame] = None): DataFrame =
+    withPqDecoded(emb, "pq_dec", m, ksub, codebook)
+      .select(col("vec_id"), col("pq_dec").as("embedding"), col("label"))
+
+  /** [[pqDecoded]]'s column-adding form: the PQ round-trip rides the SAME
+    * corpus scan as whatever else the caller needs (the
+    * [[withSq8Dequantized]] pattern) — `outCol` holds the decoded vector,
+    * every input column survives. This is what lets [[knnIvfPq]] assign
+    * cells on the exact vectors while storing only what a PQ index would
+    * keep, without a corpus self-join. */
+  def withPqDecoded(emb: DataFrame, outCol: String, m: Int = 8,
+                    ksub: Int = 16,
+                    codebook: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && ksub > 0, s"m and ksub must be positive: $m, $ksub")
     // one-row nested frame pq_cb[j][code] = dsub-dim centroid, either from
     // an explicit (j, code, centroid) codebook (the [[pqFitCodebook]]
@@ -261,7 +273,8 @@ object Similarity {
       element_at(cands, best.getField("c") + 1)
     }))
     emb.crossJoin(broadcast(cb))
-      .select(col("vec_id"), recon.as("embedding"), col("label"))
+      .withColumn(outCol, recon)
+      .drop("pq_cb")
   }
 
   /** Production PQ codebook fit: per-subspace seeded KMeans over ONE
@@ -670,6 +683,38 @@ object Similarity {
     // argmin on the codes; the projected index rows keep the EXACT vectors
     val indexed = ivfAssign(both, cents, assignOn = "dq")
     ivfSearch(indexed, emb, cents, queryPred, k, nprobe)
+  }
+
+  /** IVF-PQ ANN — the FAISS-flagship composition: IVF cells bound the
+    * search to `nprobe` buckets, and inside them candidates are scored
+    * against their PQ-DECODED reconstructions (all a real IVF-PQ index
+    * stores is the m·log2(ksub)-bit codes), while the QUERY stays exact —
+    * asymmetric distance computation (ADC), the standard accuracy-saving
+    * trick: only the candidate side pays quantization error. Cell
+    * assignment runs on the EXACT vectors (build-time information, like
+    * FAISS's encode-at-add), so the cells are identical to [[knnIvf]]'s
+    * and any recall gap vs plain IVF is purely the PQ scoring error.
+    *
+    * Scale shape: identical to [[knnIvf]] — the PQ decode and the argmin
+    * ride ONE corpus scan (no self-join; [[withPqDecoded]]), the probe
+    * join broadcasts the |Q|-bounded probe frame, nothing shuffles the
+    * corpus. At 100 TB the decoded array never materializes at rest —
+    * a persisted variant stores codes and decodes in the probe's
+    * projection, same plan shape. */
+  def knnIvfPq(emb: DataFrame, queryPred: Column, k: Int = 3,
+               nlist: Int = 16, nprobe: Int = 4,
+               m: Int = 8, ksub: Int = 16,
+               codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = ivfSeedCentroids(emb, nlist)
+    val both = withPqDecoded(emb, "pqv", m, ksub, codebook)
+      .select(col("vec_id"), col("pqv").as("embedding"),
+        col("embedding").as("exact"))
+    val indexed = ivfAssign(both, cents, assignOn = "exact")
+    // queries widened to double so ADC scores float-exact queries against
+    // the double-typed reconstructions (exact widening, oracle-identical)
+    val queries = emb.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    ivfSearch(indexed, queries, cents, queryPred, k, nprobe)
   }
 
   /** Probe + exact-rescore stage shared by [[knnIvf]] (inline assign) and

@@ -954,6 +954,33 @@ class NorthStarSpec extends SparkTestBase {
     assert(rec(2L) == Seq(1.0, 0.0, 0.0, 1.0))
   }
 
+  test("Similarity.knnIvfPq: ADC leaves the query side unquantized — on a " +
+    "corpus whose vectors all round-trip the codebook exactly, IVF-PQ " +
+    "returns plain IVF's results verbatim") {
+    val s = spark
+    import s.implicits._
+    // 8 codebook vectors (d=16, m=8 → dsub=2, ksub=8); the rest of the
+    // corpus repeats codebook vectors (exact PQ round-trip), plus one
+    // off-codebook QUERY vector (id 20) — if ADC quantized the query, its
+    // scores (and ranking) would shift vs plain IVF.
+    def unit(i: Int): Seq[Float] =
+      (0 until 16).map(j => if (j == i) 1f else 0f)
+    val base = (0 until 8).map(i => (i.toLong, unit(i * 2), i))
+    val dups = (8 until 16).map(i => (i.toLong, unit(((i - 8) * 2)), i))
+    val query = Seq((20L,
+      (0 until 16).map(j => if (j < 3) 0.7f else 0.1f), 20))
+    val emb = (base ++ dups ++ query).toDF("vec_id", "embedding", "label")
+    val pq = Similarity.knnIvfPq(emb, col("vec_id") === 20L, k = 3,
+      nlist = 8, nprobe = 8, m = 8, ksub = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf = Similarity.knnIvf(emb, col("vec_id") === 20L, k = 3,
+      nlist = 8, nprobe = 8,
+      centroids = Some(Similarity.ivfSeedCentroids(emb, 8))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pq == ivf, s"ADC must not quantize the query: $pq vs $ivf")
+    assert(pq.nonEmpty)
+  }
+
   test("Similarity.pqFitCodebook: per-subspace k-means recovers an exactly " +
     "ksub-clustered corpus, so trained-codebook decode reconstructs it " +
     "perfectly where the seeded codebook cannot") {
