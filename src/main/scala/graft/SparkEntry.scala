@@ -752,6 +752,15 @@ object SparkEntry {
     // memory, ADC keeps the query exact
     "emb_knn_ivf_pq" -> ((s, dir) =>
       Similarity.knnIvfPq(t(s, dir, "embeddings"), col("vec_id") < 8)),
+    // recall@3 of the IVF-PQ composition vs exact brute ground truth —
+    // isolates what ADC-over-codes costs on top of the cell bound (compare
+    // emb_knn_ivf_recall: same cells, exact scoring)
+    "emb_knn_ivf_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        ann = Similarity.knnIvfPq(e, col("vec_id") < 8, k = 3),
+        truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
+    }),
     // recall cost of 64x PQ compression (8 subspaces x 16 seeded codes):
     // brute kNN over the decoded corpus vs exact ground truth
     "emb_knn_pq_recall" -> ((s, dir) => {
@@ -2762,6 +2771,75 @@ object SparkEntry {
         |FROM (SELECT q_id, c_id, cos, row_number() OVER
         |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
         |WHERE rn <= 3""".stripMargin,
+    // the emb_knn_ivf_pq chain's top-3 scored against brute ground truth
+    "emb_knn_ivf_pq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
+        | dst AS (SELECT e.vec_id, s.j, cb.code,
+        |   list_aggregate(list_transform(range(1, 9),
+        |     i -> (e.v[s.j * 8 + i] - cb.cv[s.j * 8 + i]) *
+        |          (e.v[s.j * 8 + i] - cb.cv[s.j * 8 + i])), 'sum') AS dist
+        |  FROM e, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) s, cb),
+        | enc AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code,
+        |   row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code)
+        |     AS rn FROM dst) t WHERE rn = 1),
+        | rec AS (SELECT enc.vec_id,
+        |   flatten(array_agg(list_slice(cb.cv, enc.j * 8 + 1, enc.j * 8 + 8)
+        |     ORDER BY enc.j)) AS v
+        |  FROM enc JOIN cb ON cb.code = enc.code GROUP BY enc.vec_id),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, cell FROM
+        |   (SELECT vec_id, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | p AS (SELECT q_id, qv, cell FROM
+        |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
+        |     (PARTITION BY q.q_id ORDER BY
+        |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * q.qv[i]), 'sum')
+        |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * cent.c[i]), 'sum')
+        |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
+        |    FROM q, cent) t
+        |  WHERE prn <= 4),
+        | s AS (SELECT p.q_id, a.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * r.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * p.qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(r.v) + 1),
+        |     i -> r.v[i] * r.v[i]), 'sum'))) AS cos
+        |  FROM p JOIN a ON p.cell = a.cell
+        |   JOIN rec r ON r.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.q_id),
+        | ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+        |  WHERE rn <= 3),
+        | bsc AS (SELECT b.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * b.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM e b, e c WHERE b.vec_id < 8 AND c.vec_id <> b.vec_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM bsc)
+        |  t WHERE rn <= 3)
+        |SELECT t.q_id, CAST(count(x.c_id) AS BIGINT) AS n_hit,
+        | round(count(x.c_id) / 3.0, 4) AS recall
+        |FROM truth t LEFT JOIN ann x USING (q_id, c_id)
+        |GROUP BY t.q_id""".stripMargin,
     // PQ round-trip (m=8 subspaces of 8 dims, codebook = subspace slices of
     // vectors 0..15, argmin L2² ties→lower code) → brute kNN over the
     // reconstruction vs exact brute ground truth, recall@3
