@@ -826,6 +826,10 @@ object SparkEntry {
     // with per-from_type outgoing probabilities
     "events_transition_matrix" -> ((s, dir) =>
       Funnels.transitionMatrix(events(s, dir))),
+    // bot/firehose report: users above 1.25x the corpus-mean event count;
+    // exact-integer flag (where topPaths' maxEvents cap gets its number)
+    "events_heavy_users" -> ((s, dir) =>
+      Funnels.heavyUsers(events(s, dir))),
     // weekly cohort retention matrix: first-active ISO week x week offset
     "events_cohort_retention" -> ((s, dir) =>
       Funnels.cohortRetention(events(s, dir))),
@@ -3039,6 +3043,19 @@ object SparkEntry {
         |   sum(count(*)) OVER (PARTITION BY from_type), 4) AS p
         |FROM pr WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    // heavy users: the flag is exact integer arithmetic
+    // (n * n_users * 4 > 5 * total); ratio_to_mean is display-only
+    "events_heavy_users" ->
+      """WITH pu AS (SELECT user_id,
+        |   CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+        | t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |   CAST(sum(n_events) AS BIGINT) AS total FROM pu)
+        |SELECT user_id, n_events,
+        | round(CAST(n_events * n_users AS DOUBLE) / total, 4)
+        |   AS ratio_to_mean,
+        | CAST(CASE WHEN n_events * n_users * 4 > 5 * total
+        |   THEN 1 ELSE 0 END AS BIGINT) AS heavy
+        |FROM pu, t""".stripMargin,
     // weekly cohort retention: cohort = ISO week (Monday) of each user's
     // first active day; offset = whole weeks since that first day
     "events_cohort_retention" ->

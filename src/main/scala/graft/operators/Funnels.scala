@@ -280,6 +280,35 @@ object Funnels {
           .otherwise(0L).as("spike"))
   }
 
+  /** Heavy-user (bot/firehose) report: each user's event count against the
+    * corpus mean, flagging users above `factorNum/factorDen` × mean — the
+    * report that tells an operator WHERE to set [[topPaths]]' `maxEvents`
+    * cap and which accounts to quarantine before a per-user aggregate eats
+    * a 10M-event bot as one row. Output per user: (user_id, n_events,
+    * ratio_to_mean, heavy 0/1). The flag is EXACT integer arithmetic —
+    * `n·|users|·factorDen > factorNum·Σn` — same contract as
+    * [[spikeDays]]: no double anywhere near the decision; ratio_to_mean
+    * is the usual 4dp integral-count quotient, reported for humans only.
+    *
+    * Scale shape: one user-keyed partial-agg aggregate off the stream and
+    * a 1-row corpus total broadcast back onto the (user-sized) counts —
+    * nothing windowed, nothing collected. */
+  def heavyUsers(events: DataFrame, factorNum: Int = 5, factorDen: Int = 4,
+                 userCol: String = "user_id"): DataFrame = {
+    require(factorNum > 0 && factorDen > 0, "heavyUsers: factor > 0")
+    val pu = events.groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val tot = pu.agg(count(lit(1)).cast("long").as("n_users"),
+      sum(col("n_events")).cast("long").as("total_events"))
+    pu.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n_events"),
+        round((col("n_events") * col("n_users")).cast("double") /
+          col("total_events"), 4).as("ratio_to_mean"),
+        when(col("n_events") * col("n_users") * lit(factorDen.toLong) >
+          lit(factorNum.toLong) * col("total_events"), 1L)
+          .otherwise(0L).as("heavy"))
+  }
+
   /** Markov transition matrix over event types: for every CONSECUTIVE pair
     * of events in a user's (ts, event_id)-ordered timeline, how often does
     * `from_type` hand off to `to_type`, and with what probability among all

@@ -1403,6 +1403,23 @@ class NorthStarSpec extends SparkTestBase {
     assert(out((3L, 4L)) == ((0L, 1.0)), "empty-vs-empty is identity")
   }
 
+  test("Funnels.heavyUsers: exact-integer flag against the corpus mean; " +
+    "a firehose user is flagged, uniform users are not") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // three 10-event users and one 100-event bot: mean 32.5; at 5/4 x mean
+    // (40.625) only the bot flags
+    val ev = (1L to 3L).flatMap(u => (0 until 10).map(i => (u, ts(i)))) ++
+      (0 until 100).map(i => (9L, ts(i)))
+    val out = operators.Funnels.heavyUsers(ev.toDF("user_id", "ts"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(9L) == ((100L, math.rint(100.0 * 4 / 130 * 1e4) / 1e4, 1L)))
+    for (u <- 1L to 3L) assert(out(u)._3 == 0L, s"user $u wrongly flagged")
+    assert(out.size == 4)
+  }
+
   test("Funnels.transitionMatrix: consecutive handoffs per user; p sums " +
     "to 1 within each from_type; last events contribute no pair") {
     val s = spark
