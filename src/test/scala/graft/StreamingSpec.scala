@@ -511,4 +511,52 @@ class StreamingSpec extends SparkTestBase {
     assert(open == Map(1L -> 4L, 2L -> 3L, 3L -> 2L))
     assert(open == batchCounts(None))
   }
+
+  test("StreamingTransitions: per-user last-event handoffs match the " +
+    "batch transition matrix on in-order input, across batch boundaries; " +
+    "idle timeout reaps the chain") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingTransitions
+    import graft.streaming.StreamingTransitions.TEvt
+    implicit val ctx = s.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp((100000 + sec) * 1000)
+    // u1's click->purchase handoff SPANS the batch boundary; u2 has a
+    // same-ts tie ordered by event_id; u9 advances the watermark far
+    // past every idle timeout before u2's late return
+    val batch1 = Seq(
+      TEvt(1L, ts(0), 10L, "view"), TEvt(1L, ts(5), 11L, "click"),
+      TEvt(2L, ts(0), 20L, "view"), TEvt(2L, ts(0), 21L, "click"))
+    val batch2 = Seq(TEvt(1L, ts(9), 12L, "purchase"))
+    val batch3 = Seq(TEvt(9L, ts(100000), 90L, "view"))
+    val batch4 = Seq(TEvt(2L, ts(100001), 22L, "purchase"))
+    def run(name: String, idle: Option[Long]): Map[(String, String), Long] = {
+      val input = MemoryStream[TEvt]
+      val q = StreamingTransitions.transitions(
+        input.toDS().withWatermark("ts", "0 seconds"), idle)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir(s"${name}_cp"))
+        .trigger(Trigger.ProcessingTime(0)).start()
+      Seq(batch1, batch2, batch3, batch4).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      s.sql(s"SELECT from_type, to_type, count(*) FROM $name GROUP BY 1, 2")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    val open = run("stransit_o", None)
+    val batchM = graft.operators.Funnels.transitionMatrix(
+      (batch1 ++ batch2 ++ batch3 ++ batch4).toDS().toDF())
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(open == batchM, s"open-ended twin must match batch: $open")
+    assert(open == Map(("view", "click") -> 2L,
+      ("click", "purchase") -> 2L))
+    // with a 60s idle bound, u2's return after the long gap starts a
+    // FRESH chain: the cross-gap click->purchase handoff is not counted
+    val reaped = run("stransit_r", Some(60L))
+    assert(reaped == Map(("view", "click") -> 2L,
+      ("click", "purchase") -> 1L))
+  }
 }
