@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * plus line-level dedup and the bloom-prefiltered incremental dedup, the
   * two corpus-wide join chains added in round 7, BM25 retrieval —
   * one corpus aggregate + per-row score + TakeOrdered, expected ~linear —
-  * and the exact-vs-sketch quality-tertile pair added in round 9)
+  * the exact-vs-sketch quality-tertile pair, Levenshtein-confirmed fuzzy
+  * dedup, and the IVF-PQ composition — the round-9 additions)
   * at 1×, 10×, and 100× the sf0.1 corpus, and reports warm-over-warm
   * growth ratios. This converts the plan-shape "scales" arguments in
   * SURVEY/VERDICT into measurements: a bucketed/candidate-bounded operator
@@ -65,7 +66,13 @@ object ScaleBench {
       // sketch twin (pure partial-agg). The 100 TB question this cell
       // answers: when does the exact path's histogram window start to
       // cost, and what does switching to the sketch buy at that point?
-      "doc_quality_buckets", "doc_quality_buckets_approx")
+      "doc_quality_buckets", "doc_quality_buckets_approx",
+      // round-9 additions: Levenshtein-confirmed fuzzy dedup (candidate
+      // count grows ~x f by corpus construction; the cell watches the
+      // per-pair O(|a|*|b|) DP term stay pair-bounded) and the IVF-PQ
+      // composition (per-row decode+argmin map over the corpus + a
+      // probe-bounded join — expected ~linear like the other ANN cells)
+      "doc_dedup_fuzzy", "emb_knn_ivf_pq")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the
