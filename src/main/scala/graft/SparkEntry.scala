@@ -463,6 +463,10 @@ object SparkEntry {
       TextAnalysis.qualityBucketsApprox(t(s, dir, "documents"))),
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2)),
+    // top bigram collocations by PMI (minCount=5, k=20): tokenizer-merge /
+    // multi-word-expression mining over the corpus
+    "corpus_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"))),
     "doc_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 5)),
     "doc_chunk" -> ((s, dir) =>
@@ -785,6 +789,10 @@ object SparkEntry {
     }),
     "events_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.sessionsBatch(events(s, dir), 1800)),
+    // one-row session-health summary (counts + mean/max length and
+    // duration) over the same 30-min-gap sessions
+    "events_session_stats" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionStatsBatch(events(s, dir), 1800)),
     "events_json_extract" -> ((s, dir) => {
       events(s, dir).select(
         col("event_id"),
@@ -1961,6 +1969,29 @@ object SparkEntry {
         |FROM banded a JOIN banded b
         | ON a.band = b.band AND a.bucket = b.bucket
         |  AND a.doc_id < b.doc_id""".stripMargin,
+    // PMI over consecutive bigrams vs unigram marginals; one ln of a
+    // left-to-right double product of integral counts, rounded 4dp BEFORE
+    // the (pmi desc, bigram asc) top-k ordering
+    "corpus_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+        | g AS (SELECT words FROM w WHERE len(words) >= 2),
+        | bg AS (SELECT unnest(list_transform(range(1, len(words)), i ->
+        |   concat(words[i], ' ', words[i+1]))) AS bigram FROM g),
+        | bgc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bg GROUP BY 1),
+        | uni AS (SELECT unnest(words) AS t FROM w),
+        | unic AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM uni GROUP BY 1),
+        | nu AS (SELECT CAST(sum(n_t) AS BIGINT) AS nu FROM unic),
+        | nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS nb FROM bgc)
+        |SELECT c.bigram, c.n_ab,
+        | round(ln((CAST(c.n_ab AS DOUBLE) * nu.nu * nu.nu) /
+        |   (CAST(nb.nb AS DOUBLE) * a.n_t * b.n_t)), 4) AS pmi
+        |FROM bgc c
+        | JOIN unic a ON split_part(c.bigram, ' ', 1) = a.t
+        | JOIN unic b ON split_part(c.bigram, ' ', 2) = b.t, nu, nb
+        |WHERE c.n_ab >= 5
+        |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
     // the doc_lsh_pairs candidate chain, each pair confirmed by Levenshtein:
     // sim = 1 - lev/max(len) rounded 4dp
     "doc_dedup_fuzzy" ->
@@ -2914,6 +2945,29 @@ object SparkEntry {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    // the events_sessionize chain collapsed to a 1-row health summary;
+    // durations are integral epoch-ms deltas, means are sum/count quotients
+    "events_session_stats" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts)) > 1800 * 1000000
+        |   THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        | s AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY
+        |   user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM g),
+        | per AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+        |   date_diff('millisecond', min(ts), max(ts)) AS dur_ms
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_events,
+        | CAST(max(n_events) AS BIGINT) AS max_events,
+        | round(CAST(sum(dur_ms) AS DOUBLE) / count(*), 4)
+        |   AS avg_duration_ms,
+        | CAST(max(dur_ms) AS BIGINT) AS max_duration_ms
+        |FROM per""".stripMargin,
     // strict-order funnel: step i's first occurrence must be AFTER step
     // i-1's first qualifying occurrence, per user
     "events_funnel" ->

@@ -447,6 +447,51 @@ object TextAnalysis {
     * agg shuffles; the df side joins back keyed on term (AQE broadcasts a
     * vocab that fits); the final top-k is a doc-keyed window over ≤|vocab|
     * rows per doc. No all-pairs term work anywhere. */
+  /** Top-k bigram collocations by pointwise mutual information — the
+    * corpus-linguistics report behind tokenizer-merge candidates and
+    * multi-word-expression mining ("which word pairs co-occur far above
+    * chance"). PMI = ln(p(ab) / (p(a)·p(b))) with p(ab) = n_ab/NB over
+    * consecutive bigrams and p(a) = n_a/NU over unigrams; computed as one
+    * ln of a left-to-right double product of EXACT integral counts, then
+    * rounded to 4dp BEFORE the (pmi desc, bigram asc) top-k ordering —
+    * the [[bm25Search]] determinism recipe, so a last-ulp ln divergence
+    * between engines cannot flip adjacent ranks. `minCount` drops the
+    * hapax noise PMI is notorious for (a pair seen twice, each word seen
+    * twice, scores astronomically).
+    *
+    * Plan shape at scale: one corpus explode into a bigram partial-agg
+    * shuffle and one into a unigram partial-agg (vocab-sized); the
+    * minCount filter bounds the scored frame BEFORE the two vocab joins
+    * (hash joins on the word key; AQE broadcasts when vocab allows); the
+    * two grand totals are 1-row frames broadcast back; the tail is a
+    * global TakeOrdered k. Nothing quadratic, nothing windowed. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+                      k: Int = 20): DataFrame = {
+    val w = tokens(col("text"))
+    val pairs = docs.select(w.as("w")).filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = docs.select(explode(w).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val nuF = uni.agg(sum(col("n_t")).cast("long").as("nu"))
+    val nbF = bgCounts.agg(sum(col("n_ab")).cast("long").as("nb"))
+    bgCounts.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("n_t").as("n_a")), "w1")
+      .join(uni.select(col("t").as("w2"), col("n_t").as("n_b")), "w2")
+      .crossJoin(broadcast(nuF)).crossJoin(broadcast(nbF))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("n_ab"),
+        round(log((col("n_ab").cast("double") * col("nu") * col("nu")) /
+          (col("nb").cast("double") * col("n_a") * col("n_b"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("term"))

@@ -98,4 +98,40 @@ object Sessionize {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")
           .as("session_end"))
   }
+
+  /** One-row session-health summary over [[sessionsBatch]]'s gap-split
+    * sessions: how many sessions, how many users, and the mean/max session
+    * length in events and duration — the dashboard headline the per-session
+    * frame is too big to read. Durations are integral epoch-ms deltas
+    * (exact, engine-portable); the two means are 4dp quotients of integral
+    * sums, the standard portability contract. A single-event session has
+    * duration 0, not null.
+    *
+    * Scale shape: [[sessionsBatch]]'s user-keyed window + aggregate, then
+    * ONE global 1-row aggregate (partial-agg; nothing else moves). */
+  def sessionStatsBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val us = unix_micros(col("ts"))
+    val newSession = when(
+      us - lag(us, 1).over(byUser) > gapSeconds * 1000000L ||
+        lag(us, 1).over(byUser).isNull, 1).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("sid",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+          .as("dur_ms"))
+      .agg(
+        count(lit(1)).cast("long").as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("n_events")).cast("double") / count(lit(1)), 4)
+          .as("avg_events"),
+        max(col("n_events")).cast("long").as("max_events"),
+        round(sum(col("dur_ms")).cast("double") / count(lit(1)), 4)
+          .as("avg_duration_ms"),
+        max(col("dur_ms")).cast("long").as("max_duration_ms"))
+  }
 }

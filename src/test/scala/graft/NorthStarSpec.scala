@@ -1403,6 +1403,44 @@ class NorthStarSpec extends SparkTestBase {
     assert(out((3L, 4L)) == ((0L, 1.0)), "empty-vs-empty is identity")
   }
 
+  test("TextAnalysis.pmiCollocations: an always-together pair outranks a " +
+    "frequent independent pair; hapax pairs die at minCount") {
+    // "neural nets" always adjacent (5x); "the" pairs with everything
+    // (frequent but independent); "rare gem" appears once (under minCount)
+    val docs = docsDf((1L to 5L).map(i =>
+      i -> s"the neural nets beat the baseline run $i") :+
+      (9L -> "rare gem"))
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 5, k = 20)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.contains("neural nets") && out("neural nets")._1 == 5L)
+    assert(!out.keys.exists(_.contains("rare")), "hapax must be filtered")
+    assert(out("neural nets")._2 > out("the neural")._2,
+      s"PMI must rank the exclusive pair above the 'the'-pair: $out")
+  }
+
+  test("Sessionize.sessionStatsBatch: one-row summary matches hand-" +
+    "computed sessions; single-event session has duration 0") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // u1: two sessions (gap > 30): [0s,10s] (2 events) and [2000s] (1);
+    // u2: one session [5s,65s] (3 events)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(2000)),
+      (2L, ts(5)), (2L, ts(35)), (2L, ts(65)))
+      .toDF("user_id", "ts")
+    val r = graft.streaming.Sessionize.sessionStatsBatch(ev, 30).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 2L) // sessions, users
+    assert(row.getDouble(2) == 2.0)                      // (2+1+3)/3 events
+    assert(row.getLong(3) == 3L)                         // max events
+    // durations: 10000, 0, 60000 ms -> avg 23333.3333
+    assert(row.getDouble(4) == math.rint(70000.0 / 3 * 1e4) / 1e4)
+    assert(row.getLong(5) == 60000L)
+  }
+
   test("Funnels.heavyUsers: exact-integer flag against the corpus mean; " +
     "a firehose user is flagged, uniform users are not") {
     val s = spark
