@@ -166,6 +166,38 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("emb_knn_ivf_pq: ADC search keeps the IVF probe shape — probes " +
+    "broadcast, corpus never shuffled on cell; the 1-row codebook rides " +
+    "a bounded broadcast") {
+    val (n, plan, _) = ran("emb_knn_ivf_pq")
+    assert(n > 0)
+    // the codebook fold and the |Q|×nlist probe cross are deliberate
+    // bounded BNLJs (1-row / tiny frames, measured by the sweep's
+    // build-side bound) — only a true cartesian is a bomb here
+    assert(!plan.contains("CartesianProduct"),
+      s"emb_knn_ivf_pq plans a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the probes:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the probe join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(cell"),
+      s"corpus re-shuffled on cell:\n$plan")
+  }
+
+  test("doc_dedup_fuzzy: candidate-bounded — the edit-distance joins ride " +
+    "equi-joins off the LSH chain, no cartesian, no nested loop") {
+    val (n, plan, _) = ran("doc_dedup_fuzzy")
+    assert(n > 0)
+    assertNoPlanBombs("doc_dedup_fuzzy", plan)
+    // the per-pair Levenshtein must sit on the candidate-joined frame —
+    // visible as hash joins attaching text to (doc_a, doc_b); a plan
+    // where the corpus self-joins without the candidate bound would
+    // surface as a cartesian or an unbounded NLJ above
+    assert(plan.contains("Join"),
+      s"candidate text joins missing:\n$plan")
+  }
+
   test("q11_percentile_approx: sketch agg within 1% of the exact " +
     "percentiles, same groups") {
     val exact = SparkEntry.queries("q11_percentile")(spark, dir)
