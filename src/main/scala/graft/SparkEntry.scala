@@ -756,6 +756,14 @@ object SparkEntry {
     // memory, ADC keeps the query exact
     "emb_knn_ivf_pq" -> ((s, dir) =>
       Similarity.knnIvfPq(t(s, dir, "embeddings"), col("vec_id") < 8)),
+    // the production form: same ADC search against the PERSISTED bucketed
+    // IVF index, PQ decode in the probe's projection (zero extra shuffle);
+    // shares emb_knn_ivf_pq's oracle verbatim — indexed must equal inline
+    "emb_knn_ivf_pq_indexed" -> ((s, dir) => {
+      val (table, cents) = ivfIndexedTable(s, dir)
+      Similarity.knnIvfPqIndexed(s, table, cents, col("vec_id") < 8,
+        k = 3, nprobe = 4)
+    }),
     // recall@3 of the IVF-PQ composition vs exact brute ground truth —
     // isolates what ADC-over-codes costs on top of the cell bound (compare
     // emb_knn_ivf_recall: same cells, exact scoring)
@@ -1009,6 +1017,66 @@ object SparkEntry {
   /** Seeded-centroid IVF oracle, shared by `emb_knn_ivf` (inline assign)
     * and `emb_knn_ivf_indexed` (persisted bucketed index): the chain is
     * deterministic, so both paths return identical rows. */
+  /** IVF-PQ oracle (emb_knn_ivf_pq / _indexed): the IVF assignment/
+    * probe CTEs (on EXACT vectors) composed with the PQ reconstruction;
+    * ADC scoring — exact query against decoded candidates in probed
+    * cells. The persisted-index variant runs the identical
+    * deterministic chain, so both queries share this SQL verbatim. */
+  private val IvfPqOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      | cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
+      | dst AS (SELECT e.vec_id, s.j, cb.code,
+      |   list_aggregate(list_transform(range(1, 9),
+      |     i -> (e.v[s.j * 8 + i] - cb.cv[s.j * 8 + i]) *
+      |          (e.v[s.j * 8 + i] - cb.cv[s.j * 8 + i])), 'sum') AS dist
+      |  FROM e, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) s, cb),
+      | enc AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code,
+      |   row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code)
+      |     AS rn FROM dst) t WHERE rn = 1),
+      | rec AS (SELECT enc.vec_id,
+      |   flatten(array_agg(list_slice(cb.cv, enc.j * 8 + 1, enc.j * 8 + 8)
+      |     ORDER BY enc.j)) AS v
+      |  FROM enc JOIN cb ON cb.code = enc.code GROUP BY enc.vec_id),
+      | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+      | d AS (SELECT e.vec_id, e.v, cent.cell,
+      |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+      |     i -> e.v[i] * e.v[i]), 'sum')
+      |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+      |     i -> e.v[i] * cent.c[i]), 'sum')
+      |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+      |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+      |  FROM e, cent),
+      | a AS (SELECT vec_id, cell FROM
+      |   (SELECT vec_id, cell, row_number() OVER
+      |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+      |  WHERE rn = 1),
+      | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+      | p AS (SELECT q_id, qv, cell FROM
+      |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
+      |     (PARTITION BY q.q_id ORDER BY
+      |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |         i -> q.qv[i] * q.qv[i]), 'sum')
+      |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |         i -> q.qv[i] * cent.c[i]), 'sum')
+      |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+      |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
+      |    FROM q, cent) t
+      |  WHERE prn <= 4),
+      | s AS (SELECT p.q_id, a.vec_id AS c_id,
+      |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
+      |     i -> p.qv[i] * r.v[i]), 'sum') /
+      |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+      |     i -> p.qv[i] * p.qv[i]), 'sum')) *
+      |    sqrt(list_aggregate(list_transform(range(1, len(r.v) + 1),
+      |     i -> r.v[i] * r.v[i]), 'sum'))) AS cos
+      |  FROM p JOIN a ON p.cell = a.cell
+      |   JOIN rec r ON r.vec_id = a.vec_id
+      |  WHERE a.vec_id <> p.q_id)
+      |SELECT q_id, c_id, round(cos, 4) AS score
+      |FROM (SELECT q_id, c_id, cos, row_number() OVER
+      |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+      |WHERE rn <= 3""".stripMargin
+
   private val IvfOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
@@ -2751,61 +2819,11 @@ object SparkEntry {
         |FROM best JOIN e ON e.vec_id = best.q_id""".stripMargin,
     // IVF-PQ: the IVF oracle's cell assignment/probe (on EXACT vectors)
     // composed with the PQ oracle's reconstruction; scoring is ADC —
-    // exact query vector against PQ-decoded candidates in probed cells
-    "emb_knn_ivf_pq" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        | cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
-        | dst AS (SELECT e.vec_id, s.j, cb.code,
-        |   list_aggregate(list_transform(range(1, 9),
-        |     i -> (e.v[s.j * 8 + i] - cb.cv[s.j * 8 + i]) *
-        |          (e.v[s.j * 8 + i] - cb.cv[s.j * 8 + i])), 'sum') AS dist
-        |  FROM e, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) s, cb),
-        | enc AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code,
-        |   row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code)
-        |     AS rn FROM dst) t WHERE rn = 1),
-        | rec AS (SELECT enc.vec_id,
-        |   flatten(array_agg(list_slice(cb.cv, enc.j * 8 + 1, enc.j * 8 + 8)
-        |     ORDER BY enc.j)) AS v
-        |  FROM enc JOIN cb ON cb.code = enc.code GROUP BY enc.vec_id),
-        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
-        | d AS (SELECT e.vec_id, e.v, cent.cell,
-        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
-        |     i -> e.v[i] * e.v[i]), 'sum')
-        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
-        |     i -> e.v[i] * cent.c[i]), 'sum')
-        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
-        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
-        |  FROM e, cent),
-        | a AS (SELECT vec_id, cell FROM
-        |   (SELECT vec_id, cell, row_number() OVER
-        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
-        |  WHERE rn = 1),
-        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
-        | p AS (SELECT q_id, qv, cell FROM
-        |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
-        |     (PARTITION BY q.q_id ORDER BY
-        |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
-        |         i -> q.qv[i] * q.qv[i]), 'sum')
-        |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
-        |         i -> q.qv[i] * cent.c[i]), 'sum')
-        |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
-        |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
-        |    FROM q, cent) t
-        |  WHERE prn <= 4),
-        | s AS (SELECT p.q_id, a.vec_id AS c_id,
-        |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
-        |     i -> p.qv[i] * r.v[i]), 'sum') /
-        |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
-        |     i -> p.qv[i] * p.qv[i]), 'sum')) *
-        |    sqrt(list_aggregate(list_transform(range(1, len(r.v) + 1),
-        |     i -> r.v[i] * r.v[i]), 'sum'))) AS cos
-        |  FROM p JOIN a ON p.cell = a.cell
-        |   JOIN rec r ON r.vec_id = a.vec_id
-        |  WHERE a.vec_id <> p.q_id)
-        |SELECT q_id, c_id, round(cos, 4) AS score
-        |FROM (SELECT q_id, c_id, cos, row_number() OVER
-        |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
-        |WHERE rn <= 3""".stripMargin,
+    // exact query vector against PQ-decoded candidates in probed cells.
+    // The indexed variant runs the identical deterministic chain through
+    // the persisted bucketed index, so it shares this oracle verbatim.
+    "emb_knn_ivf_pq" -> IvfPqOracleSql,
+    "emb_knn_ivf_pq_indexed" -> IvfPqOracleSql,
     // the emb_knn_ivf_pq chain's top-3 scored against brute ground truth
     "emb_knn_ivf_pq_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

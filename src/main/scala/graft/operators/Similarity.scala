@@ -717,6 +717,28 @@ object Similarity {
     ivfSearch(indexed, queries, cents, queryPred, k, nprobe)
   }
 
+  /** [[knnIvfPq]] against a PERSISTED [[ivfWriteIndex]] table — the
+    * production IVF-PQ query path: the cell-bucketed index is scanned with
+    * no corpus-side exchange (the probe join is co-located on `cell`), and
+    * the PQ decode runs in the probe's per-row PROJECTION on top of that
+    * scan — a 1-row broadcast codebook fold that preserves the bucketed
+    * partitioning, so "decode at probe time" costs zero shuffles. Results
+    * are identical to the inline [[knnIvfPq]] (same cells — the index was
+    * assigned on exact vectors under the same centroids — same decode,
+    * same ADC scoring), which the registered query proves by sharing its
+    * oracle verbatim. */
+  def knnIvfPqIndexed(spark: SparkSession, indexTable: String,
+                      centroids: DataFrame, queryPred: Column, k: Int = 3,
+                      nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                      codebook: Option[DataFrame] = None): DataFrame = {
+    val idx = spark.table(indexTable)
+    val decoded = withPqDecoded(idx, "pqv", m, ksub, codebook)
+      .select(col("vec_id"), col("pqv").as("embedding"), col("cell"))
+    val queries = spark.table(indexTable).withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    ivfSearch(decoded, queries, centroids, queryPred, k, nprobe)
+  }
+
   /** Probe + exact-rescore stage shared by [[knnIvf]] (inline assign) and
     * [[knnIvfIndexed]] (persisted index): `nprobe` nearest cells per query,
     * exact cosine + top-k inside the probed cells only. `queries` is the

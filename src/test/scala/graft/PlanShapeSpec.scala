@@ -166,6 +166,31 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("emb_knn_ivf_pq_indexed: the PQ decode rides the bucketed scan's " +
+    "projection — co-located probe join, NO cell-side exchange") {
+    try {
+      val (n, plan, _) = ran("emb_knn_ivf_pq_indexed")
+      assert(n > 0)
+      // the codebook fold and the probe cross are bounded BNLJs (1-row /
+      // |Q|×nlist broadcast frames) — only a true cartesian is a bomb
+      assert(!plan.contains("CartesianProduct"),
+        s"emb_knn_ivf_pq_indexed plans a cartesian product:\n$plan")
+      assert(plan.contains("graft_ivf_idx_"),
+        s"must scan the persisted index table:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"probe join must broadcast the probes:\n$plan")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"index side shuffled for the probe join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(cell"),
+        s"decode projection cost the scan its bucketed partitioning:\n$plan")
+    } finally {
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_ivf_idx_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("emb_knn_ivf_pq: ADC search keeps the IVF probe shape — probes " +
     "broadcast, corpus never shuffled on cell; the 1-row codebook rides " +
     "a bounded broadcast") {
@@ -244,7 +269,7 @@ class PlanShapeSpec extends SparkTestBase {
     // this sweep, and each has its own targeted spec:
     val eager = Set("doc_dup_clusters", "doc_cluster_best",
       "emb_knn_ivf_indexed", "emb_knn_ivf_recall",
-      "emb_knn_ivf_appended",
+      "emb_knn_ivf_appended", "emb_knn_ivf_pq_indexed",
       "doc_dedup_incremental_near_indexed")
     // A nested-loop join is legitimate ONLY when its broadcast side is a
     // constant-size frame: a 1-row summary aggregate broadcast back onto
