@@ -96,6 +96,12 @@ object Example {
       println("[example] BM25 top-5 for 'hash join window':")
       TextAnalysis.bm25Search(docs,
         Seq("hash", "join", "window"), k = 5).show()
+      println("[example] top PMI collocations:")
+      TextAnalysis.pmiCollocations(docs, minCount = 5, k = 5).show()
+      println("[example] fuzzy (edit-distance) confirm of LSH candidates:")
+      Dedup.editSimilarityOn(docs,
+        Dedup.lshCandidatePairs(Dedup.minhash(docs))).orderBy(
+        col("sim").desc, col("doc_a")).show(5)
     }
 
     // ANN: IVF-SQ8 (codes in the cells, exact rescore) + measured recall
@@ -106,6 +112,9 @@ object Example {
       val truth = Similarity.knnBrute(emb, col("vec_id") < 4, k = 3)
       println("[example] IVF-SQ8 recall@3 per query:")
       Similarity.recallAtK(ann, truth, 3).orderBy("q_id").show()
+      println("[example] IVF-PQ (ADC over codes) top-3 per query:")
+      Similarity.knnIvfPq(emb, col("vec_id") < 4, k = 3, nlist = 8,
+        nprobe = 4, m = 8, ksub = 8).orderBy("q_id", "score").show()
       println("[example] kNN label vote (pred vs own label):")
       Similarity.knnClassify(emb, col("vec_id") < 4, k = 5)
         .orderBy("q_id").show()
@@ -113,6 +122,18 @@ object Example {
         Similarity.ivfSeedCentroids(emb, 8), threshold = 0.4)
       println(s"[example] SemDeDup: kept ${kept.count()} of " +
         s"${emb.count()} embeddings (cosine >= 0.4 within cell)")
+    }
+
+    // events analytics: where users go next, session health, bot accounts
+    {
+      println("[example] event-type transition matrix (top handoffs):")
+      SparkEntry.queries("events_transition_matrix")(spark, sfDir)
+        .orderBy(col("n").desc).show(5)
+      println("[example] session health headline:")
+      SparkEntry.queries("events_session_stats")(spark, sfDir).show()
+      println("[example] heaviest accounts vs corpus mean:")
+      SparkEntry.queries("events_heavy_users")(spark, sfDir)
+        .orderBy(col("ratio_to_mean").desc).show(3)
     }
 
     // streaming sessionization with custom keyed state
