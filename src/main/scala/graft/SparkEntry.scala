@@ -709,6 +709,16 @@ object SparkEntry {
       Similarity.semanticDedup(e, Similarity.ivfSeedCentroids(e, 16),
         threshold = 0.4)
     }),
+    // semantic decontamination: drop corpus vectors cosine-close to any
+    // eval vector (every 10th id is the "eval set"); catches paraphrased
+    // leakage that n-gram doc_decontaminate can't see
+    "emb_decontaminate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") % 10 =!= 1),
+        e.filter(col("vec_id") % 10 === 1),
+        Similarity.ivfSeedCentroids(e, 16), threshold = 0.4)
+    }),
     "emb_knn_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.recallAtK(
@@ -2639,6 +2649,39 @@ object SparkEntry {
         |     i -> y.v[i] * y.v[i]), 'sum'))) >= 0.4)
         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell FROM a
         |WHERE a.vec_id NOT IN (SELECT drop_id FROM p)""".stripMargin,
+    // semantic decontamination: emb_semantic_dedup's assignment chain,
+    // corpus (vec_id % 10 <> 1) paired cross-frame against eval
+    // (% 10 = 1) within cells; cosine >= 0.4 drops the corpus member
+    "emb_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | dd AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell FROM
+        |   (SELECT vec_id, v, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM dd) t
+        |  WHERE rn = 1),
+        | ac AS (SELECT * FROM a WHERE vec_id % 10 <> 1),
+        | ae AS (SELECT * FROM a WHERE vec_id % 10 = 1),
+        | ok AS (SELECT cell FROM ac GROUP BY cell
+        |  HAVING count(*) <= 10000),
+        | p AS (SELECT DISTINCT x.vec_id AS drop_id
+        |  FROM ac x JOIN ae y ON x.cell = y.cell
+        |   JOIN ok ON ok.cell = x.cell
+        |  WHERE list_aggregate(list_transform(range(1, len(x.v) + 1),
+        |     i -> x.v[i] * y.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(x.v) + 1),
+        |     i -> x.v[i] * x.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(y.v) + 1),
+        |     i -> y.v[i] * y.v[i]), 'sum'))) >= 0.4)
+        |SELECT ac.vec_id, CAST(ac.cell AS BIGINT) AS cell FROM ac
+        |WHERE ac.vec_id NOT IN (SELECT drop_id FROM p)""".stripMargin,
     // recall@3 of the sign-LSH ANN vs exact brute-force on the same probes:
     // both CTE chains are the emb_knn_brute / emb_knn_lsh oracles at k=3
     "emb_knn_recall" ->

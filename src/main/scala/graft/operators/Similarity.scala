@@ -427,6 +427,48 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
   }
 
+  /** Semantic DECONTAMINATION — the embedding-space sibling of
+    * [[graft.operators.TextAnalysis]]'s n-gram `decontaminate` and the
+    * cross-frame form of [[semanticDedup]]: drop corpus vectors whose
+    * cosine against ANY eval-set vector reaches `threshold`. N-gram
+    * decontamination catches verbatim leakage; this catches the
+    * paraphrased eval rewrite that shares no shingles — both belong in a
+    * training-data pipeline, and a held-out set leaks through either.
+    * Returns the KEPT corpus rows as (vec_id, cell).
+    *
+    * Scale shape: both frames take [[ivfAssign]]'s map-only argmin (one
+    * scan each); the contamination check is an equi-join on `cell` — the
+    * corpus side co-located by the repartition, the (small) eval side
+    * hashed onto it (AQE broadcasts a small eval set outright) — so work
+    * is Σ|cell_corpus|·|cell_eval|, never corpus×eval. `maxCellVecs`
+    * excludes hot corpus cells from pairing wholesale (members KEPT — the
+    * permissive degradation, same guard rule as [[semanticDedup]]; watch
+    * [[ivfStats]] occupancy and refit when it fires). The final
+    * anti-join's right side is the small drop list. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            centroids: DataFrame,
+                            threshold: Double = 0.95,
+                            maxCellVecs: Int = 10000): DataFrame = {
+    val corpusA = ivfAssign(corpus, centroids)
+      .withColumn("nrm", l2(col("embedding")))
+      .repartition(col("cell"))
+    val evalA = ivfAssign(evalSet, centroids)
+      .withColumn("nrm", l2(col("embedding")))
+    val cellOk = corpusA.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCellVecs).select("cell")
+    val c = corpusA.join(broadcast(cellOk), Seq("cell"))
+      .select(col("cell"), col("vec_id").as("c_id"),
+        col("embedding").as("cv"), col("nrm").as("c_nrm"))
+    val e = evalA.select(col("cell"), col("vec_id").as("e_id"),
+      col("embedding").as("ev"), col("nrm").as("e_nrm"))
+    val drops = c.join(e, Seq("cell"))
+      .filter(dot(col("cv"), col("ev")) / (col("c_nrm") * col("e_nrm"))
+        >= threshold)
+      .select(col("c_id").as("drop_id")).distinct()
+    corpusA.join(drops, col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
+
   // ── IVF (inverted-file) ANN ────────────────────────────────────────────
   // Coarse-quantize the corpus into `nlist` cells, then search only the
   // `nprobe` cells whose centroids are nearest each query: corpus-side work

@@ -981,6 +981,27 @@ class NorthStarSpec extends SparkTestBase {
     assert(pq.nonEmpty)
   }
 
+  test("Similarity.semanticDecontaminate: a corpus vector cosine-close to " +
+    "an eval vector drops; orthogonal corpus survives; output is corpus-" +
+    "only") {
+    val s = spark
+    import s.implicits._
+    def unit(i: Int): Seq[Float] =
+      (0 until 8).map(j => if (j == i) 1f else 0f)
+    // corpus: 0 (≈ eval 100's direction), 1..3 orthogonal axes;
+    // eval: 100 pointing along axis 0
+    val corpus = (0 to 3).map(i => (i.toLong, unit(i), i))
+      .toDF("vec_id", "embedding", "label")
+    val evalSet = Seq((100L, unit(0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.ivfSeedCentroids(corpus, 4)
+    val kept = Similarity.semanticDecontaminate(
+      corpus, evalSet, cents, threshold = 0.9).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L),
+      s"vector 0 duplicates the eval set and must drop: $kept")
+  }
+
   test("Similarity.pqFitCodebook: per-subspace k-means recovers an exactly " +
     "ksub-clustered corpus, so trained-codebook decode reconstructs it " +
     "perfectly where the seeded codebook cannot") {
