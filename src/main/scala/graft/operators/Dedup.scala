@@ -255,6 +255,35 @@ object Dedup {
           .otherwise(lit(1.0)).as("sim"))
   }
 
+  /** Asymmetric shingle CONTAINMENT on candidate pairs — the "doc A lives
+    * inside doc B" signal symmetric Jaccard dilutes: a short document
+    * quoted whole inside a long one scores |A∩B|/|A∪B| ≈ |A|/|B| (small)
+    * but containment_a = |A∩B|/|A| ≈ 1. The quote-expansion/boilerplate-
+    * wrapper near-dup class a curation pipeline wants to catch (keep the
+    * superstring, drop the contained copy). Scored only on the supplied
+    * `pairs` ([[lshCandidatePairs]] output — note banding is driven by
+    * full-signature agreement, so sub-Jaccard containment pairs need the
+    * band config tuned loose, or candidates from a containment-friendly
+    * source). Output: (doc_a, doc_b, containment_a, containment_b), both
+    * 4dp; threshold downstream on max(containment_a, containment_b).
+    *
+    * Scale shape: identical to [[ngramJaccardOn]] — two doc-id equi-joins
+    * attach the distinct-shingle sets, cost candidate-bounded. */
+  def containmentOn(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sets = shingleSets(docs)
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("sset").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / size(col("set_a")), 4)
+          .as("containment_a"),
+        round(inter.cast("double") / size(col("set_b")), 4)
+          .as("containment_b"))
+  }
+
   /** Unrounded [[ngramJaccardOn]] — thresholding compares exact values. */
   private def jaccardOnPairsRaw(docs: DataFrame,
                                 pairs: DataFrame): DataFrame =

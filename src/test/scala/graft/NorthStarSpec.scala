@@ -1401,6 +1401,22 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.size == 3, "only days with activity are reported")
   }
 
+  test("Dedup.containmentOn: a doc quoted whole inside a longer one reads " +
+    "containment 1.0 where Jaccard dilutes") {
+    val s = spark
+    import s.implicits._
+    val short = "alpha bravo charlie delta echo foxtrot"
+    val long = short + " golf hotel india juliet kilo lima mike november" +
+      " oscar papa quebec romeo sierra tango"
+    val d = docsDf(Seq(1L -> short, 2L -> long))
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.containmentOn(d, pairs).collect().head
+    assert(r.getDouble(2) == 1.0, "short doc fully contained")
+    assert(r.getDouble(3) < 0.5, "long doc mostly NOT the short one")
+    val jac = Dedup.ngramJaccardOn(d, pairs).collect().head.getDouble(2)
+    assert(jac < 0.5, s"Jaccard dilutes the containment signal: $jac")
+  }
+
   test("Dedup.editSimilarityOn: character-level typos score high where " +
     "shingle Jaccard collapses; empty pair reads 1.0") {
     val s = spark
