@@ -1002,6 +1002,35 @@ class NorthStarSpec extends SparkTestBase {
       s"vector 0 duplicates the eval set and must drop: $kept")
   }
 
+  test("Similarity.knnIvfPq: trained-codebook path end-to-end — on a " +
+    "perfectly reconstructible corpus, ADC over trained codes equals " +
+    "plain IVF exactly") {
+    val s = spark
+    import s.implicits._
+    // the pqFitCodebook fixture: each subspace takes exactly 2 values, so
+    // the trained 2-code-per-subspace book reconstructs every vector
+    // perfectly — ADC scores become exact cosines and the trained IVF-PQ
+    // must reproduce plain IVF verbatim
+    val a = Seq(1f, 0f); val b = Seq(0f, 1f)
+    val rows = (0L until 40L).map { i =>
+      val sub0 = if (i % 2 == 0) a else b
+      val sub1 = if (i < 2) a else if (i % 3 == 0) a else b
+      (i, sub0 ++ sub1, i.toInt)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqFitCodebook(emb, m = 2, ksub = 2, maxSample = 100)
+    val pq = Similarity.knnIvfPq(emb, col("vec_id") < 2, k = 3,
+      nlist = 4, nprobe = 4, m = 2, ksub = 2, codebook = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val ivf = Similarity.knnIvf(emb, col("vec_id") < 2, k = 3,
+      nlist = 4, nprobe = 4,
+      centroids = Some(Similarity.ivfSeedCentroids(emb, 4))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pq == ivf, s"trained-codebook ADC must be exact here: $pq vs $ivf")
+    assert(pq.nonEmpty)
+  }
+
   test("Similarity.pqFitCodebook: per-subspace k-means recovers an exactly " +
     "ksub-clustered corpus, so trained-codebook decode reconstructs it " +
     "perfectly where the seeded codebook cannot") {

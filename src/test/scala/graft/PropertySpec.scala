@@ -247,6 +247,90 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: transitionMatrix matches a driver-side reference on " +
+    "random event streams (20 trials); p sums to 1 per from_type") {
+    val s = spark
+    import s.implicits._
+    val types = Seq("view", "click", "purchase", "error")
+    for (_ <- 1 to 20) {
+      val ev = (1 to (20 + rnd.nextInt(100))).map { i =>
+        (i.toLong, (1 + rnd.nextInt(8)).toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(5000) * 100L),
+          types(rnd.nextInt(types.size)))
+      }
+      val df = ev.toDF("event_id", "user_id", "ts", "event_type")
+      val got = graft.operators.Funnels.transitionMatrix(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val ref = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3.getTime, r._1))
+        sorted.zip(sorted.drop(1)).map { case (a, b) => (a._4, b._4) }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val fromTotals =
+        ref.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      assert(got.keySet == ref.keySet)
+      for ((k, (n, p)) <- got) {
+        assert(n == ref(k), s"count mismatch at $k")
+        // HALF_UP like Spark's round() — a 13/32-style quotient lands
+        // exactly on a .5 boundary where rint's half-even disagrees
+        val expect = BigDecimal(n.toDouble / fromTotals(k._1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(p == expect, s"probability mismatch at $k")
+      }
+    }
+  }
+
+  test("property: containment bounds — each side's containment sits in " +
+    "[jaccard, 1] on random docs (20 trials)") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    for (_ <- 1 to 20) {
+      val docs = (1L to 6L).map { id =>
+        val text = (0 until (3 + rnd.nextInt(10)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (id, text, "en", "src", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val pairs = (for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b))
+        .toDF("doc_a", "doc_b")
+      val cont = graft.operators.Dedup.containmentOn(docs, pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      val jac = graft.operators.Dedup.ngramJaccardOn(docs, pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      for ((k, (ca, cb)) <- cont) {
+        assert(ca <= 1.0 && cb <= 1.0)
+        // both independently rounded 4dp: allow one rounding step of slack
+        assert(ca >= jac(k) - 0.00011 && cb >= jac(k) - 0.00011,
+          s"containment below jaccard at $k: $ca / $cb vs ${jac(k)}")
+      }
+    }
+  }
+
+  test("property: heavyUsers flag equals the exact integer predicate on " +
+    "random user activity (20 trials)") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 20) {
+      val ev = (1 to (30 + rnd.nextInt(200))).map { i =>
+        ((1 + rnd.nextInt(10)).toLong,
+          new java.sql.Timestamp(1700000000000L + i * 1000L))
+      }
+      val df = ev.toDF("user_id", "ts")
+      val counts = ev.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val users = counts.size.toLong
+      val total = counts.values.sum
+      val got = graft.operators.Funnels.heavyUsers(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+      assert(got.keySet == counts.keySet)
+      for ((u, (n, heavy)) <- got) {
+        assert(n == counts(u))
+        val expect = if (n * users * 4 > 5 * total) 1L else 0L
+        assert(heavy == expect, s"flag mismatch for user $u")
+      }
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val s = spark
     import s.implicits._
