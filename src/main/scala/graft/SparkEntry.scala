@@ -590,6 +590,14 @@ object SparkEntry {
       Dedup.containmentOn(d,
         Dedup.lshCandidatePairs(Dedup.minhash(d, k = 4), rowsPerBand = 2))
     }),
+    // containment resolved into a dedup: drop the contained side (keep
+    // the superstring); mutual-containment ties keep the min doc_id
+    "doc_containment_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.containmentDedup(d,
+        Dedup.lshCandidatePairs(Dedup.minhash(d, k = 4), rowsPerBand = 2),
+        threshold = 0.9)
+    }),
     // fuzzy dedup: LSH candidates confirmed by normalized edit distance —
     // catches character-level near-dups shingle Jaccard under-scores
     "doc_dedup_fuzzy" -> ((s, dir) => {
@@ -2077,6 +2085,45 @@ object SparkEntry {
         | JOIN unic b ON split_part(c.bigram, ' ', 2) = b.t, nu, nb
         |WHERE c.n_ab >= 5
         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+    // the doc_containment chain thresholded at 0.9: drop the higher-
+    // containment (contained) side, ties drop the larger doc_id
+    "doc_containment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | sc AS (SELECT c.doc_a, c.doc_b,
+        |   round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |     len(a.sset), 4) AS ca,
+        |   round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |     len(b.sset), 4) AS cb
+        |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id
+        |   JOIN sets b ON c.doc_b = b.doc_id),
+        | drops AS (SELECT DISTINCT CASE WHEN ca > cb THEN doc_a
+        |   WHEN cb > ca THEN doc_b
+        |   ELSE greatest(doc_a, doc_b) END AS drop_id
+        |  FROM sc WHERE greatest(ca, cb) >= 0.9)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT drop_id FROM drops)""".stripMargin,
     // the doc_ngram_jaccard_lsh chain with the asymmetric containment tail
     "doc_containment" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words

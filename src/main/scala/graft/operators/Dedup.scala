@@ -284,6 +284,32 @@ object Dedup {
           .as("containment_b"))
   }
 
+  /** [[containmentOn]] resolved into a DEDUP: for every candidate pair
+    * where either side's containment reaches `threshold`, drop the
+    * CONTAINED document — the side with the HIGHER containment has the
+    * smaller shingle set, i.e. it is the copy living inside the other
+    * (keep the superstring, the standard wrapper/quote-dedup rule). A
+    * mutual-containment tie (near-identical pair) falls back to the
+    * keep-min-doc_id rule every other dedup here uses. Thresholding
+    * compares the 4dp-rounded scores ([[containmentOn]]'s contract), so
+    * the drop set is engine-portable. Returns the KEPT doc ids.
+    *
+    * Scale shape: [[containmentOn]]'s candidate-bounded joins, then an
+    * anti-join whose right side is the (small) drop list. */
+  def containmentDedup(docs: DataFrame, pairs: DataFrame,
+                       threshold: Double = 0.9): DataFrame = {
+    val scored = containmentOn(docs, pairs)
+    val ca = col("containment_a"); val cb = col("containment_b")
+    val drops = scored
+      .filter(greatest(ca, cb) >= threshold)
+      .select(when(ca > cb, col("doc_a"))
+        .when(cb > ca, col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("drop_id"))
+      .distinct()
+    docs.join(drops, col("doc_id") === col("drop_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   /** Unrounded [[ngramJaccardOn]] — thresholding compares exact values. */
   private def jaccardOnPairsRaw(docs: DataFrame,
                                 pairs: DataFrame): DataFrame =

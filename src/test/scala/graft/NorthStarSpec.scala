@@ -1446,6 +1446,24 @@ class NorthStarSpec extends SparkTestBase {
     assert(jac < 0.5, s"Jaccard dilutes the containment signal: $jac")
   }
 
+  test("Dedup.containmentDedup: the contained copy drops, the superstring " +
+    "stays; mutual-containment tie keeps the min doc_id") {
+    val s = spark
+    import s.implicits._
+    val short = "alpha bravo charlie delta echo foxtrot"
+    val long = short + " golf hotel india juliet kilo lima mike november" +
+      " oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val d = docsDf(Seq(1L -> long, 2L -> short,   // 2 contained in 1
+      3L -> "zulu yankee xray whiskey victor",    // near-identical pair:
+      4L -> "zulu yankee xray whiskey victor",    // tie -> drop 4, keep 3
+      5L -> "completely unrelated words here now"))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.containmentDedup(d, pairs, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L),
+      s"contained copy and tie-loser must drop: $kept")
+  }
+
   test("Dedup.editSimilarityOn: character-level typos score high where " +
     "shingle Jaccard collapses; empty pair reads 1.0") {
     val s = spark
