@@ -7,9 +7,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line {"metric":"total","value":N,"unit":"sec",
-  * "queries":{...},"errors":{...},"warm_total":...,"sf":...} — to stdout AND
-  * to a file (SPARK_GRAFT_BENCH_OUT, default `BENCH.out.json` in the cwd),
-  * so the artifact survives stdout truncation by log collectors.
+  * "queries":{...},"warm_total":...,"sf":...} — to stdout AND (in FULL
+  * per-query form) to a file (SPARK_GRAFT_BENCH_OUT, default
+  * `BENCH.out.json` in the cwd), so the artifact survives stdout
+  * truncation by log collectors.
+  *
+  * STDOUT LINE SIZE CONTRACT (round-10, after the third straight round of
+  * `parsed: null` in the driver's BENCH_r{N}.json): the driver keeps only
+  * the LAST ~2000 BYTES of stdout and json-parses the last line within
+  * that window. Rounds 8-9 fixed the trailing-output problem (sbt
+  * `[success]` trailer, forked-stderr relay) but the line itself had grown
+  * past 2 KB (128 queries x cold+warm+min+max maps ~ 15 KB), so the
+  * window clips it MID-LINE and the parse still fails. Therefore every
+  * stdout line is now a COMPACT artifact — totals, error count, run
+  * flags, and a fixed ~26-query headline subset rounded to ms — kept
+  * under 1900 bytes by construction (a guard drops the headline map
+  * rather than ever exceeding the window), while the complete per-query
+  * cold/warm/min/max/error detail goes only to the out file, which the
+  * compact line names under "full".
   *
   * Methodology:
   *   - Each query is materialized with a `noop`-format write, which forces
@@ -63,6 +78,22 @@ object Bench {
   /** Max steady-state trials per query; the reported warm time is the median
     * of the trials that fit the budget. */
   private val WarmTrials = 3
+
+  /** Headline subset published per-query on the size-capped stdout line
+    * (everything else is in the out file): the 13 OLAP queries, the
+    * flagship, and one representative per pipeline family. Fixed by name so
+    * cross-round compact artifacts are comparable. */
+  private val HeadlineQueries: Seq[String] = Seq(
+    "q1_agg", "q2_broadcast_join", "q3_shuffle_join", "q4_topk", "q5_window",
+    "q6_filter_pushdown", "q7_distinct", "q8_setops", "q9_rollup",
+    "q10_anti_join", "q11_percentile", "q12_case_agg", "q13_outer_agg",
+    "flagship_s61", "cdr_mask", "cdr_enrich_join", "doc_dedup_pipeline",
+    "doc_lsh_pairs", "doc_search_bm25", "doc_tfidf_topk", "emb_knn_brute",
+    "emb_knn_ivf", "emb_semantic_dedup", "events_sessionize", "events_funnel",
+    "events_window_agg")
+
+  /** Hard cap on the compact stdout line; the driver's window is ~2000. */
+  private val MaxStdoutLineBytes = 1900
 
   def main(args: Array[String]): Unit = {
     val jvmT0 = System.nanoTime()
@@ -147,23 +178,47 @@ object Bench {
       val warmMax = doneNames.zipWithIndex.map { case (n, i) =>
         n -> obs.map(_(i)._2._1).max }
       val nErr = (cold ++ warm).count(_._2._2.isDefined)
-      val line =
-        s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
-          s""","queries":${timesObj(cold)},"errors":${errsObj(cold)}""" +
-          s""","warm_total":${total(warm)},"warm_queries":${timesObj(warm)}""" +
-          s""","warm_errors":${errsObj(warm)},"n_err":$nErr""" +
-          s""","warm_trials":$WarmTrials,"warm_min":${numsObj(warmMin)}""" +
-          s""","warm_max":${numsObj(warmMax)}""" +
+      // Shared trailer fields (both artifacts; the suffix the driver and the
+      // judge key their run-health checks on).
+      val flags =
+        s""","n_err":$nErr,"warm_trials":$WarmTrials""" +
           s""","warm_trials_done":${warmTrials.size}""" +
           s""","partial":${coldDone < names.size}""" +
           s""","queries_done":$coldDone,"n_queries":${names.size}""" +
           s""","budget_truncated":$truncated""" +
-          s""","elapsed_total_sec":$elapsedTotalSec""" +
-          s""","failure_penalty_sec":$FailurePenaltySec,"sf":${jsonStr(sfDir)}}"""
-      println(line)
-      Console.out.flush()
+          s""","elapsed_total_sec":${math.round(elapsedTotalSec * 1000) / 1000.0}""" +
+          s""","failure_penalty_sec":$FailurePenaltySec,"sf":${jsonStr(sfDir)}"""
+      // FULL artifact -> out file only (complete per-query detail).
+      val full =
+        s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
+          s""","queries":${timesObj(cold)},"errors":${errsObj(cold)}""" +
+          s""","warm_total":${total(warm)},"warm_queries":${timesObj(warm)}""" +
+          s""","warm_errors":${errsObj(warm)}""" +
+          s""","warm_min":${numsObj(warmMin)}""" +
+          s""","warm_max":${numsObj(warmMax)}""" + flags + "}"
       Files.write(Paths.get(outPath),
-        (line + "\n").getBytes(StandardCharsets.UTF_8))
+        (full + "\n").getBytes(StandardCharsets.UTF_8))
+      // COMPACT artifact -> stdout: must fit the driver's ~2000-byte tail
+      // window in one line. Headline subset only, rounded to ms.
+      val coldByName = cold.toMap
+      val headline = HeadlineQueries
+        .flatMap(n => coldByName.get(n).map(t => n -> t._1))
+        .map { case (n, v) => n -> math.round(v * 1000) / 1000.0 }
+      val compactQ = numsObj(headline)
+      def compactLine(q: String): String =
+        s"""{"metric":"total","value":${math.round(total(cold) * 1000) / 1000.0}""" +
+          s""","unit":"sec","queries":$q""" +
+          s""","warm_total":${math.round(total(warm) * 1000) / 1000.0}""" +
+          flags + s""","full":${jsonStr(outPath)}}"""
+      val compact0 = compactLine(compactQ)
+      // Belt-and-braces: if the headline map somehow pushes past the window
+      // (it is ~1200 bytes by construction), drop it rather than clip.
+      val compact =
+        if (compact0.getBytes(StandardCharsets.UTF_8).length <= MaxStdoutLineBytes)
+          compact0
+        else compactLine("{}")
+      println(compact)
+      Console.out.flush()
     }
 
     // Cold pass, checkpointed per query: a kill anywhere mid-pass leaves
@@ -199,10 +254,11 @@ object Bench {
       i += 1
     }
     // The driver parses the LAST stdout line as the artifact (r7/r8 lost it
-    // to trailing output). `emit` is pure string formatting, so: quieten the
-    // logger, stop Spark (its stop-time stderr chatter lands NOW, and sbt
-    // relays forked stderr onto stdout), then re-emit the final line as the
-    // last thing this JVM writes.
+    // to trailing output; r9 to line length — see the size contract above).
+    // `emit` is pure string formatting, so: quieten the logger, stop Spark
+    // (its stop-time stderr chatter lands NOW, and sbt relays forked stderr
+    // onto stdout), then re-emit the final compact line as the last thing
+    // this JVM writes.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     emit(cold, warmDone, truncated)

@@ -734,6 +734,16 @@ object SparkEntry {
         e.filter(col("vec_id") % 10 === 1),
         Similarity.ivfSeedCentroids(e, 16), threshold = 0.4)
     }),
+    // the guard-audit companion: cells the decontaminate pass NEVER checked
+    // (occupancy > maxCellVecs) — non-empty means "not yet clean". Cap 28
+    // sits inside the sf0.01 occupancy range (20-37) so the audit path is
+    // value-proven, not vacuously green on an empty frame
+    "emb_decontaminate_excluded" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminateExcludedCells(
+        e.filter(col("vec_id") % 10 =!= 1),
+        Similarity.ivfSeedCentroids(e, 16), maxCellVecs = 28)
+    }),
     "emb_knn_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.recallAtK(
@@ -2768,6 +2778,27 @@ object SparkEntry {
         |     i -> y.v[i] * y.v[i]), 'sum'))) >= 0.4)
         |SELECT ac.vec_id, CAST(ac.cell AS BIGINT) AS cell FROM ac
         |WHERE ac.vec_id NOT IN (SELECT drop_id FROM p)""".stripMargin,
+    // the emb_decontaminate assignment chain on the corpus side only,
+    // grouped by cell, HAVING over the cap — the guard-audit companion
+    "emb_decontaminate_excluded" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | corp AS (SELECT * FROM e WHERE vec_id % 10 <> 1),
+        | dd AS (SELECT corp.vec_id, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(corp.v) + 1),
+        |     i -> corp.v[i] * corp.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(corp.v) + 1),
+        |     i -> corp.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM corp, cent),
+        | a AS (SELECT vec_id, cell FROM
+        |   (SELECT vec_id, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM dd) t
+        |  WHERE rn = 1)
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        | CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM a GROUP BY cell HAVING count(*) > 28""".stripMargin,
     // recall@3 of the sign-LSH ANN vs exact brute-force on the same probes:
     // both CTE chains are the emb_knn_brute / emb_knn_lsh oracles at k=3
     "emb_knn_recall" ->

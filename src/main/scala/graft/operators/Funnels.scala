@@ -167,16 +167,20 @@ object Funnels {
     * aggregation buffer holding an unbounded list cannot — slicing the
     * collected array would bound the OUTPUT but not the buffer that
     * builds it. Truncated (cap-hitting) users are observable via the
-    * `top_paths_input` metric (`n_capped_users`). The window's user-hash
-    * shuffle is the same distribution the sequence aggregate needs, so
-    * the cap costs a sort, not an extra exchange; the path count is an
-    * ordinary partial-agg shuffle on the path key; top-k is a
+    * `metricName` metric (`n_capped_users`); Spark requires observed-metric
+    * names to be UNIQUE per query, so composing two topPaths invocations in
+    * one plan (e.g. a union over two event frames) needs distinct names —
+    * same contract as `ngramJaccard`'s metricName parameter. The window's
+    * user-hash shuffle is the same distribution the sequence aggregate
+    * needs, so the cap costs a sort, not an extra exchange; the path count
+    * is an ordinary partial-agg shuffle on the path key; top-k is a
     * TakeOrdered. */
   def topPaths(events: DataFrame, n: Int = 3, k: Int = 10,
                userCol: String = "user_id", tsCol: String = "ts",
                typeCol: String = "event_type",
                eventIdCol: String = "event_id",
-               maxEvents: Int = 10000): DataFrame = {
+               maxEvents: Int = 10000,
+               metricName: String = "top_paths_input"): DataFrame = {
     require(n >= 2, "topPaths: need length >= 2")
     require(maxEvents >= n, s"topPaths: maxEvents ($maxEvents) must cover " +
       s"at least one $n-step path")
@@ -186,7 +190,7 @@ object Funnels {
       .select(col(userCol), col(tsCol), col(eventIdCol), col(typeCol))
       .withColumn("rn", row_number().over(ordered))
       .filter(col("rn") <= maxEvents)
-      .observe("top_paths_input",
+      .observe(metricName,
         sum(when(col("rn") === maxEvents, 1L).otherwise(0L))
           .as("n_capped_users"))
     val seqs = bounded.groupBy(col(userCol))
@@ -289,6 +293,13 @@ object Funnels {
     * `n·|users|·factorDen > factorNum·Σn` — same contract as
     * [[spikeDays]]: no double anywhere near the decision; ratio_to_mean
     * is the usual 4dp integral-count quotient, reported for humans only.
+    * The products are evaluated in Decimal(38,0), not Long: at the 100 TB
+    * scale this targets (e.g. 1e10 events on one bot, 1e9 users) a Long
+    * triple product wraps silently with ANSI off and flips the flag,
+    * while 38 decimal digits hold any n·U·factorDen up to 1e38 — beyond
+    * even zetta-scale corpora (n ≤ Σn ≤ 2^63, U ≤ Σn/1, so the realistic
+    * bound is orders of magnitude inside the exact range; the same cast
+    * guards the ratio numerator).
     *
     * Scale shape: one user-keyed partial-agg aggregate off the stream and
     * a 1-row corpus total broadcast back onto the (user-sized) counts —
@@ -300,13 +311,16 @@ object Funnels {
       .agg(count(lit(1)).cast("long").as("n_events"))
     val tot = pu.agg(count(lit(1)).cast("long").as("n_users"),
       sum(col("n_events")).cast("long").as("total_events"))
+    // Decimal(38,0) promotes the whole product chain to exact decimal
+    // arithmetic (see scaladoc: Long wraps at bot-scale × user-scale).
+    val dEvents = col("n_events").cast("decimal(38,0)")
     pu.crossJoin(broadcast(tot))
       .select(col("user_id"), col("n_events"),
-        round((col("n_events") * col("n_users")).cast("double") /
+        round((dEvents * col("n_users")).cast("double") /
           col("total_events"), 4).as("ratio_to_mean"),
-        when(col("n_events") * col("n_users") * lit(factorDen.toLong) >
-          lit(factorNum.toLong) * col("total_events"), 1L)
-          .otherwise(0L).as("heavy"))
+        when(dEvents * col("n_users") * lit(factorDen.toLong) >
+          lit(factorNum.toLong).cast("decimal(38,0)") * col("total_events"),
+          1L).otherwise(0L).as("heavy"))
   }
 
   /** Markov transition matrix over event types: for every CONSECUTIVE pair

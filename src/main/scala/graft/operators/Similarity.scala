@@ -442,9 +442,12 @@ object Similarity {
     * hashed onto it (AQE broadcasts a small eval set outright) — so work
     * is Σ|cell_corpus|·|cell_eval|, never corpus×eval. `maxCellVecs`
     * excludes hot corpus cells from pairing wholesale (members KEPT — the
-    * permissive degradation, same guard rule as [[semanticDedup]]; watch
-    * [[ivfStats]] occupancy and refit when it fires). The final
-    * anti-join's right side is the small drop list. */
+    * permissive degradation, same guard rule as [[semanticDedup]], but
+    * here the degradation means LEAKAGE SURVIVES, so it must never be
+    * silent: [[semanticDecontaminateExcludedCells]] returns the excluded
+    * cells first-class — run it alongside every decontaminate pass and
+    * treat a non-empty result as "not yet clean"). The final anti-join's
+    * right side is the small drop list. */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
                             centroids: DataFrame,
                             threshold: Double = 0.95,
@@ -468,6 +471,28 @@ object Similarity {
     corpusA.join(drops, col("vec_id") === col("drop_id"), "left_anti")
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
   }
+
+  /** The cells [[semanticDecontaminate]] EXCLUDES from pairing under the
+    * same parameters, as a first-class output: (cell, n_vecs) for every
+    * corpus cell over `maxCellVecs`. For DEDUP the permissive guard only
+    * degrades recall, but for DECONTAMINATION it means eval-set leakage in
+    * a hot cell survives INVISIBLY — the exact trap
+    * [[Dedup.ngramJaccardExcludedBlocks]] exists for — so the exclusion
+    * must be a query, not a log grep: run this alongside the decontaminate
+    * pass; a non-empty result says "these cells were never checked —
+    * refit centroids (watch [[ivfStats]]) or raise the cap before trusting
+    * the output as clean".
+    *
+    * Scale shape: one map-only [[ivfAssign]] argmin scan into a
+    * ≤nlist-row aggregate — strictly cheaper than the decontaminate pass
+    * it audits. */
+  def semanticDecontaminateExcludedCells(corpus: DataFrame,
+                                         centroids: DataFrame,
+                                         maxCellVecs: Int = 10000): DataFrame =
+    ivfAssign(corpus, centroids)
+      .groupBy("cell").agg(count(lit(1)).cast("long").as("n_vecs"))
+      .filter(col("n_vecs") > maxCellVecs)
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"))
 
   // ── IVF (inverted-file) ANN ────────────────────────────────────────────
   // Coarse-quantize the corpus into `nlist` cells, then search only the

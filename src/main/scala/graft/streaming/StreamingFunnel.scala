@@ -23,13 +23,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale/state contract: ONE tiny (step, reach_ts) record per user still
   * MID-funnel — no event buffering (unlike topPaths, nothing accumulates
-  * per event). State is removed the moment a user completes the last step;
-  * with a conversion window set, a user whose window has expired can never
-  * advance again, so their state is reaped by an event-time timeout at
+  * per event), and NO record at all for users who have not yet matched the
+  * first step (step-0 qualification needs no history, so nothing is stored
+  * until a user actually enters the funnel — users emitting only
+  * non-funnel event types cost zero state). State is removed the moment a
+  * user completes the last step; with a conversion window set, a user
+  * whose window has expired can never advance within that attempt, so
+  * their state is reaped by an event-time timeout at
   * `reach_ts + withinSeconds` — under a window, state holds only users who
   * can still convert. Without a window the funnel is open-ended and state
-  * is one record per ever-seen incomplete user (document the retention
-  * choice; real deployments should set a window). */
+  * is one record per mid-funnel user (document the retention choice; real
+  * deployments should set a window).
+  *
+  * RESTART-AFTER-REAP semantics (deliberate, documented divergence from
+  * the batch twin): once a user's expired-window state is reaped, a later
+  * step-0 event starts a FRESH attempt and re-emits step_idx 1 for that
+  * user — the stream counts funnel ATTEMPTS reaching each step, where the
+  * batch twin (one pass over a closed log) counts only each user's first
+  * attempt. Keeping a per-user tombstone instead would restore exactly-
+  * once-per-user counting but reintroduces the unbounded one-record-per-
+  * ever-seen-user state this operator exists to avoid; at firehose user
+  * cardinality, bounded state wins. Dashboards needing per-user uniqueness
+  * should `dropDuplicates("user_id", "step_idx")` over a bounded horizon
+  * downstream. On in-order input where no window expiry fires, emissions
+  * match the batch twin (spec-proven). */
 object StreamingFunnel {
 
   case class FEvt(user_id: Long, ts: Timestamp, event_type: String)
@@ -80,12 +97,21 @@ object StreamingFunnel {
             if (s.step >= steps.length) {
               // funnel complete — nothing left to track
               if (state.exists) state.remove()
+            } else if (s.step == 0) {
+              // Nothing reached: step-0 qualification is unconditional, so
+              // a FunnelState(0, MinValue) record carries no information —
+              // storing it would leak one never-reaped state entry per user
+              // that merely APPEARS in the stream (e.g. only non-funnel
+              // event types), since no timeout can be anchored to a
+              // nonexistent reach time. Skip the write; stored states
+              // therefore always have step >= 1, and under a window every
+              // stored state carries a reaping timeout.
             } else {
               state.update(s)
-              // reap only under a window (clamped above the watermark —
-              // a stale reachTs must not throw); windowless funnels are
-              // open-ended by contract
-              if (s.step > 0) withinSeconds.foreach { w =>
+              // reap under a window (clamped above the watermark — a stale
+              // reachTs must not throw); windowless funnels are open-ended
+              // by contract
+              withinSeconds.foreach { w =>
                 state.setTimeoutTimestamp(math.max(s.reachTs + w * 1000L,
                   state.getCurrentWatermarkMs() + 1))
               }

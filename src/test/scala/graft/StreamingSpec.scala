@@ -512,6 +512,57 @@ class StreamingSpec extends SparkTestBase {
     assert(open == batchCounts(None))
   }
 
+  test("StreamingFunnel: restart-after-reap counts a fresh ATTEMPT (the " +
+    "documented divergence from the batch twin's first-attempt-only count)") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FEvt
+    implicit val ctx = s.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp((100000 + sec) * 1000)
+    val steps = Seq("view", "click", "purchase")
+    // b1: u1 enters and reaches step 2 (timeout armed at 130+60=190).
+    // b2: u9 pushes the watermark to 10000 (u1 not yet reaped — the batch
+    //     runs under the PREVIOUS watermark, 130).
+    // b3: no u1 data; watermark 10000 > 190 reaps u1's expired state.
+    // b4: u1 returns — a FRESH attempt re-emits step 1 and step 2.
+    val b1 = Seq(FEvt(1L, ts(100), "view"), FEvt(1L, ts(130), "click"))
+    val b2 = Seq(FEvt(9L, ts(10000), "view"))
+    val b3 = Seq(FEvt(8L, ts(10001), "view"))
+    val b4 = Seq(FEvt(1L, ts(10010), "view"), FEvt(1L, ts(10020), "click"))
+    val input = MemoryStream[FEvt]
+    val q = StreamingFunnel.funnelSteps(
+      input.toDS().withWatermark("ts", "0 seconds"), steps, Some(60L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sfunnel_reap")
+      .option("checkpointLocation", tmpDir("sfunnel_reap_cp"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    Seq(b1, b2, b3, b4).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s
+      .sql("SELECT step_idx, count(*) FROM sfunnel_reap GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // attempts: step1 = u1 twice + u8 + u9; step2 = u1 twice
+    assert(streamed == Map(1L -> 4L, 2L -> 2L), s"streamed: $streamed")
+    // the batch twin counts u1 once per step (first attempt only) — the
+    // stream's attempt count strictly dominates it after a reap
+    val batch = graft.operators.Funnels.funnel(
+      (b1 ++ b2 ++ b3 ++ b4).toDS().toDF(), steps,
+      within = Some(org.apache.spark.sql.functions
+        .expr("INTERVAL 60 SECONDS")))
+      .collect().filter(_.getLong(2) > 0)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch == Map(1L -> 3L, 2L -> 1L), s"batch: $batch")
+    // per-user uniqueness is recoverable downstream, as documented
+    val uniq = s
+      .sql("SELECT step_idx, count(DISTINCT user_id) FROM sfunnel_reap " +
+        "GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uniq == Map(1L -> 3L, 2L -> 1L), s"dedup'd: $uniq")
+  }
+
   test("StreamingTransitions: per-user last-event handoffs match the " +
     "batch transition matrix on in-order input, across batch boundaries; " +
     "idle timeout reaps the chain") {
