@@ -27,9 +27,21 @@ object SparkEntry {
     * mutates shared session conf); convert ns→µs with exact integer division
     * (a double roundtrip at 1e18 magnitudes would wobble near second
     * boundaries) and rebuild a timestamp. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** `events` with `ts` normalized to TIMESTAMP regardless of how the
+    * parquet encodes it: TIMESTAMP(NANOS) files arrive as a nanos BIGINT
+    * under `spark.sql.legacy.parquet.nanosAsLong` (truncate to micros —
+    * the sub-micro tail is below both engines' timestamp resolution);
+    * micros files arrive as TIMESTAMP_NTZ and cast value-preserving under
+    * the fixed UTC session. Same instant either way, so the DuckDB
+    * oracles (which read the file natively) are unaffected. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Synthetic CDR lines derived deterministically from `events`: a 6-field
     * comma-delimited record whose 2-char prefix routes it to one of 11
@@ -499,6 +511,15 @@ object SparkEntry {
         d.filter(col("doc_id") % 100 === 0),
         chunkTokens = 64, overlap = 8, n = 3)
     }),
+    // the one-row "is this corpus clean" rollup over both decontamination
+    // granularities (doc-level + chunk-level + the union)
+    "corpus_decontamination_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.decontaminationReport(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0),
+        chunkTokens = 64, overlap = 8, n = 3)
+    }),
     // EAGER: label propagation runs jobs at construction (see scaladoc)
     "doc_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(t(s, dir, "documents"), 0.8)),
@@ -565,6 +586,20 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfDrift(e, e.filter(col("vec_id") % 5 =!= 1),
         Similarity.ivfSeedCentroids(e, 16))
+    }),
+    // one Lloyd refit step under the current assignment — the operator
+    // the drift signal triggers; exploded (cell, pos) view, micro-unit
+    // exact means
+    "emb_ivf_refit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfRefit(e, Similarity.ivfSeedCentroids(e, 16))
+    }),
+    // recall-vs-cost sweep over nprobe: score once at the largest probe
+    // count, read every sweep point off the one scored frame
+    "emb_ivf_nprobe_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfNprobeSweep(e, Similarity.ivfSeedCentroids(e, 16),
+        col("vec_id") < 8, k = 3)
     }),
 
     // ── dedup (north-star) ────────────────────────────────────────────
@@ -682,6 +717,11 @@ object SparkEntry {
     // chain's recall-style quality dial
     "doc_minhash_est" -> ((s, dir) =>
       Dedup.minhashJaccardEst(t(s, dir, "documents"))),
+    // banding S-curve sweep: the deployed candidate chain runs once, each
+    // alternative (bands, rowsPerBand) config evaluated analytically on
+    // the scored pairs — the table the LSH config is tuned from
+    "doc_lsh_band_curve" -> ((s, dir) =>
+      Dedup.lshBandCurve(t(s, dir, "documents"))),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -849,6 +889,13 @@ object SparkEntry {
     "events_funnel_windowed" -> ((s, dir) =>
       Funnels.funnel(events(s, dir), Seq("view", "click", "purchase"),
         within = Some(expr("INTERVAL 24 HOURS")))),
+    // chi-squared significance on the A/B funnel's end-to-end conversion:
+    // is the arm difference real or noise? (1 dof, decision on rounded χ²)
+    "events_ab_significance" -> ((s, dir) =>
+      Funnels.abSignificance(events(s, dir),
+        Seq("view", "click", "purchase"),
+        segment = when(pmod(col("user_id"), lit(2)) === 0, lit("control"))
+          .otherwise(lit("variant")))),
     // A/B funnel: same reach chain per experiment arm (user_id parity —
     // an arm assignment is a pure function of the user)
     "events_funnel_ab" -> ((s, dir) =>
@@ -1688,6 +1735,52 @@ object SparkEntry {
         | CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_contaminated_grams
         |FROM cg JOIN ev USING (gram)
         |GROUP BY cg.doc_id, cg.chunk_idx""".stripMargin,
+    // one-row rollup over the doc_decontaminate and doc_chunk_decontaminate
+    // chains (both verbatim) + the chunk total and the flagged-doc union
+    "corpus_decontamination_report" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |   i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS gram
+        |  FROM w WHERE len(words) >= 3),
+        | ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+        | nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 100 <> 0),
+        | dflag AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        |  WHERE g.doc_id % 100 <> 0),
+        | df AS (SELECT CAST(count(*) AS BIGINT) AS n_flagged_docs
+        |  FROM dflag),
+        | s AS (SELECT doc_id, words,
+        |   range(1, greatest(len(words), 1) + 1, 56) AS starts FROM w
+        |  WHERE doc_id % 100 <> 0),
+        | c AS (SELECT doc_id, unnest(list_transform(range(1, len(starts) + 1),
+        |   i -> struct_pack(idx := i,
+        |     chunk := list_slice(words, starts[i], starts[i] + 63)))) AS sc
+        |  FROM s),
+        | ch AS (SELECT doc_id, CAST(sc.idx - 1 AS BIGINT) AS chunk_idx,
+        |   sc.chunk AS chunk FROM c),
+        | nc AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks FROM ch),
+        | cg AS (SELECT doc_id, chunk_idx,
+        |   unnest(list_transform(range(1, len(chunk) - 1),
+        |     i -> array_to_string(list_slice(chunk, i, i + 2), ' ')))
+        |     AS gram
+        |  FROM ch WHERE len(chunk) >= 3),
+        | cflag AS (SELECT DISTINCT doc_id, chunk_idx FROM cg
+        |  JOIN ev USING (gram)),
+        | cf AS (SELECT CAST(count(*) AS BIGINT) AS n_flagged_chunks,
+        |   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_chunk_flagged
+        |  FROM cflag),
+        | anyf AS (SELECT CAST(count(*) AS BIGINT) AS n_flagged_any FROM
+        |   (SELECT doc_id FROM dflag
+        |    UNION SELECT DISTINCT doc_id FROM cflag) u)
+        |SELECT nd.n_docs, df.n_flagged_docs,
+        | round(CAST(df.n_flagged_docs AS DOUBLE) / nd.n_docs, 4)
+        |   AS flagged_doc_share,
+        | nc.n_chunks, cf.n_flagged_chunks,
+        | round(CAST(cf.n_flagged_chunks AS DOUBLE) / nc.n_chunks, 4)
+        |   AS flagged_chunk_share,
+        | cf.n_docs_chunk_flagged, anyf.n_flagged_any
+        |FROM nd, df, nc, cf, anyf""".stripMargin,
     "corpus_stats" ->
       """WITH base AS (SELECT source, lang,
         |   len(string_split(text, ' ')) AS n_toks FROM documents),
@@ -2038,6 +2131,104 @@ object SparkEntry {
         | round(coalesce(share_v2, 0) - coalesce(share_v1, 0), 4)
         |   AS share_delta
         |FROM s1 FULL JOIN s2 ON s1.cell = s2.cell""".stripMargin,
+    // one Lloyd refit step: the assignment chain (emb_knn_ivf oracle
+    // verbatim), exploded to (cell, pos) with 0-based pos like Spark's
+    // posexplode; components quantized to exact 1e-6 micro-units BEFORE
+    // the sum (order-independent integer addition), mean divides two
+    // exact integers in the same fixed order as the Spark side
+    "emb_ivf_refit" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell FROM
+        |   (SELECT vec_id, v, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | x AS (SELECT CAST(cell AS BIGINT) AS cell,
+        |   CAST(unnest(range(1, len(v) + 1)) - 1 AS BIGINT) AS pos,
+        |   unnest(v) AS x FROM a),
+        | g AS (SELECT cell, pos, CAST(count(*) AS BIGINT) AS n_vecs,
+        |   CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sx
+        |  FROM x GROUP BY cell, pos)
+        |SELECT cell, pos, n_vecs,
+        | round(CAST(sx AS DOUBLE) / 1000000.0 / CAST(n_vecs AS DOUBLE), 4)
+        |   AS c_new
+        |FROM g""".stripMargin,
+    // nprobe sweep: the emb_knn_ivf oracle chain scored once at prn ≤ 8,
+    // every sweep point read off it (prn ≤ nprobe), recall vs the brute
+    // top-3 truth — integral quotients only
+    "emb_ivf_nprobe_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell FROM
+        |   (SELECT vec_id, v, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | p AS (SELECT q_id, qv, cell, prn FROM
+        |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
+        |     (PARTITION BY q.q_id ORDER BY
+        |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * q.qv[i]), 'sum')
+        |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * cent.c[i]), 'sum')
+        |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
+        |    FROM q, cent) t
+        |  WHERE prn <= 8),
+        | s AS (SELECT p.q_id, a.vec_id AS c_id, p.prn,
+        |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * a.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * p.qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(a.v) + 1),
+        |     i -> a.v[i] * a.v[i]), 'sum'))) AS cos
+        |  FROM p JOIN a ON p.cell = a.cell
+        |  WHERE a.vec_id <> p.q_id),
+        | nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+        | sw AS (SELECT nps.nprobe, s.q_id, s.c_id, s.cos
+        |  FROM s JOIN nps ON s.prn <= nps.nprobe),
+        | ann AS (SELECT nprobe, q_id, c_id FROM
+        |   (SELECT nprobe, q_id, c_id, row_number() OVER
+        |     (PARTITION BY nprobe, q_id ORDER BY cos DESC, c_id) AS rn
+        |    FROM sw) t
+        |  WHERE rn <= 3),
+        | cand AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM sw GROUP BY nprobe),
+        | bsc AS (SELECT b.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * b.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM e b, e c WHERE b.vec_id < 8 AND c.vec_id <> b.vec_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM bsc)
+        |  t WHERE rn <= 3),
+        | nt AS (SELECT count(*) AS n_truth FROM truth),
+        | hits AS (SELECT ann.nprobe, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM ann JOIN truth USING (q_id, c_id) GROUP BY ann.nprobe)
+        |SELECT cand.nprobe, cand.n_candidates,
+        | CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+        | round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE) /
+        |   (SELECT n_truth FROM nt), 4) AS recall
+        |FROM cand LEFT JOIN hits ON cand.nprobe = hits.nprobe""".stripMargin,
     "doc_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY md5(text)""".stripMargin,
@@ -2419,6 +2610,58 @@ object SparkEntry {
         | round(abs(round(e.est, 4) - x.jaccard_exact), 4) AS abs_err
         |FROM est e JOIN ex x
         | ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b""".stripMargin,
+    // banding S-curve sweep: the doc_minhash_est candidate+Jaccard chain
+    // verbatim, then each (b, r) config's collision probability
+    // 1 − (1 − jʳ)ᵇ on the 4dp-rounded Jaccard — powers as the SAME
+    // squaring chains as the Spark side (lateral aliases pin the
+    // operation order), per-pair probability rounded to integral 1e-4
+    // units before the (exact) sum
+    "doc_lsh_band_curve" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | ex AS (SELECT c.doc_a, c.doc_b,
+        |   round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |     (len(a.sset) + len(b.sset) -
+        |      len(list_intersect(a.sset, b.sset))), 4) AS j
+        |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id
+        |   JOIN sets b ON c.doc_b = b.doc_id),
+        | cfg AS (SELECT CAST(unnest([16, 8, 4, 2]) AS BIGINT) AS bands,
+        |   CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS rows_per_band),
+        | p0 AS (SELECT bands, rows_per_band, j,
+        |   j * j AS j2, j2 * j2 AS j4, j4 * j4 AS j8,
+        |   CASE rows_per_band WHEN 1 THEN j WHEN 2 THEN j2
+        |     WHEN 4 THEN j4 WHEN 8 THEN j8 ELSE j8 * j8 END AS jr,
+        |   1.0 - jr AS tt, tt * tt AS t2, t2 * t2 AS t4, t4 * t4 AS t8,
+        |   CASE bands WHEN 1 THEN tt WHEN 2 THEN t2 WHEN 4 THEN t4
+        |     WHEN 8 THEN t8 ELSE t8 * t8 END AS tb,
+        |   CAST(round((1.0 - tb) * 10000) AS BIGINT) AS px10k
+        |  FROM ex, cfg)
+        |SELECT bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(px10k) AS BIGINT) AS expected_x10k,
+        | CAST(sum(CASE WHEN px10k >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_likely
+        |FROM p0 GROUP BY bands, rows_per_band""".stripMargin,
     // doc_simhash oracle: reconstruct Spark's conv(substr(md5,1,8),16,10)
     // from hex digits (strpos-based) and majority-vote each of the 32 bits;
     // the per-bit expressions are generated programmatically.
@@ -3183,6 +3426,49 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
         |  CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
     // A/B funnel: reach chain per user_id-parity experiment arm
+    // chi-squared on the A/B funnel's 2×2 conversion table: the
+    // events_funnel_ab reach chain, pivoted to per-arm
+    // (entered, converted), then one fixed-order double expression over
+    // exact integers; decision on the 4dp-rounded statistic
+    "events_ab_significance" ->
+      """WITH s1 AS (SELECT user_id AS u,
+        |   CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'variant' END
+        |     AS seg, min(ts) AS t
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        | s2 AS (SELECT e.user_id AS u, s1.seg, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1, 2),
+        | s3 AS (SELECT e.user_id AS u, s2.seg, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        | ent AS (SELECT seg, CAST(count(*) AS BIGINT) AS entered
+        |  FROM s1 GROUP BY seg),
+        | conv AS (SELECT seg, CAST(count(*) AS BIGINT) AS converted
+        |  FROM s3 GROUP BY seg),
+        | per AS (SELECT ent.seg, ent.entered,
+        |   CAST(coalesce(conv.converted, 0) AS BIGINT) AS converted
+        |  FROM ent LEFT JOIN conv ON ent.seg = conv.seg),
+        | r AS (SELECT min(seg) AS seg_a, max(seg) AS seg_b,
+        |   arg_min(entered, seg) AS n_a, arg_min(converted, seg) AS conv_a,
+        |   arg_max(entered, seg) AS n_b, arg_max(converted, seg) AS conv_b,
+        |   CAST(count(*) AS BIGINT) AS n_segs FROM per),
+        | f AS (SELECT seg_a, seg_b, n_a, conv_a, n_b, conv_b, n_segs,
+        |   CAST(conv_a AS DOUBLE) AS a,
+        |   CAST(n_a - conv_a AS DOUBLE) AS b,
+        |   CAST(conv_b AS DOUBLE) AS c,
+        |   CAST(n_b - conv_b AS DOUBLE) AS d,
+        |   CAST(n_a + n_b AS DOUBLE) AS n,
+        |   round(n * ((a * d - b * c) * (a * d - b * c)) /
+        |     nullif((a + b) * (c + d) * ((a + c) * (b + d)), 0.0), 4)
+        |     AS chi2
+        |  FROM r)
+        |SELECT seg_a, seg_b, n_a, conv_a, n_b, conv_b,
+        | round(CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0), 4)
+        |   AS rate_a,
+        | round(CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0), 4)
+        |   AS rate_b,
+        | chi2, chi2 >= 3.8415 AS significant, n_segs
+        |FROM f""".stripMargin,
     "events_funnel_ab" ->
       """WITH s1 AS (SELECT user_id AS u,
         |   CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'variant' END

@@ -968,6 +968,66 @@ object Dedup {
     * corpus, after which future increments probe a corpus+batch index.
     * Typical cycle: probe batch → deliver survivors → append survivors
     * here. EAGER: runs the two append jobs at call time, like the build. */
+  /** LSH banding S-CURVE sweep — the tuning table the (bands, rowsPerBand)
+    * config is set from, the way [[thresholdSweep]] tunes the Jaccard
+    * threshold: the deployed chain (signatures → candidates → exact
+    * Jaccard) runs ONCE, and each alternative band config is evaluated
+    * analytically on those scored pairs via the standard S-curve — the
+    * probability a pair with Jaccard j collides in at least one of b bands
+    * of r rows is 1 − (1 − jʳ)ᵇ (Leskovec/Rajaraman/Ullman, Mining of
+    * Massive Datasets §3.4). Per config: n_pairs scored, the expected
+    * number of those pairs a (b, r) signature would catch (sum of
+    * per-pair collision probabilities), and how many collide with
+    * p ≥ 0.5. Reading the table: configs whose expected catch ≈ n_pairs
+    * keep today's recall cheaper (fewer total hashes) or flag headroom.
+    *
+    * Oracle-parity construction: the curve is computed on the 4dp-ROUNDED
+    * exact Jaccard (the value [[ngramJaccardOn]] reports — identical in
+    * both engines by contract), b and r are powers of two so every power
+    * is a fixed chain of squarings (identical floating-point operation
+    * order everywhere; no libm pow), and each pair's probability is
+    * rounded to integral 1e-4 units before the sum, which is then exact
+    * integer addition — order-independent and portable.
+    *
+    * Scale shape: candidate-bounded — |pairs| × |configs| rows feed one
+    * ≤|configs|-row aggregate; the corpus is touched only by the chain
+    * that runs once. */
+  def lshBandCurve(docs: DataFrame, minhashK: Int = 4,
+                   rowsPerBand: Int = 2,
+                   configs: Seq[(Int, Int)] =
+                     Seq((16, 1), (8, 2), (4, 4), (2, 8))): DataFrame = {
+    val pow2 = Set(1, 2, 4, 8, 16)
+    require(configs.forall { case (b, r) => pow2(b) && pow2(r) },
+      "lshBandCurve: bands and rowsPerBand must be powers of two ≤ 16 " +
+        "(powers are squaring chains for cross-engine determinism)")
+    val sigs = minhash(docs, minhashK)
+    val pairs = lshCandidatePairs(sigs, rowsPerBand)
+    val scored = ngramJaccardOn(docs, pairs)
+      .withColumn("cfg", explode(array(configs.map { case (b, r) =>
+        struct(lit(b.toLong).as("b"), lit(r.toLong).as("r"))
+      }: _*)))
+      .select(col("jaccard"), col("cfg.b").as("b"), col("cfg.r").as("r"))
+    // jʳ and (1−jʳ)ᵇ by repeated squaring — fixed operation order
+    def sq(c: Column): Column = c * c
+    val j = col("jaccard")
+    val j2 = sq(j); val j4 = sq(j2); val j8 = sq(j4); val j16 = sq(j8)
+    val jr = when(col("r") === 1, j).when(col("r") === 2, j2)
+      .when(col("r") === 4, j4).when(col("r") === 8, j8)
+      .otherwise(j16)
+    val p = scored.withColumn("t", lit(1.0) - jr)
+    val t = col("t")
+    val t2 = sq(t); val t4 = sq(t2); val t8 = sq(t4); val t16 = sq(t8)
+    val tb = when(col("b") === 1, t).when(col("b") === 2, t2)
+      .when(col("b") === 4, t4).when(col("b") === 8, t8)
+      .otherwise(t16)
+    p.withColumn("px10k",
+        round((lit(1.0) - tb) * 10000).cast("long"))
+      .groupBy(col("b").as("bands"), col("r").as("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("px10k")).as("expected_x10k"),
+        sum(when(col("px10k") >= 5000, 1L).otherwise(0L)).as("n_likely"))
+  }
+
   def nearDupIndexAppend(docs: DataFrame, bandsTable: String,
                          setsTable: String, minhashK: Int = 4,
                          rowsPerBand: Int = 2, buckets: Int = 32): Unit = {

@@ -395,6 +395,73 @@ object Funnels {
           .as("share"))
   }
 
+  /** A/B SIGNIFICANCE on the segmented funnel — the question
+    * [[funnelBySegment]]'s count table poses but can't answer: is the
+    * variant's end-to-end conversion difference real or noise? Runs the
+    * same reach chain, then tests the 2×2 contingency table
+    * (converted vs not × arm A vs arm B) with Pearson's chi-squared
+    * (1 dof, no continuity correction — the two-proportion z² test):
+    * χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). One row out:
+    * (seg_a, seg_b, n_a, conv_a, n_b, conv_b, rate_a, rate_b, chi2,
+    * significant, n_segs). Arms are ordered lexicographically
+    * (seg_a = min). `significant` compares the 4dp-ROUNDED χ² to the 95%
+    * critical value 3.8415 — the decision is made on the reported number,
+    * same portability contract as doc_gopher_filter's verdict. χ² itself
+    * is one fixed-order double expression over four exact integers
+    * (counts stay integral end-to-end; a double product is deterministic
+    * and never wraps, unlike the Long products heavyUsers guards
+    * against), null when any margin is zero (no conversions anywhere, or
+    * an empty arm) — "not enough signal", not a fabricated 0. n_segs
+    * audits the two-arm assumption: > 2 means this compared only the
+    * lexicographic extremes, and the segment column needs fixing — the
+    * report says so instead of silently blending arms.
+    *
+    * Scale shape: [[funnelBySegment]]'s S user-keyed equi-joins, then
+    * aggregates over the ≤|segments|·S-row count frame — everything after
+    * the reach chain is constant-size. */
+  def abSignificance(events: DataFrame, steps: Seq[String],
+                     segment: Column,
+                     userCol: String = "user_id", tsCol: String = "ts",
+                     typeCol: String = "event_type",
+                     within: Option[Column] = None): DataFrame = {
+    require(steps.size >= 2, "abSignificance: a funnel needs ≥ 2 steps")
+    val f = funnelBySegment(events, steps, segment, userCol, tsCol,
+      typeCol, within)
+    val lastIdx = steps.size.toLong
+    // per segment: entrants (step 1) and converters (last step; a segment
+    // with zero converters has no last-step row — coalesce to 0)
+    val per = f.filter(col("step_idx") === 1L || col("step_idx") === lastIdx)
+      .groupBy("seg")
+      .agg(max(when(col("step_idx") === 1L, col("n_users")))
+        .as("entered"),
+        coalesce(max(when(col("step_idx") === lastIdx, col("n_users"))),
+          lit(0L)).as("converted"))
+    val row = per.agg(
+      min(col("seg")).as("seg_a"), max(col("seg")).as("seg_b"),
+      min_by(col("entered"), col("seg")).as("n_a"),
+      min_by(col("converted"), col("seg")).as("conv_a"),
+      max_by(col("entered"), col("seg")).as("n_b"),
+      max_by(col("converted"), col("seg")).as("conv_b"),
+      count(lit(1)).cast("long").as("n_segs"))
+    val a = col("conv_a").cast("double")
+    val b = (col("n_a") - col("conv_a")).cast("double")
+    val c = col("conv_b").cast("double")
+    val d = (col("n_b") - col("conv_b")).cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val den = (a + b) * (c + d) * ((a + c) * (b + d))
+    val chi2 = round(n * ((a * d - b * c) * (a * d - b * c)) /
+      nullif(den, lit(0.0)), 4)
+    row.select(col("seg_a"), col("seg_b"),
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(col("conv_a").cast("double") /
+        nullif(col("n_a").cast("double"), lit(0.0)), 4).as("rate_a"),
+      round(col("conv_b").cast("double") /
+        nullif(col("n_b").cast("double"), lit(0.0)), 4).as("rate_b"),
+      chi2.as("chi2"),
+      (chi2 >= 3.8415).as("significant"),
+      col("n_segs"))
+  }
+
   /** Day-offset retention: share of the user base active again k days
     * after their own first-seen day, for each requested offset. Output per
     * offset: (day_offset, n_active, n_cohort, share) — the share an

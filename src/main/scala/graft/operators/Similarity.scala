@@ -678,6 +678,128 @@ object Similarity {
           coalesce(col("share_v1"), lit(0.0)), 4).as("share_delta"))
   }
 
+  /** One Lloyd REFIT step — the operator [[ivfDrift]]'s contract points
+    * at: when appends have drifted cell occupancy hot or hollow, recompute
+    * each cell's centroid as the mean of its members under the CURRENT
+    * assignment, then rebuild the index under the new centroids. Emits one
+    * row per (cell, dimension): (cell, pos, n_vecs, c_new) — the exploded
+    * view of the refit centroid table ([[ivfRefitCentroids]] assembles it
+    * for chaining back into [[ivfAssign]]).
+    *
+    * Oracle-parity construction: components are quantized to exact 1e-6
+    * integral micro-units BEFORE the per-cell sum, so the aggregate is
+    * order-independent (integer addition commutes; a double sum's
+    * partial-agg order does not) and engine-portable; the mean then
+    * divides two exact integers in a fixed order and rounds 4dp. The 1e-6
+    * grid is far below any embedding's meaningful precision (inputs are
+    * float32 ≈ 1e-7 relative), so the quantization never moves a centroid
+    * visibly — documented approximation, same contract as
+    * doc_unigram_logprob's micro-sum.
+    *
+    * Scale shape: one map-only assignment scan, one d-fold posexplode
+    * (d = embedding width; the only amplification), one (cell, pos)-keyed
+    * aggregate whose partial aggregation collapses each partition to
+    * ≤ nlist·d rows before the shuffle — the shuffle carries index-sized
+    * data regardless of corpus size. A cells-in-the-thousands refit at
+    * 100 TB is the same one pass the index build costs. */
+  def ivfRefit(emb: DataFrame, centroids: DataFrame,
+               scale: Long = 1000000L): DataFrame =
+    ivfAssign(emb, centroids)
+      .select(col("cell").cast("long").as("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("xi", round(col("x") * scale).cast("long"))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("xi")).as("sx"))
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+        col("n_vecs"),
+        round(col("sx").cast("double") / lit(scale.toDouble) /
+          col("n_vecs").cast("double"), 4).as("c_new"))
+
+  /** [[ivfRefit]] assembled back into a (cell, centroid) table — drop-in
+    * for [[ivfAssign]]/[[ivfWriteIndex]], closing the maintenance loop:
+    * seed/fit → serve → append → drift → REFIT → rebuild. Components are
+    * the same 4dp-rounded means the exploded view reports, so the refit
+    * table an operator audits is exactly the one the rebuild uses. */
+  def ivfRefitCentroids(emb: DataFrame, centroids: DataFrame,
+                        scale: Long = 1000000L): DataFrame =
+    ivfRefit(emb, centroids, scale)
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("c_new")))), s => s.getField("c_new")).as("centroid"))
+      .select(col("cell").cast("int").as("cell"), col("centroid"))
+
+  /** Recall-vs-cost SWEEP over nprobe — the tuning table the IVF dial is
+    * set from, built the way doc_dedup_threshold_sweep builds its
+    * Jaccard table: the expensive work (assignment, probe ranking, cosine
+    * scoring) runs ONCE at the largest nprobe, and every sweep point is
+    * read off that one scored frame by filtering on the candidate's cell
+    * rank. Per nprobe: how many candidates were scored (the probe cost)
+    * and recall@k against brute-force ground truth (the quality). Recall
+    * is the integral quotient n_hit / |truth| — portable by construction.
+    *
+    * Monotonicity is a theorem, not a hope: raising nprobe only ADDS
+    * candidates, and a new candidate displaces a top-k member only by
+    * beating its exact cosine — and anything beating a true top-k member's
+    * cosine is itself in the true top-k. So recall is non-decreasing in
+    * nprobe (spec-gated), and the sweep reads as "the first nprobe whose
+    * recall clears the target is the cheapest safe setting".
+    *
+    * Scale shape: identical to one [[knnIvf]] at nprobe = max(nprobes) —
+    * the sweep fan-out (×|nprobes|) applies only to the already
+    * cell-bounded candidate rows, and the per-point top-k windows
+    * partition by (nprobe, q_id) over that bounded frame. */
+  def ivfNprobeSweep(emb: DataFrame, centroids: DataFrame,
+                     queryPred: Column, k: Int = 3,
+                     nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty, "ivfNprobeSweep: at least one nprobe")
+    val maxNp = nprobes.max
+    val assigned = ivfAssign(emb, centroids)
+      .withColumn("nrm", l2(col("embedding")))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("embedding").cast("array<double>").as("qdv"),
+        l2(col("embedding")).as("q_nrm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist"), col("cell"))
+    // probe ranking kept (prn carried) instead of filtered to one nprobe —
+    // same tiny |Q| × nlist cross as ivfSearch
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        dot(col("qdv"), col("qdv")) -
+          lit(2) * dot(col("qdv"), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= maxNp)
+      .select(col("q_id"), col("qv"), col("q_nrm"), col("cell"), col("prn"))
+    val c = assigned.select(col("vec_id").as("c_id"),
+      col("embedding").as("cv"), col("nrm").as("c_nrm"), col("cell"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+    // fan each scored candidate out to every sweep point that would have
+    // probed its cell (prn ≤ nprobe) — bounded: |candidates| × |nprobes|
+    val swept = scored.withColumn("nprobe",
+      explode(array(nprobes.map(n => lit(n.toLong)): _*)))
+      .filter(col("prn") <= col("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val ann = swept.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val truth = knnBrute(emb, queryPred, k)
+    val cand = swept.groupBy("nprobe")
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = ann.join(truth.select("q_id", "c_id"), Seq("q_id", "c_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hit"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    cand.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("nprobe"), col("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_truth"), 4).as("recall"))
+  }
+
   /** Persist the IVF index as a cell-bucketed table: every later probe join
     * on `cell` is co-located (no corpus shuffle at query time). */
   def ivfWriteIndex(emb: DataFrame, centroids: DataFrame, table: String,

@@ -296,6 +296,46 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
   }
 
+  /** Decontamination ROLLUP — the one-row "is this corpus clean" headline
+    * over both gram-probe granularities: how many docs the doc-level probe
+    * ([[decontaminate]]) flags, how many chunks (and distinct docs) the
+    * chunk-level probe ([[decontaminateChunks]]) flags, and the union —
+    * the release-gate number a curation run reports next to
+    * doc_dedup_report. Counts are exact BIGINTs; shares are the usual 4dp
+    * integral-count quotients. When `overlap ≥ n − 1` every chunk gram is
+    * also a doc gram, so chunk-flagged docs ⊆ doc-flagged docs and
+    * n_flagged_any = n_flagged_docs; with smaller overlaps the union can
+    * exceed either side — reported, not assumed.
+    *
+    * Scale shape: the two probe chains run once each (broadcast eval
+    * grams, corpus never shuffled on gram — see the probes' scaladoc) and
+    * collapse to 1-row aggregates; the final frame is a constant-size
+    * cross of 1-row frames. */
+  def decontaminationReport(docs: DataFrame, evalDocs: DataFrame,
+                            chunkTokens: Int = 64, overlap: Int = 8,
+                            n: Int = 8): DataFrame = {
+    val docFlags = decontaminate(docs, evalDocs, n).select("doc_id")
+    val chunkFlags = decontaminateChunks(docs, evalDocs, chunkTokens,
+      overlap, n)
+    val nd = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val nc = chunk(docs, chunkTokens, overlap)
+      .agg(count(lit(1)).cast("long").as("n_chunks"))
+    val df = docFlags.agg(count(lit(1)).cast("long").as("n_flagged_docs"))
+    val cf = chunkFlags.agg(
+      count(lit(1)).cast("long").as("n_flagged_chunks"),
+      countDistinct(col("doc_id")).as("n_docs_chunk_flagged"))
+    val any = docFlags.union(chunkFlags.select("doc_id")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_flagged_any"))
+    nd.crossJoin(df).crossJoin(nc).crossJoin(cf).crossJoin(any)
+      .select(col("n_docs"), col("n_flagged_docs"),
+        round(col("n_flagged_docs").cast("double") / col("n_docs"), 4)
+          .as("flagged_doc_share"),
+        col("n_chunks"), col("n_flagged_chunks"),
+        round(col("n_flagged_chunks").cast("double") / col("n_chunks"), 4)
+          .as("flagged_chunk_share"),
+        col("n_docs_chunk_flagged"), col("n_flagged_any"))
+  }
+
   /** PII scrubbing — the corpus-scale sibling of the reference's per-field
     * MD5 masking (SURVEY F1–F5): redact email addresses and phone-shaped
     * numbers from free text and count what was removed, so a curation run

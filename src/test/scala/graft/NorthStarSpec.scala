@@ -1793,4 +1793,133 @@ class NorthStarSpec extends SparkTestBase {
       maxCellVecs = 1)
     assert(all.count() == 5)
   }
+
+  test("Similarity.ivfRefit: one Lloyd step — per-cell means under the " +
+    "current assignment; SSE never increases; assembled table chains") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seed = Similarity.ivfSeedCentroids(emb, 8)
+    val refit = Similarity.ivfRefit(emb, seed).collect()
+    val nCorpus = emb.count()
+    val dims = refit.map(_.getLong(1)).max + 1
+    // every cell×dim row carries that cell's member count; counts over any
+    // one dimension partition the corpus
+    assert(refit.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum == nCorpus)
+    // Lloyd monotonicity: total within-cell SSE under the refit centroids
+    // is ≤ the seed centroids' (micro-unit quantization + 4dp rounding gets
+    // a 1e-3 slack)
+    val newCents = Similarity.ivfRefitCentroids(emb, seed)
+    assert(newCents.collect().forall(_.getSeq[Double](1).size == dims))
+    def sse(cents: org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.functions.{col => c}
+      val assigned = Similarity.ivfAssign(emb, cents)
+      val withC = assigned.join(
+        cents.select(c("cell"), c("centroid")), Seq("cell"))
+      withC.select(org.apache.spark.sql.functions.sum(
+        Similarity.dot(c("embedding").cast("array<double>"), c("embedding")
+          .cast("array<double>")) -
+          Similarity.dot(c("embedding").cast("array<double>"), c("centroid"))
+            * 2 +
+          Similarity.dot(c("centroid"), c("centroid"))).as("sse"))
+        .collect().head.getDouble(0)
+    }
+    assert(sse(newCents) <= sse(seed) + 1e-3,
+      s"refit SSE ${sse(newCents)} above seed SSE ${sse(seed)}")
+  }
+
+  test("Similarity.ivfNprobeSweep: recall and candidate volume are " +
+    "non-decreasing in nprobe, and probing every cell recovers brute " +
+    "recall exactly") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfSeedCentroids(emb, 8)
+    val sweep = Similarity.ivfNprobeSweep(emb, cents, col("vec_id") < 4,
+      k = 3, nprobes = Seq(1, 2, 4, 8)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    val cand = sweep.map(_._2._1); val rec = sweep.map(_._2._3)
+    assert(cand.zip(cand.tail).forall { case (a, b) => a <= b },
+      s"candidate volume not monotone: ${cand.toSeq}")
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${rec.toSeq}")
+    // nprobe = nlist probes every cell → the exact brute top-k → recall 1
+    assert(rec.last == 1.0, s"full probe recall ${rec.last} != 1.0")
+  }
+
+  test("Dedup.lshBandCurve: collision probability rises with bands and " +
+    "falls with rows-per-band; an exact duplicate is certain under every " +
+    "config") {
+    val curve = Dedup.lshBandCurve(docs,
+      configs = Seq((1, 2), (2, 2), (4, 2), (4, 1), (4, 4))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // same r: more bands → higher expected catch (monotone S-curve)
+    assert(curve((1L, 2L))._2 <= curve((2L, 2L))._2)
+    assert(curve((2L, 2L))._2 <= curve((4L, 2L))._2)
+    // same b: more rows per band → lower expected catch
+    assert(curve((4L, 4L))._2 <= curve((4L, 2L))._2)
+    assert(curve((4L, 2L))._2 <= curve((4L, 1L))._2)
+    // docs 1,2 are identical (j=1): that pair contributes exactly 10000
+    // micro-units under every config, so every expected_x10k ≥ 10000
+    assert(curve.values.forall(_._2 >= 10000L))
+    // all configs scored the same candidate set
+    assert(curve.values.map(_._1).toSet.size == 1)
+  }
+
+  test("TextAnalysis.decontaminationReport: one-row rollup counts doc-, " +
+    "chunk-, and union-flagged docs with integral-quotient shares") {
+    val corpus = docsDf(Seq(
+      1L -> "alpha beta gamma something else entirely here",
+      2L -> "totally clean words without any overlap at all",
+      3L -> "prefix words then alpha beta gamma embedded deep inside"))
+    val eval = docsDf(Seq(100L -> "alpha beta gamma delta"))
+    val out = TextAnalysis.decontaminationReport(corpus, eval,
+      chunkTokens = 64, overlap = 8, n = 3).collect().head
+    assert(out.getLong(0) == 3L) // n_docs
+    assert(out.getLong(1) == 2L) // docs 1 and 3 carry the eval gram
+    assert(out.getDouble(2) == 0.6667)
+    assert(out.getLong(3) == 3L) // one 64-token chunk per doc
+    assert(out.getLong(4) == 2L) // their single chunks are flagged
+    assert(out.getDouble(5) == 0.6667)
+    assert(out.getLong(6) == 2L) // n_docs_chunk_flagged
+    assert(out.getLong(7) == 2L) // union = doc-level set (overlap ≥ n−1)
+  }
+
+  test("Funnels.abSignificance: hand-checked 2×2 chi-square; zero for " +
+    "equal arms; invariant under arm relabeling") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    def conv(u: Long) = Seq((u, ts(0), "view"), (u, ts(1), "click"),
+      (u, ts(2), "purchase"))
+    def drop(u: Long) = Seq((u, ts(0), "view"))
+    // arm A (even): 3 of 4 convert; arm B (odd): 1 of 4
+    val ev = (Seq(2L, 4L, 6L).flatMap(conv) ++ drop(8L) ++
+      conv(1L) ++ Seq(3L, 5L, 7L).flatMap(drop))
+      .toDF("user_id", "ts", "event_type")
+    val seg = when(pmod(col("user_id"), lit(2)) === 0, lit("A"))
+      .otherwise(lit("B"))
+    val out = operators.Funnels.abSignificance(ev, Seq("view", "click", "purchase"),
+      seg).collect().head
+    assert(out.getString(0) == "A" && out.getString(1) == "B")
+    assert(out.getLong(2) == 4L && out.getLong(3) == 3L) // n_a, conv_a
+    assert(out.getLong(4) == 4L && out.getLong(5) == 1L) // n_b, conv_b
+    // chi2 = 8*(3*3-1*1)^2 / (4*4*4*4) = 8*64/256 = 2.0 — not significant
+    assert(out.getDouble(8) == 2.0)
+    assert(!out.getBoolean(9))
+    assert(out.getLong(10) == 2L)
+    // relabel the arms (swap which parity is "A"): statistic unchanged
+    val swapped = operators.Funnels.abSignificance(ev,
+      Seq("view", "click", "purchase"),
+      when(pmod(col("user_id"), lit(2)) === 1, lit("A")).otherwise(lit("B")))
+      .collect().head
+    assert(swapped.getDouble(8) == 2.0)
+    // equal arms: 1-of-2 converts on each side → chi2 exactly 0
+    val eq = (conv(2L) ++ drop(4L) ++ conv(1L) ++ drop(3L))
+      .toDF("user_id", "ts", "event_type")
+    val eqOut = operators.Funnels.abSignificance(eq, Seq("view", "click", "purchase"),
+      seg).collect().head
+    assert(eqOut.getDouble(8) == 0.0 && !eqOut.getBoolean(9))
+  }
 }
