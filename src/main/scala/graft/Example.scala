@@ -91,6 +91,12 @@ object Example {
           round(max(col("abs_err")), 4).as("max_abs_err")).show()
       println("[example] near-dup threshold sensitivity:")
       Dedup.thresholdSweep(docs).orderBy("threshold").show()
+      println("[example] LSH banding S-curve (expected catch per config):")
+      Dedup.lshBandCurve(docs).orderBy("rows_per_band").show()
+      println("[example] decontamination release gate (doc/chunk/union):")
+      TextAnalysis.decontaminationReport(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0), n = 3).show()
       println("[example] per-source quality dashboard:")
       TextAnalysis.qualityBySource(docs).orderBy("source").show(3)
       println("[example] BM25 top-5 for 'hash join window':")
@@ -122,6 +128,14 @@ object Example {
         Similarity.ivfSeedCentroids(emb, 8), threshold = 0.4)
       println(s"[example] SemDeDup: kept ${kept.count()} of " +
         s"${emb.count()} embeddings (cosine >= 0.4 within cell)")
+      println("[example] nprobe recall/cost sweep (pick the cheapest " +
+        "setting clearing your recall target):")
+      Similarity.ivfNprobeSweep(emb, Similarity.ivfSeedCentroids(emb, 8),
+        col("vec_id") < 4, k = 3, nprobes = Seq(1, 2, 4, 8))
+        .orderBy("nprobe").show()
+      println("[example] one Lloyd refit step (drift says when):")
+      Similarity.ivfRefitCentroids(emb,
+        Similarity.ivfSeedCentroids(emb, 8)).orderBy("cell").show(3)
     }
 
     // events analytics: where users go next, session health, bot accounts
@@ -134,6 +148,8 @@ object Example {
       println("[example] heaviest accounts vs corpus mean:")
       SparkEntry.queries("events_heavy_users")(spark, sfDir)
         .orderBy(col("ratio_to_mean").desc).show(3)
+      println("[example] A/B funnel significance (chi-squared, 1 dof):")
+      SparkEntry.queries("events_ab_significance")(spark, sfDir).show()
     }
 
     // streaming sessionization with custom keyed state

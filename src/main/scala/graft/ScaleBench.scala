@@ -296,6 +296,34 @@ object ScaleBench {
     val ivfMaint: Seq[(Int, (Double, Double))] =
       Factors.map(f => f -> ivfMaintCell(f))
 
+    // The REFIT leg of the IVF lifecycle (ivfRefitCentroids): one Lloyd
+    // step over the x<f> corpus under the seeded centroids — the batch
+    // job the drift signal triggers. One assignment pass + an
+    // index-sized (nlist×d) aggregate, so the expectation under measure
+    // is ~linear in f: refit costs one corpus pass, not per-query work,
+    // which is why the maintenance contract defers it to drift.
+    def ivfRefitCell(f: Int): Double = {
+      try {
+        val emb = spark.read.parquet(s"${scaledDir(f)}/embeddings.parquet")
+        val cents = operators.Similarity.ivfSeedCentroids(emb, 16)
+        val trials = (1 to MaintTrials).map { _ =>
+          val t0 = System.nanoTime()
+          operators.Similarity.ivfRefitCentroids(emb, cents)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        median(trials)
+      } catch {
+        case e: Throwable =>
+          maintErrs += (s"x$f:ivf_refit" ->
+            (s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(300)))
+          -1.0
+      }
+    }
+    val ivfRefit: Seq[(Int, Double)] =
+      Factors.map(f => f -> ivfRefitCell(f))
+
     // ── PQ recall vs ksub (trained codebooks), x10 corpus ──────────────
     // The registered `emb_knn_pq_recall` honestly reports its toy ksub=16
     // number; the pqDecoded scaladoc claims the dial that matters is ksub.
@@ -369,6 +397,13 @@ object ScaleBench {
         "cell-bucketed IVF index (ivfWriteIndex vs ivfIndexAppend of a " +
         "base-corpus-sized batch, shared seeded centroids), median-of-" +
         MaintTrials + " trials."),
+      "maintenance_ivf_refit" -> obj(ivfRefit.map { case (f, t) =>
+        s"x$f" -> t.toString }),
+      "maintenance_ivf_refit_note" -> jsonStr("one Lloyd step " +
+        "(ivfRefitCentroids) over the x<f> corpus under the seeded " +
+        "centroids, median-of-" + MaintTrials + " trials — the batch job " +
+        "the drift signal triggers; expected ~linear in f (one " +
+        "assignment pass + an index-sized aggregate)."),
       "pq_recall_x10" -> obj(pq.map { case (k, v) => k -> v.toString }),
       "pq_recall_note" -> jsonStr("mean recall@3 over the 8 base probes " +
         "on the x10 corpus (20k vectors), brute search in PQ-decoded " +

@@ -466,6 +466,10 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
     "doc_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
+    // next-order perplexity signal: mean ln p(w2|w1) under the corpus's
+    // own unsmoothed bigram model (same micro-integer sum contract)
+    "doc_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
     // CCNet-style head/middle/tail tertiles by unigram-logprob score
     "doc_quality_buckets" -> ((s, dir) =>
       TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
@@ -1609,6 +1613,27 @@ object SparkEntry {
         |     (SELECT n_total FROM tot)) * 1e8) AS BIGINT) AS lp_micro
         |  FROM tok t JOIN vocab v USING (token))
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(lp_micro) AS BIGINT) AS lp_sum,
+        | round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e8), 4)
+        |   AS avg_logprob
+        |FROM lp GROUP BY doc_id""".stripMargin,
+    // unsmoothed corpus bigram model: ln(c(w1w2)/c(w1·)) per consecutive
+    // pair, 1e-8 micro-rounded before the exact integer sum
+    "doc_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+        |   i -> concat(words[i], ' ', words[i+1]))) AS bigram
+        |  FROM w WHERE len(words) >= 2),
+        | b2 AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+        |  FROM bg),
+        | pc AS (SELECT bigram, count(*) AS cnt FROM b2 GROUP BY bigram),
+        | pf AS (SELECT w1, count(*) AS pcnt FROM b2 GROUP BY w1),
+        | lp AS (SELECT b2.doc_id,
+        |   CAST(round(ln(CAST(pc.cnt AS DOUBLE) / CAST(pf.pcnt AS DOUBLE))
+        |     * 1e8) AS BIGINT) AS lp_micro
+        |  FROM b2 JOIN pc USING (bigram) JOIN pf USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         | CAST(sum(lp_micro) AS BIGINT) AS lp_sum,
         | round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e8), 4)
         |   AS avg_logprob

@@ -452,6 +452,47 @@ object TextAnalysis {
     bucketByCuts(lp, cuts, n)
   }
 
+  /** Corpus-BIGRAM log-probability scoring — [[unigramLogProb]]'s
+    * next-order sibling and a materially sharper perplexity-filter signal:
+    * per doc, the mean over consecutive token pairs of
+    * ln(p(w₂|w₁)) = ln(c(w₁w₂) / c(w₁·)), where both counts come from THIS
+    * corpus (c(w₁·) counts w₁'s occurrences as a bigram prefix, so the
+    * conditionals over each prefix sum to exactly 1 — an unsmoothed ML
+    * model; every observed doc bigram is by construction in the model, so
+    * no zero-probability term can arise). Docs with fewer than two tokens
+    * have no bigrams and are absent, not scored 0. Same oracle-parity
+    * construction as the unigram op: per-pair log-probs rounded to 1e-8
+    * integral micros before the order-independent integer sum.
+    *
+    * Plan shape at scale: one explode (bigrams), two model aggregates
+    * (pair counts, prefix counts — both vocab-sized after partial agg),
+    * two token-keyed joins back onto the exploded corpus (AQE broadcasts
+    * when the model fits; otherwise co-keyed shuffle joins), one
+    * doc-keyed aggregate. No UDFs, no collect. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val pairsArr = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // tokens contain no whitespace (tokens() splits on it), so the first
+    // space in the bigram string is exactly the pair boundary
+    val bg = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(pairsArr).as("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+    val pairCnt = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val prefCnt = bg.groupBy("w1").agg(count(lit(1)).as("pcnt"))
+    val lpMicro = round(log(col("cnt").cast("double") /
+      col("pcnt").cast("double")) * 1e8, 0).cast("long")
+    bg.join(pairCnt, "bigram").join(prefCnt, "w1")
+      .select(col("doc_id"), lpMicro.as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("lp_sum"),
+        round(col("lp_sum").cast("double") / (col("n_bigrams") * 1e8), 4)
+          .as("avg_logprob"))
+  }
+
   /** Per-doc integral micro-logprob mean — the shared score frame of the
     * quality-bucket pair. */
   private def scoredDocs(docs: DataFrame): DataFrame =

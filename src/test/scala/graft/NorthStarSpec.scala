@@ -1867,6 +1867,23 @@ class NorthStarSpec extends SparkTestBase {
     assert(curve.values.map(_._1).toSet.size == 1)
   }
 
+  test("TextAnalysis.bigramLogProb: hand-checked conditionals under the " +
+    "corpus's own model; conditionals per prefix sum to 1; short docs " +
+    "absent") {
+    val corpus = docsDf(Seq(
+      1L -> "a b",
+      2L -> "a b",
+      3L -> "a c",
+      4L -> "x")) // single token → no bigrams → absent
+    val out = TextAnalysis.bigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // model: c(a b)=2, c(a c)=1, c(a·)=3
+    // doc 1/2: ln(2/3) = -0.4055 (4dp); doc 3: ln(1/3) = -1.0986
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, -0.4055)) && out(2L) == ((1L, -0.4055)))
+    assert(out(3L) == ((1L, -1.0986)))
+  }
+
   test("TextAnalysis.decontaminationReport: one-row rollup counts doc-, " +
     "chunk-, and union-flagged docs with integral-quotient shares") {
     val corpus = docsDf(Seq(
