@@ -470,6 +470,10 @@ object SparkEntry {
     // own unsmoothed bigram model (same micro-integer sum contract)
     "doc_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
+    // Zipf/Heaps corpus-health headline: top-k token concentration +
+    // hapax rate over the corpus vocabulary
+    "corpus_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"))),
     // CCNet-style head/middle/tail tertiles by unigram-logprob score
     "doc_quality_buckets" -> ((s, dir) =>
       TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
@@ -604,6 +608,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfNprobeSweep(e, Similarity.ivfSeedCentroids(e, 16),
         col("vec_id") < 8, k = 3)
+    }),
+    // geometry companion to the drift signal: how far one Lloyd step
+    // would move each centroid — the stale-fit report read before
+    // paying for refit+rebuild
+    "emb_ivf_centroid_shift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfCentroidShift(e, Similarity.ivfSeedCentroids(e, 16))
     }),
 
     // ── dedup (north-star) ────────────────────────────────────────────
@@ -1638,6 +1649,24 @@ object SparkEntry {
         | round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e8), 4)
         |   AS avg_logprob
         |FROM lp GROUP BY doc_id""".stripMargin,
+    // vocabulary concentration: top-10 token coverage + hapax rate,
+    // deterministic (cnt DESC, token) cut
+    "corpus_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        | vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |   CAST(count(*) AS BIGINT) AS n_vocab,
+        |   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_hapax
+        |  FROM vocab),
+        | top AS (SELECT CAST(sum(cnt) AS BIGINT) AS topk_cnt FROM
+        |   (SELECT cnt FROM vocab ORDER BY cnt DESC, token LIMIT 10) t)
+        |SELECT n_tokens, n_vocab, CAST(10 AS BIGINT) AS k,
+        | round(CAST(topk_cnt AS DOUBLE) / n_tokens, 4) AS topk_share,
+        | n_hapax, round(CAST(n_hapax AS DOUBLE) / n_vocab, 4)
+        |   AS hapax_share
+        |FROM tot, top""".stripMargin,
     // head/middle/tail tertiles by integral micro-logprob mean; cutoffs =
     // exact values at integer ranks ceil(n/3), ceil(2n/3) off a score
     // histogram (no double percentile anywhere near the boundary)
@@ -2186,6 +2215,37 @@ object SparkEntry {
         | round(CAST(sx AS DOUBLE) / 1000000.0 / CAST(n_vecs AS DOUBLE), 4)
         |   AS c_new
         |FROM g""".stripMargin,
+    // the refit chain assembled back into per-cell lists, L2 distance to
+    // the current (seed) centroid; empty cells LEFT-JOIN to null shift
+    "emb_ivf_centroid_shift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell FROM
+        |   (SELECT vec_id, v, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | x AS (SELECT cell,
+        |   CAST(unnest(range(1, len(v) + 1)) - 1 AS BIGINT) AS pos,
+        |   unnest(v) AS x FROM a),
+        | g AS (SELECT cell, pos, count(*) AS n_vecs,
+        |   CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sx
+        |  FROM x GROUP BY cell, pos),
+        | rc AS (SELECT cell, list(round(CAST(sx AS DOUBLE) / 1000000.0 /
+        |   CAST(n_vecs AS DOUBLE), 4) ORDER BY pos) AS c_new
+        |  FROM g GROUP BY cell)
+        |SELECT CAST(cent.cell AS BIGINT) AS cell,
+        | round(sqrt(list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |   i -> (cent.c[i] - rc.c_new[i]) * (cent.c[i] - rc.c_new[i])),
+        |   'sum')), 4) AS shift
+        |FROM cent LEFT JOIN rc ON cent.cell = rc.cell""".stripMargin,
     // nprobe sweep: the emb_knn_ivf oracle chain scored once at prn ≤ 8,
     // every sweep point read off it (prn ≤ nprobe), recall vs the brute
     // top-3 truth — integral quotients only

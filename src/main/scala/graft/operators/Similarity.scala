@@ -728,6 +728,33 @@ object Similarity {
         col("c_new")))), s => s.getField("c_new")).as("centroid"))
       .select(col("cell").cast("int").as("cell"), col("centroid"))
 
+  /** Geometry companion to [[ivfDrift]]'s occupancy signal: how far ONE
+    * Lloyd step ([[ivfRefitCentroids]]) would MOVE each centroid — the
+    * "how stale is the fit" report read before paying for a refit+rebuild
+    * (large shifts in heavy cells mean the partition no longer matches
+    * the data; near-zero shifts mean drift was benign churn). One row per
+    * current centroid: (cell, shift) — shift is the L2 distance between
+    * the current centroid and its refit position, rounded 4dp (the
+    * refit side is the already-4dp-rounded table the rebuild would use,
+    * so the report describes exactly the move that would happen); null
+    * when the cell has no members under the current assignment (nothing
+    * to refit toward — an empty cell is a hollow-cell signal, reported
+    * not fabricated).
+    *
+    * Scale shape: [[ivfRefit]]'s one assignment pass + index-sized
+    * aggregate, then a ≤nlist × ≤nlist-row join. */
+  def ivfCentroidShift(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val refit = ivfRefitCentroids(emb, centroids)
+      .select(col("cell"), col("centroid").as("c_new"))
+    val diff = zip_with(col("c_old"), col("c_new"), (a, b) => a - b)
+    centroids
+      .select(col("cell").cast("int").as("cell"),
+        col("centroid").cast("array<double>").as("c_old"))
+      .join(refit, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"),
+        round(sqrt(dot(diff, diff)), 4).as("shift"))
+  }
+
   /** Recall-vs-cost SWEEP over nprobe — the tuning table the IVF dial is
     * set from, built the way doc_dedup_threshold_sweep builds its
     * Jaccard table: the expensive work (assignment, probe ranking, cosine

@@ -452,6 +452,38 @@ object TextAnalysis {
     bucketByCuts(lp, cuts, n)
   }
 
+  /** Vocabulary-concentration headline — the Zipf/Heaps corpus-health
+    * report: total tokens, distinct vocabulary size, the share of all
+    * token occurrences covered by the `k` most frequent tokens
+    * (concentration — a boilerplate-heavy or dedup-starved corpus runs
+    * top-heavy), and the share of vocabulary occurring exactly once
+    * (hapax rate — OCR noise and tokenizer damage run hapax-heavy). One
+    * row; counts exact BIGINTs, shares 4dp integral-count quotients.
+    * Top-k ties break on the token string, so the cut is deterministic.
+    *
+    * Scale shape: one explode, one token-keyed aggregate (vocab-sized
+    * after partial agg), then 1-row and k-row aggregates off the vocab
+    * frame — nothing corpus-sized past the first aggregate. */
+  def vocabCoverage(docs: DataFrame, k: Int = 10): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val top = vocab.orderBy(col("cnt").desc, col("token")).limit(k)
+      .agg(sum(col("cnt")).as("topk_cnt"))
+    tot.crossJoin(broadcast(top))
+      .select(col("n_tokens"), col("n_vocab"),
+        lit(k.toLong).as("k"),
+        round(col("topk_cnt").cast("double") / col("n_tokens"), 4)
+          .as("topk_share"),
+        col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_vocab"), 4)
+          .as("hapax_share"))
+  }
+
   /** Corpus-BIGRAM log-probability scoring — [[unigramLogProb]]'s
     * next-order sibling and a materially sharper perplexity-filter signal:
     * per doc, the mean over consecutive token pairs of

@@ -1867,6 +1867,52 @@ class NorthStarSpec extends SparkTestBase {
     assert(curve.values.map(_._1).toSet.size == 1)
   }
 
+  test("Similarity.ivfCentroidShift: a centroid sitting at its cell mean " +
+    "reads ~zero shift; a displaced one reads the displacement; an empty " +
+    "cell reads null") {
+    // cell 0: members average exactly to the seed (0-vector ± same offset);
+    // cell 1: seed at origin+e2 but members clustered far along e2
+    val emb = embDf(Seq(
+      0L -> Seq(0.5f, 0f, 0f, 0f), // seed of cell 0
+      1L -> Seq(0f, 1f, 0f, 0f), // seed of cell 1
+      2L -> Seq(0.4f, 0f, 0f, 0f), // cell 0
+      3L -> Seq(0.6f, 0f, 0f, 0f), // cell 0 (mean of 2,3,0 = 0.5)
+      4L -> Seq(0f, 3f, 0f, 0f))) // cell 1 pulls the mean up
+    val shifts = Similarity
+      .ivfCentroidShift(emb, Similarity.ivfSeedCentroids(emb, 2))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(shifts(0L) == Some(0.0)) // mean(0.5, 0.4, 0.6) = 0.5 = seed
+    assert(shifts(1L) == Some(1.0)) // mean(1, 3) = 2 → |2 - 1| = 1
+    // empty cell: a centroid (not drawn from the corpus) that attracts no
+    // vectors has nothing to refit toward → null shift, not a fabricated 0
+    val s = spark
+    import s.implicits._
+    val cents = Seq(
+      (0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 50.0, 0.0, 0.0))).toDF("cell", "centroid")
+    val s2 = Similarity
+      .ivfCentroidShift(embDf(Seq(
+        0L -> Seq(1f, 0f, 0f, 0f),
+        2L -> Seq(0.9f, 0f, 0f, 0f))), cents)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!s2(0L)) // cell 0 has members → real shift
+    assert(s2(1L)) // nobody assigns near (0,50,…) → empty → null
+  }
+
+  test("TextAnalysis.vocabCoverage: counts, top-k concentration, and " +
+    "hapax rate hand-checked") {
+    val corpus = docsDf(Seq(
+      1L -> "a a a b",
+      2L -> "a b c d"))
+    // tokens: a×4, b×2, c×1, d×1 → n_tokens=8, n_vocab=4, hapax {c,d}
+    val out = TextAnalysis.vocabCoverage(corpus, k = 2).collect().head
+    assert(out.getLong(0) == 8L && out.getLong(1) == 4L)
+    assert(out.getLong(2) == 2L) // k
+    assert(out.getDouble(3) == 0.75) // (4+2)/8
+    assert(out.getLong(4) == 2L && out.getDouble(5) == 0.5)
+  }
+
   test("TextAnalysis.bigramLogProb: hand-checked conditionals under the " +
     "corpus's own model; conditionals per prefix sum to 1; short docs " +
     "absent") {
