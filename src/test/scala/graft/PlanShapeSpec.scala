@@ -319,6 +319,36 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("emb_ivf_nprobe_sweep: one scored corpus scan serves every sweep " +
+    "point — probes broadcast onto the cell-joined corpus, corpus never " +
+    "shuffled for the probe join") {
+    val (n, plan, _) = ran("emb_ivf_nprobe_sweep")
+    assert(n > 0)
+    assert(!plan.contains("CartesianProduct"),
+      s"emb_ivf_nprobe_sweep plans a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the ranked probe frame:\n$plan")
+    // the corpus side may be shuffled only by aggregates, never to meet
+    // the probe frame
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the probe join:\n$plan")
+  }
+
+  test("emb_ivf_refit: map-only assignment + index-sized aggregate — " +
+    "no joins touch the corpus, the only exchanges are the (cell, pos) " +
+    "partial-agg shuffle and its reassembly") {
+    val (n, plan, df) = ran("emb_ivf_refit")
+    assert(n > 0)
+    assertNoPlanBombs("emb_ivf_refit", plan)
+    assert(!plan.contains("Join"),
+      s"refit must not join (assignment is an inlined argmin):\n$plan")
+    assert(Bucketing.countExchanges(df) <= 1,
+      s"refit should shuffle once (partial-agg (cell, pos) rows):\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"refit must hash-aggregate:\n$plan")
+  }
+
   test("doc_dedup_incremental: the bloom rides a subquery into a map-side " +
     "might_contain probe — the known corpus is scanned, never shuffled; " +
     "the confirm anti-join broadcasts the survivors") {

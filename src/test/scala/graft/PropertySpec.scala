@@ -331,6 +331,117 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: abSignificance chi2 matches a driver-side computation " +
+    "off the segmented funnel counts (20 trials, incl. degenerate arms)") {
+    val s = spark
+    import s.implicits._
+    val types = Seq("view", "click", "purchase", "error")
+    val steps = Seq("view", "click", "purchase")
+    val seg = when(pmod(col("user_id"), lit(2)) === 0, lit("even"))
+      .otherwise(lit("odd"))
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to 20) {
+      val ev = (1 to (20 + rnd.nextInt(100))).map { i =>
+        (i.toLong, (1 + rnd.nextInt(10)).toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 100L),
+          types(rnd.nextInt(types.size)))
+      }
+      val df = ev.toDF("event_id", "user_id", "ts", "event_type")
+      val f = graft.operators.Funnels.funnelBySegment(df, steps, seg)
+        .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getLong(3))
+        .toMap
+      val segs = f.keys.map(_._2).toSeq.distinct.sorted
+      val out = graft.operators.Funnels.abSignificance(df, steps, seg)
+        .collect().head
+      assert(out.getLong(10) == segs.size.toLong)
+      val (sa, sb) = (segs.head, segs.last)
+      val (na, ca) = (f((1L, sa)), f.getOrElse((3L, sa), 0L))
+      val (nb, cb) = (f((1L, sb)), f.getOrElse((3L, sb), 0L))
+      assert(out.getString(0) == sa && out.getString(1) == sb)
+      assert(out.getLong(2) == na && out.getLong(3) == ca)
+      assert(out.getLong(4) == nb && out.getLong(5) == cb)
+      val (a, b, c, d) = (ca.toDouble, (na - ca).toDouble,
+        cb.toDouble, (nb - cb).toDouble)
+      val den = (a + b) * (c + d) * ((a + c) * (b + d))
+      if (den == 0.0) assert(out.isNullAt(8), "chi2 must be null on a " +
+        s"zero margin: a=$a b=$b c=$c d=$d")
+      else {
+        val chi2 = round4((na + nb).toDouble *
+          ((a * d - b * c) * (a * d - b * c)) / den)
+        assert(out.getDouble(8) == chi2,
+          s"chi2 ${out.getDouble(8)} != $chi2 for a=$a b=$b c=$c d=$d")
+        assert(chi2 >= 0.0)
+        assert(out.getBoolean(9) == (chi2 >= 3.8415))
+      }
+    }
+  }
+
+  test("property: bigramLogProb matches a driver-side reference model " +
+    "on random small-vocab corpora (20 trials)") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("a", "b", "c")
+    def round0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to 20) {
+      val docs = (1 to (3 + rnd.nextInt(6))).map { id =>
+        (id.toLong, List.fill(1 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          "en", "srcA", 0L)
+      }
+      val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = graft.operators.TextAnalysis.bigramLogProb(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+      // reference model over the same corpus
+      val bigrams = docs.flatMap { case (id, text, _, _, _) =>
+        val w = text.split(" ", -1)
+        w.zip(w.drop(1)).map { case (x, y) => (id, x, s"$x $y") }
+      }
+      val pairCnt = bigrams.groupBy(_._3).view.mapValues(_.size).toMap
+      val prefCnt = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+      val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+        val micros = bs.map { case (_, w1, bg) =>
+          round0(math.log(pairCnt(bg).toDouble / prefCnt(w1)) * 1e8)
+        }
+        id -> ((bs.size.toLong, micros.sum,
+          round4(micros.sum.toDouble / (bs.size * 1e8))))
+      }
+      assert(got == expect, s"docs: ${docs.map(_._2)}")
+    }
+  }
+
+  test("property: lshBandCurve probabilities stay in [0, 1] micro-units " +
+    "with expected catch bounded by the pair count, monotone in bands") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 5) {
+      // near-dup-rich corpus so candidates exist: pairs of mutated twins
+      val base = List.fill(8)(List.fill(6 + rnd.nextInt(6))(
+        ('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      val docs = base.zipWithIndex.flatMap { case (t, i) =>
+        Seq((i * 2L, t), (i * 2L + 1, t + " tail" + rnd.nextInt(2)))
+      }.map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val rows = graft.operators.Dedup
+        .lshBandCurve(docs, configs = Seq((2, 2), (4, 2), (8, 2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      if (rows.nonEmpty) {
+        rows.foreach { case ((bds, rpb), (np, ex, nl)) =>
+          assert(ex >= 0L && ex <= 10000L * np,
+            s"($bds,$rpb): expected_x10k $ex outside [0, ${10000 * np}]")
+          assert(nl >= 0L && nl <= np)
+        }
+        assert(rows((2L, 2L))._2 <= rows((4L, 2L))._2)
+        assert(rows((4L, 2L))._2 <= rows((8L, 2L))._2)
+      }
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val s = spark
     import s.implicits._
