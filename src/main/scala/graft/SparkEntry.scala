@@ -616,6 +616,11 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfCentroidShift(e, Similarity.ivfSeedCentroids(e, 16))
     }),
+    // EAGER (pool localCheckpoint): MMR diversified re-ranking of the
+    // brute top-10 pool — the retrieval family's redundancy stage
+    "emb_search_mmr" -> ((s, dir) =>
+      Similarity.mmrRerank(t(s, dir, "embeddings"), col("vec_id") < 4,
+        poolK = 10, k = 3, lambda = 0.7)),
 
     // ── dedup (north-star) ────────────────────────────────────────────
     "doc_dedup_exact" -> ((s, dir) =>
@@ -2215,6 +2220,65 @@ object SparkEntry {
         | round(CAST(sx AS DOUBLE) / 1000000.0 / CAST(n_vecs AS DOUBLE), 4)
         |   AS c_new
         |FROM g""".stripMargin,
+    // MMR unrolled into the same 3 greedy stages as the Spark plan: pool
+    // = brute top-10 per query (unrounded-cos cut, like knnBrute), each
+    // stage's argmax on the 4dp-rounded MMR score with c_id ties; (1-λ)
+    // written as the runtime subtraction so both engines fold the same
+    // IEEE double
+    "emb_search_mmr" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | bsc AS (SELECT b.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * b.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos, c.v AS cv
+        |  FROM e b, e c WHERE b.vec_id < 4 AND c.vec_id <> b.vec_id),
+        | pool AS (SELECT q_id, c_id, round(cos, 4) AS rel, cv,
+        |   sqrt(list_aggregate(list_transform(range(1, len(cv) + 1),
+        |     i -> cv[i] * cv[i]), 'sum')) AS nrm FROM
+        |   (SELECT q_id, c_id, cos, cv, row_number() OVER
+        |     (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM bsc) t
+        |  WHERE rn <= 10),
+        | s1 AS (SELECT q_id, CAST(1 AS BIGINT) AS rank, c_id, rel,
+        |   round(0.7 * rel, 4) AS mmr, cv, nrm FROM
+        |   (SELECT *, row_number() OVER (PARTITION BY q_id
+        |     ORDER BY round(0.7 * rel, 4) DESC, c_id) AS rn FROM pool) t
+        |  WHERE rn = 1),
+        | r2 AS (SELECT p.* FROM pool p WHERE NOT EXISTS
+        |   (SELECT 1 FROM s1 s WHERE s.q_id = p.q_id AND s.c_id = p.c_id)),
+        | c2 AS (SELECT r2.q_id, r2.c_id, r2.rel, r2.cv, r2.nrm,
+        |   max(round(list_aggregate(list_transform(range(1, len(r2.cv) + 1),
+        |     i -> r2.cv[i] * s.cv[i]), 'sum') / (r2.nrm * s.nrm), 4))
+        |     AS max_sim
+        |  FROM r2 JOIN s1 s ON r2.q_id = s.q_id
+        |  GROUP BY r2.q_id, r2.c_id, r2.rel, r2.cv, r2.nrm),
+        | s2 AS (SELECT q_id, CAST(2 AS BIGINT) AS rank, c_id, rel,
+        |   round(0.7 * rel - (1.0 - 0.7) * max_sim, 4) AS mmr, cv, nrm FROM
+        |   (SELECT *, row_number() OVER (PARTITION BY q_id
+        |     ORDER BY round(0.7 * rel - (1.0 - 0.7) * max_sim, 4) DESC,
+        |       c_id) AS rn FROM c2) t
+        |  WHERE rn = 1),
+        | sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        | r3 AS (SELECT p.* FROM pool p WHERE NOT EXISTS
+        |   (SELECT 1 FROM sel2 s WHERE s.q_id = p.q_id
+        |    AND s.c_id = p.c_id)),
+        | c3 AS (SELECT r3.q_id, r3.c_id, r3.rel, r3.cv, r3.nrm,
+        |   max(round(list_aggregate(list_transform(range(1, len(r3.cv) + 1),
+        |     i -> r3.cv[i] * s.cv[i]), 'sum') / (r3.nrm * s.nrm), 4))
+        |     AS max_sim
+        |  FROM r3 JOIN sel2 s ON r3.q_id = s.q_id
+        |  GROUP BY r3.q_id, r3.c_id, r3.rel, r3.cv, r3.nrm),
+        | s3 AS (SELECT q_id, CAST(3 AS BIGINT) AS rank, c_id, rel,
+        |   round(0.7 * rel - (1.0 - 0.7) * max_sim, 4) AS mmr, cv, nrm FROM
+        |   (SELECT *, row_number() OVER (PARTITION BY q_id
+        |     ORDER BY round(0.7 * rel - (1.0 - 0.7) * max_sim, 4) DESC,
+        |       c_id) AS rn FROM c3) t
+        |  WHERE rn = 1)
+        |SELECT q_id, rank, c_id, rel, mmr FROM s1
+        |UNION ALL SELECT q_id, rank, c_id, rel, mmr FROM s2
+        |UNION ALL SELECT q_id, rank, c_id, rel, mmr FROM s3""".stripMargin,
     // the refit chain assembled back into per-cell lists, L2 distance to
     // the current (seed) centroid; empty cells LEFT-JOIN to null shift
     "emb_ivf_centroid_shift" ->

@@ -728,6 +728,71 @@ object Similarity {
         col("c_new")))), s => s.getField("c_new")).as("centroid"))
       .select(col("cell").cast("int").as("cell"), col("centroid"))
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversity stage of the retrieval family: plain top-k returns
+    * near-duplicate hits; MMR greedily picks, at each step, the candidate
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) against the
+    * already-selected set S, trading relevance against redundancy. Works
+    * per query (many queries re-rank in one plan: every stage's argmax is
+    * a row_number window partitioned by q_id).
+    *
+    * Built WITHOUT a driver-side loop over results: the greedy is
+    * unrolled into `k` lazy stages (argmax via window rank-1, selected
+    * set grown by union, remaining shrunk by anti-join), each operating
+    * on the ≤ poolK·|Q|-row pool frame. The pool (brute top-poolK with
+    * vectors and norms) is localCheckpoint-ed first — EAGER, same seam as
+    * dupClusters — so the corpus scan runs ONCE, not once per stage; at
+    * 100 TB the pool is the only corpus-sized work and everything after
+    * is constant-size. Determinism contract: relevance and similarity are
+    * the usual 4dp-rounded cosines, the MMR score is one fixed-order
+    * double expression rounded 4dp before the argmax, ties break on
+    * c_id — so the selection sequence is engine-portable, and the oracle
+    * unrolls the same k stages in SQL. (1−λ) is computed as the runtime
+    * subtraction `1.0 − λ`, not a pre-folded literal, so both engines
+    * evaluate the identical IEEE value. */
+  def mmrRerank(emb: DataFrame, queryPred: Column, poolK: Int = 20,
+                k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolK >= k, "mmrRerank: need poolK >= k >= 1")
+    val lam = lit(lambda)
+    val oneMinusLam = lit(1.0) - lit(lambda)
+    val pool = knnBrute(emb, queryPred, poolK)
+      .join(emb.select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("cv")), "c_id")
+      .withColumn("nrm", l2(col("cv")))
+      .select(col("q_id"), col("c_id"), col("score").as("rel"),
+        col("cv"), col("nrm"))
+      .localCheckpoint()
+    var selected: DataFrame = null
+    var remaining = pool
+    for (i <- 1 to k) {
+      val cand =
+        if (i == 1) pool.withColumn("mmr", round(lam * col("rel"), 4))
+        else {
+          val selV = selected.select(col("q_id"), col("cv").as("sv"),
+            col("nrm").as("snrm"))
+          remaining.join(selV, Seq("q_id"))
+            .withColumn("sim", round(dot(col("cv"), col("sv")) /
+              (col("nrm") * col("snrm")), 4))
+            .groupBy("q_id", "c_id")
+            .agg(first(col("rel")).as("rel"), first(col("cv")).as("cv"),
+              first(col("nrm")).as("nrm"), max(col("sim")).as("max_sim"))
+            .withColumn("mmr",
+              round(lam * col("rel") - oneMinusLam * col("max_sim"), 4))
+        }
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("mmr").desc, col("c_id"))
+      val pick = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(i.toLong).as("rank"), col("c_id"),
+          col("rel"), col("mmr"), col("cv"), col("nrm"))
+      selected = if (i == 1) pick else selected.unionByName(pick)
+      remaining = remaining.join(pick.select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_anti")
+    }
+    selected.select(col("q_id"), col("rank"), col("c_id"), col("rel"),
+      col("mmr"))
+  }
+
   /** Geometry companion to [[ivfDrift]]'s occupancy signal: how far ONE
     * Lloyd step ([[ivfRefitCentroids]]) would MOVE each centroid — the
     * "how stale is the fit" report read before paying for a refit+rebuild

@@ -1867,6 +1867,26 @@ class NorthStarSpec extends SparkTestBase {
     assert(curve.values.map(_._1).toSet.size == 1)
   }
 
+  test("Similarity.mmrRerank: the redundant twin is demoted below a " +
+    "diverse hit; plain relevance order would keep it second") {
+    val emb = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), // the query
+      1L -> Seq(0.99f, 0.141f, 0f, 0f), // top hit A
+      2L -> Seq(0.495f, 0.0705f, 0f, 0f), // A/2 — collinear twin of A
+      3L -> Seq(0.9f, 0f, 0.4359f, 0f), // diverse hit B
+      4L -> Seq(0f, 1f, 0f, 0f))) // far filler
+    // relevance order: A (0.99), twin (0.99, loses the c_id tie), B (0.9)
+    val brute = Similarity.knnBrute(emb, col("vec_id") === 0, k = 3)
+      .collect().sortBy(r => -r.getDouble(2)).map(_.getLong(1)).toSeq
+    assert(brute.take(2) == Seq(1L, 2L))
+    // MMR at λ=0.5: sim(A, twin) = 1.0 kills the twin's margin; B's
+    // 0.5·0.9 − 0.5·sim(A,B)≈0.891 edges it out; twin only third
+    val mmr = Similarity.mmrRerank(emb, col("vec_id") === 0,
+      poolK = 4, k = 3, lambda = 0.5)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(mmr == Seq(1L, 3L, 2L), s"MMR order was $mmr")
+  }
+
   test("Similarity.ivfCentroidShift: a centroid sitting at its cell mean " +
     "reads ~zero shift; a displaced one reads the displacement; an empty " +
     "cell reads null") {

@@ -270,7 +270,7 @@ class PlanShapeSpec extends SparkTestBase {
     val eager = Set("doc_dup_clusters", "doc_cluster_best",
       "emb_knn_ivf_indexed", "emb_knn_ivf_recall",
       "emb_knn_ivf_appended", "emb_knn_ivf_pq_indexed",
-      "doc_dedup_incremental_near_indexed")
+      "doc_dedup_incremental_near_indexed", "emb_search_mmr")
     // A nested-loop join is legitimate ONLY when its broadcast side is a
     // constant-size frame: a 1-row summary aggregate broadcast back onto
     // the corpus, a |Q|-row probe set, a ≤nlist centroid table, a
@@ -317,6 +317,20 @@ class PlanShapeSpec extends SparkTestBase {
         }
       }
     }
+  }
+
+  test("emb_search_mmr: the greedy stages run on the checkpointed pool — " +
+    "no corpus re-scan per stage, no cartesian, every join on the " +
+    "constant-size pool frames") {
+    val (n, plan, _) = ran("emb_search_mmr")
+    assert(n > 0)
+    assert(!plan.contains("CartesianProduct"),
+      s"emb_search_mmr plans a cartesian product:\n$plan")
+    // the pool was localCheckpoint-ed: the parquet corpus scan must not
+    // appear in the query-time plan at all (stages read the checkpoint)
+    assert(!plan.contains("FileScan") && !plan.contains("parquet"),
+      s"MMR stages re-scan the corpus instead of the checkpointed " +
+        s"pool:\n$plan")
   }
 
   test("emb_ivf_nprobe_sweep: one scored corpus scan serves every sweep " +
