@@ -136,6 +136,9 @@ object Example {
       println("[example] one Lloyd refit step (drift says when):")
       Similarity.ivfRefitCentroids(emb,
         Similarity.ivfSeedCentroids(emb, 8)).orderBy("cell").show(3)
+      println("[example] MMR re-rank (diversity beats redundancy):")
+      Similarity.mmrRerank(emb, col("vec_id") < 2, poolK = 10, k = 3)
+        .orderBy("q_id", "rank").show()
     }
 
     // events analytics: where users go next, session health, bot accounts
