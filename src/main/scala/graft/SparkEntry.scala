@@ -742,6 +742,11 @@ object SparkEntry {
     // the scored pairs — the table the LSH config is tuned from
     "doc_lsh_band_curve" -> ((s, dir) =>
       Dedup.lshBandCurve(t(s, dir, "documents"))),
+    // signature-width sweep: one maxK signature pass, every estimator
+    // width read off its seed prefixes against exact Jaccard — the third
+    // dedup tuning table (threshold, bands, width)
+    "doc_minhash_k_sweep" -> ((s, dir) =>
+      Dedup.minhashKSweep(t(s, dir, "documents"))),
 
     // ── similarity search (north-star) ────────────────────────────────
     "emb_norms" -> ((s, dir) =>
@@ -909,6 +914,10 @@ object SparkEntry {
     "events_funnel_windowed" -> ((s, dir) =>
       Funnels.funnel(events(s, dir), Seq("view", "click", "purchase"),
         within = Some(expr("INTERVAL 24 HOURS")))),
+    // inter-arrival (think-time) histogram: log-bucketed gaps between
+    // each user's consecutive events — the sessionization-gap dial
+    "events_interarrival_hist" -> ((s, dir) =>
+      Funnels.interarrivalHist(events(s, dir))),
     // chi-squared significance on the A/B funnel's end-to-end conversion:
     // is the arm difference real or noise? (1 dof, decision on rounded χ²)
     "events_ab_significance" -> ((s, dir) =>
@@ -2759,6 +2768,59 @@ object SparkEntry {
         | round(abs(round(e.est, 4) - x.jaccard_exact), 4) AS abs_err
         |FROM est e JOIN ex x
         | ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b""".stripMargin,
+    // signature-width sweep: signatures at 8 seeds, candidates from the
+    // first-4-seed deployed banding, per-k estimates off seed prefixes,
+    // errors as exact 1e-4 integral units vs 4dp exact Jaccard
+    "doc_minhash_k_sweep" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle,
+        |   unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS seed FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh WHERE seed < 4 GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+        | m AS (SELECT c.doc_a, c.doc_b, ks.k,
+        |   CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS m
+        |  FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+        |   JOIN mh b ON b.doc_id = c.doc_b AND b.seed = a.seed
+        |   JOIN ks ON a.seed < ks.k
+        |  GROUP BY c.doc_a, c.doc_b, ks.k),
+        | est AS (SELECT doc_a, doc_b, k,
+        |   round(CAST(m AS DOUBLE) / k, 4) AS est FROM m),
+        | sets AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, len(words) - 1), i ->
+        |    concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | ex AS (SELECT c.doc_a, c.doc_b,
+        |   round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |     (len(a.sset) + len(b.sset) -
+        |      len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+        |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id
+        |   JOIN sets b ON c.doc_b = b.doc_id),
+        | e2 AS (SELECT est.k,
+        |   CAST(round(abs(est.est - ex.jaccard) * 10000) AS BIGINT) AS err
+        |  FROM est JOIN ex ON est.doc_a = ex.doc_a
+        |   AND est.doc_b = ex.doc_b)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(CAST(sum(err) AS DOUBLE) / (count(*) * 10000), 4)
+        |   AS mean_abs_err,
+        | CAST(max(err) AS DOUBLE) / 10000 AS max_abs_err
+        |FROM e2 GROUP BY k""".stripMargin,
     // banding S-curve sweep: the doc_minhash_est candidate+Jaccard chain
     // verbatim, then each (b, r) config's collision probability
     // 1 − (1 − jʳ)ᵇ on the 4dp-rounded Jaccard — powers as the SAME
@@ -3575,6 +3637,27 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
         |  CAST(count(*) AS BIGINT) FROM s3""".stripMargin,
     // A/B funnel: reach chain per user_id-parity experiment arm
+    // inter-arrival histogram: lag over (ts, event_id) per user,
+    // integral epoch-ms gaps, integer bucket edges, 4dp share
+    "events_interarrival_hist" ->
+      """WITH gaps AS (SELECT date_diff('millisecond',
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |   ts) AS gap_ms
+        |  FROM events),
+        | b AS (SELECT CASE
+        |   WHEN gap_ms < 1000 THEN '0000-0s'
+        |   WHEN gap_ms < 10000 THEN '0001-10s'
+        |   WHEN gap_ms < 60000 THEN '0010-60s'
+        |   WHEN gap_ms < 600000 THEN '0060-10m'
+        |   WHEN gap_ms < 3600000 THEN '0600-60m'
+        |   ELSE '3600-inf' END AS bucket
+        |  FROM gaps WHERE gap_ms IS NOT NULL),
+        | g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY bucket),
+        | t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT bucket, n,
+        | round(CAST(n AS DOUBLE) / (SELECT total FROM t), 4) AS share
+        |FROM g""".stripMargin,
     // chi-squared on the A/B funnel's 2×2 conversion table: the
     // events_funnel_ab reach chain, pivoted to per-arm
     // (entered, converted), then one fixed-order double expression over

@@ -959,6 +959,48 @@ object Dedup {
         round(abs(round(col("est"), 4) - col("jaccard")), 4).as("abs_err"))
   }
 
+  /** MinHash signature-WIDTH sweep — the third tuning table of the dedup
+    * chain, after the Jaccard [[thresholdSweep]] and the banding
+    * [[lshBandCurve]]: how much estimator error does each signature width
+    * k buy down? Signatures are computed ONCE at `maxK` seeds; each sweep
+    * point reads the first k seeds off that one signature table
+    * (estimator prefixes of a common hash family), the candidate set is
+    * fixed at the DEPLOYED banding config (first 4 seeds, `rowsPerBand`),
+    * and exact Jaccard is scored once — so the whole table costs one
+    * signature pass plus candidate-bounded work, the same
+    * run-once-read-many shape as the other sweeps. Per k:
+    * (k, n_pairs, mean_abs_err, max_abs_err). Errors are differences of
+    * two 4dp-rounded values, converted to exact 1e-4 integral units
+    * before the order-independent sum — engine-portable by construction.
+    * Reading the table: the k where mean error stops falling is where
+    * wider signatures stop paying for their storage. */
+  def minhashKSweep(docs: DataFrame, maxK: Int = 8,
+                    rowsPerBand: Int = 2,
+                    ks: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= maxK),
+      "minhashKSweep: each k must be in [1, maxK]")
+    val sigs = minhash(docs, maxK)
+    val pairs = lshCandidatePairs(sigs.filter(col("seed") < 4), rowsPerBand)
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("seed"),
+        col("minhash").as("mh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("seed"),
+        col("minhash").as("mh_b")), Seq("doc_b", "seed"))
+      .withColumn("k", explode(array(ks.map(k => lit(k.toLong)): _*)))
+      .filter(col("seed") < col("k"))
+      .groupBy("doc_a", "doc_b", "k")
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("m"))
+      .withColumn("est", round(col("m").cast("double") / col("k"), 4))
+    est.join(ngramJaccardOn(docs, pairs), Seq("doc_a", "doc_b"))
+      .withColumn("err_x10k",
+        round(abs(col("est") - col("jaccard")) * 10000).cast("long"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("err_x10k")).cast("double") /
+          (count(lit(1)) * 10000), 4).as("mean_abs_err"),
+        (max(col("err_x10k")).cast("double") / 10000).as("max_abs_err"))
+  }
+
   /** Index MAINTENANCE for the persisted near-dup index: append a new
     * batch's LSH bands and shingle sets to the [[nearDupWriteIndex]] tables
     * IN PLACE, preserving their bucketed layout (probe joins stay

@@ -395,6 +395,44 @@ object Funnels {
           .as("share"))
   }
 
+  /** Inter-arrival (think-time) histogram: the distribution of gaps
+    * between each user's consecutive events, log-bucketed — the report
+    * that separates humans (seconds-to-minutes gaps) from scripts
+    * (sub-second metronomes) and feeds the sessionization gap parameter
+    * (the bucket where mass collapses is where the session cut belongs).
+    * One row per non-empty bucket: (bucket, n, share) — gap deltas are
+    * integral epoch-ms (exact), bucket edges integer compares, share the
+    * usual 4dp integral-count quotient. Consecutive = (ts, event_id)
+    * order within user, same total order the sessionizer and
+    * transitionMatrix use; each user's first event has no predecessor
+    * and contributes no gap.
+    *
+    * Scale shape: ONE user-keyed window (lag — the sessionization
+    * shuffle, O(1) per-row state) then a ≤|buckets|-key aggregate and a
+    * 1-row total broadcast back. Nothing collected, nothing quadratic. */
+  def interarrivalHist(events: DataFrame,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       eventIdCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(eventIdCol))
+    val gap = (unix_millis(col(tsCol)) -
+      unix_millis(lag(col(tsCol), 1).over(w))).as("gap_ms")
+    val gaps = events.select(col(userCol), col(tsCol), col(eventIdCol))
+      .select(gap).filter(col("gap_ms").isNotNull)
+    val bucket = when(col("gap_ms") < 1000L, "0000-0s")
+      .when(col("gap_ms") < 10000L, "0001-10s")
+      .when(col("gap_ms") < 60000L, "0010-60s")
+      .when(col("gap_ms") < 600000L, "0060-10m")
+      .when(col("gap_ms") < 3600000L, "0600-60m")
+      .otherwise("3600-inf")
+    val counts = gaps.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n")).cast("long").as("total"))))
+      .select(col("bucket"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("share"))
+  }
+
   /** A/B SIGNIFICANCE on the segmented funnel — the question
     * [[funnelBySegment]]'s count table poses but can't answer: is the
     * variant's end-to-end conversion difference real or noise? Runs the

@@ -1969,6 +1969,44 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.getLong(7) == 2L) // union = doc-level set (overlap ≥ n−1)
   }
 
+  test("Dedup.minhashKSweep: the k=maxK estimator is exact on identical " +
+    "docs; per-k rows share the fixed candidate set; error bounded by 1") {
+    val sweep = Dedup.minhashKSweep(docs, maxK = 8, ks = Seq(2, 4, 8))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(sweep.keySet == Set(2L, 4L, 8L))
+    // same candidate set at every width (candidates come from the fixed
+    // deployed banding, not from k)
+    assert(sweep.values.map(_._1).toSet.size == 1)
+    // identical docs 1,2: every seed agrees at every k → that pair's
+    // error is 0, and all errors sit in [0, 1]
+    sweep.values.foreach { case (_, mean, mx) =>
+      assert(mean >= 0.0 && mean <= 1.0 && mx >= 0.0 && mx <= 1.0)
+      assert(mean <= mx)
+    }
+  }
+
+  test("Funnels.interarrivalHist: hand-checked gaps, per-user boundaries " +
+    "contribute nothing, shares sum to 1") {
+    val s = spark
+    import s.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val ev = Seq(
+      // user 1: gaps 500ms, 5s, 120s
+      (1L, 1L, ts(0)), (2L, 1L, ts(500)), (3L, 1L, ts(5500)),
+      (4L, 1L, ts(125500)),
+      // user 2: single event → no gap
+      (5L, 2L, ts(0)),
+      // user 3: one 2h gap
+      (6L, 3L, ts(0)), (7L, 3L, ts(7200000)))
+      .toDF("event_id", "user_id", "ts")
+    val out = operators.Funnels.interarrivalHist(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "0000-0s" -> ((1L, 0.25)), "0001-10s" -> ((1L, 0.25)),
+      "0060-10m" -> ((1L, 0.25)), "3600-inf" -> ((1L, 0.25))))
+  }
+
   test("Funnels.abSignificance: hand-checked 2×2 chi-square; zero for " +
     "equal arms; invariant under arm relabeling") {
     val s = spark
