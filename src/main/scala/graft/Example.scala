@@ -93,6 +93,10 @@ object Example {
       Dedup.thresholdSweep(docs).orderBy("threshold").show()
       println("[example] LSH banding S-curve (expected catch per config):")
       Dedup.lshBandCurve(docs).orderBy("rows_per_band").show()
+      println("[example] MinHash width sweep (error vs signature size):")
+      Dedup.minhashKSweep(docs).orderBy("k").show()
+      println("[example] vocabulary health (top-10 share, hapax rate):")
+      TextAnalysis.vocabCoverage(docs).show()
       println("[example] decontamination release gate (doc/chunk/union):")
       TextAnalysis.decontaminationReport(
         docs.filter(col("doc_id") % 100 =!= 0),
@@ -153,6 +157,9 @@ object Example {
         .orderBy(col("ratio_to_mean").desc).show(3)
       println("[example] A/B funnel significance (chi-squared, 1 dof):")
       SparkEntry.queries("events_ab_significance")(spark, sfDir).show()
+      println("[example] think-time histogram (the sessionization dial):")
+      SparkEntry.queries("events_interarrival_hist")(spark, sfDir)
+        .orderBy("bucket").show()
     }
 
     // streaming sessionization with custom keyed state

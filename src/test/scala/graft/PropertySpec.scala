@@ -442,6 +442,62 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: interarrivalHist gap count equals sum over users of " +
+    "(n_events - 1); shares are each bucket's exact integral quotient") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 10) {
+      val ev = (1 to (20 + rnd.nextInt(80))).map { i =>
+        (i.toLong, (1 + rnd.nextInt(8)).toLong,
+          new java.sql.Timestamp(1700000000000L +
+            rnd.nextInt(10000000).toLong * 10L))
+      }
+      val df = ev.toDF("event_id", "user_id", "ts")
+      val rows = graft.operators.Funnels.interarrivalHist(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val expectGaps = ev.groupBy(_._2).map(_._2.size - 1).sum.toLong
+      assert(rows.map(_._2).sum == expectGaps)
+      def round4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      rows.foreach { case (_, n, share) =>
+        assert(share == round4(n.toDouble / expectGaps))
+      }
+    }
+  }
+
+  test("property: vocabCoverage counts are exact on random corpora and " +
+    "invariant under doc order") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 10) {
+      val vocab = Seq("a", "b", "c", "d", "e")
+      val docs = (1 to (3 + rnd.nextInt(6))).map { id =>
+        (id.toLong, List.fill(1 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          "en", "srcA", 0L)
+      }
+      val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.operators.TextAnalysis.vocabCoverage(df, k = 3)
+        .collect().head
+      val toks = docs.flatMap(_._2.split(" ", -1))
+      val counts = toks.groupBy(identity).view.mapValues(_.size).toMap
+      assert(out.getLong(0) == toks.size.toLong)
+      assert(out.getLong(1) == counts.size.toLong)
+      assert(out.getLong(4) == counts.values.count(_ == 1).toLong)
+      val topk = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(3)
+        .map(_._2).sum
+      def round4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out.getDouble(3) == round4(topk.toDouble / toks.size))
+      // doc order must not matter (the cut is (cnt DESC, token)-total)
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(docs)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      assert(graft.operators.TextAnalysis.vocabCoverage(shuffled, k = 3)
+        .collect().head.toSeq == out.toSeq)
+    }
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val s = spark
     import s.implicits._
