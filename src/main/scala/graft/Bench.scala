@@ -111,6 +111,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The two documented bounded-window queries (TextAnalysis histogram
+    // cumsum + RRF top-pool ranks) emit "No Partition Defined for Window"
+    // WARNs from WindowExec{,Base}; they are provably bounded (see their
+    // scaladoc) but each WARN lands on stdout inside the driver's ~2 KB
+    // tail window and crowds the artifact line. Bench session only:
+    // silence that one logger package, keep every other WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
     def elapsedTotalSec: Double = (System.nanoTime() - jvmT0) / 1e9
 

@@ -21,12 +21,6 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries a TIMESTAMP(NANOS) parquet column, which Spark only
-    * reads via the nanosAsLong legacy conf (set ONCE in the Verify/Bench/test
-    * session builders — not here, so concurrent query construction never
-    * mutates shared session conf); convert ns→µs with exact integer division
-    * (a double roundtrip at 1e18 magnitudes would wobble near second
-    * boundaries) and rebuild a timestamp. */
   /** `events` with `ts` normalized to TIMESTAMP regardless of how the
     * parquet encodes it: TIMESTAMP(NANOS) files arrive as a nanos BIGINT
     * under `spark.sql.legacy.parquet.nanosAsLong` (truncate to micros —

@@ -979,6 +979,10 @@ object Dedup {
                     ks: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
     require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= maxK),
       "minhashKSweep: each k must be in [1, maxK]")
+    require(maxK >= 4,
+      "minhashKSweep: maxK must be >= 4 — the candidate set is fixed at the " +
+        "DEPLOYED banding (first 4 seeds), which a narrower signature table " +
+        "would silently shrink")
     val sigs = minhash(docs, maxK)
     val pairs = lshCandidatePairs(sigs.filter(col("seed") < 4), rowsPerBand)
     val est = pairs
@@ -1001,15 +1005,6 @@ object Dedup {
         (max(col("err_x10k")).cast("double") / 10000).as("max_abs_err"))
   }
 
-  /** Index MAINTENANCE for the persisted near-dup index: append a new
-    * batch's LSH bands and shingle sets to the [[nearDupWriteIndex]] tables
-    * IN PLACE, preserving their bucketed layout (probe joins stay
-    * co-located after the append — Spark validates the bucket spec against
-    * the catalog). This is the corpus-version upgrade path at 100 TB: one
-    * signature pass over the INCREMENT instead of re-signing the whole
-    * corpus, after which future increments probe a corpus+batch index.
-    * Typical cycle: probe batch → deliver survivors → append survivors
-    * here. EAGER: runs the two append jobs at call time, like the build. */
   /** LSH banding S-CURVE sweep — the tuning table the (bands, rowsPerBand)
     * config is set from, the way [[thresholdSweep]] tunes the Jaccard
     * threshold: the deployed chain (signatures → candidates → exact
@@ -1070,6 +1065,15 @@ object Dedup {
         sum(when(col("px10k") >= 5000, 1L).otherwise(0L)).as("n_likely"))
   }
 
+  /** Index MAINTENANCE for the persisted near-dup index: append a new
+    * batch's LSH bands and shingle sets to the [[nearDupWriteIndex]] tables
+    * IN PLACE, preserving their bucketed layout (probe joins stay
+    * co-located after the append — Spark validates the bucket spec against
+    * the catalog). This is the corpus-version upgrade path at 100 TB: one
+    * signature pass over the INCREMENT instead of re-signing the whole
+    * corpus, after which future increments probe a corpus+batch index.
+    * Typical cycle: probe batch → deliver survivors → append survivors
+    * here. EAGER: runs the two append jobs at call time, like the build. */
   def nearDupIndexAppend(docs: DataFrame, bandsTable: String,
                          setsTable: String, minhashK: Int = 4,
                          rowsPerBand: Int = 2, buckets: Int = 32): Unit = {
