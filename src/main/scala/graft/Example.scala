@@ -28,7 +28,8 @@ object Example {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val withP = Multimodal.withBinaryPayload(docs)
-    val meta = Multimodal.decodeMeta(withP)
+    // real container-header decode over synthetic PNG/JPEG/WAV payloads
+    val meta = Multimodal.decodeMeta(Multimodal.synthMediaPayload(docs))
     println(s"[example] decodeMeta rows=${meta.count()}")
     meta.show(3)
     val frames = Multimodal.frameSample(withP, every = 2, frameBytes = 64)

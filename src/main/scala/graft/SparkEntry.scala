@@ -954,9 +954,16 @@ object SparkEntry {
     // weekly cohort retention matrix: first-active ISO week x week offset
     "events_cohort_retention" -> ((s, dir) =>
       Funnels.cohortRetention(events(s, dir))),
+    // Real container-header decode: synthMediaPayload embeds genuine
+    // PNG/JPEG/WAV headers (doc_id-derived dims/rates), decodeMeta parses
+    // them back byte-for-byte; the oracle computes the same fields
+    // arithmetically, so any offset/endianness bug in the parser (or the
+    // builder) hash-mismatches. `valid` as int: boolean stringification
+    // differs across engines.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
-        Multimodal.withBinaryPayload(t(s, dir, "documents"))).toDF()),
+        Multimodal.synthMediaPayload(t(s, dir, "documents"))).toDF()
+        .withColumn("valid", col("valid").cast("int"))),
     "multimodal_meta" -> ((s, dir) => {
       val nb = length(encode(col("text"), "UTF-8")).cast("long")
       t(s, dir, "documents").select(
@@ -3833,13 +3840,26 @@ object SparkEntry {
         |GROUP BY day_offset""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(64 + octet_length(encode(text)) % 32 AS INTEGER) AS width,
-        | CAST(64 + (octet_length(encode(text)) // 32) % 32 AS INTEGER)
+        | CAST(CASE doc_id % 3
+        |   WHEN 0 THEN 33
+        |   WHEN 1 THEN 33 + CASE WHEN (doc_id // 3) % 2 = 0 THEN 0 ELSE 6 END
+        |   ELSE 44 END + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   ELSE 'wav' END AS format,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 240
+        |   WHEN 1 THEN 16 + doc_id % 1000 ELSE 0 END AS INTEGER) AS width,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id // 3) % 240
+        |   WHEN 1 THEN 16 + (doc_id // 7) % 1000 ELSE 0 END AS INTEGER)
         |   AS height,
-        | CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames,
-        | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'img'
-        |   ELSE 'vid' END AS format
+        | CAST(CASE doc_id % 3
+        |   WHEN 0 THEN CASE (doc_id // 3) % 3
+        |     WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+        |   WHEN 1 THEN CASE WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 3 END
+        |   ELSE 1 + doc_id % 2 END AS INTEGER) AS channels,
+        | CAST(CASE WHEN doc_id % 3 = 2 THEN CASE (doc_id // 3) % 3
+        |     WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+        |   ELSE 0 END AS INTEGER) AS sample_rate,
+        | CAST(1 AS INTEGER) AS valid
         |FROM documents""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,

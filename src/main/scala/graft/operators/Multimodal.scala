@@ -1,26 +1,34 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling for a training-data pipeline: media
   * (image/audio/video) as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * No codec libraries exist in this container, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (clearly marked below) — everything around it is the
-  * real Spark plumbing this pipeline needs at scale: binary columns travel
-  * through parquet scans/shuffles untouched, per-partition batched
-  * processing via `mapPartitions` (the Scala analogue of `mapInPandas`
-  * batch shape), typed outputs via case-class Encoders, and
-  * partition-count-preserving plans (no shuffle introduced by any operator
-  * here).
+  * The decoder is a REAL header parser for the three container formats a
+  * crawl corpus actually carries — PNG (IHDR chunk), JPEG (SOF marker walk),
+  * WAV (RIFF `fmt ` chunk walk) — extracting (format, width, height,
+  * channels, sample_rate) from the payload bytes. Full pixel/sample decode
+  * (zlib inflate, DCT, PCM) needs codec libraries this container doesn't
+  * ship; the header parse is the part a 100 TB metadata/filter pass needs,
+  * and it runs inside the same `mapPartitions` boundary a full codec would
+  * (per-partition init amortized, the Scala analogue of `mapInPandas`).
+  *
+  * Scale posture: every operator here is map-only — binary columns travel
+  * through parquet scans/shuffles untouched, outputs are typed via
+  * case-class Encoders, and no operator introduces a shuffle.
   */
 object Multimodal {
 
-  /** Typed metadata extracted from a media payload. */
-  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
-                       n_frames: Int, format: String)
+  /** Typed metadata parsed from a media payload's container header.
+    * `width`/`height` are 0 for audio; `sample_rate` is 0 for images;
+    * `valid` is false when no known magic matches or the header is
+    * truncated/corrupt (all numeric fields then 0, format "unknown"). */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, format: String,
+                       width: Int, height: Int, channels: Int,
+                       sample_rate: Int, valid: Boolean)
 
   /** A fixed-size feature vector per payload. */
   case class MediaFeatures(doc_id: Long, features: Array[Float])
@@ -36,22 +44,108 @@ object Multimodal {
     docs.withColumn("payload", encode(col("text"), "UTF-8"))
 
   // ───────────────────────────────────────────────────────────────────
-  // STUB DECODER — deterministic fake in place of a real codec.
-  // A production build swaps `decodeOne` for an actual image/audio
-  // decoder; nothing else changes.
+  // Header parsers. Pure byte-level functions, unit-tested against real
+  // file fixtures in MultimodalSpec; decodeMeta runs them per partition.
   // ───────────────────────────────────────────────────────────────────
-  private[operators] def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length.toLong
-    MediaMeta(
-      doc_id = id,
-      n_bytes = n,
-      width = (64 + n % 32).toInt,
-      height = (64 + (n / 32) % 32).toInt,
-      n_frames = (1 + n % 7).toInt,
-      format = if (n % 2 == 0) "img" else "vid")
+
+  /** Big-endian unsigned int of `n` bytes at `off` (n ≤ 4). */
+  private def be(b: Array[Byte], off: Int, n: Int): Int = {
+    var v = 0; var i = 0
+    while (i < n) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+    v
   }
 
-  /** Decode payloads to typed metadata. `mapPartitions` so a real decoder
+  /** Little-endian unsigned int of `n` bytes at `off` (n ≤ 4). */
+  private def le(b: Array[Byte], off: Int, n: Int): Int = {
+    var v = 0; var i = n - 1
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xff); i -= 1 }
+    v
+  }
+
+  private def ascii(b: Array[Byte], off: Int, n: Int): String =
+    new String(b, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private val PngMagic =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG: 8-byte magic, then the IHDR chunk (must be first per the spec):
+    * length(4 BE) type("IHDR") width(4 BE) height(4 BE) bit-depth(1)
+    * color-type(1). Channels derive from the color type. */
+  private def parsePng(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 26 || !b.take(8).sameElements(PngMagic)) return None
+    if (ascii(b, 12, 4) != "IHDR") return None
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette index
+      case 4 => 2 // grey + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => -1
+    }
+    if (channels < 0) return None
+    Some(MediaMeta(id, b.length.toLong, "png",
+      be(b, 16, 4), be(b, 20, 4), channels, 0, valid = true))
+  }
+
+  /** JPEG: SOI (FFD8) then a marker-segment walk — skip APPn/COM/etc by
+    * their 2-byte BE lengths until a SOF marker (C0-C3, C5-C7, C9-CB,
+    * CD-CF), whose segment is precision(1) height(2 BE) width(2 BE)
+    * n-components(1). Stops at SOS/EOI (entropy-coded data follows). */
+  private def parseJpeg(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // lost marker sync
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone marker, no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / SOS before any SOF: no dimensions
+      } else {
+        val segLen = be(b, i + 2, 2)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 9 >= b.length || segLen < 8) return None
+          return Some(MediaMeta(id, b.length.toLong, "jpeg",
+            be(b, i + 7, 2), be(b, i + 5, 2), b(i + 9) & 0xff, 0,
+            valid = true))
+        }
+        if (segLen < 2) return None
+        i += 2 + segLen
+      }
+    }
+    None
+  }
+
+  /** WAV: "RIFF" size "WAVE", then a chunk walk — id(4) size(4 LE),
+    * word-aligned — to the `fmt ` chunk: format(2 LE) channels(2 LE)
+    * sample-rate(4 LE). */
+  private def parseWav(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 12 || ascii(b, 0, 4) != "RIFF" ||
+      ascii(b, 8, 4) != "WAVE") return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val chunkId = ascii(b, i, 4)
+      val size = le(b, i + 4, 4)
+      if (chunkId == "fmt " && size >= 16 && i + 16 <= b.length)
+        return Some(MediaMeta(id, b.length.toLong, "wav",
+          0, 0, le(b, i + 10, 2), le(b, i + 12, 4), valid = true))
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** Sniff + parse one payload; unknown/corrupt headers come back as an
+    * invalid row rather than an exception (dirty corpora are the norm). */
+  private[graft] def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta =
+    parsePng(id, bytes).orElse(parseJpeg(id, bytes))
+      .orElse(parseWav(id, bytes))
+      .getOrElse(MediaMeta(id, bytes.length.toLong, "unknown",
+        0, 0, 0, 0, valid = false))
+
+  /** Decode payloads to typed metadata. `mapPartitions` so a full codec
     * can amortize per-batch init (codec contexts, GPU handles) across the
     * partition — the same batch shape `mapInPandas` gives Python. */
   def decodeMeta(withPayload: DataFrame): Dataset[MediaMeta] =
@@ -61,9 +155,90 @@ object Multimodal {
         rows.map(r => decodeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
       }
 
-  /** Feature extraction: fixed-width vector per payload (stub: byte
-    * histogram folded to `dim` buckets, L1-normalized — deterministic, and
-    * shaped exactly like an embedding-model output). */
+  // ───────────────────────────────────────────────────────────────────
+  // Synthetic media payloads with REAL format headers, built from pure
+  // Catalyst expressions so the whole construction stays inside codegen
+  // and is mirrored arithmetically by the DuckDB oracle.
+  // ───────────────────────────────────────────────────────────────────
+
+  private def be2(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  private def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def le2(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def le4(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def bin(hexLit: String): Column = unhex(lit(hexLit))
+
+  /** Attach a `payload` column carrying a genuine media container header
+    * (format cycling png/jpeg/wav by doc_id % 3, dimensions/rates derived
+    * deterministically from doc_id) followed by the document text as the
+    * body. The headers are REAL: [[decodeMeta]] recovers the embedded
+    * fields by actually parsing magic bytes, chunk layouts, and marker
+    * segments — wrong offsets or endianness anywhere would desync the
+    * oracle. Field formulas (mirrored by the `multimodal_decode` oracle):
+    *   png : w = 16 + id%240, h = 16 + (id÷3)%240,
+    *         color type cycles grey/rgb/rgba by (id÷3)%3
+    *   jpeg: w = 16 + id%1000, h = 16 + (id÷7)%1000,
+    *         1 or 3 components by (id÷3)%2, APP0(JFIF) before SOF0
+    *   wav : channels = 1 + id%2, rate cycles 8k/16k/44.1k by (id÷3)%3 */
+  def synthMediaPayload(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val body = encode(col("text"), "UTF-8")
+    val d3 = expr("doc_id DIV 3")
+
+    // PNG: magic + IHDR(len 13) + fake CRC, then body.
+    val pngW = lit(16) + id % 240
+    val pngH = lit(16) + d3 % 240
+    val colorType = when(d3 % 3 === 0, lit(0))
+      .when(d3 % 3 === 1, lit(2)).otherwise(lit(6))
+    val png = concat(
+      bin("89504E470D0A1A0A"), bin("0000000D"),
+      encode(lit("IHDR"), "UTF-8"),
+      be4(pngW), be4(pngH),
+      bin("08"), unhex(lpad(hex(colorType), 2, "0")),
+      bin("000000"), bin("00000000"),
+      body)
+
+    // JPEG: SOI + APP0(JFIF, 16 bytes) + SOF0, then body. The APP0 is
+    // there so the parser's marker walk has a segment to skip.
+    val jw = lit(16) + id % 1000
+    val jh = lit(16) + expr("doc_id DIV 7") % 1000
+    val oneComp = d3 % 2 === 0
+    val jpeg = concat(
+      bin("FFD8"),
+      bin("FFE000104A46494600010100000100010000"),
+      when(oneComp, bin("FFC0000B")).otherwise(bin("FFC00011")),
+      bin("08"), be2(jh), be2(jw),
+      when(oneComp, bin("01011100"))
+        .otherwise(bin("03012200021101031101")),
+      body)
+
+    // WAV: RIFF/WAVE + fmt (PCM16) + data chunk around the body.
+    val ch = (lit(1) + id % 2).cast("int")
+    val rate = when(d3 % 3 === 0, lit(8000))
+      .when(d3 % 3 === 1, lit(16000)).otherwise(lit(44100))
+    val bodyLen = length(body)
+    val wav = concat(
+      encode(lit("RIFF"), "UTF-8"), le4(bodyLen + 36),
+      encode(lit("WAVE"), "UTF-8"),
+      encode(lit("fmt "), "UTF-8"), bin("10000000"), bin("0100"),
+      le2(ch), le4(rate), le4(rate * ch * 2), le2(ch * 2), bin("1000"),
+      encode(lit("data"), "UTF-8"), le4(bodyLen),
+      body)
+
+    docs.withColumn("payload",
+      when(id % 3 === 0, png).when(id % 3 === 1, jpeg).otherwise(wav))
+  }
+
+  /** Feature extraction: fixed-width vector per payload (byte histogram
+    * folded to `dim` buckets, L1-normalized — deterministic, and shaped
+    * exactly like an embedding-model output; a learned featurizer swaps in
+    * behind the same signature). */
   def extractFeatures(withPayload: DataFrame, dim: Int = 16)
       : Dataset[MediaFeatures] =
     withPayload.select(col("doc_id"), col("payload"))
