@@ -297,6 +297,21 @@ object SparkEntry {
         bucketMs = 1800000L)
         .select("event_id", "win_id")
     }),
+    // Bucket-width dial evidence for the range join (VERDICT r10 #8): the
+    // deployed 30 min width plus 1 h / 1 d / 7 d, each measured for explode
+    // fanout vs candidate selectivity; n_matches constant across widths is
+    // the exactness invariant.
+    "range_join_bucket_sweep" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ev_ms"))
+      val win = events(s, dir).filter(col("event_type") === "error")
+        .select(col("event_id").as("win_id"), col("user_id").as("win_user"),
+          unix_millis(col("ts")).as("win_ms"))
+      TemporalJoins.rangeJoinBucketSweep(ev, win,
+        col("user_id"), col("win_user"), col("ev_ms"),
+        col("win_ms"), col("win_ms") + lit(1800000L),
+        widths = Seq(1800000L, 3600000L, 86400000L, 604800000L))
+    }),
     "q11_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -1405,6 +1420,32 @@ object SparkEntry {
         |SELECT e.event_id, w.win_id
         |FROM e JOIN w ON e.user_id = w.win_user
         | AND e.ev_ms >= w.win_ms AND e.ev_ms < w.win_ms + 1800000""".stripMargin,
+    "range_join_bucket_sweep" ->
+      """WITH e AS (SELECT user_id AS k, epoch_ms(ts) AS ms FROM events),
+        | w AS (SELECT user_id AS k, epoch_ms(ts) AS s,
+        |   epoch_ms(ts) + 1800000 AS e FROM events
+        |   WHERE event_type = 'error'),
+        | widths(bucket_ms) AS (VALUES (1800000), (3600000), (86400000),
+        |   (604800000)),
+        | r AS (SELECT bucket_ms, CAST(count(*) AS BIGINT) AS n_right,
+        |   CAST(sum((e - 1) // bucket_ms - s // bucket_ms + 1) AS BIGINT)
+        |     AS n_exploded
+        |   FROM w, widths GROUP BY 1),
+        | rx AS (SELECT w.k, w.s, w.e, widths.bucket_ms,
+        |   unnest(generate_series(s // bucket_ms, (e - 1) // bucket_ms))
+        |     AS bucket
+        |   FROM w, widths),
+        | c AS (SELECT rx.bucket_ms, CAST(count(*) AS BIGINT) AS n_candidates,
+        |   CAST(sum(CASE WHEN e2.ms >= rx.s AND e2.ms < rx.e
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+        |   FROM rx JOIN e e2 ON e2.k = rx.k
+        |     AND e2.ms // rx.bucket_ms = rx.bucket
+        |   GROUP BY 1)
+        |SELECT CAST(r.bucket_ms AS BIGINT) AS bucket_ms, n_right,
+        | n_exploded, n_candidates, n_matches,
+        | round(CAST(n_exploded AS DOUBLE) / n_right, 4) AS fanout,
+        | round(CAST(n_matches AS DOUBLE) / n_candidates, 4) AS cand_ratio
+        |FROM r JOIN c ON r.bucket_ms = c.bucket_ms""".stripMargin,
     "q11_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -73,4 +73,62 @@ object TemporalJoins {
       .filter(col("_ms") >= col("_s") && col("_ms") < col("_e"))
       .drop("_k", "_bucket", "_ms", "_s", "_e")
   }
+
+  /** Bucket-width TUNING TABLE for [[rangeJoinBucketed]] — the dial that
+    * scaladoc documents ("bucket width trades explode-fanout vs
+    * candidate-filter selectivity"), measured instead of asserted, the way
+    * the dedup sweeps tune their thresholds. One row per candidate width:
+    *
+    *   - `n_exploded` / `fanout`: right-side row blowup from the bucket
+    *     explode (storage + shuffle cost of the build side) — computed
+    *     arithmetically per interval (buckets spanned), no explode needed
+    *   - `n_candidates` / `cand_ratio`: equi-join candidates and the share
+    *     surviving the exact range filter (wasted probe work when low)
+    *   - `n_matches`: the final pair count — IDENTICAL for every width (the
+    *     filter is exact), which is the correctness invariant the sweep
+    *     rides on
+    *
+    * Reading the table: narrow buckets pay explode fanout to keep
+    * candidates selective; wide buckets explode less but probe more. Pick
+    * the width where cand_ratio stops falling faster than fanout rises.
+    *
+    * Scale shape: per width, one arithmetic aggregate over the intervals
+    * plus one (key, bucket) equi-join aggregated to a single row — the
+    * corpus is never cross-joined, and the |widths| legs union to a
+    * |widths|-row table (run-once-read-many). */
+  def rangeJoinBucketSweep(left: DataFrame, right: DataFrame,
+                           leftKey: Column, rightKey: Column,
+                           leftMs: Column, rightStartMs: Column,
+                           rightEndMs: Column,
+                           widths: Seq[Long]): DataFrame = {
+    require(widths.nonEmpty, "rangeJoinBucketSweep: need at least one width")
+    val legs = widths.map { w =>
+      val l = left.select(leftKey.as("_k"), leftMs.as("_ms"))
+        .withColumn("_bucket", floor(col("_ms") / w))
+      val r = right.select(rightKey.as("_k"),
+        rightStartMs.as("_s"), rightEndMs.as("_e"))
+      val rAgg = r.agg(
+        count(lit(1)).as("n_right"),
+        sum(floor((col("_e") - 1) / w) - floor(col("_s") / w) + 1)
+          .as("n_exploded"))
+        .withColumn("bucket_ms", lit(w))
+      val rx = r.withColumn("_bucket",
+        explode(sequence(floor(col("_s") / w), floor((col("_e") - 1) / w))))
+      val cAgg = l.join(rx, Seq("_k", "_bucket"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("_ms") >= col("_s") && col("_ms") < col("_e"), 1L)
+            .otherwise(0L)).as("n_matches"))
+        .withColumn("bucket_ms", lit(w))
+      // two 1-row frames, equi-keyed on the width literal → broadcast hash
+      rAgg.join(cAgg, "bucket_ms")
+    }
+    legs.reduce(_.unionByName(_))
+      .select(col("bucket_ms"), col("n_right"), col("n_exploded"),
+        col("n_candidates"), col("n_matches"),
+        round(col("n_exploded").cast("double") / col("n_right"), 4)
+          .as("fanout"),
+        round(col("n_matches").cast("double") / col("n_candidates"), 4)
+          .as("cand_ratio"))
+  }
 }

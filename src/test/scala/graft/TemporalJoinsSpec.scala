@@ -46,4 +46,33 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(out.sorted.toSeq == Seq((1L, "w1"), (2L, "w1"), (4L, "w2")))
     assert(out.length == out.distinct.length) // no duplicate pairs
   }
+
+  test("rangeJoinBucketSweep: n_matches constant across widths and equal " +
+    "to the deployed join's pair count; fanout falls and candidates rise " +
+    "with width") {
+    val s = spark
+    import s.implicits._
+    val left = (1L to 40L).map(i => (i, i % 3, i * 97L))
+      .toDF("id", "k", "ms")
+    val right = (1L to 10L).map(i => (i, i % 3, i * 311L, i * 311L + 500L))
+      .toDF("rid", "rk", "s", "e")
+    val widths = Seq(100L, 500L, 5000L)
+    val rows = TemporalJoins.rangeJoinBucketSweep(left, right,
+      col("k"), col("rk"), col("ms"), col("s"), col("e"), widths)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == widths.toSet)
+    val exact = TemporalJoins.rangeJoinBucketed(left, right,
+      col("k"), col("rk"), col("ms"), col("s"), col("e"), bucketMs = 100L)
+      .count()
+    // exactness invariant: every width reports the same final pair count,
+    // and it is the deployed join's count
+    assert(rows.values.map(_._4).toSet == Set(exact))
+    // wider buckets: less explode fanout, never fewer candidates
+    val byW = widths.map(rows)
+    assert(byW.map(_._2).sliding(2).forall(p => p(0) >= p(1))) // n_exploded ↓
+    assert(byW.map(_._3).sliding(2).forall(p => p(0) <= p(1))) // n_cand ↑
+    // n_right identical on every row
+    assert(rows.values.map(_._1).toSet == Set(10L))
+  }
 }
