@@ -72,7 +72,11 @@ object ScaleBench {
       // per-pair O(|a|*|b|) DP term stay pair-bounded) and the IVF-PQ
       // composition (per-row decode+argmin map over the corpus + a
       // probe-bounded join — expected ~linear like the other ANN cells)
-      "doc_dedup_fuzzy", "emb_knn_ivf_pq")
+      "doc_dedup_fuzzy", "emb_knn_ivf_pq",
+      // round-11: the residual-encoding twin — same plan family as
+      // emb_knn_ivf_pq plus one broadcast centroid join, expected the
+      // same ~linear growth
+      "emb_knn_ivf_pq_residual")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the
@@ -360,6 +364,77 @@ object ScaleBench {
           Seq.empty
       }
 
+    // ── IVF-PQ residual vs raw encoding, x10 corpus (VERDICT r10 #7) ──
+    // The question the residual variant exists to answer: at the SAME
+    // code budget (m=8, ksub=16) and the same cells/probes, does encoding
+    // (v − centroid(cell)) instead of v buy back ADC ranking accuracy?
+    // Mean recall@3 over the 8 base probes, seeded AND trained codebooks.
+    def ivfPqResidualRecall(): Seq[(String, Double)] = {
+      val emb = spark.read.parquet(s"${scaledDir(10)}/embeddings.parquet")
+      val truth = operators.Similarity
+        .knnBrute(emb, col("vec_id") < 8, k = 3).localCheckpoint()
+      val cents = operators.Similarity.ivfSeedCentroids(emb, 16)
+      def mean(ann: DataFrame): Double =
+        operators.Similarity.recallAtK(ann, truth, 3)
+          .agg(round(avg(col("recall")), 4)).head.getDouble(0)
+      Seq(
+        "raw_seeded_k16" -> mean(operators.Similarity.knnIvfPq(
+          emb, col("vec_id") < 8)),
+        "raw_trained_k16" -> mean(operators.Similarity.knnIvfPq(
+          emb, col("vec_id") < 8,
+          codebook = Some(operators.Similarity.pqFitCodebook(emb)))),
+        "residual_seeded_k16" -> mean(operators.Similarity.knnIvfPqResidual(
+          emb, col("vec_id") < 8)),
+        "residual_trained_k16" -> mean(operators.Similarity.knnIvfPqResidual(
+          emb, col("vec_id") < 8,
+          codebook = Some(operators.Similarity.pqFitCodebookResidual(
+            emb, cents)))))
+    }
+    val pqResidual: Seq[(String, Double)] =
+      try ivfPqResidualRecall()
+      catch {
+        case e: Throwable =>
+          maintErrs += ("x10:ivfpq_residual_recall" ->
+            (s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(300)))
+          Seq.empty
+      }
+
+    // ── quality-bucket sketch drift, x10 corpus (VERDICT r10 #6) ──────
+    // qualityBucketsApprox is the production twin of the exact tertile
+    // split; its drift was spec-gated at sf0.01 but never MEASURED at a
+    // scale factor. Compare per-bucket doc counts exact-vs-sketch on the
+    // x10 corpus; the sketch's rank error is ≤ n/accuracy (1e-4 of the
+    // corpus), so count drift beyond ties-at-the-cutoff means a broken
+    // twin.
+    def qualityDrift(): Seq[(String, String)] = {
+      val docs = spark.read.parquet(s"${scaledDir(10)}/documents.parquet")
+      def counts(df: DataFrame): Map[String, Long] =
+        df.select(col("bucket"), col("n_docs")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = counts(operators.TextAnalysis.qualityBuckets(docs))
+      val approx = counts(operators.TextAnalysis.qualityBucketsApprox(docs))
+      val n = exact.values.sum.toDouble
+      val buckets = (exact.keySet ++ approx.keySet).toSeq.sorted
+      val drift = buckets.map(b =>
+        math.abs(exact.getOrElse(b, 0L) - approx.getOrElse(b, 0L)) / n).max
+      buckets.map(b =>
+        b -> s"""{"exact":${exact.getOrElse(b, 0L)},"approx":${
+          approx.getOrElse(b, 0L)}}""") ++
+        Seq("n_docs" -> n.toLong.toString,
+          "max_count_drift_share" ->
+            ((math.round(drift * 1e6) / 1e6).toString))
+    }
+    val qDrift: Seq[(String, String)] =
+      try qualityDrift()
+      catch {
+        case e: Throwable =>
+          maintErrs += ("x10:quality_sketch_drift" ->
+            (s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(300)))
+          Seq.empty
+      }
+
     val errs = results.flatMap { case (f, m) =>
       m.collect { case (q, c) if c.err.isDefined => s"x$f:$q" -> c.err.get }
     } ++ maintErrs
@@ -410,6 +485,20 @@ object ScaleBench {
         "space vs exact ground truth: seeded ksub=16 codebook vs TRAINED " +
         "(pqFitCodebook) codebooks at ksub 16/64/256 — measures the " +
         "scaladoc claim that PQ recall is ksub-dominated."),
+      "ivfpq_residual_recall_x10" ->
+        obj(pqResidual.map { case (k, v) => k -> v.toString }),
+      "ivfpq_residual_recall_note" -> jsonStr("IVF-PQ mean recall@3, " +
+        "same cells/probes/code budget (m=8 k16, nlist=16, nprobe=4), " +
+        "x10 corpus: raw encoding vs residual (v - centroid(cell)) " +
+        "encoding, seeded and trained codebooks — the FAISS-proper " +
+        "residual claim, measured."),
+      "quality_sketch_x10" ->
+        obj(qDrift.map { case (k, v) => k -> v }),
+      "quality_sketch_note" -> jsonStr("doc_quality_buckets exact vs " +
+        "percentile_approx-twin per-bucket doc counts on the x10 corpus; " +
+        "max_count_drift_share is the largest |exact-approx|/n over " +
+        "buckets — sketch rank error bounds it near 1e-4 apart from " +
+        "ties at the cutoff score."),
       "errors" -> obj(errs.map { case (k, v) => k -> jsonStr(v) }),
       "n_err" -> nErr.toString))
     println(line)

@@ -900,6 +900,20 @@ object SparkEntry {
         ann = Similarity.knnIvfPq(e, col("vec_id") < 8, k = 3),
         truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
     }),
+    // IVF-PQ on RESIDUALS (FAISS-proper): codes encode v − centroid(cell),
+    // reconstruction adds the centroid back — the code budget spends on
+    // local detail instead of re-describing the cell
+    "emb_knn_ivf_pq_residual" -> ((s, dir) =>
+      Similarity.knnIvfPqResidual(t(s, dir, "embeddings"),
+        col("vec_id") < 8)),
+    // residual-vs-raw verdict at this sf: compare against
+    // emb_knn_ivf_pq_recall (same cells, same probe set, same code budget)
+    "emb_knn_ivf_pq_residual_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        ann = Similarity.knnIvfPqResidual(e, col("vec_id") < 8, k = 3),
+        truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
+    }),
     // recall cost of 64x PQ compression (8 subspaces x 16 seeded codes):
     // brute kNN over the decoded corpus vs exact ground truth
     "emb_knn_pq_recall" -> ((s, dir) => {
@@ -1221,6 +1235,104 @@ object SparkEntry {
       |FROM (SELECT q_id, c_id, cos, row_number() OVER
       |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
       |WHERE rn <= 3""".stripMargin
+
+  /** IVF-PQ-on-residuals oracle (emb_knn_ivf_pq_residual / _recall):
+    * the IVF assignment/probe CTEs verbatim, but the PQ stage encodes
+    * r = v − centroid(cell(v)) against a residual codebook seeded from
+    * the residuals of vectors 16..31 (vectors 0..15 ARE the seeded
+    * centroids, so their residuals are ~zero — a degenerate codebook),
+    * and reconstruction adds the centroid back before ADC scoring.
+    * `withRecall` swaps the top-3 tail for recall@3 vs brute truth. */
+  private def IvfPqResidualOracleSql(withRecall: Boolean): String = {
+    val prefix =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell FROM
+        |   (SELECT vec_id, v, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | res AS (SELECT a.vec_id, a.cell,
+        |   list_transform(range(1, len(a.v) + 1), i -> a.v[i] - cent.c[i])
+        |     AS r
+        |  FROM a JOIN cent ON a.cell = cent.cell),
+        | rcb AS (SELECT vec_id - 16 AS code, r AS cv FROM res
+        |  WHERE vec_id >= 16 AND vec_id < 32),
+        | dst AS (SELECT res.vec_id, s.j, rcb.code,
+        |   list_aggregate(list_transform(range(1, 9),
+        |     i -> (res.r[s.j * 8 + i] - rcb.cv[s.j * 8 + i]) *
+        |          (res.r[s.j * 8 + i] - rcb.cv[s.j * 8 + i])), 'sum')
+        |     AS dist
+        |  FROM res, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) s, rcb),
+        | enc AS (SELECT vec_id, j, code FROM (SELECT vec_id, j, code,
+        |   row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code)
+        |     AS rn FROM dst) t WHERE rn = 1),
+        | recd AS (SELECT enc.vec_id,
+        |   flatten(array_agg(list_slice(rcb.cv, enc.j * 8 + 1,
+        |     enc.j * 8 + 8) ORDER BY enc.j)) AS rv
+        |  FROM enc JOIN rcb ON rcb.code = enc.code GROUP BY enc.vec_id),
+        | rec AS (SELECT res.vec_id, res.cell,
+        |   list_transform(range(1, len(res.r) + 1),
+        |     i -> recd.rv[i] + cent.c[i]) AS v
+        |  FROM res JOIN recd ON recd.vec_id = res.vec_id
+        |   JOIN cent ON res.cell = cent.cell),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | p AS (SELECT q_id, qv, cell FROM
+        |   (SELECT q.q_id, q.qv, cent.cell, row_number() OVER
+        |     (PARTITION BY q.q_id ORDER BY
+        |       list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * q.qv[i]), 'sum')
+        |       - 2 * list_aggregate(list_transform(range(1, len(q.qv) + 1),
+        |         i -> q.qv[i] * cent.c[i]), 'sum')
+        |       + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |         i -> cent.c[i] * cent.c[i]), 'sum'), cent.cell) AS prn
+        |    FROM q, cent) t
+        |  WHERE prn <= 4),
+        | s AS (SELECT p.q_id, r.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * r.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+        |     i -> p.qv[i] * p.qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(r.v) + 1),
+        |     i -> r.v[i] * r.v[i]), 'sum'))) AS cos
+        |  FROM p JOIN rec r ON p.cell = r.cell
+        |  WHERE r.vec_id <> p.q_id)""".stripMargin
+    if (!withRecall)
+      prefix +
+        """
+          |SELECT q_id, c_id, round(cos, 4) AS score
+          |FROM (SELECT q_id, c_id, cos, row_number() OVER
+          |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+          |WHERE rn <= 3""".stripMargin
+    else
+      prefix +
+        """,
+          | ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+          |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s)
+          |  t WHERE rn <= 3),
+          | bsc AS (SELECT b.vec_id AS q_id, c.vec_id AS c_id,
+          |   list_aggregate(list_transform(range(1, len(b.v) + 1),
+          |     i -> b.v[i] * c.v[i]), 'sum') /
+          |   (sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
+          |     i -> b.v[i] * b.v[i]), 'sum')) *
+          |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+          |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+          |  FROM e b, e c WHERE b.vec_id < 8 AND c.vec_id <> b.vec_id),
+          | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+          |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+          |     AS rn FROM bsc) t WHERE rn <= 3)
+          |SELECT t.q_id, CAST(count(x.c_id) AS BIGINT) AS n_hit,
+          | round(count(x.c_id) / 3.0, 4) AS recall
+          |FROM truth t LEFT JOIN ann x USING (q_id, c_id)
+          |GROUP BY t.q_id""".stripMargin
+  }
 
   private val IvfOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3498,6 +3610,11 @@ object SparkEntry {
     // the persisted bucketed index, so it shares this oracle verbatim.
     "emb_knn_ivf_pq" -> IvfPqOracleSql,
     "emb_knn_ivf_pq_indexed" -> IvfPqOracleSql,
+    // residual encoding: same IVF chain, PQ stage on v − centroid(cell)
+    // with the centroid added back before ADC
+    "emb_knn_ivf_pq_residual" -> IvfPqResidualOracleSql(withRecall = false),
+    "emb_knn_ivf_pq_residual_recall" ->
+      IvfPqResidualOracleSql(withRecall = true),
     // the emb_knn_ivf_pq chain's top-3 scored against brute ground truth
     "emb_knn_ivf_pq_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -226,7 +226,8 @@ object Similarity {
     * keep, without a corpus self-join. */
   def withPqDecoded(emb: DataFrame, outCol: String, m: Int = 8,
                     ksub: Int = 16,
-                    codebook: Option[DataFrame] = None): DataFrame = {
+                    codebook: Option[DataFrame] = None,
+                    inCol: String = "embedding"): DataFrame = {
     require(m > 0 && ksub > 0, s"m and ksub must be positive: $m, $ksub")
     // one-row nested frame pq_cb[j][code] = dsub-dim centroid, either from
     // an explicit (j, code, centroid) codebook (the [[pqFitCodebook]]
@@ -247,14 +248,14 @@ object Similarity {
         val full = emb.filter(col("vec_id") < ksub)
           .agg(transform(
             array_sort(collect_list(struct(col("vec_id").as("i"),
-              col("embedding").cast("array<double>").as("v")))),
+              col(inCol).cast("array<double>").as("v")))),
             s => s.getField("v")).as("cb_full"))
         val dsubS = (size(element_at(col("cb_full"), 1)) / m).cast("int")
         full.select(transform(sequence(lit(0), lit(m - 1)), j =>
           transform(col("cb_full"), cv =>
             slice(cv, (j * dsubS + 1).cast("int"), dsubS))).as("pq_cb"))
     }
-    val v = col("embedding").cast("array<double>")
+    val v = col(inCol).cast("array<double>")
     val dsub = (size(v) / m).cast("int")
     val recon = flatten(transform(sequence(lit(0), lit(m - 1)), j => {
       val cands = element_at(col("pq_cb"), j + 1)
@@ -993,6 +994,85 @@ object Similarity {
     val indexed = ivfAssign(both, cents, assignOn = "exact")
     // queries widened to double so ADC scores float-exact queries against
     // the double-typed reconstructions (exact widening, oracle-identical)
+    val queries = emb.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    ivfSearch(indexed, queries, cents, queryPred, k, nprobe)
+  }
+
+  /** Deterministic, SQL-expressible RESIDUAL codebook seed: the residuals
+    * of vectors `ksub..2·ksub−1`, sliced per subspace into (j, code,
+    * centroid) rows. NOT vectors 0..ksub−1 (the [[withPqDecoded]] seed):
+    * under [[ivfSeedCentroids]] those ARE the cell centroids, so their
+    * residuals are ~zero and the codebook would collapse to "reconstruct
+    * every vector as its centroid". `withRes` must carry `vec_id` and a
+    * `res` array column (see [[knnIvfPqResidual]]). */
+  def pqResidualSeedCodebook(withRes: DataFrame, m: Int,
+                             ksub: Int): DataFrame = {
+    val seeds = withRes
+      .filter(col("vec_id") >= ksub && col("vec_id") < 2L * ksub)
+      .select((col("vec_id") - ksub).cast("int").as("code"),
+        col("res").cast("array<double>").as("v"))
+    val dsub = (size(col("v")) / m).cast("int")
+    seeds.withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("j"), col("code"),
+        slice(col("v"), (col("j") * dsub + 1).cast("int"), dsub)
+          .as("centroid"))
+  }
+
+  /** Production RESIDUAL codebook fit: [[pqFitCodebook]] run over
+    * (vector − assigned-cell centroid) instead of the raw vectors — the
+    * FAISS IVF-PQ-on-residuals build. Residuals concentrate around the
+    * origin with the coarse (cell) structure removed, so the same code
+    * budget spends its resolution on local detail instead of re-encoding
+    * cell position. One assignment scan + one bounded residual sample. */
+  def pqFitCodebookResidual(emb: DataFrame, centroids: DataFrame,
+                            m: Int = 8, ksub: Int = 16,
+                            maxSample: Int = 100000): DataFrame = {
+    val assigned = ivfAssign(emb, centroids)
+    val withRes = assigned
+      .join(broadcast(centroids.select(col("cell").cast("int").as("cell"),
+        col("centroid").cast("array<double>").as("_c"))), "cell")
+      .select(zip_with(col("embedding").cast("array<double>"), col("_c"),
+        (x, y) => x - y).as("embedding"))
+    pqFitCodebook(withRes, m, ksub, maxSample)
+  }
+
+  /** [[knnIvfPq]] with RESIDUAL encoding — what IVF-PQ stores in FAISS
+    * proper: each vector's PQ codes encode (v − centroid(cell(v))), and
+    * reconstruction adds the centroid back (v̂ = c + decode(codes)).
+    * The quantizer no longer wastes its m·log2(ksub) bits re-describing
+    * which cell the vector sits in (the cell id already says that), so
+    * at equal code budget the reconstruction error — and with it the ADC
+    * ranking error — should drop. Whether it DOES at a given corpus scale
+    * is measured, not assumed: `emb_knn_ivf_pq_residual_recall` vs
+    * `emb_knn_ivf_pq_recall` at sf, and the ScaleBench residual-vs-raw
+    * cell at ×10 (SURVEY §2.8 records the verdict).
+    *
+    * Scale shape: identical to [[knnIvfPq]] — assignment is the map-only
+    * sharded argmin, the centroid add-back is a broadcast join on `cell`
+    * (≤ nlist rows), encode/decode ride the same corpus scan, queries
+    * stay exact (ADC). Default codebook is the deterministic
+    * [[pqResidualSeedCodebook]] (oracle-expressible); pass
+    * [[pqFitCodebookResidual]]'s output for the trained path. */
+  def knnIvfPqResidual(emb: DataFrame, queryPred: Column, k: Int = 3,
+                       nlist: Int = 16, nprobe: Int = 4,
+                       m: Int = 8, ksub: Int = 16,
+                       codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = ivfSeedCentroids(emb, nlist)
+    val assigned = ivfAssign(emb, cents)
+    val withRes = assigned
+      .join(broadcast(cents.select(col("cell"),
+        col("centroid").as("_c"))), "cell")
+      .withColumn("res",
+        zip_with(col("embedding").cast("array<double>"), col("_c"),
+          (x, y) => x - y))
+    val cb = codebook.getOrElse(pqResidualSeedCodebook(withRes, m, ksub))
+    val recon = withPqDecoded(withRes, "res_dec", m, ksub, Some(cb),
+      inCol = "res")
+      .withColumn("pqv",
+        zip_with(col("res_dec"), col("_c"), (x, y) => x + y))
+    val indexed = recon.select(col("vec_id"),
+      col("pqv").as("embedding"), col("cell"))
     val queries = emb.withColumn("embedding",
       col("embedding").cast("array<double>"))
     ivfSearch(indexed, queries, cents, queryPred, k, nprobe)

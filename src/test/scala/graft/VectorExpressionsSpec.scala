@@ -58,4 +58,36 @@ class VectorExpressionsSpec extends SparkTestBase {
     val cg = df.select(dotNative(col("a"), col("b"))).head.getDouble(0)
     assert(noCg == cg && cg == (3.0 + 1.25 - 12.0))
   }
+
+  test("residual PQ: vectors built as centroid + a residual-codebook entry " +
+    "reconstruct EXACTLY, so residual ADC equals exact IVF scoring") {
+    val s = spark
+    import s.implicits._
+    // nlist=2 centroids (vec 0/1), ksub=2 residual seeds (vec 2/3 — their
+    // residuals vs their own cells), m=2 subspaces of 2 dims.
+    val c0 = Seq(10f, 10f, 10f, 10f)
+    val c1 = Seq(-10f, -10f, -10f, -10f)
+    // seed residuals: r2 = 0 (so the zero-residual centroid vectors are
+    // exactly encodable too), r3 = (-.3, .2, -.1, .3)
+    val v2 = Seq(10f, 10f, 10f, 10f)           // cell 0, res (0,0,0,0)
+    val v3 = Seq(-10.3f, -9.8f, -10.1f, -9.7f) // cell 1, res (-.3,.2,-.1,.3)
+    // composites: centroid + per-subspace residual slices of r2/r3
+    val v4 = Seq(9.7f, 10.2f, 10f, 10f)        // c0 + (r3|0, r2|1)
+    val v5 = Seq(-10f, -10f, -10.1f, -9.7f)    // c1 + (r2|0, r3|1)
+    val v6 = Seq(9.7f, 10.2f, 9.9f, 10.3f)     // c0 + (r3|0, r3|1)
+    val emb = Seq(0L -> c0, 1L -> c1, 2L -> v2, 3L -> v3,
+      4L -> v4, 5L -> v5, 6L -> v6)
+      .map { case (i, v) => (i, v, 0) }.toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val residual = rows(Similarity.knnIvfPqResidual(emb,
+      col("vec_id") >= 4, k = 2, nlist = 2, nprobe = 1, m = 2, ksub = 2))
+    val exactIvf = rows(Similarity.knnIvf(emb,
+      col("vec_id") >= 4, k = 2, nlist = 2, nprobe = 1))
+    // every residual is exactly a codebook entry per subspace →
+    // reconstruction is bit-exact → ADC scores equal exact scores
+    assert(residual == exactIvf)
+    assert(residual.nonEmpty)
+  }
 }
