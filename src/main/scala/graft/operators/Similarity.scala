@@ -1100,6 +1100,36 @@ object Similarity {
     ivfSearch(decoded, queries, centroids, queryPred, k, nprobe)
   }
 
+  /** Probe the persisted [[ivfWriteIndex]] table with an EXTERNAL query
+    * frame (`vec_id`, `embedding`) — the batch kernel of the streaming
+    * serve path ([[graft.streaming.StreamingKnn]]). Identical chain to
+    * [[knnIvfIndexed]] (same probe selection, same exact rescore, same
+    * co-located bucketed scan), but the queries need not live in the
+    * index — this is what an online "find neighbors for these new
+    * vectors" endpoint runs per request batch. */
+  def knnIvfProbe(spark: SparkSession, indexTable: String,
+                  centroids: DataFrame, queries: DataFrame, k: Int = 3,
+                  nprobe: Int = 4): DataFrame =
+    ivfSearch(spark.table(indexTable), queries, centroids, lit(true), k,
+      nprobe)
+
+  /** [[knnIvfPqIndexed]]'s external-queries form: ADC rescore against the
+    * PQ-decoded reconstructions riding the bucketed index scan, queries
+    * exact (widened to double). Shares every stage with the registered
+    * batch query; [[graft.streaming.StreamingKnn]] runs it per
+    * micro-batch. */
+  def knnIvfPqProbe(spark: SparkSession, indexTable: String,
+                    centroids: DataFrame, queries: DataFrame, k: Int = 3,
+                    nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                    codebook: Option[DataFrame] = None): DataFrame = {
+    val idx = spark.table(indexTable)
+    val decoded = withPqDecoded(idx, "pqv", m, ksub, codebook)
+      .select(col("vec_id"), col("pqv").as("embedding"), col("cell"))
+    ivfSearch(decoded,
+      queries.withColumn("embedding", col("embedding").cast("array<double>")),
+      centroids, lit(true), k, nprobe)
+  }
+
   /** Probe + exact-rescore stage shared by [[knnIvf]] (inline assign) and
     * [[knnIvfIndexed]] (persisted index): `nprobe` nearest cells per query,
     * exact cosine + top-k inside the probed cells only. `queries` is the
