@@ -275,6 +275,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == got.toSet)
   }
 
+  test("FlumeLikeSource rate control: maxFilesPerTrigger=1 bounds every " +
+    "micro-batch to one spool file's rows — the reference's per-agent " +
+    "maxBatchSize knob — while nothing is dropped") {
+    val s = spark
+    import s.implicits._
+    val spool = tmpDir("spool_rate")
+    val perFile = Seq(4, 2, 3)
+    perFile.zipWithIndex.foreach { case (n, fi) =>
+      Files.write(Paths.get(spool, s"f$fi.txt"),
+        ((0 until n).map(i => CdrFixtures.gnLine(10 * fi + i))
+          .mkString("\n") + "\n").getBytes)
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = FlumeLikeSource.toFileValue(
+      FlumeLikeSource.readStream(s, spool,
+        FlumeLikeSource.RateControl(maxFilesPerTrigger = Some(1))))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("value").as[String].collect()
+        if (rows.nonEmpty) { batchSizes += rows.length.toLong }
+        seen ++= rows; ()
+      }
+      .option("checkpointLocation", tmpDir("spool_rate_cp"))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // throttled: one file per batch — each non-empty batch is exactly one
+    // file's row count, so the backlog drains across ≥3 batches
+    assert(batchSizes.size == perFile.size)
+    assert(batchSizes.sorted == perFile.map(_.toLong).sorted)
+    // and complete: every line of every file arrived exactly once
+    assert(seen.size == perFile.sum && seen.distinct.size == perFile.sum)
+  }
+
   test("per-row text ops lift to Structured Streaming unchanged: piiScrub " +
     "+ quality filter on a doc stream match their batch twins") {
     val s = spark
