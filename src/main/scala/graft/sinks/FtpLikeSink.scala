@@ -72,7 +72,17 @@ class FtpLikeSink(
       * rename-in). Lets specs crash between the two publish renames to prove
       * the previous delivery survives in `.old`. Driver-only, so it need not
       * be serializable-friendly beyond the class itself. */
-    publishRenameOp: Option[(FileSystem, Path, Path) => Boolean] = None)
+    publishRenameOp: Option[(FileSystem, Path, Path) => Boolean] = None,
+    /** Pacing between commit retry attempts: attempt n waits
+      * `retryBackoffMs << (n−1)` ms (capped at 64×) before retrying — the
+      * reference's sleep-between-reconnects envelope
+      * (src/ProcessSums.scala:153-200) re-expressed without the live
+      * socket; a flaky target gets breathing room instead of three
+      * back-to-back hammer hits. 0 disables. */
+    retryBackoffMs: Long = 100L,
+    /** Test seam: the waiter (ms). Serializable — runs inside commit
+      * tasks. Defaults to Thread.sleep. */
+    sleeper: Option[Long => Unit] = None)
     extends Serializable {
 
   private def fs(conf: org.apache.hadoop.conf.Configuration,
@@ -208,10 +218,14 @@ class FtpLikeSink(
     val tmp = new Path(dstDir, s"${src.getName}@tmp$attemptTag")
     val rename = renameOp.getOrElse(
       (f: FileSystem, a: Path, b: Path) => f.rename(a, b))
+    val wait = sleeper.getOrElse((ms: Long) => Thread.sleep(ms))
     var attempt = 0
     var done = filesystem.exists(fin) // re-run of an already-committed task
     while (!done && attempt < maxRetries) {
       attempt += 1
+      // backoff before every RETRY (never before the first attempt)
+      if (attempt > 1 && retryBackoffMs > 0)
+        wait(retryBackoffMs << math.min(attempt - 2, 6))
       try {
         if (filesystem.exists(tmp)) filesystem.delete(tmp, false)
         FileUtil.copy(filesystem, src, filesystem, tmp, false, true,

@@ -48,6 +48,11 @@ object FtpLikeSinkSpec {
     (fs: FileSystem, a: Path, b: Path) =>
       if (failCounts.get(key).getAndDecrement() > 0) fs.rename(a, b)
       else false
+
+  /** Sleeper seam: records every backoff wait (ms) instead of sleeping.
+    * Static for the same serialization reason as [[failCounts]]. */
+  val sleepLog = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  val recordingSleeper: Long => Unit = (ms: Long) => { sleepLog.add(ms); () }
 }
 
 class FtpLikeSinkSpec extends SparkTestBase {
@@ -65,6 +70,27 @@ class FtpLikeSinkSpec extends SparkTestBase {
     else Files.list(dir).toArray.map(_.toString)
       .filter(p => { val n = p.split("/").last
         !n.startsWith(".") && !n.startsWith("_") }).toSeq
+
+  test("retry backoff: attempt n waits retryBackoffMs << (n-2) before " +
+    "retrying — the reference's sleep-between-reconnects envelope; no " +
+    "wait before the first attempt, none after success") {
+    val target = tmpDir("sink_bo")
+    val dead = tmpDir("dl_bo")
+    sleepLog.clear()
+    failCounts.put("backoff", new AtomicInteger(2)) // fail twice, then ok
+    val sink = new FtpLikeSink(target, dead, Seq("yaxin"),
+      maxRetries = 3, renameOp = Some(flakyRename("backoff")),
+      retryBackoffMs = 100L, sleeper = Some(recordingSleeper))
+    sink.writeBatch(df(Seq("x")).coalesce(1), 21L)
+    // delivered on the third attempt, with exponential pacing between
+    assert(spark.read.textFile(s"$target/yaxin/batch=21").collect().toSeq ==
+      Seq("x"))
+    assert(sleepLog.toArray.toSeq == Seq(100L, 200L))
+    // a clean commit never waits
+    sleepLog.clear()
+    sink.writeBatch(df(Seq("y")).coalesce(1), 22L)
+    assert(sleepLog.isEmpty)
+  }
 
   test("happy path: per-partner batch dirs, tmp+rename, staging cleaned") {
     val target = tmpDir("sink")
