@@ -135,6 +135,12 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same rationale as Bench: the bounded-window queries under measure
+    // (doc_quality_buckets' histogram cumsum) spray WindowExec WARNs; keep
+    // this session's stdout artifact-clean without losing other WARNs
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
     def scaledDir(f: Int): String =
       if (f == 1) baseDir else s"$workDir/x$f"
