@@ -906,6 +906,14 @@ object SparkEntry {
     "emb_knn_ivf_pq_residual" -> ((s, dir) =>
       Similarity.knnIvfPqResidual(t(s, dir, "embeddings"),
         col("vec_id") < 8)),
+    // production form: residual decode + centroid add-back riding the
+    // persisted bucketed index scan; shares the inline residual oracle
+    // verbatim — indexed must equal inline
+    "emb_knn_ivf_pq_residual_indexed" -> ((s, dir) => {
+      val (table, cents) = ivfIndexedTable(s, dir)
+      Similarity.knnIvfPqResidualIndexed(s, table, cents,
+        col("vec_id") < 8, k = 3, nprobe = 4)
+    }),
     // residual-vs-raw verdict at this sf: compare against
     // emb_knn_ivf_pq_recall (same cells, same probe set, same code budget)
     "emb_knn_ivf_pq_residual_recall" -> ((s, dir) => {
@@ -3613,6 +3621,8 @@ object SparkEntry {
     // residual encoding: same IVF chain, PQ stage on v − centroid(cell)
     // with the centroid added back before ADC
     "emb_knn_ivf_pq_residual" -> IvfPqResidualOracleSql(withRecall = false),
+    "emb_knn_ivf_pq_residual_indexed" ->
+      IvfPqResidualOracleSql(withRecall = false),
     "emb_knn_ivf_pq_residual_recall" ->
       IvfPqResidualOracleSql(withRecall = true),
     // the emb_knn_ivf_pq chain's top-3 scored against brute ground truth

@@ -1100,6 +1100,39 @@ object Similarity {
     ivfSearch(decoded, queries, centroids, queryPred, k, nprobe)
   }
 
+  /** [[knnIvfPqResidual]] against the PERSISTED [[ivfWriteIndex]] table —
+    * the production residual-IVF-PQ query path. The centroid add-back is a
+    * ≤nlist-row broadcast join riding the bucketed index scan (no
+    * cell-side exchange, same contract as [[knnIvfPqIndexed]], plan-gated
+    * in PlanShapeSpec), and encode/decode run in the probe's projection.
+    * The index stores cells assigned on exact vectors under the same
+    * centroids, so results are identical to the inline variant — the
+    * registered query shares its oracle verbatim. */
+  def knnIvfPqResidualIndexed(spark: SparkSession, indexTable: String,
+                              centroids: DataFrame, queryPred: Column,
+                              k: Int = 3, nprobe: Int = 4,
+                              m: Int = 8, ksub: Int = 16,
+                              codebook: Option[DataFrame] = None)
+      : DataFrame = {
+    val idx = spark.table(indexTable)
+    val withRes = idx
+      .join(broadcast(centroids.select(col("cell"),
+        col("centroid").as("_c"))), "cell")
+      .withColumn("res",
+        zip_with(col("embedding").cast("array<double>"), col("_c"),
+          (x, y) => x - y))
+    val cb = codebook.getOrElse(pqResidualSeedCodebook(withRes, m, ksub))
+    val recon = withPqDecoded(withRes, "res_dec", m, ksub, Some(cb),
+      inCol = "res")
+      .withColumn("pqv",
+        zip_with(col("res_dec"), col("_c"), (x, y) => x + y))
+    val indexed = recon.select(col("vec_id"),
+      col("pqv").as("embedding"), col("cell"))
+    val queries = spark.table(indexTable).withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    ivfSearch(indexed, queries, centroids, queryPred, k, nprobe)
+  }
+
   /** Probe the persisted [[ivfWriteIndex]] table with an EXTERNAL query
     * frame (`vec_id`, `embedding`) — the batch kernel of the streaming
     * serve path ([[graft.streaming.StreamingKnn]]). Identical chain to

@@ -191,6 +191,30 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("emb_knn_ivf_pq_residual_indexed: residual decode + centroid " +
+    "add-back ride the bucketed scan — co-located probe join, NO " +
+    "cell-side exchange") {
+    try {
+      val (n, plan, _) = ran("emb_knn_ivf_pq_residual_indexed")
+      assert(n > 0)
+      assert(!plan.contains("CartesianProduct"),
+        s"emb_knn_ivf_pq_residual_indexed plans a cartesian product:\n$plan")
+      assert(plan.contains("graft_ivf_idx_"),
+        s"must scan the persisted index table:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"centroid add-back and probe join must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"index side shuffled:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(cell"),
+        s"residual chain cost the scan its bucketed partitioning:\n$plan")
+    } finally {
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_ivf_idx_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("emb_knn_ivf_pq: ADC search keeps the IVF probe shape — probes " +
     "broadcast, corpus never shuffled on cell; the 1-row codebook rides " +
     "a bounded broadcast") {
