@@ -137,11 +137,41 @@ object Multimodal {
     None
   }
 
+  /** GIF: "GIF87a"/"GIF89a" then the logical screen descriptor — width
+    * and height as 2-byte LITTLE-endian at offsets 6/8 (the one image
+    * format here with LE dims). Frame counting needs a full block walk;
+    * channels report 1 (palette-indexed) like PNG color type 3. */
+  private def parseGif(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 13) return None
+    val sig = ascii(b, 0, 6)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    Some(MediaMeta(id, b.length.toLong, "gif",
+      le(b, 6, 2), le(b, 8, 2), 1, 0, valid = true))
+  }
+
+  /** BMP: "BM" + file header, then a BITMAPINFOHEADER (size ≥ 40) whose
+    * width/height are 4-byte LE at offsets 18/22 (height may be negative
+    * for top-down rows — report magnitude) and bits-per-pixel 2-byte LE
+    * at 28 → channels = bpp/8 rounded up. */
+  private def parseBmp(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 30 || ascii(b, 0, 2) != "BM") return None
+    if (le(b, 14, 4) < 40) return None // not an INFOHEADER variant
+    // le() assembles the full int32 bit pattern, so a top-down bitmap's
+    // negative height arrives negative — report the magnitude
+    val height = math.abs(le(b, 22, 4))
+    val bpp = le(b, 28, 2)
+    if (bpp == 0) return None
+    Some(MediaMeta(id, b.length.toLong, "bmp",
+      le(b, 18, 4), height, math.max(1, (bpp + 7) / 8), 0,
+      valid = true))
+  }
+
   /** Sniff + parse one payload; unknown/corrupt headers come back as an
     * invalid row rather than an exception (dirty corpora are the norm). */
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta =
     parsePng(id, bytes).orElse(parseJpeg(id, bytes))
       .orElse(parseWav(id, bytes))
+      .orElse(parseGif(id, bytes)).orElse(parseBmp(id, bytes))
       .getOrElse(MediaMeta(id, bytes.length.toLong, "unknown",
         0, 0, 0, 0, valid = false))
 
