@@ -482,6 +482,12 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "doc_langid_ngram" -> ((s, dir) =>
       TextAnalysis.languageIdNgram(t(s, dir, "documents"))),
+    // canonical-form pass: lower → strip tags → collapse whitespace → trim
+    "doc_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(t(s, dir, "documents"))),
+    // language-ID accuracy readout: labeled lang × ngram guess confusion
+    "corpus_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langidConfusion(t(s, dir, "documents"))),
     "doc_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(t(s, dir, "documents"))),
     // composite Gopher-style gate: per-rule signals + keep verdict
@@ -1009,6 +1015,9 @@ object SparkEntry {
     // weekly cohort retention matrix: first-active ISO week x week offset
     "events_cohort_retention" -> ((s, dir) =>
       Funnels.cohortRetention(events(s, dir))),
+    // JSON props promotion + per-type profile (null share = drift alarm)
+    "events_props_stats" -> ((s, dir) =>
+      Funnels.propsStats(events(s, dir))),
     // Real container-header decode: synthMediaPayload embeds genuine
     // PNG/JPEG/WAV headers (doc_id-derived dims/rates), decodeMeta parses
     // them back byte-for-byte; the oracle computes the same fields
@@ -1018,6 +1027,12 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
         Multimodal.synthMediaPayload(t(s, dir, "documents"))).toDF()
+        .withColumn("valid", col("valid").cast("int"))),
+    // ISO-BMFF box walk: nested moov→{mvhd,trak→tkhd} recovery of
+    // duration/timescale and 16.16 fixed-point dims, oracle-mirrored
+    "multimodal_decode_mp4" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+        Multimodal.synthMp4Payload(t(s, dir, "documents"))).toDF()
         .withColumn("valid", col("valid").cast("int"))),
     "multimodal_meta" -> ((s, dir) => {
       val nb = length(encode(col("text"), "UTF-8")).cast("long")
@@ -1778,6 +1793,39 @@ object SparkEntry {
         |      WHEN de > 0 THEN 'de'
         |      ELSE 'unknown' END AS lang_guess_ngram
         |FROM sc""".stripMargin,
+    "doc_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ',
+        |    'g'), '\s+', ' ', 'g')) AS norm_text, text FROM documents)
+        |SELECT doc_id, norm_text,
+        | CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+        | CAST(length(text) - length(norm_text) AS BIGINT) AS n_chars_removed
+        |FROM n""".stripMargin,
+    "corpus_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        | sc AS (SELECT doc_id, lang,
+        |  CAST((length(lt) - length(regexp_replace(lt, 'th', '', 'g'))) / 2 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'he', '', 'g'))) / 2 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'ing', '', 'g'))) / 3 AS BIGINT) AS en,
+        |  CAST((length(lt) - length(regexp_replace(lt, 'ción', '', 'g'))) / 4 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'que', '', 'g'))) / 3 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'los', '', 'g'))) / 3 AS BIGINT) AS es,
+        |  CAST((length(lt) - length(regexp_replace(lt, 'sch', '', 'g'))) / 3 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'der', '', 'g'))) / 3 AS BIGINT)
+        |  + CAST((length(lt) - length(regexp_replace(lt, 'ein', '', 'g'))) / 3 AS BIGINT) AS de
+        |  FROM t),
+        | g AS (SELECT lang,
+        |  CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+        |       WHEN es >= de AND es > 0 THEN 'es'
+        |       WHEN de > 0 THEN 'de'
+        |       ELSE 'unknown' END AS lang_guess FROM sc),
+        | tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_labeled
+        |  FROM g GROUP BY lang)
+        |SELECT g.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n,
+        | round(CAST(count(*) AS DOUBLE) / any_value(tot.n_labeled), 4)
+        |   AS share_of_lang
+        |FROM g JOIN tot ON g.lang = tot.lang
+        |GROUP BY g.lang, g.lang_guess""".stripMargin,
     "doc_quality_filter" ->
       """WITH w AS (SELECT doc_id, lang, source,
         |  string_split(text, ' ') AS words FROM documents),
@@ -4024,6 +4072,22 @@ object SparkEntry {
         |   (SELECT count(*) FROM f), 4) AS share
         |FROM o WHERE day_offset IN (0, 1, 3, 7, 14)
         |GROUP BY day_offset""".stripMargin,
+    // JSON props field promoted per-row, profiled per event type; mean as
+    // integral-sum quotient (n - n_null denominator)
+    "events_props_stats" ->
+      """WITH k AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_null,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS BIGINT) AS min_k,
+        | CAST(max(k) AS BIGINT) AS max_k,
+        | round(CAST(sum(k) AS DOUBLE) /
+        |   (count(*) - sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)), 4)
+        |   AS mean_k
+        |FROM k GROUP BY event_type""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CAST(CASE doc_id % 3
@@ -4045,8 +4109,32 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id % 3 = 2 THEN CASE (doc_id // 3) % 3
         |     WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
         |   ELSE 0 END AS INTEGER) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 3 = 2 THEN
+        |     (octet_length(encode(text)) * 1000) //
+        |     ((CASE (doc_id // 3) % 3
+        |       WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+        |      * (1 + doc_id % 2) * 2)
+        |   ELSE 0 END AS BIGINT) AS duration_ms,
         | CAST(1 AS INTEGER) AS valid
         |FROM documents""".stripMargin,
+    // ISO-BMFF: n_bytes = ftyp(16) + moov(136) + mdat header(8) + body;
+    // duration_ms = floor(duration_units*1000/timescale) exactly as the
+    // parser computes it from the mvhd fields
+    "multimodal_decode_mp4" ->
+      """WITH ts AS (SELECT doc_id, text,
+        |  CASE (doc_id // 3) % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |    ELSE 90000 END AS timescale FROM documents)
+        |SELECT doc_id,
+        | CAST(160 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | 'mp4' AS format,
+        | CAST(16 + doc_id % 1280 AS INTEGER) AS width,
+        | CAST(16 + (doc_id // 3) % 720 AS INTEGER) AS height,
+        | CAST(0 AS INTEGER) AS channels,
+        | CAST(0 AS INTEGER) AS sample_rate,
+        | CAST(((timescale * (1 + doc_id % 30) + doc_id % 7) * 1000)
+        |   // timescale AS BIGINT) AS duration_ms,
+        | CAST(1 AS INTEGER) AS valid
+        |FROM ts""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -530,4 +530,34 @@ object Funnels {
         round(col("n_active").cast("double") / col("n_cohort"), 4)
           .as("share"))
   }
+
+  /** Semi-structured payload promotion + stats: events carry a JSON `props`
+    * string (the universal "loose bag of attributes" column); extract a
+    * numeric field by JSON path, then aggregate per event type — count,
+    * null share (the schema-drift alarm: a producer that stopped sending
+    * the field shows up as a rising null share, not a silent zero), sum /
+    * min / max, and the mean as an integral-sum quotient rounded 4dp.
+    *
+    * Scale shape: `get_json_object` is a per-row codegen'd expression, so
+    * the extraction rides the scan; the aggregate is ≤|event types| keys.
+    * At 100 TB the right production layout is promoting hot JSON fields to
+    * real columns at ingest — this operator IS that promotion step, fused
+    * with the profiling report that says which fields are worth it. */
+  def propsStats(events: DataFrame, path: String = "$.k",
+                 propsCol: String = "props"): DataFrame = {
+    val k = get_json_object(col(propsCol), path).cast("long")
+    events
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .select(col("event_type"), col("n"), col("n_null"),
+        col("sum_k"), col("min_k"), col("max_k"),
+        round(col("sum_k").cast("double") / (col("n") - col("n_null")), 4)
+          .as("mean_k"))
+  }
 }

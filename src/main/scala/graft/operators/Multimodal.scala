@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * (image/audio/video) as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * The decoder is a REAL header parser for the three container formats a
-  * crawl corpus actually carries — PNG (IHDR chunk), JPEG (SOF marker walk),
-  * WAV (RIFF `fmt ` chunk walk) — extracting (format, width, height,
-  * channels, sample_rate) from the payload bytes. Full pixel/sample decode
-  * (zlib inflate, DCT, PCM) needs codec libraries this container doesn't
-  * ship; the header parse is the part a 100 TB metadata/filter pass needs,
-  * and it runs inside the same `mapPartitions` boundary a full codec would
+  * The decoder is a REAL header parser for the container formats a crawl
+  * corpus actually carries — PNG (IHDR chunk), JPEG (SOF marker walk), WAV
+  * (RIFF chunk walk incl. duration from the `data` chunk), MP4/ISO-BMFF
+  * (nested box walk: `mvhd` duration + `tkhd` dimensions), GIF, BMP —
+  * extracting (format, width, height, channels, sample_rate, duration_ms)
+  * from the payload bytes. Full pixel/sample decode (zlib inflate, DCT,
+  * PCM, H.26x) needs codec libraries this container doesn't ship; the
+  * header parse is the part a 100 TB metadata/filter pass needs, and it
+  * runs inside the same `mapPartitions` boundary a full codec would
   * (per-partition init amortized, the Scala analogue of `mapInPandas`).
   *
   * Scale posture: every operator here is map-only — binary columns travel
@@ -24,11 +26,13 @@ object Multimodal {
 
   /** Typed metadata parsed from a media payload's container header.
     * `width`/`height` are 0 for audio; `sample_rate` is 0 for images;
-    * `valid` is false when no known magic matches or the header is
-    * truncated/corrupt (all numeric fields then 0, format "unknown"). */
+    * `duration_ms` is 0 for stills and for audio/video whose header
+    * carries no length; `valid` is false when no known magic matches or
+    * the header is truncated/corrupt (all numeric fields then 0, format
+    * "unknown"). */
   case class MediaMeta(doc_id: Long, n_bytes: Long, format: String,
                        width: Int, height: Int, channels: Int,
-                       sample_rate: Int, valid: Boolean)
+                       sample_rate: Int, duration_ms: Long, valid: Boolean)
 
   /** A fixed-size feature vector per payload. */
   case class MediaFeatures(doc_id: Long, features: Array[Float])
@@ -84,7 +88,7 @@ object Multimodal {
     }
     if (channels < 0) return None
     Some(MediaMeta(id, b.length.toLong, "png",
-      be(b, 16, 4), be(b, 20, 4), channels, 0, valid = true))
+      be(b, 16, 4), be(b, 20, 4), channels, 0, 0L, valid = true))
   }
 
   /** JPEG: SOI (FFD8) then a marker-segment walk — skip APPn/COM/etc by
@@ -109,7 +113,7 @@ object Multimodal {
         if (isSof) {
           if (i + 9 >= b.length || segLen < 8) return None
           return Some(MediaMeta(id, b.length.toLong, "jpeg",
-            be(b, i + 7, 2), be(b, i + 5, 2), b(i + 9) & 0xff, 0,
+            be(b, i + 7, 2), be(b, i + 5, 2), b(i + 9) & 0xff, 0, 0L,
             valid = true))
         }
         if (segLen < 2) return None
@@ -120,21 +124,71 @@ object Multimodal {
   }
 
   /** WAV: "RIFF" size "WAVE", then a chunk walk — id(4) size(4 LE),
-    * word-aligned — to the `fmt ` chunk: format(2 LE) channels(2 LE)
-    * sample-rate(4 LE). */
+    * word-aligned — collecting the `fmt ` chunk (format(2 LE) channels(2 LE)
+    * sample-rate(4 LE) byte-rate(4 LE)) and the `data` chunk's declared
+    * size; duration_ms = data bytes × 1000 / byte-rate (0 when either is
+    * missing — header metadata only, no PCM decode). */
   private def parseWav(id: Long, b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 12 || ascii(b, 0, 4) != "RIFF" ||
       ascii(b, 8, 4) != "WAVE") return None
     var i = 12
+    var channels = -1; var rate = 0; var byteRate = 0
+    var dataBytes = -1L
     while (i + 8 <= b.length) {
       val chunkId = ascii(b, i, 4)
       val size = le(b, i + 4, 4)
-      if (chunkId == "fmt " && size >= 16 && i + 16 <= b.length)
-        return Some(MediaMeta(id, b.length.toLong, "wav",
-          0, 0, le(b, i + 10, 2), le(b, i + 12, 4), valid = true))
+      if (size < 0) return None // corrupt declared size: stop the walk
+      if (chunkId == "fmt " && size >= 16 && i + 24 <= b.length) {
+        channels = le(b, i + 10, 2)
+        rate = le(b, i + 12, 4)
+        byteRate = le(b, i + 16, 4)
+      } else if (chunkId == "data" && dataBytes < 0) {
+        dataBytes = size.toLong
+      }
       i += 8 + size + (size & 1)
     }
-    None
+    if (channels < 0) return None
+    val duration =
+      if (dataBytes >= 0 && byteRate > 0) dataBytes * 1000L / byteRate else 0L
+    Some(MediaMeta(id, b.length.toLong, "wav",
+      0, 0, channels, rate, duration, valid = true))
+  }
+
+  /** MP4 / ISO-BMFF: a box walk — size(4 BE) type(4 ASCII) at each level.
+    * Sniff on an `ftyp` first box; then `moov` → `mvhd` (version-0:
+    * timescale(4 BE) at +20, duration(4 BE) at +24 → duration_ms) and
+    * `moov` → `trak` → `tkhd` (version-0: width/height as 16.16 fixed
+    * point at +84/+88 — the integer part is the pixel dimension). The
+    * walk never touches `mdat`: the 100 TB metadata pass reads a few
+    * hundred header bytes per clip no matter the payload size. */
+  private def parseMp4(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 16 || ascii(b, 4, 4) != "ftyp") return None
+    var timescale = 0; var duration = 0L
+    var w = 0; var h = 0
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = be(b, i, 4)
+        if (size < 8 || i + size > until) return // corrupt: stop the walk
+        val box = ascii(b, i + 4, 4)
+        if (box == "moov" && depth == 0) walk(i + 8, i + size, 1)
+        else if (box == "trak" && depth == 1) walk(i + 8, i + size, 2)
+        else if (box == "mvhd" && depth == 1 && (b(i + 8) & 0xff) == 0 &&
+          i + 28 <= until) {
+          timescale = be(b, i + 20, 4)
+          duration = be(b, i + 24, 4).toLong & 0xffffffffL
+        } else if (box == "tkhd" && depth == 2 && (b(i + 8) & 0xff) == 0 &&
+          i + 92 <= until) {
+          w = be(b, i + 84, 2) // 16.16 fixed point: integer part
+          h = be(b, i + 88, 2)
+        }
+        i += size
+      }
+    }
+    walk(0, b.length, 0)
+    if (timescale <= 0) return None // no mvhd: not a playable container
+    Some(MediaMeta(id, b.length.toLong, "mp4",
+      w, h, 0, 0, duration * 1000L / timescale, valid = true))
   }
 
   /** GIF: "GIF87a"/"GIF89a" then the logical screen descriptor — width
@@ -146,7 +200,7 @@ object Multimodal {
     val sig = ascii(b, 0, 6)
     if (sig != "GIF87a" && sig != "GIF89a") return None
     Some(MediaMeta(id, b.length.toLong, "gif",
-      le(b, 6, 2), le(b, 8, 2), 1, 0, valid = true))
+      le(b, 6, 2), le(b, 8, 2), 1, 0, 0L, valid = true))
   }
 
   /** BMP: "BM" + file header, then a BITMAPINFOHEADER (size ≥ 40) whose
@@ -162,7 +216,7 @@ object Multimodal {
     val bpp = le(b, 28, 2)
     if (bpp == 0) return None
     Some(MediaMeta(id, b.length.toLong, "bmp",
-      le(b, 18, 4), height, math.max(1, (bpp + 7) / 8), 0,
+      le(b, 18, 4), height, math.max(1, (bpp + 7) / 8), 0, 0L,
       valid = true))
   }
 
@@ -170,10 +224,10 @@ object Multimodal {
     * invalid row rather than an exception (dirty corpora are the norm). */
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta =
     parsePng(id, bytes).orElse(parseJpeg(id, bytes))
-      .orElse(parseWav(id, bytes))
+      .orElse(parseWav(id, bytes)).orElse(parseMp4(id, bytes))
       .orElse(parseGif(id, bytes)).orElse(parseBmp(id, bytes))
       .getOrElse(MediaMeta(id, bytes.length.toLong, "unknown",
-        0, 0, 0, 0, valid = false))
+        0, 0, 0, 0, 0L, valid = false))
 
   /** Decode payloads to typed metadata. `mapPartitions` so a full codec
     * can amortize per-batch init (codec contexts, GPU handles) across the
@@ -215,7 +269,9 @@ object Multimodal {
     *         color type cycles grey/rgb/rgba by (id÷3)%3
     *   jpeg: w = 16 + id%1000, h = 16 + (id÷7)%1000,
     *         1 or 3 components by (id÷3)%2, APP0(JFIF) before SOF0
-    *   wav : channels = 1 + id%2, rate cycles 8k/16k/44.1k by (id÷3)%3 */
+    *   wav : channels = 1 + id%2, rate cycles 8k/16k/44.1k by (id÷3)%3;
+    *         data chunk declares the body length, so duration_ms =
+    *         body_bytes·1000 ÷ (rate·ch·2) */
   def synthMediaPayload(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val body = encode(col("text"), "UTF-8")
@@ -263,6 +319,45 @@ object Multimodal {
 
     docs.withColumn("payload",
       when(id % 3 === 0, png).when(id % 3 === 1, jpeg).otherwise(wav))
+  }
+
+  /** Attach a `payload` column carrying a structurally-real ISO-BMFF (MP4)
+    * container: `ftyp` (isom) → `moov` [ `mvhd` (timescale, duration) +
+    * `trak` → `tkhd` (16.16 fixed-point width/height, canonical identity
+    * matrix) ] → `mdat` wrapping the document text. Every box declares its
+    * true size, so [[parseMp4]]'s walk must get the nesting and offsets
+    * exactly right to recover the embedded fields. Field formulas
+    * (mirrored by the `multimodal_decode_mp4` oracle):
+    *   timescale cycles 600 / 1000 / 90000 by (id÷3)%3
+    *   duration  = timescale·(1 + id%30) + id%7  (units of timescale)
+    *   w = 16 + id%1280, h = 16 + (id÷3)%720 */
+  def synthMp4Payload(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val body = encode(col("text"), "UTF-8")
+    val d3 = expr("doc_id DIV 3")
+    val timescale = when(d3 % 3 === 0, lit(600))
+      .when(d3 % 3 === 1, lit(1000)).otherwise(lit(90000))
+    val duration = timescale * (lit(1) + id % 30) + id % 7
+    val w = lit(16) + id % 1280
+    val h = lit(16) + d3 % 720
+    val ftyp = bin("000000106674797069736F6D00000000")
+    val mvhd = concat(
+      bin("0000001C6D766864"),          // size 28, 'mvhd'
+      bin("000000000000000000000000"),  // version/flags, ctime, mtime
+      be4(timescale), be4(duration))
+    val tkhd = concat(
+      bin("0000005C746B6864"),          // size 92, 'tkhd'
+      bin("000000000000000000000000"),  // version/flags, ctime, mtime
+      bin("000000010000000000000000"),  // track id 1, reserved, duration 0
+      bin("00000000000000000000000000000000"), // res(8) layer alt vol res
+      bin("000100000000000000000000000000000001000000000000" +
+        "000000000000000040000000"), // canonical identity matrix
+      be2(w), bin("0000"), be2(h), bin("0000")) // 16.16 fixed point dims
+    val trak = concat(bin("000000647472616B"), tkhd) // size 100, 'trak'
+    val moov = concat(bin("000000886D6F6F76"), mvhd, trak) // size 136
+    val mdat = concat(be4(length(body) + 8),
+      encode(lit("mdat"), "UTF-8"), body)
+    docs.withColumn("payload", concat(ftyp, moov, mdat))
   }
 
   /** Feature extraction: fixed-width vector per payload (byte histogram

@@ -803,4 +803,42 @@ object TextAnalysis {
         lit("g" * 32),
         (acc, i) => least(acc, md5(col("text").substr(i, lit(gram)))))
         .as("rolling_fp"))
+
+  /** Canonical text normalization — the first pass of every curation
+    * pipeline, run before fingerprinting/dedup so cosmetic variants (case,
+    * markup, whitespace runs) collapse to one canonical form: lowercase →
+    * strip HTML-ish tags → collapse whitespace runs to single spaces → trim.
+    * Emits the normalized text plus n_chars_norm and n_chars_removed so a
+    * downstream gate can flag markup-heavy docs (high removed share) without
+    * re-reading the raw text. Pure per-row `regexp_replace` chain: map-only,
+    * codegen'd, no shuffle — at 100 TB this is a scan-speed pass. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "<[^>]*>", " "),
+      "\\s+", " "))
+    docs.select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      length(norm).cast("long").as("n_chars_norm"),
+      (length(col("text")) - length(norm)).cast("long")
+        .as("n_chars_removed"))
+  }
+
+  /** Language-ID evaluation: the confusion matrix of labeled `lang` vs
+    * [[languageIdNgram]]'s prediction, with per-cell share of the labeled
+    * row (integral-count quotient, 4dp). The accuracy readout that says
+    * whether the cheap classifier is good enough to gate a corpus on —
+    * one tiny (lang × guess) aggregate over a map-only scoring pass. */
+  def langidConfusion(docs: DataFrame): DataFrame = {
+    val scored = languageIdNgram(docs)
+      .withColumnRenamed("lang_guess_ngram", "lang_guess")
+    val rowTotals = scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_labeled"))
+    scored.groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("n"))
+      .join(rowTotals, "lang")
+      .select(col("lang"), col("lang_guess"), col("n"),
+        round(col("n").cast("double") / col("n_labeled"), 4)
+          .as("share_of_lang"))
+  }
 }
