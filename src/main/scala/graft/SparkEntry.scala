@@ -848,6 +848,11 @@ object SparkEntry {
         ann = Similarity.knnLsh(e, col("vec_id") < 8, k = 3),
         truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
     }),
+    // Matryoshka dial: recall@3 per prefix width vs full-width truth,
+    // every width read off ONE scored corpus scan
+    "emb_dim_truncation_sweep" -> ((s, dir) =>
+      Similarity.dimTruncationSweep(t(s, dir, "embeddings"),
+        col("vec_id") < 8, dims = Seq(4, 8, 16, 32, 64), k = 3)),
     // recall cost of 4x SQ8 compression: brute kNN over the dequantized
     // corpus vs exact (sq8Dequantized is fully lazy — the d-row param table
     // is a broadcast 1-row arrays frame, no plan-time job)
@@ -3353,6 +3358,43 @@ object SparkEntry {
         |FROM (SELECT q_id, c_id, cos, row_number() OVER
         |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
         |WHERE rn <= 5""".stripMargin,
+    // prefix-width cosine per (pair, width) off one q×corpus product;
+    // truth CTE = the emb_knn_brute oracle at k=3
+    "emb_dim_truncation_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | ft AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM q, e c WHERE c.vec_id <> q_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM ft) t WHERE rn <= 3),
+        | s AS (SELECT q_id, c.vec_id AS c_id, d.d AS dims_kept,
+        |   list_aggregate(list_transform(range(1, d.d + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, d.d + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, d.d + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM q, e c, (SELECT unnest([4, 8, 16, 32, 64]) AS d) d
+        |  WHERE c.vec_id <> q_id),
+        | top AS (SELECT dims_kept, q_id, c_id FROM (SELECT dims_kept,
+        |   q_id, c_id, row_number() OVER (PARTITION BY dims_kept, q_id
+        |     ORDER BY cos DESC, c_id) AS rn FROM s) t WHERE rn <= 3)
+        |SELECT top.dims_kept,
+        | CAST(sum(CASE WHEN truth.c_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_hits,
+        | CAST(count(DISTINCT top.q_id) AS BIGINT) AS n_queries,
+        | round(CAST(sum(CASE WHEN truth.c_id IS NOT NULL THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / (count(DISTINCT top.q_id) * 3), 4) AS recall
+        |FROM top LEFT JOIN truth
+        |  ON top.q_id = truth.q_id AND top.c_id = truth.c_id
+        |GROUP BY top.dims_kept""".stripMargin,
     // Banded multi-probe sign-LSH: 4 bands × 8 sign bits (dims b*16+1 ..
     // b*16+8, bit j weighted 2^j), candidates = union of same-(band,bucket)
     // matches, deduped before top-k — mirrors Similarity.knnLsh exactly.

@@ -326,6 +326,49 @@ object Similarity {
       .select(col("q_id"), col("n_hit"),
         round(col("n_hit").cast("double") / k, 4).as("recall"))
 
+  /** Matryoshka-style dimension-truncation sweep: recall@k of brute cosine
+    * search over each PREFIX width of the embedding vs full-width ground
+    * truth — the memory/recall dial of truncatable (MRL-trained) embedding
+    * models, measured on this corpus instead of assumed from the model
+    * card. Keeping 16 of 64 dims cuts index bytes 4× exactly like SQ8;
+    * this table says what that costs HERE, next to the quantizer recalls.
+    *
+    * Run-once-read-many like the nprobe/band sweeps: ONE broadcast-query
+    * corpus scan scores every (pair, width) — each extra width costs one
+    * more fold over a shorter prefix, not another scan — then per-width
+    * ranking and the truth join are probe-bounded (≤|Q|·|C| explode rows,
+    * top-k frames ≤|Q|·k·|widths|). n_hits/n_queries are exact integers;
+    * recall = n_hits/(n_queries·k), an integral-count quotient. */
+  def dimTruncationSweep(emb: DataFrame, queryPred: Column,
+                         dims: Seq[Int] = Seq(4, 8, 16, 32, 64),
+                         k: Int = 3): DataFrame = {
+    require(dims.nonEmpty, "dimTruncationSweep: at least one width")
+    val truth = knnBrute(emb, queryPred, k).select(col("q_id"), col("c_id"))
+    def pref(v: Column, d: Int): Column = slice(v, 1, d)
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val widths = array(dims.map { d =>
+      struct(lit(d).as("dims_kept"),
+        (dot(pref(col("qv"), d), pref(col("cv"), d)) /
+          (l2(pref(col("qv"), d)) * l2(pref(col("cv"), d)))).as("cos"))
+    }: _*)
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), explode(widths).as("w"))
+      .select(col("q_id"), col("c_id"),
+        col("w.dims_kept").as("dims_kept"), col("w.cos").as("cos"))
+    val w = Window.partitionBy(col("dims_kept"), col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .groupBy("dims_kept")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        countDistinct(col("q_id")).as("n_queries"))
+      .select(col("dims_kept"), col("n_hits"), col("n_queries"),
+        round(col("n_hits").cast("double") / (col("n_queries") * k), 4)
+          .as("recall"))
+  }
+
   /** kNN majority-vote classification: predict each query vector's label
     * from its `k` nearest neighbors (exact cosine), tie-breaking toward the
     * SMALLEST label so the prediction is deterministic. This is the

@@ -391,6 +391,19 @@ class NorthStarSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_index_q")
   }
 
+  test("Similarity.dimTruncationSweep: full-width recall is exactly 1.0 " +
+    "(truth vs itself), every width reports the same query count") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.dimTruncationSweep(emb, col("vec_id") < 4,
+      dims = Seq(8, 32, 64), k = 3).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(8, 32, 64))
+    assert(rows(64).getDouble(3) == 1.0, "full width must recover truth")
+    assert(rows(64).getLong(1) == rows(64).getLong(2) * 3) // n_hits = q*k
+    assert(rows.values.map(_.getLong(2)).toSet.size == 1, "same |Q| per row")
+  }
+
   test("Similarity.knnIvf with seeded centroids: full probe == brute force; " +
     "ivfWriteIndex persists a cell-bucketed index") {
     val emb = spark.read
