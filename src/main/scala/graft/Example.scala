@@ -32,6 +32,8 @@ object Example {
     val meta = Multimodal.decodeMeta(Multimodal.synthMediaPayload(docs))
     println(s"[example] decodeMeta rows=${meta.count()}")
     meta.show(3)
+    println("[example] MP4 box-walk decode (duration + track dims):")
+    Multimodal.decodeMeta(Multimodal.synthMp4Payload(docs)).show(3)
     val frames = Multimodal.frameSample(withP, every = 2, frameBytes = 64)
     println(s"[example] frameSample frames=${frames.count()} " +
       s"from docs=${docs.count()}")
@@ -113,6 +115,13 @@ object Example {
       Dedup.editSimilarityOn(docs,
         Dedup.lshCandidatePairs(Dedup.minhash(docs))).orderBy(
         col("sim").desc, col("doc_a")).show(5)
+      println("[example] canonical normalization (chars removed per doc):")
+      TextAnalysis.normalize(docs)
+        .agg(sum(col("n_chars_removed")).as("chars_removed"),
+          count(lit(1)).as("docs")).show()
+      println("[example] language-ID confusion matrix (label vs guess):")
+      TextAnalysis.langidConfusion(docs)
+        .orderBy(col("n").desc).show(5)
     }
 
     // ANN: IVF-SQ8 (codes in the cells, exact rescore) + measured recall
@@ -144,6 +153,9 @@ object Example {
       println("[example] MMR re-rank (diversity beats redundancy):")
       Similarity.mmrRerank(emb, col("vec_id") < 2, poolK = 10, k = 3)
         .orderBy("q_id", "rank").show()
+      println("[example] dimension-truncation recall (the Matryoshka dial):")
+      Similarity.dimTruncationSweep(emb, col("vec_id") < 4,
+        dims = Seq(8, 16, 32, 64), k = 3).orderBy("dims_kept").show()
     }
 
     // events analytics: where users go next, session health, bot accounts
@@ -161,6 +173,10 @@ object Example {
       println("[example] think-time histogram (the sessionization dial):")
       SparkEntry.queries("events_interarrival_hist")(spark, sfDir)
         .orderBy("bucket").show()
+      println("[example] JSON props profile per event type (null share " +
+        "is the schema-drift alarm):")
+      SparkEntry.queries("events_props_stats")(spark, sfDir)
+        .orderBy("event_type").show()
     }
 
     // streaming sessionization with custom keyed state
