@@ -377,6 +377,12 @@ object SparkEntry {
       CdrOps.withRecordType(cdrLines(s, dir))
         .groupBy("record_type").agg(count(lit(1)).as("n"))
     }),
+    // the skew mitigation value-proven: two-phase salted count must equal
+    // the plain groupBy (the oracle IS cdr_route_count's, minus dt)
+    "cdr_route_count_salted" -> ((s, dir) =>
+      Skew.saltedCount(CdrOps.withRecordType(cdrLines(s, dir)),
+        col("record_type"), col("value"))
+        .withColumnRenamed("key", "record_type")),
     "cdr_parse_fields" -> ((s, dir) => {
       import CdrOps._
       parseDelim(cdrLines(s, dir), ",").select(
@@ -957,6 +963,10 @@ object SparkEntry {
     }),
     "events_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.sessionsBatch(events(s, dir), 1800)),
+    // the gap dial measured: per candidate threshold, what the session
+    // frame becomes — all thresholds read off one lag pass
+    "events_session_gap_sweep" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionGapSweep(events(s, dir))),
     // one-row session-health summary (counts + mean/max length and
     // duration) over the same 30-min-gap sessions
     "events_session_stats" -> ((s, dir) =>
@@ -1613,6 +1623,10 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey)""".stripMargin,
 
     "cdr_route_count" -> (CdrSql +
+      """SELECT substring(value, 1, 2) AS record_type, count(*) AS n
+        |FROM cdr GROUP BY 1""".stripMargin),
+    // salted two-phase == plain groupBy: the oracle is the plain form
+    "cdr_route_count_salted" -> (CdrSql +
       """SELECT substring(value, 1, 2) AS record_type, count(*) AS n
         |FROM cdr GROUP BY 1""".stripMargin),
     "cdr_parse_fields" -> (CdrSql +
@@ -3854,6 +3868,21 @@ object SparkEntry {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    // per-gap conditional count over ONE lag frame crossed with the gap
+    // list; count(*) per group = total events
+    "events_session_gap_sweep" ->
+      """WITH g AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER
+        |   (PARTITION BY user_id ORDER BY ts)) AS gap_us FROM events),
+        | x AS (SELECT CAST(s.s AS BIGINT) AS gap_seconds, g.gap_us FROM g,
+        |   (SELECT unnest([300, 1800, 3600, 86400]) AS s) s)
+        |SELECT gap_seconds,
+        | CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > gap_seconds * 1000000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(CAST(count(*) AS DOUBLE) /
+        |   sum(CASE WHEN gap_us IS NULL OR gap_us > gap_seconds * 1000000
+        |     THEN 1 ELSE 0 END), 4) AS mean_events_per_session
+        |FROM x GROUP BY gap_seconds""".stripMargin,
     // the events_sessionize chain collapsed to a 1-row health summary;
     // durations are integral epoch-ms deltas, means are sum/count quotients
     "events_session_stats" ->

@@ -134,4 +134,35 @@ object Sessionize {
           .as("avg_duration_ms"),
         max(col("dur_ms")).cast("long").as("max_duration_ms"))
   }
+
+  /** Gap-threshold sweep for the sessionization dial: session counts and
+    * mean session length at each candidate gap, read off ONE user-keyed
+    * lag pass (a session starts where the user's inter-event gap is null
+    * or exceeds the threshold, so n_sessions is a conditional count — no
+    * per-gap re-sessionization). The companion table to
+    * `events_interarrival_hist`: the histogram shows where think-time
+    * mass sits, this sweep shows what each cutoff DOES to the session
+    * frame before a gap is committed. All counts exact integers; the
+    * mean is an integral-count quotient rounded 4dp. */
+  def sessionGapSweep(events: DataFrame,
+                      gapsSeconds: Seq[Long] = Seq(300, 1800, 3600, 86400))
+      : DataFrame = {
+    require(gapsSeconds.nonEmpty, "sessionGapSweep: at least one gap")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val us = unix_micros(col("ts"))
+    val g = events.withColumn("gap_us", us - lag(us, 1).over(byUser))
+    val aggCols = gapsSeconds.map { s =>
+      sum(when(col("gap_us").isNull || col("gap_us") > s * 1000000L, 1L)
+        .otherwise(0L)).as(s"ns_$s")
+    } :+ count(lit(1)).as("n_events")
+    g.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(gapsSeconds.map(s =>
+        struct(lit(s).as("gap_seconds"), col(s"ns_$s").as("n_sessions"),
+          col("n_events"))): _*)).as("r"))
+      .select(col("r.gap_seconds").as("gap_seconds"),
+        col("r.n_sessions").as("n_sessions"),
+        col("r.n_events").as("n_events"),
+        round(col("r.n_events").cast("double") / col("r.n_sessions"), 4)
+          .as("mean_events_per_session"))
+  }
 }
