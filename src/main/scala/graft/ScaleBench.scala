@@ -76,7 +76,13 @@ object ScaleBench {
       // round-11: the residual-encoding twin — same plan family as
       // emb_knn_ivf_pq plus one broadcast centroid join, expected the
       // same ~linear growth
-      "emb_knn_ivf_pq_residual")
+      "emb_knn_ivf_pq_residual",
+      // round-11 late: the top-k formulation PAIR — row_number window
+      // (shuffle + sort of every scored pair) vs the native
+      // TypedImperativeAggregate heap (map-side partial, only |Q|·k rows
+      // cross the exchange). Same oracle-proven results; this cell pair
+      // measures what the plan difference buys as the pair count grows
+      "emb_knn_brute", "emb_knn_brute_heap")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the

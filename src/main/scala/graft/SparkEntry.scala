@@ -792,6 +792,11 @@ object SparkEntry {
       Similarity.norms(t(s, dir, "embeddings"))),
     "emb_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(t(s, dir, "embeddings"), col("vec_id") < 8, k = 5)),
+    // the native TypedImperativeAggregate top-k: identical results to the
+    // window form (shares its oracle VERBATIM), heap-aggregate plan
+    "emb_knn_brute_heap" -> ((s, dir) =>
+      Similarity.knnBruteHeap(t(s, dir, "embeddings"), col("vec_id") < 8,
+        k = 5)),
     "emb_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(t(s, dir, "embeddings"), col("vec_id") < 8, k = 3)),
     "emb_knn_ivf" -> ((s, dir) => {
@@ -1371,6 +1376,25 @@ object SparkEntry {
           |FROM truth t LEFT JOIN ann x USING (q_id, c_id)
           |GROUP BY t.q_id""".stripMargin
   }
+
+  /** Shared by `emb_knn_brute` (window top-k) and `emb_knn_brute_heap`
+    * (native TypedImperativeAggregate top-k): the two formulations differ
+    * only in physical plan, so they are held to the same oracle. */
+  private val BruteKnnOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+      | s AS (SELECT q_id, c.vec_id AS c_id,
+      |   list_aggregate(list_transform(range(1, len(qv) + 1),
+      |     i -> qv[i] * c.v[i]), 'sum') /
+      |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |     i -> qv[i] * qv[i]), 'sum')) *
+      |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+      |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+      |  FROM q, e c WHERE c.vec_id <> q_id)
+      |SELECT q_id, c_id, round(cos, 4) AS score
+      |FROM (SELECT q_id, c_id, cos, row_number() OVER
+      |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+      |WHERE rn <= 5""".stripMargin
 
   private val IvfOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3357,21 +3381,10 @@ object SparkEntry {
       """SELECT vec_id, round(sqrt(list_aggregate(list_transform(
         |  embedding::DOUBLE[], x -> x * x), 'sum')), 4) AS l2
         |FROM embeddings""".stripMargin,
-    "emb_knn_brute" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
-        | s AS (SELECT q_id, c.vec_id AS c_id,
-        |   list_aggregate(list_transform(range(1, len(qv) + 1),
-        |     i -> qv[i] * c.v[i]), 'sum') /
-        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
-        |     i -> qv[i] * qv[i]), 'sum')) *
-        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
-        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
-        |  FROM q, e c WHERE c.vec_id <> q_id)
-        |SELECT q_id, c_id, round(cos, 4) AS score
-        |FROM (SELECT q_id, c_id, cos, row_number() OVER
-        |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
-        |WHERE rn <= 5""".stripMargin,
+    "emb_knn_brute" -> BruteKnnOracleSql,
+    // the heap-aggregate form must return EXACTLY what the window form
+    // returns — same oracle, byte for byte
+    "emb_knn_brute_heap" -> BruteKnnOracleSql,
     // prefix-width cosine per (pair, width) off one q×corpus product;
     // truth CTE = the emb_knn_brute oracle at k=3
     "emb_dim_truncation_sweep" ->

@@ -57,17 +57,39 @@ object Similarity {
     * nearest other vectors. The query side is broadcast, so the plan is one
     * scan of the corpus per batch of queries — no shuffle of the corpus.
     * Ties break on candidate id for determinism. */
-  def knnBrute(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+  def knnBrute(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame =
+    topK(bruteScored(emb, queryPred), k)
+
+  private def bruteScored(emb: DataFrame, queryPred: Column): DataFrame = {
     val q = emb.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         l2(col("embedding")).as("q_nrm"))
     val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
       l2(col("embedding")).as("c_nrm"))
-    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
-    topK(scored, k)
   }
+
+  /** [[knnBrute]] with the top-k computed by the native
+    * [[graft.functions.TopKByScore]] heap aggregate instead of a
+    * `row_number` window: identical results (same `cos DESC, c_id ASC`
+    * ranking contract — `emb_knn_brute_heap` shares the window form's
+    * oracle verbatim), different physical plan. The window must shuffle
+    * and sort EVERY scored pair on q_id; the aggregate keeps a k-entry
+    * min-heap per query with map-side partial aggregation, so only
+    * |Q|·k-row heaps cross the exchange — the shape that survives a
+    * 100 TB candidate volume. Plan-gated in PlanShapeSpec:
+    * ObjectHashAggregate present, no WindowExec. */
+  def knnBruteHeap(emb: DataFrame, queryPred: Column,
+                   k: Int = 5): DataFrame =
+    bruteScored(emb, queryPred)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKFunctions
+        .topKByScore(col("cos"), col("c_id"), k).as("topk"))
+      .select(col("q_id"), explode(col("topk")).as("t"))
+      .select(col("q_id"), col("t.c_id").as("c_id"),
+        round(col("t.score"), 4).as("score"))
 
   /** 1-based dims feeding each sign-LSH band: `nBands` bands of `bits` dims,
     * strided so bands read disjoint regions of the vector. Dims beyond the

@@ -46,6 +46,25 @@ class PlanShapeSpec extends SparkTestBase {
       s"q1_agg must hash-aggregate (sort-agg means codegen fell off):\n$plan")
   }
 
+  test("emb_knn_brute_heap: native top-k aggregates (ObjectHashAggregate, " +
+    "partial map-side) — no WindowExec, no full sort of the scored pairs") {
+    val (n, plan, _) = ran("emb_knn_brute_heap")
+    assert(n > 0)
+    // (the |Q|-row broadcast NLJ is knnBrute's documented probe shape —
+    // the default-deny sweep below measures its build side like every
+    // other registered query's)
+    assert(!plan.contains("CartesianProduct"),
+      s"emb_knn_brute_heap plans a cartesian product:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate must run in ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"heap form must not fall back to the window top-k:\n$plan")
+    // partial + final = two ObjectHashAggregate nodes: the map-side heap
+    // is the whole point (only |Q|·k rows cross the exchange)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial aggregation missing — heaps not map-side:\n$plan")
+  }
+
   test("q2_broadcast_join: the dim join stays broadcast, fact side never " +
     "shuffled for the join") {
     val (n, plan, _) = ran("q2_broadcast_join")

@@ -59,6 +59,40 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(noCg == cg && cg == (3.0 + 1.25 - 12.0))
   }
 
+  test("TopKByScore: heap aggregate == window row_number under ties and " +
+    "across partial-merge boundaries; SQL registration works") {
+    val s = spark
+    import s.implicits._
+    // tie-heavy data: many equal scores so the id tie-break is load-bearing;
+    // 8 partitions so partial heaps MUST merge correctly
+    val rows = for (g <- 0L until 5L; i <- 0L until 40L)
+      yield (g, i, (i % 7).toDouble / 7.0)
+    val df = rows.toDF("g", "id", "score").repartition(8)
+    val heap = df.groupBy(col("g"))
+      .agg(graft.functions.TopKFunctions
+        .topKByScore(col("score"), col("id"), 5).as("topk"))
+      .select(col("g"), posexplode(col("topk")).as(Seq("rank", "t")))
+      .select(col("g"), col("rank"), col("t.score").as("score"),
+        col("t.c_id").as("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id"))
+    val win = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("g"), (col("rn") - 1).as("rank"), col("score"), col("id"))
+    assert(heap.collect().toSet == win.collect().toSet)
+    // rank order inside the array is the ranking order (score DESC, id ASC)
+    val g0 = heap.filter(col("g") === 0).orderBy("rank").collect()
+      .map(r => (r.getDouble(2), r.getLong(3))).toSeq
+    assert(g0 == g0.sortBy { case (sc, id) => (-sc, id) })
+    // SQL surface (GraftExtensions): literal k required and honored
+    df.createOrReplaceTempView("topk_in")
+    val viaSql = s.sql(
+      """SELECT g, top_k_by_score(score, id, 5) AS topk
+        |FROM topk_in GROUP BY g""".stripMargin)
+      .select(col("g"), explode(col("topk"))).count()
+    assert(viaSql == 25L) // 5 groups x k=5
+  }
+
   test("residual PQ: vectors built as centroid + a residual-codebook entry " +
     "reconstruct EXACTLY, so residual ADC equals exact IVF scoring") {
     val s = spark
