@@ -62,6 +62,10 @@ object Example {
       Dedup.lineDedup(docs, sep = " ", maxDocs = 40)
         .agg(sum(col("n_lines")).as("lines_in"),
           sum(col("n_removed")).as("lines_removed")).show()
+      println("[example] exact-substring span dedup (8-token windows):")
+      Dedup.spanDedup(docs)
+        .agg(sum(col("n_tokens")).as("tokens_in"),
+          sum(col("n_removed")).as("tokens_removed")).show()
       val newBatch = docs.filter(col("doc_id") % 10 === 0)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val survived = Dedup.incrementalDedup(newBatch, corpus,
@@ -100,6 +104,13 @@ object Example {
       Dedup.minhashKSweep(docs).orderBy("k").show()
       println("[example] vocabulary health (top-10 share, hapax rate):")
       TextAnalysis.vocabCoverage(docs).show()
+      println("[example] winnowing fingerprint density (MOSS selection):")
+      TextAnalysis.winnowing(docs)
+        .agg(sum(col("n_selected")).as("selected"),
+          sum(col("n_grams")).as("grams"),
+          round(avg(col("density")), 4).as("mean_density")).show()
+      println("[example] DSIR importance weights (en-target resampling gate):")
+      TextAnalysis.dsirWeights(docs).groupBy("keep").count().show()
       println("[example] decontamination release gate (doc/chunk/union):")
       TextAnalysis.decontaminationReport(
         docs.filter(col("doc_id") % 100 =!= 0),

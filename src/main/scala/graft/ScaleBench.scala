@@ -82,7 +82,17 @@ object ScaleBench {
       // TypedImperativeAggregate heap (map-side partial, only |Q|·k rows
       // cross the exchange). Same oracle-proven results; this cell pair
       // measures what the plan difference buys as the pair count grows
-      "emb_knn_brute", "emb_knn_brute_heap")
+      "emb_knn_brute", "emb_knn_brute_heap",
+      // r11 session 2: exact-substring span dedup — corpus-token explode
+      // + fp census + bounded per-doc coverage window. The cell watches
+      // the census shuffle and the window pass both stay ~linear in
+      // corpus tokens (the paper's suffix array is O(corpus) too); the
+      // cross-copy word suffixes keep duplicate-window volume linear in
+      // f, so the ratio measures the engine, not a dup-heavy workload
+      "doc_span_dedup",
+      // and winnowing — per-row gram explode + one per-doc window pass:
+      // expected at the per-row-map linear floor like doc_rolling_fp
+      "doc_winnowing")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the

@@ -503,6 +503,14 @@ object SparkEntry {
       TextAnalysis.bpeTokenCount(t(s, dir, "documents"))),
     "doc_rolling_fp" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"))),
+    // winnowing fingerprint selection (MOSS): per-doc distinct window-min
+    // gram digests — guaranteed local-match detection at density 2/(w+1)
+    "doc_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowing(t(s, dir, "documents"))),
+    // DSIR-style importance weights: hashed-unigram log-ratio of the
+    // lang='en' target slice vs the raw corpus, micro-integer summed
+    "doc_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"))),
     "doc_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
     // next-order perplexity signal: mean ln p(w2|w1) under the corpus's
@@ -727,6 +735,11 @@ object SparkEntry {
     // multi-line contract is fixture-proven in NorthStarSpec
     "doc_line_dedup" -> ((s, dir) =>
       Dedup.lineDedup(t(s, dir, "documents"), sep = " ", maxDocs = 400)),
+    // exact-substring span dedup (Lee et al. 2022 at token granularity):
+    // every 8-token window occurring >1 time anywhere loses all but its
+    // globally-first occurrence; docs are reassembled from surviving tokens
+    "doc_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(t(s, dir, "documents"), spanTokens = 8)),
     // bloom-prefiltered new-batch-vs-corpus dedup (every 10th doc is the
     // "new batch"). The fingerprint is a 10-token PREFIX hash — the loose
     // key that makes this corpus (zero exact dupes by construction)
@@ -1896,6 +1909,55 @@ object SparkEntry {
         |   i -> md5(substr(text, CAST(i AS INTEGER), 8))), 'min')
         |   AS rolling_fp
         |FROM documents""".stripMargin,
+    // winnowing: window-min (ROWS frame, truncating at the partition end
+    // so short docs degenerate to the whole-doc min) → distinct selected
+    "doc_winnowing" ->
+      """WITH d AS (SELECT doc_id, text,
+        |   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+        |  FROM documents),
+        | g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gidx,
+        |   md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM d),
+        | wm AS (SELECT doc_id, gidx,
+        |   min(h) OVER (PARTITION BY doc_id ORDER BY gidx
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |   count(*) OVER (PARTITION BY doc_id) AS m FROM g)
+        |SELECT doc_id, max(m) AS n_grams,
+        | CAST(count(DISTINCT wmin) AS BIGINT) AS n_selected,
+        | min(wmin) AS winnow_fp,
+        | round(CAST(count(DISTINCT wmin) AS DOUBLE)
+        |   / greatest(max(m) - 3, 1), 4) AS density
+        |FROM wm WHERE gidx <= greatest(m - 4, 0)
+        |GROUP BY doc_id""".stripMargin,
+    // DSIR importance weights: md5-hex bucket hash (the doc_simhash nibble
+    // idiom), add-one-smoothed target/raw log-ratios rounded to 1e-8
+    // micros and BIGINT-summed per doc (order-independent)
+    "doc_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |   unnest(string_split(text, ' ')) AS token FROM documents),
+        | hb AS (SELECT doc_id, lang,
+        |   list_aggregate(list_transform(range(1, 9),
+        |     j -> CAST(strpos('0123456789abcdef',
+        |       substr(md5(token), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+        |       * (CAST(1 AS BIGINT) << (4 * (8 - CAST(j AS INTEGER))))),
+        |     'sum') % 64 AS b
+        |  FROM tok),
+        | census AS (SELECT b, count(*) AS cnt_r,
+        |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+        |  FROM hb GROUP BY b),
+        | totals AS (SELECT count(*) AS tot_r,
+        |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tot_t
+        |  FROM hb),
+        | ratios AS (SELECT b, CAST(round(ln(
+        |     (CAST(cnt_t + 1 AS DOUBLE) * (tot_r + 64)) /
+        |     (CAST(cnt_r + 1 AS DOUBLE) * (tot_t + 64))) * 1e8) AS BIGINT)
+        |   AS lr_micros
+        |  FROM census, totals)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(lr_micros) AS BIGINT) AS dsir_micros,
+        | round(CAST(sum(lr_micros) AS DOUBLE) / count(*) / 1e8, 6)
+        |   AS dsir_mean,
+        | sum(lr_micros) > 0 AS keep
+        |FROM hb JOIN ratios USING (b) GROUP BY doc_id""".stripMargin,
     // per-token log-probs rounded to 1e-8 micros and summed as BIGINT —
     // order-independent, so both engines agree bit-for-bit (see
     // TextAnalysis.unigramLogProb)
@@ -3279,6 +3341,41 @@ object SparkEntry {
         | count(*) AS n_lines,
         | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM k GROUP BY doc_id""".stripMargin,
+    // exact-substring span dedup: 8-token window census → duplicate
+    // occurrences (all but the globally-first per fp) → a token dies iff a
+    // duplicate window starts within the preceding 7 positions (bounded
+    // ROWS frame = maximal-span merge) → in-order reassembly
+    "doc_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        | wi AS (SELECT doc_id, toks,
+        |   unnest(range(1, len(toks) - 8 + 2)) AS i
+        |  FROM t WHERE len(toks) >= 8),
+        | win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+        |   md5(array_to_string(toks[i:i+7], ' ')) AS fp FROM wi),
+        | dups AS (SELECT fp, min(doc_id * 1000000000 + start) AS first_occ
+        |  FROM win GROUP BY fp HAVING count(*) > 1),
+        | ds AS (SELECT w.doc_id, w.start AS pos
+        |  FROM win w JOIN dups d USING (fp)
+        |  WHERE w.doc_id * 1000000000 + w.start <> d.first_occ),
+        | ti AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |  FROM t),
+        | tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   toks[i] AS token FROM ti),
+        | flagged AS (SELECT tok.doc_id, tok.pos, tok.token,
+        |   CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END AS dsf
+        |  FROM tok LEFT JOIN ds
+        |   ON tok.doc_id = ds.doc_id AND tok.pos = ds.pos),
+        | rem AS (SELECT doc_id, pos, token,
+        |   max(dsf) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS removed
+        |  FROM flagged)
+        |SELECT doc_id,
+        | coalesce(string_agg(token, ' ' ORDER BY pos)
+        |   FILTER (WHERE removed = 0), '') AS clean_text,
+        | count(*) AS n_tokens,
+        | CAST(sum(removed) AS BIGINT) AS n_removed
+        |FROM rem GROUP BY doc_id""".stripMargin,
     // incremental near-dedup: the doc_ngram_jaccard_lsh chain with the
     // candidate join split across the batch/corpus boundary, then an
     // anti-join of the batch against the >= 0.8 drop list. Shared with the

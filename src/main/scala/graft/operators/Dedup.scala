@@ -1082,4 +1082,76 @@ object Dedup {
       "bucket", buckets)
     Bucketing.appendBucketed(shingleSets(docs), setsTable, "doc_id", buckets)
   }
+
+  /** EXACT-SUBSTRING span dedup (the suffix-array dedup of "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022, at token
+    * granularity): any `spanTokens`-token window whose exact text occurs
+    * MORE than once in the corpus — in another document or repeated inside
+    * the same one — is a duplicated span; every occurrence except the
+    * globally first (smallest (doc_id, start)) has its tokens removed, and
+    * each document's text is reassembled from its surviving tokens in
+    * original order. This is the granularity [[exact]] (whole doc),
+    * [[chunkDedup]] (fixed chunks), and [[lineDedup]] (delimiter lines) all
+    * miss: a copied paragraph at an arbitrary offset inside two otherwise
+    * unique documents matches NO doc/chunk/line fingerprint, but every one
+    * of its L-token windows collides here. Overlapping duplicate windows
+    * merge into maximal removed spans for free: a token dies iff ANY
+    * duplicated window covers it. Docs shorter than `spanTokens` pass
+    * through untouched. Output: (doc_id, clean_text, n_tokens, n_removed).
+    *
+    * Plan shape at 100 TB (same asymptotics as the paper's suffix array —
+    * O(corpus tokens), with an L-bounded constant): one windowed-fingerprint
+    * explode (each token hashed into ≤L window digests), one fp hash
+    * aggregate (map-side combined, the shuffle carries ≤1 row per
+    * (partition, fp)), one equi-join of windows against the
+    * (HAVING-filtered, duplicates-only) census — AQE broadcasts it when
+    * small — then ONE per-doc pass: the coverage test "does a duplicate
+    * window start within the last L−1 positions?" is a bounded ROWS-frame
+    * running max over dense token positions, never a range join, and the
+    * reassembly collect_list buffers one document's own tokens (the
+    * [[lineDedup]] memory contract — O(doc), no amplification). The
+    * (doc_id, start) canonical occurrence is encoded as one integral
+    * doc_id·10⁹+start key so min() stays a single partial-agg accumulator. */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val L = spanTokens
+    val toks = docs
+      .withColumn("toks", split(col("text"), " ", -1))
+      .withColumn("n", size(col("toks")))
+    def occ(d: Column, s: Column): Column = d * lit(1000000000L) + s
+    val wins = toks.filter(col("n") >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n") - L),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(L))))))
+          .as(Seq("start", "fp")))
+    // duplicate census: only fps with >1 occurrence survive the HAVING, so
+    // the join's build side is the offender list, not every window
+    val dups = wins.groupBy("fp")
+      .agg(count(lit(1)).as("cnt"),
+        min(occ(col("doc_id"), col("start"))).as("first_occ"))
+      .filter(col("cnt") > 1)
+      .select(col("fp"), col("first_occ"))
+    val dupStarts = wins.join(dups, "fp")
+      .filter(occ(col("doc_id"), col("start")) =!= col("first_occ"))
+      .select(col("doc_id"), col("start").as("pos"))
+      .withColumn("ds", lit(1))
+    val tok = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "token")))
+    // token at pos dies iff a duplicate window starts in [pos-L+1, pos];
+    // positions are dense per doc, so the ROWS frame IS the position range
+    val cover = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(L - 1), 0)
+    tok.join(dupStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("removed", max(coalesce(col("ds"), lit(0))).over(cover))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("pos"), col("removed"),
+              col("token")))),
+            s => s.getField("removed") === 0),
+          s => s.getField("token"))).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("removed")).cast("long").as("n_removed"))
+  }
 }

@@ -841,4 +841,123 @@ object TextAnalysis {
         round(col("n").cast("double") / col("n_labeled"), 4)
           .as("share_of_lang"))
   }
+
+  /** WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): hash every character `gram`-gram, slide a
+    * `window`-gram window over the hash sequence, and select the MINIMUM
+    * hash of each window; the per-doc distinct selected set is the
+    * fingerprint. Unlike [[rollingFingerprint]] (one global min — whole-doc
+    * identity) this guarantees every shared substring of length
+    * ≥ gram+window−1 contributes at least one COMMON selected fingerprint
+    * to both documents — the local-match detection bound the paper proves —
+    * at an expected density of 2/(window+1) of all grams. Output per doc:
+    * n_grams, n_selected, winnow_fp (the smallest selected digest — always
+    * equals the global min, so it IS [[rollingFingerprint]]'s value, a
+    * built-in cross-check), and density = n_selected/n_windows (4dp).
+    *
+    * The md5-hex string ordering is the hash universe (engine-portable,
+    * like every fingerprint op here). Docs shorter than gram+window−1
+    * degenerate to one window over all their grams (the ROWS frame
+    * truncates at the partition end), i.e. exactly the whole-doc min.
+    * Scale shape: one per-row gram explode (O(chars) rows), one per-doc
+    * window pass over dense gram positions (ROWS frame, never a range
+    * join), one per-doc aggregate — shuffle keyed by doc_id only. */
+  /** The selected-fingerprint SET behind [[winnowing]]: one distinct
+    * (doc_id, fp) row per selected window-min digest. This is the artifact
+    * the detection guarantee is stated over — two docs sharing a substring
+    * of length ≥ gram+window−1 share at least one row here — and what a
+    * match-finding join would consume (join on fp, like the LSH bucket
+    * join). The n-gram count is derivable from doc length, so the stats
+    * view joins back to `docs` instead of carrying a second window pass. */
+  def winnowingSelected(docs: DataFrame, gram: Int = 8, window: Int = 4)
+      : DataFrame = {
+    require(gram >= 1 && window >= 1, s"bad gram=$gram window=$window")
+    val grams = docs.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(1), greatest(length(col("text")) - (gram - 1), lit(1))),
+        i => md5(col("text").substr(i, lit(gram)))))
+        .as(Seq("gidx", "h")))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("gidx")
+      .rowsBetween(0, window - 1)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    grams
+      .withColumn("wmin", min(col("h")).over(frame))
+      .withColumn("m", count(lit(1)).over(all))
+      // complete windows only; short docs keep gidx=0 whose truncated
+      // frame is the whole gram sequence (= the whole-doc min)
+      .filter(col("gidx") <= greatest(col("m") - window, lit(0)))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  def winnowing(docs: DataFrame, gram: Int = 8, window: Int = 4)
+      : DataFrame = {
+    val stats = winnowingSelected(docs, gram, window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_selected"), min(col("fp")).as("winnow_fp"))
+    // every doc yields ≥1 gram hence ≥1 selection, so the join is total
+    docs.select(col("doc_id"),
+        greatest(length(col("text")) - (gram - 1), lit(1)).cast("long")
+          .as("n_grams"))
+      .join(stats, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+        col("winnow_fp"),
+        round(col("n_selected").cast("double") /
+          greatest(col("n_grams") - (window - 1), lit(1)), 4).as("density"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its tokens are under a TARGET distribution than
+    * under the raw corpus, using hashed unigram features — the cheap,
+    * tokenizer-free proxy for "looks like the data I want more of". The
+    * target here is the corpus's own `lang = targetLang` slice (the
+    * in-corpus analogue of DSIR's Wikipedia/books target). Each token
+    * hashes into one of `buckets` feature buckets; bucket b's log-ratio is
+    * ln((cnt_t(b)+1)·(tot_r+B) / ((cnt_r(b)+1)·(tot_t+B))) — add-one
+    * smoothed so unseen-in-target buckets penalize rather than blow up —
+    * and a document's weight is the sum over its tokens. Per-token
+    * log-ratios are rounded to 1e-8 micros and summed as BIGINT (the
+    * [[unigramLogProb]] contract: order-independent, so both engines agree
+    * bit-for-bit); dsir_mean is the per-token average (6dp). `keep` is the
+    * resampling gate: positive weight = more target-like than raw.
+    *
+    * Scale shape: one token explode feeds BOTH census aggregates (B-key
+    * hash aggs, map-side combined) and the 1-row total; the B-row
+    * log-ratio table broadcasts back onto the token stream (B is a
+    * constant — 64 — so the probe join is a broadcast by construction),
+    * then one doc-keyed aggregate. The corpus is scanned once and never
+    * shuffled except by doc_id for the final sum. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val B = buckets
+    val tok = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("token"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+          lit(B.toLong)))
+    val isTgt = when(col("lang") === targetLang, 1L).otherwise(0L)
+    val census = tok.groupBy("b")
+      .agg(count(lit(1)).as("cnt_r"), sum(isTgt).as("cnt_t"))
+    val totals = tok.agg(count(lit(1)).as("tot_r"),
+      sum(isTgt).as("tot_t"))
+    // fixed double evaluation order: (cnt_t+1)(tot_r+B) / (cnt_r+1)(tot_t+B)
+    val ratios = census.crossJoin(broadcast(totals))
+      .withColumn("lr_micros",
+        round(log(
+          ((col("cnt_t") + 1).cast("double") * (col("tot_r") + B)) /
+            ((col("cnt_r") + 1).cast("double") * (col("tot_t") + B)))
+          * 1e8).cast("long"))
+      .select(col("b"), col("lr_micros"))
+    tok.join(broadcast(ratios), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr_micros")).as("dsir_micros"))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_micros"),
+        round(col("dsir_micros").cast("double") / col("n_tokens") / 1e8, 6)
+          .as("dsir_mean"),
+        (col("dsir_micros") > 0).as("keep"))
+  }
 }

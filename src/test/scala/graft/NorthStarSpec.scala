@@ -2056,4 +2056,98 @@ class NorthStarSpec extends SparkTestBase {
       seg).collect().head
     assert(eqOut.getDouble(8) == 0.0 && !eqOut.getBoolean(9))
   }
+
+  test("Dedup.spanDedup: a copied 8-token span at different offsets loses " +
+    "all but its globally-first occurrence; self-repeats collapse; short " +
+    "docs pass through") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = docsDf(Seq(
+      1L -> s"a1 a2 $span a3 a4", // canonical occurrence (first by doc_id)
+      2L -> s"b1 $span b2 b3", // copy at a different offset → removed
+      3L -> s"$rep $rep", // self-repetition → second run removed
+      4L -> "tiny doc")) // < 8 tokens → untouched
+    val out = Dedup.spanDedup(docs, spanTokens = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"a1 a2 $span a3 a4", 12L, 0L)))
+    assert(out(2L) == (("b1 b2 b3", 11L, 8L)))
+    assert(out(3L) == ((rep, 16L, 8L)))
+    assert(out(4L) == (("tiny doc", 2L, 0L)))
+  }
+
+  test("Dedup.spanDedup: overlapping duplicate windows merge into one " +
+    "maximal removed span (a 10-token copy removes exactly 10 tokens)") {
+    val long = (1 to 10).map(i => s"c$i").mkString(" ") // 3 dup windows
+    val docs = docsDf(Seq(
+      1L -> s"head $long tail",
+      2L -> s"x1 x2 x3 $long y1")) // all 3 windows dup → 10 tokens die
+    val out = Dedup.spanDedup(docs, spanTokens = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"head $long tail", 0L)))
+    assert(out(2L) == (("x1 x2 x3 y1", 10L)))
+  }
+
+  test("TextAnalysis.winnowing: winnow_fp equals rollingFingerprint; " +
+    "density ≈ 2/(w+1) bound holds loosely; short docs degenerate to one " +
+    "whole-doc selection") {
+    val docs = docsDf(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog repeatedly today",
+      2L -> "abc")) // shorter than one gram
+    val win = TextAnalysis.winnowing(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+      .toMap
+    val roll = TextAnalysis.rollingFingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(win(1L)._3 == roll(1L)) // global min is always selected
+    assert(win(2L) == ((1L, 1L, roll(2L), 1.0)))
+    val (m, sel, _, dens) = win(1L)
+    assert(m == 60L - 7L && sel >= 1L && sel <= m) // 60 chars → 53 grams
+    assert(dens > 0.0 && dens <= 1.0)
+  }
+
+  test("TextAnalysis.winnowingSelected: two docs sharing a substring of " +
+    "length >= gram+window-1 share at least one selected fingerprint — " +
+    "the paper's detection guarantee") {
+    val common = "ZQXJKVWPYGHMBZQXJKVW" // 20 chars >= 8+4-1
+    val docs = docsDf(Seq(
+      1L -> s"left context one $common right side alpha",
+      2L -> s"totally different beginning $common other ending"))
+    val sel = TextAnalysis.winnowingSelected(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val s1 = sel.collect { case (1L, fp) => fp }.toSet
+    val s2 = sel.collect { case (2L, fp) => fp }.toSet
+    assert(s1.intersect(s2).nonEmpty)
+    // and unrelated docs (no shared 8-gram at all) share nothing
+    val other = docsDf(Seq(
+      3L -> "aaaaaaaaaaaaaaaaaaaaaa", 4L -> "bbbbbbbbbbbbbbbbbbbbbb"))
+    val sel2 = TextAnalysis.winnowingSelected(other).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(sel2.collect { case (3L, fp) => fp }.toSet
+      .intersect(sel2.collect { case (4L, fp) => fp }.toSet).isEmpty)
+  }
+
+  test("TextAnalysis.dsirWeights: target-exclusive tokens score positive, " +
+    "non-target-exclusive negative; keep gates on the sign") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha", "en", "srcA", 17L),
+      (2L, "omega omega omega", "fr", "srcA", 17L),
+      (3L, "alpha omega", "en", "srcA", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.dsirWeights(docs, targetLang = "en")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // census: alpha cnt_r=4 cnt_t=4, omega cnt_r=4 cnt_t=1; tot_r=8 tot_t=5
+    // lr_alpha = ln(5*72/(5*69)) > 0; lr_omega = ln(2*72/(5*69)) < 0
+    assert(out(1L)._1 == 3L && out(1L)._2 > 0L && out(1L)._3)
+    assert(out(2L)._1 == 3L && out(2L)._2 < 0L && !out(2L)._3)
+    // mixed doc: one strong negative outweighs one weak positive
+    assert(out(3L)._2 < 0L && !out(3L)._3)
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+  }
 }

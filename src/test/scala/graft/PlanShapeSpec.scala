@@ -440,6 +440,36 @@ class PlanShapeSpec extends SparkTestBase {
       s"exploded corpus shuffled for the offender join:\n$plan")
   }
 
+  test("doc_span_dedup: the duplicate-window census probes broadcast — " +
+    "the exploded corpus is never shuffled on window fingerprint, and the " +
+    "coverage test is ONE bounded per-doc window pass, not a range join") {
+    val (n, plan, _) = ran("doc_span_dedup")
+    assert(n > 0)
+    assertNoPlanBombs("doc_span_dedup", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"duplicate census must broadcast onto the window stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"exploded corpus shuffled for a census/coverage join:\n$plan")
+    assert(plan.contains("Window"),
+      s"coverage must be a bounded ROWS-frame window pass:\n$plan")
+  }
+
+  test("doc_dsir_weights: the 64-row log-ratio table broadcasts onto the " +
+    "token stream — the corpus is scanned once, shuffled only by doc_id " +
+    "for the final sum") {
+    val (n, plan, _) = ran("doc_dsir_weights")
+    assert(n > 0)
+    // (the 1-row totals frame rides the bm25-style broadcast cross join —
+    // a |B|×1 nested loop against a 1-row side, the accepted stats shape)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket ratios must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"token stream shuffled for the ratio probe:\n$plan")
+  }
+
   test("doc_decontaminate: the eval-gram side broadcasts — the corpus " +
     "explode is probed map-side, never shuffled on gram") {
     val (n, plan, _) = ran("doc_decontaminate")
