@@ -507,6 +507,10 @@ object SparkEntry {
     // gram digests — guaranteed local-match detection at density 2/(w+1)
     "doc_winnowing" -> ((s, dir) =>
       TextAnalysis.winnowing(t(s, dir, "documents"))),
+    // MOSS match detection over the selected fingerprints: pairs sharing
+    // >= 3 rare (<= 10-doc) fingerprints, hot-fp guard bounding the blowup
+    "doc_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(t(s, dir, "documents"))),
     // DSIR-style importance weights: hashed-unigram log-ratio of the
     // lang='en' target slice vs the raw corpus, micro-integer summed
     "doc_dsir_weights" -> ((s, dir) =>
@@ -521,6 +525,10 @@ object SparkEntry {
     // hapax rate over the corpus vocabulary
     "corpus_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"))),
+    // Heaps-law growth curve: per doc_id-range decile, token volume and
+    // first-appearing vocabulary types with cumulatives
+    "corpus_vocab_growth" -> ((s, dir) =>
+      CorpusOps.vocabGrowth(t(s, dir, "documents"))),
     // CCNet-style head/middle/tail tertiles by unigram-logprob score
     "doc_quality_buckets" -> ((s, dir) =>
       TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
@@ -740,6 +748,11 @@ object SparkEntry {
     // globally-first occurrence; docs are reassembled from surviving tokens
     "doc_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(t(s, dir, "documents"), spanTokens = 8)),
+    // the span-length dial as a measured table: per L, window/dup counts
+    // and removal share (each L hashes different text — |Ls| passes by
+    // construction, unlike the run-once-read-many sweeps)
+    "doc_span_dedup_sweep" -> ((s, dir) =>
+      Dedup.spanDedupSweep(t(s, dir, "documents"))),
     // bloom-prefiltered new-batch-vs-corpus dedup (every 10th doc is the
     // "new batch"). The fingerprint is a 10-token PREFIX hash — the loose
     // key that makes this corpus (zero exact dupes by construction)
@@ -2014,6 +2027,32 @@ object SparkEntry {
         | n_hapax, round(CAST(n_hapax AS DOUBLE) / n_vocab, 4)
         |   AS hapax_share
         |FROM tot, top""".stripMargin,
+    // Heaps-law growth: doc_id-range decile buckets from a broadcast
+    // (min,max) — floor() on BOTH sides (Spark's double→long cast
+    // truncates, DuckDB's rounds); cumulatives over the 10-row frame
+    "corpus_vocab_growth" ->
+      """WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+        |  FROM documents),
+        | tok AS (SELECT least(9, CAST(floor((doc_id - lo) * 10.0 /
+        |     (hi - lo + 1)) AS BIGINT)) AS bucket,
+        |   unnest(string_split(text, ' ')) AS token
+        |  FROM documents, bounds),
+        | occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY bucket),
+        | firsts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_types
+        |  FROM (SELECT token, min(bucket) AS bucket FROM tok
+        |    GROUP BY token)
+        |  GROUP BY bucket)
+        |SELECT occ.bucket, occ.n_tokens,
+        | CAST(sum(occ.n_tokens) OVER (ORDER BY occ.bucket
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_tokens,
+        | coalesce(firsts.n_new_types, 0) AS n_new_types,
+        | CAST(sum(coalesce(firsts.n_new_types, 0)) OVER
+        |   (ORDER BY occ.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_vocab
+        |FROM occ LEFT JOIN firsts USING (bucket)""".stripMargin,
     // head/middle/tail tertiles by integral micro-logprob mean; cutoffs =
     // exact values at integer ranks ceil(n/3), ceil(2n/3) off a score
     // histogram (no double percentile anywhere near the boundary)
@@ -3376,6 +3415,62 @@ object SparkEntry {
         | count(*) AS n_tokens,
         | CAST(sum(removed) AS BIGINT) AS n_removed
         |FROM rem GROUP BY doc_id""".stripMargin,
+    // span-length sweep: the doc_span_dedup chain per L, reduced to
+    // one-row global counts, UNION ALL across the swept lengths
+    "doc_span_dedup_sweep" -> Seq(4, 8, 16).map { l =>
+      s"""(WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         | wi AS (SELECT doc_id, toks,
+         |   unnest(range(1, len(toks) - $l + 2)) AS i
+         |  FROM t WHERE len(toks) >= $l),
+         | win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+         |   md5(array_to_string(toks[i:i+${l - 1}], ' ')) AS fp FROM wi),
+         | dups AS (SELECT fp, min(doc_id * 1000000000 + start) AS first_occ
+         |  FROM win GROUP BY fp HAVING count(*) > 1),
+         | ds AS (SELECT w.doc_id, w.start AS pos
+         |  FROM win w JOIN dups d USING (fp)
+         |  WHERE w.doc_id * 1000000000 + w.start <> d.first_occ),
+         | ti AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+         |  FROM t),
+         | tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos FROM ti),
+         | flagged AS (SELECT tok.doc_id, tok.pos,
+         |   CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END AS dsf
+         |  FROM tok LEFT JOIN ds
+         |   ON tok.doc_id = ds.doc_id AND tok.pos = ds.pos),
+         | rem AS (SELECT doc_id, pos,
+         |   max(dsf) OVER (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN ${l - 1} PRECEDING AND CURRENT ROW) AS removed
+         |  FROM flagged)
+         |SELECT CAST($l AS BIGINT) AS span_tokens,
+         | (SELECT count(*) FROM win) AS n_windows,
+         | (SELECT count(*) FROM ds) AS n_dup_occurrences,
+         | count(*) AS n_tokens,
+         | CAST(sum(removed) AS BIGINT) AS n_tokens_removed,
+         | round(CAST(sum(removed) AS DOUBLE) / count(*), 4)
+         |   AS removed_share
+         |FROM rem)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
+    // winnowing match pairs: selected-fp census gates hot fps, then the
+    // fp self-join counts shared selections per ordered pair
+    "doc_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text,
+        |   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+        |  FROM documents),
+        | g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gidx,
+        |   md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM d),
+        | wm AS (SELECT doc_id, gidx,
+        |   min(h) OVER (PARTITION BY doc_id ORDER BY gidx
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |   count(*) OVER (PARTITION BY doc_id) AS m FROM g),
+        | sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
+        |  WHERE gidx <= greatest(m - 4, 0)),
+        | eligible AS (SELECT fp FROM sel GROUP BY fp
+        |  HAVING count(*) <= 10),
+        | s AS (SELECT sel.doc_id, sel.fp FROM sel JOIN eligible USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | count(*) AS n_shared
+        |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     // incremental near-dedup: the doc_ngram_jaccard_lsh chain with the
     // candidate join split across the batch/corpus boundary, then an
     // anti-join of the batch against the >= 0.8 drop list. Shared with the

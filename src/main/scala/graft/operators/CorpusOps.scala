@@ -203,4 +203,45 @@ object CorpusOps {
       .filter(col("base") + col("cum_in") <= budgetTokens)
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
+
+  /** Heaps-law VOCABULARY GROWTH curve: split the corpus into `buckets`
+    * contiguous doc_id ranges and report, per bucket, token volume and the
+    * count of vocabulary types appearing for the FIRST time, plus both
+    * cumulatives — the V(n) ~ K·nᵝ curve read directly. The growth shape
+    * is the corpus-health signal [[TextAnalysis.vocabCoverage]]'s one-shot
+    * totals can't see: a flattening curve means new data is rehashing old
+    * vocabulary (crawl saturation / dedup debt); a supra-Heaps curve means
+    * tokenizer damage or encoding noise minting spurious types.
+    *
+    * Scale shape: bucket boundaries come from a 1-row (min, max) doc_id
+    * aggregate broadcast back (pure map — NO rank/ntile window over the
+    * corpus), first appearances from one token-keyed min-bucket aggregate
+    * (map-side combined), and the cumulative window runs over exactly
+    * `buckets` rows. Doc ids need not be dense — ranges bucket whatever id
+    * distribution exists; bucket populations just stop being equal. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val tok = docs.crossJoin(broadcast(bounds))
+      .select(
+        least(lit(buckets - 1).cast("long"),
+          floor((col("doc_id") - col("lo")) * buckets /
+            (col("hi") - col("lo") + 1))).as("bucket"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val occ = tok.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val firsts = tok.groupBy("token")
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    occ.join(firsts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+      // the window frame holds <= `buckets` rows — bounded by the dial,
+      // never by the corpus
+      .select(col("bucket"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        col("n_new_types"),
+        sum(col("n_new_types")).over(w).as("cum_vocab"))
+  }
 }

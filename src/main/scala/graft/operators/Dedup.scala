@@ -1112,7 +1112,24 @@ object Dedup {
     * [[lineDedup]] memory contract — O(doc), no amplification). The
     * (doc_id, start) canonical occurrence is encoded as one integral
     * doc_id·10⁹+start key so min() stays a single partial-agg accumulator. */
-  def spanDedup(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+  def spanDedup(docs: DataFrame, spanTokens: Int = 8): DataFrame =
+    spanFlagged(docs, spanTokens)._3
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("pos"), col("removed"),
+              col("token")))),
+            s => s.getField("removed") === 0),
+          s => s.getField("token"))).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("removed")).cast("long").as("n_removed"))
+
+  /** The [[spanDedup]] chain up to per-token removal flags, shared with the
+    * sweep: (window stream, duplicate occurrences, flagged token stream —
+    * one row per corpus token with `removed` ∈ {0,1}). */
+  private def spanFlagged(docs: DataFrame, spanTokens: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     val L = spanTokens
     val toks = docs
@@ -1141,17 +1158,41 @@ object Dedup {
     // positions are dense per doc, so the ROWS frame IS the position range
     val cover = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos").rowsBetween(-(L - 1), 0)
-    tok.join(dupStarts, Seq("doc_id", "pos"), "left")
+    val flagged = tok.join(dupStarts, Seq("doc_id", "pos"), "left")
       .withColumn("removed", max(coalesce(col("ds"), lit(0))).over(cover))
-      .groupBy("doc_id")
-      .agg(
-        concat_ws(" ", transform(
-          filter(
-            array_sort(collect_list(struct(col("pos"), col("removed"),
-              col("token")))),
-            s => s.getField("removed") === 0),
-          s => s.getField("token"))).as("clean_text"),
-        count(lit(1)).as("n_tokens"),
-        sum(col("removed")).cast("long").as("n_removed"))
+    (wins, dupStarts, flagged)
+  }
+
+  /** Span-length SENSITIVITY SWEEP — the tuning table behind
+    * [[spanDedup]]'s one dial, in the threshold-sweep / band-curve /
+    * width-sweep family: for each candidate window length L, one row of
+    * (n_windows, n_dup_occurrences, n_tokens_removed, removed_share).
+    * Short spans over-fire on formulaic text (a 4-token collision is
+    * often chance); long spans miss real copies shorter than L; this
+    * table is how the dial is set from measurements instead of folklore
+    * (the paper uses 50 BPE tokens for web corpora). Unlike the
+    * run-once-read-many sweeps, each L genuinely needs its own window
+    * fingerprints — different-length windows hash different text — so
+    * the sweep is |Ls| independent passes by construction; Ls is a
+    * handful of constants, and each pass is the [[spanDedup]] plan
+    * minus the reassembly aggregate (global one-row sums instead). */
+  def spanDedupSweep(docs: DataFrame,
+                     spans: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(spans.nonEmpty, "spans must be non-empty")
+    spans.map { l =>
+      val (wins, dupStarts, flagged) = spanFlagged(docs, l)
+      val winStats = wins.agg(count(lit(1)).as("n_windows"))
+      val dupStats = dupStarts.agg(count(lit(1)).as("n_dup_occurrences"))
+      flagged
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("removed")).cast("long").as("n_tokens_removed"))
+        .crossJoin(broadcast(winStats))
+        .crossJoin(broadcast(dupStats))
+        .select(lit(l.toLong).as("span_tokens"), col("n_windows"),
+          col("n_dup_occurrences"), col("n_tokens"),
+          col("n_tokens_removed"),
+          round(col("n_tokens_removed").cast("double") / col("n_tokens"), 4)
+            .as("removed_share"))
+    }.reduce(_.unionAll(_))
   }
 }

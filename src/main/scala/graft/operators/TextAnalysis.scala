@@ -891,6 +891,37 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Winnowing MATCH DETECTION — what the selected fingerprints are FOR
+    * (MOSS's actual output): document pairs sharing ≥ `minShared` selected
+    * fingerprints, with the shared count as the match strength. The
+    * guarantee transfers from [[winnowingSelected]]: any pair sharing a
+    * substring of length ≥ gram+window−1 appears here (at minShared=1).
+    *
+    * Hot-fingerprint guard (the [[Dedup]] block-size / SemDeDup hot-cell
+    * pattern): a fingerprint selected by more than `maxFpDocs` documents
+    * is boilerplate-gram evidence, not copy evidence, and would
+    * contribute O(n²) pairs — it is excluded from pairing BEFORE the
+    * self-join, so bucket sizes bound the blowup exactly like the LSH
+    * band join. Raising the dial trades recall on very-popular text for
+    * pair volume; the census that feeds the guard is one fp-keyed
+    * aggregate reusing the self-join's own exchange. */
+  def winnowPairs(docs: DataFrame, gram: Int = 8, window: Int = 4,
+                  minShared: Int = 3, maxFpDocs: Int = 10): DataFrame = {
+    require(minShared >= 1 && maxFpDocs >= 2,
+      s"bad minShared=$minShared maxFpDocs=$maxFpDocs")
+    val sel = winnowingSelected(docs, gram, window)
+    val eligible = sel.groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxFpDocs)
+      .select(col("fp"))
+    val s = sel.join(eligible, "fp")
+    s.as("a").join(s.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def winnowing(docs: DataFrame, gram: Int = 8, window: Int = 4)
       : DataFrame = {
     val stats = winnowingSelected(docs, gram, window)

@@ -2129,6 +2129,59 @@ class NorthStarSpec extends SparkTestBase {
       .intersect(sel2.collect { case (4L, fp) => fp }.toSet).isEmpty)
   }
 
+  test("Dedup.spanDedupSweep: one row per swept length; shorter spans " +
+    "fire on the same copy, longer-than-copy spans see nothing") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = docsDf(Seq(
+      1L -> s"a1 a2 $span a3 a4",
+      2L -> s"b1 $span b2 b3"))
+    val out = Dedup.spanDedupSweep(docs, spans = Seq(4, 8, 16)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet == Set(4L, 8L, 16L))
+    // n_tokens is corpus-wide and L-independent
+    assert(out.values.map(_._3).toSet == Set(23L)) // 12 + 11 tokens
+    // the 8-token copy: L=8 has exactly one dup window (8 tokens die);
+    // L=4 has five dup windows inside the copy, covering the same 8
+    assert(out(8L)._2 == 1L && out(8L)._4 == 8L)
+    assert(out(4L)._2 == 5L && out(4L)._4 == 8L)
+    // L=16 windows are longer than the copy — nothing repeats
+    assert(out(16L)._2 == 0L && out(16L)._4 == 0L)
+    // window volume grows as spans shrink
+    assert(out(4L)._1 > out(8L)._1 && out(8L)._1 > out(16L)._1)
+  }
+
+  test("TextAnalysis.winnowPairs: a shared long substring yields a pair; " +
+    "the hot-fingerprint guard suppresses boilerplate-only matches") {
+    val common = "ZQXJKVWPYGHMBZQXJKVWXY" // 22 chars of shared text
+    val docs = docsDf(Seq(
+      1L -> s"left context one $common right side alpha",
+      2L -> s"totally different beginning $common other ending"))
+    val pairs = TextAnalysis.winnowPairs(docs, minShared = 1,
+      maxFpDocs = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L))
+    // 12 identical docs: every fingerprint is selected by all 12 > cap 10
+    // → nothing is eligible, no quadratic pair blowup
+    val boiler = docsDf((1L to 12L).map(i =>
+      i -> "identical boilerplate text repeated across every document"))
+    assert(TextAnalysis.winnowPairs(boiler, minShared = 1,
+      maxFpDocs = 10).count() == 0L)
+  }
+
+  test("CorpusOps.vocabGrowth: first appearances land in the right " +
+    "doc_id-range bucket; cumulatives reach the corpus totals") {
+    val docs = docsDf(Seq(
+      1L -> "a b", 2L -> "a", 3L -> "a c", 4L -> "c d"))
+    val out = CorpusOps.vocabGrowth(docs, buckets = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // ids 1..4 → bucket 0 = {1,2}, bucket 1 = {3,4}
+    assert(out(0L) == ((3L, 3L, 2L, 2L))) // tokens a,b,a; new types a,b
+    assert(out(1L) == ((4L, 7L, 2L, 4L))) // tokens a,c,c,d; new c,d
+  }
+
   test("TextAnalysis.dsirWeights: target-exclusive tokens score positive, " +
     "non-target-exclusive negative; keep gates on the sign") {
     val s = spark
