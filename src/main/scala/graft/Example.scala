@@ -111,6 +111,10 @@ object Example {
           round(avg(col("density")), 4).as("mean_density")).show()
       println("[example] DSIR importance weights (en-target resampling gate):")
       TextAnalysis.dsirWeights(docs).groupBy("keep").count().show()
+      println("[example] CCNet composite (per-language tertile gate):")
+      TextAnalysis.ccnetPipeline(docs)
+        .groupBy("lang_guess", "bucket").count()
+        .orderBy("lang_guess", "bucket").show(12)
       println("[example] decontamination release gate (doc/chunk/union):")
       TextAnalysis.decontaminationReport(
         docs.filter(col("doc_id") % 100 =!= 0),

@@ -532,6 +532,10 @@ object SparkEntry {
     // CCNet-style head/middle/tail tertiles by unigram-logprob score
     "doc_quality_buckets" -> ((s, dir) =>
       TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
+    // the full CCNet composite: normalize → langid → per-LANGUAGE LM
+    // tertiles → per-doc keep gate (Wenzek et al. 2020)
+    "doc_ccnet_pipeline" -> ((s, dir) =>
+      TextAnalysis.ccnetPipeline(t(s, dir, "documents"))),
     // production twin: sketch cutoffs (no oracle — spec-gated vs exact,
     // same pattern as q11_percentile_approx)
     "doc_quality_buckets_approx" -> ((s, dir) =>
@@ -1870,6 +1874,61 @@ object SparkEntry {
         | CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
         | CAST(length(text) - length(norm_text) AS BIGINT) AS n_chars_removed
         |FROM n""".stripMargin,
+    // CCNet composite: normalize → ngram langid → per-language unigram
+    // LM micro-logprob scores → per-language integer-rank tertiles
+    "doc_ccnet_pipeline" ->
+      """WITH nd AS (SELECT doc_id,
+        |   trim(regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ',
+        |     'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        | sc AS (SELECT doc_id, nt,
+        |  CAST((length(nt) - length(regexp_replace(nt, 'th', '', 'g'))) / 2 AS BIGINT)
+        |  + CAST((length(nt) - length(regexp_replace(nt, 'he', '', 'g'))) / 2 AS BIGINT)
+        |  + CAST((length(nt) - length(regexp_replace(nt, 'ing', '', 'g'))) / 3 AS BIGINT) AS en,
+        |  CAST((length(nt) - length(regexp_replace(nt, 'ción', '', 'g'))) / 4 AS BIGINT)
+        |  + CAST((length(nt) - length(regexp_replace(nt, 'que', '', 'g'))) / 3 AS BIGINT)
+        |  + CAST((length(nt) - length(regexp_replace(nt, 'los', '', 'g'))) / 3 AS BIGINT) AS es,
+        |  CAST((length(nt) - length(regexp_replace(nt, 'sch', '', 'g'))) / 3 AS BIGINT)
+        |  + CAST((length(nt) - length(regexp_replace(nt, 'der', '', 'g'))) / 3 AS BIGINT)
+        |  + CAST((length(nt) - length(regexp_replace(nt, 'ein', '', 'g'))) / 3 AS BIGINT) AS de
+        |  FROM nd),
+        | lid AS (SELECT doc_id, nt,
+        |  CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+        |       WHEN es >= de AND es > 0 THEN 'es'
+        |       WHEN de > 0 THEN 'de' ELSE 'unknown' END AS lang_guess
+        |  FROM sc),
+        | tok AS (SELECT doc_id, lang_guess,
+        |   unnest(string_split(nt, ' ')) AS token FROM lid),
+        | vocab AS (SELECT lang_guess, token, count(*) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        | totals AS (SELECT lang_guess, CAST(sum(cnt) AS BIGINT) AS n_total
+        |  FROM vocab GROUP BY 1),
+        | lp AS (SELECT t.doc_id, t.lang_guess,
+        |   CAST(round(ln(CAST(v.cnt AS DOUBLE) /
+        |     CAST(tt.n_total AS DOUBLE)) * 1e8) AS BIGINT) AS lp_micro
+        |  FROM tok t JOIN vocab v USING (lang_guess, token)
+        |   JOIN totals tt USING (lang_guess)),
+        | d AS (SELECT doc_id, lang_guess,
+        |   CAST(count(*) AS BIGINT) AS n_tokens,
+        |   CAST(round(CAST(sum(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+        |     AS score
+        |  FROM lp GROUP BY 1, 2),
+        | hist AS (SELECT lang_guess, score, count(*) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        | cum AS (SELECT lang_guess, score,
+        |   sum(cnt) OVER (PARTITION BY lang_guess ORDER BY score
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        | nn AS (SELECT lang_guess, count(*) AS n FROM d GROUP BY 1),
+        | cuts AS (SELECT c.lang_guess,
+        |   min(CASE WHEN cum >= (n + 2) // 3 THEN score END) AS c1,
+        |   min(CASE WHEN cum >= (2 * n + 2) // 3 THEN score END) AS c2
+        |  FROM cum c JOIN nn USING (lang_guess) GROUP BY 1)
+        |SELECT d.doc_id, d.lang_guess, d.n_tokens, d.score,
+        | CASE WHEN d.score <= c.c1 THEN 'tail'
+        |      WHEN d.score <= c.c2 THEN 'middle' ELSE 'head' END AS bucket,
+        | d.score > c.c1 AS keep
+        |FROM d JOIN cuts c USING (lang_guess)""".stripMargin,
     "corpus_langid_confusion" ->
       """WITH t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
         | sc AS (SELECT doc_id, lang,

@@ -452,6 +452,80 @@ object TextAnalysis {
     bucketByCuts(lp, cuts, n)
   }
 
+  /** CCNet-style curation PIPELINE ENDPOINT (Wenzek et al. 2020) — the
+    * composite every web-corpus pipeline runs, assembled from this file's
+    * own stages: canonical normalization ([[normalize]]'s chain) →
+    * n-gram language-ID ([[languageIdNgram]]'s heuristic, over the
+    * normalized text) → per-LANGUAGE unigram LM perplexity scoring (the
+    * [[unigramLogProb]] micro-integer contract, but with the vocabulary,
+    * totals, and tertile cutoffs all computed WITHIN each guessed
+    * language — CCNet's defining choice: a Spanish doc is scored against
+    * Spanish, not against the corpus mixture) → head/middle/tail tertile
+    * label and the keep = not-tail gate. Output per doc:
+    * (doc_id, lang_guess, n_tokens, score, bucket, keep).
+    *
+    * Determinism is the [[qualityBuckets]] recipe per language: integral
+    * micro-logprob means, cutoffs at exact integer ranks off a per-lang
+    * score histogram, BIGINT-vs-BIGINT bucketing. Plan shape at scale:
+    * one normalized scan feeds langid (pure map), the (lang, token) LM
+    * census (partial-agg shuffle), and the score join; the cumulative
+    * window runs over per-LANGUAGE distinct-score histograms (partitioned
+    * by lang_guess — unlike the corpus-wide variant's documented
+    * unpartitioned window); the |langs|-row cutoff table broadcasts back.
+    */
+  def ccnetPipeline(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "<[^>]*>", " "), "\\s+", " "))
+    def occurrences(t: Column, gram: String): Column =
+      ((length(t) - length(regexp_replace(t, gram, ""))) / gram.length)
+        .cast("long")
+    val t = col("norm_text")
+    val en = Seq("th", "he", "ing").map(occurrences(t, _)).reduce(_ + _)
+    val es = Seq("ción", "que", "los").map(occurrences(t, _)).reduce(_ + _)
+    val de = Seq("sch", "der", "ein").map(occurrences(t, _)).reduce(_ + _)
+    val labeled = docs.select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        when(en >= es && en >= de && en > 0, "en")
+          .when(es >= de && es > 0, "es")
+          .when(de > 0, "de")
+          .otherwise("unknown").as("lang_guess"))
+    val tok = labeled.select(col("doc_id"), col("lang_guess"),
+      explode(tokens(col("norm_text"))).as("token"))
+    val vocab = tok.groupBy("lang_guess", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = vocab.groupBy("lang_guess")
+      .agg(sum(col("cnt")).as("n_total"))
+    val lpMicro = round(log(col("cnt").cast("double") /
+      col("n_total").cast("double")) * 1e8, 0).cast("long")
+    val scored = tok.join(vocab, Seq("lang_guess", "token"))
+      .join(broadcast(totals), "lang_guess")
+      .select(col("doc_id"), col("lang_guess"), lpMicro.as("lp_micro"))
+      .groupBy("doc_id", "lang_guess")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("lp_sum"))
+      .select(col("doc_id"), col("lang_guess"), col("n_tokens"),
+        round(col("lp_sum").cast("double") / col("n_tokens"), 0)
+          .cast("long").as("score"))
+    val cum = scored.groupBy("lang_guess", "score")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("lang_guess").orderBy("score")))
+    val n = scored.groupBy("lang_guess").agg(count(lit(1)).as("n"))
+    val cuts = cum.join(n, "lang_guess")
+      .groupBy("lang_guess")
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"), col("score")))
+          .as("c1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("score")))
+          .as("c2"))
+    scored.join(broadcast(cuts), "lang_guess")
+      .select(col("doc_id"), col("lang_guess"), col("n_tokens"),
+        col("score"),
+        when(col("score") <= col("c1"), lit("tail"))
+          .when(col("score") <= col("c2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"),
+        (col("score") > col("c1")).as("keep"))
+  }
+
   /** Vocabulary-concentration headline — the Zipf/Heaps corpus-health
     * report: total tokens, distinct vocabulary size, the share of all
     * token occurrences covered by the `k` most frequent tokens

@@ -2170,6 +2170,24 @@ class NorthStarSpec extends SparkTestBase {
       maxFpDocs = 10).count() == 0L)
   }
 
+  test("TextAnalysis.ccnetPipeline: per-language LM tertiles — fluent " +
+    "docs head, rare-token docs tail, keep gates on not-tail; a " +
+    "single-doc language cannot rank and lands tail") {
+    val docs = docsDf(Seq(
+      1L -> "the the the the", // common en tokens → head
+      2L -> "the the rare1", // mixed → middle
+      3L -> "thing nothing rare2", // rare-heavy → tail
+      4L -> "der schein der schein")) // lone de doc
+    val out = TextAnalysis.ccnetPipeline(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == (("en", "head", true)))
+    assert(out(2L) == (("en", "middle", true)))
+    assert(out(3L) == (("en", "tail", false)))
+    // n=1 → both cutoffs equal its own score → tail by construction
+    assert(out(4L) == (("de", "tail", false)))
+  }
+
   test("CorpusOps.vocabGrowth: first appearances land in the right " +
     "doc_id-range bucket; cumulatives reach the corpus totals") {
     val docs = docsDf(Seq(
