@@ -122,6 +122,74 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: spanDedup matches a driver-side reference on random " +
+    "corpora with planted copied spans (5 seeded trials)") {
+    val s = spark
+    import s.implicits._
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps")
+    for (trial <- 1 to 5) {
+      val L = 3 + rnd.nextInt(3) // 3..5
+      val planted = Vector.fill(L + rnd.nextInt(3))(
+        s"span$trial${rnd.nextInt(3)}")
+      val docs = (1 to 10).map { id =>
+        // >= 1 draw: an empty text would round-trip as one empty token
+        // through split, which the array-side reference can't mirror
+        val n = 1 + rnd.nextInt(12)
+        val toks = (0 until n).flatMap { _ =>
+          if (rnd.nextInt(4) == 0) planted // plant the copy mid-doc
+          else Seq(pool(rnd.nextInt(pool.size)))
+        }
+        (id.toLong, toks.toArray)
+      }
+      // driver-side reference: window census → canonical → coverage
+      val wins = docs.flatMap { case (id, toks) =>
+        if (toks.length >= L)
+          (0 to toks.length - L).map(st =>
+            (toks.slice(st, st + L).mkString(" "), (id, st)))
+        else Nil
+      }
+      val dupStarts = wins.groupBy(_._1).values.filter(_.size > 1)
+        .flatMap { occs =>
+          val canon = occs.map(_._2)
+            .minBy { case (id, st) => id * 1000000000L + st }
+          occs.map(_._2).filterNot(_ == canon)
+        }
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+      val expect = docs.map { case (id, toks) =>
+        val starts = dupStarts.getOrElse(id, Set.empty[Int])
+        val removed = toks.indices
+          .map(p => starts.exists(st => st <= p && p <= st + L - 1))
+        val kept = toks.indices.filterNot(removed).map(toks)
+        id -> ((kept.mkString(" "), toks.length.toLong,
+          removed.count(identity).toLong))
+      }.toMap
+      val got = graft.operators.Dedup.spanDedup(
+        docs.map { case (id, toks) =>
+          val t = toks.mkString(" ")
+          (id, t, "en", "srcA", t.length.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        spanTokens = L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      assert(got == expect, s"trial $trial L=$L")
+    }
+  }
+
+  test("property: dsirWeights with the target covering the whole corpus " +
+    "scores every bucket ratio 1 — all weights exactly zero") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 8).map { id =>
+      val t = List.fill(3 + rnd.nextInt(5))(token()).mkString(" ")
+      (id.toLong, t, "en", "srcA", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextAnalysis.dsirWeights(docs,
+      targetLang = "en").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) == 0L && !r.getBoolean(4)))
+  }
+
   test("property: incrementalDedup equals set-difference semantics on " +
     "random overlapping batches, bloom sized from 8 bits to defaults") {
     val s = spark
