@@ -757,6 +757,15 @@ object SparkEntry {
     // construction, unlike the run-once-read-many sweeps)
     "doc_span_dedup_sweep" -> ((s, dir) =>
       Dedup.spanDedupSweep(t(s, dir, "documents"))),
+    // cross-frame span scrub: the new-batch split loses every span the
+    // corpus already contains (rewrite, not drop — the incremental/
+    // decontamination sibling at span granularity)
+    "doc_span_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.spanScrub(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0))
+    }),
     // bloom-prefiltered new-batch-vs-corpus dedup (every 10th doc is the
     // "new batch"). The fingerprint is a 10-token PREFIX hash — the loose
     // key that makes this corpus (zero exact dupes by construction)
@@ -3458,6 +3467,39 @@ object SparkEntry {
         |  WHERE w.doc_id * 1000000000 + w.start <> d.first_occ),
         | ti AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
         |  FROM t),
+        | tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |   toks[i] AS token FROM ti),
+        | flagged AS (SELECT tok.doc_id, tok.pos, tok.token,
+        |   CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END AS dsf
+        |  FROM tok LEFT JOIN ds
+        |   ON tok.doc_id = ds.doc_id AND tok.pos = ds.pos),
+        | rem AS (SELECT doc_id, pos, token,
+        |   max(dsf) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS removed
+        |  FROM flagged)
+        |SELECT doc_id,
+        | coalesce(string_agg(token, ' ' ORDER BY pos)
+        |   FILTER (WHERE removed = 0), '') AS clean_text,
+        | count(*) AS n_tokens,
+        | CAST(sum(removed) AS BIGINT) AS n_removed
+        |FROM rem GROUP BY doc_id""".stripMargin,
+    // cross-frame span scrub: corpus DISTINCT window fps → batch windows
+    // that hit them → the same bounded-frame coverage + reassembly, over
+    // the batch split only
+    "doc_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        | wi AS (SELECT doc_id, toks,
+        |   unnest(range(1, len(toks) - 8 + 2)) AS i
+        |  FROM t WHERE len(toks) >= 8),
+        | win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+        |   md5(array_to_string(toks[i:i+7], ' ')) AS fp FROM wi),
+        | known AS (SELECT DISTINCT fp FROM win WHERE doc_id % 10 <> 0),
+        | ds AS (SELECT w.doc_id, w.start AS pos FROM win w
+        |  WHERE w.doc_id % 10 = 0 AND EXISTS
+        |   (SELECT 1 FROM known k WHERE k.fp = w.fp)),
+        | ti AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |  FROM t WHERE doc_id % 10 = 0),
         | tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
         |   toks[i] AS token FROM ti),
         | flagged AS (SELECT tok.doc_id, tok.pos, tok.token,

@@ -1125,22 +1125,43 @@ object Dedup {
         count(lit(1)).as("n_tokens"),
         sum(col("removed")).cast("long").as("n_removed"))
 
+  /** `spanTokens`-token window fingerprints of every doc with at least
+    * that many tokens: (doc_id, start, fp). */
+  private def spanWindows(docs: DataFrame, spanTokens: Int): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " ", -1))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= spanTokens)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n") - spanTokens),
+          i => md5(concat_ws(" ",
+            slice(col("toks"), i + 1, lit(spanTokens))))))
+          .as(Seq("start", "fp")))
+
+  /** Per-token removal flags from a (doc_id, pos) set of doomed window
+    * starts: one row per token of `docs` with `removed` ∈ {0,1} — a token
+    * dies iff a doomed window starts in [pos−L+1, pos]; positions are
+    * dense per doc, so the bounded ROWS frame IS the position range. */
+  private def spanCoverage(docs: DataFrame, dupStarts: DataFrame,
+                           spanTokens: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("pos", "token")))
+    val cover = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(spanTokens - 1), 0)
+    tok.join(dupStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("removed", max(coalesce(col("ds"), lit(0))).over(cover))
+  }
+
   /** The [[spanDedup]] chain up to per-token removal flags, shared with the
     * sweep: (window stream, duplicate occurrences, flagged token stream —
     * one row per corpus token with `removed` ∈ {0,1}). */
   private def spanFlagged(docs: DataFrame, spanTokens: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
-    val L = spanTokens
-    val toks = docs
-      .withColumn("toks", split(col("text"), " ", -1))
-      .withColumn("n", size(col("toks")))
     def occ(d: Column, s: Column): Column = d * lit(1000000000L) + s
-    val wins = toks.filter(col("n") >= L)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), col("n") - L),
-          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(L))))))
-          .as(Seq("start", "fp")))
+    val wins = spanWindows(docs, spanTokens)
     // duplicate census: only fps with >1 occurrence survive the HAVING, so
     // the join's build side is the offender list, not every window
     val dups = wins.groupBy("fp")
@@ -1152,15 +1173,46 @@ object Dedup {
       .filter(occ(col("doc_id"), col("start")) =!= col("first_occ"))
       .select(col("doc_id"), col("start").as("pos"))
       .withColumn("ds", lit(1))
-    val tok = toks.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("pos", "token")))
-    // token at pos dies iff a duplicate window starts in [pos-L+1, pos];
-    // positions are dense per doc, so the ROWS frame IS the position range
-    val cover = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(L - 1), 0)
-    val flagged = tok.join(dupStarts, Seq("doc_id", "pos"), "left")
-      .withColumn("removed", max(coalesce(col("ds"), lit(0))).over(cover))
-    (wins, dupStarts, flagged)
+    (wins, dupStarts, spanCoverage(docs, dupStarts, spanTokens))
+  }
+
+  /** Cross-frame SPAN SCRUB — span-granularity decontamination/dedup of a
+    * NEW batch against a known corpus: any `spanTokens`-token window of a
+    * batch doc whose exact text occurs ANYWHERE in the corpus is scrubbed
+    * (no canonical-occurrence logic — the corpus copy always wins), and
+    * batch docs are reassembled from their surviving tokens. This is the
+    * rewrite-flavored sibling of [[incrementalDedup]] (which drops whole
+    * batch docs) and of doc-level decontamination (which flags them): a
+    * crawl refresh keeps its novel prose but loses the paragraphs it
+    * re-crawled, and an eval-set scrub removes leaked spans without
+    * discarding the surrounding document. Output per batch doc:
+    * (doc_id, clean_text, n_tokens, n_removed).
+    *
+    * Plan shape at 100 TB: the corpus side reduces to DISTINCT window
+    * fingerprints (one hash aggregate, map-side combined — reusable
+    * across batches the way the near-dup band index is); the batch's
+    * windows semi-join it on fp (batch-sized probe, corpus never
+    * re-shuffled per batch), then the [[spanDedup]] coverage pass runs
+    * over the BATCH only. */
+  def spanScrub(batch: DataFrame, corpus: DataFrame,
+                spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val known = spanWindows(corpus, spanTokens).select(col("fp")).distinct()
+    val doomed = spanWindows(batch, spanTokens)
+      .join(known, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("start").as("pos"))
+      .withColumn("ds", lit(1))
+    spanCoverage(batch, doomed, spanTokens)
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("pos"), col("removed"),
+              col("token")))),
+            s => s.getField("removed") === 0),
+          s => s.getField("token"))).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("removed")).cast("long").as("n_removed"))
   }
 
   /** Span-length SENSITIVITY SWEEP — the tuning table behind

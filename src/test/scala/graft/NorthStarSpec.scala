@@ -2129,6 +2129,24 @@ class NorthStarSpec extends SparkTestBase {
       .intersect(sel2.collect { case (4L, fp) => fp }.toSet).isEmpty)
   }
 
+  test("Dedup.spanScrub: batch docs lose exactly the spans the corpus " +
+    "already has — corpus side untouched by construction, batch-internal " +
+    "repeats survive (no canonical logic within the batch)") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val corpus = docsDf(Seq(1L -> s"c1 c2 $span c3 c4"))
+    val batch = docsDf(Seq(
+      10L -> s"n1 $span n2 n3", // span known to the corpus → scrubbed
+      11L -> "all novel material here beyond any overlap at all", // kept
+      12L -> s"$span"))         // the whole doc is a known span → emptied
+    val out = Dedup.spanScrub(batch, corpus, spanTokens = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // batch rows only
+    assert(out(10L) == (("n1 n2 n3", 11L, 8L)))
+    assert(out(11L)._3 == 0L)
+    assert(out(12L) == (("", 8L, 8L)))
+  }
+
   test("Dedup.spanDedupSweep: one row per swept length; shorter spans " +
     "fire on the same copy, longer-than-copy spans see nothing") {
     val span = (1 to 8).map(i => s"s$i").mkString(" ")
