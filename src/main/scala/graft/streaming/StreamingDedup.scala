@@ -63,6 +63,25 @@ object StreamingDedup {
         batch, knownDocs, jaccardThreshold), batchId)
     }
 
+  /** Per-micro-batch SPAN SCRUB of a document stream against a static
+    * corpus — the streaming face of [[graft.operators.Dedup.spanScrub]]:
+    * each arriving batch is REWRITTEN, not filtered — its docs lose every
+    * span the corpus already contains and keep their novel prose. Runs in
+    * `foreachBatch` (the scrub aggregates: window census, coverage pass,
+    * reassembly). At scale the corpus side is the DISTINCT window-fp set,
+    * which the operator recomputes from `knownDocs` per batch here —
+    * production persists that fp table once per corpus version and passes
+    * a read of it, the same note as the near-dedup band index. Delivery
+    * contract is the standard foreachBatch at-least-once: deliver
+    * idempotently. */
+  def spanScrubBatched(newDocs: DataFrame, knownDocs: DataFrame,
+      spanTokens: Int = 8)(
+      deliver: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      deliver(graft.operators.Dedup.spanScrub(batch, knownDocs, spanTokens),
+        batchId)
+    }
+
   /** The unbounded-stream answer the watermarked variant's scaladoc names:
     * watermark-bounded state catches SHORT-window repeats cheaply, and a
     * per-batch fp-store COMPACTION catches the long tail — every delivered

@@ -373,6 +373,47 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("StreamingDedup.spanScrubBatched: each micro-batch is rewritten " +
+    "minus corpus-known spans, row-identical to the batch operator on " +
+    "the same data") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val known = Seq((1L, s"c1 c2 $span c3", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val input = MemoryStream[(Long, String, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source")
+    val got = scala.collection.mutable.Map[Long, (String, Long, Long)]()
+    val q = graft.streaming.StreamingDedup
+      .spanScrubBatched(docs, known) { (scrubbed, _) =>
+        got.synchronized {
+          scrubbed.collect().foreach(r => got(r.getLong(0)) =
+            ((r.getString(1), r.getLong(2), r.getLong(3))))
+        }
+      }
+      .option("checkpointLocation", tmpDir("sspanscrub_cp"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val b1 = Seq((10L, s"n1 $span n2", "en", "srcA"),
+      (11L, "entirely novel words beyond any known overlap at all",
+        "en", "srcA"))
+    val b2 = Seq((12L, span, "en", "srcA"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // batch parity: the same rows the batch operator produces per batch
+    val expect = (b1 ++ b2).grouped(2).flatMap { chunk =>
+      graft.operators.Dedup.spanScrub(
+        chunk.toDF("doc_id", "text", "lang", "source"), known)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3))))
+    }.toMap
+    assert(got.toMap == expect)
+    assert(got(10L) == (("n1 n2", 10L, 8L)))
+    assert(got(11L)._3 == 0L)
+    assert(got(12L) == (("", 8L, 8L)))
+  }
+
   test("StreamingDedup.incrementalNearDedupBatched: per-batch LSH probe " +
     "vs the static corpus — near-dups of corpus docs never delivered, " +
     "novel docs delivered") {
