@@ -371,6 +371,39 @@ object SparkEntry {
         .groupBy("c_count")
         .agg(count(lit(1)).as("custdist"))
     }),
+    // TPC-H Q14 shape: conditional revenue share against a broadcast dim,
+    // per ship year — exact integral cents on both sides of the quotient
+    "q14_promo_share" -> ((s, dir) => {
+      val c = (col("l_extendedprice").cast("decimal(18,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", c).otherwise(0L))
+            .as("promo_rev_c"),
+          sum(c).as("total_rev_c"))
+        .select(col("ship_year"), col("promo_rev_c"), col("total_rev_c"),
+          round(col("promo_rev_c").cast("double") / col("total_rev_c"), 4)
+            .as("promo_share"))
+    }),
+    // TPC-H Q17 shape: per-group average computed once, re-joined as the
+    // row filter — qty·5·cnt < Σqty keeps the comparison integral (no
+    // division anywhere near the boundary)
+    "q17_avg_filter" -> ((s, dir) => {
+      val qc = (col("l_quantity").cast("decimal(18,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      val pc = (col("l_extendedprice").cast("decimal(18,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), qc.as("qty_c"), pc.as("price_c"))
+      val pa = li.groupBy("l_partkey")
+        .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("cnt"))
+      li.join(pa, "l_partkey")
+        .filter(col("qty_c") * 5 * col("cnt") < col("sum_qty_c"))
+        .agg(count(lit(1)).as("n_below"), sum(col("price_c")).as("rev_c"))
+    }),
 
     // ── CDR operator parity (SURVEY §2) ───────────────────────────────
     "cdr_route_count" -> ((s, dir) => {
@@ -1680,6 +1713,35 @@ object SparkEntry {
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY 1) t
         |GROUP BY c_count""".stripMargin,
+    "q14_promo_share" ->
+      """WITH j AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |     AS c,
+        |   p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        | g AS (SELECT ship_year,
+        |   CAST(sum(CASE WHEN p_type = 'PROMO' THEN c ELSE 0 END)
+        |     AS BIGINT) AS promo_rev_c,
+        |   CAST(sum(c) AS BIGINT) AS total_rev_c
+        |  FROM j GROUP BY ship_year)
+        |SELECT ship_year, promo_rev_c, total_rev_c,
+        | round(CAST(promo_rev_c AS DOUBLE) / total_rev_c, 4)
+        |   AS promo_share
+        |FROM g""".stripMargin,
+    "q17_avg_filter" ->
+      """WITH li AS (SELECT l_partkey,
+        |   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |     AS qty_c,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |     AS price_c
+        |  FROM lineitem),
+        | pa AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+        |   count(*) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT count(*) AS n_below,
+        | CAST(sum(li.price_c) AS BIGINT) AS rev_c
+        |FROM li JOIN pa USING (l_partkey)
+        |WHERE li.qty_c * 5 * pa.cnt < pa.sum_qty_c""".stripMargin,
     "q10_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

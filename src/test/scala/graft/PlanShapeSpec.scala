@@ -76,6 +76,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"fact side shuffled for the dim join:\n$plan")
   }
 
+  test("q14_promo_share: the part dim stays broadcast — the conditional " +
+    "share is one fact pass, fact side never shuffled for the join") {
+    val (n, plan, _) = ran("q14_promo_share")
+    assert(n > 0)
+    assertNoPlanBombs("q14_promo_share", plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part-dim join must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"fact side shuffled for the dim join:\n$plan")
+  }
+
   test("doc_search_bm25: the 1-row stats frame broadcasts back onto the " +
     "corpus scan and the top-k is a TakeOrdered — the corpus is never " +
     "shuffled or sort-merge-joined") {
