@@ -194,6 +194,27 @@ object Example {
         .orderBy("event_type").show()
     }
 
+    // layout, sketches, mining, tokenizer training (round 11)
+    {
+      println("[example] Z-order vs linear layout — files touched per " +
+        "point probe (the lakehouse clustering dial):")
+      SparkEntry.queries("corpus_zorder_skipping")(spark, sfDir)
+        .orderBy("layout", "probe_col").show()
+      println("[example] CMS heavy hitters vs exact (over >= 0 always):")
+      SparkEntry.queries("corpus_token_cms")(spark, sfDir)
+        .orderBy(col("n_exact").desc).show(5)
+      println("[example] BPE merges learned from this corpus:")
+      SparkEntry.queries("corpus_bpe_train")(spark, sfDir)
+        .orderBy("rank").show()
+      println("[example] contrastive triplets (anchor, positive, " +
+        "hard negatives):")
+      SparkEntry.queries("emb_hard_negatives")(spark, sfDir)
+        .orderBy("q_id", "neg_rank").show(6)
+      println("[example] code-switched docs (segment-voted language mix):")
+      SparkEntry.queries("doc_lang_mix")(spark, sfDir)
+        .filter(col("code_switched")).show(3)
+    }
+
     // streaming sessionization with custom keyed state
     {
       import graft.streaming.Sessionize

@@ -15,17 +15,40 @@ object CorpusOps {
     * dashboard a data team reads before setting [[TextAnalysis.mixSample]]
     * rates. Two aggregates (stratum, then a 1-row global total joined back
     * by broadcast); the corpus is scanned once. */
-  def corpusStats(docs: DataFrame): DataFrame = {
-    val g = docs
-      .select(col("source"), col("lang"),
+  def corpusStats(docs: DataFrame): DataFrame =
+    statsFinalize(statsState(docs))
+
+  /** The mergeable PARTIAL STATE behind [[corpusStats]]: per (source,
+    * lang), pure additive counters (doc count, token count). This is the
+    * materialized-view-maintenance decomposition: `state` is what a
+    * 100 TB pipeline persists per corpus shard/drop, [[statsMerge]]
+    * combines states by addition WITHOUT rescanning the shards that
+    * produced them, and [[statsFinalize]] derives the report (shares
+    * need the global total, so they live in finalize, never in state).
+    * merge(state(A), state(B)) ≡ state(A ∪ B) exactly — counts are
+    * associative-commutative integers — which `corpus_stats_incremental`
+    * value-proves against the full-recompute oracle. */
+  def statsState(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-    g.crossJoin(broadcast(g.agg(sum(col("n_tokens")).as("total"))))
+
+  /** Merge [[statsState]] tables by counter addition — state-sized work,
+    * no corpus access. */
+  def statsMerge(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("source", "lang")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+
+  /** Derive the [[corpusStats]] report from a (merged) state table:
+    * attach the global token share (the one non-mergeable column). */
+  def statsFinalize(state: DataFrame): DataFrame =
+    state.crossJoin(broadcast(state.agg(sum(col("n_tokens")).as("total"))))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("total"), 4)
           .as("token_share"))
-  }
 
   /** Deterministic offset-bin sequence packing: within each source, docs are
     * laid end-to-end in doc_id order and each doc is assigned the

@@ -419,6 +419,51 @@ object Similarity {
       .select(col("q_id"), col("label"), col("pred_label"), col("n_votes"))
   }
 
+  /** Contrastive-training triplet mining: for each anchor (`queryPred`),
+    * a POSITIVE (its most-similar vector at or above `posThreshold` —
+    * the near-duplicate/paraphrase pair a contrastive loss pulls
+    * together) and the `nNeg` HARDEST NEGATIVES (the highest-cosine
+    * vectors strictly below `negThreshold` — similar enough to be
+    * informative, dissimilar enough to be true negatives; the band
+    * between the thresholds is a no-man's-land excluded from BOTH roles
+    * so label noise from borderline pairs never enters the training
+    * set). Anchors with no qualifying positive yield no rows — an
+    * anchor without a pull pair can't form a triplet.
+    *
+    * Output: one row per (anchor, negative) with the shared positive —
+    * (q_id, pos_id, pos_cos, neg_rank, neg_id, neg_cos) — the exploded
+    * layout a triplet-loss data loader reads directly.
+    *
+    * Portability contract: cosines are rounded to 4dp BEFORE the
+    * thresholds and the ranking (ties break on candidate id), so the
+    * mined set is identical across engines — the doc_gopher_filter
+    * round-before-decide rule.
+    *
+    * Scale shape: one [[bruteScored]] pass (query side broadcast, corpus
+    * scanned once, no corpus shuffle) feeds both roles; the rank windows
+    * partition on q_id over candidate rows only. At 100 TB the scorer
+    * swaps for [[knnLsh]]/[[knnIvfIndexed]] candidates behind the same
+    * thresholds — mining quality degrades to candidate recall, the same
+    * dial every ANN query here measures. */
+  def hardNegatives(emb: DataFrame, queryPred: Column,
+                    posThreshold: Double = 0.5,
+                    negThreshold: Double = 0.3,
+                    nNeg: Int = 3): DataFrame = {
+    val scored = bruteScored(emb, queryPred)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val pos = scored.filter(col("cos") >= posThreshold)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = scored.filter(col("cos") < negThreshold)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nNeg)
+      .select(col("q_id"), col("rn").as("neg_rank"),
+        col("c_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, "q_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs: distinct (a < b) pairs sharing
     * ANY band's sign-bucket (banded multi-probe, same tables as [[knnLsh]])
     * with cosine above `threshold`. */
@@ -769,7 +814,15 @@ object Similarity {
     * data regardless of corpus size. A cells-in-the-thousands refit at
     * 100 TB is the same one pass the index build costs. */
   def ivfRefit(emb: DataFrame, centroids: DataFrame,
-               scale: Long = 1000000L): DataFrame =
+               scale: Long = 1000000L): DataFrame = {
+    // The 4dp mean is rounded in EXACT INTEGER arithmetic
+    // (half-away-from-zero on the micro sum): round(sx·10⁴/(scale·n)) =
+    // ±((2|sx| + k·n) DIV (2k·n)), k = scale/10⁴. A double-path round
+    // here once flipped on an exact .5 tie (−0.03235 → Spark −0.0324 via
+    // shortest-decimal HALF_UP, DuckDB −0.0323 via binary scaling); with
+    // the quotient decided on integers both engines agree by construction.
+    require(scale % 10000L == 0L, "scale must be a multiple of 10^4")
+    val k = scale / 10000L
     ivfAssign(emb, centroids)
       .select(col("cell").cast("long").as("cell"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
@@ -778,8 +831,10 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), sum(col("xi")).as("sx"))
       .select(col("cell"), col("pos").cast("long").as("pos"),
         col("n_vecs"),
-        round(col("sx").cast("double") / lit(scale.toDouble) /
-          col("n_vecs").cast("double"), 4).as("c_new"))
+        (expr(s"CAST((CASE WHEN sx < 0 THEN -1 ELSE 1 END) * " +
+          s"((abs(sx) * 2 + $k * n_vecs) DIV (${2 * k} * n_vecs)) " +
+          s"AS DOUBLE)") / 10000.0).as("c_new"))
+  }
 
   /** [[ivfRefit]] assembled back into a (cell, centroid) table — drop-in
     * for [[ivfAssign]]/[[ivfWriteIndex]], closing the maintenance loop:

@@ -165,6 +165,65 @@ object TextAnalysis {
         .otherwise("unknown").as("lang_guess_ngram"))
   }
 
+  /** Code-switching / language-mix detection: [[languageIdNgram]]'s
+    * heuristic applied per fixed-width token SEGMENT instead of per doc,
+    * rolled up to a per-doc mix report — (n_segs, n_langs among
+    * identified segments, main_lang, minority_share, code_switched).
+    * A doc-level classifier averages a mixed doc into whichever language
+    * dominates; the segment vote is what catches the en/es forum thread
+    * or the boilerplate-wrapped translation, which an LLM-data pipeline
+    * routes differently from a monolingual doc (split, or drop when the
+    * target mix is monolingual). Segments whose guess is `unknown`
+    * count toward n_segs but never toward the language vote, so short
+    * all-numeric segments don't manufacture "mixing". main_lang ties
+    * break lexicographically; all-unknown docs report main_lang
+    * 'unknown' and minority_share 0.
+    *
+    * Scale shape: the segment explode is map-only (≤ n_tokens/segTokens
+    * rows per doc); the only corpus-sized shuffle is the (doc_id, guess)
+    * count, and everything after operates on ≤ 4 rows per doc. */
+  def langMix(docs: DataFrame, segTokens: Int = 20): DataFrame = {
+    val w = tokens(col("text"))
+    val segs = docs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), floor((size(w) - 1) / segTokens).cast("int")),
+        i => concat_ws(" ", slice(w, i * segTokens + lit(1),
+          lit(segTokens))))).as("seg"))
+    val t = lower(col("seg"))
+    def occ(gram: String): Column =
+      ((length(t) - length(regexp_replace(t, gram, ""))) / gram.length)
+        .cast("long")
+    val en = Seq("th", "he", "ing").map(occ).reduce(_ + _)
+    val es = Seq("ción", "que", "los").map(occ).reduce(_ + _)
+    val de = Seq("sch", "der", "ein").map(occ).reduce(_ + _)
+    val perLang = segs.select(col("doc_id"),
+      when(en >= es && en >= de && en > 0, "en")
+        .when(es >= de && es > 0, "es")
+        .when(de > 0, "de")
+        .otherwise("unknown").as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+    val known = perLang.filter(col("g") =!= "unknown")
+    val tot = perLang.groupBy("doc_id").agg(sum(col("n")).as("n_segs"))
+    val kAgg = known.groupBy("doc_id").agg(
+      countDistinct(col("g")).as("n_langs"),
+      sum(col("n")).as("known_segs"))
+    val wTop = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("g"))
+    val top = known.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("main_lang"),
+        col("n").as("main_segs"))
+    tot.join(kAgg, Seq("doc_id"), "left").join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("main_lang"), lit("unknown")).as("main_lang"),
+        when(coalesce(col("known_segs"), lit(0L)) > 0,
+          round(lit(1.0) -
+            col("main_segs").cast("double") / col("known_segs"), 4))
+          .otherwise(lit(0.0)).as("minority_share"),
+        (coalesce(col("n_langs"), lit(0L)) >= 2).as("code_switched"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased
     * text. The cheap exact-dedup key. */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -556,6 +615,143 @@ object TextAnalysis {
         col("n_hapax"),
         round(col("n_hapax").cast("double") / col("n_vocab"), 4)
           .as("hapax_share"))
+  }
+
+  /** BPE tokenizer TRAINING at corpus scale (Sennrich et al. 2016): learn
+    * the `nMerges` highest-count adjacent-symbol merges from this corpus.
+    * Returns the learned merge table — (rank, left, right, pair_count) —
+    * the artifact a tokenizer ships.
+    *
+    * The industrial formulation: the corpus first collapses to its WORD
+    * FREQUENCY table (vocab-sized — the compression every real BPE
+    * trainer applies before touching pairs), each word splits into
+    * character symbols, and every round (1) counts adjacent symbol pairs
+    * weighted by word frequency, (2) takes the argmax pair (count desc,
+    * then left/right asc — deterministic), (3) rewrites every word's
+    * symbol array by one left-to-right non-overlapping scan ("aaaa" with
+    * a+a → [aa, aa]). The rewrite is a single `aggregate` fold per word
+    * — (out, pending) state, codegen-free but vocab-sized, never
+    * corpus-sized — and the argmax merge broadcasts into it as a 1-row
+    * cross join, so each round is one vocab-keyed aggregate + one
+    * broadcast map pass. `localCheckpoint` between rounds keeps lineage
+    * flat the way the connected-components loop does.
+    *
+    * Round r's merge depends on the rewrite under merges 1..r−1, so the
+    * r-round table is BY CONSTRUCTION a prefix of the (r+1)-round table —
+    * spec-gated along with the hand-checked classic fixture. Not
+    * SQL-expressible in one query (k data-dependent rewrite rounds), so
+    * the correctness gate is the spec + a rows-only entry, like the
+    * streaming ops. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 6): DataFrame = {
+    require(nMerges >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    var words = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"), col("freq"))
+      .localCheckpoint(eager = false)
+    val merges = Seq.newBuilder[DataFrame]
+    for (rank <- 1 to nMerges) {
+      val best = words
+        // single-symbol words carry no pairs — and sequence(1, 0)
+        // DESCENDS rather than returning empty (the wordNgrams guard)
+        .select(col("freq"), explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1), i =>
+              struct(element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r"))))
+            .otherwise(array().cast(
+              "array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(1)
+      merges += best.select(lit(rank).as("rank"), col("left"),
+        col("right"), col("pair_count"))
+      // rewrite every word under the new merge: one (out, pending) fold
+      val m = broadcast(best.select(col("left").as("m_l"),
+        col("right").as("m_r")))
+      words = words.crossJoin(m)
+        .select(applyMerge(col("syms"), col("m_l"), col("m_r")).as("syms"),
+          col("freq"))
+        .localCheckpoint(eager = false)
+    }
+    merges.result().reduce(_ unionByName _)
+  }
+
+  /** One left-to-right non-overlapping BPE merge application: fold the
+    * symbol array with (out, pending) state; a (pending, next) hit emits
+    * the merged symbol and clears pending. */
+  private def applyMerge(syms: Column, l: Column, r: Column): Column = {
+    val folded = aggregate(
+      syms,
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("pending")),
+      (acc, s) => {
+        val out = acc.getField("out")
+        val pending = acc.getField("pending")
+        when(pending.isNull, struct(out.as("out"), s.as("pending")))
+          .when(pending === l && s === r,
+            struct(concat(out, array(concat(pending, s))).as("out"),
+              lit(null).cast("string").as("pending")))
+          .otherwise(
+            struct(concat(out, array(pending)).as("out"), s.as("pending")))
+      })
+    when(folded.getField("pending").isNull, folded.getField("out"))
+      .otherwise(concat(folded.getField("out"),
+        array(folded.getField("pending"))))
+  }
+
+  /** Count-min-sketch heavy hitters with a measured error bound — the
+    * streaming/mergeable sibling of [[vocabCoverage]]'s exact top-k. A
+    * CMS (Cormode & Muthukrishnan 2005) summarizes the token-frequency
+    * table in `depth`×`width` counters: counter (d, b) holds the total
+    * occurrences of every token whose d-th hash lands in bucket b, and a
+    * token's estimate is the MIN over its `depth` counters — always an
+    * OVERestimate (collisions only add), within ε·N with high
+    * probability. The sketch is tiny, mergeable across partitions /
+    * corpus shards / stream batches by plain addition, and answers
+    * point-frequency queries without the vocab table — the shape a
+    * 100 TB multi-tenant pipeline keeps per shard when the exact vocab
+    * aggregate is the thing being avoided.
+    *
+    * This op reports, for the `topK` exact heavy hitters, the exact
+    * count next to the CMS estimate and the overestimate — so the
+    * (depth, width) dial is MEASURED against the corpus the way the
+    * dedup/ANN sweeps measure theirs; `over >= 0` is a theorem the spec
+    * gates. Hashes are the portable md5-prefix construction the simhash/
+    * minhash family uses, so the oracle derives identical buckets.
+    *
+    * Scale shape: one token-keyed exact aggregate feeds BOTH sides here
+    * (the sketch is derived from the count table — identical counters to
+    * hashing the raw stream, one explode cheaper); the CMS frame is
+    * ≤ depth·width rows and broadcasts back onto the topK probes. In the
+    * sketch-only deployment the same counters come from one map-side-
+    * combined aggregate on (d, bucket) — vocab never materialized. */
+  def tokenCmsAccuracy(docs: DataFrame, depth: Int = 4, width: Int = 128,
+                       topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2, "degenerate CMS geometry")
+    val exact = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+    def bucket(d: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"$d:"), c)), 1, 8), 16, 10)
+        .cast("long") % width
+    val cms = (0 until depth).map { d =>
+      exact.groupBy(bucket(d, col("token")).as("bucket"))
+        .agg(sum(col("n_exact")).as("bsum"))
+        .select(lit(d).as("d"), col("bucket"), col("bsum"))
+    }.reduce(_ unionByName _)
+    val top = exact.orderBy(col("n_exact").desc, col("token")).limit(topK)
+      .withColumn("d", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("bucket",
+        element_at(array((0 until depth).map(d =>
+          bucket(d, col("token"))): _*), col("d") + 1))
+    top.join(broadcast(cms), Seq("d", "bucket"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("bsum")).as("n_est"))
+      .select(col("token"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("over"))
   }
 
   /** Corpus-BIGRAM log-probability scoring — [[unigramLogProb]]'s

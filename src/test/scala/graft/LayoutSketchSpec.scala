@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Specs for the layout / sketch / mining operators added in round 11:
+  * Z-order data skipping, CMS heavy hitters, contrastive triplet mining,
+  * segment-voted language mix, and mergeable corpus-stats state. */
+class LayoutSketchSpec extends SparkTestBase {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text) =>
+      (id, text, "en", "srcA", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("Layout.zValue: hand-checked Morton interleave — a=0b101, b=0b011 " +
+    "→ 0b011011 = 27") {
+    val s = spark
+    import s.implicits._
+    val out = Seq((5L, 3L)).toDF("qa", "qb")
+      .select(Layout.zValue(col("qa"), col("qb"), 3).as("z"))
+      .collect()(0).getLong(0)
+    assert(out == 27L)
+  }
+
+  test("Layout.zorderSkippingReport: on a full 16×16 grid, the linear " +
+    "layout prunes perfectly on its own column and not at all on the " +
+    "other; z-order reads half the files for either column") {
+    val s = spark
+    import s.implicits._
+    val grid = (0 until 256).map(i => (i % 16, i / 16))
+      .toDF("a", "b")
+    val out = Layout.zorderSkippingReport(grid, "a", "b",
+      bits = 4, filePrefixBits = 2, nProbes = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(("linear_a", "a")) == ((4L, 1.0, 0.25)))
+    assert(out(("linear_a", "b")) == ((4L, 4.0, 1.0)))
+    assert(out(("zorder", "a")) == ((4L, 2.0, 0.5)))
+    assert(out(("zorder", "b")) == ((4L, 2.0, 0.5)))
+  }
+
+  test("TextAnalysis.tokenCmsAccuracy: estimates are never below exact " +
+    "counts (CMS overestimate theorem); exact counts are right; row " +
+    "count is min(topK, vocab)") {
+    val docs = docsDf(Seq(
+      1L -> "a a a b b c",
+      2L -> "a b c d e f g h"))
+    val rows = TextAnalysis.tokenCmsAccuracy(docs, depth = 4,
+      width = 8, topK = 5).collect()
+    assert(rows.length == 5) // vocab has 8 tokens, topK caps at 5
+    val byTok = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byTok("a")._1 == 4L && byTok("b")._1 == 3L)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"under-estimate at $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // a narrow width=2 table still never under-estimates
+    TextAnalysis.tokenCmsAccuracy(docs, depth = 2, width = 2, topK = 8)
+      .collect().foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+  }
+
+  test("Similarity.hardNegatives: picks the nearest above-threshold " +
+    "positive, the top-k below-threshold negatives in score order, " +
+    "skips the dead band, and drops anchors with no positive") {
+    val emb = embDf(Seq(
+      0L -> Seq(1f, 0f),                        // anchor
+      1L -> Seq(0.995f, 0.0999f),               // cos≈0.995 → positive
+      2L -> Seq(0.4f, math.sqrt(0.84).toFloat), // cos=0.4 → dead band
+      3L -> Seq(0.1f, math.sqrt(0.99).toFloat), // cos=0.1 → hardest neg
+      4L -> Seq(0f, 1f),                        // cos=0 → neg rank 2
+      5L -> Seq(-0.2f, -0.98f),                 // cos≈−0.2 → neg rank 3
+      6L -> Seq(-1f, 0f)))                      // cos=−1 → beyond k=3
+    val out = Similarity.hardNegatives(emb, col("vec_id") === 0,
+      posThreshold = 0.5, negThreshold = 0.3, nNeg = 3)
+      .orderBy("neg_rank").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getLong(1) == 1L)) // shared positive
+    assert(out.map(r => r.getLong(4)).toSeq == Seq(3L, 4L, 5L))
+    val negCos = out.map(_.getDouble(5)).toSeq
+    assert(negCos == negCos.sorted.reverse && negCos.forall(_ < 0.3))
+    // an anchor whose best candidate sits below posThreshold mines
+    // nothing: no positive → no triplet rows at all
+    val lonely = embDf(Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 2L -> Seq(-1f, 0f)))
+    assert(Similarity.hardNegatives(lonely, col("vec_id") === 0,
+      posThreshold = 0.5, negThreshold = 0.3, nNeg = 3).count() == 0)
+  }
+
+  test("TextAnalysis.langMix: a doc with an English and a Spanish " +
+    "segment is code-switched with a 0.5 minority share; monolingual " +
+    "and all-unknown docs are not") {
+    val docs = docsDf(Seq(
+      1L -> "the the the que los los", // en segment + es segment
+      2L -> "the the the",             // one en segment
+      3L -> "1 2 3"))                  // unknown
+    val out = TextAnalysis.langMix(docs, segTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((2L, 2L, "en", 0.5, true))) // tie → lexicographic
+    assert(out(2L) == ((1L, 1L, "en", 0.0, false)))
+    assert(out(3L) == ((1L, 0L, "unknown", 0.0, false)))
+  }
+
+  test("TextAnalysis.bpeTrain: the classic Sennrich corpus learns " +
+    "(e,s) → (es,t) → (l,o) → (lo,w), ties broken lexicographically; " +
+    "a shorter run is a prefix of a longer one") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = docsDf(Seq(1L -> words.mkString(" ")))
+    val got4 = TextAnalysis.bpeTrain(docs, nMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got4 == Seq(
+      (1, "e", "s", 9L),   // ties (e,s)/(s,t) at 9 → left asc
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L),   // ties (l,o)/(o,w) at 7 → left asc
+      (4, "lo", "w", 7L)))
+    val got2 = TextAnalysis.bpeTrain(docs, nMerges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got2 == got4.take(2)) // merge r depends only on merges 1..r−1
+  }
+
+  test("CorpusOps.statsState/Merge/Finalize: merging disjoint shard " +
+    "states equals the full recompute — the MV-maintenance identity") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s1", 5L), (2L, "d e", "en", "s1", 3L),
+      (3L, "f", "fr", "s1", 1L), (4L, "g h i j", "en", "s2", 7L),
+      (5L, "k", "fr", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = CorpusOps.corpusStats(docs)
+      .orderBy("source", "lang").collect().toSeq
+    val merged = CorpusOps.statsFinalize(CorpusOps.statsMerge(Seq(
+      CorpusOps.statsState(docs.filter(col("doc_id") <= 2)),
+      CorpusOps.statsState(docs.filter(col("doc_id") === 3)),
+      CorpusOps.statsState(docs.filter(col("doc_id") >= 4)))))
+      .orderBy("source", "lang").collect().toSeq
+    assert(merged == full)
+  }
+}

@@ -35,6 +35,29 @@ class PlanShapeSpec extends SparkTestBase {
       s"$name plans a nested-loop join:\n$plan")
   }
 
+  test("corpus_zorder_skipping: file assignment is a pure map — no " +
+    "window, no sort of the corpus; the only corpus shuffles are the " +
+    "two file-stat partial aggs") {
+    val (n, plan, _) = ran("corpus_zorder_skipping")
+    assert(n == 4)
+    assert(!plan.contains("Window"),
+      s"z-order layout must not need a window/global rank:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus_zorder_skipping plans a cartesian:\n$plan")
+    // bounds (1 row) and probes (16 rows) ride broadcast nested loops —
+    // the default-deny sweep measures those build sides like all others
+  }
+
+  test("corpus_token_cms: the sketch is derived from ONE token-keyed " +
+    "aggregate; the CMS side broadcasts back onto the top-k probes") {
+    val (n, plan, _) = ran("corpus_token_cms")
+    assert(n == 20)
+    assertNoPlanBombs("corpus_token_cms", plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the depth×width CMS frame must broadcast, not shuffle:\n$plan")
+  }
+
   test("q1_agg: single shuffle (partial agg pushed map-side), no joins") {
     val (n, plan, df) = ran("q1_agg")
     assert(n > 0)
