@@ -92,7 +92,15 @@ object ScaleBench {
       "doc_span_dedup",
       // and winnowing — per-row gram explode + one per-doc window pass:
       // expected at the per-row-map linear floor like doc_rolling_fp
-      "doc_winnowing")
+      "doc_winnowing",
+      // r11 session 3: the CMS heavy-hitter sketch (one token-keyed
+      // aggregate feeding a ≤512-row broadcast — expected the aggregate's
+      // linear floor) and BPE training (corpus collapses to the word-
+      // frequency table first, then 6 vocab-sized rounds; the cross-copy
+      // word suffixes grow the VOCAB ×f, so this cell measures the
+      // formulation's real dial — training cost tracks vocabulary, and
+      // the corpus only pays one explode)
+      "corpus_token_cms", "corpus_bpe_train")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the

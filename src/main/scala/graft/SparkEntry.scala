@@ -846,6 +846,11 @@ object SparkEntry {
     "doc_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(
         Dedup.minhash(t(s, dir, "documents"), k = 4), rowsPerBand = 2)),
+    // link analysis on the candidate graph: integer-micro PageRank —
+    // template-farm neighborhoods score high, isolated docs sit at the
+    // 0.15 baseline; every term exact integer arithmetic
+    "doc_pagerank" -> ((s, dir) =>
+      Dedup.pageRank(t(s, dir, "documents"), iterations = 3)),
     "doc_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"))),
     "doc_ngram_jaccard_lsh" -> ((s, dir) => {
@@ -3234,6 +3239,49 @@ object SparkEntry {
         |FROM banded a JOIN banded b
         | ON a.band = b.band AND a.bucket = b.bucket
         |  AND a.doc_id < b.doc_id""".stripMargin,
+    // integer-micro PageRank: the doc_lsh_pairs edge CTE, then 3 unrolled
+    // power-method rounds — (85·pr) // (100·deg) summed per destination,
+    // all exact integers, no rounding contract anywhere
+    "doc_pagerank" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (SELECT e.dst AS doc_id,
+           |   CAST(sum((85 * pr) // (100 * deg)) AS BIGINT) AS s
+           |  FROM e JOIN pr${r - 1} p ON e.src = p.doc_id
+           |   JOIN deg ON deg.src = e.src GROUP BY 1),
+           | pr$r AS (SELECT n.doc_id,
+           |   CAST(150000 + coalesce(s, 0) AS BIGINT) AS pr
+           |  FROM n LEFT JOIN c$r USING (doc_id))""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+         |  FROM documents),
+         | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         | sh AS (SELECT doc_id, unnest(list_transform(
+         |   range(1, len(words) - 1), i ->
+         |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+         |  FROM g),
+         | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+         | mh AS (SELECT doc_id, seed,
+         |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+         |  FROM sd GROUP BY doc_id, seed),
+         | banded AS (SELECT doc_id, seed // 2 AS band,
+         |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+         |  FROM mh GROUP BY doc_id, seed // 2),
+         | p0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |   ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         | e AS (SELECT doc_a AS src, doc_b AS dst FROM p0
+         |  UNION ALL SELECT doc_b, doc_a FROM p0),
+         | deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY 1),
+         | n AS (SELECT doc_id FROM documents),
+         | pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM n),
+         | $rounds
+         |SELECT n.doc_id, coalesce(deg.deg, 0) AS degree,
+         | pr3.pr AS pr_micro
+         |FROM n LEFT JOIN deg ON deg.src = n.doc_id
+         |JOIN pr3 ON pr3.doc_id = n.doc_id""".stripMargin
+    },
     // PMI over consecutive bigrams vs unigram marginals; one ln of a
     // left-to-right double product of integral counts, rounded 4dp BEFORE
     // the (pmi desc, bigram asc) top-k ordering

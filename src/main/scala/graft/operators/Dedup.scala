@@ -591,6 +591,56 @@ object Dedup {
     comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
+  /** PageRank over the near-duplicate candidate graph — link analysis as
+    * a CENTRALITY signal on the same graph [[dupClusters]] partitions: a
+    * doc's rank measures how embedded it is in a template/boilerplate
+    * neighborhood (hub pages, mirrored chains score high; an isolated doc
+    * stays at the (1−d) baseline), the prioritization signal for manual
+    * dedup review and for down-weighting template farms in sampling.
+    *
+    * The iteration is the textbook power method with damping d = 0.85,
+    * run ENTIRELY in integer micro-units so it is engine-portable with no
+    * rounding contract at all: pr₀ = 10⁶ per node; per round
+    * pr(v) = 150000 + Σ_{u→v} (85·pr(u)) DIV (100·deg(u)) — every term
+    * exact integer arithmetic, the oracle unrolls the same `iterations`
+    * rounds in chained CTEs. (Per-node normalization — total mass is
+    * N·10⁶, not 1 — which leaves ranking and convergence untouched.)
+    *
+    * Scale shape: edges are CANDIDATE-bounded (the LSH banding, never
+    * all-pairs); each round is one edge-keyed join carrying (pr, deg) +
+    * one destination-keyed aggregate + one left join back onto the node
+    * frame, localCheckpoint between rounds like [[dupClusters]]. At
+    * 100 TB the per-round cost is O(edges) with the node frame joined on
+    * its key — the same shape GraphX's Pregel emits per superstep. */
+  def pageRank(docs: DataFrame, iterations: Int = 3,
+               minhashK: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(iterations >= 1, "need at least one power-method round")
+    val pairs = lshCandidatePairs(minhash(docs, minhashK), rowsPerBand)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint(eager = false)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = docs.select(col("doc_id"))
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(pr.select(col("doc_id").as("src"), col("pr")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("doc_id"),
+          expr("(85 * pr) DIV (100 * deg)").as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("in_sum"))
+      pr = nodes.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + coalesce(col("in_sum"), lit(0L))).as("pr"))
+        .localCheckpoint(eager = false)
+    }
+    pr.join(deg.select(col("src").as("doc_id"), col("deg")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
+        col("pr").as("pr_micro"))
+  }
+
   /** Representative selection per near-dup cluster — the step after
     * [[dupClusters]] in a real curation run: of each cluster's members,
     * KEEP the longest document (max token count, ties → lower doc_id — the

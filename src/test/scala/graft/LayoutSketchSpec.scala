@@ -136,6 +136,63 @@ class LayoutSketchSpec extends SparkTestBase {
     assert(got2 == got4.take(2)) // merge r depends only on merges 1..r−1
   }
 
+  test("StreamingStats: per-batch state merge equals the full recompute; " +
+    "a replayed batch id is a no-op (idempotent apply)") {
+    import graft.streaming.StreamingStats
+    val s = spark
+    import s.implicits._
+    def docs(rows: (Long, String, String, String)*) =
+      rows.map { case (id, text, lang, src) =>
+        (id, text, lang, src, text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b0 = docs((1L, "a b c", "en", "s1"), (2L, "d e", "fr", "s1"))
+    val b1 = docs((3L, "f g h i", "en", "s2"), (4L, "j", "en", "s1"))
+    val stateDir = tmpDir("ss_state")
+    assert(StreamingStats.applyBatch(spark, stateDir, b0, 0L))
+    assert(StreamingStats.applyBatch(spark, stateDir, b1, 1L))
+    val live = StreamingStats.report(spark, stateDir)
+      .orderBy("source", "lang").collect().toSeq
+    val full = CorpusOps.corpusStats(b0.unionByName(b1))
+      .orderBy("source", "lang").collect().toSeq
+    assert(live == full)
+    // replay of batch 1 must refuse and leave the state untouched
+    assert(!StreamingStats.applyBatch(spark, stateDir, b1, 1L))
+    assert(StreamingStats.report(spark, stateDir)
+      .orderBy("source", "lang").collect().toSeq == full)
+    // and the streaming wiring end-to-end over a MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val stateDir2 = tmpDir("ss_state2")
+    val q = StreamingStats.maintain(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      stateDir2, tmpDir("ss_ckpt"), Trigger.ProcessingTime(0))
+    in.addData((1L, "a b c", "en", "s1", 5L), (2L, "d e", "fr", "s1", 3L))
+    q.processAllAvailable()
+    in.addData((3L, "f g h i", "en", "s2", 7L), (4L, "j", "en", "s1", 1L))
+    q.processAllAvailable()
+    q.stop()
+    assert(StreamingStats.report(spark, stateDir2)
+      .orderBy("source", "lang").collect().toSeq == full)
+  }
+
+  test("Dedup.pageRank: a symmetric duplicate pair is a fixed point at " +
+    "the initial mass; an isolated doc sits at the damping baseline") {
+    val dup = "alpha beta gamma delta epsilon"
+    val docs = docsDf(Seq(
+      1L -> dup, 2L -> dup, // identical → LSH pair in every band
+      3L -> "zeta eta theta iota kappa")) // no shared shingles
+    val out = Dedup.pageRank(docs, iterations = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // pair: each round v receives (85·10⁶) DIV (100·1) = 850000, plus
+    // the 150000 baseline → exactly 10⁶ again: a fixed point
+    assert(out(1L) == ((1L, 1000000L)))
+    assert(out(2L) == ((1L, 1000000L)))
+    // isolated: degree 0, no inflow, baseline only
+    assert(out(3L) == ((0L, 150000L)))
+  }
+
   test("CorpusOps.statsState/Merge/Finalize: merging disjoint shard " +
     "states equals the full recompute — the MV-maintenance identity") {
     val s = spark
