@@ -1034,6 +1034,12 @@ object SparkEntry {
     "emb_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(t(s, dir, "embeddings"), col("vec_id") < 8,
         posThreshold = 0.3, negThreshold = 0.25, nNeg = 3)),
+    // the same miner with the scorer swapped for the LSH candidate chain
+    // — the production form: mining quality degrades to candidate recall
+    "emb_hard_negatives_lsh" -> ((s, dir) =>
+      Similarity.hardNegativesLsh(t(s, dir, "embeddings"),
+        col("vec_id") < 8, posThreshold = 0.3, negThreshold = 0.25,
+        nNeg = 3)),
     // SemDeDup over seeded IVF cells: within-cell cosine >= 0.4, keep the
     // smaller vec_id; returns the KEPT rows (threshold matches
     // emb_near_dup's boundary-safe precedent on this corpus)
@@ -4192,6 +4198,40 @@ object SparkEntry {
         |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
         |     i -> c.v[i] * c.v[i]), 'sum'))), 4) AS cos
         |  FROM q, e c WHERE c.vec_id <> q_id),
+        | pos AS (SELECT q_id, c_id AS pos_id, cos AS pos_cos FROM
+        |   (SELECT q_id, c_id, cos, row_number() OVER
+        |     (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+        |    FROM s WHERE cos >= 0.3) t WHERE rn = 1),
+        | neg AS (SELECT q_id, rn AS neg_rank, c_id AS neg_id,
+        |   cos AS neg_cos FROM
+        |   (SELECT q_id, c_id, cos, row_number() OVER
+        |     (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+        |    FROM s WHERE cos < 0.25) t WHERE rn <= 3)
+        |SELECT pos.q_id, pos_id, pos_cos,
+        | CAST(neg_rank AS INT) AS neg_rank, neg_id, neg_cos
+        |FROM pos JOIN neg ON pos.q_id = neg.q_id""".stripMargin,
+    // the LSH-candidate miner: emb_knn_lsh's banded candidate CTE feeds
+    // the same pos/neg selection (round-before-decide, ties on c_id)
+    "emb_hard_negatives_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | bb AS (SELECT vec_id, v, band,
+        |   list_aggregate(list_transform(range(0, 8), j ->
+        |     CASE WHEN v[band * 16 + j + 1] >= 0
+        |       THEN 1 << j ELSE 0 END), 'sum') AS bucket
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+        | q AS (SELECT vec_id AS q_id, v AS qv, band, bucket FROM bb
+        |  WHERE vec_id < 8),
+        | s AS (SELECT DISTINCT q_id, c_id,
+        |   round(cosraw, 4) AS cos FROM
+        |   (SELECT q_id, c.vec_id AS c_id,
+        |     list_aggregate(list_transform(range(1, len(qv) + 1),
+        |       i -> qv[i] * c.v[i]), 'sum') /
+        |     (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |       i -> qv[i] * qv[i]), 'sum')) *
+        |      sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |       i -> c.v[i] * c.v[i]), 'sum'))) AS cosraw
+        |    FROM q JOIN bb c ON q.band = c.band AND q.bucket = c.bucket
+        |    WHERE c.vec_id <> q_id) t),
         | pos AS (SELECT q_id, c_id AS pos_id, cos AS pos_cos FROM
         |   (SELECT q_id, c_id, cos, row_number() OVER
         |     (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn

@@ -448,8 +448,47 @@ object Similarity {
   def hardNegatives(emb: DataFrame, queryPred: Column,
                     posThreshold: Double = 0.5,
                     negThreshold: Double = 0.3,
-                    nNeg: Int = 3): DataFrame = {
-    val scored = bruteScored(emb, queryPred)
+                    nNeg: Int = 3): DataFrame =
+    mineTriplets(bruteScored(emb, queryPred)
+      .select(col("q_id"), col("c_id"), col("cos")),
+      posThreshold, negThreshold, nNeg)
+
+  /** [[hardNegatives]] with the scorer swapped for the banded sign-LSH
+    * candidate chain ([[knnLsh]]'s tables) — the production form of the
+    * brute miner's own scale claim: at corpus scale the all-candidates
+    * scan is the cost, so the miner reads only bucket-sharing candidates
+    * and mining quality degrades exactly to candidate recall (the dial
+    * `emb_knn_recall` measures for the search path). Same thresholds,
+    * same dead band, same round-before-decide contract — an anchor whose
+    * bucket mates are all below posThreshold mines nothing, which is the
+    * honest behavior: no candidate, no triplet. */
+  def hardNegativesLsh(emb: DataFrame, queryPred: Column,
+                       posThreshold: Double = 0.5,
+                       negThreshold: Double = 0.3,
+                       nNeg: Int = 3, bits: Int = 8, nBands: Int = 4,
+                       stride: Int = 16): DataFrame = {
+    val banded = bandedBuckets(emb, lshBandDims(nBands, bits, stride))
+    val q = banded.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("q_nrm"), col("band"), col("bucket"))
+    val c = banded.select(col("vec_id").as("c_id"),
+      col("embedding").as("cv"), col("nrm").as("c_nrm"),
+      col("band"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("q_nrm") * col("c_nrm")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .distinct()
+    mineTriplets(scored, posThreshold, negThreshold, nNeg)
+  }
+
+  /** The shared triplet selection on a scored (q_id, c_id, cos) frame:
+    * 4dp-round, threshold, rank (ties on c_id), join positive to
+    * negatives. */
+  private def mineTriplets(scoredRaw: DataFrame, posThreshold: Double,
+                           negThreshold: Double, nNeg: Int): DataFrame = {
+    val scored = scoredRaw
       .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))

@@ -1142,7 +1142,13 @@ object TextAnalysis {
   def winnowingSelected(docs: DataFrame, gram: Int = 8, window: Int = 4)
       : DataFrame = {
     require(gram >= 1 && window >= 1, s"bad gram=$gram window=$window")
+    // the per-doc gram count is ANALYTIC — greatest(len−gram+1, 1), the
+    // sequence bound itself — so it rides the projection through the
+    // explode instead of costing a second whole-partition WindowExec
+    // pass over the corpus-sized gram stream (strictly less work: one
+    // window spec instead of two over the same exchange+sort)
     val grams = docs.select(col("doc_id"),
+      greatest(length(col("text")) - (gram - 1), lit(1)).as("m"),
       posexplode(transform(
         sequence(lit(1), greatest(length(col("text")) - (gram - 1), lit(1))),
         i => md5(col("text").substr(i, lit(gram)))))
@@ -1150,10 +1156,8 @@ object TextAnalysis {
     val frame = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("gidx")
       .rowsBetween(0, window - 1)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     grams
       .withColumn("wmin", min(col("h")).over(frame))
-      .withColumn("m", count(lit(1)).over(all))
       // complete windows only; short docs keep gidx=0 whose truncated
       // frame is the whole gram sequence (= the whole-doc min)
       .filter(col("gidx") <= greatest(col("m") - window, lit(0)))

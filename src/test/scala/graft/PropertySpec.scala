@@ -566,6 +566,74 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: CMS estimates dominate exact counts on random corpora " +
+    "at every geometry, and a reference CMS built driver-side agrees") {
+    val s = spark
+    import s.implicits._
+    val prnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val vocabSize = 3 + prnd.nextInt(10)
+      val words = (0 until vocabSize).map(i => s"w${i}t$trial")
+      val docs = (1L to 4L).map(id => (id,
+        List.fill(5 + prnd.nextInt(20))(
+          words(prnd.nextInt(words.size))).mkString(" "),
+        "en", "srcA", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val (depth, width) = (1 + prnd.nextInt(4), 2 + prnd.nextInt(30))
+      val got = graft.operators.TextAnalysis
+        .tokenCmsAccuracy(docs, depth, width, topK = vocabSize).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // driver-side reference: identical hash family over exact counts
+      val exact = docs.collect().flatMap(_.getString(1).split(" "))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      def bucket(d: Int, tok: String): Long =
+        java.lang.Long.parseLong(md5hex(s"$d:$tok").take(8), 16) % width
+      val cms = Array.fill(depth, width)(0L)
+      exact.foreach { case (tok, n) =>
+        (0 until depth).foreach(d => cms(d)(bucket(d, tok).toInt) += n) }
+      got.foreach { case (tok, (nExact, nEst)) =>
+        assert(nExact == exact(tok))
+        val ref = (0 until depth)
+          .map(d => cms(d)(bucket(d, tok).toInt)).min
+        assert(nEst == ref, s"estimate mismatch for $tok")
+        assert(nEst >= nExact)
+      }
+    }
+  }
+
+  test("property: zValue is a bijection on the quantized grid — distinct " +
+    "(qa, qb) pairs always get distinct z, and z stays within 2·bits bits") {
+    val s = spark
+    import s.implicits._
+    val bits = 5
+    val grid = for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong)
+    val zs = grid.toDF("qa", "qb")
+      .select(graft.operators.Layout.zValue(col("qa"), col("qb"), bits)
+        .as("z")).collect().map(_.getLong(0))
+    assert(zs.distinct.length == grid.length)
+    assert(zs.forall(z => z >= 0 && z < (1L << (2 * bits))))
+  }
+
+  test("property: pageRank mass and floors — every node is at least the " +
+    "damping baseline and total mass never exceeds the initial total " +
+    "(integer floors only leak mass, never mint it)") {
+    val s = spark
+    import s.implicits._
+    val prnd = new scala.util.Random(5)
+    // random corpus with planted duplicate groups of varying size
+    val texts = (0 until 6).map(g =>
+      List.fill(8)(s"g$g w${prnd.nextInt(3)}").mkString(" "))
+    val docs = (0L until 18L).map(id =>
+      (id, texts(prnd.nextInt(texts.size)), "en", "srcA", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Dedup.pageRank(docs, iterations = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.forall(_._2 >= 150000L))
+    assert(out.map(_._2).sum <= 18L * 1000000L)
+    // isolated nodes (degree 0) sit exactly at the baseline
+    out.filter(_._1 == 0L).foreach(p => assert(p._2 == 150000L))
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val s = spark
     import s.implicits._
