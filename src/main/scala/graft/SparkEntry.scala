@@ -497,6 +497,83 @@ object SparkEntry {
         .groupBy(col("code"))
         .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
     }),
+    // TPC-H Q15 shape: the top-supplier view — per-supplier revenue over a
+    // one-year shipdate slice (discounted revenue kept EXACT as integral
+    // cent·percent units: price_c · (100 − disc_pct), so the max-equality
+    // boundary is portable), then the scalar max broadcast back as the
+    // filter. One shuffle (suppkey agg) over the sliced fact; the scalar
+    // subquery is a one-row job; supplier broadcasts for the name.
+    "q15_top_supplier" -> ((s, dir) => {
+      val pc = (col("l_extendedprice").cast("decimal(18,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      val dp = (col("l_discount").cast("decimal(4,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(pc * (lit(100L) - dp)).as("total_rev_cp"))
+      val mx = rev.agg(max(col("total_rev_cp")).as("max_rev_cp"))
+      rev.join(broadcast(mx), col("total_rev_cp") === col("max_rev_cp"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_cp"))
+    }),
+    // TPC-H Q19 shape: the disjunctive join residual — three OR'd
+    // brand/size/quantity conjunctions that CANNOT become the equi-key.
+    // Catalyst keeps l_partkey = p_partkey as the broadcast-hash key and
+    // evaluates the OR-of-ANDs as a post-join filter; the common
+    // per-branch bounds (size ≤ 35, qty ≤ 40) are pushed to the scans as
+    // branch-union superset predicates by constraint propagation. Revenue
+    // in exact cent·percent units as in q15.
+    "q19_disjunct" -> ((s, dir) => {
+      val pc = (col("l_extendedprice").cast("decimal(18,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      val dp = (col("l_discount").cast("decimal(4,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      val branch =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#5" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 40))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(branch)
+        .agg(count(lit(1)).as("n_matched"),
+          sum(pc * (lit(100L) - dp)).as("rev_cp"))
+    }),
+    // TPC-H Q20 shape: the nested-semi-join chain — suppliers holding
+    // EXCESS stock of 'red' parts. partsupp.availqty is modeled as the
+    // shipped (part, supplier) quantity sum; "excess" = the pair carries
+    // more than TWICE its part's fair share
+    // (pair·n_suppliers > 2·part_total keeps the boundary integral).
+    // The part slice broadcasts into both aggregates so the fact is
+    // scanned once per agg and shuffled only on the (small) red
+    // keyspace; the final supplier probe is a broadcast semi join.
+    "q20_excess_stock" -> ((s, dir) => {
+      val qc = (col("l_quantity").cast("decimal(18,2)") *
+        lit(100).cast("decimal(3,0)")).cast("long")
+      val redKeys = t(s, dir, "part")
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val redLines = t(s, dir, "lineitem")
+        .join(broadcast(redKeys), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), qc.as("qty_c"))
+      val pairQty = redLines.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("qty_c")).as("pair_qty_c"))
+      val partQty = redLines.groupBy("l_partkey")
+        .agg(sum(col("qty_c")).as("part_qty_c"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+      val excess = pairQty.join(partQty, "l_partkey")
+        .filter(col("pair_qty_c") * col("n_supp") > col("part_qty_c") * 2)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
 
     // ── CDR operator parity (SURVEY §2) ───────────────────────────────
     "cdr_route_count" -> ((s, dir) => {
@@ -559,6 +636,24 @@ object SparkEntry {
           (col("user_id") % 30).cast("string"),
           (col("event_id") % 5).cast("string")))
       CdrOps.enrichLookup(fact, nationDim(s, dir), col("la_ci"))
+        .select(
+          col("event_id"),
+          md5(col("user_id").cast("string")).as("phone_m"),
+          col("dim_value").as("area"),
+          lit("2g_call").as("tag"))
+    }),
+    // the skew-join mitigation value-proven: fact salted ×8, dim
+    // replicated ×8, joined on (key, salt) — must equal the plain join
+    // (the oracle IS cdr_enrich_join's, modulo the broadcast hint)
+    "cdr_enrich_join_salted" -> ((s, dir) => {
+      val fact = events(s, dir).withColumn("la_ci",
+        concat_ws(",",
+          (col("user_id") % 30).cast("string"),
+          (col("event_id") % 5).cast("string")))
+      Skew.saltedJoin(fact,
+          nationDim(s, dir).withColumnRenamed("key", "la_ci"),
+          "la_ci", col("event_id"), buckets = 8)
+        .filter(col("dim_value") =!= "")
         .select(
           col("event_id"),
           md5(col("user_id").cast("string")).as("phone_m"),
@@ -651,6 +746,10 @@ object SparkEntry {
     // own unsmoothed bigram model (same micro-integer sum contract)
     "doc_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
+    // the SMOOTHED form a production perplexity filter runs: interpolated
+    // Kneser-Ney with d=3/4 kept as one exact integer rational per pair
+    "doc_kn_logprob" -> ((s, dir) =>
+      TextAnalysis.knBigramLogProb(t(s, dir, "documents"))),
     // Zipf/Heaps corpus-health headline: top-k token concentration +
     // hapax rate over the corpus vocabulary
     "corpus_vocab_coverage" -> ((s, dir) =>
@@ -672,10 +771,23 @@ object SparkEntry {
     // this rows-only entry — the streaming-op precedent (SURVEY §5)
     "corpus_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), nMerges = 6)),
+    // BPE ENCODING under the just-learned merges — the serve half:
+    // per-doc token counts + chars-per-token compression. Same rows-only
+    // + spec gate as training (round-trip segmentation + the classic
+    // fixture's hand-checked "lowest" → [low, est] in LayoutSketchSpec)
+    "corpus_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bpeEncode(docs, TextAnalysis.bpeTrain(docs, nMerges = 6))
+    }),
     // Heaps-law growth curve: per doc_id-range decile, token volume and
     // first-appearing vocabulary types with cumulatives
     "corpus_vocab_growth" -> ((s, dir) =>
       CorpusOps.vocabGrowth(t(s, dir, "documents"))),
+    // Zipf-law OLS slope over the top-256 log-log rank/frequency curve —
+    // ln's of exact integers 1e-6-micro-rounded before the moment sums,
+    // quotient assembled in DECIMAL(38,0)
+    "corpus_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"))),
     // CCNet-style head/middle/tail tertiles by unigram-logprob score
     "doc_quality_buckets" -> ((s, dir) =>
       TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
@@ -1232,6 +1344,11 @@ object SparkEntry {
     // per-day DAU / trailing-7-day WAU / stickiness
     "events_engagement" -> ((s, dir) =>
       Funnels.engagement(events(s, dir))),
+    // the HLL++ production twin of the DAU distinct, estimator drift
+    // measured in-row next to the exact count (estimator internals are
+    // engine-specific → rows-only + spec gate, the approx-twin precedent)
+    "events_dau_approx" -> ((s, dir) =>
+      Funnels.dauApprox(events(s, dir))),
     // days whose volume exceeds 2x their trailing-week baseline mean;
     // exact-integer spike predicate
     "events_spike_days" -> ((s, dir) =>
@@ -1937,6 +2054,47 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |       AS BIGINT)
+        |     * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |       AS BIGINT))) AS BIGINT) AS total_rev_cp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_cp
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_cp = (SELECT max(total_rev_cp) FROM rev)""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT count(*) AS n_matched,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |     AS BIGINT)
+        |   * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |     AS BIGINT))) AS BIGINT) AS rev_cp
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q20_excess_stock" ->
+      """WITH red AS (SELECT l_partkey, l_suppkey,
+        |   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'),
+        | pair AS (SELECT l_partkey, l_suppkey,
+        |   CAST(sum(qty_c) AS BIGINT) AS pair_qty_c
+        |  FROM red GROUP BY 1, 2),
+        | tot AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS part_qty_c,
+        |   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |  FROM red GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey
+        |  FROM pair JOIN tot USING (l_partkey)
+        |  WHERE pair_qty_c * n_supp > part_qty_c * 2)""".stripMargin,
 
     "cdr_route_count" -> (CdrSql +
       """SELECT substring(value, 1, 2) AS record_type, count(*) AS n
@@ -1975,6 +2133,13 @@ object SparkEntry {
         | concat_ws(',', f[5], f[2], f[1]) AS value_proj
         |FROM (SELECT string_split(value, ',') AS f FROM cdr) t""".stripMargin),
     "cdr_enrich_join" -> ("WITH " + NationDimSql +
+      """SELECT event_id, md5(CAST(user_id AS VARCHAR)) AS phone_m,
+        | dim_value AS area, '2g_call' AS tag
+        |FROM events JOIN dim ON concat_ws(',',
+        |  CAST(user_id % 30 AS VARCHAR),
+        |  CAST(event_id % 5 AS VARCHAR)) = dim.key
+        |WHERE dim_value <> ''""".stripMargin),
+    "cdr_enrich_join_salted" -> ("WITH " + NationDimSql +
       """SELECT event_id, md5(CAST(user_id AS VARCHAR)) AS phone_m,
         | dim_value AS area, '2g_call' AS tag
         |FROM events JOIN dim ON concat_ws(',',
@@ -2376,6 +2541,59 @@ object SparkEntry {
         | round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e8), 4)
         |   AS avg_logprob
         |FROM lp GROUP BY doc_id""".stripMargin,
+    // interpolated Kneser-Ney (d=3/4): per pair one exact integer
+    // rational (max(4c-3,0)·B + 3·N1p·N1s) / (4·pcnt·B), ln'd and 1e-8
+    // micro-rounded before the exact integer sum
+    "doc_kn_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+        |   i -> concat(words[i], ' ', words[i+1]))) AS bigram
+        |  FROM w WHERE len(words) >= 2),
+        | b2 AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1,
+        |   string_split(bigram, ' ')[2] AS w2
+        |  FROM bg),
+        | pc AS (SELECT bigram, count(*) AS cnt FROM b2 GROUP BY bigram),
+        | ty AS (SELECT bigram, cnt, string_split(bigram, ' ')[1] AS w1,
+        |   string_split(bigram, ' ')[2] AS w2 FROM pc),
+        | pf AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS pcnt,
+        |   CAST(count(*) AS BIGINT) AS n1p FROM ty GROUP BY w1),
+        | ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1s
+        |  FROM ty GROUP BY w2),
+        | bt AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM ty),
+        | lp AS (SELECT b2.doc_id,
+        |   CAST(round(ln(
+        |     CAST(greatest(pc.cnt * 4 - 3, 0) * b_types
+        |       + 3 * pf.n1p * ct.n1s AS DOUBLE)
+        |     / CAST(4 * pf.pcnt * b_types AS DOUBLE)) * 1e8) AS BIGINT)
+        |     AS lp_micro
+        |  FROM b2 JOIN pc USING (bigram) JOIN pf USING (w1)
+        |  JOIN ct USING (w2) CROSS JOIN bt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(lp_micro) AS BIGINT) AS kn_sum,
+        | round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e8), 4)
+        |   AS avg_kn_logprob
+        |FROM lp GROUP BY doc_id""".stripMargin,
+    // Zipf OLS slope: identical micro-rounded ln points, HUGEINT/decimal
+    // moment sums, 4dp quotient
+    "corpus_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        | vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        | top AS (SELECT token, cnt FROM vocab
+        |  ORDER BY cnt DESC, token LIMIT 256),
+        | r AS (SELECT cnt, row_number()
+        |   OVER (ORDER BY cnt DESC, token) AS rank FROM top),
+        | p AS (SELECT
+        |   CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |   CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM r),
+        | m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x * y) AS sxy, sum(x * x) AS sxx FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+        |FROM m""".stripMargin,
     // vocabulary concentration: top-10 token coverage + hapax rate,
     // deterministic (cnt DESC, token) cut
     "corpus_vocab_coverage" ->

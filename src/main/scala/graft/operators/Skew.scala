@@ -43,4 +43,23 @@ object Skew {
       .agg(sum(value).as("_partial"))
       .groupBy(col("key"))
       .agg(sum(col("_partial")).as("total"))
+
+  /** SALTED equi-join — the skew mitigation for a shuffle join whose
+    * probe side concentrates on a few hot keys and whose build side is
+    * too big to broadcast (AQE's skew-join split handles the post-shuffle
+    * case; explicit salting is the pre-partitioned / non-AQE form). The
+    * fact side appends a deterministic salt in [0, buckets); the dim side
+    * REPLICATES ×buckets (one row per salt value) so every (key, salt)
+    * combination still meets its match — a hot key's rows now spread
+    * across `buckets` reducers instead of one. Inner-join identical to
+    * `fact ⋈ dim` on `key` by construction (value-proven by
+    * `cdr_enrich_join_salted` against the plain join's oracle); the cost
+    * is the ×buckets dim replication, which is why the dial is a
+    * parameter and not a default. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 discriminator: Column, buckets: Int = 16): DataFrame =
+    fact.withColumn("_salt", salt(discriminator, buckets))
+      .join(dim.withColumn("_salt",
+        explode(sequence(lit(0), lit(buckets - 1)))), Seq(key, "_salt"))
+      .drop("_salt")
 }

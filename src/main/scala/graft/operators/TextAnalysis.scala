@@ -617,6 +617,49 @@ object TextAnalysis {
           .as("hapax_share"))
   }
 
+  /** ZIPF-LAW FIT — the quantitative form of [[vocabCoverage]]'s
+    * concentration headline: ordinary-least-squares slope of
+    * ln(frequency) against ln(rank) over the top-`n` vocabulary. Natural
+    * text reads ≈ −1 (Zipf's law); a much flatter slope flags synthetic/
+    * templated text, a much steeper one flags boilerplate domination —
+    * the one-number corpus-naturalness check read next to the hapax rate.
+    *
+    * Portability: ranks and counts are exact integers, so both engines
+    * take ln() of identical values; each ln is rounded to 1e-6 integral
+    * micros FIRST and the OLS moment sums run over those integers —
+    * order-independent by construction. The moment products can exceed
+    * int64 at corpus scale (Σx·Σy ~ 1e19 for counts near 1e12), so the
+    * final slope quotient is assembled in DECIMAL(38,0) (the heavyUsers
+    * overflow discipline) and only the ratio becomes a double, rounded
+    * 4dp.
+    *
+    * Scale shape: one token-keyed vocab aggregate, a top-`n` cut (global
+    * TakeOrdered — count desc, token asc, deterministic), then the rank
+    * window and moment sums run over exactly `n` rows. Nothing past the
+    * vocab aggregate is corpus-sized. */
+  def zipfFit(docs: DataFrame, n: Int = 256): DataFrame = {
+    require(n >= 3, "need at least 3 points for a meaningful fit")
+    val top = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(n)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    val pts = ranked.select(
+      round(log(col("rank").cast("double")) * 1e6, 0).cast("long").as("x"),
+      round(log(col("cnt").cast("double")) * 1e6, 0).cast("long").as("y"))
+    val d38 = "decimal(38,0)"
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"))
+      .select(col("n_points"),
+        round((col("n_points").cast(d38) * col("sxy") -
+            col("sx").cast(d38) * col("sy").cast(d38)).cast("double") /
+          (col("n_points").cast(d38) * col("sxx") -
+            col("sx").cast(d38) * col("sx").cast(d38)).cast("double"), 4)
+          .as("zipf_slope"))
+  }
+
   /** BPE tokenizer TRAINING at corpus scale (Sennrich et al. 2016): learn
     * the `nMerges` highest-count adjacent-symbol merges from this corpus.
     * Returns the learned merge table — (rank, left, right, pair_count) —
@@ -703,6 +746,63 @@ object TextAnalysis {
         array(folded.getField("pending"))))
   }
 
+  /** BPE ENCODING — the serve half [[bpeTrain]]'s learned merge table
+    * exists for: split each word into character symbols and apply the
+    * merges IN RANK ORDER, each as one left-to-right non-overlapping
+    * scan (the exact [[applyMerge]] fold training used, so train and
+    * encode can never disagree on merge semantics). Input is a `word`
+    * frame; output (word, syms) with the invariant
+    * concat(syms) == word — encoding is a segmentation, never a rewrite
+    * (spec-gated round-trip).
+    *
+    * The merge table is collect()'d: it IS the tokenizer artifact — a
+    * ≤nMerges-row frame every real tokenizer ships to every worker as
+    * merges.txt — so this is the centroid-table pattern
+    * (Similarity.ivfAssign), a bounded side-input, not a data collect.
+    * Each merge then rides the projection as a nested fold expression:
+    * k merges = one map-only pass over the (vocab-sized) word frame. */
+  def bpeEncodeWords(words: DataFrame, merges: DataFrame): DataFrame = {
+    val rules = merges.select(col("rank"), col("left"), col("right"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    val encoded = rules.foldLeft[Column](chars) { case (syms, (l, r)) =>
+      applyMerge(syms, lit(l), lit(r))
+    }
+    words.select(col("word"), encoded.as("syms"))
+  }
+
+  /** Per-doc BPE encoding report under a trained merge table: word,
+    * char and BPE-token counts plus the 4dp chars-per-token compression
+    * — the measurement that says what the learned merges actually buy on
+    * a corpus (training's pair counts only say what they bought on the
+    * training distribution).
+    *
+    * Scale shape: the corpus collapses to its DISTINCT-word table first
+    * (the same vocab compression training applies), the k-merge fold
+    * encodes each distinct word once, and the per-word token count joins
+    * back onto the (doc, word) stream — AQE broadcasts the vocab side
+    * when it fits. The corpus is exploded once and shuffled only by
+    * doc_id for the final rollup. */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val docWords = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocabEnc = bpeEncodeWords(docWords.select("word").distinct(), merges)
+      .select(col("word"), length(col("word")).as("n_chars_w"),
+        size(col("syms")).as("n_toks_w"))
+    docWords.join(vocabEnc, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars_w")).as("n_chars"),
+        sum(col("n_toks_w")).cast("long").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
   /** Count-min-sketch heavy hitters with a measured error bound — the
     * streaming/mergeable sibling of [[vocabCoverage]]'s exact top-k. A
     * CMS (Cormode & Muthukrishnan 2005) summarizes the token-frequency
@@ -729,14 +829,19 @@ object TextAnalysis {
     * ≤ depth·width rows and broadcasts back onto the topK probes. In the
     * sketch-only deployment the same counters come from one map-side-
     * combined aggregate on (d, bucket) — vocab never materialized. */
+  /** Row-d CMS bucket of a token: the portable md5-prefix hash family the
+    * simhash/minhash ops use, so a DuckDB oracle (and a state persisted by
+    * one engine, probed by another) derives identical buckets. */
+  def cmsBucket(d: Int, width: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$d:"), c)), 1, 8), 16, 10)
+      .cast("long") % width
+
   def tokenCmsAccuracy(docs: DataFrame, depth: Int = 4, width: Int = 128,
                        topK: Int = 20): DataFrame = {
     require(depth >= 1 && width >= 2, "degenerate CMS geometry")
     val exact = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_exact"))
-    def bucket(d: Int, c: Column): Column =
-      conv(substring(md5(concat(lit(s"$d:"), c)), 1, 8), 16, 10)
-        .cast("long") % width
+    def bucket(d: Int, c: Column): Column = cmsBucket(d, width, c)
     val cms = (0 until depth).map { d =>
       exact.groupBy(bucket(d, col("token")).as("bucket"))
         .agg(sum(col("n_exact")).as("bsum"))
@@ -752,6 +857,48 @@ object TextAnalysis {
       .agg(min(col("bsum")).as("n_est"))
       .select(col("token"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("over"))
+  }
+
+  /** The CMS itself as a mergeable STATE table (d, bucket, bsum) built
+    * from a document batch — [[CorpusOps.statsState]]'s sibling for token
+    * frequencies: because every counter is a plain sum,
+    * merge(state(A), state(B)) ≡ state(A ∪ B) EXACTLY, so per-shard /
+    * per-micro-batch sketches combine into the corpus sketch with no
+    * rescan and no approximation beyond the sketch's own. ≤ depth·width
+    * rows regardless of corpus size. One explode (tokens × depth rows)
+    * into one map-side-combined (d, bucket) aggregate — the vocab table
+    * is never materialized, which is the deployment [[tokenCmsAccuracy]]'s
+    * scaladoc describes. */
+  def cmsState(docs: DataFrame, depth: Int = 4,
+               width: Int = 128): DataFrame = {
+    require(depth >= 1 && width >= 2, "degenerate CMS geometry")
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          cmsBucket(d, width, col("token")).as("bucket"))): _*)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("bsum"))
+  }
+
+  /** Merge CMS states by counter addition (absent counters are zero). */
+  def cmsMerge(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("d", "bucket").agg(sum(col("bsum")).as("bsum"))
+
+  /** Point-frequency estimates for `probes` (a `token` column) against a
+    * CMS state: min over the depth counters, 0 for a token whose buckets
+    * were never touched. The state broadcasts — probing costs one
+    * map-only pass over the probe set. */
+  def cmsEstimate(state: DataFrame, probes: DataFrame, depth: Int = 4,
+                  width: Int = 128): DataFrame = {
+    val withBuckets = probes
+      .withColumn("d", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("bucket",
+        element_at(array((0 until depth).map(d =>
+          cmsBucket(d, width, col("token"))): _*), col("d") + 1))
+    withBuckets.join(broadcast(state), Seq("d", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("bsum"), lit(0L))).as("n_est"))
   }
 
   /** Corpus-BIGRAM log-probability scoring — [[unigramLogProb]]'s
@@ -793,6 +940,69 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lp_sum"),
         round(col("lp_sum").cast("double") / (col("n_bigrams") * 1e8), 4)
           .as("avg_logprob"))
+  }
+
+  /** Interpolated KNESER-NEY bigram scoring — the smoothing the unsmoothed
+    * [[bigramLogProb]] model deliberately omits, and what a production
+    * perplexity filter (CCNet's KenLM) actually runs: absolute discount
+    * d = 0.75 on every seen bigram, the freed mass re-spent through the
+    * CONTINUATION distribution (how many distinct contexts a word follows,
+    * not how often it occurs — the "San Francisco" correction: "Francisco"
+    * is frequent but follows only one word, so its continuation probability
+    * is tiny). Per observed pair,
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁·) + d·N1p(w₁)/c(w₁·) · N1s(w₂)/B
+    *
+    * with N1p(w₁) = distinct continuations of w₁, N1s(w₂) = distinct left
+    * contexts of w₂, B = distinct bigram types. With d fixed at 3/4 the
+    * whole probability is one exact integer rational:
+    *
+    *   P = (max(4c−3, 0)·B + 3·N1p·N1s) / (4·c(w₁·)·B)
+    *
+    * so both engines compute ln() of the SAME exactly-representable
+    * (<2⁵²) integer quotient, and the per-pair values are rounded to 1e-8
+    * micros before the order-independent BIGINT sum (the established LM
+    * contract). For an observed pair c ≥ 1 ⇒ numerator ≥ B > 0, and
+    * P ≤ 1 with equality only for a sole continuation holding every
+    * context — so every score is finite and ≤ 0 (spec-gated).
+    *
+    * Plan shape at scale: one bigram explode, FOUR vocab-sized model
+    * aggregates (pair counts, prefix counts, two distinct-neighbor
+    * counts — each map-side partial first) + one 1-row type count, then
+    * token-keyed joins back onto the exploded corpus (AQE broadcasts the
+    * model sides when they fit) and one doc-keyed aggregate. No UDFs, no
+    * collect, corpus exploded once. */
+  def knBigramLogProb(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val pairsArr = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(pairsArr).as("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    val pairCnt = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val types = pairCnt
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    val prefCnt = types.groupBy("w1")
+      .agg(sum(col("cnt")).as("pcnt"), count(lit(1)).as("n1p"))
+    val contCnt = types.groupBy("w2").agg(count(lit(1)).as("n1s"))
+    val bTotal = types.agg(count(lit(1)).as("b_types"))
+    val num = greatest(col("cnt") * 4 - 3, lit(0L)) * col("b_types") +
+      lit(3L) * col("n1p") * col("n1s")
+    val den = lit(4L) * col("pcnt") * col("b_types")
+    val lpMicro = round(log(num.cast("double") / den.cast("double")) * 1e8, 0)
+      .cast("long")
+    bg.join(pairCnt, "bigram").join(prefCnt, "w1").join(contCnt, "w2")
+      .crossJoin(broadcast(bTotal))
+      .select(col("doc_id"), lpMicro.as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("kn_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_sum"),
+        round(col("kn_sum").cast("double") / (col("n_bigrams") * 1e8), 4)
+          .as("avg_kn_logprob"))
   }
 
   /** Per-doc integral micro-logprob mean — the shared score frame of the

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -26,49 +25,20 @@ import graft.operators.CorpusOps
   */
 object StreamingStats {
 
-  private val Current = "CURRENT"
-
   /** Apply one batch to the persisted state under `stateDir`; returns
     * false when `batchId` was already applied (replay no-op). Factored
-    * from the stream so the idempotence contract is directly testable. */
+    * from the stream so the idempotence contract is directly testable;
+    * the commit/idempotence protocol itself lives in [[MergeableState]]. */
   def applyBatch(spark: SparkSession, stateDir: String,
-                 batch: DataFrame, batchId: Long): Boolean = {
-    val root = new Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = current(spark, stateDir)
-    if (cur.exists(_._1 >= batchId)) return false // replayed batch
-    val inc = CorpusOps.statsState(batch)
-    val merged = cur match {
-      case Some((_, dir)) =>
-        CorpusOps.statsMerge(Seq(spark.read.parquet(dir), inc))
-      case None => inc
-    }
-    val next = new Path(root, s"state-$batchId")
-    merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
-    // repoint atomically: tmp marker + rename over the old one
-    val tmp = new Path(root, s"$Current.tmp")
-    val out = fs.create(tmp, true)
-    out.write(batchId.toString.getBytes("UTF-8"))
-    out.close()
-    fs.delete(new Path(root, Current), false)
-    fs.rename(tmp, new Path(root, Current))
-    cur.foreach { case (id, _) =>
-      fs.delete(new Path(root, s"state-$id"), true) }
-    true
-  }
+                 batch: DataFrame, batchId: Long): Boolean =
+    MergeableState.applyBatch(spark, stateDir, batchId,
+      CorpusOps.statsState(batch),
+      (cur, inc) => CorpusOps.statsMerge(Seq(cur, inc)))
 
   /** (applied batch id, state parquet path) of the current state, if any. */
   def current(spark: SparkSession,
-              stateDir: String): Option[(Long, String)] = {
-    val root = new Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(root, Current)
-    if (!fs.exists(marker)) return None
-    val in = fs.open(marker)
-    val id = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-    finally in.close()
-    Some((id, new Path(root, s"state-$id").toString))
-  }
+              stateDir: String): Option[(Long, String)] =
+    MergeableState.current(spark, stateDir)
 
   /** The live [[CorpusOps.corpusStats]] report from the maintained state
     * (empty frame with the right schema when nothing has arrived yet). */

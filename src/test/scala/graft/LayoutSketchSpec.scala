@@ -136,6 +136,41 @@ class LayoutSketchSpec extends SparkTestBase {
     assert(got2 == got4.take(2)) // merge r depends only on merges 1..r−1
   }
 
+  test("TextAnalysis.zipfFit: an exact power-law corpus (cnt = 12/rank) " +
+    "fits slope −1.0 to 4dp; an all-hapax corpus fits slope 0") {
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val out = TextAnalysis.zipfFit(docsDf(Seq(1L -> words.mkString(" "))))
+      .collect().head
+    assert(out.getLong(0) == 4L && out.getDouble(1) == -1.0)
+    val flat = TextAnalysis.zipfFit(
+      docsDf(Seq(1L -> "p q r s t"))).collect().head
+    assert(flat.getLong(0) == 5L && flat.getDouble(1) == 0.0)
+  }
+
+  test("TextAnalysis.bpeEncode: under the classic fixture's merges, " +
+    "'lowest' segments to [low, est] and 'newest' to [n, e, w, est]; " +
+    "every encoding concatenates back to its word (round-trip)") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val train = docsDf(Seq(1L -> words.mkString(" ")))
+    val merges = TextAnalysis.bpeTrain(train, nMerges = 4)
+    val s = spark
+    import s.implicits._
+    val enc = TextAnalysis.bpeEncodeWords(
+      Seq("lowest", "newest", "q").toDF("word"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc("lowest") == Seq("low", "est"))
+    assert(enc("newest") == Seq("n", "e", "w", "est"))
+    assert(enc("q") == Seq("q")) // out-of-vocab char: untouched singleton
+    enc.foreach { case (w, syms) => assert(syms.mkString == w) }
+    // the per-doc rollup: "lowest newest" = 2 words, 12 chars, 2+4 tokens
+    val out = TextAnalysis.bpeEncode(
+      docsDf(Seq(7L -> "lowest newest")), merges).collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 12L)
+    assert(out.getLong(3) == 6L && out.getDouble(4) == 2.0)
+  }
+
   test("StreamingStats: per-batch state merge equals the full recompute; " +
     "a replayed batch id is a no-op (idempotent apply)") {
     import graft.streaming.StreamingStats
@@ -175,6 +210,73 @@ class LayoutSketchSpec extends SparkTestBase {
     q.stop()
     assert(StreamingStats.report(spark, stateDir2)
       .orderBy("source", "lang").collect().toSeq == full)
+  }
+
+  test("StreamingCms: the maintained sketch is bit-identical to the " +
+    "batch-built sketch over everything seen; estimates never fall below " +
+    "exact counts; a replayed batch id refuses (no double-counting)") {
+    import graft.streaming.StreamingCms
+    val s = spark
+    import s.implicits._
+    val b0 = docsDf(Seq(1L -> "a a a b b c", 2L -> "d e f"))
+    val b1 = docsDf(Seq(3L -> "a b c d", 4L -> "g h"))
+    val all = b0.unionByName(b1)
+    val stateDir = tmpDir("cms_state")
+    assert(StreamingCms.applyBatch(spark, stateDir, b0, 0L,
+      depth = 4, width = 8))
+    assert(StreamingCms.applyBatch(spark, stateDir, b1, 1L,
+      depth = 4, width = 8))
+    // merge(sketch(b0), sketch(b1)) ≡ sketch(b0 ∪ b1), counter for counter
+    val live = spark.read
+      .parquet(graft.streaming.MergeableState.current(spark, stateDir).get._2)
+      .orderBy("d", "bucket").collect().toSeq
+    val full = TextAnalysis.cmsState(all, depth = 4, width = 8)
+      .orderBy("d", "bucket").collect().toSeq
+    assert(live == full)
+    // point estimates from the maintained state: >= exact, and for this
+    // corpus the estimate of 'a' is at least its 4 occurrences
+    val probes = Seq("a", "b", "g", "zzz").toDF("token")
+    val est = StreamingCms.estimate(spark, stateDir, probes,
+      depth = 4, width = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("a" -> 4L, "b" -> 3L, "g" -> 1L, "zzz" -> 0L)
+    exact.foreach { case (tok, n) =>
+      assert(est(tok) >= n, s"under-estimate for $tok: ${est(tok)} < $n") }
+    // replay of batch 1 must refuse — a double-counted batch would
+    // inflate every touched counter
+    assert(!StreamingCms.applyBatch(spark, stateDir, b1, 1L,
+      depth = 4, width = 8))
+    assert(spark.read
+      .parquet(graft.streaming.MergeableState.current(spark, stateDir).get._2)
+      .orderBy("d", "bucket").collect().toSeq == full)
+    // and the estimate path agrees with tokenCmsAccuracy's n_est on the
+    // same geometry (two formulations of the same counters)
+    val acc = TextAnalysis.tokenCmsAccuracy(all, depth = 4, width = 8,
+      topK = 10).select("token", "n_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est2 = StreamingCms.estimate(spark, stateDir,
+      acc.keys.toSeq.toDF("token"), depth = 4, width = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2 == acc)
+    // end-to-end over a MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val stateDir2 = tmpDir("cms_state2")
+    val q = StreamingCms.maintain(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      stateDir2, tmpDir("cms_ckpt"), depth = 4, width = 8,
+      trigger = Trigger.ProcessingTime(0))
+    in.addData((1L, "a a a b b c", "en", "s1", 11L),
+      (2L, "d e f", "en", "s1", 5L))
+    q.processAllAvailable()
+    in.addData((3L, "a b c d", "en", "s2", 7L), (4L, "g h", "en", "s1", 3L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read
+      .parquet(graft.streaming.MergeableState.current(spark, stateDir2).get._2)
+      .orderBy("d", "bucket").collect().toSeq == full)
   }
 
   test("Dedup.pageRank: a symmetric duplicate pair is a fixed point at " +

@@ -1443,6 +1443,22 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.size == 3, "only days with activity are reported")
   }
 
+  test("Funnels.dauApprox: at rsd 0.01 and fixture cardinalities the " +
+    "HLL++ estimate is exact (sparse mode) and rel_err reads 0") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.time.LocalDate.of(2024, 1, 1 + day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    val ev = (1L to 40L).flatMap(u => Seq((u, ts(0)), (u, ts(0)))) ++
+      (1L to 7L).map(u => (u, ts(1)))
+    val out = operators.Funnels.dauApprox(ev.toDF("user_id", "ts"))
+      .collect().map(r => r.getDate(0).toLocalDate.getDayOfMonth - 1 ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0) == ((40L, 40L, 0.0)))
+    assert(out(1) == ((7L, 7L, 0.0)))
+  }
+
   test("Dedup.containmentOn: a doc quoted whole inside a longer one reads " +
     "containment 1.0 where Jaccard dilutes") {
     val s = spark
@@ -1961,6 +1977,37 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(1L) == ((1L, -0.4055)) && out(2L) == ((1L, -0.4055)))
     assert(out(3L) == ((1L, -1.0986)))
+  }
+
+  test("TextAnalysis.knBigramLogProb: hand-checked interpolated " +
+    "Kneser-Ney rationals; scores never exceed 0; the sole-bigram corpus " +
+    "hits the P=1 fixed point exactly") {
+    val corpus = docsDf(Seq(
+      1L -> "a b a b",
+      2L -> "a c",
+      3L -> "x")) // single token → no bigrams → absent
+    // model: pairs ab:2 ba:1 ac:1, B=3; prefix a: pcnt=3 n1p=2,
+    // prefix b: pcnt=1 n1p=1; contexts: n1s(a)=n1s(b)=n1s(c)=1.
+    // P(b|a) = ((4·2−3)·3 + 3·2·1)/(4·3·3) = 21/36
+    // P(a|b) = ((4−3)·3 + 3·1·1)/(4·1·3) = 6/12
+    // P(c|a) = ((4−3)·3 + 3·2·1)/(4·3·3) = 9/36
+    def micro(p: Double) = math.round(math.log(p) * 1e8)
+    val exp1 = 2 * micro(21.0 / 36) + micro(6.0 / 12)
+    val exp2 = micro(9.0 / 36)
+    val out = TextAnalysis.knBigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, exp1,
+      BigDecimal(exp1 / 3.0 / 1e8)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2L) == ((1L, exp2, -1.3863))) // ln 1/4
+    out.values.foreach { case (_, _, avg) => assert(avg <= 0.0) }
+    // a corpus holding exactly one bigram type with one context: the
+    // discounted mass flows entirely back to that continuation → P = 1
+    val sole = TextAnalysis.knBigramLogProb(docsDf(Seq(9L -> "x y")))
+      .collect().head
+    assert(sole.getLong(2) == 0L && sole.getDouble(3) == 0.0)
   }
 
   test("TextAnalysis.decontaminationReport: one-row rollup counts doc-, " +
