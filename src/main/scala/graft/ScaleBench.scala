@@ -100,7 +100,14 @@ object ScaleBench {
       // word suffixes grow the VOCAB ×f, so this cell measures the
       // formulation's real dial — training cost tracks vocabulary, and
       // the corpus only pays one explode)
-      "corpus_token_cms", "corpus_bpe_train")
+      "corpus_token_cms", "corpus_bpe_train",
+      // r11 session 4: Kneser-Ney scoring — the LM family's heaviest
+      // member (four vocab-sized model aggregates + three token-keyed
+      // joins back onto the exploded corpus); the cell watches the
+      // model-side aggregates stay vocab-bounded while the corpus pays
+      // one explode. And per-doc entropy — one (doc, token) aggregate +
+      // one doc aggregate, expected at the aggregate's linear floor
+      "doc_kn_logprob", "doc_entropy")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the

@@ -297,6 +297,26 @@ object SparkEntry {
         bucketMs = 1800000L)
         .select("event_id", "win_id")
     }),
+    // interval-overlap join: per customer, pairs of 30-day order windows
+    // that overlap — the overlap test rides an equi hash join on custkey
+    // as a residual (never a nested loop); ok_a < ok_b dedups mirrored
+    // pairs
+    "interval_overlap_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("ck"),
+        col("o_orderkey").as("ok"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("sms"))
+        .withColumn("ems", col("sms") + lit(30L * 86400000L))
+      val a = o.select(col("ck").as("ck_a"), col("ok").as("ok_a"),
+        col("sms").as("s_a"), col("ems").as("e_a"))
+      val b = o.select(col("ck").as("ck_b"), col("ok").as("ok_b"),
+        col("sms").as("s_b"), col("ems").as("e_b"))
+      TemporalJoins.intervalOverlapJoin(a, b,
+          col("ck_a"), col("ck_b"),
+          col("s_a"), col("e_a"), col("s_b"), col("e_b"))
+        .filter(col("ok_a") < col("ok_b"))
+        .groupBy(col("ck_a").as("o_custkey"))
+        .agg(count(lit(1)).as("n_overlaps"))
+    }),
     // Bucket-width dial evidence for the range join (VERDICT r10 #8): the
     // deployed 30 min width plus 1 h / 1 d / 7 d, each measured for explode
     // fanout vs candidate selectivity; n_matches constant across widths is
@@ -722,6 +742,14 @@ object SparkEntry {
     "doc_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(t(s, dir, "documents"))),
     // composite Gopher-style gate: per-rule signals + keep verdict
+    // do the cheap quality gate and the Gopher composite agree? 2×2
+    // contingency + Cohen's kappa as one exact integer rational
+    "corpus_filter_agreement" -> ((s, dir) =>
+      TextAnalysis.filterAgreement(t(s, dir, "documents"))),
+    // per-doc token entropy in nats: c·ln(c) terms 1e-8-micro-rounded
+    // before the integer sum, one subtraction from ln(n), 4dp
+    "doc_entropy" -> ((s, dir) =>
+      TextAnalysis.docEntropy(t(s, dir, "documents"))),
     "doc_gopher_filter" -> ((s, dir) =>
       TextAnalysis.gopherFilter(t(s, dir, "documents"))),
     "doc_token_bpe" -> ((s, dir) =>
@@ -900,6 +928,16 @@ object SparkEntry {
           .withColumn("text", when(col("doc_id") % 20 === 0,
             concat(col("text"), lit(" v2"))).otherwise(col("text"))))
     }),
+    // content-level novelty between the same two corpus versions: the
+    // share of v2's distinct 5-gram vocabulary v1 never saw
+    "corpus_ngram_novelty" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.ngramNovelty(
+        d.filter(col("doc_id") % 10 =!= 3),
+        d.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text", when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+    }),
     // corpus token-length profile over fixed integer buckets
     "doc_length_hist" -> ((s, dir) =>
       CorpusOps.lengthHistogram(t(s, dir, "documents"))),
@@ -915,6 +953,13 @@ object SparkEntry {
     "emb_ivf_stats" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfStats(e, Similarity.ivfSeedCentroids(e, 16))
+    }),
+    // embedding-space outlier scan: bottom-20 vectors by cosine to their
+    // own assigned centroid — the vector-side junk detector, 4dp-rounded
+    // before the ordering so the reported set is engine-portable
+    "emb_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfOutliers(e, Similarity.ivfSeedCentroids(e, 16))
     }),
     // occupancy drift between the full corpus and a v2 that lost every
     // vec_id % 5 == 1 — the when-to-refit signal for append-grown indexes
@@ -1295,6 +1340,11 @@ object SparkEntry {
     }),
     "events_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.sessionsBatch(events(s, dir), 1800)),
+    // the built-in session_window aggregate as a value-checked twin —
+    // inclusive merge (measured: an exact-gap event joins its session,
+    // the same contract as the lag twin's `>` split)
+    "events_sessionize_native" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionsNative(events(s, dir), 1800)),
     // the gap dial measured: per candidate threshold, what the session
     // frame becomes — all thresholds read off one lag pass
     "events_session_gap_sweep" -> ((s, dir) =>
@@ -1349,6 +1399,10 @@ object SparkEntry {
     // engine-specific → rows-only + spec gate, the approx-twin precedent)
     "events_dau_approx" -> ((s, dir) =>
       Funnels.dauApprox(events(s, dir))),
+    // last-touch attribution: which event type actually precedes a
+    // purchase within 24h, per-channel counts + share, 'none' explicit
+    "events_attribution" -> ((s, dir) =>
+      Funnels.attribution(events(s, dir))),
     // days whose volume exceeds 2x their trailing-week baseline mean;
     // exact-integer spike predicate
     "events_spike_days" -> ((s, dir) =>
@@ -1918,6 +1972,15 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ev_ms, s.snap_order
         |FROM e ASOF LEFT JOIN snap s
         | ON e.user_id = s.o_custkey AND s.snap_ms <= e.ev_ms""".stripMargin,
+    // same epoch-ms half-open overlap predicate on the custkey self-join
+    "interval_overlap_join" ->
+      """WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+        |   epoch_ms(o_orderdate) AS sms,
+        |   epoch_ms(o_orderdate) + 2592000000 AS ems FROM orders)
+        |SELECT a.ck AS o_custkey, CAST(count(*) AS BIGINT) AS n_overlaps
+        |FROM o a JOIN o b ON a.ck = b.ck AND a.ok < b.ok
+        |  AND a.sms < b.ems AND b.sms < a.ems
+        |GROUP BY 1""".stripMargin,
     "range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ev_ms
         |  FROM events),
@@ -2200,6 +2263,31 @@ object SparkEntry {
         | CAST(sum(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_unchanged
         |FROM a FULL JOIN b USING (doc_id)""".stripMargin,
+    // distinct 5-gram fingerprints per side, EXCEPT-style anti count
+    "corpus_ngram_novelty" ->
+      """WITH v1 AS (SELECT text FROM documents WHERE doc_id % 10 <> 3),
+        | v2 AS (SELECT CASE WHEN doc_id % 20 = 0 THEN text || ' v2'
+        |    ELSE text END AS text FROM documents WHERE doc_id % 10 <> 7),
+        | g1 AS (SELECT DISTINCT md5(g) AS fp FROM (
+        |   SELECT unnest(list_transform(range(1, len(w) - 3),
+        |     i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+        |     AS g
+        |   FROM (SELECT string_split(text, ' ') AS w FROM v1) t
+        |   WHERE len(w) >= 5) s),
+        | g2 AS (SELECT DISTINCT md5(g) AS fp FROM (
+        |   SELECT unnest(list_transform(range(1, len(w) - 3),
+        |     i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+        |     AS g
+        |   FROM (SELECT string_split(text, ' ') AS w FROM v2) t
+        |   WHERE len(w) >= 5) s),
+        | nov AS (SELECT count(*) AS n_novel FROM g2
+        |  WHERE fp NOT IN (SELECT fp FROM g1))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM g1) AS n_grams_v1,
+        | (SELECT CAST(count(*) AS BIGINT) FROM g2) AS n_grams_v2,
+        | CAST(n_novel AS BIGINT) AS n_novel,
+        | round(CAST(n_novel AS DOUBLE)
+        |   / (SELECT count(*) FROM g2), 4) AS novelty_share
+        |FROM nov""".stripMargin,
     // integral-sum quotients only (Σstop/Σtokens etc.) — exact in IEEE
     // regardless of aggregation order, so 4dp rounding is portable
     "corpus_quality_by_source" ->
@@ -2231,6 +2319,72 @@ object SparkEntry {
         |FROM w""".stripMargin,
     // rules compare the 4dp-ROUNDED signals on both sides, so the keep
     // verdict can never flip on a float boundary
+    // per-(doc, token) c·ln c micros, BIGINT sum, one ln(n) subtraction
+    "doc_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS token FROM documents),
+        | pt AS (SELECT doc_id, count(*) AS c FROM tok
+        |  GROUP BY doc_id, token),
+        | m AS (SELECT doc_id, c,
+        |   CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e8)
+        |     AS BIGINT) AS clnc_micro FROM pt)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | round(ln(CAST(sum(c) AS DOUBLE))
+        |   - CAST(sum(clnc_micro) AS DOUBLE) / (sum(c) * 1e8), 4)
+        |   AS entropy
+        |FROM m GROUP BY doc_id""".stripMargin,
+    // both verdicts recomputed rule-for-rule; kappa =
+    // (n·agree − qk·gk − qd·gd)/(n² − qk·gk − qd·gd), HUGEINT-exact
+    "corpus_filter_agreement" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+        |   string_split(text, ' ') AS words FROM documents),
+        | v AS (SELECT doc_id,
+        |   (CAST(len(words) AS BIGINT) >= 15
+        |    AND CAST(len(words) AS BIGINT) <= 100000
+        |    AND round(len(list_filter(words, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) / len(words), 4)
+        |      <= 0.5) AS q_keep,
+        |   (CAST(len(words) AS BIGINT) >= 20
+        |    AND CAST(len(words) AS BIGINT) <= 100000
+        |    AND CAST(len(list_filter(words, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS BIGINT) >= 2
+        |    AND (CASE WHEN len(words) >= 2 THEN
+        |      round(1.0 - CAST(len(list_distinct(list_transform(
+        |        range(1, len(words)),
+        |        i -> concat(words[i], ' ', words[i+1])))) AS DOUBLE)
+        |        / (len(words) - 1), 4)
+        |     ELSE 0.0 END) <= 0.05
+        |    AND round((n_chars - (len(words) - 1)) / len(words), 4) >= 3.0
+        |    AND round((n_chars - (len(words) - 1)) / len(words), 4)
+        |      <= 10.0) AS g_keep
+        |  FROM w),
+        | c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(CASE WHEN q_keep AND g_keep THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS both_keep,
+        |   CAST(sum(CASE WHEN q_keep AND NOT g_keep THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS only_quality,
+        |   CAST(sum(CASE WHEN NOT q_keep AND g_keep THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS only_gopher,
+        |   CAST(sum(CASE WHEN NOT q_keep AND NOT g_keep THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS both_drop
+        |  FROM v)
+        |SELECT n_docs, both_keep, only_quality, only_gopher, both_drop,
+        | round(CAST(both_keep + both_drop AS DOUBLE) / n_docs, 4)
+        |   AS agree_share,
+        | CASE WHEN n_docs * n_docs
+        |     - (both_keep + only_quality) * (both_keep + only_gopher)
+        |     - (only_gopher + both_drop) * (only_quality + both_drop) = 0
+        |  THEN NULL
+        |  ELSE round(CAST(n_docs * (both_keep + both_drop)
+        |     - (both_keep + only_quality) * (both_keep + only_gopher)
+        |     - (only_gopher + both_drop) * (only_quality + both_drop)
+        |    AS DOUBLE)
+        |   / CAST(n_docs * n_docs
+        |     - (both_keep + only_quality) * (both_keep + only_gopher)
+        |     - (only_gopher + both_drop) * (only_quality + both_drop)
+        |    AS DOUBLE), 4) END AS kappa
+        |FROM c""".stripMargin,
     "doc_gopher_filter" ->
       """WITH w AS (SELECT doc_id, source, n_chars,
         |   string_split(text, ' ') AS words FROM documents),
@@ -3201,6 +3355,33 @@ object SparkEntry {
         |SELECT cell, n_vecs,
         | round(CAST(n_vecs AS DOUBLE) / (SELECT total FROM tot), 4) AS share
         |FROM g""".stripMargin,
+    // the ivf assignment chain, then cosine of each vector to its own
+    // centroid, bottom-20 on the ROUNDED score with vec_id ties
+    "emb_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, e.v, cent.cell, cent.c,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell, c FROM
+        |   (SELECT vec_id, v, cell, c, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | s AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+        |   round(list_aggregate(list_transform(range(1, len(v) + 1),
+        |     i -> v[i] * c[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(v) + 1),
+        |     i -> v[i] * v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c) + 1),
+        |     i -> c[i] * c[i]), 'sum'))), 4) AS cos_to_centroid
+        |  FROM a)
+        |SELECT vec_id, cell, cos_to_centroid FROM s
+        |ORDER BY cos_to_centroid, vec_id LIMIT 20""".stripMargin,
     // two ivf_stats chains under the SAME centroid table (seeded from the
     // FULL corpus), full-outer joined on cell; share_delta subtracts two
     // 4dp-rounded shares — exact, portable
@@ -4874,6 +5055,22 @@ object SparkEntry {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // session_window merges inclusively (measured) — identical gap rule
+    // to the lag twin, so the oracle shares its `>` split predicate
+    "events_sessionize_native" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts)) > 1800 * 1000000
+        |   THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        | s AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY
+        |   user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "events_json_extract" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -5081,6 +5278,31 @@ object SparkEntry {
         |SELECT dau.d AS day, dau.dau, wau.wau,
         | round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
         |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
+    // last-touch attribution: running last non-purchase (type, ms) read
+    // off ONE ordered frame, integral epoch-ms window test, explicit
+    // 'none' bucket, share = count over a 1-row total
+    "events_attribution" ->
+      """WITH b AS (SELECT user_id AS u, event_id AS eid,
+        |   epoch_ms(ts) AS ms, event_type AS et FROM events),
+        | wp AS (SELECT u, eid, ms, et,
+        |   last_value(CASE WHEN et <> 'purchase' THEN et END IGNORE NULLS)
+        |    OVER (PARTITION BY u ORDER BY ms, eid
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_et,
+        |   last_value(CASE WHEN et <> 'purchase' THEN ms END IGNORE NULLS)
+        |    OVER (PARTITION BY u ORDER BY ms, eid
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ms
+        |  FROM b),
+        | c AS (SELECT CASE WHEN prev_ms IS NOT NULL
+        |     AND ms - prev_ms <= 86400000 THEN prev_et
+        |    ELSE 'none' END AS attributed_type
+        |  FROM wp WHERE et = 'purchase'),
+        | g AS (SELECT attributed_type,
+        |   CAST(count(*) AS BIGINT) AS n_conversions FROM c GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n_conversions) AS DOUBLE) AS t FROM g)
+        |SELECT attributed_type, n_conversions,
+        | round(CAST(n_conversions AS DOUBLE) / (SELECT t FROM tot), 4)
+        |   AS share
+        |FROM g""".stripMargin,
     // spike days: baseline = sum over the 7 PRIOR active days; the flag is
     // exact integer arithmetic (n * baseline_days > 2 * baseline_sum)
     "events_spike_days" ->

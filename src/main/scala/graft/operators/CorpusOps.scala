@@ -179,6 +179,34 @@ object CorpusOps {
           lit(0L)).as("n_unchanged"))
   }
 
+  /** Cross-version N-GRAM NOVELTY — [[corpusDiff]] counts documents;
+    * this measures CONTENT: how much of the new drop's n-gram vocabulary
+    * the previous version had never seen. The one-row report that
+    * separates "the crawl found new text" (high novelty — dedup debt and
+    * index growth ahead) from "the crawl re-fetched the same web" (low
+    * novelty — the drop mostly re-indexes), read next to the version
+    * diff before re-running anything expensive. Distinct gram sets on
+    * both sides, so a gram repeated a million times counts once; share
+    * is a 4dp integral-count quotient.
+    *
+    * Scale shape: one gram explode + distinct per side (token-keyed,
+    * map-side partial), one anti join on the gram fingerprint, three
+    * 1-row aggregates broadcast together. Nothing quadratic. */
+  def ngramNovelty(v1: DataFrame, v2: DataFrame, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(explode(TextAnalysis.wordNgrams(col("text"), n)).as("g"))
+      .select(md5(col("g")).as("fp")).distinct()
+    val g1 = grams(v1)
+    val g2 = grams(v2)
+    val novel = g2.join(g1, Seq("fp"), "left_anti")
+    g1.agg(count(lit(1)).as("n_grams_v1"))
+      .crossJoin(broadcast(g2.agg(count(lit(1)).as("n_grams_v2"))))
+      .crossJoin(broadcast(novel.agg(count(lit(1)).as("n_novel"))))
+      .select(col("n_grams_v1"), col("n_grams_v2"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams_v2"), 4)
+          .as("novelty_share"))
+  }
+
   def lengthHistogram(docs: DataFrame): DataFrame = {
     val n = size(TextAnalysis.tokens(col("text"))).cast("long")
     val bucket = when(n < 16, lit("0000-0015"))

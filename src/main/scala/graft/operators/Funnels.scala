@@ -242,6 +242,50 @@ object Funnels {
         round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION — for each conversion event, the latest
+    * PRIOR non-conversion event by the same user within `windowMs`, and
+    * the per-channel conversion counts that result: the report that says
+    * which behavior actually precedes purchase (the marketing twin of
+    * [[transitionMatrix]]'s unconditional handoffs). Conversions with no
+    * qualifying touch (first-ever event, or the last touch aged out of
+    * the window) land in an explicit 'none' row instead of vanishing.
+    *
+    * Both the touch TYPE and its TIMESTAMP come from the same running
+    * `last(..., ignoreNulls)` frame over (ms, event_id) order — one
+    * ordered row, read twice — so the window test can never pair one
+    * event's type with another's time. Integral epoch-ms deltas decide
+    * the window (the funnel-latency contract); ordering ties break on
+    * event_id, so the attribution is deterministic.
+    *
+    * Scale shape: one user-keyed window pass (the transition-matrix
+    * shape — per-user state, never a global window) + a ≤|event types|
+    * aggregate with a 1-row broadcast total. */
+  def attribution(events: DataFrame, conversionType: String = "purchase",
+                  windowMs: Long = 24L * 3600 * 1000,
+                  userCol: String = "user_id",
+                  tsCol: String = "ts"): DataFrame = {
+    val base = events.select(col(userCol).as("u"),
+      col("event_id").as("eid"), unix_millis(col(tsCol)).as("ms"),
+      col("event_type").as("et"))
+    val w = Window.partitionBy("u").orderBy(col("ms"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("et") =!= conversionType, col("et"))
+    val touchMs = when(col("et") =!= conversionType, col("ms"))
+    val g = base
+      .withColumn("prev_et", last(touch, ignoreNulls = true).over(w))
+      .withColumn("prev_ms", last(touchMs, ignoreNulls = true).over(w))
+      .filter(col("et") === conversionType)
+      .select(when(col("prev_ms").isNotNull &&
+          col("ms") - col("prev_ms") <= windowMs, col("prev_et"))
+        .otherwise(lit("none")).as("attributed_type"))
+      .groupBy("attributed_type")
+      .agg(count(lit(1)).as("n_conversions"))
+    g.crossJoin(broadcast(g.agg(sum(col("n_conversions")).as("tot"))))
+      .select(col("attributed_type"), col("n_conversions"),
+        round(col("n_conversions").cast("double") / col("tot"), 4)
+          .as("share"))
+  }
+
   /** DAU by HyperLogLog++ next to the exact count — [[engagement]]'s
     * production twin for the distinct that dominates its cost: exact
     * per-day distinct users shuffles every (day, user) pair, while the

@@ -802,6 +802,28 @@ object Similarity {
         round(col("n_vecs").cast("double") / col("total"), 4).as("share"))
   }
 
+  /** EMBEDDING-SPACE OUTLIER SCAN — the vector-side data-QA report: each
+    * vector's cosine to its OWN assigned centroid (the best any cell can
+    * explain it), bottom-`k` reported. A vector far from every centroid
+    * is out-of-distribution for this corpus — corrupt embeddings,
+    * wrong-modality rows, junk the curation pipeline should quarantine
+    * before they poison ANN recall or a training mix. Scores are rounded
+    * 4dp BEFORE the ordering with vec_id ties (round-before-decide), so
+    * the reported set is engine-portable.
+    *
+    * Scale shape: one map-only [[ivfAssign]] scan, a broadcast join onto
+    * the ≤nlist centroid table, and a global bottom-k TakeOrdered — the
+    * corpus is scanned once and never shuffled. */
+  def ivfOutliers(emb: DataFrame, centroids: DataFrame,
+                  k: Int = 20): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    ivfAssign(emb, centroids)
+      .join(broadcast(centroids), "cell")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(cosine(v, col("centroid")), 4).as("cos_to_centroid"))
+      .orderBy(col("cos_to_centroid"), col("vec_id")).limit(k)
+  }
+
   /** IVF occupancy DRIFT between two corpus versions under the SAME
     * centroids — the "when to refit" signal [[ivfIndexAppend]]'s contract
     * defers to: appends never refit, so cell occupancy shifts as the

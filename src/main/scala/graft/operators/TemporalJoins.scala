@@ -54,6 +54,23 @@ object TemporalJoins {
     carried.filter(col("_side") === 1).drop("_k", "_ms", "_side")
   }
 
+  /** INTERVAL-OVERLAP join — all (left, right) pairs of the same key
+    * whose half-open intervals [lStartMs, lEndMs) and [rStartMs, rEndMs)
+    * overlap: `lStart < rEnd && rStart < lEnd`. With an equi key the
+    * overlap test is just a join RESIDUAL riding a hash join — shuffle
+    * and skew behave like any equi join, per-key fanout is bounded by
+    * each key's interval count (the caller's data contract, like the
+    * transition matrix's per-user bound). For KEYLESS interval overlap,
+    * bucket the time axis first and use (bucket) as the key, the
+    * [[rangeJoinBucketed]] pattern — a keyless version here would plan a
+    * BroadcastNestedLoopJoin, exactly what this module exists to avoid. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          leftKey: Column, rightKey: Column,
+                          lStart: Column, lEnd: Column,
+                          rStart: Column, rEnd: Column): DataFrame =
+    left.join(right,
+      leftKey === rightKey && lStart < rEnd && rStart < lEnd)
+
   /** All (left, right) pairs of the same key with `leftMs` in
     * `[rightStartMs, rightEndMs)`. Scalable via time-bucketing: equi-join on
     * (key, bucket) then exact range filter. */

@@ -145,6 +145,91 @@ object TextAnalysis {
         col("mean_tok_len") <= maxMeanTokLen)
   }
 
+  /** Per-doc TOKEN ENTROPY — the information-density quality signal the
+    * ratio-based gates miss: H = ln(n) − (Σ c·ln c)/n over the doc's own
+    * token frequencies, in nats. Low entropy at healthy length =
+    * templated/repetitive text (navigation boilerplate, keyword
+    * stuffing) that [[repetition]]'s fixed-width 2-gram lens can
+    * under-read; read next to it before tuning either threshold.
+    *
+    * Portability: every c·ln(c) term is computed from exact integers and
+    * rounded to 1e-8 micros BEFORE the per-doc BIGINT sum (the LM-family
+    * contract — the sum is order-independent), then the one subtraction
+    * from ln(n) happens on the already-summed value and rounds once to
+    * 4dp. Singleton tokens contribute exactly 0 (ln 1 = 0), an
+    * all-same-token doc reads exactly 0, and a doc of n distinct tokens
+    * reads ln(n).
+    *
+    * Scale shape: one explode, one (doc, token) aggregate, one doc
+    * aggregate — nothing wider than the exploded corpus, no windows. */
+  def docEntropy(docs: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        round(col("c").cast("double") * log(col("c").cast("double")) * 1e8,
+          0).cast("long").as("clnc_micro"))
+    perTok.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("clnc_micro")).as("clnc_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens").cast("double")) -
+          col("clnc_sum").cast("double") / (col("n_tokens") * 1e8), 4)
+          .as("entropy"))
+  }
+
+  /** FILTER-AGREEMENT report — do the cheap quality gate
+    * ([[qualityFilter]]'s predicate) and the composite Gopher gate
+    * ([[gopherFilter]]'s verdict) actually agree on this corpus? One row:
+    * the 2×2 keep/drop contingency, raw agreement share, and COHEN'S
+    * KAPPA (chance-corrected agreement — the statistic that exposes two
+    * filters "agreeing" only because both keep nearly everything). A
+    * curation owner reads this before replacing an expensive gate with a
+    * cheap one or AND-ing gates into a pipeline: κ ≈ 1 means redundant,
+    * κ ≈ 0 means the gates measure different things and compose.
+    *
+    * Portability: with po = agree/n and pe = (qk·gk + qd·gd)/n², kappa
+    * algebraically reduces to ONE integer rational —
+    * (n·agree − qk·gk − qd·gd) / (n² − qk·gk − qd·gd) — so both engines
+    * divide identical integers and round once to 4dp. The products run
+    * in DECIMAL(38,0) (n² ~ 1e18 at corpus scale); a marginal-degenerate
+    * corpus (pe = 1) reports null, not a division blow-up.
+    *
+    * Scale shape: both verdicts are per-row maps over one shared scan;
+    * the contingency is a 1-row aggregate. */
+  def filterAgreement(docs: DataFrame): DataFrame = {
+    val q = quality(docs).select(col("doc_id"),
+      (col("n_tokens") >= 15 && col("n_tokens") <= 100000 &&
+        col("stop_ratio") <= 0.5).as("q_keep"))
+    val g = gopherFilter(docs).select(col("doc_id"),
+      col("keep").as("g_keep"))
+    val d38 = "decimal(38,0)"
+    val c = q.join(g, "doc_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("q_keep") && col("g_keep"), 1L).otherwise(0L))
+        .as("both_keep"),
+      sum(when(col("q_keep") && !col("g_keep"), 1L).otherwise(0L))
+        .as("only_quality"),
+      sum(when(!col("q_keep") && col("g_keep"), 1L).otherwise(0L))
+        .as("only_gopher"),
+      sum(when(!col("q_keep") && !col("g_keep"), 1L).otherwise(0L))
+        .as("both_drop"))
+    val qk = (col("both_keep") + col("only_quality")).cast(d38)
+    val gk = (col("both_keep") + col("only_gopher")).cast(d38)
+    val qd = (col("only_gopher") + col("both_drop")).cast(d38)
+    val gd = (col("only_quality") + col("both_drop")).cast(d38)
+    val n = col("n_docs").cast(d38)
+    val agree = (col("both_keep") + col("both_drop")).cast(d38)
+    val kapDen = n * n - qk * gk - qd * gd
+    c.select(col("n_docs"), col("both_keep"), col("only_quality"),
+      col("only_gopher"), col("both_drop"),
+      round(agree.cast("double") / col("n_docs"), 4).as("agree_share"),
+      when(kapDen === lit(0).cast(d38), lit(null).cast("double"))
+        .otherwise(round((n * agree - qk * gk - qd * gd).cast("double") /
+          kapDen.cast("double"), 4)).as("kappa"))
+  }
+
   /** Character-n-gram language heuristic: score each language by counts of
     * its characteristic bigrams/trigrams in the lower-cased text (the
     * classic profile approach at its smallest); argmax with a fixed

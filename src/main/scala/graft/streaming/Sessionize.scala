@@ -99,6 +99,32 @@ object Sessionize {
           .as("session_end"))
   }
 
+  /** NATIVE session-window twin — the same gap sessionization through
+    * Spark's built-in `session_window` aggregate (its dedicated
+    * merging-sessions physical path) instead of the lag/cumsum window
+    * formulation. Merge semantics MEASURED, not assumed: session_window
+    * merges INCLUSIVELY — an event arriving exactly `gapSeconds` after
+    * the previous one joins its session (windows [t, t+gap] touch ⇒
+    * merge), which is precisely [[sessionsBatch]]'s `gap > threshold`
+    * split rule — so the two formulations share one contract and one
+    * oracle shape, and the exact-boundary case is spec-pinned as
+    * MERGING in both rather than left to folklore.
+    *
+    * Scale shape: no user-keyed sort window at all — session merging
+    * runs inside the aggregate (partial merge then final), the shape
+    * Spark ships for exactly this job. */
+  def sessionsNative(events: DataFrame, gapSeconds: Long): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"))
+      .select(col("user_id"), col("n_events"), col("session_start"),
+        col("session_end"))
+
   /** One-row session-health summary over [[sessionsBatch]]'s gap-split
     * sessions: how many sessions, how many users, and the mean/max session
     * length in events and duration — the dashboard headline the per-session

@@ -99,6 +99,22 @@ class LayoutSketchSpec extends SparkTestBase {
       posThreshold = 0.5, negThreshold = 0.3, nNeg = 3).count() == 0)
   }
 
+  test("Similarity.ivfOutliers: a vector orthogonal to every centroid " +
+    "surfaces first; centroid members score exactly 1.0") {
+    val emb = embDf(Seq(
+      0L -> Seq(1f, 0f),      // centroid cell 0
+      1L -> Seq(0f, 1f),      // centroid cell 1
+      2L -> Seq(0.9f, 0.1f),  // near cell 0
+      3L -> Seq(-1f, 0f)))    // closest cell is 1; cos to (0,1) = 0
+    val out = Similarity.ivfOutliers(emb,
+      Similarity.ivfSeedCentroids(emb, 2), k = 4).collect()
+    assert(out.head.getLong(0) == 3L && out.head.getDouble(2) == 0.0)
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(0L) == 1.0 && byId(1L) == 1.0)
+    assert(out.map(_.getDouble(2)).toSeq == // bottom-k ascending
+      out.map(_.getDouble(2)).toSeq.sorted)
+  }
+
   test("TextAnalysis.langMix: a doc with an English and a Spanish " +
     "segment is code-switched with a 0.5 minority share; monolingual " +
     "and all-unknown docs are not") {

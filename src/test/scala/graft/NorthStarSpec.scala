@@ -1443,6 +1443,93 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.size == 3, "only days with activity are reported")
   }
 
+  test("TextAnalysis.docEntropy: all-same-token reads exactly 0, all-" +
+    "distinct reads ln(n), an even two-token mix reads ln(2)") {
+    val corpus = docsDf(Seq(
+      1L -> "a a a a",
+      2L -> "a b c d",
+      3L -> "a a b b"))
+    val out = TextAnalysis.docEntropy(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.0)))
+    assert(out(2L) == ((4L, 4L,
+      math.rint(math.log(4.0) * 1e4) / 1e4)))
+    assert(out(3L) == ((4L, 2L,
+      BigDecimal(math.log(4.0) - 2 * math.rint(2 * math.log(2.0) * 1e8)
+        / 4e8).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("TemporalJoins.intervalOverlapJoin: same-key overlapping windows " +
+    "pair; touching-at-the-boundary and cross-key windows do not") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      (1L, 10L, 0L, 100L), (1L, 11L, 50L, 150L),  // overlap
+      (1L, 12L, 100L, 200L),  // touches 10's half-open end: NO pair w/ 10
+      (2L, 20L, 0L, 100L))    // other key: never pairs with key 1
+      .toDF("k", "id", "sms", "ems")
+    val a = iv.select(col("k").as("k_a"), col("id").as("id_a"),
+      col("sms").as("s_a"), col("ems").as("e_a"))
+    val b = iv.select(col("k").as("k_b"), col("id").as("id_b"),
+      col("sms").as("s_b"), col("ems").as("e_b"))
+    val pairs = operators.TemporalJoins.intervalOverlapJoin(a, b,
+        col("k_a"), col("k_b"),
+        col("s_a"), col("e_a"), col("s_b"), col("e_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L), (11L, 12L)))
+  }
+
+  test("CorpusOps.ngramNovelty: a v2-only doc's grams are novel; shared " +
+    "docs contribute nothing new") {
+    val v1 = docsDf(Seq(1L -> "a b c d e f"))
+    val v2 = docsDf(Seq(1L -> "a b c d e f", 2L -> "x y z w v"))
+    val out = CorpusOps.ngramNovelty(v1, v2).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) ==
+      ((2L, 3L, 1L)))
+    assert(out.getDouble(3) == 0.3333)
+  }
+
+  test("Funnels.attribution: last prior non-conversion touch within the " +
+    "window wins; no touch or an aged-out touch lands in 'none'") {
+    val s = spark
+    import s.implicits._
+    def ts(h: Int) = new java.sql.Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).atStartOfDay(
+        java.time.ZoneOffset.UTC).toInstant.toEpochMilli + h * 3600_000L)
+    val ev = Seq(
+      (1L, 10L, ts(0), "click"), (1L, 11L, ts(1), "purchase"),
+      (2L, 20L, ts(0), "purchase"),                   // first-ever event
+      (3L, 30L, ts(0), "view"), (3L, 31L, ts(25), "purchase"), // aged out
+      (4L, 40L, ts(0), "error"), (4L, 41L, ts(1), "click"),
+      (4L, 42L, ts(2), "purchase"))                   // click is LAST touch
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = operators.Funnels.attribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map("click" -> ((2L, 0.5)), "none" -> ((2L, 0.5))))
+  }
+
+  test("TextAnalysis.filterAgreement: one doc per contingency cell " +
+    "reads a 0.5 agreement share and kappa exactly 0") {
+    val uniq = (1 to 10).map(i => f"w$i%04d") // 5-char unique words
+    val corpus = docsDf(Seq(
+      // both keep: 25 tokens, 2 stopwords, distinct bigrams, len ~5
+      1L -> ((1 to 23).map(i => f"v$i%04d") ++ Seq("the", "a")).mkString(" "),
+      // only quality: 16 tokens (>=15 but <20 fails gopher's min)
+      2L -> ((1 to 14).map(i => f"u$i%04d") ++ Seq("the", "a")).mkString(" "),
+      // both drop: 5 tokens
+      3L -> "tiny doc the a of",
+      // only gopher: 21 tokens, 11/21 stopwords > 0.5 quality bound,
+      // alternating so every bigram is distinct and mean length >= 3
+      4L -> (uniq.map(w => s"the $w").mkString(" ") + " the")))
+    val out = TextAnalysis.filterAgreement(corpus).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) == ((4L, 1L, 1L, 1L, 1L)))
+    assert(out.getDouble(5) == 0.5 && out.getDouble(6) == 0.0)
+  }
+
   test("Funnels.dauApprox: at rsd 0.01 and fixture cardinalities the " +
     "HLL++ estimate is exact (sparse mode) and rel_err reads 0") {
     val s = spark

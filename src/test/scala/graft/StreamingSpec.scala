@@ -789,4 +789,74 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed("knn_cp_exact2", None).map(_._1).distinct.size == 8)
     } finally s.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("Sessionize.sessionsNative: session_window merges INCLUSIVELY — " +
+    "an exact-gap event joins its session, matching the lag twin's " +
+    "`>` split on the boundary; a wider gap splits both") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1800)), (1L, ts(1900)), // exact gap: merges
+      (1L, ts(4000)),                              // 2100 s gap: splits
+      (2L, ts(0)))
+      .toDF("user_id", "ts")
+    val native = graft.streaming.Sessionize.sessionsNative(ev, 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    val lag = graft.streaming.Sessionize.sessionsBatch(ev, 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(native == lag) // same contract, boundary included
+    assert(native.count(_._1 == 1L) == 2) // [0..1900] | [4000]
+    assert(native.exists(t => t._1 == 1L && t._2 == 3L))
+  }
+
+  test("StreamingJoin.within: stream-stream matches equal the batch " +
+    "join on the in-watermark feed; a conversion arriving after the " +
+    "watermark passed its window finds the trigger evicted") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val trig = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val conv = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val joined = graft.streaming.StreamingJoin.within(
+      df(trig), df(conv), windowSeconds = 60, delayThreshold = "5 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: u1 and u2 click; u1 converts inside the 60 s window
+    trig.addData((1L, 100L, ts(0)), (2L, 200L, ts(0)))
+    conv.addData((1L, 900L, ts(30)))
+    q.processAllAvailable()
+    // batch 2: u9's conversion lands 100 s after its trigger — outside
+    // the window — while both watermarks advance past t=600
+    trig.addData((9L, 999L, ts(600)))
+    conv.addData((9L, 998L, ts(700)))
+    q.processAllAvailable()
+    def got() = s.table("ssj").select("trig_id", "conv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // parity with the batch join over everything fed so far
+    val batchRows = Seq((1L, 100L, ts(0)), (2L, 200L, ts(0)),
+      (9L, 999L, ts(600))).toDF("user_id", "event_id", "ts")
+      .join(Seq((1L, 900L, ts(30)), (9L, 998L, ts(700)))
+          .toDF("c_user", "conv_id", "conv_ts"),
+        col("user_id") === col("c_user") &&
+          col("conv_ts") >= col("ts") &&
+          col("conv_ts") <= col("ts") + expr("INTERVAL 60 SECONDS"))
+      .select("event_id", "conv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got() == batchRows && batchRows == Set((100L, 900L)))
+    // batch 3: u2's conversion at t=30 is in-window by EVENT time, but
+    // the watermark (≈695 s) long passed — the u2 trigger state was
+    // evicted and the late row is dropped: no new output. The batch
+    // join WOULD match it; the divergence is exactly the bounded-state
+    // contract.
+    conv.addData((2L, 901L, ts(30)))
+    q.processAllAvailable()
+    assert(got() == Set((100L, 900L)))
+    q.stop()
+  }
 }
