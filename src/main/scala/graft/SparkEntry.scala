@@ -297,6 +297,10 @@ object SparkEntry {
         bucketMs = 1800000L)
         .select("event_id", "win_id")
     }),
+    // RFM segmentation: per customer recency/frequency/monetary with
+    // 1-5 quintile scores at exact integer ranks off value histograms
+    "orders_rfm" -> ((s, dir) =>
+      Rfm.rfm(t(s, dir, "orders"))),
     // interval-overlap join: per customer, pairs of 30-day order windows
     // that overlap — the overlap test rides an equi hash join on custkey
     // as a residual (never a nested loop); ok_a < ok_b dedups mirrored
@@ -898,6 +902,11 @@ object SparkEntry {
       CorpusOps.tokenBudgetSample(t(s, dir, "documents"),
         budgetTokens = 800)),
     // deterministic 98/1/1 train/val/test assignment by doc-id hash
+    // does the hash split's TEST side speak the same tokens as TRAIN?
+    // cross-entropy under the train unigram model vs its own, add-one
+    // smoothed over the combined vocab; gap ≈ KL(test||train)
+    "corpus_split_shift" -> ((s, dir) =>
+      TextAnalysis.splitShift(t(s, dir, "documents"))),
     "doc_split_assign" -> ((s, dir) =>
       TextAnalysis.splitAssign(t(s, dir, "documents"))),
     // BM25 keyword search: top-10 docs for a 3-term query — the lexical
@@ -941,6 +950,10 @@ object SparkEntry {
     // corpus token-length profile over fixed integer buckets
     "doc_length_hist" -> ((s, dir) =>
       CorpusOps.lengthHistogram(t(s, dir, "documents"))),
+    // length-inequality headline: exact integer Gini off the length
+    // histogram (rank-sum identity, ties at average rank)
+    "corpus_length_gini" -> ((s, dir) =>
+      CorpusOps.lengthGini(t(s, dir, "documents"))),
     // packing efficiency: bins + mean fill per source (maxTokens=512, as
     // doc_pack)
     "doc_pack_stats" -> ((s, dir) =>
@@ -954,6 +967,12 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfStats(e, Similarity.ivfSeedCentroids(e, 16))
     }),
+    // top principal component by power iteration — pure DataFrame linear
+    // algebra, one corpus scan per round + dim-bounded collects; double
+    // agg order is engine-jittery → rows-only + spec gate on a
+    // known-anisotropy fixture (the approx-twin precedent)
+    "emb_pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(t(s, dir, "embeddings"))),
     // embedding-space outlier scan: bottom-20 vectors by cosine to their
     // own assigned centroid — the vector-side junk detector, 4dp-rounded
     // before the ordering so the reported set is engine-portable
@@ -1972,6 +1991,48 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ev_ms, s.snap_order
         |FROM e ASOF LEFT JOIN snap s
         | ON e.user_id = s.o_custkey AND s.snap_ms <= e.ev_ms""".stripMargin,
+    // identical histogram-rank quintile cutoffs per metric; scores are
+    // integer comparisons against them
+    "orders_rfm" -> {
+      // per-metric quintile-cutoff CTE chain: histogram → cumsum →
+      // min value reaching rank max(1, k·n DIV 5)
+      def cuts(p: String, metric: String) =
+        s"""${p}h AS (SELECT $metric AS v, count(*) AS c FROM base
+           |  GROUP BY 1),
+           | ${p}c AS (SELECT v,
+           |   sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+           |   (SELECT count(*) FROM base) AS n FROM ${p}h),
+           | ${p}cut AS (SELECT
+           |   min(CASE WHEN cum >= greatest(n * 1, 5) // 5 THEN v END) AS c1,
+           |   min(CASE WHEN cum >= greatest(n * 2, 5) // 5 THEN v END) AS c2,
+           |   min(CASE WHEN cum >= greatest(n * 3, 5) // 5 THEN v END) AS c3,
+           |   min(CASE WHEN cum >= greatest(n * 4, 5) // 5 THEN v END) AS c4
+           |  FROM ${p}c)""".stripMargin
+      def asc(v: String, t: String) =
+        s"1 + (CASE WHEN $v > $t.c1 THEN 1 ELSE 0 END)" +
+          s" + (CASE WHEN $v > $t.c2 THEN 1 ELSE 0 END)" +
+          s" + (CASE WHEN $v > $t.c3 THEN 1 ELSE 0 END)" +
+          s" + (CASE WHEN $v > $t.c4 THEN 1 ELSE 0 END)"
+      s"""WITH base AS (SELECT o_custkey,
+         |   CAST(min(date_diff('day', o_orderdate,
+         |     (SELECT max(o_orderdate) FROM orders))) AS BIGINT)
+         |     AS recency_days,
+         |   count(*) AS frequency,
+         |   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |     AS BIGINT)) AS BIGINT) AS monetary_c
+         |  FROM orders GROUP BY 1),
+         | ${cuts("r", "recency_days")},
+         | ${cuts("f", "frequency")},
+         | ${cuts("m", "monetary_c")}
+         |SELECT o_custkey, recency_days, frequency, monetary_c,
+         | CAST(6 - (${asc("recency_days", "rcut")}) AS BIGINT) AS r_score,
+         | CAST(${asc("frequency", "fcut")} AS BIGINT) AS f_score,
+         | CAST(${asc("monetary_c", "mcut")} AS BIGINT) AS m_score,
+         | CAST((6 - (${asc("recency_days", "rcut")})) * 100
+         |   + (${asc("frequency", "fcut")}) * 10
+         |   + (${asc("monetary_c", "mcut")}) AS BIGINT) AS rfm
+         |FROM base, rcut, fcut, mcut""".stripMargin
+    },
     // same epoch-ms half-open overlap predicate on the custkey self-join
     "interval_overlap_join" ->
       """WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
@@ -3223,6 +3284,39 @@ object SparkEntry {
     // 98/1/1 hash split: cumulative 16-bit hex thresholds fae1 (= round
     // (0.98*65536)) and fd71 (= round(0.99*65536)); lexicographic compare
     // of fixed-width lowercase hex == numeric compare
+    // 0.8/0.2 split threshold hex cccd; per-token micro terms, BIGINT
+    // sums, 4dp entropy quotients
+    "corpus_split_shift" ->
+      """WITH a AS (SELECT doc_id,
+        |   CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |     < 'cccd' THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        | tok AS (SELECT a.split,
+        |   unnest(string_split(d.text, ' ')) AS token
+        |  FROM documents d JOIN a USING (doc_id)),
+        | pt AS (SELECT token,
+        |   sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_tr,
+        |   sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c_te
+        |  FROM tok GROUP BY 1),
+        | tot AS (SELECT CAST(sum(c_tr) AS BIGINT) AS n_tr,
+        |   CAST(sum(c_te) AS BIGINT) AS n_te,
+        |   CAST(count(*) AS BIGINT) AS v FROM pt),
+        | terms AS (SELECT c_te,
+        |   CAST(round(CAST(c_te AS DOUBLE)
+        |     * (ln(CAST(c_tr + 1 AS DOUBLE)) - ln(CAST(n_tr + v AS DOUBLE)))
+        |     * 1e8) AS BIGINT) AS x_micro,
+        |   CAST(round(CAST(c_te AS DOUBLE)
+        |     * (ln(CAST(c_te + 1 AS DOUBLE)) - ln(CAST(n_te + v AS DOUBLE)))
+        |     * 1e8) AS BIGINT) AS s_micro,
+        |   n_tr, n_te, v
+        |  FROM pt, tot WHERE c_te > 0)
+        |SELECT n_tr AS n_train_tokens, n_te AS n_test_tokens,
+        | v AS vocab_combined,
+        | round(-CAST(sum(x_micro) AS DOUBLE) / (n_te * 1e8), 4) AS h_cross,
+        | round(-CAST(sum(s_micro) AS DOUBLE) / (n_te * 1e8), 4) AS h_self,
+        | round(CAST(sum(s_micro) - sum(x_micro) AS DOUBLE) / (n_te * 1e8),
+        |   4) AS shift_nats
+        |FROM terms GROUP BY n_tr, n_te, v""".stripMargin,
     "doc_split_assign" ->
       """SELECT doc_id, lang, source,
         | CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
@@ -3332,6 +3426,22 @@ object SparkEntry {
         |SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM b GROUP BY len_bucket""".stripMargin,
+    // rank-sum Gini off the length histogram — identical integer
+    // identity, HUGEINT products, one 4dp quotient
+    "corpus_length_gini" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   AS v FROM documents),
+        | h AS (SELECT v, count(*) AS c FROM t GROUP BY v),
+        | f AS (SELECT v, c, COALESCE(sum(c) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+        |  FROM h),
+        | m AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+        |   CAST(sum(v * c) AS BIGINT) AS n_tokens,
+        |   sum(v * c * (f * 2 + c + 1)) AS ranksum2 FROM f)
+        |SELECT n_docs, n_tokens,
+        | round(CAST(ranksum2 - (n_docs + 1) * n_tokens AS DOUBLE)
+        |   / CAST(n_docs * n_tokens AS DOUBLE), 4) AS length_gini
+        |FROM m""".stripMargin,
     // the IVF assignment chain (emb_knn_ivf oracle verbatim) grouped by
     // cell + 1-row total for the share
     "emb_ivf_stats" ->

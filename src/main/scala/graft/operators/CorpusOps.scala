@@ -207,6 +207,45 @@ object CorpusOps {
           .as("novelty_share"))
   }
 
+  /** LENGTH-INEQUALITY headline — the Gini coefficient of per-doc token
+    * counts, read next to [[lengthHistogram]]: a packing/batching plan
+    * tuned on mean length dies on a high-Gini corpus (a few giant docs
+    * own the tokens), and a near-zero Gini flags synthetic uniformity.
+    * Computed EXACTLY on the length HISTOGRAM via the rank-sum identity
+    * with average ranks for ties:
+    *
+    *   G = [Σ_v v·c_v·(2F_v + c_v + 1) − (n+1)·Σx] / (n·Σx)
+    *
+    * (F_v = docs strictly shorter than v) — every term an integer, so
+    * both engines divide identical BIGINTs and round once to 4dp. The
+    * cumulative window runs over DISTINCT lengths (histogram-sized, the
+    * quality-buckets bounded-window precedent), never over docs.
+    * Zero-length docs participate (they are what inequality looks
+    * like); an all-equal corpus reads exactly 0. */
+  def lengthGini(docs: DataFrame): DataFrame = {
+    val hist = docs
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withF = hist.withColumn("f", coalesce(sum(col("c")).over(w),
+      lit(0L)))
+    // rank-sum products exceed int64 at corpus-scale doc counts
+    // (v·c·3n ~ 1e22 at n=1e9) — assemble them in DECIMAL(38,0), the
+    // filter-agreement/zipf overflow discipline
+    val d38 = "decimal(38,0)"
+    withF.agg(
+        sum(col("c")).as("n_docs"),
+        sum(col("v") * col("c")).as("n_tokens"),
+        sum((col("v") * col("c")).cast(d38) *
+          (col("f") * 2 + col("c") + 1).cast(d38)).cast(d38).as("ranksum2"))
+      .select(col("n_docs"), col("n_tokens"),
+        round((col("ranksum2") - (col("n_docs") + 1).cast(d38) *
+            col("n_tokens").cast(d38)).cast("double") /
+          (col("n_docs").cast(d38) * col("n_tokens").cast(d38))
+            .cast("double"), 4).as("length_gini"))
+  }
+
   def lengthHistogram(docs: DataFrame): DataFrame = {
     val n = size(TextAnalysis.tokens(col("text"))).cast("long")
     val bucket = when(n < 16, lit("0000-0015"))

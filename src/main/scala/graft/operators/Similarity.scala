@@ -802,6 +802,64 @@ object Similarity {
         round(col("n_vecs").cast("double") / col("total"), 4).as("share"))
   }
 
+  /** TOP PRINCIPAL COMPONENT by POWER ITERATION — pure DataFrame linear
+    * algebra, no MLlib: the dominant direction of (mean-centered)
+    * embedding variance, the one-vector summary behind anisotropy checks
+    * (embedding collapse shows up as one direction eating the variance)
+    * and cheap 1-D corpus ordering. Each iteration is v ← Σᵢ (xᵢ·v)·xᵢ
+    * normalized: ONE corpus scan (codegen'd dot + posexplode) feeding a
+    * dim-sized aggregate; the ≤dim-row result and the mean vector are
+    * the only collects (the centroid-table pattern — bounded by the
+    * embedding dimension, never corpus data). Output: one row per
+    * dimension (pos, loading) plus the Rayleigh-quotient eigenvalue and
+    * its share of total variance repeated per row for context.
+    *
+    * Sign convention: the loading with the largest |value| is made
+    * positive, so the direction is stable across runs. Double
+    * aggregation order makes last-ulp jitter possible across engines —
+    * a rows-only entry with the spec asserting the recovered direction
+    * on a known-anisotropy fixture (the approx-twin precedent). */
+  def pcaPower(emb: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one power iteration")
+    val ad = "array<double>"
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    // per-dimension mean, collected once (≤dim values)
+    val meanRows = emb
+      .select(posexplode(col("embedding").cast(ad)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg(col("x")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mean = (0 until dim).map(meanRows.getOrElse(_, 0.0))
+    val meanArr = array(mean.map(lit): _*)
+    val centered = emb.select(zip_with(col("embedding").cast(ad), meanArr,
+      (x, m) => x - m).as("c"))
+    var v = (0 until dim).map(i => if (i == 0) 1.0 else 0.0)
+    var eig = 0.0
+    for (_ <- 1 to iters) {
+      val vArr = array(v.map(lit): _*)
+      val next = centered
+        .select(dot(col("c"), vArr).as("s"), col("c"))
+        .select(posexplode(col("c")).as(Seq("pos", "x")), col("s"))
+        .groupBy("pos").agg(sum(col("x") * col("s")).as("nx"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val raw = (0 until dim).map(next.getOrElse(_, 0.0))
+      eig = raw.zip(v).map { case (a, b) => a * b }.sum // Rayleigh (‖v‖=1)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      v = if (n == 0.0) v else raw.map(_ / n)
+    }
+    val flip = if (v(v.indexWhere(x => math.abs(x) ==
+      v.map(math.abs).max)) < 0) -1.0 else 1.0
+    val loadings = v.map(_ * flip)
+    val totVar = centered
+      .select(dot(col("c"), col("c")).as("n2"))
+      .agg(sum(col("n2"))).head().getDouble(0)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    loadings.zipWithIndex.map { case (l, i) =>
+      (i.toLong, math.rint(l * 1e4) / 1e4,
+        math.rint(eig / math.max(totVar, 1e-300) * 1e4) / 1e4)
+    }.toDF("pos", "loading", "explained_share")
+  }
+
   /** EMBEDDING-SPACE OUTLIER SCAN — the vector-side data-QA report: each
     * vector's cosine to its OWN assigned centroid (the best any cell can
     * explain it), bottom-`k` reported. A vector far from every centroid

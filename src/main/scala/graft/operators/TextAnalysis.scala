@@ -844,18 +844,27 @@ object TextAnalysis {
     * ≤nMerges-row frame every real tokenizer ships to every worker as
     * merges.txt — so this is the centroid-table pattern
     * (Similarity.ivfAssign), a bounded side-input, not a data collect.
-    * Each merge then rides the projection as a nested fold expression:
-    * k merges = one map-only pass over the (vocab-sized) word frame. */
+    * Each merge is applied as its own checkpointed pass over the
+    * (vocab-sized) word frame, exactly like training's rewrite rounds —
+    * NOT as one nested fold expression: [[applyMerge]]'s result is
+    * referenced three times by its null-pending epilogue, so k nested
+    * applications build a 3^k expression tree and the optimizer pays
+    * for it in plan time (measured: ~90 s of pure, data-independent
+    * analysis cost at k=6 before this was flattened; checkpointing
+    * makes plan cost linear in k and the frame is vocab-sized, so the
+    * extra materializations are noise). */
   def bpeEncodeWords(words: DataFrame, merges: DataFrame): DataFrame = {
     val rules = merges.select(col("rank"), col("left"), col("right"))
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
     val chars = transform(sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
-    val encoded = rules.foldLeft[Column](chars) { case (syms, (l, r)) =>
-      applyMerge(syms, lit(l), lit(r))
+    rules.foldLeft(words.select(col("word"), chars.as("syms"))) {
+      case (df, (l, r)) =>
+        df.select(col("word"),
+            applyMerge(col("syms"), lit(l), lit(r)).as("syms"))
+          .localCheckpoint(eager = false)
     }
-    words.select(col("word"), encoded.as("syms"))
   }
 
   /** Per-doc BPE encoding report under a trained merge table: word,
@@ -1341,6 +1350,63 @@ object TextAnalysis {
       }
     docs.select(col("doc_id"), col("lang"), col("source"),
       assigned.as("split"))
+  }
+
+  /** TRAIN/TEST DISTRIBUTION-SHIFT audit — [[splitAssign]]'s statistical
+    * companion: `doc_split_leakage` asks whether near-duplicate DOCUMENTS
+    * straddle the split; this asks whether the split's token
+    * DISTRIBUTIONS differ — the drift that makes held-out perplexity
+    * unrepresentative even with zero leakage (e.g. a hash split that by
+    * chance concentrates one source's vocabulary). One row: test-side
+    * cross-entropy under the train unigram model vs under its own model,
+    * and the gap (≈ KL(test‖train); ~0 for an honest hash split of a
+    * homogeneous corpus, large when the splits speak different tokens).
+    * Add-one smoothing over the COMBINED vocabulary keeps every test
+    * token finite under the train model.
+    *
+    * Portability: both models are exact integer rationals
+    * ((c+1)/(N+V)); each token's c_te·ln(p) term is computed from those
+    * integers and 1e-8 micro-rounded before the BIGINT sum (the
+    * LM-family contract), entropies are 4dp quotients.
+    *
+    * Scale shape: one token explode with a per-row split label, one
+    * (token) aggregate with conditional sums for both sides, a 1-row
+    * totals broadcast, one 1-row final aggregate. */
+  def splitShift(docs: DataFrame, trainWeight: Double = 0.8): DataFrame = {
+    val assign = splitAssign(docs,
+      Seq("train" -> trainWeight, "test" -> (1.0 - trainWeight)))
+      .select(col("doc_id"), col("split"))
+    val tok = docs.join(assign, "doc_id")
+      .select(col("split"), explode(tokens(col("text"))).as("token"))
+    val perTok = tok.groupBy("token").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_tr"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("c_te"))
+    val totals = perTok.agg(
+      sum(col("c_tr")).as("n_tr"), sum(col("c_te")).as("n_te"),
+      count(lit(1)).as("v"))
+    def lp(c: Column, n: Column, v: Column): Column =
+      log((c + 1).cast("double")) - log((n + v).cast("double"))
+    val terms = perTok.crossJoin(broadcast(totals))
+      .filter(col("c_te") > 0)
+      .select(col("c_te"),
+        round(col("c_te").cast("double") *
+          lp(col("c_tr"), col("n_tr"), col("v")) * 1e8, 0).cast("long")
+          .as("x_micro"),
+        round(col("c_te").cast("double") *
+          lp(col("c_te"), col("n_te"), col("v")) * 1e8, 0).cast("long")
+          .as("s_micro"),
+        col("n_tr"), col("n_te"), col("v"))
+    terms
+      .groupBy("n_tr", "n_te", "v")
+      .agg(sum(col("x_micro")).as("xs"), sum(col("s_micro")).as("ss"))
+      .select(col("n_tr").as("n_train_tokens"),
+        col("n_te").as("n_test_tokens"), col("v").as("vocab_combined"),
+        round(-col("xs").cast("double") / (col("n_te") * 1e8), 4)
+          .as("h_cross"),
+        round(-col("ss").cast("double") / (col("n_te") * 1e8), 4)
+          .as("h_self"),
+        round((col("ss") - col("xs")).cast("double") / (col("n_te") * 1e8),
+          4).as("shift_nats"))
   }
 
   /** Rolling-hash document fingerprint: the minimum hash over all character

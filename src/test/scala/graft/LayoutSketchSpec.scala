@@ -99,6 +99,89 @@ class LayoutSketchSpec extends SparkTestBase {
       posThreshold = 0.5, negThreshold = 0.3, nNeg = 3).count() == 0)
   }
 
+  test("Rfm.rfm: ten customers with staircase recency/frequency/spend " +
+    "land in clean quintiles; best recency scores 5, heaviest spender " +
+    "scores 5") {
+    val s = spark
+    import s.implicits._
+    def d(day: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 10).minusDays(day))
+    // customer i: i orders, latest i-1 days before the corpus max date,
+    // 10.00 per order → recency i-1, frequency i, monetary 1000·i
+    val rows = (1 to 10).flatMap { i =>
+      (d(i - 1) +: (1 until i).map(j => d(20 + j)).toSeq)
+        .map(dt => (i.toLong, dt, 10.0))
+    }
+    val out = Rfm.rfm(rows.toDF("o_custkey", "o_orderdate", "o_totalprice"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out(1L) == ((0L, 1L, 1000L, 5L, 1L, 1L, 511L)))
+    assert(out(10L) == ((9L, 10L, 10000L, 1L, 5L, 5L, 155L)))
+    assert(out(5L) == ((4L, 5L, 5000L, 3L, 3L, 3L, 333L)))
+    // quintile histogram: each score band holds exactly two customers
+    val fScores = out.values.map(_._5).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(fScores == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 2))
+  }
+
+  test("CorpusOps.lengthGini: an all-equal corpus reads exactly 0; a " +
+    "one-doc-owns-everything corpus approaches (n-1)/n; hand-checked " +
+    "two-value case") {
+    val equal = CorpusOps.lengthGini(docsDf(
+      (1L to 5L).map(i => i -> "a b c"))).collect().head
+    assert(equal.getDouble(2) == 0.0)
+    // 4 docs of 1 token + 1 doc of 96: G = [2Σi·x − 6·100]/(5·100)
+    // ranks: 1..4 on the ones (avg rank formula), 5 on the giant
+    // 2Σi·x = 1·1·(0+4+1)·... = Σ_v v·c·(2F+c+1): v=1: 1·4·(0+4+1)=20;
+    // v=96: 96·1·(8+1+1)=960 → num = 980 − 600 = 380 → G = 0.76
+    val skewed = CorpusOps.lengthGini(docsDf(Seq(
+      1L -> "x", 2L -> "y", 3L -> "z", 4L -> "w",
+      5L -> Seq.fill(96)("t").mkString(" ")))).collect().head
+    assert((skewed.getLong(0), skewed.getLong(1)) == ((5L, 100L)))
+    assert(skewed.getDouble(2) == 0.76)
+  }
+
+  test("TextAnalysis.splitShift: identical distributions across the " +
+    "hash split read ~zero shift; disjoint vocabularies read a large " +
+    "one") {
+    val ids = (1L to 60L)
+    val sameText = ids.map(_ -> "alpha beta gamma delta")
+    val same = TextAnalysis.splitShift(docsDf(sameText.toSeq))
+      .collect().head
+    assert(math.abs(same.getDouble(5)) < 0.01,
+      s"same-distribution shift: ${same.getDouble(5)}")
+    // discover the hash split, then give each side its own vocabulary
+    val assign = TextAnalysis.splitAssign(docsDf(sameText.toSeq),
+      Seq("train" -> 0.8, "test" -> 0.2)).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(assign.values.toSet == Set("train", "test"))
+    val disjoint = ids.map(i => i ->
+      (if (assign(i) == "train") "aaa bbb ccc" else "xxx yyy zzz"))
+    val out = TextAnalysis.splitShift(docsDf(disjoint.toSeq))
+      .collect().head
+    assert(out.getDouble(5) > 1.0,
+      s"disjoint-vocab shift: ${out.getDouble(5)}")
+    assert(out.getDouble(3) > out.getDouble(4)) // h_cross > h_self
+  }
+
+  test("Similarity.pcaPower: recovers the dominant variance axis of an " +
+    "anisotropic cloud despite a large mean offset; sign convention " +
+    "makes the peak loading positive; the axis explains ~all variance") {
+    val emb = embDf((0 until 21).map { i =>
+      val t = (i % 7 - 3) / 3.0  // dominant axis, amplitude 3
+      val u = (i % 5 - 2) / 2.0  // minor axis, amplitude 0.4
+      i.toLong -> Seq((3 * t + 100).toFloat, (0.4 * u - 5).toFloat,
+        0f, 0f)
+    })
+    val out = Similarity.pcaPower(emb, iters = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.size == 4)
+    assert(out(0L)._1 > 0.99, s"dominant loading: ${out(0L)._1}")
+    assert(math.abs(out(1L)._1) < 0.1)
+    assert(out(0L)._2 > 0.9) // explained share of total variance
+  }
+
   test("Similarity.ivfOutliers: a vector orthogonal to every centroid " +
     "surfaces first; centroid members score exactly 1.0") {
     val emb = embDf(Seq(

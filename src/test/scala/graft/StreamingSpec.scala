@@ -812,6 +812,52 @@ class StreamingSpec extends SparkTestBase {
     assert(native.exists(t => t._1 == 1L && t._2 == 3L))
   }
 
+  test("StreamingAttribution: per-conversion last-touch rows match the " +
+    "batch attribution incl. a touch crossing the batch boundary; a " +
+    "conversion is never a touch; aged-out touches read 'none'") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.streaming.StreamingAttribution.AEvt
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val in = MemoryStream[AEvt]
+    val out = graft.streaming.StreamingAttribution.attributions(
+      in.toDS().withWatermark("ts", "10 seconds"),
+      conversionType = "purchase", windowMs = 60_000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sattr").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: u1 clicks; u2 converts with no touch
+    in.addData(AEvt(1L, ts(0), 10L, "click"),
+      AEvt(2L, ts(0), 20L, "purchase"))
+    q.processAllAvailable()
+    // batch 2: u1 converts — the click touch CROSSED the batch boundary;
+    // then converts again — the first purchase must NOT be the touch
+    in.addData(AEvt(1L, ts(30), 11L, "purchase"),
+      AEvt(1L, ts(40), 12L, "purchase"))
+    q.processAllAvailable()
+    // batch 3: u3's touch ages out (conversion 61 s later, window 60 s)
+    in.addData(AEvt(3L, ts(100), 30L, "view"),
+      AEvt(3L, ts(161), 31L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("sattr")
+      .select("conv_id", "attributed_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(20L -> "none", 11L -> "click", 12L -> "click",
+      31L -> "none"))
+    // and the batch op agrees on the same rows, channel for channel
+    val batch = operators.Funnels.attribution(
+      Seq((1L, 10L, ts(0), "click"), (2L, 20L, ts(0), "purchase"),
+        (1L, 11L, ts(30), "purchase"), (1L, 12L, ts(40), "purchase"),
+        (3L, 30L, ts(100), "view"), (3L, 31L, ts(161), "purchase"))
+        .toDF("user_id", "event_id", "ts", "event_type"),
+      windowMs = 60_000L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamCounts = got.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(batch == streamCounts)
+  }
+
   test("StreamingJoin.within: stream-stream matches equal the batch " +
     "join on the in-watermark feed; a conversion arriving after the " +
     "watermark passed its window finds the trigger evicted") {
