@@ -215,6 +215,35 @@ object Example {
         .filter(col("code_switched")).show(3)
     }
 
+    // corpus health, segmentation, and vector QA (round 11, session 4)
+    {
+      println("[example] Zipf slope (natural text reads ~ -1):")
+      SparkEntry.queries("corpus_zipf_fit")(spark, sfDir).show()
+      println("[example] doc-length inequality (Gini off the histogram):")
+      SparkEntry.queries("corpus_length_gini")(spark, sfDir).show()
+      println("[example] do the quality and Gopher gates agree? " +
+        "(kappa ~ 1 = redundant, ~ 0 = they compose):")
+      SparkEntry.queries("corpus_filter_agreement")(spark, sfDir).show()
+      println("[example] train/test distribution shift (~0 = honest split):")
+      SparkEntry.queries("corpus_split_shift")(spark, sfDir).show()
+      println("[example] lowest-entropy docs (templated text):")
+      SparkEntry.queries("doc_entropy")(spark, sfDir)
+        .orderBy("entropy").show(3)
+      println("[example] Kneser-Ney vs raw bigram scoring:")
+      SparkEntry.queries("doc_kn_logprob")(spark, sfDir)
+        .orderBy("doc_id").show(3)
+      println("[example] embedding outliers (far from every centroid):")
+      SparkEntry.queries("emb_outliers")(spark, sfDir).show(5)
+      println("[example] top principal component (anisotropy check):")
+      SparkEntry.queries("emb_pca_power")(spark, sfDir)
+        .orderBy(col("loading").desc).show(3)
+      println("[example] RFM segments (555 = best customers):")
+      SparkEntry.queries("orders_rfm")(spark, sfDir)
+        .orderBy(col("rfm").desc).show(5)
+      println("[example] last-touch attribution (which channel converts):")
+      SparkEntry.queries("events_attribution")(spark, sfDir).show()
+    }
+
     // streaming sessionization with custom keyed state
     {
       import graft.streaming.Sessionize

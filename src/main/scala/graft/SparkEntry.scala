@@ -754,6 +754,10 @@ object SparkEntry {
     // before the integer sum, one subtraction from ln(n), 4dp
     "doc_entropy" -> ((s, dir) =>
       TextAnalysis.docEntropy(t(s, dir, "documents"))),
+    // the other half of the desensitization story: achieved k over the
+    // released (lang, source) quasi-identifiers + the at-risk share
+    "corpus_k_anonymity" -> ((s, dir) =>
+      TextAnalysis.kAnonymity(t(s, dir, "documents"))),
     "doc_gopher_filter" -> ((s, dir) =>
       TextAnalysis.gopherFilter(t(s, dir, "documents"))),
     "doc_token_bpe" -> ((s, dir) =>
@@ -1422,6 +1426,13 @@ object SparkEntry {
     // purchase within 24h, per-channel counts + share, 'none' explicit
     "events_attribution" -> ((s, dir) =>
       Funnels.attribution(events(s, dir))),
+    // censoring-aware Kaplan-Meier retention curve: step ln's
+    // micro-rounded before the cumulative sum, S(t) 4dp. The synthetic
+    // corpus keeps every user active to within ~3 days of the edge, so
+    // the query censors at 1 day (the operator default 7 would censor
+    // everyone and emit zero churn steps — vacuous)
+    "events_survival" -> ((s, dir) =>
+      Funnels.survivalCurve(events(s, dir), censorDays = 1)),
     // days whose volume exceeds 2x their trailing-week baseline mean;
     // exact-integer spike predicate
     "events_spike_days" -> ((s, dir) =>
@@ -2380,6 +2391,21 @@ object SparkEntry {
         |FROM w""".stripMargin,
     // rules compare the 4dp-ROUNDED signals on both sides, so the keep
     // verdict can never flip on a float boundary
+    // one (lang, source) aggregate + 1-row rollup; share an
+    // integral-count quotient
+    "corpus_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n FROM documents
+        |  GROUP BY 1, 2)
+        |SELECT CAST(5 AS BIGINT) AS k_threshold,
+        | CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(min(n) AS BIGINT) AS k_achieved,
+        | CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS groups_below_k,
+        | CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |   AS docs_at_risk,
+        | round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+        |   / sum(n), 4) AS at_risk_share
+        |FROM g""".stripMargin,
     // per-(doc, token) c·ln c micros, BIGINT sum, one ln(n) subtraction
     "doc_entropy" ->
       """WITH tok AS (SELECT doc_id,
@@ -5413,6 +5439,43 @@ object SparkEntry {
         | round(CAST(n_conversions AS DOUBLE) / (SELECT t FROM tot), 4)
         |   AS share
         |FROM g""".stripMargin,
+    // KM estimator: identical step ln-micros cumulated over distinct
+    // lifetimes; empty-risk-set steps pin S to 0 via an integer flag
+    "events_survival" ->
+      """WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f,
+        |   CAST(max(ts) AS DATE) AS l FROM events GROUP BY 1),
+        | mx AS (SELECT CAST(max(ts) AS DATE) AS m FROM events),
+        | lf AS (SELECT date_diff('day', f, l) AS lifetime,
+        |   date_diff('day', l, m) < 1 AS censored FROM u, mx),
+        | bl AS (SELECT lifetime,
+        |   sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+        |   sum(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+        |  FROM lf GROUP BY 1),
+        | wr AS (SELECT lifetime, d, c,
+        |   (SELECT sum(d + c) FROM bl)
+        |     - COALESCE(sum(d + c) OVER (ORDER BY lifetime
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS n_risk FROM bl),
+        | st AS (SELECT lifetime, d, c, n_risk,
+        |   CASE WHEN d = 0 THEN 0
+        |    WHEN n_risk > d THEN CAST(round(ln(
+        |      CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e8)
+        |      AS BIGINT)
+        |    ELSE 0 END AS step_micro,
+        |   CASE WHEN d > 0 AND n_risk <= d THEN 1 ELSE 0 END AS dead
+        |  FROM wr),
+        | cm AS (SELECT lifetime, d, c, n_risk,
+        |   sum(step_micro) OVER (ORDER BY lifetime
+        |     ROWS UNBOUNDED PRECEDING) AS cum_micro,
+        |   sum(dead) OVER (ORDER BY lifetime
+        |     ROWS UNBOUNDED PRECEDING) AS cum_dead FROM st)
+        |SELECT lifetime AS lifetime_days, CAST(n_risk AS BIGINT) AS n_risk,
+        | CAST(d AS BIGINT) AS n_churned,
+        | CAST(c AS BIGINT) AS n_censored_here,
+        | CASE WHEN cum_dead > 0 THEN 0.0
+        |  ELSE round(exp(CAST(cum_micro AS DOUBLE) / 1e8), 4) END
+        |   AS survival
+        |FROM cm WHERE d > 0""".stripMargin,
     // spike days: baseline = sum over the 7 PRIOR active days; the flag is
     // exact integer arithmetic (n * baseline_days > 2 * baseline_sum)
     "events_spike_days" ->

@@ -242,6 +242,71 @@ object Funnels {
         round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
   }
 
+  /** KAPLAN-MEIER retention/survival curve — the censoring-aware answer
+    * to "how long do users stay?" that [[retention]]'s fixed offsets
+    * can't give: a user's observed lifetime is their last-seen day minus
+    * their first-seen day, and users still active near the corpus edge
+    * (last seen within `censorDays` of the max date) are CENSORED — they
+    * tell us their lifetime is at least L, not that they churned at L.
+    * Naive averages treat them as churned and systematically undercount
+    * retention; the KM estimator uses them correctly: at each distinct
+    * churn lifetime t, S(t) ·= (1 − d_t/n_t) with n_t = users whose
+    * lifetime (churned or censored) is ≥ t.
+    *
+    * Portability: d_t and n_t are exact integers; each step's
+    * ln(1 − d/n) is 1e-8 micro-rounded before the cumulative BIGINT sum
+    * (the LM-family contract — the product becomes an
+    * order-independent sum), and S(t) = exp(cum)/… rounds once to 4dp.
+    * A step that empties its risk set (n = d) pins S to exactly 0 from
+    * that point via an integer flag, not a −∞ ln. Output one row per
+    * distinct CHURN lifetime: (lifetime_days, n_risk, n_churned,
+    * n_censored_here, survival).
+    *
+    * Scale shape: one user-keyed aggregate (first/last), one
+    * lifetime-keyed aggregate, then windows over DISTINCT lifetimes —
+    * histogram-sized (bounded by the corpus's day span), never
+    * user-sized. */
+  def survivalCurve(events: DataFrame, censorDays: Int = 7,
+                    userCol: String = "user_id",
+                    tsCol: String = "ts"): DataFrame = {
+    val users = events.groupBy(col(userCol).as("u"))
+      .agg(to_date(min(col(tsCol))).as("first_d"),
+        to_date(max(col(tsCol))).as("last_d"))
+    val maxD = events.agg(to_date(max(col(tsCol))).as("max_d"))
+    val lifetimes = users.crossJoin(broadcast(maxD))
+      .select(datediff(col("last_d"), col("first_d")).cast("long")
+          .as("lifetime"),
+        (datediff(col("max_d"), col("last_d")) < censorDays).as("censored"))
+    val byLife = lifetimes.groupBy("lifetime").agg(
+      sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val wAsc = Window.orderBy(col("lifetime"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("lifetime"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = byLife
+      .crossJoin(broadcast(byLife.agg(sum(col("d") + col("c")).as("tot"))))
+      .withColumn("n_risk",
+        col("tot") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("step_micro",
+        when(col("d") === 0, lit(0L))
+          .when(col("n_risk") > col("d"),
+            round(log((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")) * 1e8, 0).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("dead",
+        when(col("d") > 0 && col("n_risk") <= col("d"), 1L).otherwise(0L))
+    withRisk
+      .withColumn("cum_micro", sum(col("step_micro")).over(wAsc))
+      .withColumn("cum_dead", sum(col("dead")).over(wAsc))
+      .filter(col("d") > 0)
+      .select(col("lifetime").as("lifetime_days"), col("n_risk"),
+        col("d").as("n_churned"), col("c").as("n_censored_here"),
+        when(col("cum_dead") > 0, lit(0.0))
+          .otherwise(round(exp(col("cum_micro").cast("double") / 1e8), 4))
+          .as("survival"))
+  }
+
   /** LAST-TOUCH ATTRIBUTION — for each conversion event, the latest
     * PRIOR non-conversion event by the same user within `windowMs`, and
     * the per-channel conversion counts that result: the report that says

@@ -480,6 +480,34 @@ object TextAnalysis {
         col("n_docs_chunk_flagged"), col("n_flagged_any"))
   }
 
+  /** K-ANONYMITY audit — [[piiScrub]]'s structural sibling and the other
+    * half of the reference's desensitization story: field masking (F1-F5)
+    * hides direct identifiers, but a row can still be re-identified by
+    * its QUASI-identifier combination (here the released metadata
+    * columns) when too few rows share it. One row: the corpus's achieved
+    * k (the smallest quasi-identifier group), how many groups and
+    * documents sit below the `k` policy threshold, and the at-risk
+    * share — the release-gate number a privacy review asks for before a
+    * metadata-bearing corpus ships. All counts exact integers, the share
+    * a 4dp integral-count quotient; one group-keyed aggregate + one
+    * 1-row rollup. */
+  def kAnonymity(docs: DataFrame, k: Int = 5,
+                 quasiCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: need quasi-identifier columns")
+    val g = docs.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    g.agg(
+        count(lit(1)).as("n_groups"),
+        min(col("n")).as("k_achieved"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("docs_at_risk"),
+        sum(col("n")).as("n_docs"))
+      .select(lit(k.toLong).as("k_threshold"), col("n_groups"),
+        col("k_achieved"), col("groups_below_k"), col("docs_at_risk"),
+        round(col("docs_at_risk").cast("double") / col("n_docs"), 4)
+          .as("at_risk_share"))
+  }
+
   /** PII scrubbing — the corpus-scale sibling of the reference's per-field
     * MD5 masking (SURVEY F1–F5): redact email addresses and phone-shaped
     * numbers from free text and count what was removed, so a curation run

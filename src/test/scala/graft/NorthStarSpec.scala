@@ -1530,6 +1530,44 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.getDouble(5) == 0.5 && out.getDouble(6) == 0.0)
   }
 
+  test("TextAnalysis.kAnonymity: achieved k is the smallest " +
+    "quasi-identifier group; at-risk share counts docs under the " +
+    "threshold") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq.fill(6)(("en", "a")) ++ Seq.fill(3)(("en", "b")) ++
+      Seq(("fr", "a"))
+    val docs = rows.zipWithIndex.map { case ((l, src), i) =>
+      (i.toLong, "text here", l, src, 9L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.kAnonymity(docs).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4), out.getDouble(5)) ==
+      ((5L, 3L, 1L, 2L, 4L, 0.4)))
+  }
+
+  test("Funnels.survivalCurve: hand-checked KM steps with censoring — " +
+    "censored users stay in the risk set until their lifetime, and " +
+    "censored-only lifetimes emit no step") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)),    // churned, lifetime 1
+      (2L, ts(10)), (2L, ts(13)),  // churned, lifetime 3
+      (3L, ts(22)), (3L, ts(24)),  // censored (seen 6 days from max), L=2
+      (4L, ts(20)), (4L, ts(25)),  // censored, L=5
+      (5L, ts(30)))                // censored, L=0 — sets the max date
+      .toDF("user_id", "ts")
+    val out = operators.Funnels.survivalCurve(ev).orderBy("lifetime_days")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // t=1: risk {1,2,3,4}, churn 1 → S=0.75; t=3: risk {2,4} → S=0.375
+    assert(out == Seq((1L, 4L, 1L, 0L, 0.75), (3L, 2L, 1L, 0L, 0.375)))
+  }
+
   test("Funnels.dauApprox: at rsd 0.01 and fixture cardinalities the " +
     "HLL++ estimate is exact (sparse mode) and rel_err reads 0") {
     val s = spark
