@@ -1464,6 +1464,12 @@ object SparkEntry {
       Multimodal.decodeMeta(
         Multimodal.synthMediaPayload(t(s, dir, "documents"))).toDF()
         .withColumn("valid", col("valid").cast("int"))),
+    // FLAC STREAMINFO bit-field walk: 20-bit sample rate, 3-bit
+    // channels, 36-bit total samples → exact whole-second duration
+    "multimodal_decode_flac" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+        Multimodal.synthFlacPayload(t(s, dir, "documents"))).toDF()
+        .withColumn("valid", col("valid").cast("int"))),
     // ISO-BMFF box walk: nested moov→{mvhd,trak→tkhd} recovery of
     // duration/timescale and 16.16 fixed-point dims, oracle-mirrored
     "multimodal_decode_mp4" -> ((s, dir) =>
@@ -5591,6 +5597,19 @@ object SparkEntry {
         |       WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
         |      * (1 + doc_id % 2) * 2)
         |   ELSE 0 END AS BIGINT) AS duration_ms,
+        | CAST(1 AS INTEGER) AS valid
+        |FROM documents""".stripMargin,
+    // FLAC: n_bytes = 42-byte header + body; every parsed field equals
+    // its synthesis formula, duration an exact whole-second count
+    "multimodal_decode_flac" ->
+      """SELECT doc_id,
+        | CAST(42 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | 'flac' AS format,
+        | CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+        | CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        | CAST(CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |   ELSE 44100 END AS INTEGER) AS sample_rate,
+        | CAST((1 + doc_id % 20) * 1000 AS BIGINT) AS duration_ms,
         | CAST(1 AS INTEGER) AS valid
         |FROM documents""".stripMargin,
     // ISO-BMFF: n_bytes = ftyp(16) + moov(136) + mdat header(8) + body;

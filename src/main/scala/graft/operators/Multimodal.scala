@@ -220,12 +220,33 @@ object Multimodal {
       valid = true))
   }
 
+  /** FLAC: "fLaC" magic, then METADATA_BLOCK_HEADER (1 byte last-flag +
+    * type, 3-byte BE length) whose FIRST block must be STREAMINFO
+    * (type 0, ≥34 bytes). The packed 8-byte field at STREAMINFO+10
+    * carries sample rate (20 bits), channels−1 (3 bits),
+    * bits-per-sample−1 (5 bits), total samples (36 bits);
+    * duration_ms = samples·1000/rate — a header-only duration like WAV's,
+    * no audio frame is ever read. */
+  private def parseFlac(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 42 || ascii(b, 0, 4) != "fLaC") return None
+    if ((b(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    if (be(b, 5, 3) < 34) return None   // truncated STREAMINFO
+    val rate = (be(b, 18, 2) << 4) | ((b(20) & 0xf0) >> 4)
+    if (rate == 0) return None
+    val channels = ((b(20) & 0x0e) >> 1) + 1
+    val totalSamples = ((b(21) & 0x0f).toLong << 32) |
+      (be(b, 22, 4).toLong & 0xffffffffL)
+    Some(MediaMeta(id, b.length.toLong, "flac",
+      0, 0, channels, rate, totalSamples * 1000L / rate, valid = true))
+  }
+
   /** Sniff + parse one payload; unknown/corrupt headers come back as an
     * invalid row rather than an exception (dirty corpora are the norm). */
   private[graft] def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta =
     parsePng(id, bytes).orElse(parseJpeg(id, bytes))
       .orElse(parseWav(id, bytes)).orElse(parseMp4(id, bytes))
       .orElse(parseGif(id, bytes)).orElse(parseBmp(id, bytes))
+      .orElse(parseFlac(id, bytes))
       .getOrElse(MediaMeta(id, bytes.length.toLong, "unknown",
         0, 0, 0, 0, 0L, valid = false))
 
@@ -358,6 +379,42 @@ object Multimodal {
     val mdat = concat(be4(length(body) + 8),
       encode(lit("mdat"), "UTF-8"), body)
     docs.withColumn("payload", concat(ftyp, moov, mdat))
+  }
+
+  /** Attach a `payload` column carrying a genuine FLAC container header:
+    * "fLaC" + a last-flag STREAMINFO METADATA_BLOCK (34 bytes) whose
+    * packed bit-field the synthesis assembles nibble-exactly — sample
+    * rate split across 2.5 bytes, channels−1 in 3 bits, bits/sample−1
+    * (fixed 16-bit audio) straddling the byte boundary, the 36-bit total
+    * sample count — followed by a zero MD5 and the document text as the
+    * (never-read) frame body. Field formulas (mirrored by the
+    * `multimodal_decode_flac` oracle):
+    *   rate cycles 8k/16k/44.1k by (id÷3)%3, channels = 1 + id%2,
+    *   total_samples = rate·(1 + id%20) ⇒ duration_ms = (1 + id%20)·1000
+    *   exactly (the synthesis picks whole seconds so the division is
+    *   lossless and the oracle arithmetic stays integral). */
+  def synthFlacPayload(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val body = encode(col("text"), "UTF-8")
+    val d3 = expr("doc_id DIV 3")
+    val rate = when(d3 % 3 === 0, lit(8000))
+      .when(d3 % 3 === 1, lit(16000)).otherwise(lit(44100))
+    val ch = (lit(1) + id % 2).cast("int")
+    val total = rate.cast("bigint") * (lit(1) + id % 20)
+    def byte(v: Column): Column = unhex(lpad(hex(v), 2, "0"))
+    val flac = concat(
+      encode(lit("fLaC"), "UTF-8"),
+      bin("80000022"),       // last-block flag, type 0, length 34
+      bin("10001000"),       // min/max block size 4096
+      bin("000000000000"),   // min/max frame size unknown
+      byte(shiftright(rate, 12)),            // rate bits 19..12
+      byte(shiftright(rate, 4) % 256),       // rate bits 11..4
+      byte((rate % 16) * 16 + (ch - 1) * 2), // rate low nibble | ch-1 | bps hi
+      bin("F0"),             // bps-1 = 15 low nibble | total bits 35..32 = 0
+      be4(total),            // total samples bits 31..0
+      bin("0" * 32),         // md5 of the (absent) audio: 16 zero bytes
+      body)
+    docs.withColumn("payload", flac)
   }
 
   /** Feature extraction: fixed-width vector per payload (byte histogram
