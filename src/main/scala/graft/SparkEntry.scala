@@ -758,6 +758,10 @@ object SparkEntry {
     // released (lang, source) quasi-identifiers + the at-risk share
     "corpus_k_anonymity" -> ((s, dir) =>
       TextAnalysis.kAnonymity(t(s, dir, "documents"))),
+    // Flesch-Kincaid grade from exact integer word/sentence/vowel-group
+    // counts — the edu-quality proxy, pure per-row map
+    "doc_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"))),
     "doc_gopher_filter" -> ((s, dir) =>
       TextAnalysis.gopherFilter(t(s, dir, "documents"))),
     "doc_token_bpe" -> ((s, dir) =>
@@ -2397,6 +2401,20 @@ object SparkEntry {
         |FROM w""".stripMargin,
     // rules compare the 4dp-ROUNDED signals on both sides, so the keep
     // verdict can never flip on a float boundary
+    // same integer counts; the FK constants evaluated identically
+    "doc_readability" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        | CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |   AS BIGINT) AS n_sentences,
+        | CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |   AS BIGINT) AS n_syllables,
+        | round(0.39 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |     / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |   + 11.8 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |     AS DOUBLE) / len(string_split(text, ' '))
+        |   - 15.59, 4) AS fk_grade
+        |FROM documents""".stripMargin,
     // one (lang, source) aggregate + 1-row rollup; share an
     // integral-count quotient
     "corpus_k_anonymity" ->

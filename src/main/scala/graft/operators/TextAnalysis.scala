@@ -480,6 +480,32 @@ object TextAnalysis {
         col("n_docs_chunk_flagged"), col("n_flagged_any"))
   }
 
+  /** FLESCH-KINCAID READABILITY — the education-level proxy the
+    * FineWeb-Edu-style quality filters reach for after the Gopher gates:
+    * grade ≈ 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59,
+    * with sentences counted as terminal-punctuation runs (min 1 — a
+    * fragment is one sentence, not a division by zero) and syllables by
+    * the standard vowel-group heuristic (non-overlapping `[aeiouy]+`
+    * matches — identical greedy regex semantics in both engines).
+    * All three inputs are exact integers, so both engines evaluate the
+    * same fixed double expression on identical values and the 4dp round
+    * is portable. Pure per-row map, zero exchanges. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(tokens(col("text"))).cast("long")
+    val sentences = greatest(
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+    val syllables =
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    docs.select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(0.39) * col("n_words").cast("double") /
+            col("n_sentences") +
+          lit(11.8) * col("n_syllables").cast("double") / col("n_words") -
+          lit(15.59), 4).as("fk_grade"))
+  }
+
   /** K-ANONYMITY audit — [[piiScrub]]'s structural sibling and the other
     * half of the reference's desensitization story: field masking (F1-F5)
     * hides direct identifiers, but a row can still be re-identified by

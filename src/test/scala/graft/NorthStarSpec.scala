@@ -1530,6 +1530,20 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.getDouble(5) == 0.5 && out.getDouble(6) == 0.0)
   }
 
+  test("TextAnalysis.readability: hand-checked Flesch-Kincaid on a " +
+    "two-sentence fixture; a fragment counts as one sentence") {
+    val out = TextAnalysis.readability(docsDf(Seq(
+      1L -> "The cat sat. It ran!",
+      2L -> "no punctuation here")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: 5 words, 2 sentences, 5 vowel groups →
+    // 0.39·2.5 + 11.8·1 − 15.59 = −2.815
+    assert(out(1L) == ((5L, 2L, 5L, -2.815)))
+    // doc 2: 3 words, min-1 sentence, 7 vowel groups (o,u,ua,io,e,e)
+    assert(out(2L)._2 == 1L)
+  }
+
   test("TextAnalysis.kAnonymity: achieved k is the smallest " +
     "quasi-identifier group; at-risk share counts docs under the " +
     "threshold") {
