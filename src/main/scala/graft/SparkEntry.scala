@@ -1430,6 +1430,11 @@ object SparkEntry {
     // purchase within 24h, per-channel counts + share, 'none' explicit
     "events_attribution" -> ((s, dir) =>
       Funnels.attribution(events(s, dir))),
+    // long-run activity share per event type: 3 integer-micro power
+    // steps over the transition matrix (the doc_pagerank discipline —
+    // no rounding contract anywhere)
+    "events_markov_stationary" -> ((s, dir) =>
+      Funnels.markovStationary(events(s, dir))),
     // censoring-aware Kaplan-Meier retention curve: step ln's
     // micro-rounded before the cumulative sum, S(t) 4dp. The synthetic
     // corpus keeps every user active to within ~3 days of the edge, so
@@ -5463,6 +5468,33 @@ object SparkEntry {
         | round(CAST(n_conversions AS DOUBLE) / (SELECT t FROM tot), 4)
         |   AS share
         |FROM g""".stripMargin,
+    // the same three integer-DIV power steps unrolled as chained CTEs —
+    // bit-for-bit, no doubles until the display column
+    "events_markov_stationary" -> {
+      def step(i: Int) =
+        s"""p$i AS (SELECT tr.to_type AS t,
+           |   CAST(sum((p${i - 1}.mass * tr.n) // tr.tot) AS BIGINT)
+           |     AS mass
+           |  FROM p${i - 1} JOIN tr ON p${i - 1}.t = tr.from_type
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH ordered AS (SELECT event_type AS from_type,
+         |   lead(event_type) OVER (PARTITION BY user_id
+         |     ORDER BY ts, event_id) AS to_type FROM events),
+         | cnt AS (SELECT from_type, to_type, count(*) AS n FROM ordered
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         | tot AS (SELECT from_type, sum(n) AS tot FROM cnt GROUP BY 1),
+         | tr AS (SELECT c.from_type, c.to_type, c.n, t.tot
+         |  FROM cnt c JOIN tot t USING (from_type)),
+         | ty AS (SELECT DISTINCT from_type AS t FROM cnt),
+         | kk AS (SELECT count(*) AS k FROM ty),
+         | p0 AS (SELECT t, 1000000 // k AS mass FROM ty, kk),
+         | ${step(1)},
+         | ${step(2)},
+         | ${step(3)}
+         |SELECT t AS event_type, CAST(mass AS BIGINT) AS stationary_micro,
+         | round(CAST(mass AS DOUBLE) / 1e6, 4) AS stationary
+         |FROM p3""".stripMargin
+    },
     // KM estimator: identical step ln-micros cumulated over distinct
     // lifetimes; empty-risk-set steps pin S to 0 via an integer flag
     "events_survival" ->

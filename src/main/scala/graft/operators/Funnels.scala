@@ -489,6 +489,54 @@ object Funnels {
       round(col("n").cast("double") / sum(col("n")).over(wFrom), 4).as("p"))
   }
 
+  /** STATIONARY DISTRIBUTION of the [[transitionMatrix]] Markov chain —
+    * the long-run share of activity each event type commands if users
+    * keep behaving like this, the one-vector summary a capacity/ranking
+    * dashboard reads over the full matrix. Computed by `rounds` power
+    * steps ENTIRELY in integer micro-units (the `doc_pagerank`
+    * discipline): π starts uniform at 10⁶ DIV n_types and each step is
+    * π'(t) = Σ_f (π(f)·n(f→t)) DIV n(f→·) — integer DIV per term, so
+    * there is NO rounding contract anywhere and the oracle unrolls the
+    * same rounds in chained CTEs bit-for-bit. Truncation bleeds ≤1 micro
+    * per term per round (reported via the mass column, not hidden by
+    * renormalizing).
+    *
+    * Scale shape: the (from, to) count aggregate is the only
+    * corpus-sized work (one user-keyed lead window — the
+    * transitionMatrix shape); every power step joins frames bounded by
+    * |event types|². */
+  def markovStationary(events: DataFrame, rounds: Int = 3,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       typeCol: String = "event_type",
+                       eventIdCol: String = "event_id"): DataFrame = {
+    require(rounds >= 1, "need at least one power step")
+    val ordered = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(eventIdCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(eventIdCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(ordered))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val tots = counts.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    val trans = broadcast(counts.join(tots, "from_type"))
+    val types = counts.select(col("from_type").as("t")).distinct()
+    val nTypes = broadcast(types.agg(count(lit(1)).as("k")))
+    var pi = types.crossJoin(nTypes)
+      .select(col("t"), expr("1000000 DIV k").as("mass"))
+    for (_ <- 1 to rounds) {
+      pi = pi.join(trans, pi("t") === trans("from_type"))
+        .select(col("to_type").as("t"),
+          expr("(mass * n) DIV tot").as("term"))
+        .groupBy("t").agg(sum(col("term")).as("mass"))
+        .localCheckpoint(eager = false)
+    }
+    pi.select(col("t").as("event_type"), col("mass").as("stationary_micro"),
+      round(col("mass").cast("double") / 1e6, 4).as("stationary"))
+  }
+
   /** Weekly cohort retention matrix — [[retention]] with the cohort
     * dimension every growth report actually plots: users are grouped by
     * the ISO week (Monday) of their FIRST active day, and each cohort's

@@ -1560,6 +1560,29 @@ class NorthStarSpec extends SparkTestBase {
       ((5L, 3L, 1L, 2L, 4L, 0.4)))
   }
 
+  test("Funnels.markovStationary: a symmetric two-type chain is a " +
+    "fixed point at exactly 500000 micro each; mass never exceeds the " +
+    "initial million") {
+    val s = spark
+    import s.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // one user alternating a,b → transitions (a,b) and (b,a) only
+    val ev = (0 until 8).map(i =>
+      (1L, (10 + i).toLong, ts(i), if (i % 2 == 0) "a" else "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = operators.Funnels.markovStationary(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 500000L, "b" -> 500000L))
+    // an asymmetric chain still conserves (up to DIV truncation) and
+    // shifts mass toward the type with more inbound probability
+    val ev2 = Seq("a", "b", "b", "a", "b", "b", "a", "b", "b")
+      .zipWithIndex.map { case (t, i) => (1L, (20 + i).toLong, ts(i), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out2 = operators.Funnels.markovStationary(ev2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2.values.sum <= 1000000L && out2("b") > out2("a"))
+  }
+
   test("Funnels.survivalCurve: hand-checked KM steps with censoring — " +
     "censored users stay in the risk set until their lifetime, and " +
     "censored-only lifetimes emit no step") {
