@@ -301,6 +301,11 @@ object SparkEntry {
     // 1-5 quintile scores at exact integer ranks off value histograms
     "orders_rfm" -> ((s, dir) =>
       Rfm.rfm(t(s, dir, "orders"))),
+    // market-basket association lift over (order, part) baskets: exact
+    // integer rational (n_ab·N)/(n_a·n_b), rounded before the top-k
+    // (support >= 3 at this basket density: 63 candidate pairs)
+    "orders_basket_lift" -> ((s, dir) =>
+      Basket.basketLift(t(s, dir, "lineitem"), minPairSupport = 3)),
     // interval-overlap join: per customer, pairs of 30-day order windows
     // that overlap — the overlap test rides an equi hash join on custkey
     // as a residual (never a nested loop); ok_a < ok_b dedups mirrored
@@ -981,6 +986,12 @@ object SparkEntry {
     // known-anisotropy fixture (the approx-twin precedent)
     "emb_pca_power" -> ((s, dir) =>
       Similarity.pcaPower(t(s, dir, "embeddings"))),
+    // external cluster validation: per-cell majority-label purity under
+    // the seeded-centroid assignment (ties to lower label)
+    "emb_cluster_purity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfClusterPurity(e, Similarity.ivfSeedCentroids(e, 16))
+    }),
     // embedding-space outlier scan: bottom-20 vectors by cosine to their
     // own assigned centroid — the vector-side junk detector, 4dp-rounded
     // before the ordering so the reported set is engine-portable
@@ -2017,6 +2028,27 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ev_ms, s.snap_order
         |FROM e ASOF LEFT JOIN snap s
         | ON e.user_id = s.o_custkey AND s.snap_ms <= e.ev_ms""".stripMargin,
+    // distinct baskets → order-keyed pair self-join → HUGEINT lift
+    // rational, rounded before the (lift desc, parts) top-20
+    "orders_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS okey,
+        |   l_partkey AS part FROM lineitem),
+        | pn AS (SELECT part, count(*) AS n_part FROM b GROUP BY 1),
+        | no AS (SELECT count(DISTINCT okey) AS n_orders FROM b),
+        | pr AS (SELECT a.part AS part_a, c.part AS part_b,
+        |   count(*) AS n_ab
+        |  FROM b a JOIN b c ON a.okey = c.okey AND a.part < c.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b,
+        | CAST(pa.n_part AS BIGINT) AS n_a, CAST(pb.n_part AS BIGINT) AS n_b,
+        | CAST(n_ab AS BIGINT) AS n_ab,
+        | round(CAST(n_ab * n_orders AS DOUBLE)
+        |   / CAST(pa.n_part * pb.n_part AS DOUBLE), 4) AS lift
+        |FROM pr
+        |JOIN pn pa ON pr.part_a = pa.part
+        |JOIN pn pb ON pr.part_b = pb.part
+        |CROSS JOIN no
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     // identical histogram-rank quintile cutoffs per metric; scores are
     // integer comparisons against them
     "orders_rfm" -> {
@@ -3520,6 +3552,36 @@ object SparkEntry {
         |SELECT cell, n_vecs,
         | round(CAST(n_vecs AS DOUBLE) / (SELECT total FROM tot), 4) AS share
         |FROM g""".stripMargin,
+    // the ivf assignment chain grouped by (cell, label); majority via
+    // row_number (n desc, label), purity an integral-count quotient
+    "emb_cluster_purity" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | d AS (SELECT e.vec_id, e.label, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, label, cell FROM
+        |   (SELECT vec_id, label, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM d) t
+        |  WHERE rn = 1),
+        | g AS (SELECT cell, label, count(*) AS n FROM a GROUP BY 1, 2),
+        | tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs
+        |  FROM g GROUP BY 1),
+        | top AS (SELECT cell, label, n FROM
+        |   (SELECT cell, label, n, row_number() OVER
+        |     (PARTITION BY cell ORDER BY n DESC, label) AS rn FROM g) t
+        |  WHERE rn = 1)
+        |SELECT CAST(top.cell AS BIGINT) AS cell, tot.n_vecs,
+        | CAST(top.label AS INTEGER) AS majority_label,
+        | CAST(top.n AS BIGINT) AS n_majority,
+        | round(CAST(top.n AS DOUBLE) / tot.n_vecs, 4) AS purity
+        |FROM top JOIN tot ON top.cell = tot.cell""".stripMargin,
     // the ivf assignment chain, then cosine of each vector to its own
     // centroid, bottom-20 on the ROUNDED score with vec_id ties
     "emb_outliers" ->

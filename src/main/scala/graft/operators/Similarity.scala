@@ -882,6 +882,29 @@ object Similarity {
       .orderBy(col("cos_to_centroid"), col("vec_id")).limit(k)
   }
 
+  /** CLUSTER PURITY against the label column — the external validation
+    * [[ivfStats]]'s occupancy can't give: per cell, the share of members
+    * carrying the cell's majority label (ties → lower label, so the
+    * readout is total and deterministic). High purity says the embedding
+    * geometry respects the labels (cells ≈ classes — kNN-classify and
+    * SemDeDup inside cells are trustworthy); purity ≈ label prior says
+    * the cells are label-blind. One map-only assignment scan, one
+    * (cell, label) aggregate, one ≤nlist-row window over cells. */
+  def ivfClusterPurity(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val byLabel = ivfAssign(emb, centroids)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy("cell")
+      .orderBy(col("n").desc, col("label"))
+    byLabel
+      .withColumn("rn", row_number().over(wTop))
+      .withColumn("n_vecs", sum(col("n")).over(Window.partitionBy("cell")))
+      .filter(col("rn") === 1)
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        round(col("n").cast("double") / col("n_vecs"), 4).as("purity"))
+  }
+
   /** IVF occupancy DRIFT between two corpus versions under the SAME
     * centroids — the "when to refit" signal [[ivfIndexAppend]]'s contract
     * defers to: appends never refit, so cell occupancy shifts as the

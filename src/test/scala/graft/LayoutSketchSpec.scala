@@ -165,6 +165,44 @@ class LayoutSketchSpec extends SparkTestBase {
     assert(out.getDouble(3) > out.getDouble(4)) // h_cross > h_self
   }
 
+  test("Basket.basketLift: hand-checked lift over deduped baskets; " +
+    "sub-threshold pairs drop; duplicate lines collapse") {
+    val s = spark
+    import s.implicits._
+    val li = Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L),  // o1 {1,2} (dup line collapses)
+      (2L, 1L), (2L, 2L),            // o2 {1,2}
+      (3L, 1L), (3L, 3L),            // o3 {1,3} → pair (1,3) support 1
+      (4L, 2L),                      // o4 {2}
+      (5L, 1L), (5L, 2L))            // o5 {1,2}
+      .toDF("l_orderkey", "l_partkey")
+    val out = Basket.basketLift(li, minPairSupport = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 2L, 4L, 4L, 3L)))
+    assert(r.getDouble(5) == 0.9375) // 3·5/(4·4)
+  }
+
+  test("Similarity.ivfClusterPurity: majority label per cell with " +
+    "deterministic ties; a label-respecting cell reads purity 1.0") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0),   // centroid cell 0
+      (1L, Seq(0f, 1f), 1),   // centroid cell 1
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 1), // impure member of cell 0
+      (4L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfClusterPurity(emb,
+      Similarity.ivfSeedCentroids(emb, 2)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((3L, 0, 2L, 0.6667)))
+    assert(out(1L) == ((2L, 1, 2L, 1.0)))
+  }
+
   test("Similarity.pcaPower: recovers the dominant variance axis of an " +
     "anisotropic cloud despite a large mean offset; sign convention " +
     "makes the peak loading positive; the axis explains ~all variance") {
