@@ -1441,6 +1441,10 @@ object SparkEntry {
     // purchase within 24h, per-channel counts + share, 'none' explicit
     "events_attribution" -> ((s, dir) =>
       Funnels.attribution(events(s, dir))),
+    // per-event trailing-24h same-user count — the RANGE-frame window
+    // mode (frame by value distance over epoch-ms, ties included)
+    "events_rolling_24h" -> ((s, dir) =>
+      Funnels.rollingActivity(events(s, dir))),
     // long-run activity share per event type: 3 integer-micro power
     // steps over the transition matrix (the doc_pagerank discipline —
     // no rounding contract anywhere)
@@ -5530,6 +5534,14 @@ object SparkEntry {
         | round(CAST(n_conversions AS DOUBLE) / (SELECT t FROM tot), 4)
         |   AS share
         |FROM g""".stripMargin,
+    // identical RANGE frame over epoch-ms; equal-ts peers are members
+    // in both engines
+    "events_rolling_24h" ->
+      """SELECT user_id, event_id,
+        | CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS n_trailing
+        |FROM events""".stripMargin,
     // the same three integer-DIV power steps unrolled as chained CTEs —
     // bit-for-bit, no doubles until the display column
     "events_markov_stationary" -> {

@@ -489,6 +489,29 @@ object Funnels {
       round(col("n").cast("double") / sum(col("n")).over(wFrom), 4).as("p"))
   }
 
+  /** TRAILING-WINDOW activity count — per event, how many events the
+    * same user produced in the preceding `windowMs` (inclusive of
+    * simultaneous peers): the per-event rate signal behind velocity
+    * rules (rate limiting, fraud burst detection) that the per-DAY
+    * aggregates can't give. This is the one window MODE the suite's
+    * many ROWS-frame windows don't exercise: a RANGE frame over integral
+    * epoch-ms, where the frame is defined by value distance, not row
+    * count — and both engines give equal-timestamp peers identical
+    * membership (RANGE includes ties), so the count is deterministic
+    * without an event_id tiebreak. User-keyed window, per-user state
+    * bounded by the window's event count. */
+  def rollingActivity(events: DataFrame, windowMs: Long = 86400000L,
+                      userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("ms"))
+      .rangeBetween(-windowMs, 0)
+    events
+      .select(col(userCol).as("user_id"), col("event_id"),
+        unix_millis(col(tsCol)).as("ms"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("n_trailing"))
+  }
+
   /** STATIONARY DISTRIBUTION of the [[transitionMatrix]] Markov chain —
     * the long-run share of activity each event type commands if users
     * keep behaving like this, the one-vector summary a capacity/ranking

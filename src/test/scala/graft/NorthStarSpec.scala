@@ -1560,6 +1560,24 @@ class NorthStarSpec extends SparkTestBase {
       ((5L, 3L, 1L, 2L, 4L, 0.4)))
   }
 
+  test("Funnels.rollingActivity: RANGE frame counts same-user events " +
+    "within the trailing window, includes equal-timestamp peers, and " +
+    "evicts events past the window edge") {
+    val s = spark
+    import s.implicits._
+    def ts(h: Int) = new java.sql.Timestamp(1700000000000L + h * 3600_000L)
+    val ev = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(0)),   // simultaneous pair
+      (1L, 12L, ts(23)),                    // inside 24h of both
+      (1L, 13L, ts(25)),                    // 10/11 aged out; 12 inside
+      (2L, 20L, ts(0)))                     // other user isolated
+      .toDF("user_id", "event_id", "ts")
+    val out = operators.Funnels.rollingActivity(ev).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(10L -> 2L, 11L -> 2L, 12L -> 3L, 13L -> 2L,
+      20L -> 1L))
+  }
+
   test("Funnels.markovStationary: a symmetric two-type chain is a " +
     "fixed point at exactly 500000 micro each; mass never exceeds the " +
     "initial million") {
