@@ -1076,6 +1076,10 @@ object SparkEntry {
       Dedup.editSimilarityOn(d,
         Dedup.lshCandidatePairs(Dedup.minhash(d, k = 4), rowsPerBand = 2))
     }),
+    // simhash served: Manku-banded candidate pairs + exact
+    // bit_count(xor) Hamming filter
+    "doc_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"))),
     "doc_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"))),
     "doc_dedup_pipeline" -> ((s, dir) =>
@@ -4389,6 +4393,33 @@ object SparkEntry {
          |FROM h GROUP BY doc_id""".stripMargin
     },
 
+    // same fingerprints → 4-byte bands → equi-join candidates →
+    // bit_count(xor) <= 3
+    "doc_simhash_pairs" -> {
+      val bitTerms = (0 until 32).map(i =>
+        s"(CASE WHEN sum((hv >> $i) & 1) * 2 > count(*) " +
+          s"THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+         |  AS token FROM documents),
+         | h AS (SELECT doc_id, list_aggregate(list_transform(range(1, 9),
+         |   j -> CAST(strpos('0123456789abcdef',
+         |     substr(md5(token), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+         |     * (CAST(1 AS BIGINT) << (4 * (8 - CAST(j AS INTEGER))))),
+         |   'sum') AS hv FROM tok),
+         | fp AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+         |  FROM h GROUP BY doc_id),
+         | banded AS (SELECT doc_id, simhash, band,
+         |   (simhash >> (band * 8)) & 255 AS key
+         |  FROM fp, unnest(range(0, 4)) AS t(band)),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |   a.simhash AS fp_a, b.simhash AS fp_b
+         |  FROM banded a JOIN banded b
+         |   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         | CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""".stripMargin
+    },
     // Mirrors the LSH-candidate pipeline: MinHash (k=4) → banding
     // (2 rows/band) → candidate pairs → exact shingle Jaccard ≥ 0.8 on
     // candidates only → drop larger id; exact dups by md5(text).

@@ -881,6 +881,44 @@ object Dedup {
     voted.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** SimHash NEAR-DUP PAIRS — the serve half [[simhash]]'s fingerprints
+    * exist for, in the Manku/Jain/Sarma (WWW 2007) banded formulation:
+    * split the 32-bit fingerprint into 4 bytes; any pair within Hamming
+    * distance ≤ 3 must agree EXACTLY on at least one byte (pigeonhole —
+    * 3 flipped bits cannot touch all 4 bands), so candidates come from
+    * 4 equi self-joins on (band, byte) — bucket-bounded, never
+    * all-pairs — and one codegen'd `bit_count(xor)` filter makes the
+    * distance exact. The completeness guarantee is spec-gated: a pair
+    * at distance exactly `maxHamming` ≤ bands−1 is always found.
+    *
+    * Scale shape: the banded explode is ×4, the self-join is equi on
+    * (band, key) with hot-byte bucket sizes bounding the pair blowup
+    * (the LSH-band contract), distinct() dedupes multi-band agreement,
+    * and the Hamming test is integer bit math in whole-stage codegen. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band completeness holds for maxHamming <= 3")
+    val fps = simhash(docs)
+    val banded = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xff)
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Cross-split contamination audit: near-duplicate pairs whose members
     * landed in DIFFERENT train/val/test splits — the leak a held-out set
     * dies of (a test doc whose near-twin sits in train is evaluated on

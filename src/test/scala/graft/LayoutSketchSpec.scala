@@ -165,6 +165,29 @@ class LayoutSketchSpec extends SparkTestBase {
     assert(out.getDouble(3) > out.getDouble(4)) // h_cross > h_self
   }
 
+  test("Dedup.simhashPairs: banded candidates + exact bit_count equal " +
+    "the brute-force hamming<=3 pair set (Manku completeness); " +
+    "identical docs read distance 0") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo"
+    val docs = docsDf(Seq(
+      1L -> base, 2L -> base, // identical → distance 0
+      3L -> (base + " sierra"), // one-token delta → small distance
+      4L -> base.replace("alpha", "zulu"),
+      5L -> "completely different words entirely here nothing shared",
+      6L -> "another unrelated document with its own vocabulary set"))
+    val fps = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 0L))) // the identical pair is present
+  }
+
   test("Basket.basketLift: hand-checked lift over deduped baskets; " +
     "sub-threshold pairs drop; duplicate lines collapse") {
     val s = spark
