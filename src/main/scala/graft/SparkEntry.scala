@@ -1449,6 +1449,30 @@ object SparkEntry {
     // mode (frame by value distance over epoch-ms, ties included)
     "events_rolling_24h" -> ((s, dir) =>
       Funnels.rollingActivity(events(s, dir))),
+    // the PIVOT relational op: day × event-type count matrix with an
+    // explicit value list (deterministic columns, no value-scan pass)
+    "events_type_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+    // and its inverse — UNPIVOT (melt) back to long form: the wide
+    // matrix becomes (day, event_type, n) rows again, proving the
+    // reshape pair round-trips; zero-count cells are kept (explicit
+    // zeros survive the melt — they were real matrix cells)
+    "events_type_unpivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("day")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "n")),
     // long-run activity share per event type: 3 integer-micro power
     // steps over the transition matrix (the doc_pagerank discipline —
     // no rounding contract anywhere)
@@ -5565,6 +5589,39 @@ object SparkEntry {
         | round(CAST(n_conversions AS DOUBLE) / (SELECT t FROM tot), 4)
         |   AS share
         |FROM g""".stripMargin,
+    // melt = cross join with the fixed type list; zero cells kept
+    "events_type_unpivot" ->
+      """WITH m AS (SELECT CAST(ts AS DATE) AS day,
+        |   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |     AS click,
+        |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |     AS error,
+        |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS purchase,
+        |   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |     AS signup,
+        |   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |  FROM events GROUP BY 1)
+        |SELECT day, 'click' AS event_type, CAST(click AS BIGINT) AS n
+        |  FROM m
+        |UNION ALL SELECT day, 'error', CAST(error AS BIGINT) FROM m
+        |UNION ALL SELECT day, 'purchase', CAST(purchase AS BIGINT) FROM m
+        |UNION ALL SELECT day, 'signup', CAST(signup AS BIGINT) FROM m
+        |UNION ALL SELECT day, 'view', CAST(view AS BIGINT) FROM m""".stripMargin,
+    // the pivot as conditional aggregation — identical column names
+    "events_type_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     // identical RANGE frame over epoch-ms; equal-ts peers are members
     // in both engines
     "events_rolling_24h" ->
