@@ -1336,6 +1336,20 @@ object SparkEntry {
         ann = Similarity.knnIvfPq(e, col("vec_id") < 8, k = 3),
         truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
     }),
+    // IVF-PQ + REFINE (IndexRefineFlat): ADC top-10 shortlist re-scored
+    // against the exact vectors, cut to 3 — PQ memory for the scan,
+    // exact ranking for the answer
+    "emb_knn_ivf_pq_refined" -> ((s, dir) =>
+      Similarity.knnIvfPqRefined(t(s, dir, "embeddings"),
+        col("vec_id") < 8)),
+    // what the refine stage buys back: recall@3 vs brute truth, read
+    // next to emb_knn_ivf_pq_recall's unrefined number
+    "emb_knn_ivf_pq_refined_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        ann = Similarity.knnIvfPqRefined(e, col("vec_id") < 8, k = 3),
+        truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
+    }),
     // IVF-PQ on RESIDUALS (FAISS-proper): codes encode v − centroid(cell),
     // reconstruction adds the centroid back — the code budget spends on
     // local detail instead of re-describing the cell
@@ -1752,6 +1766,67 @@ object SparkEntry {
       |FROM (SELECT q_id, c_id, cos, row_number() OVER
       |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
       |WHERE rn <= 3""".stripMargin
+
+  /** The ADC top-3 tail shared by [[IvfPqOracleSql]] and the refined
+    * variants — asserted verbatim so the surgery below fails fast at
+    * load if the base oracle's tail ever drifts. */
+  private val IvfPqTop3Tail: String =
+    """SELECT q_id, c_id, round(cos, 4) AS score
+      |FROM (SELECT q_id, c_id, cos, row_number() OVER
+      |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+      |WHERE rn <= 3""".stripMargin
+
+  /** Refined tail: ADC top-10 shortlist (`sl`) re-scored EXACTLY against
+    * the stored vectors (`rf` joins `q` and `e` back), then cut to 3 —
+    * the IndexRefineFlat recipe, CTE for CTE what the Spark side does. */
+  private val IvfPqRefineChain: String =
+    """, sl AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+      |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s) t
+      |  WHERE rn <= 10),
+      | rf AS (SELECT sl.q_id, sl.c_id,
+      |   list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |     i -> q.qv[i] * e.v[i]), 'sum') /
+      |   (sqrt(list_aggregate(list_transform(range(1, len(q.qv) + 1),
+      |     i -> q.qv[i] * q.qv[i]), 'sum')) *
+      |    sqrt(list_aggregate(list_transform(range(1, len(e.v) + 1),
+      |     i -> e.v[i] * e.v[i]), 'sum'))) AS cos
+      |  FROM sl JOIN q ON sl.q_id = q.q_id
+      |   JOIN e ON e.vec_id = sl.c_id)
+      |""".stripMargin
+
+  private val IvfPqRefinedOracleSql: String = {
+    require(IvfPqOracleSql.endsWith(IvfPqTop3Tail),
+      "IvfPqOracleSql tail drifted — update the refine surgery")
+    IvfPqOracleSql.stripSuffix(IvfPqTop3Tail) + IvfPqRefineChain +
+      """SELECT q_id, c_id, round(cos, 4) AS score
+        |FROM (SELECT q_id, c_id, cos, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM rf) t
+        |WHERE rn <= 3""".stripMargin
+  }
+
+  private val IvfPqRefinedRecallOracleSql: String = {
+    require(IvfPqOracleSql.endsWith(IvfPqTop3Tail),
+      "IvfPqOracleSql tail drifted — update the refine surgery")
+    IvfPqOracleSql.stripSuffix(IvfPqTop3Tail) + IvfPqRefineChain +
+      """, ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM rf)
+        |  t WHERE rn <= 3),
+        | bsc AS (SELECT b.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(b.v) + 1),
+        |     i -> b.v[i] * b.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM e b, e c WHERE b.vec_id < 8 AND c.vec_id <> b.vec_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |   OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM bsc)
+        |  t WHERE rn <= 3)
+        |SELECT t.q_id, CAST(count(x.c_id) AS BIGINT) AS n_hit,
+        | round(count(x.c_id) / 3.0, 4) AS recall
+        |FROM truth t LEFT JOIN ann x USING (q_id, c_id)
+        |GROUP BY t.q_id""".stripMargin
+  }
 
   /** IVF-PQ-on-residuals oracle (emb_knn_ivf_pq_residual / _recall):
     * the IVF assignment/probe CTEs verbatim, but the PQ stage encodes
@@ -5199,6 +5274,8 @@ object SparkEntry {
     // the persisted bucketed index, so it shares this oracle verbatim.
     "emb_knn_ivf_pq" -> IvfPqOracleSql,
     "emb_knn_ivf_pq_indexed" -> IvfPqOracleSql,
+    "emb_knn_ivf_pq_refined" -> IvfPqRefinedOracleSql,
+    "emb_knn_ivf_pq_refined_recall" -> IvfPqRefinedRecallOracleSql,
     // residual encoding: same IVF chain, PQ stage on v − centroid(cell)
     // with the centroid added back before ADC
     "emb_knn_ivf_pq_residual" -> IvfPqResidualOracleSql(withRecall = false),

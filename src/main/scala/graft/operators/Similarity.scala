@@ -1261,6 +1261,39 @@ object Similarity {
     ivfSearch(indexed, queries, cents, queryPred, k, nprobe)
   }
 
+  /** IVF-PQ + REFINE — the third stage of the FAISS production stack
+    * (`IndexRefineFlat`): the ADC search returns a `refineK`-deep
+    * shortlist ranked on lossy reconstructions, then the shortlist — and
+    * ONLY the shortlist — is re-scored against the exact stored vectors
+    * and cut to `k`. Memory stays PQ-sized for the scan (the codes bound
+    * the working set), while the final ranking is exact over |Q|·refineK
+    * rows — the standard recipe for buying back most of PQ's recall at
+    * a per-query cost that never touches the corpus again
+    * (`emb_knn_ivf_pq_refined_recall` measures exactly what it buys).
+    * The exact-vector fetch is a |Q|·refineK-keyed join (in a deployment,
+    * point lookups against the primary store); scores rounded 4dp after
+    * the raw-cos ranking, the [[knnBrute]] contract. */
+  def knnIvfPqRefined(emb: DataFrame, queryPred: Column, k: Int = 3,
+                      refineK: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val shortlist = knnIvfPq(emb, queryPred, refineK, nlist, nprobe,
+      m, ksub).select(col("q_id"), col("c_id"))
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val qv = emb.filter(queryPred).select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val scored = shortlist
+      .join(broadcast(qv), "q_id")
+      .join(vecs, col("c_id") === col("vec_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("score"))
+  }
+
   /** Deterministic, SQL-expressible RESIDUAL codebook seed: the residuals
     * of vectors `ksub..2·ksub−1`, sliced per subspace into (j, code,
     * centroid) rows. NOT vectors 0..ksub−1 (the [[withPqDecoded]] seed):

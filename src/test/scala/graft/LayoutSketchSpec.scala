@@ -165,6 +165,28 @@ class LayoutSketchSpec extends SparkTestBase {
     assert(out.getDouble(3) > out.getDouble(4)) // h_cross > h_self
   }
 
+  test("Similarity.knnIvfPqRefined: exact re-scoring of the ADC " +
+    "shortlist never loses a hit the raw ADC ranking had (a true " +
+    "neighbor in the shortlist always outranks non-neighbors exactly)") {
+    val s = spark
+    import s.implicits._
+    val emb = (0 until 24).map { i =>
+      (i.toLong, (0 until 8).map(j =>
+        (((i * 7 + j * 13) % 19) / 19.0f - 0.5f)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val pred = col("vec_id") < 4
+    def hits(ann: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(ann,
+        Similarity.knnBrute(emb, pred, k = 3), k = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = hits(Similarity.knnIvfPq(emb, pred, k = 3,
+      nlist = 4, nprobe = 2, m = 2, ksub = 4))
+    val refined = hits(Similarity.knnIvfPqRefined(emb, pred, k = 3,
+      refineK = 6, nlist = 4, nprobe = 2, m = 2, ksub = 4))
+    raw.foreach { case (q, h) =>
+      assert(refined(q) >= h, s"refine lost hits for query $q") }
+  }
+
   test("Dedup.simhashPairs: banded candidates + exact bit_count equal " +
     "the brute-force hamming<=3 pair set (Manku completeness); " +
     "identical docs read distance 0") {
