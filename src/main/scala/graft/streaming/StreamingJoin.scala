@@ -31,7 +31,28 @@ object StreamingJoin {
     * (user_id, trig_id, conv_id, trig_ts, conv_ts). */
   def within(triggers: DataFrame, conversions: DataFrame,
              windowSeconds: Long,
-             delayThreshold: String = "10 seconds"): DataFrame = {
+             delayThreshold: String = "10 seconds"): DataFrame =
+    joined(triggers, conversions, windowSeconds, delayThreshold, "inner")
+
+  /** LEFT-OUTER form — the "abandoned trigger" detector: a trigger row
+    * whose conversion never arrives is emitted with null conversion
+    * columns, but only AFTER the watermark passes trigger.ts + window —
+    * i.e. only once Spark can PROVE no in-window conversion can still
+    * arrive. This is the semantics a timeout/abandonment alert needs
+    * (an inner join just never says anything), and it is exactly the
+    * state-store timeout machinery made visible: the null row IS the
+    * eviction, observed downstream. Spec-proven: the unmatched trigger
+    * emits null-padded once the watermark clears its window, and never
+    * before. */
+  def withinOuter(triggers: DataFrame, conversions: DataFrame,
+                  windowSeconds: Long,
+                  delayThreshold: String = "10 seconds"): DataFrame =
+    joined(triggers, conversions, windowSeconds, delayThreshold,
+      "left_outer")
+
+  private def joined(triggers: DataFrame, conversions: DataFrame,
+                     windowSeconds: Long, delayThreshold: String,
+                     joinType: String): DataFrame = {
     val t = triggers
       .select(col("user_id").as("t_user"), col("event_id").as("trig_id"),
         col("ts").as("trig_ts"))
@@ -44,7 +65,8 @@ object StreamingJoin {
         col("t_user") === col("c_user") &&
           col("conv_ts") >= col("trig_ts") &&
           col("conv_ts") <= col("trig_ts") +
-            expr(s"INTERVAL $windowSeconds SECONDS"))
+            expr(s"INTERVAL $windowSeconds SECONDS"),
+        joinType)
       .select(col("t_user").as("user_id"), col("trig_id"), col("conv_id"),
         col("trig_ts"), col("conv_ts"))
   }

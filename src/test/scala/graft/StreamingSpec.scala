@@ -858,6 +858,46 @@ class StreamingSpec extends SparkTestBase {
     assert(batch == streamCounts)
   }
 
+  test("StreamingJoin.withinOuter: an abandoned trigger emits its " +
+    "null-padded row only AFTER the watermark proves no in-window " +
+    "conversion can arrive; matched pairs emit normally") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val trig = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val conv = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val joined = graft.streaming.StreamingJoin.withinOuter(
+      df(trig), df(conv), windowSeconds = 60, delayThreshold = "5 seconds")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjo").trigger(Trigger.ProcessingTime(0)).start()
+    // u1 converts in-window; u2's click never converts
+    trig.addData((1L, 100L, ts(0)), (2L, 200L, ts(0)))
+    conv.addData((1L, 900L, ts(30)))
+    q.processAllAvailable()
+    def got() = s.table("ssjo")
+      .select("trig_id", "conv_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // watermark has NOT yet cleared u2's window: no null row yet
+    assert(got() == Set((100L, 900L)))
+    // advance both watermarks far past t0+60, over two batches so the
+    // eviction-driven null emission gets a batch to land in
+    trig.addData((9L, 999L, ts(600)))
+    conv.addData((9L, 998L, ts(600)))
+    q.processAllAvailable()
+    trig.addData((9L, 997L, ts(700)))
+    conv.addData((9L, 996L, ts(700)))
+    q.processAllAvailable()
+    q.stop()
+    // u2's abandoned click is now visible with a null conversion; u9's
+    // same-instant pair also matched (0 <= delta <= window)
+    assert(got().contains((200L, -1L)), s"missing null row: ${got()}")
+    assert(got().contains((100L, 900L)))
+  }
+
   test("StreamingJoin.within: stream-stream matches equal the batch " +
     "join on the in-watermark feed; a conversion arriving after the " +
     "watermark passed its window finds the trigger evicted") {
