@@ -858,6 +858,37 @@ class StreamingSpec extends SparkTestBase {
     assert(batch == streamCounts)
   }
 
+  test("session_window STREAMING: the native merging-sessions operator " +
+    "under a watermark emits a session only once the watermark closes " +
+    "it, and late-merged events extend it before that") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val sessions = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "60 seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("native_sess").trigger(Trigger.ProcessingTime(0)).start()
+    // two events 30 s apart merge into one open session
+    in.addData((1L, ts(0)), (1L, ts(30)))
+    q.processAllAvailable()
+    assert(s.table("native_sess").count() == 0) // session still open
+    // an event far ahead advances the watermark past the session's end
+    in.addData((2L, ts(600)))
+    q.processAllAvailable()
+    in.addData((2L, ts(700)))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("native_sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"closed session missing: $got")
+  }
+
   test("StreamingJoin.withinOuter: an abandoned trigger emits its " +
     "null-padded row only AFTER the watermark proves no in-window " +
     "conversion can arrive; matched pairs emit normally") {
