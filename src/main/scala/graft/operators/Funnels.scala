@@ -32,9 +32,10 @@ object Funnels {
     * an S-step funnel, each keyed on user_id, shuffle-partitioned like any
     * hash join; the window bound is a post-join filter on already-joined
     * rows (no extra shuffle); the unioned count rows are 1-row aggregates.
-    * The reach chain is rebuilt per step count (S is small — funnels are
-    * 3-6 steps; a shared-prefix reuse would save S²/2 tiny joins and cost
-    * the plan its laziness). */
+    * Each step's reach frame is lazily localCheckpoint-ed, so step i+1
+    * consumes step i's MATERIALIZED result instead of re-inlining the
+    * whole join prefix — each step-events scan runs exactly once (S
+    * scans, not S²/2), and the plan stays lazy until the first action. */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", tsCol: String = "ts",
              typeCol: String = "event_type",
@@ -50,6 +51,9 @@ object Funnels {
           .filter(col("t") > col("tp") &&
             within.map(w => col("t") <= col("tp") + w).getOrElse(lit(true)))
           .groupBy("u").agg(min(col("t")).as("t"))
+      // lazy cut: step i+1 (and the union'd count legs) reuse this frame's
+      // materialized rows instead of re-running the whole join prefix
+      reached = reached.localCheckpoint(eager = false)
       reached.agg(count(lit(1)).cast("long").as("n_users"))
         .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
           col("n_users"))
@@ -92,6 +96,7 @@ object Funnels {
             within.map(w => col("t") <= col("tp") + w).getOrElse(lit(true)))
           .groupBy("u")
           .agg(min(col("t")).as("t"), min(col("seg")).as("seg"))
+      reached = reached.localCheckpoint(eager = false)
       reached.groupBy("seg")
         .agg(count(lit(1)).cast("long").as("n_users"))
         .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
@@ -127,6 +132,7 @@ object Funnels {
         .select(col(userCol).as("u"), col(tsCol).as("t"))
       if (i == 0) {
         reached = occ.groupBy("u").agg(min(col("t")).as("t"))
+          .localCheckpoint(eager = false)
         None
       } else {
         reached = occ
@@ -137,6 +143,7 @@ object Funnels {
           // tp is per-user constant (it came out of a groupBy on u), so
           // min() just carries it through the reach aggregate
           .agg(min(col("t")).as("t"), min(col("tp")).as("tp"))
+          .localCheckpoint(eager = false)
         val ms = (unix_millis(col("t")) - unix_millis(col("tp"))).as("ms")
         Some(reached.select(ms)
           .agg(count(lit(1)).cast("long").as("n_users"),
