@@ -123,6 +123,33 @@ object Bench {
 
     def elapsedTotalSec: Double = (System.nanoTime() - jvmT0) / 1e9
 
+    // ── host-load evidence (r11 verdict item 8): separate machine noise
+    // from regression without forensics. `load_avg` = 1-min load at emit
+    // time; `cpu_idle` = the host's idle-CPU share over THIS bench's own
+    // run window (delta of /proc/stat cumulative counters since JVM
+    // start — an average over the whole run, no sampling sleep). A
+    // contended run reads load_avg >> n_cpus and cpu_idle near 0 while
+    // an idle-host run reads cpu_idle well above 0; both -1 off-Linux.
+    def procStat(): Option[(Long, Long)] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")).map { l =>
+          val f = l.split("\\s+").drop(1).map(_.toLong)
+          val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle+iowait
+          (idle, f.sum)
+        } finally src.close()
+      } catch { case _: Throwable => None }
+    val stat0 = procStat()
+    def cpuIdleFrac: Double = (for {
+      (i0, t0) <- stat0; (i1, t1) <- procStat() if t1 > t0
+    } yield math.round((i1 - i0).toDouble / (t1 - t0) * 1000) / 1000.0)
+      .getOrElse(-1.0)
+    def loadAvg: Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (l < 0) -1.0 else math.round(l * 100) / 100.0
+    }
+
     /** (charged seconds, error message if the query failed) */
     def once(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -196,7 +223,9 @@ object Bench {
           s""","queries_done":$coldDone,"n_queries":${names.size}""" +
           s""","budget_truncated":$truncated""" +
           s""","elapsed_total_sec":${math.round(elapsedTotalSec * 1000) / 1000.0}""" +
-          s""","failure_penalty_sec":$FailurePenaltySec,"sf":${jsonStr(sfDir)}"""
+          s""","failure_penalty_sec":$FailurePenaltySec,"sf":${jsonStr(sfDir)}""" +
+          s""","load_avg":$loadAvg,"cpu_idle":$cpuIdleFrac""" +
+          s""","n_cpus":${Runtime.getRuntime.availableProcessors}"""
       // FULL artifact -> out file only (complete per-query detail).
       val full =
         s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +

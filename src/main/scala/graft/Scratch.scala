@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq else Seq("doc_winnow_pairs")
+    val names =
+      if (args.length > 1 && args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.tail.toSeq
+      else Seq("doc_winnow_pairs")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -18,6 +21,9 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
+      // marker interleaves with Spark's stderr WARNs so a combined-stream
+      // capture attributes each warning to the query that emitted it
+      System.err.println(s"SCRATCH-BEGIN $n")
       val df = SparkEntry.queries(n)(spark, sfDir)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()

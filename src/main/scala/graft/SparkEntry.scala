@@ -816,14 +816,17 @@ object SparkEntry {
     // this rows-only entry — the streaming-op precedent (SURVEY §5)
     "corpus_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), nMerges = 6)),
-    // BPE ENCODING under the just-learned merges — the serve half:
-    // per-doc token counts + chars-per-token compression. Same rows-only
-    // + spec gate as training (round-trip segmentation + the classic
-    // fixture's hand-checked "lowest" → [low, est] in LayoutSketchSpec)
-    "corpus_bpe_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.bpeEncode(docs, TextAnalysis.bpeTrain(docs, nMerges = 6))
-    }),
+    // BPE ENCODING under the PINNED merge table (the shipped-merges.txt
+    // serving form; pinnedMerges IS what bpeTrain learns on this corpus,
+    // incl. the rank-6 chain onto rank 1's output): per-doc token counts
+    // + chars-per-token compression. Deterministic given the table, so
+    // fully oracle-backed — each rank is one replace over a
+    // marker-delimited symbol string in the SQL. The train->encode
+    // composition stays spec-gated (round-trip segmentation + the
+    // classic Sennrich fixture in LayoutSketchSpec)
+    "corpus_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(t(s, dir, "documents"),
+        TextAnalysis.pinnedMergesDf(s))),
     // Heaps-law growth curve: per doc_id-range decile, token volume and
     // first-appearing vocabulary types with cumulatives
     "corpus_vocab_growth" -> ((s, dir) =>
@@ -1136,7 +1139,12 @@ object SparkEntry {
       Dedup.incrementalDedup(
         d.filter(col("doc_id") % 10 === 0),
         d.filter(col("doc_id") % 10 =!= 0),
-        fp = md5(concat_ws(" ", slice(split(col("text"), " ", -1), 1, 10))))
+        fp = md5(concat_ws(" ", slice(split(col("text"), " ", -1), 1, 10))),
+        // bloom sized to THIS batch scale (the caller's dial): the 1M-item
+        // default builds a 1 MiB sketch whose scalar-subquery literal
+        // ships inside every task binary — right for a 1M-doc production
+        // batch, 16x oversized here
+        estimatedItems = 1L << 16, numBits = 1L << 19)
     }),
     // incremental NEAR-dedup: the same new-batch split, LSH-banded against
     // the rest of the corpus, exact Jaccard >= 0.8 on candidates
@@ -1530,6 +1538,19 @@ object SparkEntry {
       Multimodal.decodeMeta(
         Multimodal.synthMediaPayload(t(s, dir, "documents"))).toDF()
         .withColumn("valid", col("valid").cast("int"))),
+    // Perceptual hashes over a REAL 8x8 24bpp BMP payload: byte-level
+    // parse (offset, bottom-up rows, BGR) -> integer-exact aHash/dHash;
+    // the oracle recomputes both hashes analytically from the pixel
+    // formula, so any parse/ordering slip desyncs the hex strings
+    "multimodal_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(
+        Multimodal.synthBmpPayload(t(s, dir, "documents")))),
+    // MEDIA near-dup pairs: banded Hamming over the aHash (4x16 Manku
+    // split, complete for hamming<=3) + exact popcount filter; the
+    // oracle brute-forces the same <=3 pair set from analytic hashes
+    "multimodal_dup_pairs" -> ((s, dir) =>
+      Multimodal.phashDupPairs(
+        Multimodal.synthBmpPayload(t(s, dir, "documents")))),
     // FLAC STREAMINFO bit-field walk: 20-bit sample rate, 3-bit
     // channels, 36-bit total samples → exact whole-second duration
     "multimodal_decode_flac" -> ((s, dir) =>
@@ -2983,6 +3004,40 @@ object SparkEntry {
         | round(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1e8), 4)
         |   AS avg_kn_logprob
         |FROM lp GROUP BY doc_id""".stripMargin,
+    // BPE encode under the pinned merge table: each rank is one
+    // left-to-right non-overlapping rewrite — exactly string replace()
+    // semantics over a marker-delimited symbol string (chr(1)<sym>chr(2)
+    // per symbol; the corpus is printable ASCII so the markers are safe,
+    // and replace never rescans its own replacement, matching the
+    // (out, pending) fold). Token count = chr(1)-marker count. The chain
+    // is GENERATED from TextAnalysis.pinnedMerges so oracle and query
+    // can never pin different tables.
+    "corpus_bpe_encode" -> {
+      def sym(s: String) = s"chr(1)||'$s'||chr(2)"
+      val chain = graft.operators.TextAnalysis.pinnedMerges
+        .foldLeft("s0") { case (inner, (_, l, r)) =>
+          s"replace($inner, ${sym(l)}||${sym(r)}, ${sym(l + r)})"
+        }
+      s"""WITH dw AS (SELECT doc_id, w AS word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE len(w) > 0),
+         | vocab AS (SELECT DISTINCT word FROM dw),
+         | enc AS (SELECT word, CAST(len(word) AS BIGINT) AS n_chars_w,
+         |   CAST(len(s6) - len(replace(s6, chr(1), '')) AS BIGINT)
+         |     AS n_toks_w
+         |  FROM (SELECT word, $chain AS s6
+         |        FROM (SELECT word,
+         |          regexp_replace(word, '(.)', chr(1)||'\\1'||chr(2), 'gs')
+         |            AS s0 FROM vocab)))
+         |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         | CAST(sum(e.n_chars_w) AS BIGINT) AS n_chars,
+         | CAST(sum(e.n_toks_w) AS BIGINT) AS n_bpe_tokens,
+         | round(CAST(sum(e.n_chars_w) AS DOUBLE) / sum(e.n_toks_w), 4)
+         |   AS chars_per_token
+         |FROM dw JOIN enc e ON dw.word = e.word
+         |GROUP BY dw.doc_id""".stripMargin
+    },
     // Zipf OLS slope: identical micro-rounded ln points, HUGEINT/decimal
     // moment sums, 4dp quotient
     "corpus_zipf_fit" ->
@@ -5888,6 +5943,66 @@ object SparkEntry {
         |   ELSE 0 END AS BIGINT) AS duration_ms,
         | CAST(1 AS INTEGER) AS valid
         |FROM documents""".stripMargin,
+    // Perceptual hashes recomputed ANALYTICALLY from the BMP pixel
+    // formula (motif base + clamped noise pixel): integer-exact bit
+    // test 64*v > sum(v), MSB-first nibble packing to hex — the Spark
+    // side must parse the real bytes back to the same pixels to agree
+    "multimodal_phash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.p,
+        |    least(((d.doc_id % 32) * 73 + t.p * 149) % 251
+        |      + CASE WHEN t.p = d.doc_id % 64 THEN d.doc_id % 7 ELSE 0 END,
+        |      250) AS v
+        |  FROM documents d, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+        | ab AS (SELECT px.doc_id, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id)),
+        | ah AS (SELECT doc_id,
+        |   string_agg(substr('0123456789abcdef', CAST(nib AS INTEGER) + 1,
+        |     1), '' ORDER BY i) AS ahash_hex
+        |  FROM (SELECT doc_id, p // 4 AS i,
+        |          sum(b * (1 << (3 - p % 4))) AS nib
+        |        FROM ab GROUP BY doc_id, p // 4)
+        |  GROUP BY doc_id),
+        | db AS (SELECT a.doc_id, q.q,
+        |   CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS b
+        |  FROM range(0, 56) q(q)
+        |  JOIN px a ON a.p = 8 * (q.q // 7) + q.q % 7
+        |  JOIN px b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+        | dh AS (SELECT doc_id,
+        |   string_agg(substr('0123456789abcdef', CAST(nib AS INTEGER) + 1,
+        |     1), '' ORDER BY i) AS dhash_hex
+        |  FROM (SELECT doc_id, q // 4 AS i,
+        |          sum(b * (1 << (3 - q % 4))) AS nib
+        |        FROM db GROUP BY doc_id, q // 4)
+        |  GROUP BY doc_id)
+        |SELECT ah.doc_id, CAST(8 AS INTEGER) AS width,
+        | CAST(8 AS INTEGER) AS height, ahash_hex, dhash_hex
+        |FROM ah JOIN dh USING (doc_id)""".stripMargin,
+    // Media near-dup pairs: brute-force <=3-hamming set over the same
+    // analytic aHashes (HUGEINT xor + popcount). The Spark side's banded
+    // candidate join is COMPLETE for hamming<=3 (4x16 pigeonhole) and
+    // its hot-band guard never fires at gate scale, so banded == brute
+    "multimodal_dup_pairs" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.p,
+        |    least(((d.doc_id % 32) * 73 + t.p * 149) % 251
+        |      + CASE WHEN t.p = d.doc_id % 64 THEN d.doc_id % 7 ELSE 0 END,
+        |      250) AS v
+        |  FROM documents d, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+        | ab AS (SELECT px.doc_id, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id)),
+        | ah AS (SELECT doc_id,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
     // FLAC: n_bytes = 42-byte header + body; every parsed field equals
     // its synthesis formula, duration an exact whole-second count
     "multimodal_decode_flac" ->

@@ -365,11 +365,17 @@ object Funnels {
     * scale cell measures the same estimator's drift on the ×10 corpus:
     * rsd 0.01 read rel_err 0.0). Reported as exact | estimate | 4dp
     * relative error per day, so the rsd dial is measured against this
-    * corpus the way the CMS/quality sketches measure theirs. Estimator
-    * internals are engine-specific → no SQL oracle; the gate is the
-    * spec (estimate exact at fixture cardinalities, error column
-    * arithmetic) + the in-row exact column. */
-  def dauApprox(events: DataFrame, rsd: Double = 0.01,
+    * corpus the way the CMS/quality sketches measure theirs. Default
+    * rsd 0.02 = 2^12 HLL registers: rsd 0.01 quadruples the register
+    * file to 2^14, whose declarative-aggregate buffer bloats the
+    * generated stage code past Spark's 1000 KiB task-binary warning —
+    * a real dial at 1000 groups × 12 KB of partial-agg state each, and
+    * needless precision for a daily-active report whose exact twin
+    * rides in the same row. Estimator internals are engine-specific →
+    * no SQL oracle; the gate is the spec (estimate exact at fixture
+    * cardinalities, error column arithmetic) + the in-row exact
+    * column. */
+  def dauApprox(events: DataFrame, rsd: Double = 0.02,
                 userCol: String = "user_id",
                 tsCol: String = "ts"): DataFrame =
     events.select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))

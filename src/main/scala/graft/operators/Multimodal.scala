@@ -466,4 +466,183 @@ object Multimodal {
         lit(frameBytes)))
       .drop("payload", "n_frames_total")
   }
+
+  // ───────────────────────────────────────────────────────────────────
+  // Perceptual hashing — MEDIA dedup (the multimodal north-star loop:
+  // parse → pixel hash → banded Hamming pairs). The payload is a REAL
+  // uncompressed BMP whose 8×8 pixel array is built from pure Catalyst
+  // exprs; the hasher parses the actual bytes (header offset, bottom-up
+  // row order, BGR triples) inside the same mapPartitions codec boundary
+  // decodeMeta uses, so swapping in a true image codec changes one
+  // function. Larger images would pass through the resize stage first —
+  // aHash/dHash are DEFINED on the 8×8 grid (Krawetz's average hash and
+  // gradient hash), which is exactly what makes them scale: 64 bits per
+  // image, pair volume bounded by band buckets, never pixels-vs-pixels.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Per-payload perceptual hashes. `ahash`: 64-bit average hash, bit p
+    * (MSB-first, row-major) = 1 iff 64·v(p) > Σv — the integer-exact form
+    * of v(p) > mean, so both engines agree bit-for-bit with no division.
+    * `dhash`: 56-bit row-gradient hash, bit (r,c) = 1 iff v(r,c) >
+    * v(r,c+1) — 8 rows × 7 adjacent comparisons, MSB-first. `valid` is
+    * false for anything but an 8×8 24bpp BMP (a full pipeline resizes
+    * first; unknown formats are dirty-corpus rows, not exceptions). */
+  case class PHash(doc_id: Long, width: Int, height: Int,
+                   ahash: Long, dhash: Long, valid: Boolean)
+
+  implicit val phashEnc: Encoder[PHash] = Encoders.product[PHash]
+
+  /** Attach a `payload` carrying a COMPLETE, real BMP file: 54-byte
+    * header (BITMAPINFOHEADER, 24bpp, 8×8) + 192-byte bottom-up BGR
+    * pixel array, every declared size/offset true — [[phashOne]] must
+    * honor the pixel-data offset and row order to read it back. Pixel
+    * values (grayscale, stored as 3 equal bytes) are deterministic in
+    * doc_id — the formula the oracle mirrors analytically:
+    *   motif m = doc_id % 32 (docs sharing a motif share a base image),
+    *   v(p)   = ((m·73 + p·149) mod 251)           p = row-major 0..63,
+    *   noise  : pixel p = doc_id % 64 gets + (doc_id % 7), clamped ≤ 250
+    * so same-motif docs are NEAR-duplicates (differing in ≤2 pixels plus
+    * any mean-shift bit flips) — the hamming-1..2 tail that makes the
+    * dup-pair query exercise genuine near-dup detection, not just
+    * exact-hash grouping. */
+  def synthBmpPayload(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    // header is all-constant for a fixed 8×8 24bpp layout:
+    // "BM" size=246 reserved offset=54 | ihdr=40 w=8 h=8 planes=1 bpp=24
+    // compression=0 imagesize=192 ppm=0,0 colors=0,0   (all LE)
+    val headerHex =
+      "424D" + "F6000000" + "00000000" + "36000000" +
+        "28000000" + "08000000" + "08000000" + "0100" + "1800" +
+        "00000000" + "C0000000" + "00000000" + "00000000" +
+        "00000000" + "00000000"
+    // file order is bottom-up: file pixel pf maps to logical
+    // p = (7 − pf÷8)·8 + pf%8; each grayscale v emits 3 equal bytes (BGR)
+    val pixelsHex = array_join(
+      transform(sequence(lit(0), lit(63)), pf => {
+        // Column `/` is double division — floor+cast keeps this integral
+        val p = (lit(7) - floor(pf / 8).cast("int")) * 8 + pf % 8
+        val base = (pmod(id, lit(32)) * 73 + p * 149) % 251
+        val v = least(
+          base + when(p === pmod(id, lit(64)), pmod(id, lit(7)))
+            .otherwise(lit(0)),
+          lit(250))
+        repeat(lpad(hex(v), 2, "0"), 3)
+      }), "")
+    docs.withColumn("payload",
+      concat(unhex(lit(headerHex)), unhex(pixelsHex)))
+  }
+
+  /** Parse one BMP payload and hash its pixels. Real parse: magic,
+    * pixel-data offset (bytes 10..13 LE), dimensions, bpp, bottom-up row
+    * order with 4-byte-aligned strides — wrong anywhere and the hashes
+    * desync from the oracle's analytic formula. */
+  private[graft] def phashOne(id: Long, b: Array[Byte]): PHash = {
+    def invalid = PHash(id, 0, 0, 0L, 0L, valid = false)
+    if (b.length < 54 || ascii(b, 0, 2) != "BM") return invalid
+    val off = le(b, 10, 4)
+    val w = le(b, 18, 4)
+    val h = math.abs(le(b, 22, 4))
+    val bpp = le(b, 28, 2)
+    if (w != 8 || h != 8 || bpp != 24) return invalid
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (b.length < off + stride * h) return invalid
+    val v = new Array[Int](64)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        // logical row r lives at file row h−1−r (bottom-up); blue byte
+        // first in the BGR triple (all three are equal for grayscale)
+        v(r * 8 + c) = b(off + (h - 1 - r) * stride + c * 3) & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    var sum = 0
+    var p = 0
+    while (p < 64) { sum += v(p); p += 1 }
+    var ahash = 0L
+    p = 0
+    while (p < 64) {
+      ahash = (ahash << 1) | (if (64 * v(p) > sum) 1L else 0L)
+      p += 1
+    }
+    var dhash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        dhash = (dhash << 1) | (if (v(r * 8 + c) > v(r * 8 + c + 1)) 1L
+                                else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    PHash(id, w, h, ahash, dhash, valid = true)
+  }
+
+  /** Hash every payload — the typed Dataset form downstream dedup joins
+    * consume (hashes stay Long for cheap band extraction / xor). */
+  def perceptualHashRaw(withPayload: DataFrame): Dataset[PHash] =
+    withPayload.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map(r => phashOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+
+  /** Report form: hashes as fixed-width hex strings (engine-portable —
+    * a 64-bit ahash with the top bit set is a negative BIGINT, which
+    * hex-strings sidestep). Invalid payloads are excluded (they carry no
+    * pixels to hash); rely on [[decodeMeta]] for the dirty-row census. */
+  def perceptualHash(withPayload: DataFrame): DataFrame = {
+    import withPayload.sparkSession.implicits._
+    perceptualHashRaw(withPayload).filter(_.valid)
+      .map(h => (h.doc_id, h.width, h.height,
+        f"${h.ahash}%016x", f"${h.dhash}%014x"))
+      .toDF("doc_id", "width", "height", "ahash_hex", "dhash_hex")
+  }
+
+  /** Near-duplicate MEDIA pairs: documents whose aHashes differ in at
+    * most `maxHamming` bits. Banded exactly like [[Dedup]]'s SimHash
+    * (Manku et al.): the 64-bit hash splits into 4×16-bit bands; a pair
+    * within hamming ≤3 must agree on ≥1 whole band (pigeonhole), so the
+    * band-bucket equi-join finds ALL qualifying pairs — completeness
+    * guaranteed, never an all-pairs scan — and the exact popcount filter
+    * then drops band-collision false positives. `maxBandDocs` is the
+    * hot-bucket guard (the LSH block-size dial): a band value shared by
+    * more docs than this is boilerplate evidence and is excluded before
+    * the self-join bounds its O(n²) contribution.
+    *
+    * Scale shape: hash = 8 bytes/image regardless of media size; the
+    * join is equi on (band_idx, band_val), shuffle-partitioned; pair
+    * volume is bounded by bucket sizes. The 100 TB form of "dedup the
+    * images" — constant-width sketches, banded candidates, exact check
+    * on candidates only. */
+  def phashDupPairs(withPayload: DataFrame, maxHamming: Int = 3,
+                    maxBandDocs: Int = 2048): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
+    import withPayload.sparkSession.implicits._
+    val hashes = perceptualHashRaw(withPayload).filter(_.valid)
+      .map(h => (h.doc_id, h.ahash)).toDF("doc_id", "ahash")
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+      posexplode(array((0 to 3).map(b =>
+        shiftrightunsigned(col("ahash"), b * 16)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val")))
+    val eligible = banded.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBandDocs)
+      .select("band_idx", "band_val")
+    val side = banded.join(eligible, Seq("band_idx", "band_val"))
+    side.as("a").join(side.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct() // a pair agreeing on several bands is one candidate
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

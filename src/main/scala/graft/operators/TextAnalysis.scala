@@ -885,6 +885,29 @@ object TextAnalysis {
         array(folded.getField("pending"))))
   }
 
+  /** A PINNED merge table — the deployment artifact form of a tokenizer:
+    * every real BPE tokenizer ships its learned merges as a static
+    * `merges.txt` and serving encodes under that frozen table, never by
+    * re-training. These six ranks are the table [[bpeTrain]] learns on
+    * the sf0.01 documents corpus (snapshot, like shipping merges.txt);
+    * rank 6 ("m"+"er") merges rank 1's output, so encoding under the
+    * pinned table still exercises the rank-order chaining that makes BPE
+    * BPE. Because the table is a literal — part of the query definition,
+    * not derived at run time — an encode under it is fully deterministic
+    * and SQL-expressible: each rank is one left-to-right non-overlapping
+    * rewrite, which is exactly string `replace` semantics over a
+    * marker-delimited symbol string (the oracle's formulation). */
+  val pinnedMerges: Seq[(Int, String, String)] = Seq(
+    (1, "e", "r"), (2, "i", "n"), (3, "o", "w"),
+    (4, "o", "r"), (5, "s", "t"), (6, "m", "er"))
+
+  /** [[pinnedMerges]] as the (rank, left, right) frame [[bpeEncodeWords]]
+    * consumes — a ≤6-row literal local relation, no scan. */
+  def pinnedMergesDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    pinnedMerges.toDF("rank", "left", "right")
+  }
+
   /** BPE ENCODING — the serve half [[bpeTrain]]'s learned merge table
     * exists for: split each word into character symbols and apply the
     * merges IN RANK ORDER, each as one left-to-right non-overlapping

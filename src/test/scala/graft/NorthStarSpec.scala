@@ -1623,8 +1623,8 @@ class NorthStarSpec extends SparkTestBase {
     assert(out == Seq((1L, 4L, 1L, 0L, 0.75), (3L, 2L, 1L, 0L, 0.375)))
   }
 
-  test("Funnels.dauApprox: at rsd 0.01 and fixture cardinalities the " +
-    "HLL++ estimate is exact (sparse mode) and rel_err reads 0") {
+  test("Funnels.dauApprox: at the default rsd and fixture cardinalities " +
+    "the HLL++ estimate is exact and rel_err reads 0") {
     val s = spark
     import s.implicits._
     def ts(day: Int) = new java.sql.Timestamp(
