@@ -976,4 +976,67 @@ class StreamingSpec extends SparkTestBase {
     assert(got() == Set((100L, 900L)))
     q.stop()
   }
+
+  test("StreamingJoin.withinOuter watermark-delay sweep: the lateness " +
+    "dial trades abandonment-alert latency for retained join state — " +
+    "null emission needs the feed to advance past window + delay, and " +
+    "end-of-feed state rows grow with the delay") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // one sweep cell: trigger u2 at t=0 is never converted; marker pairs
+    // advance both sides through `steps`; record (1) the first step at
+    // which u2's null row is visible and (2) state rows at end of feed
+    val steps = Seq(60, 90, 150, 240, 360, 480, 600, 720)
+    def cell(delay: String, window: Long = 60): (Int, Long) = {
+      val trig = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val conv = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      def df(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+        m.toDF().toDF("user_id", "event_id", "ts")
+      val q = graft.streaming.StreamingJoin
+        .withinOuter(df(trig), df(conv), window, delay)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"sweep_${delay.replaceAll("\\W", "_")}")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      trig.addData((2L, 200L, ts(0)))
+      q.processAllAvailable()
+      var firstNull = -1
+      steps.zipWithIndex.foreach { case (t, i) =>
+        trig.addData((100L + i, 1000L + i, ts(t)))
+        conv.addData((100L + i, 2000L + i, ts(t)))
+        q.processAllAvailable()
+        val nullSeen = s.table(q.name)
+          .filter(col("trig_id") === 200L && col("conv_id").isNull)
+          .count() > 0
+        if (nullSeen && firstNull < 0) firstNull = i
+      }
+      val state = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+      q.stop()
+      (firstNull, state)
+    }
+    val (i0, st0) = cell("0 seconds")
+    val (i30, st30) = cell("30 seconds")
+    val (i300, st300) = cell("5 minutes")
+    // never-before-provable: a null at step i means the PREVIOUS step's
+    // event time already exceeded window + delay (watermark is applied
+    // one batch behind the max event time that raised it)
+    def neverEarly(idx: Int, delaySec: Int): Unit = if (idx > 0)
+      assert(steps(idx - 1) > 60 + delaySec - 30, // -30: step granularity
+        s"null at step ${steps(idx)} with delay $delaySec: too early")
+    assert(i0 >= 0 && i30 >= 0 && i300 >= 0,
+      s"every delay must eventually emit: $i0 $i30 $i300")
+    neverEarly(i0, 0); neverEarly(i30, 30); neverEarly(i300, 300)
+    // the latency dial: bigger lateness bound => later abandonment alert
+    assert(i0 <= i30 && i30 < i300,
+      s"emission step must grow with delay: $i0 $i30 $i300")
+    // the state dial: bigger lateness bound => more rows the store must
+    // retain at the same feed point (watermark trails further behind)
+    assert(st0 <= st30 && st30 < st300,
+      s"state rows must grow with delay: $st0 $st30 $st300")
+    info(s"delay sweep: 0s -> null@step ${steps.lift(i0)}, state $st0; " +
+      s"30s -> null@step ${steps.lift(i30)}, state $st30; " +
+      s"5m -> null@step ${steps.lift(i300)}, state $st300")
+  }
 }
