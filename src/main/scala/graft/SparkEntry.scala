@@ -727,6 +727,14 @@ object SparkEntry {
     // ── text analysis (north-star) ────────────────────────────────────
     "doc_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCount(t(s, dir, "documents"))),
+    // PII detect + redact over deterministically injected entities (the
+    // synth-payload pattern — the synthetic corpus carries no real PII):
+    // per-doc typed counts + masked text, one codegen'd regexp map pass,
+    // oracle recomputes injection, counts, and the redaction chain
+    "doc_pii_detect" -> ((s, dir) =>
+      TextAnalysis.piiDetect(TextAnalysis.piiInject(t(s, dir, "documents")))
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "n_pii",
+          "clean_text")),
     "doc_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"))),
     // per-feed quality dashboard: integral-sum ratios only
@@ -917,6 +925,10 @@ object SparkEntry {
     "doc_token_budget" -> ((s, dir) =>
       CorpusOps.tokenBudgetSample(t(s, dir, "documents"),
         budgetTokens = 800)),
+    // A-ES weighted sampling without replacement: per source, top-5 by
+    // rounded ln(u)/w key (w = char count, u from the doc's own id hash)
+    "doc_weighted_sample" -> ((s, dir) =>
+      CorpusOps.weightedSample(t(s, dir, "documents"), kPerSource = 5)),
     // deterministic 98/1/1 train/val/test assignment by doc-id hash
     // does the hash split's TEST side speak the same tokens as TRAIN?
     // cross-entropy under the train unigram model vs its own, add-one
@@ -1254,6 +1266,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.semanticDedup(e, Similarity.ivfSeedCentroids(e, 16),
         threshold = 0.4)
+    }),
+    // the SemDeDup dial as a measured tradeoff table: drop/keep counts
+    // per candidate threshold from ONE pairing pass (per-vec max cosine)
+    "emb_semdedup_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDedupSweep(e, Similarity.ivfSeedCentroids(e, 16),
+        thresholds = Seq(0.3, 0.4, 0.5, 0.6))
     }),
     // semantic decontamination: drop corpus vectors cosine-close to any
     // eval vector (every 10th id is the "eval set"); catches paraphrased
@@ -2551,6 +2570,38 @@ object SparkEntry {
         |     AS DOUBLE) / sum(n_chars), 4) AS punct_share
         |FROM w
         |GROUP BY source""".stripMargin,
+    // PII: injection, per-type counts, and the email->phone->ip redaction
+    // chain all recomputed; the patterns live in the Java/RE2-common
+    // subset so one pattern string drives both engines
+    "doc_pii_detect" -> {
+      val em = graft.operators.TextAnalysis.piiEmail
+      val ph = graft.operators.TextAnalysis.piiPhone
+      val ip = graft.operators.TextAnalysis.piiIp
+      s"""WITH inj AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN ' user' || doc_id || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' 555-010-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' 10.' || (doc_id % 256) ||
+         |      '.' || ((doc_id // 256) % 256) || '.' || (doc_id % 100)
+         |      ELSE '' END AS text
+         |  FROM documents),
+         | det AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$em')) AS BIGINT)
+         |      AS n_emails,
+         |    CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT)
+         |      AS n_phones,
+         |    CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'),
+         |      '$ip', '[IP]', 'g') AS clean_text
+         |  FROM inj)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         | n_emails + n_phones + n_ips AS n_pii, clean_text
+         |FROM det""".stripMargin
+    },
     "doc_quality" ->
       """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words,
         |  text FROM documents)
@@ -3530,6 +3581,21 @@ object SparkEntry {
         |     ORDER BY ord, doc_id) AS cum
         |  FROM b)
         |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800""".stripMargin,
+    // A-ES weighted sampling: the same md5-derived uniform (12 hex chars
+    // = 48 exact-in-double bits, +1 keeps ln finite over 2^48), the same
+    // ln(u)/w key rounded to 9dp BEFORE ranking (ties on doc_id) so a
+    // last-ulp ln divergence can't flip a rank, per-source top-5
+    "doc_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, source, greatest(n_chars, 1) AS w,
+        |   round(ln((CAST(CAST('0x' ||
+        |       substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |       AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0)
+        |     / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS skey
+        |  FROM documents)
+        |SELECT doc_id, source, w, skey FROM
+        | (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY skey DESC, doc_id) AS rn FROM k) t
+        |WHERE rn <= 5""".stripMargin,
     // 98/1/1 hash split: cumulative 16-bit hex thresholds fae1 (= round
     // (0.98*65536)) and fd71 (= round(0.99*65536)); lexicographic compare
     // of fixed-width lowercase hex == numeric compare
@@ -5090,6 +5156,48 @@ object SparkEntry {
         |     i -> y.v[i] * y.v[i]), 'sum'))) >= 0.4)
         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell FROM a
         |WHERE a.vec_id NOT IN (SELECT drop_id FROM p)""".stripMargin,
+    // the sweep: emb_semantic_dedup's pairing reduced to per-vec max
+    // cosine (drop at t iff max >= t), counts read per threshold row
+    "emb_semdedup_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cent AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16),
+        | dd AS (SELECT e.vec_id, e.v, cent.cell,
+        |   list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * e.v[i]), 'sum')
+        |   - 2 * list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * cent.c[i]), 'sum')
+        |   + list_aggregate(list_transform(range(1, len(cent.c) + 1),
+        |     i -> cent.c[i] * cent.c[i]), 'sum') AS cdist
+        |  FROM e, cent),
+        | a AS (SELECT vec_id, v, cell FROM
+        |   (SELECT vec_id, v, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY cdist, cell) AS rn FROM dd) t
+        |  WHERE rn = 1),
+        | ok AS (SELECT cell FROM a GROUP BY cell
+        |  HAVING count(*) <= 10000),
+        | p AS (SELECT y.vec_id AS b,
+        |   list_aggregate(list_transform(range(1, len(x.v) + 1),
+        |     i -> x.v[i] * y.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(x.v) + 1),
+        |     i -> x.v[i] * x.v[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(y.v) + 1),
+        |     i -> y.v[i] * y.v[i]), 'sum'))) AS cos
+        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |   JOIN ok ON ok.cell = x.cell),
+        | mc AS (SELECT b, max(cos) AS maxcos FROM p WHERE cos >= 0.3
+        |  GROUP BY b),
+        | th AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6]) AS DOUBLE)
+        |   AS threshold),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+        |  FROM embeddings),
+        | cnt AS (SELECT threshold, CAST(count(*) AS BIGINT) AS dropped
+        |  FROM th, mc WHERE maxcos >= threshold GROUP BY threshold)
+        |SELECT th.threshold, coalesce(dropped, 0) AS n_dropped,
+        | n_total - coalesce(dropped, 0) AS n_kept,
+        | round(CAST(coalesce(dropped, 0) AS DOUBLE) / n_total, 4)
+        |   AS drop_share
+        |FROM th LEFT JOIN cnt ON th.threshold = cnt.threshold, tot"""
+        .stripMargin,
     // semantic decontamination: emb_semantic_dedup's assignment chain,
     // corpus (vec_id % 10 <> 1) paired cross-frame against eval
     // (% 10 = 1) within cells; cosine >= 0.4 drops the corpus member

@@ -294,6 +294,48 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): per source, keep the
+    * `kPerSource` documents with the largest A-ES key u^(1/w) —
+    * computed as the equivalent ln(u)/w (one ln, no pow) — where w is
+    * the document's weight (its char count: a length-proportional
+    * selection prior; any positive per-doc score slots in) and u is a
+    * uniform derived from the document's OWN id hash. Same contract as
+    * [[TextAnalysis.mixSample]]: reproducible across runs, engines,
+    * partitionings, and retries — sampling that changes under
+    * speculative execution corrupts a training corpus — and
+    * oracle-expressible. [[tokenBudgetSample]] fills a budget in
+    * unweighted hash order; this op is the IMPORTANCE-weighted selector
+    * (quality-score-proportional subsetting) and, being a plain top-k
+    * on a per-row key, it is the formulation that distributes: the
+    * textbook sequential algorithm (one running weight total) does not.
+    *
+    * u = (hexint(md5("wsample:" || doc_id)[1..12]) + 1) / 2^48 ∈ (0,1]:
+    * 48 bits keep the integer exact in a double and the +1 keeps ln
+    * finite. The key is ROUNDED to 9 dp BEFORE ranking (ties broken by
+    * doc_id) so a last-ulp ln() divergence across engines cannot flip a
+    * rank — the corpus_pmi_bigrams rule.
+    *
+    * Scale shape: one map pass derives keys; the per-source top-k is a
+    * rank-filtered window that Spark rewrites to WindowGroupLimit
+    * (partial per-partition k-heaps before the shuffle — plan-gated in
+    * PlanShapeSpec), so the exchange carries ≤ k rows per source per
+    * map partition, never the corpus. */
+  def weightedSample(docs: DataFrame, kPerSource: Int = 5): DataFrame = {
+    require(kPerSource >= 1, s"kPerSource must be >= 1, got $kPerSource")
+    val w = greatest(col("n_chars"), lit(1L))
+    val v = conv(substring(md5(concat(lit("wsample:"),
+      col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(1.0)) / lit(math.pow(2.0, 48))
+    val keyed = docs.select(col("doc_id"), col("source"), w.as("w"),
+      round(log(u) / w.cast("double"), 9).as("skey"))
+    val win = Window.partitionBy("source")
+      .orderBy(col("skey").desc, col("doc_id").asc)
+    keyed.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= kPerSource)
+      .select(col("doc_id"), col("source"), col("w"), col("skey"))
+  }
+
   /** Heaps-law VOCABULARY GROWTH curve: split the corpus into `buckets`
     * contiguous doc_id ranges and report, per bucket, token volume and the
     * count of vocabulary types appearing for the FIRST time, plus both

@@ -577,6 +577,55 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
   }
 
+  /** [[semanticDedup]]'s THRESHOLD SWEEP — the measured tradeoff table
+    * behind the one dial SemDeDup exposes (how aggressive is "duplicate"?),
+    * the embedding-space twin of `doc_dedup_threshold_sweep`. One row per
+    * candidate threshold: how many vectors a dedup pass at that threshold
+    * would drop/keep, and the drop share.
+    *
+    * The whole sweep costs ONE pairing pass, not |thresholds|: within-cell
+    * pairs are computed once, reduced to each vector's MAX cosine against
+    * any smaller-id cellmate (a vector is dropped at threshold t iff that
+    * max ≥ t — the drop rule restated), and the per-threshold counts read
+    * off that one small frame (≤ one row per vector with any neighbor
+    * above `thresholds.min`) against a broadcast |thresholds|-row frame.
+    * Same cell bounding and hot-cell guard as [[semanticDedup]]. */
+  def semanticDedupSweep(emb: DataFrame, centroids: DataFrame,
+                         thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6),
+                         maxCellVecs: Int = 10000): DataFrame = {
+    require(thresholds.nonEmpty, "semanticDedupSweep: need thresholds")
+    val minThr = thresholds.min
+    val assigned = ivfAssign(emb, centroids)
+      .withColumn("nrm", l2(col("embedding")))
+      .repartition(col("cell"))
+    val cellOk = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCellVecs).select("cell")
+    val bounded = assigned.join(broadcast(cellOk), Seq("cell"))
+    val a = bounded.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("nrm_a"))
+    val b = bounded.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nrm_b"))
+    val maxCos = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= minThr)
+      .groupBy(col("vec_b")).agg(max(col("cos")).as("maxcos"))
+    val th = emb.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val total = emb.agg(count(lit(1)).as("n_total"))
+    val counts = maxCos
+      .join(broadcast(th), col("maxcos") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("dropped"))
+    th.join(counts, Seq("threshold"), "left")
+      .na.fill(0L, Seq("dropped"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold"), col("dropped").as("n_dropped"),
+        (col("n_total") - col("dropped")).as("n_kept"),
+        round(col("dropped").cast("double") / col("n_total"), 4)
+          .as("drop_share"))
+  }
+
   /** Semantic DECONTAMINATION — the embedding-space sibling of
     * [[graft.operators.TextAnalysis]]'s n-gram `decontaminate` and the
     * cross-frame form of [[semanticDedup]]: drop corpus vectors whose

@@ -1711,4 +1711,67 @@ object TextAnalysis {
           .as("dsir_mean"),
         (col("dsir_micros") > 0).as("keep"))
   }
+
+  // ───────────────────────────────────────────────────────────────────
+  // PII detection / redaction — the curation step every published
+  // pretraining pipeline runs before release (emails/phones/IPs found,
+  // counted for the audit report, and masked with typed tokens). Pure
+  // regexp built-ins, so the whole pass is one codegen'd map over the
+  // corpus — the 100 TB shape: no shuffle at all until a caller
+  // aggregates the counts.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** The three detector patterns. Deliberately restricted to the regex
+    * subset Java (Spark) and RE2 (DuckDB/Go scrubbers) agree on —
+    * character classes, bounded repetition, `\b` word boundaries, no
+    * lookaround — so the SAME pattern string drives engine and oracle
+    * and a dialect drift cannot silently change what counts as PII. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val piiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Deterministic PII injection for the synthetic corpus (the
+    * synth-payload pattern: the testdata carries no real PII, so the
+    * detector is exercised against entities derived arithmetically from
+    * doc_id — mirrored exactly by the oracle): doc_id%2=0 gains an
+    * email, %3=0 a phone, %5=0 an IPv4 — overlapping, so docs carry 0–3
+    * entities and the per-type counts differ per doc. */
+  def piiInject(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val email = when(id % 2 === 0,
+      concat(lit(" user"), id.cast("string"), lit("@example.com")))
+      .otherwise(lit(""))
+    val phone = when(id % 3 === 0,
+      concat(lit(" 555-010-"), lpad((id % 10000).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    val ip = when(id % 5 === 0,
+      concat(lit(" 10."), (id % 256).cast("string"), lit("."),
+        (expr("doc_id DIV 256") % 256).cast("string"), lit("."),
+        (id % 100).cast("string"))).otherwise(lit(""))
+    docs.withColumn("text", concat(col("text"), email, phone, ip))
+  }
+
+  /** Detect + redact ([[piiScrub]]'s audit-grade sibling: that op is the
+    * two-pattern corpus scrubber; this one adds IP detection, per-type
+    * audit counts, and the typed-token masks a release report wants).
+    * Per doc: the count of each entity type and the text with every
+    * match replaced by its typed mask token (emails first — an email's
+    * domain would otherwise be half-eaten by the IP pattern's digit
+    * runs; order is part of the contract and the oracle applies the
+    * same chain). Counts are taken BEFORE redaction on the same input
+    * the replace sees. */
+  def piiDetect(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(piiEmail)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("text"), lit(piiPhone)).cast("long")
+          .as("n_phones"),
+        regexp_count(col("text"), lit(piiIp)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), piiEmail, "[EMAIL]"),
+            piiPhone, "[PHONE]"),
+          piiIp, "[IP]").as("clean_text"))
+      .withColumn("n_pii",
+        col("n_emails") + col("n_phones") + col("n_ips"))
 }

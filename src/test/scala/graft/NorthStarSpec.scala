@@ -2466,4 +2466,91 @@ class NorthStarSpec extends SparkTestBase {
     assert(out(3L)._2 < 0L && !out(3L)._3)
     assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
   }
+
+  test("TextAnalysis.piiDetect: typed counts and masks; email redacts " +
+    "BEFORE the ip pattern can eat its digit runs; word boundaries keep " +
+    "longer digit groups out; nothing detectable survives redaction") {
+    val s = spark
+    import s.implicits._
+    val d = docsDf(Seq(
+      1L -> "mail a.b-c_9@sub.example.org and x@y.io today",
+      2L -> "call 555-123-4567 or 555-123-45678 extension",  // 2nd: 5-digit tail, \b rejects
+      3L -> "host 192.168.0.1 port 1234.5678 is not an ip",
+      4L -> "clean text with no entities at all",
+      5L -> "mixed u@v.de 555-000-1111 10.0.0.7"))
+    val out = operators.TextAnalysis.piiDetect(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._5 == 2)
+    assert(out(1L)._4 == "mail [EMAIL] and [EMAIL] today")
+    assert(out(2L)._2 == 1, "the 5-digit tail must NOT count")
+    assert(out(2L)._4 == "call [PHONE] or 555-123-45678 extension")
+    assert(out(3L)._3 == 1 && out(3L)._4.contains("[IP] port 1234.5678"))
+    assert(out(4L) == ((0L, 0L, 0L, "clean text with no entities at all",
+      0L)))
+    assert(out(5L)._4 == "mixed [EMAIL] [PHONE] [IP]")
+    // the redaction chain must leave no residual matches of any pattern
+    val resid = operators.TextAnalysis.piiDetect(
+      operators.TextAnalysis.piiDetect(d)
+        .select(col("doc_id"), col("clean_text").as("text")))
+    assert(resid.agg(sum(col("n_pii"))).head.getLong(0) == 0L)
+  }
+
+  test("CorpusOps.weightedSample: the selected top-k per source matches " +
+    "an independent Scala recomputation of the A-ES ln(u)/w key (md5 " +
+    "uniform, 9dp round, doc_id tiebreak); kPerSource >= n keeps all") {
+    val s = spark
+    import s.implicits._
+    // weights spread over 3 orders of magnitude across two sources
+    val rows = (1L to 10L).map(i =>
+      (i, "x", "en", if (i <= 5) "web" else "code",
+        Seq(1L, 10L, 100L, 1000L, 7L)((i % 5).toInt)))
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def md5hex(str: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def key(id: Long, w: Long): Double = {
+      val v = java.lang.Long.parseLong(
+        md5hex(s"wsample:$id").substring(0, 12), 16)
+      val u = (v.toDouble + 1.0) / math.pow(2.0, 48)
+      BigDecimal(math.log(u) / w.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = rows.groupBy(_._4).flatMap { case (_, rs) =>
+      rs.map(r => (r._1, r._4, r._5, key(r._1, r._5)))
+        .sortBy { case (id, _, _, k) => (-k, id) }.take(3)
+    }.toSet
+    val got = CorpusOps.weightedSample(docs, kPerSource = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(CorpusOps.weightedSample(docs, kPerSource = 10).count() == 10)
+  }
+
+  test("Similarity.semanticDedupSweep: one pairing pass yields the same " +
+    "kept counts as a semanticDedup run per threshold; drops are " +
+    "monotone non-increasing in threshold; counts always total n") {
+    val emb = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f),       // exact dup of 0
+      2L -> Seq(0.9f, 0.1f, 0f, 0f),   // near 0
+      3L -> Seq(0f, 1f, 0f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f),
+      5L -> Seq(0f, 0f, 0.9f, 0.4f)))
+    val cents = Similarity.ivfSeedCentroids(emb, 2)
+    val ths = Seq(0.3, 0.6, 0.95)
+    val sweep = Similarity.semanticDedupSweep(emb, cents, ths).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sweep.keySet == ths.toSet)
+    ths.foreach { t =>
+      val (dropped, kept) = sweep(t)
+      assert(dropped + kept == 6)
+      assert(kept == Similarity.semanticDedup(emb, cents, t).count(),
+        s"sweep kept at $t disagrees with semanticDedup")
+    }
+    assert(ths.map(sweep(_)._1) == ths.map(sweep(_)._1).sorted.reverse,
+      "drops must be monotone non-increasing in threshold")
+    assert(sweep(0.3)._1 > 0, "fixture must exercise a non-empty drop set")
+  }
 }

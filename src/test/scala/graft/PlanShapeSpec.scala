@@ -527,6 +527,26 @@ class PlanShapeSpec extends SparkTestBase {
       s"corpus shuffled on gram for the chunk contamination probe:\n$plan")
   }
 
+  test("multimodal_dup_pairs: candidates come from an EQUI join on the " +
+    "band keys — never a cartesian/nested-loop over the hash table") {
+    val (n, plan, _) = ran("multimodal_dup_pairs")
+    assert(n > 0)
+    assertNoPlanBombs("multimodal_dup_pairs", plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"expected a hash-keyed band join:\n$plan")
+  }
+
+  test("doc_weighted_sample: the rank filter pushes down to " +
+    "WindowGroupLimit — per-partition k-heaps run BEFORE the shuffle, so " +
+    "the exchange carries <= k rows per source per map partition") {
+    val (n, plan, _) = ran("doc_weighted_sample")
+    assert(n > 0)
+    assertNoPlanBombs("doc_weighted_sample", plan)
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank<=k pushdown in the physical plan:\n$plan")
+  }
+
   test("doc_pack / doc_token_budget: the heavy window partitions on " +
     "(source, salt) — a dominant source parallelizes instead of " +
     "serializing one task") {
