@@ -735,6 +735,10 @@ object SparkEntry {
       TextAnalysis.piiDetect(TextAnalysis.piiInject(t(s, dir, "documents")))
         .select("doc_id", "n_emails", "n_phones", "n_ips", "n_pii",
           "clean_text")),
+    // per-source PII audit rollup: detection only (no redaction work) —
+    // the release-gate table that decides which feeds need the scrub
+    "corpus_pii_report" -> ((s, dir) =>
+      TextAnalysis.piiReport(TextAnalysis.piiInject(t(s, dir, "documents")))),
     "doc_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"))),
     // per-feed quality dashboard: integral-sum ratios only
@@ -2601,6 +2605,40 @@ object SparkEntry {
          |SELECT doc_id, n_emails, n_phones, n_ips,
          | n_emails + n_phones + n_ips AS n_pii, clean_text
          |FROM det""".stripMargin
+    },
+    // the audit rollup: same injection + detectors, source-keyed sums
+    "corpus_pii_report" -> {
+      val em = graft.operators.TextAnalysis.piiEmail
+      val ph = graft.operators.TextAnalysis.piiPhone
+      val ip = graft.operators.TextAnalysis.piiIp
+      s"""WITH inj AS (
+         |  SELECT doc_id, source, text ||
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN ' user' || doc_id || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' 555-010-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' 10.' || (doc_id % 256) ||
+         |      '.' || ((doc_id // 256) % 256) || '.' || (doc_id % 100)
+         |      ELSE '' END AS text
+         |  FROM documents),
+         | det AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS ne,
+         |    CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS np,
+         |    CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS ni
+         |  FROM inj),
+         | g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_docs_pii,
+         |    CAST(sum(ne) AS BIGINT) AS n_emails,
+         |    CAST(sum(np) AS BIGINT) AS n_phones,
+         |    CAST(sum(ni) AS BIGINT) AS n_ips
+         |  FROM det GROUP BY source)
+         |SELECT source, n_docs, n_docs_pii, n_emails, n_phones, n_ips,
+         | n_emails + n_phones + n_ips AS n_pii,
+         | round(CAST(n_docs_pii AS DOUBLE) / n_docs, 4) AS pii_doc_share
+         |FROM g""".stripMargin
     },
     "doc_quality" ->
       """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words,

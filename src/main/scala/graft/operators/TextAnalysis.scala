@@ -1774,4 +1774,31 @@ object TextAnalysis {
           piiIp, "[IP]").as("clean_text"))
       .withColumn("n_pii",
         col("n_emails") + col("n_phones") + col("n_ips"))
+
+  /** Corpus PII AUDIT — the per-source rollup a release review reads
+    * next to [[kAnonymity]] and `corpus_decontamination_report`: how
+    * much detectable PII each feed carries (docs affected, per-type
+    * entity totals, affected-doc share). Detection only — none of
+    * [[piiDetect]]'s redaction rewrites run, so the audit pass that
+    * DECIDES whether a feed needs scrubbing is strictly cheaper than
+    * the scrub itself. One map pass + one source-keyed aggregate
+    * (map-side combined); the share is a 4dp integral-count quotient. */
+  def piiReport(docs: DataFrame): DataFrame = {
+    val ne = regexp_count(col("text"), lit(piiEmail)).cast("long")
+    val np = regexp_count(col("text"), lit(piiPhone)).cast("long")
+    val ni = regexp_count(col("text"), lit(piiIp)).cast("long")
+    docs.select(col("source"), ne.as("ne"), np.as("np"), ni.as("ni"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("np") + col("ni") > 0, 1L)
+          .otherwise(0L)).as("n_docs_pii"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("np")).as("n_phones"),
+        sum(col("ni")).as("n_ips"))
+      .select(col("source"), col("n_docs"), col("n_docs_pii"),
+        col("n_emails"), col("n_phones"), col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips")).as("n_pii"),
+        round(col("n_docs_pii").cast("double") / col("n_docs"), 4)
+          .as("pii_doc_share"))
+  }
 }

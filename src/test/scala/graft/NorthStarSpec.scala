@@ -2497,6 +2497,29 @@ class NorthStarSpec extends SparkTestBase {
     assert(resid.agg(sum(col("n_pii"))).head.getLong(0) == 0L)
   }
 
+  test("TextAnalysis.piiReport: per-source docs-affected and per-type " +
+    "entity totals; a doc with two entity types counts once in " +
+    "n_docs_pii; clean sources report zero share") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "mail a@b.io and c@d.org", "en", "web", 23L),
+      (2L, "call 555-123-4567 from 10.0.0.1", "en", "web", 31L),
+      (3L, "nothing sensitive here", "en", "web", 22L),
+      (4L, "all clean", "en", "code", 9L),
+      (5L, "also clean", "en", "code", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.TextAnalysis.piiReport(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert((web.getLong(1), web.getLong(2), web.getLong(3), web.getLong(4),
+      web.getLong(5), web.getLong(6)) == ((3L, 2L, 2L, 1L, 1L, 4L)))
+    assert(web.getDouble(7) == 0.6667)
+    val code = out("code")
+    assert(code.getLong(2) == 0L && code.getLong(6) == 0L &&
+      code.getDouble(7) == 0.0)
+  }
+
   test("CorpusOps.weightedSample: the selected top-k per source matches " +
     "an independent Scala recomputation of the A-ES ln(u)/w key (md5 " +
     "uniform, 9dp round, doc_id tiebreak); kPerSource >= n keeps all") {
