@@ -107,7 +107,18 @@ object ScaleBench {
       // model-side aggregates stay vocab-bounded while the corpus pays
       // one explode. And per-doc entropy — one (doc, token) aggregate +
       // one doc aggregate, expected at the aggregate's linear floor
-      "doc_kn_logprob", "doc_entropy")
+      "doc_kn_logprob", "doc_entropy",
+      // r12: the PII detector — four regexp passes (3 counts + the
+      // injection concat) in one codegen'd map over the corpus; the
+      // cell prices regex scanning at scale, expected the map's linear
+      // floor. Weighted sampling — the WindowGroupLimit cell: output is
+      // FIXED at k rows/source whatever the corpus factor, so growth
+      // here is the per-partition k-heap scan + a ≤k-rows-per-source
+      // exchange; ~linear-in-scan, near-zero shuffle growth. And the
+      // perceptual hash — the mapPartitions codec boundary priced at
+      // scale: byte-level BMP parse + two 64-bit hashes per row,
+      // expected linear like the other per-row passes
+      "doc_pii_detect", "doc_weighted_sample", "multimodal_phash")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the

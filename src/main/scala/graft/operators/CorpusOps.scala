@@ -329,6 +329,26 @@ object CorpusOps {
     val u = (v.cast("double") + lit(1.0)) / lit(math.pow(2.0, 48))
     val keyed = docs.select(col("doc_id"), col("source"), w.as("w"),
       round(log(u) / w.cast("double"), 9).as("skey"))
+    weightedSampleTopK(keyed, kPerSource)
+  }
+
+  /** The A-ES reservoir MERGE: re-select the per-source top-k from
+    * frames already in [[weightedSample]]'s output shape. Correct
+    * because an overall top-k member is a top-k member of whichever
+    * side it came from, so topk(A ∪ B) = topk(topk(A) ∪ topk(B)) —
+    * associative and commutative, which is what lets per-batch/per-shard
+    * reservoirs combine into the corpus sample WITHOUT revisiting any
+    * shard (the reservoir formulation of Efraimidis–Spirakis, and the
+    * same mergeable-state contract as [[statsMerge]]). Inputs here are
+    * already k·|sources|-bounded, so the merge is metadata-sized work. */
+  def weightedSampleMerge(frames: Seq[DataFrame],
+                          kPerSource: Int): DataFrame = {
+    require(frames.nonEmpty, "weightedSampleMerge: need at least one frame")
+    weightedSampleTopK(frames.reduce(_.unionByName(_)), kPerSource)
+  }
+
+  private def weightedSampleTopK(keyed: DataFrame,
+                                 kPerSource: Int): DataFrame = {
     val win = Window.partitionBy("source")
       .orderBy(col("skey").desc, col("doc_id").asc)
     keyed.withColumn("rn", row_number().over(win))

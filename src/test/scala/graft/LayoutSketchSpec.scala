@@ -394,6 +394,57 @@ class LayoutSketchSpec extends SparkTestBase {
       .orderBy("source", "lang").collect().toSeq == full)
   }
 
+  test("StreamingSample: the maintained weighted reservoir is " +
+    "row-identical to a batch weightedSample over everything seen; a " +
+    "replayed batch id refuses; the reservoir never exceeds k per source") {
+    import graft.streaming.StreamingSample
+    val s = spark
+    import s.implicits._
+    def docs(rows: (Long, String, Long)*) =
+      rows.map { case (id, src, w) => (id, "x", "en", src, w) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // enough docs per source that k=2 actually selects
+    val b0 = docs((1L, "s1", 10L), (2L, "s1", 500L), (3L, "s2", 7L),
+      (4L, "s1", 90L))
+    val b1 = docs((5L, "s2", 1000L), (6L, "s1", 3L), (7L, "s2", 40L),
+      (8L, "s2", 2L))
+    val stateDir = tmpDir("wsample_state")
+    assert(StreamingSample.applyBatch(spark, stateDir, b0, 0L,
+      kPerSource = 2))
+    assert(StreamingSample.applyBatch(spark, stateDir, b1, 1L,
+      kPerSource = 2))
+    val live = StreamingSample.report(spark, stateDir)
+      .orderBy("source", "doc_id").collect().toSeq
+    val full = CorpusOps.weightedSample(b0.unionByName(b1), kPerSource = 2)
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(live == full, s"live $live\nfull $full")
+    assert(live.groupBy(_.getString(1)).forall(_._2.size <= 2))
+    // replay of batch 1 must refuse and leave the state untouched
+    assert(!StreamingSample.applyBatch(spark, stateDir, b1, 1L,
+      kPerSource = 2))
+    assert(StreamingSample.report(spark, stateDir)
+      .orderBy("source", "doc_id").collect().toSeq == full)
+    // and the streaming wiring end-to-end over a MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val stateDir2 = tmpDir("wsample_state2")
+    val q = StreamingSample.maintain(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      stateDir2, tmpDir("wsample_ckpt"), kPerSource = 2,
+      Trigger.ProcessingTime(0))
+    in.addData((1L, "x", "en", "s1", 10L), (2L, "x", "en", "s1", 500L),
+      (3L, "x", "en", "s2", 7L), (4L, "x", "en", "s1", 90L))
+    q.processAllAvailable()
+    in.addData((5L, "x", "en", "s2", 1000L), (6L, "x", "en", "s1", 3L),
+      (7L, "x", "en", "s2", 40L), (8L, "x", "en", "s2", 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(StreamingSample.report(spark, stateDir2)
+      .orderBy("source", "doc_id").collect().toSeq == full)
+  }
+
   test("StreamingCms: the maintained sketch is bit-identical to the " +
     "batch-built sketch over everything seen; estimates never fall below " +
     "exact counts; a replayed batch id refuses (no double-counting)") {
