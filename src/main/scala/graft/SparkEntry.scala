@@ -739,6 +739,22 @@ object SparkEntry {
     // the release-gate table that decides which feeds need the scrub
     "corpus_pii_report" -> ((s, dir) =>
       TextAnalysis.piiReport(TextAnalysis.piiInject(t(s, dir, "documents")))),
+    // domain-blocklist document filter over deterministically injected
+    // URLs: any blocked-domain URL drops the doc; blocklist joins
+    // broadcast (never an isin literal baked into task binaries)
+    "doc_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.urlFilter(
+        TextAnalysis.urlInject(t(s, dir, "documents")),
+        TextAnalysis.urlBlocklist.toDF("domain"))
+    }),
+    // crawl-health domain report: per domain, docs/urls + blocklist flag
+    "corpus_url_report" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.urlDomainReport(
+        TextAnalysis.urlInject(t(s, dir, "documents")),
+        TextAnalysis.urlBlocklist.toDF("domain"))
+    }),
     "doc_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"))),
     // per-feed quality dashboard: integral-sum ratios only
@@ -2639,6 +2655,64 @@ object SparkEntry {
          | n_emails + n_phones + n_ips AS n_pii,
          | round(CAST(n_docs_pii AS DOUBLE) / n_docs, 4) AS pii_doc_share
          |FROM g""".stripMargin
+    },
+    // URL filtering: injection, extraction, domain parse, and the
+    // any-blocked-url-drops-the-doc rule all recomputed
+    "doc_url_filter" -> {
+      val up = graft.operators.TextAnalysis.urlPattern
+      val doms = graft.operators.TextAnalysis.urlDomains
+        .map(d => s"'$d'").mkString(", ")
+      val blocked = graft.operators.TextAnalysis.urlBlocklist
+        .map(d => s"'$d'").mkString(", ")
+      s"""WITH inj AS (
+         |  SELECT doc_id, source, text ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ' http://' ||
+         |      ([$doms])[CAST(doc_id % 8 AS INT) + 1] ||
+         |      '/p' || (doc_id % 100) ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' https://' ||
+         |      ([$doms])[CAST((doc_id + 5) % 8 AS INT) + 1] ||
+         |      '/q' || (doc_id % 50) ELSE '' END AS text
+         |  FROM documents),
+         | u AS (SELECT doc_id,
+         |   unnest(regexp_extract_all(text, '$up')) AS url FROM inj),
+         | d AS (SELECT doc_id, url,
+         |   regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+         |  FROM u),
+         | g AS (SELECT i.doc_id, i.source,
+         |   CAST(count(d.url) AS BIGINT) AS n_urls,
+         |   CAST(coalesce(sum(CASE WHEN d.domain IN ($blocked)
+         |     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_blocked
+         |  FROM inj i LEFT JOIN d ON i.doc_id = d.doc_id
+         |  GROUP BY i.doc_id, i.source)
+         |SELECT doc_id, source, n_urls FROM g WHERE n_blocked = 0"""
+        .stripMargin
+    },
+    // the domain report: per-domain doc/url counts + blocklist flag
+    "corpus_url_report" -> {
+      val up = graft.operators.TextAnalysis.urlPattern
+      val doms = graft.operators.TextAnalysis.urlDomains
+        .map(d => s"'$d'").mkString(", ")
+      val blocked = graft.operators.TextAnalysis.urlBlocklist
+        .map(d => s"'$d'").mkString(", ")
+      s"""WITH inj AS (
+         |  SELECT doc_id, source, text ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ' http://' ||
+         |      ([$doms])[CAST(doc_id % 8 AS INT) + 1] ||
+         |      '/p' || (doc_id % 100) ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' https://' ||
+         |      ([$doms])[CAST((doc_id + 5) % 8 AS INT) + 1] ||
+         |      '/q' || (doc_id % 50) ELSE '' END AS text
+         |  FROM documents),
+         | u AS (SELECT doc_id,
+         |   unnest(regexp_extract_all(text, '$up')) AS url FROM inj),
+         | d AS (SELECT doc_id,
+         |   regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+         |  FROM u)
+         |SELECT domain,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS n_urls,
+         | domain IN ($blocked) AS blocked
+         |FROM d GROUP BY domain""".stripMargin
     },
     "doc_quality" ->
       """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words,

@@ -1801,4 +1801,93 @@ object TextAnalysis {
         round(col("n_docs_pii").cast("double") / col("n_docs"), 4)
           .as("pii_doc_share"))
   }
+
+  // ───────────────────────────────────────────────────────────────────
+  // URL / domain filtering — the other standard web-curation gate (C4
+  // drops pages from a badwords blocklist of domains; RefinedWeb and
+  // every crawl pipeline since filter by URL before anything else,
+  // because a domain verdict is thousands of times cheaper than a
+  // content verdict). Same synth-payload discipline as PII: the corpus
+  // carries no URLs, so a deterministic injection exercises the
+  // extractor and the oracle recomputes everything.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** URL pattern, engine-portable subset (no lookaround). */
+  val urlPattern = "https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"
+
+  /** The injected domain universe: a fixed 8-domain table, doc_id-indexed
+    * so every doc_id%2==0 doc gains exactly one URL and domains recur
+    * across docs (the shape a domain report needs). Three of the eight
+    * are the canonical blocklist entries. */
+  val urlDomains: Seq[String] = Seq(
+    "example.com", "docs.example.org", "news.site.net", "blog.host.io",
+    "spam.bad", "ads.tracker.net", "mirror.dump.biz", "wiki.open.org")
+  val urlBlocklist: Seq[String] =
+    Seq("spam.bad", "ads.tracker.net", "mirror.dump.biz")
+
+  /** Deterministic URL injection: doc_id%2==0 gains
+    * ` http://<domains[doc_id%8]>/p<doc_id%100>` and doc_id%3==0 gains
+    * ` https://<domains[(doc_id+5)%8]>/q<doc_id%50>` — overlapping, so
+    * docs carry 0/1/2 URLs, both schemes occur, and (3 coprime to 8)
+    * every domain in the universe appears. */
+  def urlInject(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def domain(ix: Column) =
+      element_at(array(urlDomains.map(lit): _*), ix.cast("int") + 1)
+    val url1 = when(id % 2 === 0,
+      concat(lit(" http://"), domain(id % 8), lit("/p"),
+        (id % 100).cast("string"))).otherwise(lit(""))
+    val url2 = when(id % 3 === 0,
+      concat(lit(" https://"), domain((id + 5) % 8), lit("/q"),
+        (id % 50).cast("string"))).otherwise(lit(""))
+    docs.withColumn("text", concat(col("text"), url1, url2))
+  }
+
+  /** Per-doc URL extraction: explode every URL match with its domain —
+    * the (doc, url, domain) long form downstream gates consume. One
+    * codegen'd map + explode; no shuffle. */
+  def urlExtract(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        // group 0 = the whole match (Spark's default idx is 1; DuckDB's
+        // regexp_extract_all defaults to 0 — pin it on the Spark side)
+        explode_outer(regexp_extract_all(col("text"), lit(urlPattern),
+          lit(0))).as("url"))
+      .withColumn("domain",
+        when(col("url").isNotNull,
+          regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1)))
+
+  /** Domain-blocklist document filter: a document is dropped when ANY of
+    * its URLs resolves to a blocked domain. The blocklist arrives as a
+    * DataFrame and joins BROADCAST — production blocklists are millions
+    * of domains (still dwarfed by the corpus), and an anti-join on the
+    * extracted-domain column is the 100 TB shape; an `isin` literal would
+    * bake the list into every task binary (the oversized-task-state
+    * failure mode the r11→r12 bench cleanup removed elsewhere).
+    * Returns kept docs as (doc_id, source, n_urls). */
+  def urlFilter(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    val urls = urlExtract(docs)
+    val flagged = urls.join(broadcast(blocklist.select(col("domain")
+        .as("blocked_domain"))),
+        col("domain") === col("blocked_domain"), "left")
+      .groupBy("doc_id", "source")
+      .agg(sum(when(col("url").isNotNull, 1L).otherwise(0L)).as("n_urls"),
+        sum(when(col("blocked_domain").isNotNull, 1L).otherwise(0L))
+          .as("n_blocked"))
+    flagged.filter(col("n_blocked") === 0)
+      .select(col("doc_id"), col("source"), col("n_urls"))
+  }
+
+  /** The crawl-health DOMAIN REPORT: per extracted domain, how many
+    * documents and URLs point at it and whether the blocklist knows it —
+    * the table a curation team reads to grow the blocklist. One
+    * domain-keyed aggregate (map-side combined) + a broadcast flag join. */
+  def urlDomainReport(docs: DataFrame, blocklist: DataFrame): DataFrame =
+    urlExtract(docs).filter(col("url").isNotNull)
+      .groupBy("domain")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+      .join(broadcast(blocklist.select(col("domain"),
+        lit(true).as("b"))), Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("n_urls"),
+        coalesce(col("b"), lit(false)).as("blocked"))
 }

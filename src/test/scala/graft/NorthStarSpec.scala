@@ -2520,6 +2520,34 @@ class NorthStarSpec extends SparkTestBase {
       code.getDouble(7) == 0.0)
   }
 
+  test("TextAnalysis.urlFilter/urlDomainReport: extraction finds every " +
+    "URL with its domain; ONE blocked URL drops a doc whatever else it " +
+    "cites; URL-free docs pass; the report counts docs and urls per " +
+    "domain with the blocklist flag") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "see http://good.org/a and http://spam.bad/x too", "web"),
+      (2L, "only https://good.org/b here", "web"),
+      (3L, "no links at all", "web"),
+      (4L, "twice http://good.org/c http://good.org/d", "code"),
+      (5L, "https://ads.tracker.net/t", "code"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val block = Seq("spam.bad", "ads.tracker.net").toDF("domain")
+    val kept = operators.TextAnalysis.urlFilter(d, block).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept == Map(2L -> 1L, 3L -> 0L, 4L -> 2L),
+      s"doc 1 (mixed good+blocked) and doc 5 must drop; got $kept")
+    val rep = operators.TextAnalysis.urlDomainReport(d, block).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep("good.org") == ((3L, 4L, false)))
+    assert(rep("spam.bad") == ((1L, 1L, true)))
+    assert(rep("ads.tracker.net") == ((1L, 1L, true)))
+    assert(rep.size == 3)
+  }
+
   test("CorpusOps.weightedSample: the selected top-k per source matches " +
     "an independent Scala recomputation of the A-ES ln(u)/w key (md5 " +
     "uniform, 9dp round, doc_id tiebreak); kPerSource >= n keeps all") {
