@@ -244,6 +244,47 @@ object Example {
       SparkEntry.queries("events_attribution")(spark, sfDir).show()
     }
 
+    // release gates, selection, and the live RPC edge (round 12)
+    {
+      import graft.operators.TextAnalysis
+      println("[example] per-source PII audit (who needs the scrub):")
+      SparkEntry.queries("corpus_pii_report")(spark, sfDir)
+        .orderBy(col("pii_doc_share").desc).show(3)
+      println("[example] domain report (grow the blocklist from here):")
+      SparkEntry.queries("corpus_url_report")(spark, sfDir)
+        .orderBy(col("n_urls").desc).show()
+      println("[example] A-ES weighted sample (char-count-proportional, " +
+        "reproducible across engines/retries):")
+      SparkEntry.queries("doc_weighted_sample")(spark, sfDir)
+        .orderBy("source", "doc_id").show(5)
+      println("[example] SemDeDup threshold dial (drop share per cosine):")
+      SparkEntry.queries("emb_semdedup_sweep")(spark, sfDir)
+        .orderBy("threshold").show()
+      println("[example] media near-dups by perceptual hash (Hamming<=3):")
+      SparkEntry.queries("multimodal_dup_pairs")(spark, sfDir)
+        .orderBy("doc_a", "doc_b").show(3)
+      // live Flume AvroSourceProtocol round trip: RPC -> spool -> read
+      import graft.sources.{FlumeAvroReceiver, FlumeLikeSource}
+      val spool = java.nio.file.Files
+        .createTempDirectory("example_avro").toString
+      val server = FlumeAvroReceiver.serve(spool)
+      try {
+        val c = new FlumeAvroReceiver.Client(server.getPort)
+        try c.appendBatch(Seq(
+          FlumeAvroReceiver.Event(
+            Map(FlumeLikeSource.HeaderFileName -> "tour.log"),
+            "61|hello|from|rpc".getBytes("UTF-8")),
+          FlumeAvroReceiver.Event(
+            Map(FlumeLikeSource.HeaderFileName -> "tour.log"),
+            "62|second|event".getBytes("UTF-8"))))
+        finally c.close()
+        println("[example] events received over live Avro-RPC, read " +
+          "back through the spool source:")
+        FlumeLikeSource.toFileValue(FlumeLikeSource.read(spark, spool))
+          .orderBy("value").show(truncate = false)
+      } finally server.close()
+    }
+
     // streaming sessionization with custom keyed state
     {
       import graft.streaming.Sessionize
