@@ -301,6 +301,41 @@ object SparkEntry {
     // 1-5 quintile scores at exact integer ranks off value histograms
     "orders_rfm" -> ((s, dir) =>
       Rfm.rfm(t(s, dir, "orders"))),
+    // SCD type-2 dimension history: each customer's order-priority change
+    // stream collapsed into validity intervals (lag-flag → run-id → one
+    // groupBy per run → lead closes the interval); epoch-ms bounds,
+    // open-ended current row. One key shuffle — the bucketed-dim shape
+    "orders_scd2" -> ((s, dir) =>
+      Cdc.scd2(t(s, dir, "orders"),
+        key = col("o_custkey"),
+        ts = unix_millis(col("o_orderdate").cast("timestamp")),
+        tie = col("o_orderkey"),
+        attr = col("o_orderpriority"))
+        .select(col("k").as("o_custkey"), col("attr").as("priority"),
+          col("valid_from").as("valid_from_ms"),
+          col("valid_to").as("valid_to_ms"), col("is_current"))),
+    // CDC latest-wins upsert: base snapshot (v1 corpus) merged with a
+    // 3-seq change batch — edits, re-adds, and delete tombstones; the
+    // highest-seq change wins per key, deletes are idempotent, and the
+    // emitted origin column audits the churn
+    "corpus_upsert" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("fp"), col("source"))
+      val edits = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("u").as("op"),
+          md5(concat(col("text"), lit(" rev2"))).as("fp"), col("source"))
+      val readds = d.filter(col("doc_id") % 10 === 3
+          && col("doc_id") % 2 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("u").as("op"),
+          md5(col("text")).as("fp"), col("source"))
+      val dels = d.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), lit(3L).as("seq"), lit("d").as("op"),
+          lit(null).cast("string").as("fp"),
+          lit(null).cast("string").as("source"))
+      Cdc.upsertLatest(base, edits.unionByName(readds).unionByName(dels),
+        "doc_id")
+    }),
     // market-basket association lift over (order, part) baskets: exact
     // integer rational (n_ab·N)/(n_a·n_b), rounded before the top-k
     // (support >= 3 at this basket density: 63 candidate pairs)
@@ -755,6 +790,17 @@ object SparkEntry {
         TextAnalysis.urlInject(t(s, dir, "documents")),
         TextAnalysis.urlBlocklist.toDF("domain"))
     }),
+    // encoding-health audit over the deterministically damaged twin:
+    // U+FFFD / latin-1-mojibake / C0-control counts per doc + the clean
+    // gate bit — a map-only codegen scan, the ftfy-shaped QA pass
+    "doc_encoding_audit" -> ((s, dir) =>
+      TextAnalysis.encodingAudit(
+        TextAnalysis.mojibakeInject(t(s, dir, "documents")))),
+    // per-source ingest-health rollup of the same audit: damage totals +
+    // clean share in exact 1e-4 integral units
+    "corpus_encoding_report" -> ((s, dir) =>
+      TextAnalysis.encodingReport(
+        TextAnalysis.mojibakeInject(t(s, dir, "documents")))),
     "doc_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"))),
     // per-feed quality dashboard: integral-sum ratios only
@@ -888,6 +934,11 @@ object SparkEntry {
         overlap = 8)),
     "corpus_stats" -> ((s, dir) =>
       CorpusOps.corpusStats(t(s, dir, "documents"))),
+    // tokenizer-fertility profile per language: docs/tokens/chars and
+    // chars-per-token in exact 1e-4 integral units — the table that
+    // shows which languages the vocabulary shreds
+    "corpus_fertility_by_lang" -> ((s, dir) =>
+      CorpusOps.fertilityByLang(t(s, dir, "documents"))),
     // materialized-view maintenance value-proven: the corpus split into a
     // "known" shard and a "delta" (every 5th doc), each reduced to its
     // mergeable state, merged by ADDITION (no corpus rescan), finalized —
@@ -1534,6 +1585,18 @@ object SparkEntry {
           Array(col("click"), col("error"), col("purchase"),
             col("signup"), col("view")),
           "event_type", "n")),
+    // the CUBE grouping-sets op: all four (event_type × weekday) margin
+    // combinations in one pass, grouping_id disambiguating which margin
+    // a row belongs to (totals coalesced to sentinel values so the
+    // result is null-free)
+    "events_type_cube" -> ((s, dir) =>
+      events(s, dir)
+        .cube(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid0"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("dow"), lit(-1)).cast("long").as("dow"),
+          col("n"), col("gid0").cast("long").as("gid"))),
     // long-run activity share per event type: 3 integer-micro power
     // steps over the transition matrix (the doc_pagerank discipline —
     // no rounding contract anywhere)
@@ -2258,6 +2321,49 @@ object SparkEntry {
          |   + (${asc("monetary_c", "mcut")}) AS BIGINT) AS rfm
          |FROM base, rcut, fcut, mcut""".stripMargin
     },
+    // identical lag-flag → run-id → per-run min → lead interval chain
+    "orders_scd2" ->
+      """WITH c AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS ts,
+        |   o_orderkey AS tie, o_orderpriority AS attr FROM orders),
+        | f AS (SELECT k, ts, tie, attr,
+        |   CASE WHEN lag(attr) OVER w IS NULL
+        |     OR lag(attr) OVER w <> attr THEN 1 ELSE 0 END AS chg
+        |  FROM c WINDOW w AS (PARTITION BY k ORDER BY ts, tie)),
+        | r AS (SELECT k, attr,
+        |   sum(chg) OVER (PARTITION BY k ORDER BY ts, tie
+        |     ROWS UNBOUNDED PRECEDING) AS run, ts
+        |  FROM f),
+        | runs AS (SELECT k, run, min(attr) AS attr,
+        |   min(ts) AS valid_from FROM r GROUP BY 1, 2)
+        |SELECT k AS o_custkey, attr AS priority,
+        | CAST(valid_from AS BIGINT) AS valid_from_ms,
+        | CAST(lead(valid_from) OVER w2 AS BIGINT) AS valid_to_ms,
+        | CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
+        |   THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM runs WINDOW w2 AS (PARTITION BY k ORDER BY run)""".stripMargin,
+    // same change-batch construction; latest seq wins via row_number,
+    // full join against base, tombstones filtered post-merge
+    "corpus_upsert" ->
+      """WITH base AS (SELECT doc_id, md5(text) AS fp, source
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        | ch AS (
+        |  SELECT doc_id, 1 AS seq, 'u' AS op, md5(text || ' rev2') AS fp,
+        |    source FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'u', md5(text), source FROM documents
+        |   WHERE doc_id % 10 = 3 AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'd', NULL, NULL FROM documents
+        |   WHERE doc_id % 13 = 0),
+        | w AS (SELECT doc_id, op, fp, source FROM (
+        |   SELECT ch.*, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+        |SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
+        | CASE WHEN w.op = 'u' THEN w.fp ELSE b.fp END AS fp,
+        | CASE WHEN w.op = 'u' THEN w.source ELSE b.source END AS source,
+        | CASE WHEN w.op = 'u' THEN 'upsert' ELSE 'base' END AS origin
+        |FROM base b FULL JOIN w ON b.doc_id = w.doc_id
+        |WHERE w.op IS NULL OR w.op = 'u'""".stripMargin,
     // same epoch-ms half-open overlap predicate on the custkey self-join
     "interval_overlap_join" ->
       """WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
@@ -2593,6 +2699,60 @@ object SparkEntry {
     // PII: injection, per-type counts, and the email->phone->ip redaction
     // chain all recomputed; the patterns live in the Java/RE2-common
     // subset so one pattern string drives both engines
+    // injection + audit reproduced via chr() composition (195/169 =
+    // 'Ã©' mojibake pair, 65533 = U+FFFD, 7 = BEL); RE2 \x class for
+    // the C0 controls, '.'-any for the mojibake follow char
+    "doc_encoding_audit" ->
+      """WITH inj AS (SELECT doc_id, source, text ||
+        |   CASE WHEN doc_id % 11 = 0
+        |     THEN ' ' || chr(195) || chr(169) || chr(65533)
+        |     ELSE '' END ||
+        |   CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END AS text
+        |  FROM documents),
+        | aud AS (SELECT doc_id, source,
+        |   CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+        |     AS n_repl,
+        |   CAST(len(regexp_extract_all(text, chr(195) || '.'))
+        |     AS BIGINT) AS n_moji,
+        |   CAST(len(regexp_extract_all(text,
+        |     '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl
+        |  FROM inj)
+        |SELECT doc_id, source, n_repl, n_moji, n_ctrl,
+        | CAST(CASE WHEN n_repl + n_moji + n_ctrl = 0 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS is_clean
+        |FROM aud""".stripMargin,
+    "corpus_encoding_report" ->
+      """WITH inj AS (SELECT doc_id, source, text ||
+        |   CASE WHEN doc_id % 11 = 0
+        |     THEN ' ' || chr(195) || chr(169) || chr(65533)
+        |     ELSE '' END ||
+        |   CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END AS text
+        |  FROM documents),
+        | aud AS (SELECT doc_id, source,
+        |   CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+        |     AS n_repl,
+        |   CAST(len(regexp_extract_all(text, chr(195) || '.'))
+        |     AS BIGINT) AS n_moji,
+        |   CAST(len(regexp_extract_all(text,
+        |     '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl
+        |  FROM inj)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN n_repl + n_moji + n_ctrl > 0 THEN 1 ELSE 0
+        |   END) AS BIGINT) AS n_bad,
+        | CAST(sum(n_repl) AS BIGINT) AS n_repl,
+        | CAST(sum(n_moji) AS BIGINT) AS n_moji,
+        | CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl,
+        | CAST((10000 * (count(*) - sum(CASE WHEN n_repl + n_moji + n_ctrl
+        |   > 0 THEN 1 ELSE 0 END))) // count(*) AS BIGINT)
+        |   AS clean_share_e4
+        |FROM aud GROUP BY 1""".stripMargin,
+    "corpus_fertility_by_lang" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | CAST((10000 * sum(n_chars))
+        |   // sum(len(string_split(text, ' '))) AS BIGINT) AS cpt_e4
+        |FROM documents GROUP BY 1""".stripMargin,
     "doc_pii_detect" -> {
       val em = graft.operators.TextAnalysis.piiEmail
       val ph = graft.operators.TextAnalysis.piiPhone
@@ -5974,6 +6134,16 @@ object SparkEntry {
         | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
         |   AS BIGINT) AS view
         |FROM events GROUP BY 1""".stripMargin,
+    // native CUBE + GROUPING (same MSB-first bit order as Spark's
+    // grouping_id); dayofweek is 0-based Sunday in DuckDB → +1 aligns
+    // with Spark's 1-based convention
+    "events_type_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        | CAST(coalesce(dayofweek(ts) + 1, -1) AS BIGINT) AS dow,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(GROUPING(event_type, dayofweek(ts) + 1) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY CUBE(event_type, dayofweek(ts) + 1)""".stripMargin,
     // identical RANGE frame over epoch-ms; equal-ts peers are members
     // in both engines
     "events_rolling_24h" ->

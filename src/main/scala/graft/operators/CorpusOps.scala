@@ -396,4 +396,20 @@ object CorpusOps {
         col("n_new_types"),
         sum(col("n_new_types")).over(w).as("cum_vocab"))
   }
+  /** Tokenizer-fertility profile per language — the table a tokenizer
+    * owner reads to see which languages the vocabulary serves poorly
+    * (high chars-per-token = the language is being shredded into long
+    * token streams). Per lang: docs, whitespace tokens, chars, and
+    * chars-per-token in exact 1e-4 integral units (integer div before
+    * the report — engine-portable, no float rounding contract). One
+    * map-side-combined aggregate over a single corpus scan. */
+  def fertilityByLang(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("tok"),
+      col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("cpt_e4", expr("(10000 * n_chars) div n_tokens"))
 }

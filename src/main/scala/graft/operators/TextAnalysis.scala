@@ -1890,4 +1890,60 @@ object TextAnalysis {
         lit(true).as("b"))), Seq("domain"), "left")
       .select(col("domain"), col("n_docs"), col("n_urls"),
         coalesce(col("b"), lit(false)).as("blocked"))
+
+  /** Deterministic encoding-damage twin (the [[piiInject]] pattern —
+    * the synthetic corpus is clean, so the audit needs a reproducible
+    * victim): docs with doc_id % 11 == 0 get a latin-1 mojibake "Ã©"
+    * plus a U+FFFD appended; docs with doc_id % 17 == 0 get a BEL
+    * control char appended (both apply when both divide). Pure column
+    * expressions, oracle-reproducible via chr() composition. */
+  def mojibakeInject(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 11 === 0, lit(" \u00C3\u00A9\uFFFD"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 17 === 0, lit("\u0007"))
+        .otherwise(lit(""))))
+
+  /** Encoding-health audit — the ftfy-shaped QA pass every crawl corpus
+    * needs before training: per document, counts of the three classic
+    * byte-level damage signatures. `n_repl` = U+FFFD replacement chars
+    * (a decoder already gave up); `n_moji` = UTF-8-read-as-Latin-1
+    * mojibake ('Ã' followed by any char — the double-encoding tell:
+    * every non-ASCII UTF-8 sequence misread as Latin-1 starts with Ã/Â/â
+    * and 'Ã.' alone catches the dominant class deterministically);
+    * `n_ctrl` = C0 control characters other than tab/newline/CR (binary
+    * junk glued into text). `is_clean` = 1 iff all three are zero — the
+    * gate bit a filter pipeline consumes. Pure per-row regexp counting,
+    * whole-stage codegen, no shuffle: the 100 TB shape is a map-only
+    * scan. */
+  def encodingAudit(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(
+      col("doc_id"),
+      col("source"),
+      regexp_count(t, lit("\uFFFD")).cast("long").as("n_repl"),
+      regexp_count(t, lit("\u00C3.")).cast("long").as("n_moji"),
+      regexp_count(t,
+        lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+        .as("n_ctrl"))
+      .withColumn("is_clean",
+        when(col("n_repl") + col("n_moji") + col("n_ctrl") === 0, 1L)
+          .otherwise(0L))
+  }
+
+  /** Per-source rollup of [[encodingAudit]]: document and damage totals
+    * plus the clean share in exact 1e-4 integral units (integer div
+    * before the report, the engine-portable rounding discipline). The
+    * table an ingest health dashboard reads per crawl slice. */
+  def encodingReport(docs: DataFrame): DataFrame =
+    encodingAudit(docs)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("is_clean")).as("n_bad"),
+        sum(col("n_repl")).as("n_repl"),
+        sum(col("n_moji")).as("n_moji"),
+        sum(col("n_ctrl")).as("n_ctrl"))
+      .withColumn("clean_share_e4",
+        expr("(10000 * (n_docs - n_bad)) div n_docs"))
 }
