@@ -314,6 +314,46 @@ object SparkEntry {
         .select(col("k").as("o_custkey"), col("attr").as("priority"),
           col("valid_from").as("valid_from_ms"),
           col("valid_to").as("valid_to_ms"), col("is_current"))),
+    // referential-integrity audit across the star schema's FKs plus the
+    // events→customer edge; the synthetic warehouse is fully consistent
+    // (every row reads 0 orphans — itself the assertion a release gate
+    // wants), so a DAMAGED twin — customer with every key ≡ 7 (mod 100)
+    // dropped, the lost-partition scenario — proves the check detects:
+    // per relationship, child rows / null FKs / orphans / orphan share
+    "rel_fk_audit" -> ((s, dir) => {
+      import DataQuality._
+      fkAudit(Seq(
+        FkRel("orders_customer", t(s, dir, "orders"), col("o_custkey"),
+          t(s, dir, "customer"), col("c_custkey")),
+        FkRel("orders_customer_damaged", t(s, dir, "orders"),
+          col("o_custkey"),
+          t(s, dir, "customer").filter(col("c_custkey") % 100 =!= 7),
+          col("c_custkey")),
+        FkRel("lineitem_orders", t(s, dir, "lineitem"), col("l_orderkey"),
+          t(s, dir, "orders"), col("o_orderkey")),
+        FkRel("customer_nation", t(s, dir, "customer"), col("c_nationkey"),
+          t(s, dir, "nation"), col("n_nationkey")),
+        FkRel("supplier_nation", t(s, dir, "supplier"), col("s_nationkey"),
+          t(s, dir, "nation"), col("n_nationkey")),
+        FkRel("nation_region", t(s, dir, "nation"), col("n_regionkey"),
+          t(s, dir, "region"), col("r_regionkey")),
+        FkRel("events_customer", events(s, dir), col("user_id"),
+          t(s, dir, "customer"), col("c_custkey"))))
+    }),
+    // per-column profile of orders — the Deequ-shaped drift table: nulls,
+    // exact distincts, min/max over canonicalized (integral/text) forms
+    "orders_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      DataQuality.columnProfile(o, Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_orderdate_ms" ->
+          unix_millis(col("o_orderdate").cast("timestamp")),
+        "o_totalprice_c" ->
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+    }),
     // CDC latest-wins upsert: base snapshot (v1 corpus) merged with a
     // 3-seq change batch — edits, re-adds, and delete tombstones; the
     // highest-seq change wins per key, deletes are idempotent, and the
@@ -1247,6 +1287,22 @@ object SparkEntry {
       Dedup.incrementalNearDedupIndexed(s,
         d.filter(col("doc_id") % 10 === 0), bands, sets)
     }),
+    // takedown / right-to-be-forgotten propagation: docs ending in 8 are
+    // the tombstone list; their near-dup mirrors (LSH probe + exact
+    // Jaccard >= 0.8) and exact re-posts leave with them, everything else
+    // is kept — per-doc status is the compliance evidence trail
+    "doc_takedown_status" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.takedownStatus(d,
+        d.filter(col("doc_id") % 10 === 8).select("doc_id"))
+    }),
+    // the per-source completeness rollup of the same scrub — direct vs
+    // copy-propagated removals and the surviving share in 1e-4 units
+    "corpus_takedown_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.takedownAudit(d,
+        d.filter(col("doc_id") % 10 === 8).select("doc_id"))
+    }),
     // cross-split leakage audit: near-dup pairs straddling the split
     // boundary. 50/50 split (thresholds 0.5 → hex 8000) so the synthetic
     // corpus's near-dup pairs actually cross it — 98/1/1 would leave the
@@ -1597,6 +1653,19 @@ object SparkEntry {
           coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(col("dow"), lit(-1)).cast("long").as("dow"),
           col("n"), col("gid0").cast("long").as("gid"))),
+    // gap-filled hourly resample: every (type, hour) cell on the shared
+    // min..max grid, zeros where no event landed — the materialized-grid
+    // step that makes a quiet feed VISIBLE (a plain groupBy emits no row
+    // for an empty hour); hours as epoch-ms, no timestamp formatting
+    // contract
+    "events_hourly_gapfill" -> ((s, dir) =>
+      Timeseries.hourlyGapfill(events(s, dir))),
+    // trailing-24h z-score anomaly scan on that grid — the variance-aware
+    // sibling of events_spike_days (which compares daily volume to a 2x
+    // trailing-week mean): the test (w*x-s)^2 > 9*(w*ss-s^2) is the
+    // z>3 inequality cleared of divisions, every term exact BIGINT
+    "events_rate_anomaly" -> ((s, dir) =>
+      Timeseries.rateAnomaly(events(s, dir))),
     // long-run activity share per event type: 3 integer-micro power
     // steps over the transition matrix (the doc_pagerank discipline —
     // no rounding contract anywhere)
@@ -1826,6 +1895,70 @@ object SparkEntry {
       |SELECT doc_id, lang, source FROM documents
       |WHERE doc_id % 10 = 0
       | AND doc_id NOT IN (SELECT doc_a FROM drops)""".stripMargin
+
+  /** Gap-filled hourly grid oracle CTE (`gf`), shared by
+    * `events_hourly_gapfill` and `events_rate_anomaly`. */
+  private val GapfillOracleCte: String =
+    """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |   count(*) AS n FROM events GROUP BY 1, 2),
+      | b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |   date_trunc('hour', max(ts)) AS h1 FROM events),
+      | hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+      |   AS hour FROM b),
+      | grid AS (SELECT t.event_type, hrs.hour
+      |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN hrs),
+      | gf AS (SELECT g.event_type,
+      |   CAST(epoch_ms(g.hour) AS BIGINT) AS hour_ms,
+      |   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |  FROM grid g LEFT JOIN c
+      |   ON g.event_type = c.event_type AND g.hour = c.hour)
+      |""".stripMargin
+
+  /** Takedown-propagation oracle CTE chain, shared by `doc_takedown_status`
+    * and `corpus_takedown_audit`: the NearDedup LSH chain with the roles
+    * flipped (tombstones = doc_id % 10 = 8 probe the rest), plus the
+    * exact-fp copy channel, classifying every document. */
+  private val TakedownOracleCte: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+      | sh AS (SELECT doc_id, unnest(list_transform(
+      |   range(1, len(words) - 1), i ->
+      |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      |  FROM g),
+      | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed FROM sh),
+      | mh AS (SELECT doc_id, seed,
+      |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+      |  FROM sd GROUP BY doc_id, seed),
+      | banded AS (SELECT doc_id, seed // 2 AS band,
+      |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+      |  FROM mh GROUP BY doc_id, seed // 2),
+      | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |   ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.doc_id % 10 <> 8 AND b.doc_id % 10 = 8),
+      | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+      |   range(1, len(words) - 1), i ->
+      |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+      |  FROM g),
+      | nearc AS (SELECT DISTINCT c.doc_a AS copy_id FROM cand c
+      |  JOIN sets a ON c.doc_a = a.doc_id
+      |  JOIN sets b ON c.doc_b = b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+      |   (len(a.sset) + len(b.sset) -
+      |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+      | exactc AS (SELECT DISTINCT d.doc_id AS copy_id FROM documents d
+      |  JOIN (SELECT DISTINCT md5(text) AS fp FROM documents
+      |    WHERE doc_id % 10 = 8) t ON md5(d.text) = t.fp
+      |  WHERE d.doc_id % 10 <> 8),
+      | copies AS (SELECT copy_id FROM nearc
+      |  UNION SELECT copy_id FROM exactc),
+      | st AS (SELECT doc_id, source,
+      |   CASE WHEN doc_id % 10 = 8 THEN 'removed_direct'
+      |        WHEN doc_id IN (SELECT copy_id FROM copies)
+      |          THEN 'removed_copy'
+      |        ELSE 'kept' END AS status FROM documents)
+      |""".stripMargin
 
   /** Seeded-centroid IVF oracle, shared by `emb_knn_ivf` (inline assign)
     * and `emb_knn_ivf_indexed` (persisted bucketed index): the chain is
@@ -2341,6 +2474,59 @@ object SparkEntry {
         | CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
         |   THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM runs WINDOW w2 AS (PARTITION BY k ORDER BY run)""".stripMargin,
+    // one LEFT JOIN against the (possibly filtered) parent key set per
+    // relationship; the UNION ALL is generated from the same relationship
+    // list the Spark side audits
+    "rel_fk_audit" -> {
+      def rel(name: String, child: String, fk: String, parent: String,
+              pk: String, parentWhere: String = ""): String =
+        s"""SELECT '$name' AS rel, CAST(count(*) AS BIGINT) AS n_child,
+           | CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_null_fk,
+           | CAST((10000 * sum(CASE WHEN fk IS NOT NULL AND pk IS NULL
+           |   THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+           |   AS orphan_share_e4,
+           | CAST(sum(CASE WHEN fk IS NOT NULL AND pk IS NULL THEN 1
+           |   ELSE 0 END) AS BIGINT) AS n_orphan
+           |FROM (SELECT c.$fk AS fk, p.k AS pk FROM $child c
+           |  LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent
+           |    $parentWhere) p ON c.$fk = p.k) t""".stripMargin
+      Seq(
+        rel("orders_customer", "orders", "o_custkey", "customer",
+          "c_custkey"),
+        rel("orders_customer_damaged", "orders", "o_custkey", "customer",
+          "c_custkey", "WHERE c_custkey % 100 <> 7"),
+        rel("lineitem_orders", "lineitem", "l_orderkey", "orders",
+          "o_orderkey"),
+        rel("customer_nation", "customer", "c_nationkey", "nation",
+          "n_nationkey"),
+        rel("supplier_nation", "supplier", "s_nationkey", "nation",
+          "n_nationkey"),
+        rel("nation_region", "nation", "n_regionkey", "region",
+          "r_regionkey"),
+        rel("events_customer", "events", "user_id", "customer",
+          "c_custkey")).mkString("\nUNION ALL\n")
+    },
+    // per-column UNION ALL over the canonicalized orders projection
+    "orders_profile" -> {
+      def colStats(name: String): String =
+        s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS n_null,
+           | CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+           | CAST(min($name) AS VARCHAR) AS min_s,
+           | CAST(max($name) AS VARCHAR) AS max_s FROM o""".stripMargin
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        | o_orderpriority,
+        | CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_orderdate_ms,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS o_totalprice_c
+        |FROM orders)
+        |""".stripMargin +
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate_ms", "o_totalprice_c")
+          .map(colStats).mkString("\nUNION ALL\n")
+    },
     // same change-batch construction; latest seq wins via row_number,
     // full join against base, tombstones filtered post-merge
     "corpus_upsert" ->
@@ -5157,6 +5343,22 @@ object SparkEntry {
     // anti-join of the batch against the >= 0.8 drop list. Shared with the
     // persisted-index variant — deterministic chain, identical rows.
     "doc_dedup_incremental_near" -> NearDedupOracleSql,
+    // the NearDedup chain role-flipped onto the tombstone list, plus the
+    // exact-fp copy channel; per-doc compliance status
+    "doc_takedown_status" ->
+      (TakedownOracleCte + "SELECT doc_id, source, status FROM st"),
+    "corpus_takedown_audit" ->
+      (TakedownOracleCte +
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          | CAST(sum(CASE WHEN status = 'removed_direct' THEN 1 ELSE 0
+          |   END) AS BIGINT) AS n_direct,
+          | CAST(sum(CASE WHEN status = 'removed_copy' THEN 1 ELSE 0
+          |   END) AS BIGINT) AS n_copy,
+          | CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+          |   AS BIGINT) AS n_kept,
+          | CAST((10000 * sum(CASE WHEN status = 'kept' THEN 1 ELSE 0
+          |   END)) // count(*) AS BIGINT) AS kept_share_e4
+          |FROM st GROUP BY 1""".stripMargin),
     "doc_dedup_incremental_near_indexed" -> NearDedupOracleSql,
     // bloom-prefiltered incremental dedup: the bloom is a pure plan
     // optimization (false positives die in the exact confirm join), so the
@@ -6144,6 +6346,23 @@ object SparkEntry {
         | CAST(GROUPING(event_type, dayofweek(ts) + 1) AS BIGINT) AS gid
         |FROM events
         |GROUP BY CUBE(event_type, dayofweek(ts) + 1)""".stripMargin,
+    // the same shared min..max hour grid via generate_series; epoch-ms
+    // hours, exact zero fill
+    "events_hourly_gapfill" -> (GapfillOracleCte +
+      """SELECT event_type, hour_ms, n FROM gf""".stripMargin),
+    // the z>3 inequality cleared of divisions on the same grid — every
+    // term BIGINT, both engines decide each flag on integer arithmetic
+    "events_rate_anomaly" -> (GapfillOracleCte +
+      """SELECT event_type, hour_ms, n, CAST(w AS BIGINT) AS w,
+        | CAST((w*n - s)*(w*n - s) AS BIGINT) AS dev2,
+        | CAST(9*(w*ss - s*s) AS BIGINT) AS bound,
+        | CAST(CASE WHEN w >= 12 AND (w*n-s)*(w*n-s) > 9*(w*ss-s*s)
+        |   THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM (SELECT event_type, hour_ms, n, count(*) OVER win AS w,
+        |  coalesce(sum(n) OVER win, 0) AS s,
+        |  coalesce(sum(n*n) OVER win, 0) AS ss
+        | FROM gf WINDOW win AS (PARTITION BY event_type ORDER BY hour_ms
+        |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) t""".stripMargin),
     // identical RANGE frame over epoch-ms; equal-ts peers are members
     // in both engines
     "events_rolling_24h" ->

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Warehouse data-quality audits: referential-integrity (orphan) checks
+  * across the star schema's foreign keys and a per-column profile of any
+  * table — the Deequ/Great-Expectations-shaped validation pass a pipeline
+  * runs BEFORE queries trust a new snapshot. The reference's only data
+  * quality notion is the arity filter (reference: src/ProcessSums.scala:435
+  * — drop a record whose split length is off); these close the gap between
+  * "the row parses" and "the row is consistent with the rest of the
+  * warehouse".
+  *
+  * Scale posture: the FK audit is one anti-join per relationship on the
+  * join's natural key (the same shuffle the production join would pay, and
+  * a broadcast when the parent's key set fits); the profiler is ONE scan
+  * with every column's aggregates side by side — the multi-distinct
+  * expands rows by (columns+1) inside the scan but never rescans, and at
+  * 100 TB the same shape runs with approx_count_distinct when exactness
+  * isn't contractual.
+  */
+object DataQuality {
+
+  /** One referential-integrity relationship: `name`, child frame + FK
+    * column, parent frame + PK column. */
+  final case class FkRel(name: String, child: DataFrame, fk: Column,
+                         parent: DataFrame, pk: Column)
+
+  /** Orphan audit over a set of FK relationships: per relationship, the
+    * child row count, null-FK count, orphan count (non-null FK with no
+    * matching parent key — the join that silently drops rows in an inner
+    * enrich), and the orphan share in exact 1e-4 integral units. Each
+    * relationship is one aggregate + one anti-join against the parent's
+    * distinct key set; results union into the audit table a release gate
+    * reads. */
+  def fkAudit(rels: Seq[FkRel]): DataFrame =
+    rels.map { r =>
+      val keyed = r.child.select(r.fk.as("fk"))
+      val parents = r.parent.select(r.pk.as("fk")).distinct()
+      val orphans = keyed.filter(col("fk").isNotNull)
+        .join(parents, Seq("fk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      keyed.agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+        .crossJoin(broadcast(orphans)) // both sides are 1-row frames
+        .select(lit(r.name).as("rel"), col("n_child"), col("n_null_fk"),
+          expr("(10000 * n_orphan) div n_child").as("orphan_share_e4"),
+          col("n_orphan"))
+    }.reduce(_ unionByName _)
+
+  /** Per-column profile of a table: one row per column with the row
+    * count, null count, exact distinct count, and min/max — over a
+    * CANONICALIZED form of the column supplied by the caller (BIGINT for
+    * numerics/timestamps — epoch millis, cents — and raw strings for
+    * text), so ordering and rendering are engine-portable by
+    * construction instead of leaning on each engine's float/timestamp
+    * formatter. ONE pass: all columns' aggregates ride a single scan
+    * (count-distinct expand), the wide row then unpivots via `stack` into
+    * the tall (column, stats) table a schema-drift monitor diffs between
+    * snapshots. Min/max are emitted as strings (a tall table needs one
+    * type per stat column); they compare equal across engines because
+    * the canonical form is integral or textual, never a float. */
+  def columnProfile(df: DataFrame, cols: Seq[(String, Column)])
+  : DataFrame = {
+    val aggs = cols.flatMap { case (name, c) =>
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_$name"),
+        countDistinct(c).as(s"nd_$name"),
+        min(c).cast("string").as(s"mn_$name"),
+        max(c).cast("string").as(s"mx_$name"))
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map { case (name, _) =>
+      s"'$name', nn_$name, nd_$name, mn_$name, mx_$name"
+    }.mkString(", ")
+    wide.select(col("n_rows"),
+      expr(s"stack(${cols.size}, $stackArgs)")
+        .as(Seq("col_name", "n_null", "n_distinct", "min_s", "max_s")))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
+}

@@ -1335,4 +1335,76 @@ object Dedup {
             .as("removed_share"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Takedown / right-to-be-forgotten propagation: classify every corpus
+    * document against a tombstone list (doc_ids whose content must leave
+    * the corpus). Removing the listed rows is the trivial half; the
+    * compliance half is that COPIES of the taken-down content — exact
+    * re-posts and near-duplicate mirrors that arrived under different ids
+    * — must leave too, or the content ships in the next training run
+    * anyway. Per document: status ∈ {'removed_direct' (on the list),
+    * 'removed_copy' (exact fp match or shingle Jaccard ≥ threshold
+    * against ANY tombstoned doc), 'kept'}.
+    *
+    * Scale shape: the tombstone side is takedown-request-sized (tiny);
+    * its band table probes the corpus band table cross-frame — the
+    * [[incrementalNearDedup]] shape with the roles flipped (the corpus is
+    * the probed side, and in production the PERSISTED
+    * [[nearDupWriteIndex]] band/sets tables serve that side with no
+    * corpus rescan). Exact-copy matches ride the same candidate set:
+    * identical text collides in every band, so fp equality is confirmed
+    * inside the Jaccard scoring join (a 1.0 candidate), plus a direct
+    * fp equi-join for sub-shingle docs too short to carry a signature.
+    * The corpus is scanned once; everything else is candidate-bounded. */
+  def takedownStatus(docs: DataFrame, tombstoneIds: DataFrame,
+                     jaccardThreshold: Double = 0.8, minhashK: Int = 4,
+                     rowsPerBand: Int = 2): DataFrame = {
+    val tombIds = tombstoneIds.select(col("doc_id").as("tomb_id"))
+    val tombDocs = docs.join(tombIds,
+      col("doc_id") === col("tomb_id")).drop("tomb_id")
+    val rest = docs.join(tombIds,
+      col("doc_id") === col("tomb_id"), "left_anti")
+    // near-dup copies: tombstone bands probe the corpus-rest bands
+    val bRest = bandTable(minhash(rest, minhashK), rowsPerBand)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val bTomb = bandTable(minhash(tombDocs, minhashK), rowsPerBand)
+      .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val cands = bRest.join(bTomb, Seq("band", "bucket"))
+      .select("doc_a", "doc_b").distinct()
+    val nearCopies = jaccardOnSets(shingleSets(rest), shingleSets(tombDocs),
+      cands)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a").as("copy_id"))
+    // exact copies of tombstoned text (covers signature-less short docs)
+    val exactCopies = rest.select(col("doc_id").as("copy_id"),
+      md5(col("text")).as("fp"))
+      .join(tombDocs.select(md5(col("text")).as("fp")).distinct(), "fp")
+      .select("copy_id")
+    val copies = nearCopies.unionByName(exactCopies).distinct()
+    docs
+      .join(tombIds, col("doc_id") === col("tomb_id"), "left")
+      .join(copies, col("doc_id") === col("copy_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("tomb_id").isNotNull, lit("removed_direct"))
+          .when(col("copy_id").isNotNull, lit("removed_copy"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
+  /** Per-source rollup of [[takedownStatus]]: the completeness report a
+    * compliance review reads — how many documents each source lost
+    * directly vs through copy propagation, and the surviving share in
+    * exact 1e-4 integral units. */
+  def takedownAudit(docs: DataFrame, tombstoneIds: DataFrame,
+                    jaccardThreshold: Double = 0.8, minhashK: Int = 4,
+                    rowsPerBand: Int = 2): DataFrame =
+    takedownStatus(docs, tombstoneIds, jaccardThreshold, minhashK,
+      rowsPerBand)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("status") === "removed_direct", 1L).otherwise(0L))
+          .as("n_direct"),
+        sum(when(col("status") === "removed_copy", 1L).otherwise(0L))
+          .as("n_copy"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_share_e4", expr("(10000 * n_kept) div n_docs"))
 }

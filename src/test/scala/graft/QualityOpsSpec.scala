@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DataQuality, Dedup, Timeseries}
+
+/** Round-12 warehouse-health additions: gap-filled resampling + the
+  * integer z-score anomaly scan (Timeseries.scala), FK orphan audit and
+  * column profiler (DataQuality.scala), and takedown propagation
+  * (Dedup.takedownStatus/Audit). */
+class QualityOpsSpec extends SparkTestBase {
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("Timeseries.hourlyGapfill: empty hours materialize as exact " +
+    "zeros on the shared min..max grid; counts land in their hour") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000
+    // type a: events in hours 0 and 2 (hour 1 is the gap); type b: only
+    // hour 1 — the shared grid still gives b hours 0 and 2 as zeros
+    val events = Seq(
+      (ts(10L), "a"), (ts(20L), "a"), (ts(2 * h + 1), "a"),
+      (ts(h + 5), "b")
+    ).toDF("ts", "event_type")
+    val out = Timeseries.hourlyGapfill(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out === Seq(
+      ("a", 0L, 2L), ("a", h, 0L), ("a", 2 * h, 1L),
+      ("b", 0L, 0L), ("b", h, 1L), ("b", 2 * h, 0L)))
+  }
+
+  test("Timeseries.rateAnomaly: a spike over a steady baseline flags; " +
+    "the baseline itself and warm-up rows (w < minWindow) do not; " +
+    "zero-variance baselines flag ANY deviation") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000
+    // 13 hours: 12 at exactly 2 events, hour 13 at 9 events. With
+    // window=12, minWindow=12 only the last row has a full baseline;
+    // σ=0 there, so the spike must flag via dev2 > 0 = bound.
+    val rows = (0 until 12).flatMap(i =>
+      Seq.fill(2)((ts(i * h + 1), "a"))) ++
+      Seq.fill(9)((ts(12 * h + 1), "a"))
+    val out = Timeseries.rateAnomaly(rows.toDF("ts", "event_type"))
+      .collect()
+      .map(r => (r.getLong(1) / h, r.getLong(2), r.getLong(3),
+        r.getLong(6)))
+      .sortBy(_._1)
+    assert(out.map(_._4).sum === 1L, "exactly one flagged row")
+    val spike = out.last
+    assert(spike === ((12L, 9L, 12L, 1L)))
+    // warm-up rows carry their true w and never flag
+    assert(out.init.forall(r => r._3 < 12L && r._4 === 0L))
+  }
+
+  test("DataQuality.fkAudit: consistent FK reads zero orphans; a " +
+    "damaged parent counts exactly the orphaned children; null FKs " +
+    "are counted but never orphans") {
+    val s = spark
+    import s.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val out = DataQuality.fkAudit(Seq(
+      DataQuality.FkRel("ok", child.filter(col("fk") =!= 9L ||
+        col("fk").isNull), col("fk"), parent, col("pk")),
+      DataQuality.FkRel("damaged", child, col("fk"), parent, col("pk"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // damaged: 5 children, 1 null fk, 1 orphan (fk=9), share 2000e-4
+    assert(out === Seq(
+      ("damaged", 5L, 1L, 2000L, 1L),
+      ("ok", 4L, 1L, 0L, 0L)))
+  }
+
+  test("DataQuality.columnProfile: nulls, exact distincts, and min/max " +
+    "per column off one scan; null-only columns profile sanely") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), Some("a")), (Some(3L), None),
+      (None, Some("a"))
+    ).toDF("num", "txt")
+    val out = DataQuality.columnProfile(df,
+        Seq("num" -> col("num"), "txt" -> col("txt")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).sortBy(_._1)
+    assert(out === Seq(
+      ("num", 4L, 1L, 2L, "1", "3"),
+      ("txt", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("Dedup.takedownStatus: direct tombstones, exact re-posts, and " +
+    "near-dup mirrors all leave; direct wins over copy when both " +
+    "apply; unrelated docs are kept — and the audit rolls it up") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared, "en", "src1", 0L),              // tombstoned
+      (2L, shared, "en", "src1", 0L),              // exact re-post of 1
+      (3L, shared + " tail", "en", "src2", 0L),    // near-dup mirror of 1
+      (4L, "completely different words here entirely", "en", "src2", 0L),
+      (11L, shared, "en", "src1", 0L)              // tombstoned AND a copy
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tombs = Seq(1L, 11L).toDF("doc_id")
+    val st = Dedup.takedownStatus(docs, tombs)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(st === Map(
+      1L -> "removed_direct", 11L -> "removed_direct",
+      2L -> "removed_copy", 3L -> "removed_copy", 4L -> "kept"))
+    val audit = Dedup.takedownAudit(docs, tombs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(audit === Seq(
+      ("src1", 3L, 2L, 1L, 0L, 0L),
+      ("src2", 2L, 0L, 1L, 1L, 5000L)))
+  }
+}
