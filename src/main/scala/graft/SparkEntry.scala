@@ -979,6 +979,11 @@ object SparkEntry {
     // shows which languages the vocabulary shreds
     "corpus_fertility_by_lang" -> ((s, dir) =>
       CorpusOps.fertilityByLang(t(s, dir, "documents"))),
+    // discrete α=0.5 sampling quotas for a 100-doc budget via Hamilton
+    // largest-remainder apportionment — exact isqrt weights, quotas sum
+    // to EXACTLY the budget, every seat decided in integer arithmetic
+    "corpus_temperature_quotas" -> ((s, dir) =>
+      CorpusOps.temperatureQuotas(t(s, dir, "documents"), budget = 100L)),
     // materialized-view maintenance value-proven: the corpus split into a
     // "known" shard and a "delta" (every 5th doc), each reduced to its
     // mergeable state, merged by ADDITION (no corpus rescan), finalized —
@@ -1302,6 +1307,15 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Dedup.takedownAudit(d,
         d.filter(col("doc_id") % 10 === 8).select("doc_id"))
+    }),
+    // contamination blast radius: BFS from the "leaked" seed set (ids
+    // divisible by 5) over the confirmed near-dup graph, 3 hops — the
+    // transitive-closure triage list decontamination needs (hop 2+ is
+    // empty on this corpus's pair-shaped graph; multi-hop is spec-gated)
+    "doc_contamination_radius" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contaminationRadius(d,
+        d.filter(col("doc_id") % 5 === 0).select("doc_id"), hops = 3)
     }),
     // cross-split leakage audit: near-dup pairs straddling the split
     // boundary. 50/50 split (thresholds 0.5 → hex 8000) so the synthetic
@@ -2939,6 +2953,31 @@ object SparkEntry {
         | CAST((10000 * sum(n_chars))
         |   // sum(len(string_split(text, ' '))) AS BIGINT) AS cpt_e4
         |FROM documents GROUP BY 1""".stripMargin,
+    // identical exact-isqrt weights and Hamilton largest-remainder seats
+    // (rank = conditional count, ties lang asc); quotas sum to 100
+    "corpus_temperature_quotas" ->
+      """WITH pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        | sq AS (SELECT lang, n_docs,
+        |   CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM pl),
+        | wt AS (SELECT lang, n_docs,
+        |   CASE WHEN (s0+1)*(s0+1) <= n_docs THEN s0+1
+        |        WHEN s0*s0 > n_docs THEN s0-1 ELSE s0 END AS w FROM sq),
+        | tot AS (SELECT sum(w) AS tw, sum(n_docs) AS n_total FROM wt),
+        | b AS (SELECT lang, n_docs, w, (100*w) // tw AS base,
+        |   (100*w) % tw AS rem, n_total FROM wt, tot),
+        | lo AS (SELECT 100 - sum(base) AS r FROM b),
+        | rk AS (SELECT b.lang, b.n_docs, b.w, b.base, b.rem, b.n_total,
+        |   (SELECT count(*) FROM b m WHERE m.rem > b.rem
+        |     OR (m.rem = b.rem AND m.lang < b.lang)) AS rnk FROM b)
+        |SELECT lang, n_docs, CAST(w AS BIGINT) AS weight,
+        | CAST(base + CASE WHEN rnk < (SELECT r FROM lo) THEN 1 ELSE 0 END
+        |   AS BIGINT) AS quota,
+        | CAST((10000*n_docs) // n_total AS BIGINT) AS raw_share_e4,
+        | CAST((10000*(base + CASE WHEN rnk < (SELECT r FROM lo) THEN 1
+        |   ELSE 0 END)) // 100 AS BIGINT) AS quota_share_e4
+        |FROM rk""".stripMargin,
     "doc_pii_detect" -> {
       val em = graft.operators.TextAnalysis.piiEmail
       val ph = graft.operators.TextAnalysis.piiPhone
@@ -5343,6 +5382,57 @@ object SparkEntry {
     // anti-join of the batch against the >= 0.8 drop list. Shared with the
     // persisted-index variant — deterministic chain, identical rows.
     "doc_dedup_incremental_near" -> NearDedupOracleSql,
+    // the confirmed near-dup edge set (LSH chain + Jaccard >= 0.8) walked
+    // 3 unrolled BFS hops from the seed set; first-discovery hop per doc
+    "doc_contamination_radius" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed
+        |  FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | conf AS (SELECT c.doc_a, c.doc_b FROM cand c
+        |  JOIN sets a ON c.doc_a = a.doc_id
+        |  JOIN sets b ON c.doc_b = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+        | nbr AS (SELECT doc_a AS src, doc_b AS dst FROM conf
+        |  UNION ALL SELECT doc_b, doc_a FROM conf),
+        | h0 AS (SELECT DISTINCT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0),
+        | h1 AS (SELECT DISTINCT dst AS doc_id FROM nbr
+        |  JOIN h0 ON nbr.src = h0.doc_id
+        |  WHERE dst NOT IN (SELECT doc_id FROM h0)),
+        | h2 AS (SELECT DISTINCT dst AS doc_id FROM nbr
+        |  JOIN h1 ON nbr.src = h1.doc_id
+        |  WHERE dst NOT IN (SELECT doc_id FROM h0
+        |   UNION SELECT doc_id FROM h1)),
+        | h3 AS (SELECT DISTINCT dst AS doc_id FROM nbr
+        |  JOIN h2 ON nbr.src = h2.doc_id
+        |  WHERE dst NOT IN (SELECT doc_id FROM h0
+        |   UNION SELECT doc_id FROM h1 UNION SELECT doc_id FROM h2))
+        |SELECT doc_id, CAST(0 AS BIGINT) AS hop FROM h0
+        |UNION ALL SELECT doc_id, 1 FROM h1
+        |UNION ALL SELECT doc_id, 2 FROM h2
+        |UNION ALL SELECT doc_id, 3 FROM h3""".stripMargin,
     // the NearDedup chain role-flipped onto the tombstone list, plus the
     // exact-fp copy channel; per-doc compliance status
     "doc_takedown_status" ->

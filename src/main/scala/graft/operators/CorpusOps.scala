@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,58 @@ object CorpusOps {
       .select(col("source"), col("n_tokens"),
         round(sqrt(col("n_tokens").cast("double")) / col("z"), 4)
           .as("weight"))
+  }
+
+  /** Temperature-sampled QUOTA apportionment — the discrete half of
+    * [[mixtureWeights]]: given a document budget B, how many documents
+    * each language stratum actually contributes under α = 0.5
+    * up-weighting (weight ∝ √n, the multilingual-sampling standard).
+    * Weights use EXACT integer sqrt (floor(√n) from the double sqrt,
+    * then a ±1 integer correction — so a last-ulp sqrt error can never
+    * flip a weight), quotas are the largest-remainder method (Hamilton
+    * apportionment): base_l = ⌊B·w_l/W⌋ and the B − Σbase leftover seats
+    * go to the largest remainders (ties → lang asc). Every decision is
+    * integer arithmetic — no rounding contract anywhere — and the quotas
+    * sum to EXACTLY B by construction, which is the property a sampler
+    * needs (weights that round independently don't).
+    *
+    * Scale shape: one stratum count over the corpus; everything after
+    * runs on the |langs|-row frame (the remainder ranking is a
+    * conditional-count self-join on that tiny frame — no unpartitioned
+    * window, no collect). */
+  def temperatureQuotas(docs: DataFrame, budget: Long = 100L)
+  : DataFrame = {
+    def isqrt(n: Column): Column = {
+      val s = floor(sqrt(n.cast("double"))).cast("long")
+      when((s + 1) * (s + 1) <= n, s + 1)
+        .when(s * s > n, s - 1).otherwise(s)
+    }
+    val perLang = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", isqrt(col("n_docs")))
+    val totals = perLang.agg(sum(col("w")).as("tw"),
+      sum(col("n_docs")).as("n_total"))
+    val based = perLang.crossJoin(broadcast(totals))
+      .withColumn("base", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("r"))
+    // 0-based remainder rank via a conditional-count self-join on the
+    // |langs|-row frame: rank = #{m : rem_m > rem_l, tie-break lang asc}
+    val peers = based.select(col("lang").as("m_lang"),
+      col("rem").as("m_rem"))
+    val ranked = based.join(broadcast(peers),
+        col("m_rem") > col("rem") ||
+          (col("m_rem") === col("rem") && col("m_lang") < col("lang")),
+        "left")
+      .groupBy("lang", "n_docs", "w", "base", "rem", "n_total")
+      .agg(count(col("m_lang")).as("rank"))
+    ranked.crossJoin(broadcast(leftover))
+      .withColumn("quota",
+        col("base") + when(col("rank") < col("r"), 1L).otherwise(0L))
+      .select(col("lang"), col("n_docs"), col("w").as("weight"),
+        col("quota"),
+        expr("(10000 * n_docs) div n_total").as("raw_share_e4"),
+        expr(s"(10000 * quota) div $budget").as("quota_share_e4"))
   }
 
   /** Token-length histogram over fixed power-of-4 buckets — the profile a

@@ -1390,6 +1390,55 @@ object Dedup {
           .otherwise(lit("kept")).as("status"))
   }
 
+  /** Contamination blast radius: breadth-first expansion from a seed set
+    * (e.g. docs found leaking into an eval set) over the near-duplicate
+    * graph — the TRANSITIVE closure question decontamination actually
+    * needs: a doc near-dup to a leaked doc is itself suspect, and so is
+    * ITS near-dup, out to `hops`. [[splitLeakage]] finds the hop-1 pairs;
+    * this walks the chain, emitting (doc_id, hop) = the first hop each
+    * reached doc is discovered at (seeds at hop 0) — the triage list a
+    * contamination review works through in hop order.
+    *
+    * Edges are the [[dupClusters]] edge set (LSH candidates confirmed by
+    * exact Jaccard ≥ threshold — candidate-bounded, never all-pairs).
+    * Each hop is one frontier-keyed equi-join against the checkpointed
+    * edge list + one anti-join against the visited set — O(edges
+    * touched) per hop, the Pregel superstep shape, `localCheckpoint`
+    * between hops like [[dupClusters]]/[[pageRank]]. `hops` is a small
+    * constant, so the oracle unrolls the same rounds as chained CTEs.
+    * On this synthetic corpus the near-dup graph is mostly isolated
+    * pairs (one triangle), so hop 2+ is empty at sf0.01 — the multi-hop
+    * contract is fixture-proven in the spec instead. */
+  def contaminationRadius(docs: DataFrame, seedIds: DataFrame,
+                          hops: Int = 3, jaccardThreshold: Double = 0.8,
+                          minhashK: Int = 4, rowsPerBand: Int = 2)
+  : DataFrame = {
+    val edges = jaccardOnPairsRaw(docs,
+      lshCandidatePairs(minhash(docs, minhashK), rowsPerBand))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val nbr = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
+    var visited = seedIds.select(col("doc_id"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var frontier = visited
+    var h = 1
+    while (h <= hops) {
+      val next = nbr
+        .join(frontier.select(col("doc_id").as("src")), "src")
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(h.toLong).as("hop"))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    visited
+  }
+
   /** Per-source rollup of [[takedownStatus]]: the completeness report a
     * compliance review reads — how many documents each source lost
     * directly vs through copy propagation, and the surviving share in

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DataQuality, Dedup, Timeseries}
+import graft.operators.{CorpusOps, DataQuality, Dedup, Timeseries}
 
 /** Round-12 warehouse-health additions: gap-filled resampling + the
   * integer z-score anomaly scan (Timeseries.scala), FK orphan audit and
@@ -119,5 +119,62 @@ class QualityOpsSpec extends SparkTestBase {
     assert(audit === Seq(
       ("src1", 3L, 2L, 1L, 0L, 0L),
       ("src2", 2L, 0L, 1L, 1L, 5000L)))
+  }
+
+  test("Dedup.contaminationRadius: BFS discovers each doc at its FIRST " +
+    "hop, seeds stay hop 0, docs beyond `hops` stay unreached") {
+    val s = spark
+    import s.implicits._
+    // an ACCUMULATING-diff chain: doc k carries k-1 single-token edits,
+    // so consecutive docs differ in exactly 1 token (Jaccard ~0.85,
+    // above threshold) while docs 2+ apart differ in >=2 well-separated
+    // tokens (~0.73, below) — a genuine path graph 1-2-3-4. d9 isolated.
+    val base = (1 to 40).map(i => s"w$i").toArray
+    def doc(id: Long, edits: Int) = {
+      val t = base.clone()
+      (1 to edits).foreach(e => t(10 * e - 1) = s"x$e")
+      (id, t.mkString(" "), "en", "s", 0L)
+    }
+    val docs = Seq(doc(1, 0), doc(2, 1), doc(3, 2), doc(4, 3),
+      (9L, "nothing in common with anything else at all", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.contaminationRadius(docs, Seq(1L).toDF("doc_id"),
+        hops = 3, jaccardThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      "each doc discovered at its FIRST hop; the isolated doc unreached")
+    // a truncated walk is a prefix of the full walk
+    val h1 = Dedup.contaminationRadius(docs, Seq(1L).toDF("doc_id"),
+        hops = 1, jaccardThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h1 === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("CorpusOps.temperatureQuotas: quotas sum to exactly the budget, " +
+    "weights are exact integer sqrts, small strata are up-weighted") {
+    val s = spark
+    import s.implicits._
+    // strata 144/25/4 docs: isqrt weights 12/5/2
+    val docs = ((1 to 144).map(i => (i.toLong, "a", "big")) ++
+      (1 to 25).map(i => (1000L + i, "a", "mid")) ++
+      (1 to 4).map(i => (2000L + i, "a", "tiny")))
+      .map { case (id, t, l) => (id, t, l, "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.temperatureQuotas(docs, budget = 19L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.map(_._4).sum === 19L, "quotas sum to the budget exactly")
+    val byLang = out.map(t => t._1 -> t).toMap
+    assert(byLang("big")._3 === 12L)
+    assert(byLang("mid")._3 === 5L)
+    assert(byLang("tiny")._3 === 2L)
+    // 19 * 12/19 = 12 exactly, 19 * 5/19 = 5, 19 * 2/19 = 2: exact seats
+    assert(byLang("big")._4 === 12L)
+    assert(byLang("mid")._4 === 5L)
+    assert(byLang("tiny")._4 === 2L)
+    // up-weighting: tiny's sampled share exceeds its raw share
+    assert(byLang("tiny")._6 > byLang("tiny")._5)
+    assert(byLang("big")._6 < byLang("big")._5)
   }
 }
