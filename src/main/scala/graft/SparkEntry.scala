@@ -877,6 +877,16 @@ object SparkEntry {
     // released (lang, source) quasi-identifiers + the at-risk share
     "corpus_k_anonymity" -> ((s, dir) =>
       TextAnalysis.kAnonymity(t(s, dir, "documents"))),
+    // the homogeneity-attack gate k-anonymity misses: distinct languages
+    // per (source, 100-char length bucket) group — a group of one lang
+    // leaks it even at healthy k
+    "corpus_l_diversity" -> ((s, dir) =>
+      TextAnalysis.lDiversity(t(s, dir, "documents"))),
+    // robust length outliers: |n_chars - median| > 3*MAD with BOTH
+    // medians exact integer rank selections off value histograms — the
+    // outlier-proof twin of the z-score ops
+    "doc_length_outliers" -> ((s, dir) =>
+      CorpusOps.lengthOutliersMad(t(s, dir, "documents"))),
     // Flesch-Kincaid grade from exact integer word/sentence/vowel-group
     // counts — the edu-quality proxy, pure per-row map
     "doc_readability" -> ((s, dir) =>
@@ -3153,6 +3163,41 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
         |   / sum(n), 4) AS at_risk_share
         |FROM g""".stripMargin,
+    // same group shape with a count-distinct per group; identical rollup
+    "corpus_l_diversity" ->
+      """WITH g AS (SELECT source, (n_chars // 100) * 100 AS bucket,
+        |   count(*) AS n, count(DISTINCT lang) AS l_group
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT CAST(2 AS BIGINT) AS l_threshold,
+        | CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(min(l_group) AS BIGINT) AS l_achieved,
+        | CAST(sum(CASE WHEN l_group < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS groups_below_l,
+        | CAST(sum(CASE WHEN l_group < 2 THEN n ELSE 0 END) AS BIGINT)
+        |   AS docs_at_risk,
+        | round(CAST(sum(CASE WHEN l_group < 2 THEN n ELSE 0 END)
+        |   AS DOUBLE) / sum(n), 4) AS at_risk_share
+        |FROM g""".stripMargin,
+    // exact lower-median rank selection off value histograms, twice
+    // (values, then absolute deviations); the 3*MAD flag is all-integer
+    "doc_length_outliers" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        | h AS (SELECT n_chars AS v, count(*) AS c FROM documents
+        |  GROUP BY 1),
+        | cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        | med AS (SELECT min(v) AS m FROM cum, n
+        |  WHERE cum >= (n + 1) // 2),
+        | dev AS (SELECT doc_id, n_chars, abs(n_chars - m) AS dev, m
+        |  FROM documents, med),
+        | dh AS (SELECT dev AS v, count(*) AS c FROM dev GROUP BY 1),
+        | dcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM dh),
+        | mad AS (SELECT min(v) AS mad FROM dcum, n
+        |  WHERE cum >= (n + 1) // 2)
+        |SELECT doc_id, n_chars, dev, CAST(m AS BIGINT) AS med,
+        | CAST(mad AS BIGINT) AS mad,
+        | CAST(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_outlier
+        |FROM dev, mad""".stripMargin,
     // per-(doc, token) c·ln c micros, BIGINT sum, one ln(n) subtraction
     "doc_entropy" ->
       """WITH tok AS (SELECT doc_id,

@@ -141,6 +141,47 @@ object CorpusOps {
           .as("weight"))
   }
 
+  /** Robust length-outlier scan via MEDIAN / MAD — the robust-statistics
+    * twin of the z-score anomaly ops: mean/σ move with the outliers they
+    * are supposed to catch (one 10 MB doc shifts the mean of a million
+    * tweets), median and median-absolute-deviation do not. Flags
+    * `|n_chars − median| > mult·MAD`, with BOTH medians computed by exact
+    * integer rank selection (lower median, rank ⌈n/2⌉ = (n+1) DIV 2) —
+    * no interpolation, so both engines agree bit-for-bit and the flag has
+    * no rounding contract.
+    *
+    * Scale shape: medians are selected from VALUE HISTOGRAMS (one
+    * groupBy(n_chars) aggregate, then a cumulative sum over the
+    * histogram — window over distinct values only, never over the
+    * corpus), the [[lengthHistogram]] discipline; the 1-row med/MAD
+    * frames broadcast back onto the scan. Two aggregate passes (the
+    * second over |x − med|, which needs med first) — the honest price of
+    * an exact MAD; sketched quantiles replace the histograms at 100 TB
+    * when exactness is not contractual. */
+  def lengthOutliersMad(docs: DataFrame, mult: Int = 3): DataFrame = {
+    def lowerMedian(values: DataFrame, vCol: String): DataFrame = {
+      val h = values.groupBy(col(vCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = h.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = values.agg(count(lit(1)).as("n"))
+      cum.crossJoin(broadcast(n))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(col("v")).as("m"))
+    }
+    val med = lowerMedian(docs.select(col("n_chars")), "n_chars")
+    val devs = docs.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("n_chars") - col("m")))
+    val mad = lowerMedian(devs.select(col("dev")), "dev")
+      .withColumnRenamed("m", "mad")
+    devs.crossJoin(broadcast(mad))
+      .select(col("doc_id"), col("n_chars"), col("dev"),
+        col("m").as("med"), col("mad"),
+        when(col("dev") > lit(mult.toLong) * col("mad"), 1L)
+          .otherwise(0L).as("is_outlier"))
+  }
+
   /** Temperature-sampled QUOTA apportionment — the discrete half of
     * [[mixtureWeights]]: given a document budget B, how many documents
     * each language stratum actually contributes under α = 0.5

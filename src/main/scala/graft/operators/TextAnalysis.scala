@@ -534,6 +534,38 @@ object TextAnalysis {
           .as("at_risk_share"))
   }
 
+  /** L-diversity release gate — the attribute-disclosure companion of
+    * [[kAnonymity]]: k-anonymity bounds how small a quasi-identifier
+    * group can get, but a group where every member shares the SAME
+    * sensitive value still leaks it (homogeneity attack, Machanavajjhala
+    * et al. 2007). Per (quasi-identifier) group this measures the number
+    * of DISTINCT sensitive values; the gate is min-l over groups. Framing
+    * on the corpus: within a (source, length-bucket) group, can a reader
+    * infer the document's language? One group aggregate (count +
+    * count-distinct) + a one-row rollup — the same shape and scale story
+    * as the k gate it ships next to. */
+  def lDiversity(docs: DataFrame, l: Int = 2,
+                 quasiCols: Seq[Column] = Seq(col("source"),
+                   expr("(n_chars div 100) * 100")),
+                 sensitive: Column = col("lang")): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity: need quasi-identifier columns")
+    val g = docs.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("l_group"))
+    g.agg(
+        count(lit(1)).as("n_groups"),
+        min(col("l_group")).as("l_achieved"),
+        sum(when(col("l_group") < l, 1L).otherwise(0L))
+          .as("groups_below_l"),
+        sum(when(col("l_group") < l, col("n")).otherwise(0L))
+          .as("docs_at_risk"),
+        sum(col("n")).as("n_docs"))
+      .select(lit(l.toLong).as("l_threshold"), col("n_groups"),
+        col("l_achieved"), col("groups_below_l"), col("docs_at_risk"),
+        round(col("docs_at_risk").cast("double") / col("n_docs"), 4)
+          .as("at_risk_share"))
+  }
+
   /** PII scrubbing — the corpus-scale sibling of the reference's per-field
     * MD5 masking (SURVEY F1–F5): redact email addresses and phone-shaped
     * numbers from free text and count what was removed, so a curation run

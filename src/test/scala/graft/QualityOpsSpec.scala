@@ -178,6 +178,49 @@ class QualityOpsSpec extends SparkTestBase {
     assert(byLang("big")._6 < byLang("big")._5)
   }
 
+  test("TextAnalysis.lDiversity: a homogeneous group is caught even at " +
+    "healthy k; diverse groups pass; the rollup counts docs at risk") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    // group (s1, 0): 3 docs, langs {en, fr, de} — l=3. group (s2, 0):
+    // 4 docs all 'en' — k-healthy but l=1, the homogeneity leak.
+    val docs = Seq(
+      (1L, "a", "en", "s1", 10L), (2L, "a", "fr", "s1", 20L),
+      (3L, "a", "de", "s1", 30L),
+      (4L, "a", "en", "s2", 10L), (5L, "a", "en", "s2", 20L),
+      (6L, "a", "en", "s2", 30L), (7L, "a", "en", "s2", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.lDiversity(docs, l = 2,
+        quasiCols = Seq(col("source")))
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4), out.getDouble(5)) ===
+      ((2L, 2L, 1L, 1L, 4L, 0.5714)))
+  }
+
+  test("CorpusOps.lengthOutliersMad: exact lower-median selection; an " +
+    "extreme value flags without dragging the median the way a mean " +
+    "would; MAD of a constant-spread corpus is exact") {
+    val s = spark
+    import s.implicits._
+    // lengths 10,10,10,12,12,1000: n=6, rank (6+1) div 2 = 3 → med=10;
+    // devs 0,0,0,2,2,990 → MAD (rank 3) = 0... constant MAD 0 flags any
+    // deviation — use a spread: 10,12,14,16,18,1000: med(rank 3)=14,
+    // devs 4,2,0,2,4,986 sorted 0,2,2,4,4,986 → MAD=2; 3*MAD=6: only
+    // 986 flags
+    val docs = Seq(10L, 12L, 14L, 16L, 18L, 1000L).zipWithIndex
+      .map { case (n, i) => (i.toLong, "t", "en", "s", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.lengthOutliersMad(docs)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).sortBy(_._1)
+    assert(out.forall(r => r._3 === 14L && r._4 === 2L))
+    assert(out.map(_._5).toSeq === Seq(0L, 0L, 0L, 0L, 0L, 1L))
+    assert(out.last === ((1000L, 986L, 14L, 2L, 1L)))
+  }
+
   test("Similarity.rpProjected: the md5-derived sign matrix is fixed " +
     "±1; projection is exact signed sums; linearity holds") {
     val s = spark
