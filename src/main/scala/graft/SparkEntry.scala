@@ -340,6 +340,18 @@ object SparkEntry {
         FkRel("events_customer", events(s, dir), col("user_id"),
           t(s, dir, "customer"), col("c_custkey"))))
     }),
+    // join-key skew diagnosis: the number that decides whether salting /
+    // AQE skew handling earns its overhead — hottest key, its share, p99
+    // count, and max/mean in 1e-4 units, all integer-decided
+    "lineitem_key_skew" -> ((s, dir) =>
+      Skew.keySkewReport(t(s, dir, "lineitem"), col("l_partkey"))),
+    // exact price deciles: nine integer rank selections off the cents
+    // value histogram — no interpolation on either engine
+    "orders_price_deciles" -> ((s, dir) =>
+      DataQuality.decileTable(
+        t(s, dir, "orders").select(
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("v")), "v")),
     // per-column profile of orders — the Deequ-shaped drift table: nulls,
     // exact distincts, min/max over canonicalized (integral/text) forms
     "orders_profile" -> ((s, dir) => {
@@ -2541,6 +2553,38 @@ object SparkEntry {
         rel("events_customer", "events", "user_id", "customer",
           "c_custkey")).mkString("\nUNION ALL\n")
     },
+    // identical histogram-rank machinery; p99 rank ceil((99*n_keys)/100)
+    "lineitem_key_skew" ->
+      """WITH k AS (SELECT l_partkey AS key, count(*) AS c FROM lineitem
+        |  GROUP BY 1),
+        | mx AS (SELECT max(c) AS max_cnt FROM k),
+        | top AS (SELECT min(key) AS top_key FROM k, mx
+        |  WHERE c = max_cnt),
+        | ch AS (SELECT c AS v, count(*) AS ck FROM k GROUP BY 1),
+        | cum AS (SELECT v, sum(ck) OVER (ORDER BY v) AS cum FROM ch),
+        | nk AS (SELECT count(*) AS n_keys, sum(c) AS n_rows FROM k),
+        | p99 AS (SELECT min(v) AS p99_cnt FROM cum, nk
+        |  WHERE cum >= (99 * n_keys + 99) // 100)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(n_keys AS BIGINT) AS n_keys,
+        | CAST(max_cnt AS BIGINT) AS max_cnt,
+        | CAST(top_key AS BIGINT) AS top_key,
+        | CAST(p99_cnt AS BIGINT) AS p99_cnt,
+        | CAST((10000 * max_cnt) // n_rows AS BIGINT) AS max_share_e4,
+        | CAST((10000 * max_cnt * n_keys) // n_rows AS BIGINT) AS skew_e4
+        |FROM nk, mx, top, p99""".stripMargin,
+    // nine exact rank selections off the cents histogram
+    "orders_price_deciles" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |   AS BIGINT) AS v FROM orders),
+        | h AS (SELECT v, count(*) AS c FROM o GROUP BY 1),
+        | cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        | n AS (SELECT count(*) AS n FROM o),
+        | q AS (SELECT unnest(range(1, 10)) AS decile)
+        |SELECT decile, CAST((decile * n + 9) // 10 AS BIGINT) AS rank,
+        | CAST(min(v) AS BIGINT) AS value_c
+        |FROM q, n, cum WHERE cum >= (decile * n + 9) // 10
+        |GROUP BY 1, 2""".stripMargin,
     // per-column UNION ALL over the canonicalized orders projection
     "orders_profile" -> {
       def colStats(name: String): String =

@@ -50,6 +50,32 @@ object DataQuality {
           col("n_orphan"))
     }.reduce(_ unionByName _)
 
+  /** Exact decile table of an integral column — the distribution half the
+    * [[columnProfile]] min/max can't show, with every quantile an EXACT
+    * integer rank selection (value at rank ⌈q·n/10⌉ = (q·n+9) DIV 10 off
+    * the value histogram — the lower-median discipline generalized to all
+    * nine cut points, no interpolation, no rounding contract). One value
+    * histogram + one cumulative sum over DISTINCT values + a broadcast
+    * 9-row quantile frame: at 100 TB the histogram is bounded by value
+    * cardinality (cents, lengths, counts — all naturally bounded), and
+    * `approx_percentile` replaces it only when exactness is not
+    * contractual. */
+  def decileTable(values: DataFrame, vCol: String): DataFrame = {
+    val h = values.groupBy(col(vCol).as("v")).agg(count(lit(1)).as("c"))
+    val cum = h.withColumn("cum", sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val n = values.agg(count(lit(1)).as("n"))
+    val q = values.sparkSession.range(1, 10)
+      .select(col("id").as("decile"))
+    cum.crossJoin(broadcast(n)).crossJoin(broadcast(q))
+      .withColumn("rank", expr("(decile * n + 9) div 10"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("decile"), col("rank"))
+      .agg(min(col("v")).as("value_c"))
+  }
+
   /** Per-column profile of a table: one row per column with the row
     * count, null count, exact distinct count, and min/max — over a
     * CANONICALIZED form of the column supplied by the caller (BIGINT for

@@ -62,4 +62,38 @@ object Skew {
       .join(dim.withColumn("_salt",
         explode(sequence(lit(0), lit(buckets - 1)))), Seq(key, "_salt"))
       .drop("_salt")
+
+  /** Join-key skew DIAGNOSIS — the one-row report read BEFORE deciding
+    * whether [[saltedAgg]]/[[saltedJoin]]/AQE skew handling is worth its
+    * overhead: per-key counts reduced to row/key totals, the hottest
+    * key's count + identity (min key on ties), its share of all rows, the
+    * p99 per-key count (exact rank selection off the COUNT histogram —
+    * window over distinct count values only, never over keys), and the
+    * skew factor max/mean in 1e-4 integral units. skew_e4 = 10000 means
+    * perfectly uniform; the salting decision threshold is a number, not a
+    * guess. Everything after the per-key aggregate runs on histogram-
+    * sized frames; every reported value is decided in integer
+    * arithmetic. */
+  def keySkewReport(df: DataFrame, key: Column): DataFrame = {
+    val k = df.groupBy(key.as("key")).agg(count(lit(1)).as("c"))
+    val mx = k.agg(max(col("c")).as("max_cnt"))
+    val top = k.crossJoin(broadcast(mx))
+      .filter(col("c") === col("max_cnt"))
+      .agg(min(col("key")).as("top_key"))
+    val nk = k.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"))
+    val ch = k.groupBy(col("c").as("v")).agg(count(lit(1)).as("ck"))
+    val cum = ch.withColumn("cum", sum(col("ck")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val p99 = cum.crossJoin(broadcast(nk.select("n_keys")))
+      .filter(col("cum") >= expr("(99 * n_keys + 99) div 100"))
+      .agg(min(col("v")).as("p99_cnt"))
+    nk.crossJoin(broadcast(mx)).crossJoin(broadcast(top))
+      .crossJoin(broadcast(p99))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("top_key"), col("p99_cnt"),
+        expr("(10000 * max_cnt) div n_rows").as("max_share_e4"),
+        expr("(10000 * max_cnt * n_keys) div n_rows").as("skew_e4"))
+  }
 }

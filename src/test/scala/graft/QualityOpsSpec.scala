@@ -221,6 +221,36 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out.last === ((1000L, 986L, 14L, 2L, 1L)))
   }
 
+  test("Skew.keySkewReport: a hot key is identified with its exact " +
+    "share and skew factor; a uniform key space reads skew_e4 = 10000") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Skew
+    // keys: 7 appears 6x, 1..4 once each → n=10, keys=5, max=6,
+    // mean=2, skew=3.0, p99 rank ceil(99*5/100)=5 → 5th count value = 6
+    val hot = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L, 4L)).toDF("k")
+    val r = Skew.keySkewReport(hot, col("k")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((10L, 5L, 6L, 7L, 6L, 6000L, 30000L)))
+    val uniform = (1L to 8L).toDF("k")
+    val u = Skew.keySkewReport(uniform, col("k")).collect().head
+    assert(u.getLong(6) === 10000L, "uniform keys read exactly 10000")
+  }
+
+  test("DataQuality.decileTable: exact rank selection at ceil(q*n/10); " +
+    "a 10-value staircase reads its own values as deciles") {
+    val s = spark
+    import s.implicits._
+    // values 10..100 step 10, n=10: decile d has rank ceil(d) = d → the
+    // d-th smallest value = 10*d
+    val vals = (1 to 10).map(i => i * 10L).toDF("v")
+    val out = DataQuality.decileTable(vals, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out === (1 to 9).map(d => (d.toLong, d.toLong, d * 10L)))
+  }
+
   test("Similarity.rpProjected: the md5-derived sign matrix is fixed " +
     "±1; projection is exact signed sums; linearity holds") {
     val s = spark
