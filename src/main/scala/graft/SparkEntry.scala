@@ -340,6 +340,13 @@ object SparkEntry {
         FkRel("events_customer", events(s, dir), col("user_id"),
           t(s, dir, "customer"), col("c_custkey"))))
     }),
+    // exact tie-aware Spearman between doc char count and token count:
+    // Pearson on integer 2x-average-rank vectors (the correct form under
+    // ties), moments in DECIMAL(38,0), ONE double expression at the end
+    "corpus_spearman_len_tokens" -> ((s, dir) =>
+      DataQuality.spearman(t(s, dir, "documents"),
+        col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long"))),
     // join-key skew diagnosis: the number that decides whether salting /
     // AQE skew handling earns its overhead — hottest key, its share, p99
     // count, and max/mean in 1e-4 units, all integer-decided
@@ -2553,6 +2560,27 @@ object SparkEntry {
         rel("events_customer", "events", "user_id", "customer",
           "c_custkey")).mkString("\nUNION ALL\n")
     },
+    // identical 2x-average-rank maps off value histograms; HUGEINT sums
+    // land on the same exact integers Spark's DECIMAL(38,0) carries
+    "corpus_spearman_len_tokens" ->
+      """WITH base AS (SELECT n_chars AS a,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+        |  FROM documents),
+        | ha AS (SELECT a AS v, count(*) AS c FROM base GROUP BY 1),
+        | ra AS (SELECT v AS a, sum(c) OVER (ORDER BY v) * 2 - c + 1
+        |   AS x FROM ha),
+        | hb AS (SELECT b AS v, count(*) AS c FROM base GROUP BY 1),
+        | rb AS (SELECT v AS b, sum(c) OVER (ORDER BY v) * 2 - c + 1
+        |   AS y FROM hb),
+        | r AS (SELECT x, y FROM base JOIN ra USING (a) JOIN rb USING (b)),
+        | m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS rho
+        |FROM m""".stripMargin,
     // identical histogram-rank machinery; p99 rank ceil((99*n_keys)/100)
     "lineitem_key_skew" ->
       """WITH k AS (SELECT l_partkey AS key, count(*) AS c FROM lineitem

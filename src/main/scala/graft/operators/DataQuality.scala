@@ -76,6 +76,58 @@ object DataQuality {
       .agg(min(col("v")).as("value_c"))
   }
 
+  /** Exact tie-aware Spearman rank correlation between two integral
+    * columns — the monotone-association check a feature audit wants
+    * (Pearson assumes linearity and is wrecked by the same outliers the
+    * MAD op hunts; Spearman only asks "do they rise together"). Computed
+    * as PEARSON ON THE RANK VECTORS — the correct form under ties, where
+    * the textbook 6Σd² shortcut is only an approximation — with every
+    * rank an exact INTEGER: ties get 2×average-rank = min_rank+max_rank
+    * read off the value histogram's cumulative sum (scaling both rank
+    * vectors by 2 leaves the correlation untouched and keeps half-ranks
+    * out of the arithmetic). All five moments (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate in DECIMAL(38,0) — rank products reach n³ and overflow
+    * int64 at warehouse row counts (the lengthGini overflow discipline) —
+    * and exactly ONE double expression at the end:
+    * (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²ᵗᵒᵗ)·√(n·Σy²−Σy²ᵗᵒᵗ)), rounded 4dp.
+    *
+    * Scale shape: two value histograms (+ windows over distinct values
+    * only), two broadcast rank-map joins back onto the scan, one 1-row
+    * moment aggregate. Nothing row-ordered, nothing collected. */
+  def spearman(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rank2Map(vals: DataFrame): DataFrame = {
+      // value → min_rank + max_rank (= 2× average rank, ties exact)
+      val h = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      h.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("v"), (col("cum") * 2 - col("c") + 1).as("r2"))
+    }
+    val base = df.select(aCol.cast("long").as("a"),
+      bCol.cast("long").as("b"))
+    val ra = rank2Map(base.select(col("a").as("v")))
+      .select(col("v").as("a"), col("r2").as("x"))
+    val rb = rank2Map(base.select(col("b").as("v")))
+      .select(col("v").as("b"), col("r2").as("y"))
+    val d38 = "decimal(38,0)"
+    val ranked = base.join(broadcast(ra), "a").join(broadcast(rb), "b")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .select(col("n"),
+        round(
+          (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 4).as("rho"))
+  }
+
   /** Per-column profile of a table: one row per column with the row
     * count, null count, exact distinct count, and min/max — over a
     * CANONICALIZED form of the column supplied by the caller (BIGINT for

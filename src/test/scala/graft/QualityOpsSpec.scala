@@ -251,6 +251,21 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out === (1 to 9).map(d => (d.toLong, d.toLong, d * 10L)))
   }
 
+  test("DataQuality.spearman: ±1 on perfect monotone/inverse data; the " +
+    "tie-averaged rank case matches the hand-computed Pearson-on-ranks") {
+    val s = spark
+    import s.implicits._
+    def rho(pairs: Seq[(Long, Long)]): Double =
+      DataQuality.spearman(pairs.toDF("a", "b"), col("a"), col("b"))
+        .collect().head.getDouble(1)
+    assert(rho(Seq((1L, 5L), (2L, 7L), (3L, 9L), (4L, 11L))) === 1.0)
+    assert(rho(Seq((1L, 11L), (2L, 9L), (3L, 7L), (4L, 5L))) === -1.0)
+    // a=[1,2,2,3] (tie → average rank), b strictly increasing:
+    // r2a=(2,5,5,8), r2b=(2,4,6,8) → rho = 72/(sqrt(72)*sqrt(80))
+    assert(rho(Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 40L)))
+      === 0.9487)
+  }
+
   test("Similarity.rpProjected: the md5-derived sign matrix is fixed " +
     "±1; projection is exact signed sums; linearity holds") {
     val s = spark
