@@ -263,6 +263,30 @@ object Example {
       println("[example] media near-dups by perceptual hash (Hamming<=3):")
       SparkEntry.queries("multimodal_dup_pairs")(spark, sfDir)
         .orderBy("doc_a", "doc_b").show(3)
+      println("[example] takedown propagation (direct + copy removals " +
+        "per source):")
+      SparkEntry.queries("corpus_takedown_audit")(spark, sfDir)
+        .orderBy(col("n_copy").desc, col("source")).show(5)
+      println("[example] contamination blast radius (first-discovery " +
+        "hop per doc; hop 0 = the leaked seeds):")
+      SparkEntry.queries("doc_contamination_radius")(spark, sfDir)
+        .groupBy("hop").count().orderBy("hop").show()
+      println("[example] gap-filled hourly grid -> integer z-score " +
+        "anomalies (flagged rows only):")
+      SparkEntry.queries("events_rate_anomaly")(spark, sfDir)
+        .filter(col("is_anomaly") === 1)
+        .orderBy("event_type", "hour_ms").show(5)
+      println("[example] FK orphan audit (the damaged-parent row proves " +
+        "detection):")
+      SparkEntry.queries("rel_fk_audit")(spark, sfDir)
+        .orderBy("rel").show(truncate = false)
+      println("[example] temperature-sampled quotas (alpha=0.5, seats " +
+        "sum to exactly 100):")
+      SparkEntry.queries("corpus_temperature_quotas")(spark, sfDir)
+        .orderBy("lang").show()
+      println("[example] SCD2 history of one customer's order priority:")
+      SparkEntry.queries("orders_scd2")(spark, sfDir)
+        .filter(col("o_custkey") === 1).orderBy("valid_from_ms").show(5)
       // live Flume AvroSourceProtocol round trip: RPC -> spool -> read
       import graft.sources.{FlumeAvroReceiver, FlumeLikeSource}
       val spool = java.nio.file.Files
