@@ -118,7 +118,15 @@ object ScaleBench {
       // perceptual hash — the mapPartitions codec boundary priced at
       // scale: byte-level BMP parse + two 64-bit hashes per row,
       // expected linear like the other per-row passes
-      "doc_pii_detect", "doc_weighted_sample", "multimodal_phash")
+      "doc_pii_detect", "doc_weighted_sample", "multimodal_phash",
+      // r12 session 4: takedown propagation (tombstones ride id residues,
+      // so the tombstone set grows ×f with the corpus; the cell watches
+      // the role-flipped band probe stay candidate-bounded — expected
+      // ~linear like doc_dedup_incremental_near) and the contamination
+      // BFS (edge construction is the LSH chain; 3 frontier hops on top,
+      // each O(edges touched) — expected the chain's growth, since the
+      // hop joins are pair-bounded)
+      "doc_takedown_status", "doc_contamination_radius")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the

@@ -20,54 +20,54 @@ import org.apache.spark.sql.functions._
   * centroid-table pattern), so nothing event-sized is ever joined wide.
   * The anomaly window runs per type over hours — thousands of rows per
   * partition at century scale, never data-sized.
+  *
+  * Staged as counts → grid → test so the ONLINE maintainer
+  * ([[graft.streaming.StreamingRate]]) can keep the (type, hour) count
+  * state additively per micro-batch and serve the identical report off
+  * it — counts are the mergeable state, grid and test are display-time.
   */
 object Timeseries {
 
-  /** Hourly event counts per type on a GAP-FILLED grid: every
-    * (event_type, hour) cell between the corpus's first and last hour
-    * (inclusive, shared across types) carries its count, zero when no
-    * event landed — the resample step every rate monitor starts from.
-    * Hours are emitted as epoch millis (engine-portable, no timestamp
-    * formatting contract). One count aggregate over the stream + one
-    * one-row bounds aggregate; the grid (types × hours) left-joins the
-    * counts, so missing cells surface as exact zeros. */
-  def hourlyGapfill(events: DataFrame): DataFrame = {
-    val counts = events
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+  private val HourMs = 3600L * 1000
+
+  /** (event_type, hour_ms, n) — hourly counts, the ADDITIVE state form:
+    * two count frames over disjoint event slices merge by summing `n`
+    * per cell, which is what lets a stream maintain it per batch. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        (expr(s"unix_millis(ts) div $HourMs") * HourMs).as("hour_ms"))
       .agg(count(lit(1)).as("n"))
-    val bounds = events.agg(
-      date_trunc("hour", min(col("ts"))).as("h_min"),
-      date_trunc("hour", max(col("ts"))).as("h_max"))
-    val grid = events.select(col("event_type")).distinct()
+
+  /** Gap-fill a [[hourlyCounts]] frame: every (event_type, hour) cell
+    * between the observed first and last hour (inclusive, shared across
+    * types) carries its count, zero when no event landed. The grid is a
+    * long-range `sequence` exploded against the broadcast 1-row bounds
+    * frame × the distinct types. */
+  def gapfillFromCounts(counts: DataFrame): DataFrame = {
+    val bounds = counts.agg(min(col("hour_ms")).as("h0"),
+      max(col("hour_ms")).as("h1"))
+    val grid = counts.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds)) // 1-row frame
       .select(col("event_type"),
-        explode(sequence(col("h_min"), col("h_max"),
-          expr("INTERVAL 1 HOUR"))).as("hour"))
-    grid.join(counts, Seq("event_type", "hour"), "left")
-      .select(col("event_type"),
-        unix_millis(col("hour")).as("hour_ms"),
+        explode(sequence(col("h0"), col("h1"), lit(HourMs)))
+          .as("hour_ms"))
+    grid.join(counts, Seq("event_type", "hour_ms"), "left")
+      .select(col("event_type"), col("hour_ms"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
-  /** Trailing-window rate anomaly over the [[hourlyGapfill]] grid: per
-    * type, each hour's count is compared to the mean/variance of the
-    * PREVIOUS `window` hours (a ROWS frame — the current hour never
-    * contaminates its own baseline), and flagged when it sits more than
-    * `z` standard deviations out. The test is the z-score inequality
-    * cleared of divisions — with S = Σ baseline counts, SS = Σ counts²,
-    * w = baseline rows: |x − S/w| > z·σ  ⇔  (w·x − S)² > z²·(w·SS − S²)
-    * — every term an exact BIGINT, so both engines decide every flag on
-    * integer arithmetic with no float/rounding contract at all (the
-    * PageRank discipline applied to monitoring). Warm-up rows with fewer
-    * than `minWindow` baseline hours report is_anomaly = 0 (their `w`
-    * says why). A zero-variance baseline flags ANY deviation — a feed
-    * that produced exactly 7 events per hour for a day and then 8 IS
-    * news. Emits the decision inputs (n, w, dev2 = (w·x−S)²,
-    * bound = z²·(w·SS−S²)) so a dashboard can show margins, not just
-    * bits. */
-  def rateAnomaly(events: DataFrame, window: Int = 24, z: Int = 3,
-                  minWindow: Int = 12): DataFrame = {
-    val grid = hourlyGapfill(events)
+  /** Hourly event counts per type on a GAP-FILLED grid — the resample
+    * step every rate monitor starts from. Hours are epoch millis
+    * (engine-portable, no timestamp formatting contract). */
+  def hourlyGapfill(events: DataFrame): DataFrame =
+    gapfillFromCounts(hourlyCounts(events))
+
+  /** The anomaly test over an already gap-filled (event_type, hour_ms, n)
+    * grid — see [[rateAnomaly]] for the contract. Split out so the
+    * online path scores the maintained state with the IDENTICAL code. */
+  def anomalyOnGrid(grid: DataFrame, window: Int = 24, z: Int = 3,
+                    minWindow: Int = 12): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
       .rowsBetween(-window, -1)
     grid
@@ -87,4 +87,24 @@ object Timeseries {
       .select(col("event_type"), col("hour_ms"), col("n"), col("w"),
         col("dev2"), col("bound"), col("is_anomaly"))
   }
+
+  /** Trailing-window rate anomaly over the [[hourlyGapfill]] grid: per
+    * type, each hour's count is compared to the mean/variance of the
+    * PREVIOUS `window` hours (a ROWS frame — the current hour never
+    * contaminates its own baseline), and flagged when it sits more than
+    * `z` standard deviations out. The test is the z-score inequality
+    * cleared of divisions — with S = Σ baseline counts, SS = Σ counts²,
+    * w = baseline rows: |x − S/w| > z·σ  ⇔  (w·x − S)² > z²·(w·SS − S²)
+    * — every term an exact BIGINT, so both engines decide every flag on
+    * integer arithmetic with no float/rounding contract at all (the
+    * PageRank discipline applied to monitoring). Warm-up rows with fewer
+    * than `minWindow` baseline hours report is_anomaly = 0 (their `w`
+    * says why). A zero-variance baseline flags ANY deviation — a feed
+    * that produced exactly 7 events per hour for a day and then 8 IS
+    * news. Emits the decision inputs (n, w, dev2 = (w·x−S)²,
+    * bound = z²·(w·SS−S²)) so a dashboard can show margins, not just
+    * bits. */
+  def rateAnomaly(events: DataFrame, window: Int = 24, z: Int = 3,
+                  minWindow: Int = 12): DataFrame =
+    anomalyOnGrid(hourlyGapfill(events), window, z, minWindow)
 }

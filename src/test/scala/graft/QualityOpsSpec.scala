@@ -266,6 +266,54 @@ class QualityOpsSpec extends SparkTestBase {
       === 0.9487)
   }
 
+  test("StreamingRate: the online report off the maintained count state " +
+    "is row-identical to batch rateAnomaly over the full feed — " +
+    "including a split mid-hour; a replayed batch id refuses") {
+    import graft.streaming.StreamingRate
+    import graft.operators.Timeseries
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000
+    // the spike fixture: 12 steady hours at 2/hour, then 9 in hour 13.
+    // Split so hour 5 STRADDLES the batch boundary (1 event in b0, 1 in
+    // b1) — additive counts must make the split invisible.
+    val all = (0 until 12).flatMap(i =>
+      Seq.fill(2)((ts(i * h + 1), "a"))) ++
+      Seq.fill(9)((ts(12 * h + 1), "a"))
+    val (b0rows, b1rows) = (all.take(11), all.drop(11))
+    val stateDir = tmpDir("rate_state")
+    def df(rows: Seq[(java.sql.Timestamp, String)]) =
+      rows.toDF("ts", "event_type")
+    assert(StreamingRate.applyBatch(spark, stateDir, df(b0rows), 0L))
+    assert(StreamingRate.applyBatch(spark, stateDir, df(b1rows), 1L))
+    val live = StreamingRate.report(spark, stateDir)
+      .orderBy("event_type", "hour_ms").collect().toSeq
+    val full = Timeseries.rateAnomaly(df(all))
+      .orderBy("event_type", "hour_ms").collect().toSeq
+    assert(live === full, "online report ≡ batch rateAnomaly")
+    assert(live.map(_.getLong(6)).sum === 1L, "the spike still flags")
+    // replay refuses and leaves the report untouched
+    assert(!StreamingRate.applyBatch(spark, stateDir, df(b1rows), 1L))
+    assert(StreamingRate.report(spark, stateDir)
+      .orderBy("event_type", "hour_ms").collect().toSeq === full)
+    // and the streaming wiring end-to-end over a MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val stateDir2 = tmpDir("rate_state2")
+    val q = StreamingRate.maintain(
+      in.toDF().toDF("ts", "event_type"),
+      stateDir2, tmpDir("rate_ckpt"), Trigger.ProcessingTime(0))
+    in.addData(b0rows)
+    q.processAllAvailable()
+    in.addData(b1rows)
+    q.processAllAvailable()
+    q.stop()
+    assert(StreamingRate.report(spark, stateDir2)
+      .orderBy("event_type", "hour_ms").collect().toSeq === full)
+  }
+
   test("Similarity.rpProjected: the md5-derived sign matrix is fixed " +
     "±1; projection is exact signed sums; linearity holds") {
     val s = spark
