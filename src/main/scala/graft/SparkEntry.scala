@@ -340,6 +340,12 @@ object SparkEntry {
         FkRel("events_customer", events(s, dir), col("user_id"),
           t(s, dir, "customer"), col("c_custkey"))))
     }),
+    // Benford first-digit forensic screen on order prices: pinned
+    // integer expectation constants, 1e-4 shares, signed deltas — the
+    // uniform synthetic draw fails loudly, which is the point
+    "orders_benford_audit" -> ((s, dir) =>
+      DataQuality.benfordAudit(t(s, dir, "orders"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))),
     // exact tie-aware Spearman between doc char count and token count:
     // Pearson on integer 2x-average-rank vectors (the correct form under
     // ties), moments in DECIMAL(38,0), ONE double expression at the end
@@ -1321,6 +1327,11 @@ object SparkEntry {
       Dedup.incrementalNearDedupIndexed(s,
         d.filter(col("doc_id") % 10 === 0), bands, sets)
     }),
+    // match evidence for confirmed near-dup pairs: the 3 RAREST shared
+    // shingles per pair (by corpus df, ties lexicographic) — what a
+    // reviewer reads before acting on a dedup decision
+    "doc_dup_evidence" -> ((s, dir) =>
+      Dedup.dupEvidence(t(s, dir, "documents"))),
     // takedown / right-to-be-forgotten propagation: docs ending in 8 are
     // the tombstone list; their near-dup mirrors (LSH probe + exact
     // Jaccard >= 0.8) and exact re-posts leave with them, everything else
@@ -2560,6 +2571,26 @@ object SparkEntry {
         rel("events_customer", "events", "user_id", "customer",
           "c_custkey")).mkString("\nUNION ALL\n")
     },
+    // pinned e4 Benford constants; first digit off the decimal rendering
+    "orders_benford_audit" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |   AS BIGINT) AS c FROM orders WHERE o_totalprice > 0),
+        | d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+        |   AS digit FROM v WHERE c > 0),
+        | n AS (SELECT count(*) AS n FROM d),
+        | obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d
+        |  GROUP BY 1),
+        | bf AS (SELECT * FROM (VALUES (1,3010),(2,1760),(3,1249),(4,969),
+        |   (5,791),(6,669),(7,579),(8,511),(9,457))
+        |   AS t(digit, benford_e4))
+        |SELECT CAST(bf.digit AS BIGINT) AS digit,
+        | CAST(coalesce(obs.cnt, 0) AS BIGINT) AS n_values,
+        | CAST((10000 * coalesce(obs.cnt, 0)) // n.n AS BIGINT)
+        |   AS share_e4,
+        | CAST(bf.benford_e4 AS BIGINT) AS benford_e4,
+        | CAST((10000 * coalesce(obs.cnt, 0)) // n.n - bf.benford_e4
+        |   AS BIGINT) AS delta_e4
+        |FROM bf LEFT JOIN obs ON bf.digit = obs.digit, n""".stripMargin,
     // identical 2x-average-rank maps off value histograms; HUGEINT sums
     // land on the same exact integers Spark's DECIMAL(38,0) carries
     "corpus_spearman_len_tokens" ->
@@ -5509,6 +5540,51 @@ object SparkEntry {
     // anti-join of the batch against the >= 0.8 drop list. Shared with the
     // persisted-index variant — deterministic chain, identical rows.
     "doc_dedup_incremental_near" -> NearDedupOracleSql,
+    // the confirmed-pair chain + a corpus-wide shingle df aggregate; the
+    // 3 rarest shared shingles per pair by (df, shingle) rank
+    "doc_dup_evidence" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed
+        |  FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | conf AS (SELECT c.doc_a, c.doc_b FROM cand c
+        |  JOIN sets a ON c.doc_a = a.doc_id
+        |  JOIN sets b ON c.doc_b = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+        | ds AS (SELECT DISTINCT doc_id, unnest(sset) AS shingle
+        |  FROM sets),
+        | df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+        |  FROM ds GROUP BY 1),
+        | shared AS (SELECT p.doc_a, p.doc_b, a.shingle FROM conf p
+        |  JOIN ds a ON a.doc_id = p.doc_a
+        |  JOIN ds b ON b.doc_id = p.doc_b AND b.shingle = a.shingle),
+        | ranked AS (SELECT doc_a, doc_b, shingle, df,
+        |   row_number() OVER (PARTITION BY doc_a, doc_b
+        |     ORDER BY df, shingle) AS rnk
+        |  FROM shared JOIN df USING (shingle))
+        |SELECT doc_a, doc_b, shingle, df, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
     // the confirmed near-dup edge set (LSH chain + Jaccard >= 0.8) walked
     // 3 unrolled BFS hops from the seed set; first-discovery hop per doc
     "doc_contamination_radius" ->

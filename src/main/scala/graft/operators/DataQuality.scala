@@ -76,6 +76,40 @@ object DataQuality {
       .agg(min(col("v")).as("value_c"))
   }
 
+  /** Benford first-digit audit — the forensic-accounting screen applied
+    * to a money column: organically-grown magnitudes put digit d first
+    * with probability log10(1+1/d) (30.1% of real invoices start with 1),
+    * and fabricated, capped, or uniformly-generated values don't. Emits
+    * per digit the observed count, observed share, the Benford
+    * expectation, and the signed deviation — ALL in 1e-4 integral units:
+    * the expectations are pinned integer constants (⌊log10(1+1/d)·10⁴⌋,
+    * the same constant table on both engines) so no logarithm runs at
+    * query time and no rounding contract exists anywhere. One map
+    * (first digit of the positive cents value via its decimal rendering)
+    * + one ≤9-key aggregate; this synthetic corpus's uniform price draw
+    * FAILS the audit loudly (delta up to +0.12 on digit 4), which is
+    * exactly what the screen is for. */
+  def benfordAudit(values: DataFrame, vCol: Column): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val benford = Seq((1L, 3010L), (2L, 1760L), (3L, 1249L), (4L, 969L),
+      (5L, 791L), (6L, 669L), (7L, 579L), (8L, 511L), (9L, 457L))
+      .toDF("digit", "benford_e4")
+    val digits = values.select(vCol.as("c")).filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+    val n = digits.agg(count(lit(1)).as("n"))
+    val obs = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    benford.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("digit"),
+        coalesce(col("cnt"), lit(0L)).as("n_values"),
+        expr("(10000 * coalesce(cnt, 0)) div n").as("share_e4"),
+        col("benford_e4"),
+        (expr("(10000 * coalesce(cnt, 0)) div n") - col("benford_e4"))
+          .as("delta_e4"))
+  }
+
   /** Exact tie-aware Spearman rank correlation between two integral
     * columns — the monotone-association check a feature audit wants
     * (Pearson assumes linearity and is wrecked by the same outliers the

@@ -1390,6 +1390,45 @@ object Dedup {
           .otherwise(lit("kept")).as("status"))
   }
 
+  /** Match EVIDENCE for confirmed near-dup pairs — the explainability
+    * table a human reviewer reads before acting on a dedup decision: for
+    * each pair with Jaccard ≥ threshold, the `k` RAREST shared shingles
+    * (rarest by corpus document frequency, ties lexicographic). Rare
+    * shared shingles are the convincing ones — "both docs contain this
+    * phrase that appears nowhere else" reads as evidence, "both contain
+    * 'of the and'" does not; it is the same rarity logic
+    * `doc_winnow_pairs`' hot-fingerprint guard applies in reverse.
+    *
+    * Scale shape: pairs are LSH-candidate-bounded; the shared-shingle
+    * join explodes only CONFIRMED pairs' shingle sets; the df table is
+    * one corpus-wide (shingle → doc count) aggregate — the same relation
+    * the n-gram histogram already builds — and the per-pair rank window
+    * is shared-shingle-sized. */
+  def dupEvidence(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                  minhashK: Int = 4, rowsPerBand: Int = 2,
+                  k: Int = 3): DataFrame = {
+    val conf = jaccardOnPairsRaw(docs,
+      lshCandidatePairs(minhash(docs, minhashK), rowsPerBand))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val ds = shingleSets(docs)
+      .select(col("doc_id"), explode(col("sset")).as("shingle"))
+      .distinct()
+    val df = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val shared = conf
+      .join(ds.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("df"), col("shingle"))
+    shared.join(df, "shingle")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_a"), col("doc_b"), col("shingle"), col("df"),
+        col("rnk"))
+  }
+
   /** Contamination blast radius: breadth-first expansion from a seed set
     * (e.g. docs found leaking into an eval set) over the near-duplicate
     * graph — the TRANSITIVE closure question decontamination actually

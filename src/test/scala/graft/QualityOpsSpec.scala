@@ -266,6 +266,58 @@ class QualityOpsSpec extends SparkTestBase {
       === 0.9487)
   }
 
+  test("Dedup.dupEvidence: the k rarest SHARED shingles surface per " +
+    "pair; a shingle unique to one side never appears; rank order is " +
+    "(df asc, shingle asc)") {
+    val s = spark
+    import s.implicits._
+    // two near-dup docs sharing 29 of 30 tokens; a third doc repeats a
+    // few of their shingles to push those dfs to 2+ so rarity ranks bite
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared, "en", "s", 0L),
+      (2L, shared + " tail", "en", "s", 0L),
+      (9L, "tok1 tok2 tok3 unrelated words here", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dupEvidence(docs, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._5)
+    assert(out.forall(r => r._1 == 1L && r._2 == 2L))
+    assert(out.map(_._5).toSeq === Seq(1L, 2L, 3L))
+    // all evidence shingles are genuinely shared (df counts both docs)
+    assert(out.forall(_._4 >= 2L))
+    // "tok1 tok2 tok3" lives in doc 9 too (df=3) — rarer df=2 shingles
+    // must outrank it
+    assert(!out.map(_._3).contains("tok1 tok2 tok3"))
+    // rank 1 is the lexicographically-first df=2 shingle
+    assert(out.head._3 === "tok10 tok11 tok12")
+  }
+
+  test("DataQuality.benfordAudit: digit shares and deltas against the " +
+    "pinned expectations; non-positive values are excluded; a Benford-" +
+    "perfect staircase reads near-zero deltas") {
+    val s = spark
+    import s.implicits._
+    // 10000 values with first-digit counts EXACTLY at the e4 Benford
+    // constants: delta must be 0 for every digit
+    val counts = Seq(1 -> 3010, 2 -> 1760, 3 -> 1249, 4 -> 969, 5 -> 791,
+      6 -> 669, 7 -> 579, 8 -> 511, 9 -> 457)
+    val vals = counts.flatMap { case (d, c) =>
+      Seq.fill(c)(d.toLong * 100) } ++ Seq(-5L, 0L) // excluded
+    val out = DataQuality.benfordAudit(vals.toDF("v"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(out.map(_._2).sum === 9995L)
+    assert(out.forall(r => r._5 === r._3 - r._4))
+    // n = 9995 (not 10000), so each share is floor(cnt·10000/9995):
+    // digit 1 picks up +1 (3010·5/9995 > 1), every other digit floors
+    // back to its pinned constant — deltas (1,0,0,...,0) exactly
+    assert(out.map(_._5).toSeq === (1L +: Seq.fill(8)(0L)),
+      "a Benford-perfect distribution reads ~zero deltas")
+  }
+
   test("StreamingRate: the online report off the maintained count state " +
     "is row-identical to batch rateAnomaly over the full feed — " +
     "including a split mid-hour; a replayed batch id refuses") {
