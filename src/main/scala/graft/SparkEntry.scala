@@ -959,6 +959,15 @@ object SparkEntry {
     "corpus_zorder_skipping" -> ((s, dir) =>
       Layout.zorderSkippingReport(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey")),
+    // the three-way layout dial: linear | Morton | Hilbert file
+    // assignment probed by the same fixed points. Prefix 5 (an ODD
+    // quadtree depth) is where the curves differ: Morton files become
+    // 2:1 rectangles — one axis pays double (0.25 vs 0.125 here) —
+    // while Hilbert's grid-adjacent walk stays balanced at 0.1875 both
+    // ways; at even depths both are exact quadrants and tie
+    "corpus_hilbert_skipping" -> ((s, dir) =>
+      Layout.hilbertSkippingReport(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", filePrefixBits = 5)),
     // BPE tokenizer training: the learned merge table. k data-dependent
     // rewrite rounds aren't one SQL query, so the gate is the spec
     // (classic Sennrich fixture + prefix property, LayoutSketchSpec) and
@@ -3835,6 +3844,64 @@ object SparkEntry {
          |   min(qa) AS a_lo, max(qa) AS a_hi,
          |   min(qb) AS b_lo, max(qb) AS b_hi FROM wf GROUP BY 2
          |  UNION ALL SELECT 'zorder', file_z,
+         |   min(qa), max(qa), min(qb), max(qb) FROM wf GROUP BY 2),
+         | probes AS (SELECT i * 16 AS p
+         |  FROM unnest(range(0, 16)) AS t(i)),
+         | touched AS (SELECT layout,
+         |   CAST(count(DISTINCT file) AS BIGINT) AS n_files,
+         |   CAST(sum(CASE WHEN a_lo <= p AND p <= a_hi
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS touch_a,
+         |   CAST(sum(CASE WHEN b_lo <= p AND p <= b_hi
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS touch_b
+         |  FROM fl, probes GROUP BY 1)
+         |SELECT layout, 'l_orderkey' AS probe_col, n_files,
+         | round(touch_a / 16.0, 4) AS avg_touched,
+         | round(touch_a / 16.0 / n_files, 4) AS touch_share
+         |FROM touched
+         |UNION ALL SELECT layout, 'l_partkey', n_files,
+         | round(touch_b / 16.0, 4), round(touch_b / 16.0 / n_files, 4)
+         |FROM touched""".stripMargin
+    },
+    // same bounds/quantize/probe harness; the Hilbert index unrolls its
+    // 8 xy2d rounds as chained CTEs (validated against the reference
+    // implementation point-for-point), Morton inline as before
+    "corpus_hilbert_skipping" -> {
+      val zexpr = (0 until 8).map(j =>
+        s"((qa >> $j) & 1) * ${1L << (2 * j)} " +
+          s"+ ((qb >> $j) & 1) * ${1L << (2 * j + 1)}").mkString(" + ")
+      val hilbertRounds = (7 to 0 by -1).map { j =>
+        val src = if (j == 7) "hbase" else s"h${j + 1}"
+        s""" h$j AS (SELECT qa, qb,
+           |   d + ${1L << (2 * j)} * xor(3 * ((x >> $j) & 1),
+           |     (y >> $j) & 1) AS d,
+           |   CASE WHEN ((y >> $j) & 1) = 1 THEN x
+           |        WHEN ((x >> $j) & 1) = 1 THEN 255 - y ELSE y END AS x,
+           |   CASE WHEN ((y >> $j) & 1) = 1 THEN y
+           |        WHEN ((x >> $j) & 1) = 1 THEN 255 - x ELSE x END AS y
+           |  FROM $src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bounds AS (SELECT
+         |   CAST(min(l_orderkey) AS BIGINT) AS a_mn,
+         |   CAST(max(l_orderkey) AS BIGINT) AS a_mx,
+         |   CAST(min(l_partkey) AS BIGINT) AS b_mn,
+         |   CAST(max(l_partkey) AS BIGINT) AS b_mx FROM lineitem),
+         | q AS (SELECT
+         |   CAST(floor((l_orderkey - a_mn) * 256 / (a_mx - a_mn + 1))
+         |     AS BIGINT) AS qa,
+         |   CAST(floor((l_partkey - b_mn) * 256 / (b_mx - b_mn + 1))
+         |     AS BIGINT) AS qb
+         |  FROM lineitem, bounds),
+         | hbase AS (SELECT qa, qb, qa AS x, qb AS y,
+         |   CAST(0 AS BIGINT) AS d FROM q),
+         |$hilbertRounds,
+         | wf AS (SELECT qa, qb, qa >> 3 AS file_lin,
+         |   ($zexpr) >> 11 AS file_z, d >> 11 AS file_h FROM h0),
+         | fl AS (SELECT 'linear_a' AS layout, file_lin AS file,
+         |   min(qa) AS a_lo, max(qa) AS a_hi,
+         |   min(qb) AS b_lo, max(qb) AS b_hi FROM wf GROUP BY 2
+         |  UNION ALL SELECT 'zorder', file_z,
+         |   min(qa), max(qa), min(qb), max(qb) FROM wf GROUP BY 2
+         |  UNION ALL SELECT 'hilbert', file_h,
          |   min(qa), max(qa), min(qb), max(qb) FROM wf GROUP BY 2),
          | probes AS (SELECT i * 16 AS p
          |  FROM unnest(range(0, 16)) AS t(i)),

@@ -546,4 +546,50 @@ class LayoutSketchSpec extends SparkTestBase {
       .orderBy("source", "lang").collect().toSeq
     assert(merged == full)
   }
+
+  test("Layout.withHilbert: the staged xy2d walk is a bijection onto " +
+    "[0, 4^bits) whose d-order neighbors are ALWAYS grid-adjacent (the " +
+    "property Morton lacks), and matches the reference walk per point") {
+    val s = spark
+    import s.implicits._
+    // reference implementation (Wikipedia xy2d), evaluated driver-side
+    def xy2d(n: Int, x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var sBit = n / 2
+      while (sBit > 0) {
+        val rx = if ((x & sBit) > 0) 1 else 0
+        val ry = if ((y & sBit) > 0) 1 else 0
+        d += sBit.toLong * sBit * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        sBit /= 2
+      }
+      d
+    }
+    // full 16×16 grid at bits=4
+    val grid = (for (a <- 0 until 16; b <- 0 until 16)
+      yield (a.toLong, b.toLong)).toDF("qa", "qb")
+    val out = Layout.withHilbert(grid, "qa", "qb", bits = 4, "d")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(out.map(_._2).sorted.toSeq === (0L until 256L),
+      "bijection onto [0, 256)")
+    out.foreach { case ((a, b), d) =>
+      assert(d === xy2d(16, a.toInt, b.toInt),
+        s"($a,$b) matches the reference walk") }
+    // the Hilbert property: consecutive d → Manhattan distance exactly 1
+    val byD = out.sortBy(_._2).map(_._1)
+    byD.sliding(2).foreach { case Array((a1, b1), (a2, b2)) =>
+      assert((a1 - a2).abs + (b1 - b2).abs === 1L,
+        "d-order neighbors are grid-adjacent") }
+    // Morton, for contrast, has seams: at least one consecutive pair of
+    // z-values jumps more than 1 step in the grid
+    val mort = grid.select(col("qa"), col("qb"),
+        Layout.zValue(col("qa"), col("qb"), 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._2).map(_._1)
+    assert(mort.sliding(2).exists { case Array((a1, b1), (a2, b2)) =>
+      (a1 - a2).abs + (b1 - b2).abs > 1L })
+  }
 }
