@@ -1739,6 +1739,11 @@ object SparkEntry {
     // z>3 inequality cleared of divisions, every term exact BIGINT
     "events_rate_anomaly" -> ((s, dir) =>
       Timeseries.rateAnomaly(events(s, dir))),
+    // the quiet-feed summary the grid exists for: maximal zero-runs per
+    // type — gap count, longest outage + its start, total quiet hours
+    // (the scd2 run-collapse applied to the is-zero bit)
+    "events_gap_report" -> ((s, dir) =>
+      Timeseries.gapReport(events(s, dir))),
     // long-run activity share per event type: 3 integer-micro power
     // steps over the transition matrix (the doc_pagerank discipline —
     // no rounding contract anywhere)
@@ -6761,6 +6766,30 @@ object SparkEntry {
         |  coalesce(sum(n*n) OVER win, 0) AS ss
         | FROM gf WINDOW win AS (PARTITION BY event_type ORDER BY hour_ms
         |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) t""".stripMargin),
+    // the same lag-flag -> run-id collapse over the is-zero bit
+    "events_gap_report" -> (GapfillOracleCte +
+      """, z AS (SELECT event_type, hour_ms,
+        |   CASE WHEN n = 0 THEN 1 ELSE 0 END AS is_zero FROM gf),
+        | f AS (SELECT event_type, hour_ms, is_zero,
+        |   CASE WHEN lag(is_zero) OVER w IS NULL
+        |     OR lag(is_zero) OVER w <> is_zero THEN 1 ELSE 0 END AS chg
+        |  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms)),
+        | r AS (SELECT event_type, hour_ms, is_zero,
+        |   sum(chg) OVER (PARTITION BY event_type ORDER BY hour_ms
+        |     ROWS UNBOUNDED PRECEDING) AS run FROM f),
+        | runs AS (SELECT event_type, run, CAST(count(*) AS BIGINT)
+        |   AS len, min(hour_ms) AS start_ms FROM r WHERE is_zero = 1
+        |  GROUP BY 1, 2),
+        | pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |   CAST(max(len) AS BIGINT) AS longest_gap_hours,
+        |   CAST(sum(len) AS BIGINT) AS quiet_hours FROM runs GROUP BY 1),
+        | ls AS (SELECT runs.event_type,
+        |   CAST(min(start_ms) AS BIGINT) AS longest_gap_start_ms
+        |  FROM runs JOIN pt ON runs.event_type = pt.event_type
+        |   AND runs.len = pt.longest_gap_hours GROUP BY 1)
+        |SELECT pt.event_type, n_gaps, longest_gap_hours, quiet_hours,
+        | longest_gap_start_ms
+        |FROM pt JOIN ls ON pt.event_type = ls.event_type""".stripMargin),
     // identical RANGE frame over epoch-ms; equal-ts peers are members
     // in both engines
     "events_rolling_24h" ->

@@ -88,6 +88,42 @@ object Timeseries {
         col("dev2"), col("bound"), col("is_anomaly"))
   }
 
+  /** Quiet-feed gap report — the summary the gap-filled grid exists to
+    * enable: per event type, the number of MAXIMAL zero-count runs, the
+    * longest run's length and start, and total quiet hours. A feed that
+    * "mostly works" hides its 6-hour nightly outage inside per-hour
+    * noise; the maximal-run view names it. Zero-runs are found with the
+    * lag-flag → run-id chain ([[graft.operators.Cdc.scd2]]'s run
+    * collapse applied to the is-zero bit), everything on the
+    * (types × hours) grid — hours-sized frames, never event-sized. */
+  def gapReport(events: DataFrame): DataFrame = {
+    val grid = hourlyGapfill(events)
+      .withColumn("is_zero", when(col("n") === 0L, 1L).otherwise(0L))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_ms"))
+    val runs = grid
+      .withColumn("chg",
+        when(lag(col("is_zero"), 1).over(wOrd).isNull
+          || lag(col("is_zero"), 1).over(wOrd) =!= col("is_zero"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("is_zero") === 1L)
+      .groupBy(col("event_type"), col("run"))
+      .agg(count(lit(1)).as("len"), min(col("hour_ms")).as("start_ms"))
+    val perType = runs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("len")).as("longest_gap_hours"),
+        sum(col("len")).as("quiet_hours"))
+    // the longest gap's start (ties -> earliest): runs-sized join back
+    val longestStart = runs
+      .join(perType.select(col("event_type"),
+        col("longest_gap_hours").as("len")), Seq("event_type", "len"))
+      .groupBy(col("event_type"))
+      .agg(min(col("start_ms")).as("longest_gap_start_ms"))
+    perType.join(longestStart, "event_type")
+  }
+
   /** Trailing-window rate anomaly over the [[hourlyGapfill]] grid: per
     * type, each hour's count is compared to the mean/variance of the
     * PREVIOUS `window` hours (a ROWS frame — the current hour never

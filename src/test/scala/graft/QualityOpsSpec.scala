@@ -266,6 +266,23 @@ class QualityOpsSpec extends SparkTestBase {
       === 0.9487)
   }
 
+  test("Timeseries.gapReport: maximal zero-runs collapse into gaps " +
+    "with exact length/start; a gap at the shared-grid edge counts; " +
+    "a gapless type reports no row") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000
+    // type a: events at hours 0,1, gap 2-4 (3h), event 5, gap 6, event 7
+    // type b: every hour 0..7 — gapless, must NOT appear
+    val rows = Seq(0L, 1L, 5L, 7L).map(i => (ts(i * h + 1), "a")) ++
+      (0L to 7L).map(i => (ts(i * h + 2), "b"))
+    val out = Timeseries.gapReport(rows.toDF("ts", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(("a", 2L, 3L, 4L, 2 * h)))
+  }
+
   test("Dedup.dupEvidence: the k rarest SHARED shingles surface per " +
     "pair; a shingle unique to one side never appears; rank order is " +
     "(df asc, shingle asc)") {
