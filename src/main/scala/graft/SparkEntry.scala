@@ -1229,6 +1229,15 @@ object SparkEntry {
       Dedup.ngramJaccardOn(d,
         Dedup.lshCandidatePairs(Dedup.minhash(d, k = 4), rowsPerBand = 2))
     }),
+    // EXACT similarity self-join (prefix filter, AllPairs/PPJoin): complete
+    // at tau=0.8 with no all-pairs stage — the oracle is the NAIVE
+    // all-pairs truth, so the pruned plan is verified against the unpruned
+    // definition (LSH recall curves can't make that claim)
+    "doc_setsim_join" -> ((s, dir) =>
+      Dedup.setSimJoin(t(s, dir, "documents"))),
+    // the pruning audit: all-pairs space never formed vs candidates formed
+    "doc_setsim_evidence" -> ((s, dir) =>
+      Dedup.setSimEvidence(t(s, dir, "documents"))),
     // asymmetric containment on LSH candidates: the doc-inside-doc signal
     // symmetric Jaccard dilutes (quote expansion / boilerplate wrappers)
     "doc_containment" -> ((s, dir) => {
@@ -5014,6 +5023,51 @@ object SparkEntry {
         |FROM bounded a JOIN bounded b
         | ON a.lang = b.lang AND a.source = b.source
         |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id""".stripMargin,
+    // the NAIVE all-pairs truth — the engine side prunes via the prefix
+    // filter, so a hash-green row here is a completeness proof, not just
+    // an agreement check; threshold as the exact integer form 9i >= 4(a+b)
+    "doc_setsim_join" ->
+      """WITH s AS (SELECT doc_id, list_sort(list_distinct(list_filter(
+        |   string_split(text, ' '), t -> len(t) > 0))) AS ss
+        |  FROM documents),
+        | f AS (SELECT doc_id, ss FROM s WHERE len(ss) >= 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |   (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 4)
+        |   AS jaccard
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE 9 * len(list_intersect(a.ss, b.ss))
+        |  >= 4 * (len(a.ss) + len(b.ss))""".stripMargin,
+    // mirrors the engine's prefix-filter candidate generation exactly
+    // (rare-first (df, token) order, integer ceiling, integer size filter)
+    // so the pruning-power audit is itself cross-engine verified
+    "doc_setsim_evidence" ->
+      """WITH s AS (SELECT doc_id, list_sort(list_distinct(list_filter(
+        |   string_split(text, ' '), t -> len(t) > 0))) AS ss
+        |  FROM documents),
+        | f AS (SELECT doc_id, ss, len(ss) AS sz FROM s WHERE len(ss) >= 1),
+        | tok AS (SELECT doc_id, sz, unnest(ss) AS token FROM f),
+        | dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+        | r AS (SELECT t.doc_id, t.sz, t.token, row_number() OVER (
+        |    PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
+        |  FROM tok t JOIN dfreq d USING (token)),
+        | pre AS (SELECT doc_id, sz, token FROM r
+        |  WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.token = b.token
+        |   AND a.doc_id < b.doc_id
+        |   AND 4 * b.sz <= 5 * a.sz AND 4 * a.sz <= 5 * b.sz),
+        | ver AS (SELECT count(*) AS n_pairs FROM cand c
+        |   JOIN f a ON c.doc_a = a.doc_id JOIN f b ON c.doc_b = b.doc_id
+        |  WHERE 9 * len(list_intersect(a.ss, b.ss))
+        |    >= 4 * (len(a.ss) + len(b.ss))),
+        | nn AS (SELECT count(*) AS n_docs FROM f),
+        | cc AS (SELECT count(*) AS n_candidates FROM cand)
+        |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_allpairs,
+        | n_candidates, n_pairs,
+        | 10000 * (n_docs * (n_docs - 1) // 2 - n_candidates)
+        |   // (n_docs * (n_docs - 1) // 2) AS pruned_share_e4
+        |FROM nn, cc, ver""".stripMargin,
     "doc_ngram_jaccard_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
         |  FROM documents),

@@ -1495,4 +1495,116 @@ object Dedup {
           .as("n_copy"),
         sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
       .withColumn("kept_share_e4", expr("(10000 * n_kept) div n_docs"))
+
+  // ---------------------------------------------------------------------
+  // Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin
+  // family — Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity
+  // Search", WWW 2007; Xiao et al., "Efficient Similarity Joins for Near
+  // Duplicate Detection", WWW 2008). This is the EXACT counterpart to the
+  // LSH candidate path: same "never all-pairs" scale shape, but complete —
+  // no false negatives at the chosen threshold, so it is the variant a
+  // compliance-grade dedup (takedowns, licensing) has to run.
+  // ---------------------------------------------------------------------
+
+  /** Distinct word set per document, binary-sorted — the item universe the
+    * prefix-filter join operates over. Empty documents drop out (an empty
+    * set has no well-defined Jaccard against anything). */
+  private def wordSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        array_sort(array_distinct(
+          filter(split(col("text"), " "), t => length(t) > 0))).as("sset"))
+      .filter(size(col("sset")) >= 1)
+
+  /** ALL pairs with word-set Jaccard ≥ tauNum/tauDen — exact and complete,
+    * yet never forming the all-pairs space. Prefix-filter theorem: order
+    * the token universe globally by ascending document frequency (rarest
+    * first, token string as tie-break); a pair with J ≥ τ must share at
+    * least ⌈τ·|x|⌉ tokens with either side x, so each side's first
+    * |x| − ⌈τ·|x|⌉ + 1 tokens under that order (its "prefix") must
+    * intersect the other's. Joining ONLY on prefix tokens is therefore
+    * lossless, and prefixes are by construction the RAREST tokens — the
+    * join's per-token bucket sizes stay small exactly where the data is
+    * big. A size filter (τ·|a| ≤ |b| ≤ |a|/τ, exact integer form) prunes
+    * inside the join condition; candidates are then verified with the
+    * exact integral test (n+d)·|a∩b| ≥ n·(|a|+|b|)  ⇔  J ≥ n/d — no float
+    * boundary anywhere.
+    *
+    * Scale shape: one shuffle to count token document frequency, one
+    * doc-partitioned window for the prefix ranks, one equi-join on prefix
+    * tokens (bucket-bounded: a common token is in a doc's prefix only when
+    * the doc has almost nothing rarer), then candidate-bounded
+    * verification via two doc-id equi-joins. The quadratic term lives only
+    * inside per-prefix-token buckets of RARE tokens — the same bounded-
+    * blowup argument as the LSH band join, but with a proof of
+    * completeness instead of a recall curve.
+    *
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    * 4dp for engine-portable comparison (thresholding already happened on
+    * the exact integer form). */
+  def setSimJoin(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5)
+      : DataFrame = {
+    val i = size(array_intersect(col("set_a"), col("set_b")))
+    setSimCandidates(docs, tauNum, tauDen)
+      .join(wordSets(docs).select(col("doc_id").as("doc_a"),
+        col("sset").as("set_a")), "doc_a")
+      .join(wordSets(docs).select(col("doc_id").as("doc_b"),
+        col("sset").as("set_b")), "doc_b")
+      .filter(lit(tauNum + tauDen) * i >=
+        lit(tauNum) * (size(col("set_a")) + size(col("set_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(i.cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - i).cast("double"), 4)
+          .as("jaccard"))
+  }
+
+  /** The candidate pairs [[setSimJoin]] verifies: distinct (doc_a, doc_b)
+    * sharing ≥1 prefix token under the global rare-first order, after the
+    * integer size filter. Deterministic given the corpus (document
+    * frequency + binary token order), so the pruning power is itself an
+    * auditable quantity — see [[setSimEvidence]]. */
+  def setSimCandidates(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5)
+      : DataFrame = {
+    val sets = wordSets(docs)
+    val tok = sets.select(col("doc_id"), size(col("sset")).as("s"),
+      explode(col("sset")).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // prefix length p = s − ⌈n·s/d⌉ + 1, all-integer ceiling
+    val prefix = tok.join(dfreq, "token")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("token"))))
+      .filter(col("rn") <=
+        col("s") - expr(s"($tauNum * s + ${tauDen - 1}) DIV $tauDen") + 1)
+      .select("token", "doc_id", "s")
+    prefix.select(col("token"), col("doc_id").as("doc_a"),
+        col("s").as("s_a"))
+      .join(prefix.select(col("token"), col("doc_id").as("doc_b"),
+        col("s").as("s_b")),
+        Seq("token"))
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(tauNum) * col("s_b") <= lit(tauDen) * col("s_a") &&
+        lit(tauNum) * col("s_a") <= lit(tauDen) * col("s_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** One-row pruning audit of the prefix filter: total documents in play,
+    * the all-pairs space C(n,2) the join NEVER forms, the candidate count
+    * it does form, the verified-pair count, and the pruned share in exact
+    * 1e-4 integral units. At 100 TB this row is the difference between a
+    * plan that runs and one that doesn't — it belongs next to the result,
+    * not in a log. */
+  def setSimEvidence(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5)
+      : DataFrame = {
+    val n = wordSets(docs).agg(count(lit(1)).as("n_docs"))
+    val cand = setSimCandidates(docs, tauNum, tauDen)
+      .agg(count(lit(1)).as("n_candidates"))
+    val ver = setSimJoin(docs, tauNum, tauDen)
+      .agg(count(lit(1)).as("n_pairs"))
+    n.crossJoin(cand).crossJoin(ver)
+      .withColumn("n_allpairs", expr("n_docs * (n_docs - 1) DIV 2"))
+      .withColumn("pruned_share_e4",
+        expr("10000 * (n_allpairs - n_candidates) DIV n_allpairs"))
+      .select("n_docs", "n_allpairs", "n_candidates", "n_pairs",
+        "pruned_share_e4")
+  }
 }

@@ -69,6 +69,45 @@ class NorthStarSpec extends SparkTestBase {
     assert(scored.forall { case (k, v) => blocked(k) == v })
   }
 
+  test("Dedup.setSimJoin (prefix filter) equals the brute-force truth " +
+    "and prunes the all-pairs space") {
+    // 26 docs: a near-dup clique (drop one word from a 10-word base →
+    // J = 9/10 or 9/11 ≥ 0.8 within the clique), plus disjoint chaff
+    val base = ('a' to 'j').map(c => s"w$c")
+    val clique = (0 until 6).map { i =>
+      (i.toLong, (base.take(i) ++ base.drop(i + 1)).mkString(" "))
+    }
+    val chaff = (0 until 20).map { i =>
+      (100L + i, (0 until 10).map(j => s"x${i}_$j").mkString(" "))
+    }
+    val d = docsDf(clique ++ chaff)
+    // brute-force truth over distinct word sets at tau = 4/5, exact
+    // integer threshold — the same definition the DuckDB oracle uses
+    val sets = (clique ++ chaff).map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSet
+    }
+    val truth = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      i = (sa & sb).size if 9 * i >= 4 * (sa.size + sb.size)
+    } yield (ia, ib)).toSet
+    assert(truth.size == 15) // the full 6-clique qualifies, chaff never
+    val got = Dedup.setSimJoin(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth) // complete AND precise
+    // jaccard values are the exact set ratio, rounded 4dp
+    val j = Dedup.setSimJoin(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) ==
+      BigDecimal(8.0 / 10.0).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // pruning audit: candidates ≪ all-pairs (chaff shares no token with
+    // anything, so it never even becomes a candidate)
+    val ev = Dedup.setSimEvidence(d).collect().head
+    assert(ev.getLong(0) == 26 && ev.getLong(1) == 325)
+    assert(ev.getLong(2) == 15 && ev.getLong(3) == 15)
+    assert(ev.getLong(4) == (10000L * (325 - 15)) / 325)
+  }
+
   test("Dedup.ngramJaccard block guard is observable: excluded-block " +
     "counters fire on an oversized block") {
     import org.apache.spark.sql.execution.QueryExecution
