@@ -340,6 +340,30 @@ object SparkEntry {
         FkRel("events_customer", events(s, dir), col("user_id"),
           t(s, dir, "customer"), col("c_custkey"))))
     }),
+    // record linkage: dirty part-name mentions (three deterministic mangle
+    // classes keyed by p_partkey % 3) resolved against the distinct
+    // clean-name registry — blocked on the noise-surviving first char,
+    // best match by (lev, name), never |queries|×|dictionary|;
+    // self-evaluating because each dirty form's clean origin is known
+    "rel_entity_match" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val q = p.select(col("p_partkey").as("q_id"),
+        col("p_name").as("true_name"),
+        Linkage.mangle(col("p_name"), col("p_partkey")).as("q_name"))
+      Linkage.linkEntities(q, p.select(col("p_name").as("name")).distinct())
+        .withColumn("correct",
+          when(col("matched_name") === col("true_name"), 1L).otherwise(0L))
+        .select("q_id", "q_name", "matched_name", "lev", "correct")
+    }),
+    // the per-mangle-class accuracy rollup, unmatched queries kept in the
+    // denominator (left join back to the full query set)
+    "rel_entity_match_eval" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val q = p.select(col("p_partkey").as("q_id"),
+        col("p_name").as("true_name"),
+        Linkage.mangle(col("p_name"), col("p_partkey")).as("q_name"))
+      Linkage.linkEval(q, p.select(col("p_name").as("name")).distinct())
+    }),
     // Benford first-digit forensic screen on order prices: pinned
     // integer expectation constants, 1e-4 shares, signed deltas — the
     // uniform synthetic draw fails loudly, which is the point
@@ -2594,6 +2618,56 @@ object SparkEntry {
         rel("events_customer", "events", "user_id", "customer",
           "c_custkey")).mkString("\nUNION ALL\n")
     },
+    // same mangle surgery, blocking key, lev cap and (lev, name) tie-break
+    // as Linkage.linkEntities — DuckDB's levenshtein is the same classic
+    // unit-cost edit distance as Spark's
+    "rel_entity_match" ->
+      """WITH q AS (SELECT p_partkey AS q_id, p_name AS true_name,
+        |  CASE WHEN p_partkey % 3 = 0
+        |        THEN substr(p_name, 1, 1) || substr(p_name, 3)
+        |       WHEN p_partkey % 3 = 1
+        |        THEN substr(p_name, 1, 3) || substr(p_name, 3)
+        |       ELSE substr(p_name, 1, 1) ||
+        |         replace(substr(p_name, 2), 'e', 'a') END AS q_name
+        |  FROM part),
+        | d AS (SELECT DISTINCT p_name AS name FROM part),
+        | cand AS (SELECT q.q_id, q.q_name, q.true_name, d.name,
+        |   levenshtein(q.q_name, d.name) AS lev
+        |  FROM q JOIN d ON substr(q.q_name, 1, 1) = substr(d.name, 1, 1)
+        |  WHERE levenshtein(q.q_name, d.name) <= 3),
+        | best AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY lev, name) AS rk FROM cand)
+        |SELECT q_id, q_name, name AS matched_name,
+        | CAST(lev AS BIGINT) AS lev,
+        | CAST(CASE WHEN name = true_name THEN 1 ELSE 0 END AS BIGINT)
+        |   AS correct
+        |FROM best WHERE rk = 1""".stripMargin,
+    "rel_entity_match_eval" ->
+      """WITH q AS (SELECT p_partkey AS q_id, p_name AS true_name,
+        |  CASE WHEN p_partkey % 3 = 0
+        |        THEN substr(p_name, 1, 1) || substr(p_name, 3)
+        |       WHEN p_partkey % 3 = 1
+        |        THEN substr(p_name, 1, 3) || substr(p_name, 3)
+        |       ELSE substr(p_name, 1, 1) ||
+        |         replace(substr(p_name, 2), 'e', 'a') END AS q_name
+        |  FROM part),
+        | d AS (SELECT DISTINCT p_name AS name FROM part),
+        | cand AS (SELECT q.q_id, q.true_name, d.name,
+        |   levenshtein(q.q_name, d.name) AS lev
+        |  FROM q JOIN d ON substr(q.q_name, 1, 1) = substr(d.name, 1, 1)
+        |  WHERE levenshtein(q.q_name, d.name) <= 3),
+        | best AS (SELECT q_id, name, true_name, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY lev, name) AS rk FROM cand),
+        | m AS (SELECT q_id, name AS matched_name FROM best WHERE rk = 1),
+        | agg AS (SELECT q.q_id % 3 AS mangle,
+        |   CAST(count(*) AS BIGINT) AS n_queries,
+        |   CAST(count(m.matched_name) AS BIGINT) AS n_matched,
+        |   CAST(sum(CASE WHEN m.matched_name = q.true_name THEN 1 ELSE 0
+        |     END) AS BIGINT) AS n_correct
+        |  FROM q LEFT JOIN m ON q.q_id = m.q_id GROUP BY q.q_id % 3)
+        |SELECT mangle, n_queries, n_matched, n_correct,
+        | (10000 * n_correct) // n_queries AS accuracy_e4
+        |FROM agg""".stripMargin,
     // pinned e4 Benford constants; first digit off the decimal rendering
     "orders_benford_audit" ->
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
