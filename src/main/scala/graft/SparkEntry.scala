@@ -911,6 +911,13 @@ object SparkEntry {
     // language-ID accuracy readout: labeled lang × ngram guess confusion
     "corpus_langid_confusion" -> ((s, dir) =>
       TextAnalysis.langidConfusion(t(s, dir, "documents"))),
+    // TRAINED language classifier: multinomial Naive Bayes fit on 4/5 of
+    // the corpus inside the engine (training = two hash aggregates),
+    // served on the held-out fifth — integer micro-log weights, so the
+    // argmax is engine-portable; compare with the heuristic
+    // corpus_langid_confusion to see what training buys
+    "doc_nb_langid" -> ((s, dir) =>
+      Classify.nbLangidConfusion(t(s, dir, "documents"))),
     "doc_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(t(s, dir, "documents"))),
     // composite Gopher-style gate: per-rule signals + keep verdict
@@ -3660,6 +3667,49 @@ object SparkEntry {
         |   AS share_of_lang
         |FROM g JOIN tot ON g.lang = tot.lang
         |GROUP BY g.lang, g.lang_guess""".stripMargin,
+    // same NB fit: add-one smoothing, integer micro-log weights
+    // (round(ln(r)*1e6) on bit-identical double ratios — the zipf_fit
+    // precedent), integer score sums, (score desc, class asc) argmax
+    "doc_nb_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(list_filter(
+        |   string_split(text, ' '), t -> len(t) > 0)) AS word
+        |  FROM documents),
+        | train AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+        | test AS (SELECT doc_id, lang AS actual, word FROM tok
+        |  WHERE doc_id % 5 = 0),
+        | c AS (SELECT lang, word, count(*) AS c FROM train
+        |  GROUP BY lang, word),
+        | ct AS (SELECT lang, sum(c) AS ct FROM c GROUP BY lang),
+        | vv AS (SELECT count(DISTINCT word) AS v FROM train),
+        | w AS (SELECT c.lang AS cand, c.word,
+        |   CAST(round(ln(CAST(c.c + 1 AS DOUBLE) /
+        |     CAST(ct.ct + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        |  FROM c JOIN ct ON c.lang = ct.lang, vv),
+        | dw AS (SELECT ct.lang AS cand,
+        |   CAST(round(ln(1.0 / CAST(ct.ct + vv.v AS DOUBLE)) * 1e6)
+        |     AS BIGINT) AS dw
+        |  FROM ct, vv),
+        | dtr AS (SELECT lang, count(*) AS nd FROM documents
+        |  WHERE doc_id % 5 <> 0 GROUP BY lang),
+        | ndt AS (SELECT count(*) AS ndt FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        | pw AS (SELECT lang AS cand,
+        |   CAST(round(ln(CAST(nd AS DOUBLE) / ndt.ndt) * 1e6) AS BIGINT)
+        |     AS pw
+        |  FROM dtr, ndt),
+        | sc AS (SELECT t.doc_id, t.actual, dw.cand,
+        |    sum(coalesce(w.w, dw.dw)) AS sw
+        |  FROM test t CROSS JOIN dw
+        |   LEFT JOIN w ON w.cand = dw.cand AND w.word = t.word
+        |  GROUP BY t.doc_id, t.actual, dw.cand),
+        | scored AS (SELECT sc.doc_id, sc.actual, sc.cand,
+        |   sc.sw + pw.pw AS score
+        |  FROM sc JOIN pw ON sc.cand = pw.cand),
+        | pred AS (SELECT doc_id, actual, cand, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+        |  FROM scored)
+        |SELECT actual, cand AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rk = 1 GROUP BY actual, cand""".stripMargin,
     "doc_quality_filter" ->
       """WITH w AS (SELECT doc_id, lang, source,
         |  string_split(text, ' ') AS words FROM documents),
