@@ -1779,6 +1779,13 @@ object SparkEntry {
     // z>3 inequality cleared of divisions, every term exact BIGINT
     "events_rate_anomaly" -> ((s, dir) =>
       Timeseries.rateAnomaly(events(s, dir))),
+    // Page's CUSUM on the same grid — the SEQUENTIAL drift detector the
+    // point z-test can't be: small persistent shifts accumulate into the
+    // one-sided sums; the max(0,·) recursion is computed closed-form as
+    // cumsum − running-min (two window passes, no iteration), every term
+    // an exact 1e-6-unit BIGINT
+    "events_cusum" -> ((s, dir) =>
+      Timeseries.cusum(events(s, dir))),
     // the quiet-feed summary the grid exists for: maximal zero-runs per
     // type — gap count, longest outage + its start, total quiet hours
     // (the scd2 run-collapse applied to the is-zero bit)
@@ -6944,6 +6951,33 @@ object SparkEntry {
         |  coalesce(sum(n*n) OVER win, 0) AS ss
         | FROM gf WINDOW win AS (PARTITION BY event_type ORDER BY hour_ms
         |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) t""".stripMargin),
+    // Page's CUSUM closed form: S_i = C_i − min(0, running-min C_j) per
+    // direction, mu/slack/threshold in exact 1e-6 integer units
+    "events_cusum" -> (GapfillOracleCte +
+      """, st AS (SELECT event_type,
+        |   (1000000 * sum(n)) // count(*) AS mu_e6
+        |  FROM gf GROUP BY event_type),
+        | d AS (SELECT gf.event_type, gf.hour_ms, gf.n, st.mu_e6,
+        |   st.mu_e6 // 20 AS k_e6, 2 * st.mu_e6 AS h_e6
+        |  FROM gf JOIN st ON gf.event_type = st.event_type),
+        | cw AS (SELECT event_type, hour_ms, n, h_e6,
+        |   sum(1000000 * n - mu_e6 - k_e6) OVER w AS c_up,
+        |   sum(mu_e6 - k_e6 - 1000000 * n) OVER w AS c_dn
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | s AS (SELECT event_type, hour_ms, n, h_e6,
+        |   c_up - least(0, min(c_up) OVER w) AS s_up_e6,
+        |   c_dn - least(0, min(c_dn) OVER w) AS s_dn_e6
+        |  FROM cw WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour_ms, n,
+        | CAST(s_up_e6 AS BIGINT) AS s_up_e6,
+        | CAST(s_dn_e6 AS BIGINT) AS s_dn_e6,
+        | CAST(CASE WHEN s_up_e6 > h_e6 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS alarm_up,
+        | CAST(CASE WHEN s_dn_e6 > h_e6 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS alarm_dn
+        |FROM s""".stripMargin),
     // the same lag-flag -> run-id collapse over the is-zero bit
     "events_gap_report" -> (GapfillOracleCte +
       """, z AS (SELECT event_type, hour_ms,

@@ -143,4 +143,57 @@ object Timeseries {
   def rateAnomaly(events: DataFrame, window: Int = 24, z: Int = 3,
                   minWindow: Int = 12): DataFrame =
     anomalyOnGrid(hourlyGapfill(events), window, z, minWindow)
+
+  /** CUSUM change-point scan over the gap-filled hourly grid — the
+    * SEQUENTIAL drift detector that complements [[rateAnomaly]]'s
+    * per-point z-test: a feed that shifts from 100/h to 115/h never
+    * trips a 3σ point test, but the shift ACCUMULATES, and Page's CUSUM
+    * (Page, Biometrika 1954) is the classic sequential statistic for it:
+    * S⁺_i = max(0, S⁺_{i−1} + (x_i − μ − k)) for upward drifts, the
+    * mirrored S⁻ for downward, alarm when S crosses h.
+    *
+    * The max(0, ·) recursion looks inherently sequential, but it has a
+    * closed windowed form: with C_i the running sum of d_j = x_j − μ − k,
+    * S_i = C_i − min(0, min_{j≤i} C_j) — so the whole scan is two
+    * cumulative window passes per direction over the (types × hours)
+    * grid, no iteration, no driver loop, partition size independent of
+    * event volume.
+    *
+    * Numeric discipline: all terms in 1e-6 integer units. Per-type mean
+    * μ_e6 = (10⁶·Σn) div hours; slack k = μ/`slackDenom` (the classic
+    * "half the shift you want to detect"); threshold h = `threshMul`·μ.
+    * Every comparison is exact BIGINT — no float/rounding contract.
+    * Emits the full grid with decision inputs (n, s_up_e6, s_dn_e6) and
+    * alarm bits, so a dashboard shows margins and onset hours, not just
+    * flags. */
+  def cusumOnGrid(grid: DataFrame, slackDenom: Int = 20,
+                  threshMul: Int = 2): DataFrame = {
+    val stats = grid.groupBy("event_type")
+      .agg(sum("n").as("tot"), count(lit(1)).as("nh"))
+      .select(col("event_type"),
+        expr("(1000000 * tot) DIV nh").as("mu_e6"))
+    val w = Window.partitionBy("event_type").orderBy("hour_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(stats), "event_type")
+      .withColumn("k_e6", expr(s"mu_e6 DIV $slackDenom"))
+      .withColumn("h_e6", expr(s"$threshMul * mu_e6"))
+      .withColumn("c_up", sum(expr("1000000 * n - mu_e6 - k_e6")).over(w))
+      .withColumn("c_dn", sum(expr("mu_e6 - k_e6 - 1000000 * n")).over(w))
+      .withColumn("s_up_e6", col("c_up") - least(lit(0L), min("c_up").over(w)))
+      .withColumn("s_dn_e6", col("c_dn") - least(lit(0L), min("c_dn").over(w)))
+      .select(col("event_type"), col("hour_ms"), col("n"),
+        col("s_up_e6"), col("s_dn_e6"),
+        when(col("s_up_e6") > col("h_e6"), 1L).otherwise(0L)
+          .as("alarm_up"),
+        when(col("s_dn_e6") > col("h_e6"), 1L).otherwise(0L)
+          .as("alarm_dn"))
+  }
+
+  /** [[cusumOnGrid]] over [[hourlyGapfill]] — the batch entry point; the
+    * grid split keeps the online state-maintenance path
+    * ([[graft.streaming.StreamingRate]]) able to serve the identical
+    * scan off its maintained counts. */
+  def cusum(events: DataFrame, slackDenom: Int = 20,
+            threshMul: Int = 2): DataFrame =
+    cusumOnGrid(hourlyGapfill(events), slackDenom, threshMul)
 }

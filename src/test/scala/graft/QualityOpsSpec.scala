@@ -54,6 +54,57 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out.init.forall(r => r._3 < 12L && r._4 === 0L))
   }
 
+  test("Timeseries.cusumOnGrid: the windowed closed form equals Page's " +
+    "literal max(0,·) recursion; a constant series stays at exactly 0") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000
+    val counts = Seq(5L, 5L, 5L, 9L, 9L, 1L, 5L, 14L, 0L, 5L)
+    val grid = counts.zipWithIndex
+      .map { case (n, i) => ("a", i * h, n) }
+      .toDF("event_type", "hour_ms", "n")
+    val out = Timeseries.cusumOnGrid(grid).collect()
+      .map(r => (r.getLong(1) / h, r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // literal recursion, same integer units
+    val mu = 1000000L * counts.sum / counts.length
+    val k = mu / 20
+    val expUp = counts.scanLeft(0L) { (sp, x) =>
+      math.max(0L, sp + (1000000L * x - mu - k))
+    }.tail
+    val expDn = counts.scanLeft(0L) { (sn, x) =>
+      math.max(0L, sn + (mu - k - 1000000L * x))
+    }.tail
+    assert(out.map(_._2).toSeq == expUp)
+    assert(out.map(_._3).toSeq == expDn)
+    // exactly-at-mean series: both sums pinned to zero, no alarms
+    val flat = (0 until 6).map(i => ("b", i * h, 7L))
+      .toDF("event_type", "hour_ms", "n")
+    val fl = Timeseries.cusumOnGrid(flat).collect()
+    assert(fl.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L &&
+      r.getLong(5) == 0L && r.getLong(6) == 0L))
+  }
+
+  test("Timeseries.cusum: a persistent small level shift alarms even " +
+    "though no single hour is a point outlier") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000
+    // 20/h for 24 hours, then 29/h for 24 hours: no shifted hour clears
+    // the mixed-series mean by even 1σ of the mixed series (|29−24.5| ≈
+    // 4.5 (sd), so a 3σ point test on the global baseline stays silent),
+    // but the drift accumulates ~3.3e6/h and crosses h = 2μ mid-way
+    // through the second half; never inside the first
+    val rows = (0 until 24).flatMap(i =>
+      Seq.fill(20)((ts(i * h + 1), "a"))) ++
+      (24 until 48).flatMap(i => Seq.fill(29)((ts(i * h + 1), "a")))
+    val out = Timeseries.cusum(rows.toDF("ts", "event_type")).collect()
+      .map(r => (r.getLong(1) / h, r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.take(24).forall(_._2 == 0L), "no alarm before the shift")
+    assert(out.drop(24).exists(_._2 == 1L), "the shift alarms")
+  }
+
   test("DataQuality.fkAudit: consistent FK reads zero orphans; a " +
     "damaged parent counts exactly the orphaned children; null FKs " +
     "are counted but never orphans") {
