@@ -364,6 +364,30 @@ object SparkEntry {
         Linkage.mangle(col("p_name"), col("p_partkey")).as("q_name"))
       Linkage.linkEval(q, p.select(col("p_name").as("name")).distinct())
     }),
+    // the OTHER classic candidate scheme on the same feed:
+    // sorted-neighborhood (distinct dirty keys + registry sorted together
+    // via the salted distributed global rank, pairs within 8 positions),
+    // dedupe-then-fan-back so quadratic work stays on |distinct keys|
+    "rel_entity_match_snm" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val q = p.select(col("p_partkey").as("q_id"),
+        col("p_name").as("true_name"),
+        Linkage.mangle(col("p_name"), col("p_partkey")).as("q_name"))
+      Linkage.snmLink(q, p.select(col("p_name").as("name")).distinct())
+        .withColumn("correct",
+          when(col("matched_name") === col("true_name"), 1L).otherwise(0L))
+        .select("q_id", "q_name", "matched_name", "lev", "correct")
+    }),
+    // blocking vs SNM measured on the same feed: compare-pair cost vs
+    // matched/correct yield per method — the candidate-generation dial
+    "rel_entity_method_compare" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val q = p.select(col("p_partkey").as("q_id"),
+        col("p_name").as("true_name"),
+        Linkage.mangle(col("p_name"), col("p_partkey")).as("q_name"))
+      Linkage.methodCompare(q,
+        p.select(col("p_name").as("name")).distinct())
+    }),
     // Benford first-digit forensic screen on order prices: pinned
     // integer expectation constants, 1e-4 shares, signed deltas — the
     // uniform synthetic draw fails loudly, which is the point
@@ -2682,6 +2706,122 @@ object SparkEntry {
         |SELECT mangle, n_queries, n_matched, n_correct,
         | (10000 * n_correct) // n_queries AS accuracy_e4
         |FROM agg""".stripMargin,
+    // one global row_number per pass key — the engine side computes the
+    // identical ranks via contiguous first-char salts + base fold-back, so
+    // a green row proves the distributed decomposition exact; two passes
+    // (identity key + reversed key), union deduplicated
+    "rel_entity_match_snm" ->
+      """WITH q AS (SELECT p_partkey AS q_id, p_name AS true_name,
+        |  CASE WHEN p_partkey % 3 = 0
+        |        THEN substr(p_name, 1, 1) || substr(p_name, 3)
+        |       WHEN p_partkey % 3 = 1
+        |        THEN substr(p_name, 1, 3) || substr(p_name, 3)
+        |       ELSE substr(p_name, 1, 1) ||
+        |         replace(substr(p_name, 2), 'e', 'a') END AS q_name
+        |  FROM part),
+        | u AS (SELECT DISTINCT q_name AS k, 'q' AS role FROM q
+        |  UNION ALL SELECT DISTINCT p_name AS k, 'd' AS role FROM part),
+        | r1 AS (SELECT k, role, row_number() OVER (ORDER BY k, role)
+        |   AS rank FROM u),
+        | r2 AS (SELECT k, role, row_number() OVER (
+        |    ORDER BY reverse(k), role) AS rank FROM u),
+        | pr AS (SELECT a.k AS k_a, a.role AS role_a, b.k AS k_b,
+        |   b.role AS role_b
+        |  FROM r1 a JOIN r1 b ON b.rank BETWEEN a.rank + 1 AND a.rank + 8
+        |  WHERE a.role <> b.role
+        |  UNION ALL
+        |  SELECT a.k, a.role, b.k, b.role
+        |  FROM r2 a JOIN r2 b ON b.rank BETWEEN a.rank + 1 AND a.rank + 8
+        |  WHERE a.role <> b.role),
+        | cp AS (SELECT DISTINCT
+        |   CASE WHEN role_a = 'q' THEN k_a ELSE k_b END AS q_name,
+        |   CASE WHEN role_a = 'q' THEN k_b ELSE k_a END AS name FROM pr),
+        | sc AS (SELECT q_name, name, levenshtein(q_name, name) AS lev
+        |  FROM cp WHERE levenshtein(q_name, name) <= 3),
+        | best AS (SELECT q_name, name, lev, row_number() OVER (
+        |    PARTITION BY q_name ORDER BY lev, name) AS rk FROM sc)
+        |SELECT q.q_id, q.q_name, b.name AS matched_name,
+        | CAST(b.lev AS BIGINT) AS lev,
+        | CAST(CASE WHEN b.name = q.true_name THEN 1 ELSE 0 END AS BIGINT)
+        |   AS correct
+        |FROM q JOIN best b ON q.q_name = b.q_name AND b.rk = 1""".stripMargin,
+    "rel_entity_method_compare" ->
+      """WITH q AS (SELECT p_partkey AS q_id, p_name AS true_name,
+        |  CASE WHEN p_partkey % 3 = 0
+        |        THEN substr(p_name, 1, 1) || substr(p_name, 3)
+        |       WHEN p_partkey % 3 = 1
+        |        THEN substr(p_name, 1, 3) || substr(p_name, 3)
+        |       ELSE substr(p_name, 1, 1) ||
+        |         replace(substr(p_name, 2), 'e', 'a') END AS q_name
+        |  FROM part),
+        | d AS (SELECT DISTINCT p_name AS name FROM part),
+        | nq AS (SELECT count(*) AS n_queries FROM q),
+        | qn AS (SELECT DISTINCT q_name FROM q),
+        | bp AS (SELECT count(*) AS np FROM qn JOIN d
+        |  ON substr(qn.q_name, 1, 1) = substr(d.name, 1, 1)),
+        | bc AS (SELECT q.q_id, d.name,
+        |   levenshtein(q.q_name, d.name) AS lev, q.true_name
+        |  FROM q JOIN d ON substr(q.q_name, 1, 1) = substr(d.name, 1, 1)
+        |  WHERE levenshtein(q.q_name, d.name) <= 3),
+        | bb AS (SELECT q_id, name, true_name, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY lev, name) AS rk FROM bc),
+        | bm AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |   CAST(sum(CASE WHEN name = true_name THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_correct
+        |  FROM bb WHERE rk = 1),
+        | u AS (SELECT q_name AS k, 'q' AS role FROM qn
+        |  UNION ALL SELECT name AS k, 'd' AS role FROM d),
+        | r1 AS (SELECT k, role, row_number() OVER (ORDER BY k, role)
+        |   AS rank FROM u),
+        | r2 AS (SELECT k, role, row_number() OVER (
+        |    ORDER BY reverse(k), role) AS rank FROM u),
+        | cp1 AS (SELECT CASE WHEN a.role = 'q' THEN a.k ELSE b.k END
+        |    AS q_name,
+        |   CASE WHEN a.role = 'q' THEN b.k ELSE a.k END AS name
+        |  FROM r1 a JOIN r1 b ON b.rank BETWEEN a.rank + 1 AND a.rank + 8
+        |  WHERE a.role <> b.role),
+        | cp2raw AS (SELECT CASE WHEN a.role = 'q' THEN a.k ELSE b.k END
+        |    AS q_name,
+        |   CASE WHEN a.role = 'q' THEN b.k ELSE a.k END AS name
+        |  FROM r2 a JOIN r2 b ON b.rank BETWEEN a.rank + 1 AND a.rank + 8
+        |  WHERE a.role <> b.role),
+        | cp2 AS (SELECT DISTINCT q_name, name FROM
+        |  (SELECT * FROM cp1 UNION ALL SELECT * FROM cp2raw)),
+        | sp1 AS (SELECT count(*) AS np FROM cp1),
+        | sp2 AS (SELECT count(*) AS np FROM cp2),
+        | sc1 AS (SELECT q_name, name, levenshtein(q_name, name) AS lev
+        |  FROM cp1 WHERE levenshtein(q_name, name) <= 3),
+        | sb1 AS (SELECT q_name, name, row_number() OVER (
+        |    PARTITION BY q_name ORDER BY lev, name) AS rk FROM sc1),
+        | sm1 AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |   CAST(sum(CASE WHEN sb1.name = q.true_name THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_correct
+        |  FROM q JOIN sb1 ON q.q_name = sb1.q_name AND sb1.rk = 1),
+        | sc2 AS (SELECT q_name, name, levenshtein(q_name, name) AS lev
+        |  FROM cp2 WHERE levenshtein(q_name, name) <= 3),
+        | sb2 AS (SELECT q_name, name, row_number() OVER (
+        |    PARTITION BY q_name ORDER BY lev, name) AS rk FROM sc2),
+        | sm2 AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |   CAST(sum(CASE WHEN sb2.name = q.true_name THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_correct
+        |  FROM q JOIN sb2 ON q.q_name = sb2.q_name AND sb2.rk = 1)
+        |SELECT 'blocking' AS method,
+        | CAST(bp.np AS BIGINT) AS n_compare_pairs, bm.n_matched,
+        | bm.n_correct, (10000 * bm.n_correct) // nq.n_queries
+        |   AS accuracy_e4
+        |FROM bp, bm, nq
+        |UNION ALL
+        |SELECT 'snm_1pass' AS method,
+        | CAST(sp1.np AS BIGINT) AS n_compare_pairs,
+        | sm1.n_matched, sm1.n_correct,
+        | (10000 * sm1.n_correct) // nq.n_queries AS accuracy_e4
+        |FROM sp1, sm1, nq
+        |UNION ALL
+        |SELECT 'snm_2pass' AS method,
+        | CAST(sp2.np AS BIGINT) AS n_compare_pairs,
+        | sm2.n_matched, sm2.n_correct,
+        | (10000 * sm2.n_correct) // nq.n_queries AS accuracy_e4
+        |FROM sp2, sm2, nq""".stripMargin,
     // pinned e4 Benford constants; first digit off the decimal rendering
     "orders_benford_audit" ->
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100

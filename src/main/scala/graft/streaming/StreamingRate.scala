@@ -54,6 +54,27 @@ object StreamingRate {
           col("id").as("bound"), col("id").as("is_anomaly")).limit(0)
     }
 
+  /** Page's CUSUM drift scan off the SAME maintained state —
+    * [[Timeseries.cusumOnGrid]] over the identical gap-filled grid, so
+    * one state table serves both the point z-test ([[report]]) and the
+    * sequential drift detector, row-identical to the batch
+    * [[Timeseries.cusum]] over the full feed (the batch-parity
+    * contract, spec-proven alongside [[report]]'s). */
+  def cusumReport(spark: SparkSession, stateDir: String,
+                  slackDenom: Int = 20, threshMul: Int = 2): DataFrame =
+    MergeableState.current(spark, stateDir) match {
+      case Some((_, dir)) =>
+        Timeseries.cusumOnGrid(
+          Timeseries.gapfillFromCounts(spark.read.parquet(dir)),
+          slackDenom, threshMul)
+      case None =>
+        spark.range(0).select(
+          lit("").as("event_type"), col("id").as("hour_ms"),
+          col("id").as("n"), col("id").as("s_up_e6"),
+          col("id").as("s_dn_e6"), col("id").as("alarm_up"),
+          col("id").as("alarm_dn")).limit(0)
+    }
+
   /** Maintain the count state from a streaming `events` frame. */
   def maintain(events: DataFrame, stateDir: String, checkpointDir: String,
                trigger: Trigger = Trigger.ProcessingTime("20 seconds"))

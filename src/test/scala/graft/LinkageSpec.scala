@@ -53,6 +53,58 @@ class LinkageSpec extends SparkTestBase {
     assert(ev(1L) == (1L, 1L, 1L, 10000L))
   }
 
+  test("snmCandidates: pairs within the rank window only; the reverse-key " +
+    "second pass recovers a head edit the first-pass sort displaces") {
+    val s = spark
+    import s.implicits._
+    // dictionary spans the alphabet so a head-edited key sorts far from
+    // its clean form; its TAIL is untouched, so the reversed-key pass
+    // puts them adjacent
+    val d = dict("banana split", "beet salad", "berry fool",
+      "bilberry gin", "blood orange", "bramble whip", "brioche bun",
+      "butter tart", "cherry tart", "damson jam")
+    val q = queries((1L, "bnana split", "banana split")) // 'a' deleted:
+    // 'bn…' sorts 7 dictionary keys past 'ba…', beyond window = 3; the
+    // reversed keys share the long 'tilps anan' prefix and are adjacent
+    val one = Linkage.snmCandidates(q, d, window = 3, passes = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val two = Linkage.snmCandidates(q, d, window = 3, passes = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!one.contains(("bnana split", "banana split")),
+      "single pass displaced beyond the window")
+    assert(two.contains(("bnana split", "banana split")),
+      "reversed-key pass recovers the tail-preserving edit")
+    // and the link lands via the second pass
+    val m = Linkage.snmLink(q, d, window = 3).collect()
+    assert(m.length == 1 &&
+      m.head.getAs[String]("matched_name") == "banana split")
+  }
+
+  test("the salted distributed global rank is bit-identical to a single " +
+    "global row_number over (k, role)") {
+    val s = spark
+    import s.implicits._
+    // keys crossing many first-char salts, with a cross-role tie ('fig
+    // roll' in both) to exercise the role tie-break
+    val q = queries((1L, "fig roll", "fig roll"),
+      (2L, "apple pi", "apple pie"), (3L, "zebra cake", "zebra cake"))
+    val d = dict("apple pie", "fig roll", "zebra cake", "banana split")
+    // rank adjacency over the union: compare pair sets from the engine's
+    // salted decomposition against a brute single-window computation
+    val keys = (Seq("fig roll", "apple pi", "zebra cake").map((_, "q")) ++
+      Seq("apple pie", "fig roll", "zebra cake", "banana split")
+        .map((_, "d"))).sortBy(identity)
+    val brute = keys.zipWithIndex.flatMap { case ((k, r), i) =>
+      keys.zipWithIndex.collect {
+        case ((k2, r2), j) if j > i && j <= i + 2 && r != r2 =>
+          if (r == "q") (k, k2) else (k2, k)
+      }
+    }.toSet
+    val got = Linkage.snmCandidates(q, d, window = 2, passes = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute)
+  }
+
   test("mangle never touches the blocking character and stays within " +
     "lev 3 of the original") {
     val s = spark

@@ -412,6 +412,12 @@ class QualityOpsSpec extends SparkTestBase {
       .orderBy("event_type", "hour_ms").collect().toSeq
     assert(live === full, "online report ≡ batch rateAnomaly")
     assert(live.map(_.getLong(6)).sum === 1L, "the spike still flags")
+    // the CUSUM view off the SAME state is row-identical to batch cusum
+    val liveCusum = StreamingRate.cusumReport(spark, stateDir)
+      .orderBy("event_type", "hour_ms").collect().toSeq
+    val fullCusum = Timeseries.cusum(df(all))
+      .orderBy("event_type", "hour_ms").collect().toSeq
+    assert(liveCusum === fullCusum, "online cusum ≡ batch cusum")
     // replay refuses and leaves the report untouched
     assert(!StreamingRate.applyBatch(spark, stateDir, df(b1rows), 1L))
     assert(StreamingRate.report(spark, stateDir)
