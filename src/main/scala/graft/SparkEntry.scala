@@ -5294,13 +5294,18 @@ object SparkEntry {
         |FROM bounded a JOIN bounded b
         | ON a.lang = b.lang AND a.source = b.source
         |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id""".stripMargin,
-    // the NAIVE all-pairs truth — the engine side prunes via the prefix
-    // filter, so a hash-green row here is a completeness proof, not just
-    // an agreement check; threshold as the exact integer form 9i >= 4(a+b)
+    // the NAIVE all-pairs truth over 3-shingle sets — the engine side
+    // canonicalizes and prunes via the prefix filter, so a hash-green row
+    // here is a completeness proof, not just an agreement check;
+    // threshold as the exact integer form 9i >= 4(a+b)
     "doc_setsim_join" ->
-      """WITH s AS (SELECT doc_id, list_sort(list_distinct(list_filter(
-        |   string_split(text, ' '), t -> len(t) > 0))) AS ss
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
         |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | s AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS ss
+        |  FROM g),
         | f AS (SELECT doc_id, ss FROM s WHERE len(ss) >= 1)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
@@ -5309,36 +5314,57 @@ object SparkEntry {
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |WHERE 9 * len(list_intersect(a.ss, b.ss))
         |  >= 4 * (len(a.ss) + len(b.ss))""".stripMargin,
-    // mirrors the engine's prefix-filter candidate generation exactly
-    // (rare-first (df, token) order, integer ceiling, integer size filter)
-    // so the pruning-power audit is itself cross-engine verified
+    // mirrors the engine's canonicalize → prefix-filter pipeline exactly:
+    // identical-set groups collapse (md5 over the space-joined set),
+    // rare-first (df, token) order at SET level, integer ceiling, integer
+    // size filter; final pair count = Σ grpA·grpB over verified set pairs
+    // + Σ C(grp,2) within groups — so the pruning audit is itself
+    // cross-engine verified
     "doc_setsim_evidence" ->
-      """WITH s AS (SELECT doc_id, list_sort(list_distinct(list_filter(
-        |   string_split(text, ' '), t -> len(t) > 0))) AS ss
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
         |  FROM documents),
-        | f AS (SELECT doc_id, ss, len(ss) AS sz FROM s WHERE len(ss) >= 1),
-        | tok AS (SELECT doc_id, sz, unnest(ss) AS token FROM f),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | s AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS ss
+        |  FROM g),
+        | f AS (SELECT doc_id, ss,
+        |   md5(array_to_string(ss, chr(1))) AS fp
+        |  FROM s WHERE len(ss) >= 1),
+        | reps AS (SELECT fp, any_value(ss) AS ss,
+        |   CAST(count(*) AS BIGINT) AS grp_n,
+        |   CAST(len(any_value(ss)) AS BIGINT) AS sz
+        |  FROM f GROUP BY fp),
+        | tok AS (SELECT fp, sz, unnest(ss) AS token FROM reps),
         | dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
-        | r AS (SELECT t.doc_id, t.sz, t.token, row_number() OVER (
-        |    PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
+        | r AS (SELECT t.fp, t.sz, t.token, row_number() OVER (
+        |    PARTITION BY t.fp ORDER BY d.df, t.token) AS rn
         |  FROM tok t JOIN dfreq d USING (token)),
-        | pre AS (SELECT doc_id, sz, token FROM r
+        | pre AS (SELECT fp, sz, token FROM r
         |  WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
-        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM pre a JOIN pre b ON a.token = b.token
-        |   AND a.doc_id < b.doc_id
+        | cand AS (SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b
+        |  FROM pre a JOIN pre b ON a.token = b.token AND a.fp < b.fp
         |   AND 4 * b.sz <= 5 * a.sz AND 4 * a.sz <= 5 * b.sz),
-        | ver AS (SELECT count(*) AS n_pairs FROM cand c
-        |   JOIN f a ON c.doc_a = a.doc_id JOIN f b ON c.doc_b = b.doc_id
+        | ver AS (SELECT c.fp_a, c.fp_b FROM cand c
+        |   JOIN reps a ON c.fp_a = a.fp JOIN reps b ON c.fp_b = b.fp
         |  WHERE 9 * len(list_intersect(a.ss, b.ss))
         |    >= 4 * (len(a.ss) + len(b.ss))),
-        | nn AS (SELECT count(*) AS n_docs FROM f),
-        | cc AS (SELECT count(*) AS n_candidates FROM cand)
+        | np AS (SELECT
+        |   (SELECT CAST(coalesce(sum(a.grp_n * b.grp_n), 0) AS BIGINT)
+        |    FROM ver v JOIN reps a ON v.fp_a = a.fp
+        |     JOIN reps b ON v.fp_b = b.fp)
+        |   + (SELECT CAST(coalesce(sum(grp_n * (grp_n - 1) // 2), 0)
+        |      AS BIGINT) FROM reps) AS n_pairs),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM f),
+        | ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sets FROM reps),
+        | cc AS (SELECT CAST(count(*) AS BIGINT) AS n_set_candidates
+        |  FROM cand)
         |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_allpairs,
-        | n_candidates, n_pairs,
-        | 10000 * (n_docs * (n_docs - 1) // 2 - n_candidates)
-        |   // (n_docs * (n_docs - 1) // 2) AS pruned_share_e4
-        |FROM nn, cc, ver""".stripMargin,
+        | n_sets, n_sets * (n_sets - 1) // 2 AS n_set_allpairs,
+        | n_set_candidates, n_pairs,
+        | 10000 * (n_sets * (n_sets - 1) // 2 - n_set_candidates)
+        |   // (n_sets * (n_sets - 1) // 2) AS pruned_share_e4
+        |FROM nn, ns, cc, np""".stripMargin,
     "doc_ngram_jaccard_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
         |  FROM documents),

@@ -1506,105 +1506,157 @@ object Dedup {
   // compliance-grade dedup (takedowns, licensing) has to run.
   // ---------------------------------------------------------------------
 
-  /** Distinct word set per document, binary-sorted — the item universe the
-    * prefix-filter join operates over. Empty documents drop out (an empty
-    * set has no well-defined Jaccard against anything). */
-  private def wordSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        array_sort(array_distinct(
-          filter(split(col("text"), " "), t => length(t) > 0))).as("sset"))
-      .filter(size(col("sset")) >= 1)
+  // The item universe is [[shingleSets]] — the same universe as the
+  // MinHash/LSH family, so the exact join and the approximate path answer
+  // the same question. Shingles, not words, on purpose: prefix filtering
+  // prunes by RARE items, and a shingle vocabulary is large and sparse
+  // where a word vocabulary can be tiny — on the synthetic corpus's
+  // 31-word vocabulary every word has df in the thousands and a
+  // word-universe prefix join degenerates to ~all-pairs (measured: 3.8M
+  // set-level candidates at sf0.1 vs 43.5k with shingles — the
+  // 99.65%-pruned form this operator exists for). Documents with < 3
+  // words have no shingles and drop out, like the rest of the family.
 
-  /** ALL pairs with word-set Jaccard ≥ tauNum/tauDen — exact and complete,
-    * yet never forming the all-pairs space. Prefix-filter theorem: order
-    * the token universe globally by ascending document frequency (rarest
-    * first, token string as tie-break); a pair with J ≥ τ must share at
-    * least ⌈τ·|x|⌉ tokens with either side x, so each side's first
-    * |x| − ⌈τ·|x|⌉ + 1 tokens under that order (its "prefix") must
-    * intersect the other's. Joining ONLY on prefix tokens is therefore
-    * lossless, and prefixes are by construction the RAREST tokens — the
-    * join's per-token bucket sizes stay small exactly where the data is
-    * big. A size filter (τ·|a| ≤ |b| ≤ |a|/τ, exact integer form) prunes
-    * inside the join condition; candidates are then verified with the
-    * exact integral test (n+d)·|a∩b| ≥ n·(|a|+|b|)  ⇔  J ≥ n/d — no float
-    * boundary anywhere.
-    *
-    * Scale shape: one shuffle to count token document frequency, one
-    * doc-partitioned window for the prefix ranks, one equi-join on prefix
-    * tokens (bucket-bounded: a common token is in a doc's prefix only when
-    * the doc has almost nothing rarer), then candidate-bounded
-    * verification via two doc-id equi-joins. The quadratic term lives only
-    * inside per-prefix-token buckets of RARE tokens — the same bounded-
-    * blowup argument as the LSH band join, but with a proof of
-    * completeness instead of a recall curve.
-    *
-    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
-    * 4dp for engine-portable comparison (thresholding already happened on
-    * the exact integer form). */
-  def setSimJoin(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5)
-      : DataFrame = {
-    val i = size(array_intersect(col("set_a"), col("set_b")))
-    setSimCandidates(docs, tauNum, tauDen)
-      .join(wordSets(docs).select(col("doc_id").as("doc_a"),
-        col("sset").as("set_a")), "doc_a")
-      .join(wordSets(docs).select(col("doc_id").as("doc_b"),
-        col("sset").as("set_b")), "doc_b")
-      .filter(lit(tauNum + tauDen) * i >=
-        lit(tauNum) * (size(col("set_a")) + size(col("set_b"))))
-      .select(col("doc_a"), col("doc_b"),
-        round(i.cast("double") /
-          (size(col("set_a")) + size(col("set_b")) - i).cast("double"), 4)
-          .as("jaccard"))
+  /** Canonicalized set universe: documents with IDENTICAL shingle sets
+    * collapse to one representative before any quadratic work — the
+    * dedupe-then-fan-back discipline. In a dup-heavy corpus this is the
+    * difference between the join running and not: a 248-document exact
+    * cluster (sf0.1 testdata, largest fp group) is 30,628 doc-level pairs
+    * but ONE representative set; two near-dup clusters of that size are
+    * one set-level comparison instead of ~60k array intersections.
+    * `reps` (fp, sset, grp_n) and `members` (fp, doc_id) are
+    * localCheckpointed — each is read several times downstream (prefix
+    * build, both verify sides, both expansion sides), and materializing
+    * the canonicalization is the winnowPairs lesson applied up front. */
+  private def setSimCanonical(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // shingles contain spaces, so join on \u0001 (impossible in
+    // space-split words) for an unambiguous group key
+    val sets = shingleSets(docs)
+      .withColumn("fp", md5(array_join(col("sset"), "\u0001")))
+    val members = sets.select("fp", "doc_id").localCheckpoint()
+    // every sset under one fp is identical by construction → first() is
+    // deterministic here
+    val reps = sets.groupBy("fp")
+      .agg(first(col("sset")).as("sset"), count(lit(1)).as("grp_n"))
+      .localCheckpoint()
+    (reps, members)
   }
 
-  /** The candidate pairs [[setSimJoin]] verifies: distinct (doc_a, doc_b)
-    * sharing ≥1 prefix token under the global rare-first order, after the
-    * integer size filter. Deterministic given the corpus (document
-    * frequency + binary token order), so the pruning power is itself an
-    * auditable quantity — see [[setSimEvidence]]. */
-  def setSimCandidates(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5)
-      : DataFrame = {
-    val sets = wordSets(docs)
-    val tok = sets.select(col("doc_id"), size(col("sset")).as("s"),
+  /** Set-level candidate pairs for [[setSimJoin]]: distinct (fp_a, fp_b)
+    * sharing ≥1 PREFIX token under the global rare-first order, after the
+    * integer size filter. Prefix-filter theorem: order the token universe
+    * by ascending set frequency (rarest first, token string tie-break); a
+    * pair with J ≥ τ shares ≥ ⌈τ·|x|⌉ tokens with either side x, so each
+    * side's first |x| − ⌈τ·|x|⌉ + 1 tokens under that order must
+    * intersect the other's — joining only on prefix tokens is lossless,
+    * and prefixes are by construction the RAREST tokens, so the join's
+    * per-token buckets stay small exactly where the data is big. */
+  private def setSimSetCandidates(reps: DataFrame, tauNum: Int,
+                                  tauDen: Int): DataFrame = {
+    val tok = reps.select(col("fp"), size(col("sset")).as("s"),
       explode(col("sset")).as("token"))
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     // prefix length p = s − ⌈n·s/d⌉ + 1, all-integer ceiling
     val prefix = tok.join(dfreq, "token")
       .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")
           .orderBy(col("df"), col("token"))))
       .filter(col("rn") <=
         col("s") - expr(s"($tauNum * s + ${tauDen - 1}) DIV $tauDen") + 1)
-      .select("token", "doc_id", "s")
-    prefix.select(col("token"), col("doc_id").as("doc_a"),
-        col("s").as("s_a"))
-      .join(prefix.select(col("token"), col("doc_id").as("doc_b"),
-        col("s").as("s_b")),
-        Seq("token"))
-      .filter(col("doc_a") < col("doc_b") &&
+      .select("token", "fp", "s")
+    prefix.select(col("token"), col("fp").as("fp_a"), col("s").as("s_a"))
+      .join(prefix.select(col("token"), col("fp").as("fp_b"),
+        col("s").as("s_b")), Seq("token"))
+      .filter(col("fp_a") < col("fp_b") &&
         lit(tauNum) * col("s_b") <= lit(tauDen) * col("s_a") &&
         lit(tauNum) * col("s_a") <= lit(tauDen) * col("s_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("fp_a", "fp_b").distinct()
   }
 
-  /** One-row pruning audit of the prefix filter: total documents in play,
-    * the all-pairs space C(n,2) the join NEVER forms, the candidate count
-    * it does form, the verified-pair count, and the pruned share in exact
-    * 1e-4 integral units. At 100 TB this row is the difference between a
-    * plan that runs and one that doesn't — it belongs next to the result,
-    * not in a log. */
+  /** Verified set-level pairs: exact integral test
+    * (n+d)·|a∩b| ≥ n·(|a|+|b|)  ⇔  J ≥ n/d — no float boundary — plus the
+    * 4dp jaccard for reporting. */
+  private def setSimVerified(reps: DataFrame, tauNum: Int,
+                             tauDen: Int): DataFrame = {
+    val i = size(array_intersect(col("set_a"), col("set_b")))
+    setSimSetCandidates(reps, tauNum, tauDen)
+      .join(reps.select(col("fp").as("fp_a"), col("sset").as("set_a")),
+        "fp_a")
+      .join(reps.select(col("fp").as("fp_b"), col("sset").as("set_b")),
+        "fp_b")
+      .filter(lit(tauNum + tauDen) * i >=
+        lit(tauNum) * (size(col("set_a")) + size(col("set_b"))))
+      .select(col("fp_a"), col("fp_b"),
+        round(i.cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - i).cast("double"), 4)
+          .as("jaccard"))
+  }
+
+  /** ALL pairs with shingle-set Jaccard ≥ tauNum/tauDen — exact and complete
+    * (AllPairs/PPJoin prefix filter), never forming the all-pairs space,
+    * with identical-set canonicalization in front so dup clusters cost
+    * one representative each: cross-group pairs come from the verified
+    * set-level pairs fanned back onto members (scalars only — the arrays
+    * never ride the expansion), within-group pairs are emitted directly
+    * at J = 1.0 (identical sets need no verification).
+    *
+    * Scale shape: one shuffle to canonicalize, one to count token set
+    * frequency, one fp-partitioned window for prefix ranks, one equi-join
+    * on (rare) prefix tokens, candidate-bounded verification on
+    * representative sets, then two id-equi-join expansions. The quadratic
+    * term lives only inside per-prefix-token buckets of rare tokens and
+    * in the OUTPUT itself — which is the result's own size, not a plan
+    * artifact.
+    *
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    * 4dp (thresholding already happened on the exact integer form). */
+  def setSimJoin(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5)
+      : DataFrame = {
+    val (reps, members) = setSimCanonical(docs)
+    setSimExpanded(reps, members, tauNum, tauDen)
+  }
+
+  private def setSimExpanded(reps: DataFrame, members: DataFrame,
+                             tauNum: Int, tauDen: Int): DataFrame = {
+    val cross = setSimVerified(reps, tauNum, tauDen)
+      .join(members.select(col("fp").as("fp_a"), col("doc_id").as("da")),
+        "fp_a")
+      .join(members.select(col("fp").as("fp_b"), col("doc_id").as("db")),
+        "fp_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val within = members.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(members.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** One-row pruning audit of the canonicalize + prefix-filter pipeline:
+    * documents and their C(n,2) all-pairs space (never formed), distinct
+    * sets after canonicalization and THEIR all-pairs space, the set-level
+    * candidates the prefix join actually formed, the final doc-level pair
+    * count, and the pruned share of the set-pair space in exact 1e-4
+    * units. At 100 TB this row is the difference between a plan that runs
+    * and one that doesn't — it belongs next to the result, not in a
+    * log. */
   def setSimEvidence(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5)
       : DataFrame = {
-    val n = wordSets(docs).agg(count(lit(1)).as("n_docs"))
-    val cand = setSimCandidates(docs, tauNum, tauDen)
-      .agg(count(lit(1)).as("n_candidates"))
-    val ver = setSimJoin(docs, tauNum, tauDen)
+    val (reps, members) = setSimCanonical(docs)
+    val nd = members.agg(count(lit(1)).as("n_docs"))
+    val ns = reps.agg(count(lit(1)).as("n_sets"))
+    val cand = setSimSetCandidates(reps, tauNum, tauDen)
+      .agg(count(lit(1)).as("n_set_candidates"))
+    val pairs = setSimExpanded(reps, members, tauNum, tauDen)
       .agg(count(lit(1)).as("n_pairs"))
-    n.crossJoin(cand).crossJoin(ver)
+    nd.crossJoin(ns).crossJoin(cand).crossJoin(pairs)
       .withColumn("n_allpairs", expr("n_docs * (n_docs - 1) DIV 2"))
+      .withColumn("n_set_allpairs", expr("n_sets * (n_sets - 1) DIV 2"))
       .withColumn("pruned_share_e4",
-        expr("10000 * (n_allpairs - n_candidates) DIV n_allpairs"))
-      .select("n_docs", "n_allpairs", "n_candidates", "n_pairs",
-        "pruned_share_e4")
+        expr("10000 * (n_set_allpairs - n_set_candidates)" +
+          " DIV n_set_allpairs"))
+      .select("n_docs", "n_allpairs", "n_sets", "n_set_allpairs",
+        "n_set_candidates", "n_pairs", "pruned_share_e4")
   }
 }

@@ -69,43 +69,63 @@ class NorthStarSpec extends SparkTestBase {
     assert(scored.forall { case (k, v) => blocked(k) == v })
   }
 
-  test("Dedup.setSimJoin (prefix filter) equals the brute-force truth " +
-    "and prunes the all-pairs space") {
-    // 26 docs: a near-dup clique (drop one word from a 10-word base →
-    // J = 9/10 or 9/11 ≥ 0.8 within the clique), plus disjoint chaff
-    val base = ('a' to 'j').map(c => s"w$c")
-    val clique = (0 until 6).map { i =>
-      (i.toLong, (base.take(i) ++ base.drop(i + 1)).mkString(" "))
+  test("Dedup.setSimJoin (canonicalize + prefix filter) equals the " +
+    "brute-force shingle-set truth and prunes the all-pairs space") {
+    // near-dup clique: drop one word from a 60-word base — each deletion
+    // destroys 3 shingles and bridges 2, so a clique pair shares 52 of 62
+    // union shingles, J = 0.8387 ≥ 0.8 (at 30 words it would be 0.6875 —
+    // below τ; shingle perturbation is ~3× a word perturbation, which is
+    // why this operator runs on the shingle universe for real near-dups);
+    // plus an EXACT duplicate (identical shingle set → the within-group
+    // J=1.0 path through canonicalization) and disjoint chaff
+    val base = (1 to 60).map(i => f"w$i%02d")
+    val clique = (0 until 4).map { i =>
+      (i.toLong, (base.take(5 + 3 * i) ++ base.drop(6 + 3 * i))
+        .mkString(" "))
     }
+    val dup = Seq(50L -> clique.head._2) // identical text to doc 0
     val chaff = (0 until 20).map { i =>
       (100L + i, (0 until 10).map(j => s"x${i}_$j").mkString(" "))
     }
-    val d = docsDf(clique ++ chaff)
-    // brute-force truth over distinct word sets at tau = 4/5, exact
+    val all = clique ++ dup ++ chaff
+    val d = docsDf(all)
+    // brute-force truth over distinct 3-shingle sets at tau = 4/5, exact
     // integer threshold — the same definition the DuckDB oracle uses
-    val sets = (clique ++ chaff).map { case (id, t) =>
-      id -> t.split(" ").filter(_.nonEmpty).toSet
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
     }
+    val sets = all.map { case (id, t) => id -> shingleSet(t) }
+      .filter(_._2.nonEmpty)
     val truth = (for {
       (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
       i = (sa & sb).size if 9 * i >= 4 * (sa.size + sb.size)
     } yield (ia, ib)).toSet
-    assert(truth.size == 15) // the full 6-clique qualifies, chaff never
+    // the clique pairs + the exact dup against every clique member
+    assert(truth.size >= 6 + 1 && truth.contains((0L, 50L)))
     val got = Dedup.setSimJoin(d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == truth) // complete AND precise
-    // jaccard values are the exact set ratio, rounded 4dp
+    // jaccard values are the exact set ratio, rounded 4dp; the exact-dup
+    // pair reads 1.0 through the within-group path
     val j = Dedup.setSimJoin(d).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    assert(j((0L, 1L)) ==
-      BigDecimal(8.0 / 10.0).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
-    // pruning audit: candidates ≪ all-pairs (chaff shares no token with
-    // anything, so it never even becomes a candidate)
+    assert(j((0L, 50L)) == 1.0)
+    val s0 = sets.toMap.apply(0L); val s1 = sets.toMap.apply(1L)
+    val i01 = (s0 & s1).size
+    assert(j((0L, 1L)) == BigDecimal(
+      i01.toDouble / (s0.size + s1.size - i01))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // pruning audit: 25 docs in play (the dup collapses: 24 distinct
+    // sets), chaff shares no shingle with anything → never a candidate
     val ev = Dedup.setSimEvidence(d).collect().head
-    assert(ev.getLong(0) == 26 && ev.getLong(1) == 325)
-    assert(ev.getLong(2) == 15 && ev.getLong(3) == 15)
-    assert(ev.getLong(4) == (10000L * (325 - 15)) / 325)
+    assert(ev.getLong(0) == 25 && ev.getLong(1) == 300) // docs, C(25,2)
+    assert(ev.getLong(2) == 24 && ev.getLong(3) == 276) // sets, C(24,2)
+    val nCand = ev.getLong(4)
+    assert(nCand >= 6 && nCand < 276, "pruned but complete")
+    assert(ev.getLong(5) == truth.size)
+    assert(ev.getLong(6) == (10000L * (276 - nCand)) / 276)
   }
 
   test("Dedup.ngramJaccard block guard is observable: excluded-block " +
