@@ -166,8 +166,17 @@ object Linkage {
     * [[linkEntities]]. */
   def snmLink(queries: DataFrame, dictionary: DataFrame,
               window: Int = 8, maxLev: Int = 3,
-              passes: Int = 2): DataFrame = {
-    val scored = snmCandidates(queries, dictionary, window, passes)
+              passes: Int = 2): DataFrame =
+    snmLinkOn(queries, snmCandidates(queries, dictionary, window, passes),
+      maxLev)
+
+  /** Score pre-built candidate pairs and fan the best match back onto the
+    * query set — split out so [[methodCompare]] can reuse ONE materialized
+    * candidate frame for both its count and its link (never recomputing
+    * the rank pipeline per consumer). */
+  private def snmLinkOn(queries: DataFrame, candidates: DataFrame,
+                        maxLev: Int): DataFrame = {
+    val scored = candidates
       .withColumn("lev", levenshtein(col("q_name"), col("name"))
         .cast("long"))
       .filter(col("lev") <= maxLev)
@@ -205,13 +214,21 @@ object Linkage {
     val blockPairs = qn.join(
       dictionary.select(col("name"),
         substring(col("name"), 1, 1).as("block")), "block")
+    // each candidate frame is materialized ONCE and feeds both its count
+    // and its link; the 2-pass frame extends the materialized 1-pass frame
+    // instead of re-running the rank pipeline (the winnowPairs lesson)
+    val u = queries.select(col("q_name").as("k")).distinct()
+      .withColumn("role", lit("q"))
+      .unionByName(dictionary.select(col("name").as("k"))
+        .withColumn("role", lit("d")))
+    val cand1 = snmPass(u, window, identity).localCheckpoint()
+    val cand2 = cand1.unionByName(snmPass(u, window, reverse))
+      .distinct().localCheckpoint()
     yieldRow("blocking", blockPairs,
       linkEntities(queries, dictionary, maxLev))
-      .unionByName(yieldRow("snm_1pass",
-        snmCandidates(queries, dictionary, window, passes = 1),
-        snmLink(queries, dictionary, window, maxLev, passes = 1)))
-      .unionByName(yieldRow("snm_2pass",
-        snmCandidates(queries, dictionary, window, passes = 2),
-        snmLink(queries, dictionary, window, maxLev, passes = 2)))
+      .unionByName(yieldRow("snm_1pass", cand1,
+        snmLinkOn(queries, cand1, maxLev)))
+      .unionByName(yieldRow("snm_2pass", cand2,
+        snmLinkOn(queries, cand2, maxLev)))
   }
 }
