@@ -126,7 +126,17 @@ object ScaleBench {
       // BFS (edge construction is the LSH chain; 3 frontier hops on top,
       // each O(edges touched) — expected the chain's growth, since the
       // hop joins are pair-bounded)
-      "doc_takedown_status", "doc_contamination_radius")
+      "doc_takedown_status", "doc_contamination_radius",
+      // r12 session 5: the exact prefix-filter similarity join — the cell
+      // watches the canonicalize shuffle, the set-frequency aggregate and
+      // the prefix-token join all stay ~linear (cross-copy shingle sets
+      // are disjoint by construction, so set-level candidates grow ×f,
+      // never ×f²; a superlinear ratio here would mean the prefix buckets
+      // stopped pruning). And the trained NB classifier — vocab grows ×f
+      // with the suffixed words while classes stay fixed; the cell
+      // watches the weight-table join and the test-token scoring stay at
+      // the corpus explode's linear floor
+      "doc_setsim_join", "doc_nb_langid")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the
