@@ -962,6 +962,17 @@ object SparkEntry {
     // leaks it even at healthy k
     "corpus_l_diversity" -> ((s, dir) =>
       TextAnalysis.lDiversity(t(s, dir, "documents"))),
+    // the third leg of the privacy triad: ε-DP Laplace-noised per-source
+    // counts with a SEEDED md5-uniform draw (deterministic release
+    // pipeline — reproducible across engines, retries, resumes), noise as
+    // integer micro-units via the zipf_fit ln precedent
+    "corpus_dp_counts" -> ((s, dir) =>
+      TextAnalysis.dpNoisyCounts(t(s, dir, "documents"))),
+    // resharding-cost audit: HRW/rendezvous vs mod-N when 7 shards grow
+    // to 8 — moved share measured on the corpus next to pinned theory
+    // (~1/8 vs ~7/8); shard assignment is a pure per-row expression
+    "corpus_reshard_plan" -> ((s, dir) =>
+      CorpusOps.reshardPlan(t(s, dir, "documents"))),
     // robust length outliers: |n_chars - median| > 3*MAD with BOTH
     // medians exact integer rank selections off value histograms — the
     // outlier-proof twin of the z-score ops
@@ -3532,6 +3543,50 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN l_group < 2 THEN n ELSE 0 END)
         |   AS DOUBLE) / sum(n), 4) AS at_risk_share
         |FROM g""".stripMargin,
+    // same seeded md5-uniform (strpos hex decode, the doc_simhash
+    // pattern), same inverse-CDF Laplace draw, micro-rounded ln
+    "corpus_dp_counts" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        | h AS (SELECT source, n, list_aggregate(list_transform(
+        |   range(1, 9), j -> CAST(strpos('0123456789abcdef',
+        |     substr(md5(source || ':dp1'), CAST(j AS INTEGER), 1)) - 1
+        |     AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - CAST(j
+        |     AS INTEGER))))), 'sum') AS hv
+        |  FROM g),
+        | x AS (SELECT source, n,
+        |   (CAST(hv AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS c FROM h),
+        | y AS (SELECT source, n, CAST(round(-1.0 *
+        |   (CASE WHEN c >= 0 THEN 1.0 ELSE -1.0 END) *
+        |   ln(1.0 - 2.0 * abs(c)) * 1e6) AS BIGINT) AS noise_e6 FROM x)
+        |SELECT source, n, noise_e6, n * 1000000 + noise_e6
+        |   AS released_e6,
+        | CAST(10000 AS BIGINT) AS epsilon_e4 FROM y""".stripMargin,
+    // HRW argmax via arg_max over the exploded shard range; mod-N and
+    // the pinned theory shares mirror the engine's integer arithmetic
+    "corpus_reshard_plan" ->
+      """WITH u AS (SELECT doc_id, s,
+        |   md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)) AS h
+        |  FROM documents, range(0, 8) t(s)),
+        | o AS (SELECT doc_id, arg_max(s, h) AS sh FROM u WHERE s < 7
+        |  GROUP BY doc_id),
+        | w AS (SELECT doc_id, arg_max(s, h) AS sh FROM u
+        |  GROUP BY doc_id),
+        | m AS (SELECT o.doc_id,
+        |   CASE WHEN o.sh <> w.sh THEN 1 ELSE 0 END AS hrw_moved,
+        |   CASE WHEN o.doc_id % 7 <> o.doc_id % 8 THEN 1 ELSE 0 END
+        |     AS mod_moved
+        |  FROM o JOIN w ON o.doc_id = w.doc_id),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(hrw_moved) AS BIGINT) AS hrw_n,
+        |   CAST(sum(mod_moved) AS BIGINT) AS mod_n FROM m)
+        |SELECT 'hrw' AS method, n_docs, hrw_n AS n_moved,
+        | (10000 * hrw_n) // n_docs AS moved_share_e4,
+        | CAST(1250 AS BIGINT) AS theory_moved_e4 FROM a
+        |UNION ALL
+        |SELECT 'mod' AS method, n_docs, mod_n AS n_moved,
+        | (10000 * mod_n) // n_docs AS moved_share_e4,
+        | CAST(8750 AS BIGINT) AS theory_moved_e4 FROM a""".stripMargin,
     // exact lower-median rank selection off value histograms, twice
     // (values, then absolute deviations); the 3*MAD flag is all-integer
     "doc_length_outliers" ->

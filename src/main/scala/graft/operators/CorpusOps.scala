@@ -505,4 +505,53 @@ object CorpusOps {
         sum(col("tok")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
       .withColumn("cpt_e4", expr("(10000 * n_chars) div n_tokens"))
+
+  /** Rendezvous (highest-random-weight) shard assignment for `key` over
+    * `n` shards: argmax over shards of md5(key#shard). A PURE per-row
+    * expression — array_max over an n-term struct array, no explode, no
+    * shuffle — because at 100 TB the shard map is computed inside a scan,
+    * never via a join against a placement table. */
+  private def hrwShard(key: Column, n: Int): Column =
+    array_max(transform(sequence(lit(0), lit(n - 1)),
+      s => struct(md5(concat(key, lit("#"), s.cast("string"))).as("h"),
+        s.cast("long").as("s")))).getField("s")
+
+  /** Resharding-cost audit: when a corpus grows a shard (`oldShards` →
+    * `newShards`), how many documents MOVE under rendezvous hashing vs
+    * the naive mod-N assignment — measured on the corpus, next to the
+    * pinned theory shares (HRW moves only what the new shard claims,
+    * E = 1/new; mod-N reassigns almost everything, E = 1 − lcm-overlap).
+    * This is the difference between a reshard that re-copies ~12% of
+    * 100 TB and one that re-copies ~87% — the op exists so that number
+    * is read off a query, not argued from a whiteboard. One pure-map
+    * pass + one 1-row aggregate per method; all-integer output. */
+  def reshardPlan(docs: DataFrame, oldShards: Int = 7,
+                  newShards: Int = 8): DataFrame = {
+    require(oldShards > 0 && newShards > 0 && oldShards != newShards,
+      s"bad shard counts: $oldShards -> $newShards")
+    val key = col("doc_id").cast("string")
+    val a = docs.select(
+      (hrwShard(key, oldShards) =!= hrwShard(key, newShards))
+        .cast("long").as("hrw_moved"),
+      (col("doc_id") % oldShards =!= col("doc_id") % newShards)
+        .cast("long").as("mod_moved"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("hrw_moved")).as("hrw_n_moved"),
+        sum(col("mod_moved")).as("mod_n_moved"))
+    // mod-N stay share: keys agreeing mod old and new repeat with period
+    // lcm(old, new); count agreements in one period exactly
+    val l = (1 to oldShards * newShards)
+      .find(x => x % oldShards == 0 && x % newShards == 0).get
+    val stay = (0 until l).count(k => k % oldShards == k % newShards)
+    val modTheory = 10000L * (l - stay) / l
+    val hrwTheory = 10000L / newShards
+    a.select(lit("hrw").as("method"), col("n_docs"),
+        col("hrw_n_moved").as("n_moved"),
+        expr("(10000 * hrw_n_moved) DIV n_docs").as("moved_share_e4"),
+        lit(hrwTheory).as("theory_moved_e4"))
+      .unionByName(a.select(lit("mod").as("method"), col("n_docs"),
+        col("mod_n_moved").as("n_moved"),
+        expr("(10000 * mod_n_moved) DIV n_docs").as("moved_share_e4"),
+        lit(modTheory).as("theory_moved_e4")))
+  }
 }

@@ -566,6 +566,41 @@ object TextAnalysis {
           .as("at_risk_share"))
   }
 
+  /** ε-differentially-private count release — the third leg of the
+    * privacy triad next to [[kAnonymity]] and [[lDiversity]]: those two
+    * GATE a release, this one NOISES it (Dwork et al. 2006 — the Laplace
+    * mechanism: a count has sensitivity 1, so adding Laplace(1/ε) noise
+    * makes the released histogram ε-DP). Per `source`: the true count,
+    * the noise draw, and the released value in exact 1e-6 integer units.
+    *
+    * The draw is SEEDED, not random: u = (hv + ½)/2³² from the first 8
+    * md5 hex digits of (source, salt) — deterministic across engines,
+    * retries and resumes, which is what a reproducible release pipeline
+    * needs (and what makes the op oracle-checkable; vary `salt` to get a
+    * fresh draw). The +½ keeps u strictly inside (0,1) so the inverse CDF
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) never hits ln(0). Noise lands
+    * as an integer micro-unit via round(ln·10⁶) — the zipf_fit ln
+    * precedent; everything after is exact integer addition. One hash
+    * aggregate + a per-group expression: scale-free.
+    *
+    * True `n` is emitted alongside for AUDIT framing (this corpus is
+    * synthetic); a real release ships only released_e6. */
+  def dpNoisyCounts(docs: DataFrame, epsNum: Int = 1, epsDen: Int = 1,
+                    salt: String = "dp1"): DataFrame = {
+    require(epsNum > 0 && epsDen > 0, "epsilon must be positive")
+    val b = epsDen.toDouble / epsNum // Laplace scale = 1/epsilon
+    val hv = conv(substring(md5(concat(col("source"), lit(":" + salt))),
+      1, 8), 16, 10).cast("long")
+    val c = (hv.cast("double") + lit(0.5)) / lit(4294967296.0) - lit(0.5)
+    val noise = -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"),
+        round(noise * 1e6).cast("long").as("noise_e6"))
+      .withColumn("released_e6", expr("n * 1000000 + noise_e6"))
+      .withColumn("epsilon_e4",
+        lit((10000L * epsNum) / epsDen))
+  }
+
   /** PII scrubbing — the corpus-scale sibling of the reference's per-field
     * MD5 masking (SURVEY F1–F5): redact email addresses and phone-shaped
     * numbers from free text and count what was removed, so a curation run

@@ -105,6 +105,58 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out.drop(24).exists(_._2 == 1L), "the shift alarms")
   }
 
+  test("TextAnalysis.dpNoisyCounts: seeded draw is deterministic, moves " +
+    "with the salt, and scales as 1/epsilon") {
+    import graft.operators.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, "t", "en", s"src${i % 4}", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def draw(epsNum: Int, salt: String) =
+      TextAnalysis.dpNoisyCounts(docs, epsNum = epsNum, salt = salt)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val a = draw(1, "dp1"); val b = draw(1, "dp1"); val c = draw(1, "dp2")
+    assert(a == b, "same seed, same release")
+    assert(a != c, "a fresh salt is a fresh draw")
+    assert(a.values.exists(_ != 0L), "noise actually lands")
+    // epsilon doubling halves the Laplace scale: each micro-noise pair
+    // differs from exact halving only by the two roundings (<= 1 unit)
+    val half = draw(2, "dp1")
+    assert(a.keySet == half.keySet)
+    a.foreach { case (src, n1) =>
+      assert(math.abs(2 * half(src) - n1) <= 1L, s"$src: $n1 vs ${half(src)}")
+    }
+    // released value is exact integer bookkeeping on top of the noise
+    val rows = TextAnalysis.dpNoisyCounts(docs).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) * 1000000L + r.getLong(2))
+    }
+  }
+
+  test("CorpusOps.reshardPlan: counts match a brute-force rendezvous " +
+    "computation and every HRW move lands on the NEW shard") {
+    import graft.operators.CorpusOps
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 300L)
+    val docs = ids.map(i => (i, "t", "en", "srcA", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def hrw(id: Long, n: Int): Int =
+      (0 until n).maxBy(sh => md5hex(s"$id#$sh"))
+    val bruteMovedIds = ids.filter(i => hrw(i, 7) != hrw(i, 8))
+    // the defining HRW property: a key only moves to claim the NEW shard
+    assert(bruteMovedIds.forall(i => hrw(i, 8) == 7))
+    val modMoved = ids.count(i => i % 7 != i % 8)
+    val out = CorpusOps.reshardPlan(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out("hrw") == ((300L, bruteMovedIds.size.toLong,
+      10000L * bruteMovedIds.size / 300, 1250L)))
+    assert(out("mod") == ((300L, modMoved.toLong,
+      10000L * modMoved / 300, 8750L)))
+  }
+
   test("DataQuality.fkAudit: consistent FK reads zero orphans; a " +
     "damaged parent counts exactly the orphaned children; null FKs " +
     "are counted but never orphans") {
