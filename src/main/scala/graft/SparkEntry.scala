@@ -973,6 +973,16 @@ object SparkEntry {
     // (~1/8 vs ~7/8); shard assignment is a pure per-row expression
     "corpus_reshard_plan" -> ((s, dir) =>
       CorpusOps.reshardPlan(t(s, dir, "documents"))),
+    // exact two-sample KS distance of each source's length distribution
+    // vs the rest of the corpus — distribution-free shift audit, the
+    // max-gap numerator exact integer cross-multiplication, histograms
+    // before anything corpus-sized
+    "corpus_ks_by_source" -> ((s, dir) =>
+      CorpusOps.ksBySource(t(s, dir, "documents"))),
+    // what canonicalization buys the exact dedup, measured: dup mass
+    // under raw md5(text) vs md5(normalized text) in one row
+    "doc_dedup_norm_delta" -> ((s, dir) =>
+      Dedup.normDedupDelta(t(s, dir, "documents"))),
     // robust length outliers: |n_chars - median| > 3*MAD with BOTH
     // medians exact integer rank selections off value histograms — the
     // outlier-proof twin of the z-score ops
@@ -3562,6 +3572,56 @@ object SparkEntry {
         |SELECT source, n, noise_e6, n * 1000000 + noise_e6
         |   AS released_e6,
         | CAST(10000 AS BIGINT) AS epsilon_e4 FROM y""".stripMargin,
+    // same integer cross-multiplied EDF gap off (source × length)
+    // histograms; the max decides identically in both engines
+    "corpus_ks_by_source" ->
+      """WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents
+        |  GROUP BY 1, 2),
+        | ps AS (SELECT source, sum(c) AS ns FROM h GROUP BY source),
+        | v AS (SELECT DISTINCT n_chars FROM h),
+        | grid AS (SELECT ps.source, ps.ns, v.n_chars,
+        |   coalesce(h.c, 0) AS c
+        |  FROM ps CROSS JOIN v LEFT JOIN h
+        |   ON h.source = ps.source AND h.n_chars = v.n_chars),
+        | cs AS (SELECT source, ns, n_chars, sum(c) OVER (
+        |    PARTITION BY source ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM grid),
+        | gc AS (SELECT n_chars, sum(cv) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+        |  FROM (SELECT n_chars, sum(c) AS cv FROM h GROUP BY n_chars)),
+        | nn AS (SELECT count(*) AS n FROM documents),
+        | num AS (SELECT s.source, s.ns,
+        |   abs(s.cs * (nn.n - s.ns) - (gc.cg - s.cs) * s.ns) AS num,
+        |   nn.n
+        |  FROM cs s JOIN gc ON s.n_chars = gc.n_chars, nn
+        |  WHERE nn.n - s.ns > 0)
+        |SELECT source, CAST(any_value(ns) AS BIGINT) AS n_docs,
+        | CAST((10000 * max(num)) //
+        |   (any_value(ns) * (any_value(n) - any_value(ns))) AS BIGINT)
+        |   AS ks_e4
+        |FROM num GROUP BY source""".stripMargin,
+    // same normalize expression as doc_normalize, dup mass via two hash
+    // aggregates
+    "doc_dedup_norm_delta" ->
+      """WITH raw AS (SELECT md5(text) AS fp, count(*) AS n
+        |  FROM documents GROUP BY 1),
+        | nrm AS (SELECT md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+        |   count(*) AS n
+        |  FROM documents GROUP BY 1),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS raw_groups,
+        |   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS raw_dup_groups,
+        |   CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |     AS raw_dup_docs FROM raw),
+        | b AS (SELECT CAST(count(*) AS BIGINT) AS norm_groups,
+        |   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS norm_dup_groups,
+        |   CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |     AS norm_dup_docs FROM nrm)
+        |SELECT a.*, b.*, norm_dup_docs - raw_dup_docs AS extra_dup_docs
+        |FROM a, b""".stripMargin,
     // HRW argmax via arg_max over the exploded shard range; mod-N and
     // the pinned theory shares mirror the engine's integer arithmetic
     "corpus_reshard_plan" ->

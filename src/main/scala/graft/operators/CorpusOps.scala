@@ -506,6 +506,53 @@ object CorpusOps {
         sum(col("n_chars")).as("n_chars"))
       .withColumn("cpt_e4", expr("(10000 * n_chars) div n_tokens"))
 
+  /** Two-sample Kolmogorov–Smirnov distance of each source's length
+    * distribution against the REST of the corpus — the
+    * "which feed is distributionally weird" audit that complements
+    * [[graft.operators.TextAnalysis.splitShift]]'s KL-on-tokens: KS is
+    * distribution-free, works on any ordered per-doc statistic, and its
+    * max-gap form is computable EXACTLY in integers — D's numerator is
+    * max over values of |cs·(n−ns) − (cg−cs)·ns| (cs/cg = source/global
+    * cumulative doc counts at each distinct length), reported in 1e-4
+    * units after one integer division. No floats anywhere, so both
+    * engines decide every gap identically.
+    *
+    * Scale shape: the corpus collapses to a (source × distinct-length)
+    * histogram first; the grid, the per-source cumulative window and the
+    * global cumulative window all run on that histogram — bounded by
+    * |sources|·|distinct lengths|, never by the corpus (the unpartitioned
+    * global-cum window holds ≤ |distinct lengths| rows — the
+    * vocab-growth bounded-dial exception, not a corpus window). */
+  def ksBySource(docs: DataFrame): DataFrame = {
+    val h = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val perSource = h.groupBy("source").agg(sum("c").as("ns"))
+    val values = h.select("n_chars").distinct()
+    val grid = perSource.crossJoin(values)
+      .join(h, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c"))
+    val wS = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globalCum = h.groupBy("n_chars").agg(sum("c").as("cv"))
+      .withColumn("cg", sum("cv").over(
+        Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("n_chars", "cg")
+    val total = docs.agg(count(lit(1)).as("n"))
+    grid
+      .withColumn("cs", sum("c").over(wS))
+      .join(broadcast(globalCum), "n_chars")
+      .crossJoin(broadcast(total))
+      .filter(col("n") - col("ns") > 0)
+      .withColumn("num",
+        abs(col("cs") * (col("n") - col("ns")) -
+          (col("cg") - col("cs")) * col("ns")))
+      .groupBy("source")
+      .agg(first(col("ns")).as("n_docs"), first(col("n")).as("n"),
+        max(col("num")).as("d_num"))
+      .select(col("source"), col("n_docs"),
+        expr("(10000 * d_num) DIV (n_docs * (n - n_docs))").as("ks_e4"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment for `key` over
     * `n` shards: argmax over shards of md5(key#shard). A PURE per-row
     * expression — array_max over an n-term struct array, no explode, no

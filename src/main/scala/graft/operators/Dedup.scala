@@ -21,6 +21,30 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** What canonicalization buys the exact dedup, measured: duplicate
+    * groups/docs under raw md5(text) vs under
+    * md5([[TextAnalysis.normalize]]d text) in one row. Case, markup and
+    * whitespace variants of one document hash apart raw and together
+    * normalized — `extra_dup_docs` is the duplicate mass a pipeline
+    * SILENTLY KEEPS if it hashes raw text, read off a query instead of
+    * asserted. Two hash aggregates over one corpus scan each; all-integer
+    * output. */
+  def normDedupDelta(docs: DataFrame): DataFrame = {
+    def summarize(grouped: DataFrame, p: String): DataFrame =
+      grouped.agg(count(lit(1)).as(s"${p}_groups"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as(s"${p}_dup_groups"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L))
+          .as(s"${p}_dup_docs"))
+    val raw = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+    val norm = TextAnalysis.normalize(docs)
+      .groupBy(md5(col("norm_text")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+    summarize(raw, "raw").crossJoin(summarize(norm, "norm"))
+      .withColumn("extra_dup_docs",
+        expr("norm_dup_docs - raw_dup_docs"))
+  }
+
   /** Exact dedup at CHUNK granularity: group [[TextAnalysis.chunk]] windows
     * by fingerprint, keep the lexicographically least (doc_id, chunk_idx)
     * per group — catches boilerplate repeated INSIDE distinct documents

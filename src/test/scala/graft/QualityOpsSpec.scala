@@ -157,6 +157,63 @@ class QualityOpsSpec extends SparkTestBase {
       10000L * modMoved / 300, 8750L)))
   }
 
+  test("CorpusOps.ksBySource: identical distributions read exactly 0; " +
+    "a shifted source matches the brute-force max EDF gap") {
+    import graft.operators.CorpusOps
+    val s = spark
+    import s.implicits._
+    // srcA and srcB share one histogram {10×4, 20×4}; srcC sits shifted
+    val lens = Seq.fill(4)(10L) ++ Seq.fill(4)(20L)
+    val rows =
+      lens.zipWithIndex.map { case (l, i) => (i.toLong, "srcA", l) } ++
+      lens.zipWithIndex.map { case (l, i) => (100L + i, "srcB", l) } ++
+      Seq.tabulate(8)(i => (200L + i, "srcC", 30L))
+    val docs = rows.map { case (id, src, n) => (id, "t", "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.ksBySource(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // brute force per source: max over values of the integer EDF gap
+    val all = rows.map { case (_, src, n) => (src, n) }
+    val values = all.map(_._2).distinct.sorted
+    def brute(src: String): Long = {
+      val ns = all.count(_._1 == src); val nr = all.size - ns
+      val d = values.map { v =>
+        val cs = all.count(t => t._1 == src && t._2 <= v)
+        val cr = all.count(t => t._1 != src && t._2 <= v)
+        math.abs(cs.toLong * nr - cr.toLong * ns)
+      }.max
+      10000L * d / (ns.toLong * nr)
+    }
+    assert(out("srcA") == brute("srcA") && out("srcC") == brute("srcC"))
+    // A vs (B ∪ C): B is identical to A, C is disjoint — gap is C's mass;
+    // the exactly-0 case needs rest ≡ source, i.e. two sources only
+    val two = docs.filter(col("source") =!= "srcC")
+    val outTwo = CorpusOps.ksBySource(two).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(outTwo == Map("srcA" -> 0L, "srcB" -> 0L))
+  }
+
+  test("Dedup.normDedupDelta: case/markup/whitespace variants hash apart " +
+    "raw and together normalized — the delta is the silently-kept mass") {
+    import graft.operators.Dedup
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "<b>hello</b> world"),
+      (4L, "something else"),
+      (5L, "something else")) // one RAW duplicate pair too
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.normDedupDelta(docs).collect().head
+    // raw: 4 groups, 1 dup group of 2; normalized: 2 groups — the hello
+    // trio collapses (3 docs) and the raw pair stays (2 docs)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 2 && r.getLong(4) == 2 && r.getLong(5) == 5)
+    assert(r.getLong(6) == 3) // extra_dup_docs
+  }
+
   test("DataQuality.fkAudit: consistent FK reads zero orphans; a " +
     "damaged parent counts exactly the orphaned children; null FKs " +
     "are counted but never orphans") {
