@@ -1179,6 +1179,23 @@ object SparkEntry {
     "doc_search_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Search(t(s, dir, "documents"),
         terms = Seq("hash", "join", "window"), k = 10)),
+    // the same query served OFF THE PERSISTED INVERTED INDEX (postings
+    // bucketed+sorted by token, one-row stats side table): only the query
+    // terms' buckets are read; per-term contributions pivoted so the
+    // score fold is bit-identical to the inline op — hence the SHARED
+    // oracle, which makes agreement a driver gate, not a claim
+    "doc_search_bm25_indexed" -> ((s, dir) => {
+      val (p, st) = searchIndexedTables(s, dir)
+      TextAnalysis.bm25Indexed(s, Seq("hash", "join", "window"), p, st,
+        k = 10)
+    }),
+    // index MAINTENANCE gate: built on 9/10, appended with the held-out
+    // tenth — the probe must equal the full build and the inline op
+    "doc_search_bm25_appended" -> ((s, dir) => {
+      val (p, st) = searchAppendedTables(s, dir)
+      TextAnalysis.bm25Indexed(s, Seq("hash", "join", "window"), p, st,
+        k = 10)
+    }),
     // hybrid retrieval: BM25 top-20 fused with brute-cosine top-20 (query
     // vec 0) by reciprocal-rank fusion — rank-based, so the two score
     // scales never need calibration; fusion work is pool-bounded
@@ -1936,6 +1953,32 @@ object SparkEntry {
     (names(0), names(1))
   }
 
+  private def searchIndexedTables(s: SparkSession,
+                                  dir: String): (String, String) = {
+    val d = t(s, dir, "documents")
+    val names = versionedTables(s, dir, d,
+      Seq("graft_search_post", "graft_search_stats")) { ns =>
+      TextAnalysis.searchWriteIndex(d, ns(0), ns(1), buckets = 8)
+    }
+    (names(0), names(1))
+  }
+
+  /** Index built on 9/10 of the corpus, then APPENDED with the held-out
+    * tenth — probing it must equal probing a full build (and the inline
+    * op), which the shared oracle gates every round. */
+  private def searchAppendedTables(s: SparkSession,
+                                   dir: String): (String, String) = {
+    val d = t(s, dir, "documents")
+    val names = versionedTables(s, dir, d,
+      Seq("graft_searcha_post", "graft_searcha_stats")) { ns =>
+      TextAnalysis.searchWriteIndex(d.filter(col("doc_id") % 10 =!= 0),
+        ns(0), ns(1), buckets = 8)
+      TextAnalysis.searchIndexAppend(s,
+        d.filter(col("doc_id") % 10 === 0), ns(0), ns(1), buckets = 8)
+    }
+    (names(0), names(1))
+  }
+
   private def ivfIndexedTable(s: SparkSession,
                               dir: String): (String, DataFrame) = {
     val e = t(s, dir, "embeddings")
@@ -2068,6 +2111,36 @@ object SparkEntry {
 
   /** Gap-filled hourly grid oracle CTE (`gf`), shared by
     * `events_hourly_gapfill` and `events_rate_anomaly`. */
+  /** BM25 oracle shared VERBATIM by the inline, indexed, and
+    * index-appended queries: the three plans (corpus re-scan, bucketed
+    * postings probe, appended postings probe) must all land on this one
+    * truth — that sharing IS the index-correctness gate. */
+  private val Bm25OracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents),
+      | t AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl,
+      |   CAST(len(list_filter(words, x -> x = 'hash')) AS DOUBLE) AS tf0,
+      |   CAST(len(list_filter(words, x -> x = 'join')) AS DOUBLE) AS tf1,
+      |   CAST(len(list_filter(words, x -> x = 'window')) AS DOUBLE) AS tf2
+      |  FROM w),
+      | st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |   avg(dl) AS avgdl,
+      |   sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+      |   sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+      |   sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+      |  FROM t)
+      |SELECT doc_id, round(
+      |   ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2 /
+      |     (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      | + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2 /
+      |     (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      | + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2 /
+      |     (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+      |FROM t, st
+      |WHERE tf0 + tf1 + tf2 > 0
+      |ORDER BY score DESC, doc_id ASC
+      |LIMIT 10""".stripMargin
+
   private val GapfillOracleCte: String =
     """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
       |   count(*) AS n FROM events GROUP BY 1, 2),
@@ -4766,31 +4839,9 @@ object SparkEntry {
     // the ordering, doc_id breaks ties (the tfidf determinism recipe); all
     // scoring inputs (dl, N, df, tf) are integral doubles, so only ln()'s
     // last ulp differs across engines — absorbed by the rounding
-    "doc_search_bm25" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-        |  FROM documents),
-        | t AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl,
-        |   CAST(len(list_filter(words, x -> x = 'hash')) AS DOUBLE) AS tf0,
-        |   CAST(len(list_filter(words, x -> x = 'join')) AS DOUBLE) AS tf1,
-        |   CAST(len(list_filter(words, x -> x = 'window')) AS DOUBLE) AS tf2
-        |  FROM w),
-        | st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |   avg(dl) AS avgdl,
-        |   sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
-        |   sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
-        |   sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
-        |  FROM t)
-        |SELECT doc_id, round(
-        |   ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2 /
-        |     (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-        | + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2 /
-        |     (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-        | + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2 /
-        |     (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
-        |FROM t, st
-        |WHERE tf0 + tf1 + tf2 > 0
-        |ORDER BY score DESC, doc_id ASC
-        |LIMIT 10""".stripMargin,
+    "doc_search_bm25" -> Bm25OracleSql,
+    "doc_search_bm25_indexed" -> Bm25OracleSql,
+    "doc_search_bm25_appended" -> Bm25OracleSql,
     // RRF fusion of the BM25 top-20 and the brute-cosine top-20 for query
     // vector 0. Selection inside the semantic arm ranks unrounded cos
     // (mirroring knnBrute, proven by emb_knn_brute); the FUSED ranks are

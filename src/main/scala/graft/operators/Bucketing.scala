@@ -41,6 +41,20 @@ object Bucketing {
     * by the increment's size instead of rewriting the corpus-sized table
     * (at 100 TB a rebuild re-pays the full corpus scan; an append pays one
     * pass over the batch). */
+  /** Write a small UNBUCKETED side table with the same
+    * drop-stale-location discipline as [[writeBucketed]] — for index
+    * metadata (one-row stats frames) that rides next to a bucketed
+    * index. */
+  def writePlain(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   def appendBucketed(df: DataFrame, table: String, key: String,
                      buckets: Int = 32,
                      sortBy: Option[String] = None): Unit = {

@@ -1433,6 +1433,97 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Persisted INVERTED INDEX for [[bm25Search]] — the lexical-retrieval
+    * sibling of the near-dup band index and the IVF cell index: postings
+    * (token, doc_id, tf, dl) written as a parquet table BUCKETED AND
+    * SORTED by token, plus a one-row corpus-stats side table
+    * (n_docs, sum_dl — exact longs; avgdl is derived at probe time, so
+    * the stats stay additive for append maintenance). At 100 TB query
+    * serving cannot re-scan the corpus per query: the index is built
+    * once, the probe reads only the query terms' buckets. */
+  def searchWriteIndex(docs: DataFrame, postingsTable: String,
+                       statsTable: String, buckets: Int = 32): Unit = {
+    Bucketing.writeBucketed(searchPostings(docs), postingsTable, "token",
+      buckets, sortBy = Some("token"))
+    Bucketing.writePlain(searchStats(docs), statsTable)
+  }
+
+  /** The postings rows for `docs` — shared by build and append. */
+  private def searchPostings(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), lit(" "))
+    docs.select(col("doc_id"), explode(words).as("token"),
+        size(words).cast("long").as("dl"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
+
+  private def searchStats(docs: DataFrame): DataFrame =
+    docs.select(size(split(col("text"), lit(" "))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** Index MAINTENANCE: append a batch's postings into the bucketed table
+    * (bucket layout preserved — probes stay exchange-free) and fold its
+    * doc/length counts into the one-row stats table. O(batch), never a
+    * corpus rewrite; same-parameters probe afterwards is identical to a
+    * full rebuild (driver-gated via doc_search_bm25_appended's shared
+    * oracle and spec-gated against the inline op). */
+  def searchIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                        newDocs: DataFrame, postingsTable: String,
+                        statsTable: String, buckets: Int = 32): Unit = {
+    Bucketing.appendBucketed(searchPostings(newDocs), postingsTable,
+      "token", buckets, sortBy = Some("token"))
+    // one-row read-modify-write; materialize before overwrite
+    val old = spark.table(statsTable).collect().head
+    val inc = searchStats(newDocs).collect().head
+    import spark.implicits._
+    Bucketing.writePlain(
+      Seq((old.getLong(0) + inc.getLong(0),
+        old.getLong(1) + inc.getLong(1))).toDF("n_docs", "sum_dl"),
+      statsTable)
+  }
+
+  /** BM25 top-k served OFF THE INDEX: reads only the query terms'
+    * postings (bucket pruning on the isin filter — term-bounded, never
+    * corpus-bounded), term document frequencies from those postings, the
+    * corpus stats from the one-row side table. Scores are BIT-IDENTICAL
+    * to [[bm25Search]] on the indexed corpus: per-term contributions are
+    * pivoted into fixed columns and summed in the same left-to-right
+    * term order as the inline fold (a groupBy sum over terms would add
+    * doubles in partition order and drift in the last ulp), with a
+    * missing term contributing exactly 0.0 — so the indexed query shares
+    * the inline query's DuckDB oracle verbatim. */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession,
+                  terms: Seq[String], postingsTable: String,
+                  statsTable: String, k: Int = 10, k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Indexed: at least one query term")
+    val p = spark.table(postingsTable)
+      .filter(col("token").isin(terms: _*))
+    val dfs = p.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val rows = p.join(broadcast(dfs), "token")
+      .crossJoin(broadcast(spark.table(statsTable)))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1)
+    val contrib = idf * col("tf").cast("double") * (k1 + 1) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val pivoted = rows.select(col("doc_id"), col("token"),
+        contrib.as("c"))
+      .groupBy("doc_id")
+      .agg(
+        coalesce(sum(when(col("token") === terms.head, col("c"))),
+          lit(0.0)).as("c_0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          coalesce(sum(when(col("token") === t, col("c"))), lit(0.0))
+            .as(s"c_${i + 1}")
+        }: _*)
+    val score = terms.indices.map(i => col(s"c_$i")).reduce(_ + _)
+    pivoted.select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic stratified corpus mixing (domain re-weighting): keep each
     * document with its source's sampling rate, decided by the document's OWN
     * id hash — `substr(md5("mix:" + doc_id), 1, 4)` compared against the

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class SearchIndexSpec extends SparkTestBase {
+
+  private val terms = Seq("hash", "join", "window")
+
+  test("bm25Indexed equals the inline bm25Search bit-for-bit; the probe " +
+    "prunes to the query terms' buckets; append equals rebuild") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try {
+      // full build → probe ≡ inline scan (scores AND order)
+      TextAnalysis.searchWriteIndex(docs, "srch_p", "srch_s", buckets = 8)
+      val inline = TextAnalysis.bm25Search(docs, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val probe = TextAnalysis.bm25Indexed(s, terms, "srch_p", "srch_s",
+        k = 10)
+      val indexed = probe.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(indexed == inline)
+      // bucket pruning: the isin filter selects at most |terms| of the 8
+      // buckets — the physical scan says so explicitly
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(plan)
+      assert(sel.nonEmpty, s"no bucket pruning in plan:\n$plan")
+      assert(sel.get.group(1).toInt <= terms.size)
+
+      // maintenance: 9/10 build + 1/10 append ≡ the full build's probe
+      TextAnalysis.searchWriteIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "srch_ap", "srch_as", buckets = 8)
+      TextAnalysis.searchIndexAppend(s,
+        docs.filter(col("doc_id") % 10 === 0), "srch_ap", "srch_as",
+        buckets = 8)
+      val appended = TextAnalysis.bm25Indexed(s, terms, "srch_ap",
+        "srch_as", k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(appended == inline)
+    } finally {
+      Seq("srch_p", "srch_s", "srch_ap", "srch_as")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("searchIndexAppend keeps the stats additive: one-row table holds " +
+    "exact corpus totals after the append") {
+    val s = spark
+    import s.implicits._
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, s"w$i x y", "en", "srcA", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    try {
+      TextAnalysis.searchWriteIndex(mk(Seq(1L, 2L)), "srch_p2", "srch_s2",
+        buckets = 2)
+      TextAnalysis.searchIndexAppend(s, mk(Seq(3L)), "srch_p2", "srch_s2",
+        buckets = 2)
+      val st = s.table("srch_s2").collect().head
+      assert(st.getLong(0) == 3L && st.getLong(1) == 9L) // 3 docs × 3 toks
+    } finally {
+      Seq("srch_p2", "srch_s2")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+}
