@@ -525,30 +525,40 @@ object CorpusOps {
     * vocab-growth bounded-dial exception, not a corpus window). */
   def ksBySource(docs: DataFrame): DataFrame = {
     val h = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
-    val perSource = h.groupBy("source").agg(sum("c").as("ns"))
-    val values = h.select("n_chars").distinct()
-    val grid = perSource.crossJoin(values)
-      .join(h, Seq("source", "n_chars"), "left")
-      .na.fill(0L, Seq("c"))
-    val wS = Window.partitionBy("source").orderBy("n_chars")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NO sources × values grid: between a source's own value points its
+    // EDF is constant while the rest's only grows, so |cs·nr − cr·ns| is
+    // linear in cr on each segment and its max sits at a segment
+    // endpoint — either AT a source value (cs just stepped) or JUST
+    // BEFORE the next one (cr maximal under the old cs; the pre-first
+    // segment is the lag-default-0 case, and the tail segment ends at
+    // D = 0 exactly). Two candidate terms per existing histogram row,
+    // one value-keyed equi-join, zero nested-loop joins — the plan-shape
+    // sweep (BucketingSpec NLJ gate) is what forced this form; the grid
+    // formulation broadcast a values-cardinality frame, which is
+    // corpus-sided for a continuous statistic.
     val globalCum = h.groupBy("n_chars").agg(sum("c").as("cv"))
       .withColumn("cg", sum("cv").over(
         Window.orderBy("n_chars")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select("n_chars", "cg")
+    val wS = Window.partitionBy("source").orderBy("n_chars")
     val total = docs.agg(count(lit(1)).as("n"))
-    grid
-      .withColumn("cs", sum("c").over(wS))
-      .join(broadcast(globalCum), "n_chars")
-      .crossJoin(broadcast(total))
+    val rows = h
+      .withColumn("cs", sum("c").over(
+        wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cs_prev", coalesce(lag("cs", 1).over(wS), lit(0L)))
+      .withColumn("ns", sum("c").over(Window.partitionBy("source")))
+      .join(globalCum, "n_chars")
+      .crossJoin(broadcast(total)) // 1-row totals frame
       .filter(col("n") - col("ns") > 0)
-      .withColumn("num",
-        abs(col("cs") * (col("n") - col("ns")) -
-          (col("cg") - col("cs")) * col("ns")))
-      .groupBy("source")
+      .withColumn("nr", col("n") - col("ns"))
+      .withColumn("d_at",
+        abs(col("cs") * col("nr") - (col("cg") - col("cs")) * col("ns")))
+      .withColumn("d_before",
+        abs(col("cs_prev") * col("nr") -
+          (col("cg") - col("cv") - col("cs_prev")) * col("ns")))
+    rows.groupBy("source")
       .agg(first(col("ns")).as("n_docs"), first(col("n")).as("n"),
-        max(col("num")).as("d_num"))
+        max(greatest(col("d_at"), col("d_before"))).as("d_num"))
       .select(col("source"), col("n_docs"),
         expr("(10000 * d_num) DIV (n_docs * (n - n_docs))").as("ks_e4"))
   }

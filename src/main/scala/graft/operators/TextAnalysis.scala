@@ -1448,8 +1448,9 @@ object TextAnalysis {
     Bucketing.writePlain(searchStats(docs), statsTable)
   }
 
-  /** The postings rows for `docs` — shared by build and append. */
-  private def searchPostings(docs: DataFrame): DataFrame = {
+  /** The postings rows for `docs` — shared by build, append, and the
+    * streaming delta maintainer. */
+  private[graft] def searchPostings(docs: DataFrame): DataFrame = {
     val words = split(col("text"), lit(" "))
     docs.select(col("doc_id"), explode(words).as("token"),
         size(words).cast("long").as("dl"))
@@ -1495,13 +1496,22 @@ object TextAnalysis {
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession,
                   terms: Seq[String], postingsTable: String,
                   statsTable: String, k: Int = 10, k1: Double = 1.2,
-                  b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25Indexed: at least one query term")
-    val p = spark.table(postingsTable)
-      .filter(col("token").isin(terms: _*))
+                  b: Double = 0.75): DataFrame =
+    bm25OnPostings(spark.table(postingsTable), spark.table(statsTable),
+      terms, k, k1, b)
+
+  /** The scoring core over ANY (postings, stats) pair — shared by the
+    * catalog-table probe above and the streaming base+delta probe
+    * ([[graft.streaming.StreamingSearch]]). */
+  private[graft] def bm25OnPostings(postings: DataFrame, stats: DataFrame,
+                                    terms: Seq[String], k: Int = 10,
+                                    k1: Double = 1.2,
+                                    b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: at least one query term")
+    val p = postings.filter(col("token").isin(terms: _*))
     val dfs = p.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
     val rows = p.join(broadcast(dfs), "token")
-      .crossJoin(broadcast(spark.table(statsTable)))
+      .crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
       (col("df") + 0.5) + 1)

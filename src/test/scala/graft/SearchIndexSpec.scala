@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.operators.TextAnalysis
 
 class SearchIndexSpec extends SparkTestBase {
@@ -41,6 +42,69 @@ class SearchIndexSpec extends SparkTestBase {
       assert(appended == inline)
     } finally {
       Seq("srch_p", "srch_s", "srch_ap", "srch_as")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("StreamingSearch: base + atomically-committed delta serves probes " +
+    "row-identical to the inline scan; a replayed batch no-ops; the " +
+    "streaming wiring holds end-to-end") {
+    import graft.streaming.StreamingSearch
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val b0 = docs.filter(col("doc_id") % 10 === 0 &&
+      col("doc_id") % 20 === 0)
+    val b1 = docs.filter(col("doc_id") % 10 === 0 &&
+      col("doc_id") % 20 =!= 0)
+    val deltaDir = tmpDir("search_delta")
+    try {
+      TextAnalysis.searchWriteIndex(base, "srch_sp", "srch_ss",
+        buckets = 8)
+      // base-only probe ≡ inline over the base corpus
+      val baseInline = TextAnalysis.bm25Search(base, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val baseProbe = StreamingSearch.probe(s, "srch_sp", "srch_ss",
+        deltaDir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(baseProbe == baseInline)
+      // two delta batches land; probe ≡ inline over the FULL corpus
+      assert(StreamingSearch.applyBatch(s, deltaDir, b0, 0L))
+      assert(StreamingSearch.applyBatch(s, deltaDir, b1, 1L))
+      val fullInline = TextAnalysis.bm25Search(docs, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def probeNow() = StreamingSearch.probe(s, "srch_sp", "srch_ss",
+        deltaDir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(probeNow() == fullInline)
+      // replayed batch refuses and changes nothing
+      assert(!StreamingSearch.applyBatch(s, deltaDir, b1, 1L))
+      assert(probeNow() == fullInline)
+      // streaming wiring over a MemoryStream: same batches, same result
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ctx = s.sqlContext
+      import s.implicits._
+      val in = MemoryStream[(Long, String, String, String, Long)]
+      val deltaDir2 = tmpDir("search_delta2")
+      val q = StreamingSearch.maintain(
+        in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        deltaDir2, tmpDir("search_ckpt"), Trigger.ProcessingTime(0))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      in.addData(rows(b0.select("doc_id", "text", "lang", "source",
+        "n_chars")))
+      q.processAllAvailable()
+      in.addData(rows(b1.select("doc_id", "text", "lang", "source",
+        "n_chars")))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = StreamingSearch.probe(s, "srch_sp", "srch_ss",
+        deltaDir2, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(streamed == fullInline)
+    } finally {
+      Seq("srch_sp", "srch_ss")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
