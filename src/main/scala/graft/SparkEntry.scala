@@ -994,6 +994,13 @@ object SparkEntry {
       TextAnalysis.readability(t(s, dir, "documents"))),
     "doc_gopher_filter" -> ((s, dir) =>
       TextAnalysis.gopherFilter(t(s, dir, "documents"))),
+    // the production quality signal entropy approximates: deflate ratio
+    // per doc (JVM codec boundary, one mapPartitions, Deflater reset per
+    // row). Rows-only: DuckDB has no zlib; the signal's ordering
+    // properties and determinism are spec-gated (SearchIndexSpec sibling
+    // pattern — see QualityOpsSpec)
+    "doc_compression_ratio" -> ((s, dir) =>
+      TextAnalysis.compressionRatio(t(s, dir, "documents"))),
     "doc_token_bpe" -> ((s, dir) =>
       TextAnalysis.bpeTokenCount(t(s, dir, "documents"))),
     "doc_rolling_fp" -> ((s, dir) =>

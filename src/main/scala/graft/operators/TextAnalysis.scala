@@ -1433,6 +1433,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Deflate-compression quality signal — the production text filter the
+    * character-entropy op approximates: highly templated/repetitive text
+    * compresses far below prose, and boilerplate farms show up as a
+    * low-ratio spike (the Gopher/CCNet pipelines gate on exactly this).
+    * Per doc: UTF-8 byte count, deflate(level 6) byte count, and the
+    * ratio in 1e-4 integer units (empty text pinned to 10000).
+    *
+    * This is a CODEC BOUNDARY, not an expression: zlib lives in the JVM
+    * (`java.util.zip.Deflater`), so like the multimodal decoders it runs
+    * inside one `mapPartitions` — a deliberate, documented exception to
+    * the no-RDD-logic rule, with the Deflater allocated once per
+    * partition and reset per row (allocation-free steady state). Pure
+    * per-row map: no shuffle, scales by partition count alone. DuckDB has
+    * no deflate, so the query is rows-only; the SIGNAL's properties
+    * (repetition compresses, prose doesn't, determinism) are spec-gated
+    * instead. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate")
+      .withColumn("ratio_e4", expr(
+        "CASE WHEN n_bytes > 0 THEN (10000 * n_deflate) DIV n_bytes " +
+          "ELSE 10000 END"))
+  }
+
   /** Persisted INVERTED INDEX for [[bm25Search]] — the lexical-retrieval
     * sibling of the near-dup band index and the IVF cell index: postings
     * (token, doc_id, tf, dl) written as a parquet table BUCKETED AND

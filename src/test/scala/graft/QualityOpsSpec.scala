@@ -134,6 +134,31 @@ class QualityOpsSpec extends SparkTestBase {
     }
   }
 
+  test("TextAnalysis.compressionRatio: repetition compresses far below " +
+    "prose; deterministic across runs; empty text pinned; bytes exact") {
+    import graft.operators.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val repetitive = Seq.fill(200)("spam").mkString(" ")
+    val prose = (1 to 200).map(i => f"unique$i%03d").mkString(" ")
+    val docs = Seq(
+      (1L, repetitive), (2L, prose), (3L, ""))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def run() = TextAnalysis.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val a = run()
+    assert(a == run(), "bit-deterministic")
+    assert(a(1L)._1 == repetitive.getBytes("UTF-8").length.toLong)
+    assert(a(3L)._1 == 0L && a(3L)._3 == 10000L) // empty: stream header
+    // bytes only; ratio pinned — empty is not "infinitely incompressible"
+    val rRep = a(1L)._3; val rProse = a(2L)._3
+    assert(rRep < rProse / 3,
+      s"repetition ($rRep) must compress far below prose ($rProse)")
+    assert(rProse < 10000L, "even prose-ish text compresses some")
+  }
+
   test("CorpusOps.reshardPlan: counts match a brute-force rendezvous " +
     "computation and every HRW move lands on the NEW shard") {
     import graft.operators.CorpusOps
