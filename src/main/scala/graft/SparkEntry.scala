@@ -1338,6 +1338,12 @@ object SparkEntry {
     // the pruning audit: all-pairs space never formed vs candidates formed
     "doc_setsim_evidence" -> ((s, dir) =>
       Dedup.setSimEvidence(t(s, dir, "documents"))),
+    // EXACT connected components over the complete edge set — LSH banding
+    // may drop a true edge and split a component (a compliance miss for
+    // takedown/license contagion); this variant pays the prefix-filter
+    // join for the completeness proof
+    "doc_setsim_clusters" -> ((s, dir) =>
+      Dedup.setSimClusters(t(s, dir, "documents"))),
     // asymmetric containment on LSH candidates: the doc-inside-doc signal
     // symmetric Jaccard dilutes (quote expansion / boilerplate wrappers)
     "doc_containment" -> ((s, dir) => {
@@ -5538,6 +5544,30 @@ object SparkEntry {
         | 10000 * (n_sets * (n_sets - 1) // 2 - n_set_candidates)
         |   // (n_sets * (n_sets - 1) // 2) AS pruned_share_e4
         |FROM nn, ns, cc, np""".stripMargin,
+    // NAIVE exact edges + true recursive transitive closure — the
+    // engine's canonicalize/prefix/expand pipeline feeding pointer-jump
+    // label propagation must land on the identical component labels
+    "doc_setsim_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ')
+        |   AS words FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sl AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS ss
+        |  FROM g),
+        | f AS (SELECT doc_id, ss FROM sl WHERE len(ss) >= 1),
+        | edges AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |  WHERE 9 * len(list_intersect(a.ss, b.ss))
+        |    >= 4 * (len(a.ss) + len(b.ss))),
+        | nbr AS (SELECT doc_a AS sv, doc_b AS dv FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        | reach(id, comp) AS (
+        |   SELECT DISTINCT sv, sv FROM nbr
+        |   UNION
+        |   SELECT n.sv, r.comp FROM nbr n JOIN reach r ON n.dv = r.id)
+        |SELECT id AS doc_id, min(comp) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
     "doc_ngram_jaccard_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
         |  FROM documents),

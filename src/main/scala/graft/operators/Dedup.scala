@@ -569,11 +569,29 @@ object Dedup {
     * clusters. */
   def dupClusters(docs: DataFrame, jaccardThreshold: Double = 0.8,
                   minhashK: Int = 4, rowsPerBand: Int = 2,
-                  maxIters: Int = 50, shortcut: Boolean = true): DataFrame = {
-    val edges = jaccardOnPairsRaw(docs,
+                  maxIters: Int = 50, shortcut: Boolean = true): DataFrame =
+    clustersFromEdges(jaccardOnPairsRaw(docs,
       lshCandidatePairs(minhash(docs, minhashK), rowsPerBand))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")), maxIters, shortcut)
+
+  /** EXACT near-dup connected components: the [[dupClusters]] label
+    * propagation over [[setSimJoin]]'s COMPLETE edge set instead of the
+    * LSH-candidate edges. LSH banding can drop a true ≥τ edge (a recall
+    * property, not a bug), and a dropped edge can SPLIT a component —
+    * for takedown propagation or license contagion that split is a
+    * compliance miss. This variant pays the prefix-filter join for a
+    * completeness proof; same output contract as dupClusters. */
+  def setSimClusters(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5,
+                     maxIters: Int = 50): DataFrame =
+    clustersFromEdges(
+      setSimJoin(docs, tauNum, tauDen).select("doc_a", "doc_b"), maxIters)
+
+  /** The label-propagation core shared by the LSH and exact cluster
+    * variants — min-label flooding with the pointer-jump shortcut,
+    * localCheckpoint per round (contract notes on [[dupClusters]]). */
+  def clustersFromEdges(edges: DataFrame, maxIters: Int = 50,
+                        shortcut: Boolean = true): DataFrame = {
     // undirected neighbor list, materialized ONCE — every round re-reads it
     val nbr = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -610,7 +628,7 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"dupClusters: no fixpoint after $maxIters rounds — component " +
+        s"clustersFromEdges: no fixpoint after $maxIters rounds — component " +
           "diameter exceeds the bound; raise maxIters")
     comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }

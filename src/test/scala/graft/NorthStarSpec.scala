@@ -128,6 +128,24 @@ class NorthStarSpec extends SparkTestBase {
     assert(ev.getLong(6) == (10000L * (276 - nCand)) / 276)
   }
 
+  test("Dedup.setSimClusters: exact components equal brute-force " +
+    "transitive closure of the exact edge set") {
+    // chain A–B–C where A–C alone is below τ (only the complete edge set
+    // keeps the chain in ONE component), plus an isolated pair and chaff
+    val base = (1 to 60).map(i => f"w$i%02d")
+    def drop(i: Int) = (base.take(i) ++ base.drop(i + 1)).mkString(" ")
+    val docs = docsDf(Seq(
+      1L -> drop(5), 2L -> drop(8), 3L -> drop(11), // the chain clique
+      10L -> (1 to 40).map(i => s"y$i").mkString(" "),
+      11L -> (1 to 40).map(i => s"y$i").mkString(" "), // exact pair
+      99L -> (1 to 30).map(i => s"z$i").mkString(" ")))
+    val out = Dedup.setSimClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L)) // 99 isolated: absent
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "one component")
+    assert(out(10L) == out(11L) && out(10L) != out(1L))
+  }
+
   test("Dedup.ngramJaccard block guard is observable: excluded-block " +
     "counters fire on an oversized block") {
     import org.apache.spark.sql.execution.QueryExecution
