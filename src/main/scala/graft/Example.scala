@@ -287,6 +287,35 @@ object Example {
       println("[example] SCD2 history of one customer's order priority:")
       SparkEntry.queries("orders_scd2")(spark, sfDir)
         .filter(col("o_custkey") === 1).orderBy("valid_from_ms").show(5)
+      println("[example] EXACT similarity join pruning audit (all-pairs " +
+        "never formed vs set-level candidates vs verified pairs):")
+      SparkEntry.queries("doc_setsim_evidence")(spark, sfDir).show()
+      println("[example] entity-resolution method dial (compare-pair " +
+        "cost vs accuracy: blocking vs 1-pass vs 2-pass SNM):")
+      SparkEntry.queries("rel_entity_method_compare")(spark, sfDir)
+        .orderBy("method").show(truncate = false)
+      println("[example] trained NB language confusion (reads ~prior on " +
+        "this corpus — the labels carry no lexical signal, which is the " +
+        "audit working):")
+      SparkEntry.queries("doc_nb_langid")(spark, sfDir)
+        .orderBy("actual", "predicted").show()
+      println("[example] CUSUM drift alarms per type (sequential " +
+        "statistic; the point z-test stays silent on small drifts):")
+      SparkEntry.queries("events_cusum")(spark, sfDir)
+        .groupBy("event_type")
+        .agg(sum("alarm_up").as("alarms_up"),
+          sum("alarm_dn").as("alarms_dn"))
+        .orderBy("event_type").show()
+      println("[example] resharding cost, measured vs theory (HRW moves " +
+        "~1/new, mod-N moves almost everything):")
+      SparkEntry.queries("corpus_reshard_plan")(spark, sfDir).show()
+      println("[example] BM25 served off the persisted inverted index " +
+        "(bit-identical to the inline scan):")
+      SparkEntry.queries("doc_search_bm25_indexed")(spark, sfDir).show(5)
+      println("[example] deflate compression-ratio quality signal " +
+        "(lowest ratios = most templated docs):")
+      SparkEntry.queries("doc_compression_ratio")(spark, sfDir)
+        .orderBy("ratio_e4").show(5)
       // live Flume AvroSourceProtocol round trip: RPC -> spool -> read
       import graft.sources.{FlumeAvroReceiver, FlumeLikeSource}
       val spool = java.nio.file.Files
