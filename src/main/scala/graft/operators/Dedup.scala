@@ -1616,13 +1616,16 @@ object Dedup {
       .select("fp_a", "fp_b").distinct()
   }
 
-  /** Verified set-level pairs: exact integral test
-    * (n+d)·|a∩b| ≥ n·(|a|+|b|)  ⇔  J ≥ n/d — no float boundary — plus the
-    * 4dp jaccard for reporting. */
-  private def setSimVerified(reps: DataFrame, tauNum: Int,
-                             tauDen: Int): DataFrame = {
+  /** Verified set-level pairs over a pre-built candidate frame: exact
+    * integral test (n+d)·|a∩b| ≥ n·(|a|+|b|)  ⇔  J ≥ n/d — no float
+    * boundary — plus the 4dp jaccard for reporting. Split from candidate
+    * generation so [[setSimEvidence]] can materialize the candidates ONCE
+    * and feed both its count and the verification (never re-running the
+    * prefix pipeline per consumer — the winnowPairs lesson). */
+  private def setSimVerifiedOn(reps: DataFrame, cand: DataFrame,
+                               tauNum: Int, tauDen: Int): DataFrame = {
     val i = size(array_intersect(col("set_a"), col("set_b")))
-    setSimSetCandidates(reps, tauNum, tauDen)
+    cand
       .join(reps.select(col("fp").as("fp_a"), col("sset").as("set_a")),
         "fp_a")
       .join(reps.select(col("fp").as("fp_b"), col("sset").as("set_b")),
@@ -1634,6 +1637,11 @@ object Dedup {
           (size(col("set_a")) + size(col("set_b")) - i).cast("double"), 4)
           .as("jaccard"))
   }
+
+  private def setSimVerified(reps: DataFrame, tauNum: Int,
+                             tauDen: Int): DataFrame =
+    setSimVerifiedOn(reps, setSimSetCandidates(reps, tauNum, tauDen),
+      tauNum, tauDen)
 
   /** ALL pairs with shingle-set Jaccard ≥ tauNum/tauDen — exact and complete
     * (AllPairs/PPJoin prefix filter), never forming the all-pairs space,
@@ -1688,10 +1696,23 @@ object Dedup {
     val (reps, members) = setSimCanonical(docs)
     val nd = members.agg(count(lit(1)).as("n_docs"))
     val ns = reps.agg(count(lit(1)).as("n_sets"))
-    val cand = setSimSetCandidates(reps, tauNum, tauDen)
-      .agg(count(lit(1)).as("n_set_candidates"))
-    val pairs = setSimExpanded(reps, members, tauNum, tauDen)
-      .agg(count(lit(1)).as("n_pairs"))
+    // candidates materialized once: counted AND verified off the same
+    // frame — the prefix pipeline runs exactly one time per evidence row
+    val candFrame = setSimSetCandidates(reps, tauNum, tauDen)
+      .localCheckpoint()
+    val cand = candFrame.agg(count(lit(1)).as("n_set_candidates"))
+    val verified = setSimVerifiedOn(reps, candFrame, tauNum, tauDen)
+    val cross = verified
+      .join(members.groupBy("fp").agg(count(lit(1)).as("ga"))
+        .select(col("fp").as("fp_a"), col("ga")), "fp_a")
+      .join(members.groupBy("fp").agg(count(lit(1)).as("gb"))
+        .select(col("fp").as("fp_b"), col("gb")), "fp_b")
+      .agg(coalesce(sum(col("ga") * col("gb")), lit(0L)).as("n_cross"))
+    val within = members.groupBy("fp").agg(count(lit(1)).as("g"))
+      .agg(coalesce(sum(expr("g * (g - 1) DIV 2")), lit(0L))
+        .as("n_within"))
+    val pairs = cross.crossJoin(within)
+      .select((col("n_cross") + col("n_within")).as("n_pairs"))
     nd.crossJoin(ns).crossJoin(cand).crossJoin(pairs)
       .withColumn("n_allpairs", expr("n_docs * (n_docs - 1) DIV 2"))
       .withColumn("n_set_allpairs", expr("n_sets * (n_sets - 1) DIV 2"))
