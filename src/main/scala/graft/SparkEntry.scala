@@ -2122,8 +2122,6 @@ object SparkEntry {
       |WHERE doc_id % 10 = 0
       | AND doc_id NOT IN (SELECT doc_a FROM drops)""".stripMargin
 
-  /** Gap-filled hourly grid oracle CTE (`gf`), shared by
-    * `events_hourly_gapfill` and `events_rate_anomaly`. */
   /** BM25 oracle shared VERBATIM by the inline, indexed, and
     * index-appended queries: the three plans (corpus re-scan, bucketed
     * postings probe, appended postings probe) must all land on this one
@@ -2154,6 +2152,8 @@ object SparkEntry {
       |ORDER BY score DESC, doc_id ASC
       |LIMIT 10""".stripMargin
 
+  /** Gap-filled hourly grid oracle CTE (`gf`), shared by
+    * `events_hourly_gapfill` and `events_rate_anomaly`. */
   private val GapfillOracleCte: String =
     """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
       |   count(*) AS n FROM events GROUP BY 1, 2),

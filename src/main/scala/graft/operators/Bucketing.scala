@@ -31,16 +31,6 @@ object Bucketing {
     sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
-  /** Append `df` to an EXISTING bucketed table created by [[writeBucketed]],
-    * preserving the bucket layout: each appended file set is hashed into the
-    * same `buckets` buckets on `key`, so readers keep
-    * `HashPartitioning(key, n)` and co-located joins stay exchange-free
-    * after the append. Spark validates the (key, buckets) spec against the
-    * catalog and fails loudly on a mismatch rather than silently degrading
-    * the layout. This is the index-MAINTENANCE path: grow a persisted index
-    * by the increment's size instead of rewriting the corpus-sized table
-    * (at 100 TB a rebuild re-pays the full corpus scan; an append pays one
-    * pass over the batch). */
   /** Write a small UNBUCKETED side table with the same
     * drop-stale-location discipline as [[writeBucketed]] — for index
     * metadata (one-row stats frames) that rides next to a bucketed
@@ -55,6 +45,16 @@ object Bucketing {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Append `df` to an EXISTING bucketed table created by [[writeBucketed]],
+    * preserving the bucket layout: each appended file set is hashed into the
+    * same `buckets` buckets on `key`, so readers keep
+    * `HashPartitioning(key, n)` and co-located joins stay exchange-free
+    * after the append. Spark validates the (key, buckets) spec against the
+    * catalog and fails loudly on a mismatch rather than silently degrading
+    * the layout. This is the index-MAINTENANCE path: grow a persisted index
+    * by the increment's size instead of rewriting the corpus-sized table
+    * (at 100 TB a rebuild re-pays the full corpus scan; an append pays one
+    * pass over the batch). */
   def appendBucketed(df: DataFrame, table: String, key: String,
                      buckets: Int = 32,
                      sortBy: Option[String] = None): Unit = {

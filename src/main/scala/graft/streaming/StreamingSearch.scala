@@ -35,7 +35,13 @@ object StreamingSearch {
   /** Commit one batch's postings into the delta: returns false (no-op) on
     * a replayed batchId. Crash-safe: a kill before the rename leaves only
     * a tmp directory, which the next attempt overwrites; the rename is
-    * the commit point. */
+    * the commit point. A rename that FAILS (transient FS error,
+    * permissions) while the target is still absent is thrown, not
+    * swallowed — otherwise the foreachBatch would complete, the streaming
+    * checkpoint would advance, and the batch would silently never be
+    * indexed (permanent loss in the delta path). The false return is
+    * reserved for the one benign case: the target already exists, i.e. a
+    * replay racing a concurrent committer of the same batchId. */
   def applyBatch(spark: SparkSession, deltaDir: String, batch: DataFrame,
                  batchId: Long): Boolean = {
     val f = fs(spark, deltaDir)
@@ -45,7 +51,11 @@ object StreamingSearch {
     val tmp = new Path(deltaDir, s"_tmp-batch-$batchId")
     TextAnalysis.searchPostings(batch)
       .write.mode("overwrite").parquet(tmp.toString)
-    f.rename(tmp, target)
+    if (f.rename(tmp, target)) true
+    else if (f.exists(target)) false
+    else throw new java.io.IOException(
+      s"delta commit rename failed for batch $batchId: $tmp -> $target " +
+        "(target absent — failing the batch so the stream replays it)")
   }
 
   /** Serve BM25 over base ∪ delta. Delta stats are derived from the delta
