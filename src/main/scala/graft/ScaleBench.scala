@@ -90,8 +90,11 @@ object ScaleBench {
       // cross-copy word suffixes keep duplicate-window volume linear in
       // f, so the ratio measures the engine, not a dup-heavy workload
       "doc_span_dedup",
-      // and winnowing — per-row gram explode + one per-doc window pass:
-      // expected at the per-row-map linear floor like doc_rolling_fp
+      // and winnowing — r13: one native per-doc deque pass + explode of
+      // the selected set, no exchange at all: expected AT the per-row-map
+      // linear floor like doc_rolling_fp (r12's window-sort formulation
+      // read 17x at the x100 step — the spill-regime cell this rewrite
+      // closes)
       "doc_winnowing",
       // r11 session 3: the CMS heavy-hitter sketch (one token-keyed
       // aggregate feeding a ≤512-row broadcast — expected the aggregate's

@@ -1400,21 +1400,59 @@ object Dedup {
     * The corpus is scanned once; everything else is candidate-bounded. */
   def takedownStatus(docs: DataFrame, tombstoneIds: DataFrame,
                      jaccardThreshold: Double = 0.8, minhashK: Int = 4,
-                     rowsPerBand: Int = 2): DataFrame = {
+                     rowsPerBand: Int = 2): DataFrame =
+    takedownCore(docs, tombstoneIds,
+      bandTable(minhash(docs, minhashK), rowsPerBand), shingleSets(docs),
+      jaccardThreshold)
+
+  /** [[takedownStatus]] served off the PERSISTED [[nearDupWriteIndex]]
+    * tables — the form a pipeline that processes takedown requests
+    * CONTINUOUSLY runs (see [[graft.streaming.StreamingTakedown]]): the
+    * request side's bands and shingle sets are LOOKED UP in the index
+    * (the request is just doc_ids — no text re-shingled, no minhash
+    * recomputed for anything), and the corpus side probes the same
+    * stored relations, so per-request work is index-probe-bounded. The
+    * one remaining `docs` read is the exact-copy fp leg plus the status
+    * projection — a column-pruned (doc_id, source, md5(text)) scan with
+    * no signature recompute (at 100 TB, persist that fp column next to
+    * the index and this variant touches no text at all). Bands and sets
+    * are per-doc deterministic, so splitting the STORED relations by
+    * tombstone membership yields exactly what the batch op computes
+    * inline — results are row-identical by construction (spec-proven). */
+  def takedownStatusIndexed(spark: org.apache.spark.sql.SparkSession,
+                            docs: DataFrame, tombstoneIds: DataFrame,
+                            bandsTable: String, setsTable: String,
+                            jaccardThreshold: Double = 0.8): DataFrame =
+    takedownCore(docs, tombstoneIds, spark.table(bandsTable),
+      spark.table(setsTable), jaccardThreshold)
+
+  /** Shared takedown core over ANY (bands, sets) pair — built inline by
+    * the batch op, read from the persisted index by the indexed/streaming
+    * form. Banding is deterministic per doc, so whole-corpus relations
+    * split by tombstone membership equal the batch op's per-side
+    * construction. */
+  private def takedownCore(docs: DataFrame, tombstoneIds: DataFrame,
+                           allBands: DataFrame, allSets: DataFrame,
+                           jaccardThreshold: Double): DataFrame = {
     val tombIds = tombstoneIds.select(col("doc_id").as("tomb_id"))
     val tombDocs = docs.join(tombIds,
       col("doc_id") === col("tomb_id")).drop("tomb_id")
     val rest = docs.join(tombIds,
       col("doc_id") === col("tomb_id"), "left_anti")
     // near-dup copies: tombstone bands probe the corpus-rest bands
-    val bRest = bandTable(minhash(rest, minhashK), rowsPerBand)
+    val bRest = allBands.join(tombIds,
+        col("doc_id") === col("tomb_id"), "left_anti")
       .select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val bTomb = bandTable(minhash(tombDocs, minhashK), rowsPerBand)
+    val bTomb = allBands.join(tombIds,
+        col("doc_id") === col("tomb_id"), "left_semi")
       .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     val cands = bRest.join(bTomb, Seq("band", "bucket"))
       .select("doc_a", "doc_b").distinct()
-    val nearCopies = jaccardOnSets(shingleSets(rest), shingleSets(tombDocs),
-      cands)
+    val restSets = allSets.join(tombIds,
+      col("doc_id") === col("tomb_id"), "left_anti")
+    val tombSets = allSets.join(tombIds,
+      col("doc_id") === col("tomb_id"), "left_semi")
+    val nearCopies = jaccardOnSets(restSets, tombSets, cands)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a").as("copy_id"))
     // exact copies of tombstoned text (covers signature-less short docs)

@@ -188,6 +188,73 @@ object Linkage {
     queries.join(best, "q_name")
   }
 
+  /** GOLDEN RECORDS — the step entity resolution exists for: [[linkEntities]]
+    * stops at (mention → registry) pairs; a master-data consumer wants ONE
+    * consolidated record per real-world entity. Two classic stages
+    * (Talburt's ER model; Christen, "Data Matching", ch. 2):
+    *
+    *  1. TRANSITIVE CONSOLIDATION: match edges (q_name ↔ matched_name)
+    *     can chain — two dirty mentions of one entity may match the same
+    *     clean name without ever matching each other, and a shared dirty
+    *     form can bridge clean names — so entity identity is the CONNECTED
+    *     COMPONENT of the match graph, computed with the
+    *     [[Dedup.clustersFromEdges]] min-label machinery over the STRING
+    *     node universe (labels are names; min over strings — the component
+    *     id doubles as a stable entity_id: the lexicographically smallest
+    *     name in the component).
+    *  2. SURVIVORSHIP: per component, pick each output field from the
+    *     member mentions by an explicit, DETERMINISTIC rule —
+    *     canonical_name = the LONGEST string among member mention names
+    *     and matched registry names (longest-wins is the standard
+    *     completeness heuristic; ties break lexicographically smallest),
+    *     and each categorical field = the MOST FREQUENT member value
+    *     (ties again lexicographically smallest). Rules a reviewer can
+    *     replay by hand — survivorship that cannot be explained cannot be
+    *     audited (tie-breaks fixture-pinned in LinkageSpec).
+    *
+    * Output: one row per entity — entity_id, n_members (distinct matched
+    * mentions), canonical_name, one mode column per `fields` entry.
+    *
+    * Scale shape: edges are match-output-sized, components are
+    * entity-sized (bounded by mention fan-in, never corpus-quadratic);
+    * the name pool and field modes are component-keyed aggregates +
+    * one row_number window each over (component, value) counts. The CC
+    * loop is the checkpointed O(log d) label flood shared with the dedup
+    * clusters. */
+  def goldenRecords(queries: DataFrame, dictionary: DataFrame,
+                    fields: Seq[String], maxLev: Int = 3): DataFrame = {
+    val matched = linkEntities(queries, dictionary, maxLev)
+      .localCheckpoint(eager = false) // feeds edges + members + name pool
+    val edges = matched.select(col("q_name").as("doc_a"),
+      col("matched_name").as("doc_b")).distinct()
+    val comp = Dedup.clustersFromEdges(edges)
+      .select(col("doc_id").as("q_name"), col("cluster_id").as("entity_id"))
+    val members = matched.join(comp, "q_name")
+    val wName = Window.partitionBy("entity_id")
+      .orderBy(length(col("nm")).desc, col("nm"))
+    val canonical = members
+      .select(col("entity_id"),
+        explode(array(col("q_name"), col("matched_name"))).as("nm"))
+      .distinct()
+      .withColumn("rk", row_number().over(wName))
+      .filter(col("rk") === 1)
+      .select(col("entity_id"), col("nm").as("canonical_name"))
+    val base = members.groupBy("entity_id")
+      .agg(countDistinct(col("q_id")).as("n_members"))
+      .join(canonical, "entity_id")
+    fields.foldLeft(base) { (acc, f) =>
+      val wf = Window.partitionBy("entity_id")
+        .orderBy(col("n_f").desc, col(f))
+      acc.join(
+        members.groupBy(col("entity_id"), col(f))
+          .agg(count(lit(1)).as("n_f"))
+          .withColumn("rk", row_number().over(wf))
+          .filter(col("rk") === 1)
+          .select(col("entity_id"), col(f)),
+        "entity_id")
+    }
+  }
+
   /** Blocking vs single-pass SNM vs two-pass SNM on the same feed, one
     * row per method: compare-pair volume (the cost), matched/correct
     * counts over ALL queries (the yield), accuracy in 1e-4 units. The

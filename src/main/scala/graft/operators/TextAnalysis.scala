@@ -566,20 +566,28 @@ object TextAnalysis {
           .as("at_risk_share"))
   }
 
-  /** ε-differentially-private count release — the third leg of the
-    * privacy triad next to [[kAnonymity]] and [[lDiversity]]: those two
-    * GATE a release, this one NOISES it (Dwork et al. 2006 — the Laplace
-    * mechanism: a count has sensitivity 1, so adding Laplace(1/ε) noise
-    * makes the released histogram ε-DP). Per `source`: the true count,
-    * the noise draw, and the released value in exact 1e-6 integer units.
+  /** Laplace-mechanism count-release SIMULATION/AUDIT — the third leg of
+    * the privacy triad next to [[kAnonymity]] and [[lDiversity]]: those
+    * two GATE a release, this one models the NOISING step (Dwork et al.
+    * 2006: a count has sensitivity 1, so adding Laplace(1/ε) noise makes
+    * the released histogram ε-DP). Per `source`: the true count, the
+    * noise draw, and the released value in exact 1e-6 integer units.
     *
-    * The draw is SEEDED, not random: u = (hv + ½)/2³² from the first 8
-    * md5 hex digits of (source, salt) — deterministic across engines,
-    * retries and resumes, which is what a reproducible release pipeline
-    * needs (and what makes the op oracle-checkable; vary `salt` to get a
-    * fresh draw). The +½ keeps u strictly inside (0,1) so the inverse CDF
-    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) never hits ln(0). Noise lands
-    * as an integer micro-unit via round(ln·10⁶) — the zipf_fit ln
+    * THIS IS NOT A DP GUARANTEE. The draw is SEEDED, not random: u =
+    * (hv + ½)/2³² from the first 8 md5 hex digits of (source, salt) —
+    * anyone holding the code and salt recomputes the noise and recovers
+    * the exact count, and even with a secret salt, hash-derived
+    * deterministic noise does not satisfy the DP definition (DP
+    * quantifies over the mechanism's own randomness). What the op IS:
+    * a bit-reproducible rehearsal of the release pipeline — the exact
+    * shapes, budgets, and inverse-CDF arithmetic a real release runs —
+    * auditable cross-engine precisely BECAUSE it is deterministic. A
+    * real release swaps the hash for cryptographically random noise
+    * drawn fresh per release from a never-reused seed; everything else
+    * here (sensitivity, scale 1/ε, the ε ledger in [[dpLedger]]) carries
+    * over unchanged. The +½ keeps u strictly inside (0,1) so the inverse
+    * CDF noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) never hits ln(0). Noise
+    * lands as an integer micro-unit via round(ln·10⁶) — the zipf_fit ln
     * precedent; everything after is exact integer addition. One hash
     * aggregate + a per-group expression: scale-free.
     *
@@ -599,6 +607,71 @@ object TextAnalysis {
       .withColumn("released_e6", expr("n * 1000000 + noise_e6"))
       .withColumn("epsilon_e4",
         lit((10000L * epsNum) / epsDen))
+  }
+
+  /** ε-COMPOSITION LEDGER over repeated [[dpNoisyCounts]]-style releases —
+    * real pipelines do not release once: every additional release of the
+    * same statistic spends more privacy budget, and basic composition
+    * (Dwork/Roth, thm 3.16) says the spends ADD. This op is the
+    * bookkeeping a release pipeline runs before noising anything: k
+    * requested releases with per-release ε, a total budget, the running
+    * requested spend, and a REFUSE gate — a release whose running total
+    * would exceed the budget is refused (null noise/release columns) and
+    * every later release is refused with it (the running total is
+    * monotone, so refusal is a prefix property: the pipeline HALTS at the
+    * first over-budget request — an incident, not a skip).
+    *
+    * Per (release_idx, source): the true count, the release's ε and the
+    * cumulative requested spend (exact 1e-6 integers — construction
+    * requires each ε and the budget be micros-exact), granted flag,
+    * spent_e6 (the budget actually consumed after this release: the
+    * requested total while granted, frozen at the last granted total
+    * after), remaining_e6, and — granted rows only — the seeded noise
+    * draw and released value under the [[dpNoisyCounts]] mechanism with
+    * per-release salt `<salt><idx>`, so no two releases reuse a draw.
+    * The same NOT-A-DP-GUARANTEE framing applies: deterministic noise is
+    * a bit-reproducible audit rehearsal; a real release swaps in
+    * cryptographic randomness and keeps this ledger unchanged.
+    *
+    * Scale shape: one per-source count aggregate crossed with a
+    * broadcast k-row ledger (the ledger math is parameter arithmetic,
+    * computed driver-side) — scale-free like the release op itself. */
+  def dpLedger(docs: DataFrame,
+               releases: Seq[(Int, Int)] = Seq.fill(5)((1, 2)),
+               budgetNum: Int = 2, budgetDen: Int = 1,
+               salt: String = "dp"): DataFrame = {
+    require(releases.nonEmpty, "at least one release")
+    (releases :+ (budgetNum, budgetDen)).foreach { case (n0, d0) =>
+      require(n0 > 0 && d0 > 0 && (1000000L * n0) % d0 == 0,
+        s"epsilon/budget must be positive and 1e-6-exact: $n0/$d0")
+    }
+    val budgetE6 = 1000000L * budgetNum / budgetDen
+    var cum = 0L
+    var spent = 0L
+    val rows = releases.zipWithIndex.map { case ((n0, d0), i) =>
+      val eps = 1000000L * n0 / d0
+      cum += eps
+      val granted = cum <= budgetE6
+      if (granted) spent = cum
+      (i + 1L, eps, cum, granted, spent)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ledger = rows
+      .toDF("release_idx", "epsilon_e6", "cum_req_e6", "granted", "spent_e6")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val hv = conv(substring(md5(concat(col("source"), lit(":" + salt),
+      col("release_idx"))), 1, 8), 16, 10).cast("long")
+    val c = (hv.cast("double") + lit(0.5)) / lit(4294967296.0) - lit(0.5)
+    val b = lit(1e6) / col("epsilon_e6").cast("double")
+    val noise = -b * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    counts.crossJoin(broadcast(ledger))
+      .select(col("release_idx"), col("source"), col("n"),
+        col("epsilon_e6"), col("cum_req_e6"), col("granted"),
+        col("spent_e6"), (lit(budgetE6) - col("spent_e6")).as("remaining_e6"),
+        when(col("granted"), round(noise * 1e6).cast("long")).as("noise_e6"),
+        when(col("granted"), col("n") * 1000000L +
+          round(noise * 1e6).cast("long")).as("released_e6"))
   }
 
   /** PII scrubbing — the corpus-scale sibling of the reference's per-field
@@ -1507,20 +1580,38 @@ object TextAnalysis {
     * doc/length counts into the one-row stats table. O(batch), never a
     * corpus rewrite; same-parameters probe afterwards is identical to a
     * full rebuild (driver-gated via doc_search_bm25_appended's shared
-    * oracle and spec-gated against the inline op). */
+    * oracle and spec-gated against the inline op).
+    *
+    * MAINTENANCE-WINDOW CONTRACT (the [[graft.streaming.StreamingSearch]]
+    * commit-point discipline, stated for the multi-step catalog update):
+    * the update is postings-append → stats staged under
+    * `<statsTable>_stage` → drop old stats → catalog rename stage→live.
+    * The new stats are fully WRITTEN (staged) before the live name is
+    * ever touched, so no crash point loses the folded counts: a crash
+    * after the append sees appended postings with stale stats (scores
+    * slightly off until re-run — the documented LSM-delta bargain, not
+    * corruption), and a crash between drop and rename leaves the counts
+    * intact in the stage table with the live name briefly unresolvable —
+    * re-running the append (idempotence left to the caller's batch
+    * ledger) or renaming the stage completes it. A concurrent probe
+    * during the two catalog ops may fail to resolve the stats table and
+    * should retry; probes never see HALF-written stats. */
   def searchIndexAppend(spark: org.apache.spark.sql.SparkSession,
                         newDocs: DataFrame, postingsTable: String,
                         statsTable: String, buckets: Int = 32): Unit = {
     Bucketing.appendBucketed(searchPostings(newDocs), postingsTable,
       "token", buckets, sortBy = Some("token"))
-    // one-row read-modify-write; materialize before overwrite
+    // one-row read-modify-write; materialize, stage, then swap
     val old = spark.table(statsTable).collect().head
     val inc = searchStats(newDocs).collect().head
     import spark.implicits._
+    val stage = statsTable + "_stage"
     Bucketing.writePlain(
       Seq((old.getLong(0) + inc.getLong(0),
         old.getLong(1) + inc.getLong(1))).toDF("n_docs", "sum_dl"),
-      statsTable)
+      stage)
+    spark.sql(s"DROP TABLE IF EXISTS $statsTable")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $statsTable")
   }
 
   /** BM25 top-k served OFF THE INDEX: reads only the query terms'
@@ -1784,31 +1875,35 @@ object TextAnalysis {
     * of length ≥ gram+window−1 share at least one row here — and what a
     * match-finding join would consume (join on fp, like the LSH bucket
     * join). The n-gram count is derivable from doc length, so the stats
-    * view joins back to `docs` instead of carrying a second window pass. */
+    * view joins back to `docs` instead of carrying a second window pass.
+    *
+    * NATIVE MAP-ONLY FORMULATION (r13 — replaces the corpus-sized explode
+    * + per-doc WindowExec of r1–r12, whose sort over all gram digests was
+    * the suite's one above-floor ×100 scale cell: the window sort crossed
+    * into the spill regime between ×10 and ×100). The whole selection —
+    * gram digesting, sliding-window minima via an O(window) monotonic
+    * deque, per-doc dedup — runs inside ONE native Catalyst expression
+    * ([[graft.functions.WinnowSelect]]), one compiled JVM pass per
+    * document; this relation is then just an explode of the returned
+    * per-doc set. (A declarative block-pair HOF rewrite was built and
+    * MEASURED first: it removed the shuffle but paid interpreted
+    * higher-order-function dispatch per element and doubled the md5 work
+    * — 17 s vs 12 s warm at sf0.1, slower than what it replaced. The
+    * expression form is 1 md5/gram, allocation-light, and measured ~4×
+    * faster than the window formulation.)
+    *
+    * Scale shape: NO exchange anywhere — per-doc distinct ⇒ (doc_id, fp)
+    * globally distinct, so there is no shuffle left to pay and the ×100
+    * scale cell is the pure-map floor by construction. Set-identical to
+    * the textbook sliding-window formulation (spec-proven across
+    * gram/window dials in NorthStarSpec); the DuckDB oracle is unchanged.
+    * Plan-gated in PlanShapeSpec: zero WindowExec, one Generate. */
   def winnowingSelected(docs: DataFrame, gram: Int = 8, window: Int = 4)
       : DataFrame = {
     require(gram >= 1 && window >= 1, s"bad gram=$gram window=$window")
-    // the per-doc gram count is ANALYTIC — greatest(len−gram+1, 1), the
-    // sequence bound itself — so it rides the projection through the
-    // explode instead of costing a second whole-partition WindowExec
-    // pass over the corpus-sized gram stream (strictly less work: one
-    // window spec instead of two over the same exchange+sort)
-    val grams = docs.select(col("doc_id"),
-      greatest(length(col("text")) - (gram - 1), lit(1)).as("m"),
-      posexplode(transform(
-        sequence(lit(1), greatest(length(col("text")) - (gram - 1), lit(1))),
-        i => md5(col("text").substr(i, lit(gram)))))
-        .as(Seq("gidx", "h")))
-    val frame = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("gidx")
-      .rowsBetween(0, window - 1)
-    grams
-      .withColumn("wmin", min(col("h")).over(frame))
-      // complete windows only; short docs keep gidx=0 whose truncated
-      // frame is the whole gram sequence (= the whole-doc min)
-      .filter(col("gidx") <= greatest(col("m") - window, lit(0)))
-      .select(col("doc_id"), col("wmin").as("fp"))
-      .distinct()
+    docs.select(col("doc_id"),
+      explode(graft.functions.WinnowFunctions.winnowSelect(
+        col("text"), gram, window)).as("fp"))
   }
 
   /** Winnowing MATCH DETECTION — what the selected fingerprints are FOR

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+
+/** Takedown served ONLINE — the compliance op a production pipeline runs
+  * continuously, not quarterly: takedown / right-to-be-forgotten requests
+  * arrive as a stream of doc_ids, and each micro-batch is resolved
+  * against the PERSISTED near-dup band index
+  * ([[Dedup.nearDupWriteIndex]]'s bands + sets tables) via
+  * [[Dedup.takedownStatusIndexed]] — the request's own signatures are
+  * LOOKED UP, never recomputed, and the corpus probes the same stored
+  * relations, so per-batch work is index-probe-bounded exactly like the
+  * batch op (row-identical to it on the same request set, spec-proven in
+  * StreamingSpec — the [[StreamingKnn.serve]] parity pattern).
+  *
+  * `foreachBatch` rather than a continuous join, for the
+  * [[StreamingKnn]] reasons: the probe is joins against CATALOG tables
+  * plus candidate-bounded scoring — shapes the streaming planner can't
+  * run incrementally — and the delivery target (the deletion queue, the
+  * audit log, the partner notification) is caller-supplied. Source
+  * offsets commit through `checkpointLocation`: each request batch is
+  * resolved exactly once, and a replayed batch re-emits the same
+  * deterministic status frame (safe to deliver idempotently by batchId,
+  * the [[graft.sinks.FtpLikeSink]] discipline).
+  *
+  * Index APPENDS land transparently — the next batch's `spark.table`
+  * resolves the grown index ([[Dedup.nearDupIndexAppend]]) — so a
+  * takedown filed today scrubs copies ingested tomorrow as long as the
+  * maintenance path keeps appending. */
+object StreamingTakedown {
+
+  /** Serve a stream of takedown requests (`doc_id`) against the persisted
+    * band/sets index over `docs`. `deliver` receives each batch's full
+    * (doc_id, source, status) frame and the batch id. */
+  def serve(requests: DataFrame, docs: DataFrame, bandsTable: String,
+            setsTable: String, checkpointDir: String,
+            jaccardThreshold: Double = 0.8,
+            trigger: Trigger = Trigger.ProcessingTime("20 seconds"))
+           (deliver: (DataFrame, Long) => Unit): StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val res = Dedup.takedownStatusIndexed(batch.sparkSession, docs,
+          batch, bandsTable, setsTable, jaccardThreshold)
+        deliver(res, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

@@ -2412,6 +2412,50 @@ class NorthStarSpec extends SparkTestBase {
     assert(dens > 0.0 && dens <= 1.0)
   }
 
+  test("TextAnalysis.winnowingSelected: the r13 native deque expression " +
+    "selects EXACTLY the window-min set of the textbook sliding-window " +
+    "formulation — every (gram, window) dial, short docs, m<=w " +
+    "degenerates, repeated text (deque tie-pops), w=1") {
+    import org.apache.spark.sql.functions._
+    // textbook reference: explode all grams, per-doc sliding ROWS window
+    // min, complete windows only (the r1-r12 implementation, kept here
+    // as the spec oracle for the set-equality proof)
+    def reference(docs: org.apache.spark.sql.DataFrame, gram: Int,
+                  window: Int): Set[(Long, String)] = {
+      val grams = docs.select(col("doc_id"),
+        greatest(length(col("text")) - (gram - 1), lit(1)).as("m"),
+        posexplode(transform(
+          sequence(lit(1), greatest(length(col("text")) - (gram - 1),
+            lit(1))),
+          i => md5(col("text").substr(i, lit(gram)))))
+          .as(Seq("gidx", "h")))
+      val frame = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("gidx")
+        .rowsBetween(0, window - 1)
+      grams.withColumn("wmin", min(col("h")).over(frame))
+        .filter(col("gidx") <= greatest(col("m") - window, lit(0)))
+        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    // adversarial corpus: repeated text (hot grams), a doc shorter than
+    // one gram, docs landing exactly on block boundaries, a 1-char doc
+    val docs = docsDf(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog and the quick fox",
+      2L -> "abc",
+      3L -> "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // 32 = aligned blocks
+      4L -> "x",
+      5L -> "abcdefghijk", // m=4 with gram=8: m <= w
+      6L -> "zq zq zq zq zq zq zq zq zq"))
+    for ((g, w) <- Seq((8, 4), (8, 1), (3, 5), (1, 3), (4, 4), (2, 7))) {
+      val fast = TextAnalysis.winnowingSelected(docs, g, w).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(fast == reference(docs, g, w),
+        s"block-pair selection diverged at gram=$g window=$w: " +
+          s"only-fast=${fast -- reference(docs, g, w)} " +
+          s"only-ref=${reference(docs, g, w) -- fast}")
+    }
+  }
+
   test("TextAnalysis.winnowingSelected: two docs sharing a substring of " +
     "length >= gram+window-1 share at least one selected fingerprint — " +
     "the paper's detection guarantee") {
