@@ -196,6 +196,14 @@ object Bench {
       * queries, and `queries_done` says how many — an honest fragment
       * beats the round-7 outcome (external timeout kill mid-pass, nothing
       * parseable on stdout at all). */
+    // Per-pass 1-min load samples (taken as each pass completes): with
+    // only a round-level load_avg, a 30 s warm_max on one query is
+    // unattributable — co-tenancy and regression look identical (the r12
+    // verdict's emb_knn_ivf_pq_refined forensics gap). Paired with
+    // warm_trial_times below, the judge reads off WHICH pass was slow
+    // and what the machine looked like when it ran.
+    val passLoads = scala.collection.mutable.Buffer.empty[Double]
+
     def emit(cold: Seq[(String, (Double, Option[String]))],
              warmTrials: Seq[Seq[(String, (Double, Option[String]))]],
              truncated: Boolean): Unit = {
@@ -226,6 +234,15 @@ object Bench {
           s""","failure_penalty_sec":$FailurePenaltySec,"sf":${jsonStr(sfDir)}""" +
           s""","load_avg":$loadAvg,"cpu_idle":$cpuIdleFrac""" +
           s""","n_cpus":${Runtime.getRuntime.availableProcessors}"""
+      // Per-query per-trial wall times (full artifact only): the r12
+      // verdict item 8 — warm_min/warm_max alone can't separate a
+      // co-tenancy spike on one pass from a genuine regression.
+      val trialTimes = doneNames.zipWithIndex.map { case (n, i) =>
+        jsonStr(n) + ":[" +
+          obs.map(p => math.round(p(i)._2._1 * 1000) / 1000.0)
+            .mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val passLoadArr = passLoads.mkString("[", ",", "]")
       // FULL artifact -> out file only (complete per-query detail).
       val full =
         s"""{"metric":"total","value":${total(cold)},"unit":"sec"""" +
@@ -233,7 +250,13 @@ object Bench {
           s""","warm_total":${total(warm)},"warm_queries":${timesObj(warm)}""" +
           s""","warm_errors":${errsObj(warm)}""" +
           s""","warm_min":${numsObj(warmMin)}""" +
-          s""","warm_max":${numsObj(warmMax)}""" + flags + "}"
+          s""","warm_max":${numsObj(warmMax)}""" +
+          s""","warm_trial_times":$trialTimes""" +
+          s""","pass_load_avg":$passLoadArr""" +
+          s""","pass_load_note":"1-min load sampled as each pass """ +
+          s"""completes: [cold, warm1, ...]; read with warm_trial_times """ +
+          s"""to attribute per-trial spikes to machine state"""" +
+          flags + "}"
       Files.write(Paths.get(outPath),
         (full + "\n").getBytes(StandardCharsets.UTF_8))
       // COMPACT artifact -> stdout: must fit the driver's ~2000-byte tail
@@ -267,6 +290,7 @@ object Bench {
       emit(coldAcc, Nil, truncated = false)
     }
     val cold: Seq[(String, (Double, Option[String]))] = coldAcc
+    passLoads += loadAvg // machine state as the cold pass ends
     // Warm trials are grouped per PASS (all queries, then repeat), not per
     // query back-to-back: a transient machine-wide load spike then taints
     // one trial of many queries instead of all trials of one, and the
@@ -287,6 +311,7 @@ object Bench {
         val pass = names.map(n => n -> once(n))
         lastPassSec = (System.nanoTime() - t0) / 1e9
         warmDone = warmDone :+ pass
+        passLoads += loadAvg // machine state as this warm pass ends
         emit(cold, warmDone, truncated = false)
       }
       i += 1

@@ -338,6 +338,32 @@ object Example {
       } finally server.close()
     }
 
+    // r13 additions: the consolidation/compliance endpoints
+    {
+      println("[example] winnowing match detection (native deque " +
+        "expression — map-only selection, no window pass):")
+      SparkEntry.queries("doc_winnow_pairs")(spark, sfDir)
+        .orderBy(org.apache.spark.sql.functions.col("n_shared").desc)
+        .show(5)
+      println("[example] entity GOLDEN records (CC consolidation + " +
+        "pinned survivorship):")
+      SparkEntry.queries("rel_entity_golden")(spark, sfDir)
+        .orderBy(org.apache.spark.sql.functions.col("n_members").desc)
+        .show(5, truncate = false)
+      println("[example] epsilon-composition ledger (release 5 refused " +
+        "over budget, spend frozen):")
+      SparkEntry.queries("corpus_dp_ledger")(spark, sfDir)
+        .orderBy("source", "release_idx").show(10)
+      println("[example] media dup clusters + medoid representative:")
+      SparkEntry.queries("multimodal_dup_clusters")(spark, sfDir)
+        .orderBy("cluster_id", "doc_id").show(5)
+      println("[example] audio energy-delta fingerprints and their " +
+        "near-dup pairs:")
+      SparkEntry.queries("multimodal_audio_fp")(spark, sfDir).show(3)
+      SparkEntry.queries("multimodal_audio_dup_pairs")(spark, sfDir)
+        .show(3)
+    }
+
     // streaming sessionization with custom keyed state
     {
       import graft.streaming.Sessionize

@@ -397,6 +397,45 @@ object ScaleBench {
     val ivfRefit: Seq[(Int, Double)] =
       Factors.map(f => f -> ivfRefitCell(f))
 
+    // The search-index LSM pair (r13, closing the r12 verdict item 6):
+    // COMPACTION = searchWriteIndex over the x<f> corpus (grows with the
+    // corpus — the scheduled batch job), DELTA COMMIT =
+    // StreamingSearch.applyBatch of a base-corpus-sized batch into a
+    // delta dir (~flat — the per-micro-batch cost). The equivalence
+    // (base+delta probe ≡ compacted probe, bit-identical) is spec-gated
+    // in SearchIndexSpec; this cell prices the two legs.
+    def searchMaintCell(f: Int): (Double, Double) = {
+      val (pT, sT) = (s"scale_srch_p_x$f", s"scale_srch_s_x$f")
+      try {
+        val docs = spark.read.parquet(s"${scaledDir(f)}/documents.parquet")
+        val batch = spark.read.parquet(s"$baseDir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(IdStride * 1000))
+        val trials = (1 to MaintTrials).map { i =>
+          spark.sql(s"DROP TABLE IF EXISTS $pT")
+          spark.sql(s"DROP TABLE IF EXISTS $sT")
+          val deltaDir = s"/tmp/graft_scale/search_delta_x${f}_$i"
+          val t0 = System.nanoTime()
+          operators.TextAnalysis.searchWriteIndex(docs, pT, sT)
+          val tCompact = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          streaming.StreamingSearch.applyBatch(spark, deltaDir, batch, i)
+          (tCompact, (System.nanoTime() - t1) / 1e9)
+        }
+        (median(trials.map(_._1)), median(trials.map(_._2)))
+      } catch {
+        case e: Throwable =>
+          maintErrs += (s"x$f:search_maintenance" ->
+            (s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(300)))
+          (-1.0, -1.0)
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $pT")
+        spark.sql(s"DROP TABLE IF EXISTS $sT")
+      }
+    }
+    val searchMaint: Seq[(Int, (Double, Double))] =
+      Factors.map(f => f -> searchMaintCell(f))
+
     // ── PQ recall vs ksub (trained codebooks), x10 corpus ──────────────
     // The registered `emb_knn_pq_recall` honestly reports its toy ksub=16
     // number; the pqDecoded scaladoc claims the dial that matters is ksub.
@@ -580,6 +619,14 @@ object ScaleBench {
         "centroids, median-of-" + MaintTrials + " trials — the batch job " +
         "the drift signal triggers; expected ~linear in f (one " +
         "assignment pass + an index-sized aggregate)."),
+      "maintenance_search" -> obj(searchMaint.map { case (f, (c, a)) =>
+        s"x$f" -> s"""{"compact":$c,"delta_commit":$a}""" }),
+      "maintenance_search_note" -> jsonStr("search-index LSM pair, " +
+        "median-of-" + MaintTrials + " trials: full searchWriteIndex " +
+        "over the x<f> corpus (compaction — grows with the corpus) vs " +
+        "StreamingSearch.applyBatch of a base-corpus-sized delta batch " +
+        "(~flat per micro-batch). base+delta ≡ compacted is spec-gated " +
+        "bit-identical in SearchIndexSpec."),
       "pq_recall_x10" -> obj(pq.map { case (k, v) => k -> v.toString }),
       "pq_recall_note" -> jsonStr("mean recall@3 over the 8 base probes " +
         "on the x10 corpus (20k vectors), brute search in PQ-decoded " +

@@ -388,6 +388,19 @@ object SparkEntry {
       Linkage.methodCompare(q,
         p.select(col("p_name").as("name")).distinct())
     }),
+    // the golden-record close of the ER family: match edges → connected
+    // components (string-label min flood) → survivorship (longest name,
+    // per-field mode, deterministic lexicographic ties) — one
+    // consolidated record per entity with auditable field provenance
+    "rel_entity_golden" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val q = p.select(col("p_partkey").as("q_id"),
+        Linkage.mangle(col("p_name"), col("p_partkey")).as("q_name"),
+        col("p_brand").as("brand"), col("p_type").as("ptype"))
+      Linkage.goldenRecords(q,
+        p.select(col("p_name").as("name")).distinct(),
+        Seq("brand", "ptype"))
+    }),
     // Benford first-digit forensic screen on order prices: pinned
     // integer expectation constants, 1e-4 shares, signed deltas — the
     // uniform synthetic draw fails loudly, which is the point
@@ -968,6 +981,13 @@ object SparkEntry {
     // integer micro-units via the zipf_fit ln precedent
     "corpus_dp_counts" -> ((s, dir) =>
       TextAnalysis.dpNoisyCounts(t(s, dir, "documents"))),
+    // the composition LEDGER over repeated releases (basic composition:
+    // spends add): 5 requested eps=0.5 releases against a budget of 2.0
+    // — releases 1-4 granted with per-release salted draws, release 5
+    // REFUSED (prefix rule: the running request total is monotone), all
+    // ledger arithmetic exact 1e-6 integers
+    "corpus_dp_ledger" -> ((s, dir) =>
+      TextAnalysis.dpLedger(t(s, dir, "documents"))),
     // resharding-cost audit: HRW/rendezvous vs mod-N when 7 shards grow
     // to 8 — moved share measured on the corpus next to pinned theory
     // (~1/8 vs ~7/8); shard assignment is a pure per-row expression
@@ -1922,6 +1942,24 @@ object SparkEntry {
     "multimodal_dup_pairs" -> ((s, dir) =>
       Multimodal.phashDupPairs(
         Multimodal.synthBmpPayload(t(s, dir, "documents")))),
+    // MEDIA near-dup CLUSTERS — what takedown acts on: connected
+    // components over the confirmed pair set + a medoid representative
+    // (min summed hamming over incident edges, ties = first ingested)
+    "multimodal_dup_clusters" -> ((s, dir) =>
+      Multimodal.phashDupClusters(
+        Multimodal.synthBmpPayload(t(s, dir, "documents")))
+        .withColumn("is_rep", col("is_rep").cast("int"))),
+    // chromaprint-shaped audio fingerprint: real WAV chunk walk to the
+    // PCM16 data, 64 equal frames, 63 energy-delta bits — the oracle
+    // recomputes the same bits analytically from the text bytes
+    "multimodal_audio_fp" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.synthWavPayload(t(s, dir, "documents")))),
+    // audio near-dup pairs: banded 4x16 Hamming over the 63-bit fp,
+    // complete for hamming<=3, exact popcount on candidates only
+    "multimodal_audio_dup_pairs" -> ((s, dir) =>
+      Multimodal.audioDupPairs(
+        Multimodal.synthWavPayload(t(s, dir, "documents")))),
     // FLAC STREAMINFO bit-field walk: 20-bit sample rate, 3-bit
     // channels, 36-bit total samples → exact whole-second duration
     "multimodal_decode_flac" -> ((s, dir) =>
@@ -2852,6 +2890,62 @@ object SparkEntry {
         | CAST(CASE WHEN b.name = q.true_name THEN 1 ELSE 0 END AS BIGINT)
         |   AS correct
         |FROM q JOIN best b ON q.q_name = b.q_name AND b.rk = 1""".stripMargin,
+    // golden records: the match CTE is rel_entity_match verbatim, then
+    // transitive consolidation as a recursive reach over the symmetric
+    // (q_name, matched_name) edge set (the dup_clusters CC pattern on a
+    // STRING universe) and survivorship as rank-1 windows — longest name
+    // (ties lexicographic) and per-field modes (ties lexicographic)
+    "rel_entity_golden" ->
+      """WITH RECURSIVE q AS (SELECT p_partkey AS q_id,
+        |  CASE WHEN p_partkey % 3 = 0
+        |        THEN substr(p_name, 1, 1) || substr(p_name, 3)
+        |       WHEN p_partkey % 3 = 1
+        |        THEN substr(p_name, 1, 3) || substr(p_name, 3)
+        |       ELSE substr(p_name, 1, 1) ||
+        |         replace(substr(p_name, 2), 'e', 'a') END AS q_name,
+        |  p_brand AS brand, p_type AS ptype
+        |  FROM part),
+        | d AS (SELECT DISTINCT p_name AS name FROM part),
+        | cand AS (SELECT q.q_id, q.q_name, q.brand, q.ptype, d.name,
+        |   levenshtein(q.q_name, d.name) AS lev
+        |  FROM q JOIN d ON substr(q.q_name, 1, 1) = substr(d.name, 1, 1)
+        |  WHERE levenshtein(q.q_name, d.name) <= 3),
+        | best AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY lev, name) AS rk FROM cand),
+        | m AS (SELECT q_id, q_name, brand, ptype,
+        |   name AS matched_name FROM best WHERE rk = 1),
+        | e AS (SELECT DISTINCT q_name AS a, matched_name AS b FROM m),
+        | nbr AS (SELECT a AS s, b AS d2 FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        | reach(id, comp) AS (
+        |   SELECT DISTINCT s, s FROM nbr
+        |   UNION
+        |   SELECT n.s, r.comp FROM nbr n JOIN reach r ON n.d2 = r.id),
+        | cmp AS (SELECT id, min(comp) AS entity_id FROM reach GROUP BY id),
+        | mem AS (SELECT c.entity_id, m.* FROM m
+        |  JOIN cmp c ON m.q_name = c.id),
+        | nmu AS (SELECT DISTINCT entity_id, nm FROM (
+        |   SELECT entity_id, unnest([q_name, matched_name]) AS nm
+        |   FROM mem)),
+        | can AS (SELECT entity_id, nm AS canonical_name FROM (
+        |   SELECT entity_id, nm, row_number() OVER (PARTITION BY entity_id
+        |     ORDER BY length(nm) DESC, nm) AS rk FROM nmu) WHERE rk = 1),
+        | base AS (SELECT entity_id,
+        |   CAST(count(DISTINCT q_id) AS BIGINT) AS n_members
+        |  FROM mem GROUP BY entity_id),
+        | bm AS (SELECT entity_id, brand FROM (
+        |   SELECT entity_id, brand, row_number() OVER (
+        |     PARTITION BY entity_id ORDER BY count(*) DESC, brand) AS rk
+        |   FROM mem GROUP BY entity_id, brand) WHERE rk = 1),
+        | cm AS (SELECT entity_id, ptype FROM (
+        |   SELECT entity_id, ptype, row_number() OVER (
+        |     PARTITION BY entity_id ORDER BY count(*) DESC, ptype)
+        |     AS rk
+        |   FROM mem GROUP BY entity_id, ptype) WHERE rk = 1)
+        |SELECT b.entity_id, b.n_members, can.canonical_name,
+        | bm.brand, cm.ptype
+        |FROM base b JOIN can USING (entity_id) JOIN bm USING (entity_id)
+        | JOIN cm USING (entity_id)""".stripMargin,
     "rel_entity_method_compare" ->
       """WITH q AS (SELECT p_partkey AS q_id, p_name AS true_name,
         |  CASE WHEN p_partkey % 3 = 0
@@ -3659,6 +3753,53 @@ object SparkEntry {
         |   AS released_e6,
         | CAST(10000 AS BIGINT) AS epsilon_e4 FROM y""".stripMargin,
     // same integer cross-multiplied EDF gap off (source × length)
+    // the composition ledger: the same seeded draw per (source, release
+    // salt), ledger arithmetic as window sums over a VALUES table —
+    // grant/refuse and every e6 column must agree bit-for-bit
+    "corpus_dp_ledger" ->
+      """WITH rel AS (SELECT * FROM (VALUES (1, 500000), (2, 500000),
+        |   (3, 500000), (4, 500000), (5, 500000))
+        |   AS t(release_idx, epsilon_e6)),
+        | led AS (SELECT release_idx, epsilon_e6,
+        |   sum(epsilon_e6) OVER (ORDER BY release_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS cum_req_e6
+        |  FROM rel),
+        | led2 AS (SELECT release_idx, epsilon_e6, cum_req_e6,
+        |   CASE WHEN cum_req_e6 <= 2000000 THEN 1 ELSE 0 END AS granted,
+        |   coalesce(max(CASE WHEN cum_req_e6 <= 2000000
+        |       THEN cum_req_e6 END)
+        |     OVER (ORDER BY release_idx
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |     AS spent_e6
+        |  FROM led),
+        | g AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        | x AS (SELECT l.release_idx, g.source, g.n, l.epsilon_e6,
+        |   l.cum_req_e6, l.granted, l.spent_e6,
+        |   list_aggregate(list_transform(range(1, 9), j ->
+        |     CAST(strpos('0123456789abcdef', substr(md5(g.source ||
+        |       ':dp' || CAST(l.release_idx AS VARCHAR)),
+        |       CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+        |     * (CAST(1 AS BIGINT) << (4 * (8 - CAST(j AS INTEGER))))),
+        |     'sum') AS hv
+        |  FROM g CROSS JOIN led2 l),
+        | y AS (SELECT *, (CAST(hv AS DOUBLE) + 0.5) / 4294967296.0 - 0.5
+        |   AS c FROM x),
+        | z AS (SELECT *, CAST(round(-(1000000.0 / epsilon_e6) *
+        |   (CASE WHEN c >= 0 THEN 1.0 ELSE -1.0 END) *
+        |   ln(1.0 - 2.0 * abs(c)) * 1e6) AS BIGINT) AS ne6 FROM y)
+        |SELECT CAST(release_idx AS BIGINT) AS release_idx, source, n,
+        | CAST(epsilon_e6 AS BIGINT) AS epsilon_e6,
+        | CAST(cum_req_e6 AS BIGINT) AS cum_req_e6,
+        | CAST(granted AS BIGINT) AS granted,
+        | CAST(spent_e6 AS BIGINT) AS spent_e6,
+        | CAST(2000000 - spent_e6 AS BIGINT) AS remaining_e6,
+        | CASE WHEN granted = 1 THEN ne6 ELSE CAST(0 AS BIGINT) END
+        |   AS noise_e6,
+        | CASE WHEN granted = 1 THEN n * 1000000 + ne6
+        |   ELSE CAST(0 AS BIGINT) END AS released_e6
+        |FROM z""".stripMargin,
     // histograms; the max decides identically in both engines
     "corpus_ks_by_source" ->
       """WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents
@@ -7619,6 +7760,119 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+    // Media near-dup clusters: the dup_pairs hash CTEs + recursive reach
+    // CC over the confirmed pair set + medoid-by-(edge hamming sum,
+    // doc_id) via a rank-1 window — the takedown unit, bit-for-bit
+    "multimodal_dup_clusters" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT d.doc_id, t.p,
+        |    least(((d.doc_id % 32) * 73 + t.p * 149) % 251
+        |      + CASE WHEN t.p = d.doc_id % 64 THEN d.doc_id % 7 ELSE 0 END,
+        |      250) AS v
+        |  FROM documents d, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+        | ab AS (SELECT px.doc_id, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id)),
+        | ah AS (SELECT doc_id,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id),
+        | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+        | nbr AS (SELECT doc_a AS s2, doc_b AS d2 FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr),
+        | reach(id, comp) AS (
+        |   SELECT DISTINCT s2, s2 FROM nbr
+        |   UNION
+        |   SELECT n.s2, r.comp FROM nbr n JOIN reach r ON n.d2 = r.id),
+        | cmp AS (SELECT id AS doc_id, min(comp) AS cluster_id
+        |  FROM reach GROUP BY id),
+        | inc AS (SELECT doc_id, CAST(sum(hamming) AS BIGINT)
+        |    AS edge_ham_sum
+        |  FROM (SELECT doc_a AS doc_id, hamming FROM pr
+        |   UNION ALL SELECT doc_b, hamming FROM pr) GROUP BY doc_id)
+        |SELECT cluster_id, doc_id, n_members, edge_ham_sum, rep_id,
+        | CAST(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END AS INTEGER)
+        |   AS is_rep
+        |FROM (SELECT c.cluster_id, c.doc_id,
+        |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+        |    AS n_members,
+        |  i.edge_ham_sum,
+        |  first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+        |    ORDER BY i.edge_ham_sum, c.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS rep_id
+        | FROM cmp c JOIN inc i USING (doc_id))""".stripMargin,
+    // Audio fingerprint: PCM16 samples recomputed from the text bytes
+    // (LE pairs via uppercase-hex digit arithmetic), 64 equal frames by
+    // i*64 DIV n, abs-energy sums, 63 delta bits packed MSB-first into
+    // 16 lowercase nibbles — the engine's byte parse must land exactly
+    "multimodal_audio_fp" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) // 2 AS n FROM documents),
+        | idx AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i
+        |  FROM b WHERE n >= 64),
+        | v AS (SELECT doc_id, n, (i * 64) // n AS f,
+        |   (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+1 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+2 AS INTEGER), 1)) - 1 AS BIGINT)
+        |    + 256 * (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+3 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+4 AS INTEGER), 1)) - 1 AS BIGINT)))
+        |     AS u
+        |  FROM idx),
+        | en AS (SELECT doc_id, n, f, sum(abs(
+        |   CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS e
+        |  FROM v GROUP BY doc_id, n, f),
+        | db AS (SELECT doc_id, n, f,
+        |   CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |     THEN 1 ELSE 0 END AS bit
+        |  FROM en),
+        | nibs AS (SELECT doc_id, any_value(n) AS n, (f + 1) // 4 AS ni,
+        |   sum(bit * (1 << (3 - (f + 1) % 4))) AS nib
+        |  FROM db WHERE f < 63 GROUP BY doc_id, (f + 1) // 4)
+        |SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_samples,
+        | string_agg(substr('0123456789abcdef', CAST(nib AS INTEGER) + 1,
+        |   1), '' ORDER BY ni) AS fp_hex
+        |FROM nibs GROUP BY doc_id""".stripMargin,
+    // Audio near-dup pairs: the same 63 delta bits packed into a BIGINT
+    // (top bit 0), brute <=3-hamming set — the engine's banded 4x16
+    // candidate join is pigeonhole-complete for hamming<=3
+    "multimodal_audio_dup_pairs" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) // 2 AS n FROM documents),
+        | idx AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i
+        |  FROM b WHERE n >= 64),
+        | v AS (SELECT doc_id, n, (i * 64) // n AS f,
+        |   (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+1 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+2 AS INTEGER), 1)) - 1 AS BIGINT)
+        |    + 256 * (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+3 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+4 AS INTEGER), 1)) - 1 AS BIGINT)))
+        |     AS u
+        |  FROM idx),
+        | en AS (SELECT doc_id, f, sum(abs(
+        |   CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS e
+        |  FROM v GROUP BY doc_id, f),
+        | db AS (SELECT doc_id, f,
+        |   CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |     THEN 1 ELSE 0 END AS bit
+        |  FROM en),
+        | fp AS (SELECT doc_id, sum(CAST(bit AS BIGINT) *
+        |    (CAST(1 AS BIGINT) << CAST(62 - f AS INTEGER))) AS h
+        |  FROM db WHERE f < 63 GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
     // FLAC: n_bytes = 42-byte header + body; every parsed field equals
     // its synthesis formula, duration an exact whole-second count

@@ -617,6 +617,47 @@ object Multimodal {
     * volume is bounded by bucket sizes. The 100 TB form of "dedup the
     * images" — constant-width sketches, banded candidates, exact check
     * on candidates only. */
+  /** Near-dup media CLUSTERS + representative pick — what a production
+    * takedown/dedup job ACTS on: [[phashDupPairs]] emits evidence, this
+    * partitions it. Connected components over the confirmed ≤maxHamming
+    * pair set via the [[Dedup.clustersFromEdges]] min-label machinery
+    * (near-dup chains are the normal case for media too: re-encodes of
+    * re-encodes drift a bit per hop), then per cluster a MEDOID
+    * representative — the member with the smallest summed hamming over
+    * its incident confirmed edges, i.e. the most central copy (ties:
+    * lowest doc_id = first ingested). Keep the representative, delete
+    * the rest, file the cluster as the takedown unit.
+    *
+    * Output per clustered doc: (cluster_id, doc_id, n_members,
+    * edge_ham_sum, rep_id, is_rep). Singleton images never appear (no
+    * edges — nothing to consolidate), matching [[Dedup.dupClusters]].
+    *
+    * Scale shape: pairs are band-bounded, the pair frame is
+    * localCheckpoint-ed once and feeds BOTH the CC loop and the medoid
+    * sums (the winnowPairs lesson), the CC loop is the checkpointed
+    * O(log d) label flood, and the medoid/size windows partition by
+    * cluster — bounded by cluster sizes, never corpus-wide. */
+  def phashDupClusters(withPayload: DataFrame, maxHamming: Int = 3,
+                       maxBandDocs: Int = 2048): DataFrame = {
+    val pairs = phashDupPairs(withPayload, maxHamming, maxBandDocs)
+      .localCheckpoint(eager = false)
+    val comp = graft.operators.Dedup.clustersFromEdges(
+      pairs.select("doc_a", "doc_b"))
+    val inc = pairs.select(col("doc_a").as("doc_id"), col("hamming"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("hamming")))
+      .groupBy("doc_id").agg(sum("hamming").as("edge_ham_sum"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+    comp.join(inc, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("rep_id",
+        min(struct(col("edge_ham_sum"), col("doc_id"))).over(byCluster)
+          .getField("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("n_members"),
+        col("edge_ham_sum"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("is_rep"))
+  }
+
   def phashDupPairs(withPayload: DataFrame, maxHamming: Int = 3,
                     maxBandDocs: Int = 2048): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
@@ -640,6 +681,146 @@ object Multimodal {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.ahash").as("ha"), col("b.ahash").as("hb"))
       .distinct() // a pair agreeing on several bands is one candidate
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ───────────────────────────────────────────────────────────────────
+  // Audio fingerprinting — the second perceptual modality next to the
+  // image aHash: a chromaprint-SHAPED energy-delta fingerprint over WAV
+  // PCM16 payloads (Chromaprint/AcoustID derives bits from filtered
+  // energy deltas across time×chroma cells; with no FFT in this
+  // container the honest reduction is the time axis alone — 64 equal
+  // frames, bit f = energy rises from frame f to f+1, 63 bits). A
+  // constant-width sketch per clip regardless of duration, so dedup
+  // stays sketch-width-bounded exactly like the image path — and wide
+  // enough (16-bit bands) that band buckets stay selective at corpus
+  // scale (an 8-bit band universe saturates at 256 buckets and the
+  // candidate join goes quadratic). The parse runs inside the same
+  // mapPartitions codec boundary as decodeMeta/phashOne; a real
+  // chromaprint swaps one function.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** 63-bit energy-delta audio fingerprint. `n_samples` counts PCM16
+    * samples in the data chunk; `valid` is false for non-WAV payloads or
+    * clips with < 64 samples (too short for 64 frames). */
+  case class AudioFp(doc_id: Long, n_samples: Long, fp: Long,
+                     valid: Boolean)
+
+  implicit val audioFpEnc: Encoder[AudioFp] = Encoders.product[AudioFp]
+
+  /** Attach a WAV payload (the [[synthMediaPayload]] wav branch, applied
+    * to EVERY doc): RIFF/WAVE + PCM16 fmt + data chunk wrapping the
+    * UTF-8 text bytes — so the "samples" are deterministic in `text` and
+    * the oracle can recompute the fingerprint analytically while the
+    * engine genuinely parses bytes. */
+  def synthWavPayload(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val body = encode(col("text"), "UTF-8")
+    val d3 = expr("doc_id DIV 3")
+    val ch = (lit(1) + id % 2).cast("int")
+    val rate = when(d3 % 3 === 0, lit(8000))
+      .when(d3 % 3 === 1, lit(16000)).otherwise(lit(44100))
+    val bodyLen = length(body)
+    docs.withColumn("payload", concat(
+      encode(lit("RIFF"), "UTF-8"), le4(bodyLen + 36),
+      encode(lit("WAVE"), "UTF-8"),
+      encode(lit("fmt "), "UTF-8"), bin("10000000"), bin("0100"),
+      le2(ch), le4(rate), le4(rate * ch * 2), le2(ch * 2), bin("1000"),
+      encode(lit("data"), "UTF-8"), le4(bodyLen),
+      body))
+  }
+
+  /** Parse one WAV payload and fingerprint its PCM: real chunk walk to
+    * the data chunk (same discipline as [[parseWav]]), samples as signed
+    * LE int16 (an odd trailing byte is dropped), 64 equal frames (sample
+    * i → frame i·64 DIV n), per-frame energy = Σ|v| (exact long), bit f
+    * (MSB-first, f = 0..62) = E(f+1) > E(f) — 63 bits, top bit always
+    * 0 so the fp is a non-negative BIGINT in both engines. */
+  private[graft] def audioFpOne(id: Long, b: Array[Byte]): AudioFp = {
+    def invalid = AudioFp(id, 0L, 0L, valid = false)
+    if (b.length < 12 || ascii(b, 0, 4) != "RIFF" ||
+      ascii(b, 8, 4) != "WAVE") return invalid
+    var i = 12
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= b.length && dataOff < 0) {
+      val chunkId = ascii(b, i, 4)
+      val size = le(b, i + 4, 4)
+      if (size < 0) return invalid
+      if (chunkId == "data") {
+        dataOff = i + 8
+        dataLen = math.min(size, b.length - dataOff)
+      }
+      i += 8 + size + (size & 1)
+    }
+    if (dataOff < 0) return invalid
+    val n = dataLen / 2
+    if (n < 64) return AudioFp(id, n.toLong, 0L, valid = false)
+    val energy = new Array[Long](64)
+    var s = 0
+    while (s < n) {
+      val lo = b(dataOff + 2 * s) & 0xff
+      val hi = b(dataOff + 2 * s + 1).toInt // sign-extends: hi<<8 is signed
+      val v = (hi << 8) | lo
+      energy((s.toLong * 64 / n).toInt) += math.abs(v).toLong
+      s += 1
+    }
+    var fp = 0L
+    var f = 0
+    while (f < 63) {
+      fp = (fp << 1) | (if (energy(f + 1) > energy(f)) 1L else 0L)
+      f += 1
+    }
+    AudioFp(id, n.toLong, fp, valid = true)
+  }
+
+  /** Fingerprint every payload — typed form for dedup joins. */
+  def audioFingerprintRaw(withPayload: DataFrame): Dataset[AudioFp] =
+    withPayload.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map(r => audioFpOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+
+  /** Report form: fp as 16-char lowercase hex (engine-portable), invalid
+    * clips excluded. */
+  def audioFingerprint(withPayload: DataFrame): DataFrame = {
+    import withPayload.sparkSession.implicits._
+    audioFingerprintRaw(withPayload).filter(_.valid)
+      .map(a => (a.doc_id, a.n_samples, f"${a.fp}%016x"))
+      .toDF("doc_id", "n_samples", "fp_hex")
+  }
+
+  /** Near-duplicate AUDIO pairs: fingerprints within `maxHamming` bits,
+    * banded 4×16 over the 63-bit fp (the top band carries 15 live bits)
+    * — pigeonhole-complete for hamming ≤ 3, hot-band guarded, exact
+    * popcount on candidates only (the [[phashDupPairs]] contract at
+    * audio width). */
+  def audioDupPairs(withPayload: DataFrame, maxHamming: Int = 3,
+                    maxBandDocs: Int = 2048): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
+    import withPayload.sparkSession.implicits._
+    val fps = audioFingerprintRaw(withPayload).filter(_.valid)
+      .map(a => (a.doc_id, a.fp)).toDF("doc_id", "fp")
+    val banded = fps.select(col("doc_id"), col("fp"),
+      posexplode(array((0 to 3).map(b =>
+        shiftrightunsigned(col("fp"), b * 16)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val")))
+    val eligible = banded.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBandDocs)
+      .select("band_idx", "band_val")
+    val side = banded.join(eligible, Seq("band_idx", "band_val"))
+    side.as("a").join(side.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("ha"), col("b.fp").as("hb"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
           .as("hamming"))

@@ -629,6 +629,10 @@ object TextAnalysis {
     * after), remaining_e6, and — granted rows only — the seeded noise
     * draw and released value under the [[dpNoisyCounts]] mechanism with
     * per-release salt `<salt><idx>`, so no two releases reuse a draw.
+    * Refused rows carry ZEROS in noise_e6/released_e6 under the
+    * granted=0 gate (not NULLs — the columns stay integral, `granted`
+    * is the gate a consumer must read; granted itself is 0/1 for
+    * engine-portable hashing).
     * The same NOT-A-DP-GUARANTEE framing applies: deterministic noise is
     * a bit-reproducible audit rehearsal; a real release swaps in
     * cryptographic randomness and keeps this ledger unchanged.
@@ -667,11 +671,13 @@ object TextAnalysis {
     val noise = -b * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
     counts.crossJoin(broadcast(ledger))
       .select(col("release_idx"), col("source"), col("n"),
-        col("epsilon_e6"), col("cum_req_e6"), col("granted"),
+        col("epsilon_e6"), col("cum_req_e6"),
+        col("granted").cast("long").as("granted"),
         col("spent_e6"), (lit(budgetE6) - col("spent_e6")).as("remaining_e6"),
-        when(col("granted"), round(noise * 1e6).cast("long")).as("noise_e6"),
+        when(col("granted"), round(noise * 1e6).cast("long"))
+          .otherwise(0L).as("noise_e6"),
         when(col("granted"), col("n") * 1000000L +
-          round(noise * 1e6).cast("long")).as("released_e6"))
+          round(noise * 1e6).cast("long")).otherwise(0L).as("released_e6"))
   }
 
   /** PII scrubbing — the corpus-scale sibling of the reference's per-field

@@ -105,6 +105,38 @@ class LinkageSpec extends SparkTestBase {
     assert(got == brute)
   }
 
+  test("goldenRecords: mentions consolidate transitively through their " +
+    "shared registry node; survivorship tie-breaks are pinned — longest " +
+    "name then lexicographic, mode count then lexicographic") {
+    val s = spark
+    import s.implicits._
+    val q = Seq(
+      // five mentions of 'apple pie' (entity A), one of 'banana split'
+      (1L, "apple pi", "B1", "T1"),   // lev 1
+      (2L, "aple pie", "B2", "T2"),   // lev 1
+      (3L, "apple piex", "B2", "T3"), // lev 1, length 10
+      (5L, "apple piey", "B1", "T1"), // lev 1, length 10 -> name tie
+      (4L, "banana splitz", "B9", "T9"))
+      .toDF("q_id", "q_name", "brand", "ptype")
+    val d = Seq("apple pie", "banana split").toDF("name")
+    val out = Linkage.goldenRecords(q, d, Seq("brand", "ptype"))
+      .collect()
+      .map(r => r.getAs[String]("entity_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[String]("canonical_name"),
+          r.getAs[String]("brand"), r.getAs[String]("ptype")))
+      .toMap
+    assert(out.size == 2)
+    // entity id = lexicographically smallest node in the component
+    // ('aple pie' sorts before every 'apple …' and the registry name);
+    // canonical = longest name, the 10-char tie broken to 'apple piex';
+    // brand mode ties B1=2 vs B2=2 -> lexicographic B1; ptype T1 wins 2-1-1
+    assert(out("aple pie") == ((4L, "apple piex", "B1", "T1")))
+    // the banana entity: dirty form is LONGER than the registry name and
+    // wins canonical (longest-wins keeps the most complete string, even
+    // a suffixed one — the documented heuristic, pinned here)
+    assert(out("banana split") == ((1L, "banana splitz", "B9", "T9")))
+  }
+
   test("mangle never touches the blocking character and stays within " +
     "lev 3 of the original") {
     val s = spark

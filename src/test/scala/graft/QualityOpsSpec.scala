@@ -134,6 +134,79 @@ class QualityOpsSpec extends SparkTestBase {
     }
   }
 
+  test("TextAnalysis.dpLedger: the refuse path — the first over-budget " +
+    "release and everything after it is refused with zeroed draws, " +
+    "spend freezes at the last granted total, granted rows release " +
+    "under per-release salts, and a non-1e-6-exact epsilon throws") {
+    import graft.operators.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, "t", "en", s"src${i % 4}", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // cums: 1.0, 1.5, 2.0, 3.0 against budget 2.0 -> T T T F
+    val out = TextAnalysis.dpLedger(docs,
+        releases = Seq((1, 1), (1, 2), (1, 2), (1, 1)),
+        budgetNum = 2, budgetDen = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+      .toMap
+    assert(out.size == 16, "4 releases x 4 sources")
+    val bySrc = out.groupBy(_._1._2)
+    bySrc.foreach { case (_, rows) =>
+      val seq = rows.toSeq.sortBy(_._1._1).map(_._2)
+      // (n, eps, cum, granted, spent, remaining, noise, released)
+      assert(seq.map(_._2) == Seq(1000000L, 500000L, 500000L, 1000000L))
+      assert(seq.map(_._3) == Seq(1000000L, 1500000L, 2000000L, 3000000L))
+      assert(seq.map(_._4) == Seq(1L, 1L, 1L, 0L), "release 4 refused")
+      assert(seq.map(_._5) ==
+        Seq(1000000L, 1500000L, 2000000L, 2000000L), "spend freezes")
+      assert(seq.map(_._6) == Seq(1000000L, 500000L, 0L, 0L))
+      // refused rows carry zeros under the gate
+      assert(seq(3)._7 == 0L && seq(3)._8 == 0L)
+      // granted rows: exact release bookkeeping + per-release fresh draws
+      seq.take(3).foreach(r =>
+        assert(r._8 == r._1 * 1000000L + r._7))
+      assert(seq.take(3).map(_._7).distinct.size == 3,
+        "per-release salts give distinct draws")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dpLedger(docs, releases = Seq((1, 3)))
+    }
+  }
+
+  test("Dedup.takedownStatusIndexed: served off the persisted band/sets " +
+    "index, row-identical to the batch operator on the same request " +
+    "set — direct, exact re-post, near-dup mirror, kept") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared, "en", "src1", 0L),
+      (2L, shared, "en", "src1", 0L),
+      (3L, shared + " tail", "en", "src2", 0L),
+      (4L, "completely different words here entirely", "en", "src2", 0L),
+      (11L, shared, "en", "src1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (bands, sets) = ("graft_takedown_bands", "graft_takedown_sets")
+    s.sql(s"DROP TABLE IF EXISTS $bands")
+    s.sql(s"DROP TABLE IF EXISTS $sets")
+    try {
+      Dedup.nearDupWriteIndex(docs, bands, sets, buckets = 4)
+      val tombs = Seq(1L, 11L).toDF("doc_id")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2))).sorted.toSeq
+      assert(rows(Dedup.takedownStatusIndexed(s, docs, tombs, bands, sets))
+        == rows(Dedup.takedownStatus(docs, tombs)))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $bands")
+      s.sql(s"DROP TABLE IF EXISTS $sets")
+    }
+  }
+
   test("TextAnalysis.compressionRatio: repetition compresses far below " +
     "prose; deterministic across runs; empty text pinned; bytes exact") {
     import graft.operators.TextAnalysis

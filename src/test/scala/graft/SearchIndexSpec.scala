@@ -109,6 +109,45 @@ class SearchIndexSpec extends SparkTestBase {
     }
   }
 
+  test("LSM compaction: re-running searchWriteIndex over the full corpus " +
+    "and dropping the delta serves probes BIT-IDENTICAL to the " +
+    "pre-compaction base+delta probe — the documented compaction " +
+    "contract, proven instead of claimed") {
+    import graft.streaming.StreamingSearch
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val deltaDir = tmpDir("search_compact_delta")
+    try {
+      TextAnalysis.searchWriteIndex(base, "srch_cp", "srch_cs",
+        buckets = 8)
+      assert(StreamingSearch.applyBatch(s, deltaDir, delta, 0L))
+      def probe() = StreamingSearch.probe(s, "srch_cp", "srch_cs",
+        deltaDir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val before = probe()
+      // COMPACT: fold the delta into the bucketed base (the batch job
+      // the StreamingSearch scaladoc names), then drop the delta dir
+      TextAnalysis.searchWriteIndex(docs, "srch_cp", "srch_cs",
+        buckets = 8)
+      val f = new org.apache.hadoop.fs.Path(deltaDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(deltaDir), true)
+      val after = probe()
+      assert(after == before, "compaction changed probe results")
+      // and the compacted probe is fully bucket-pruned again (no delta
+      // side paying the unbucketed shuffle)
+      val plan = StreamingSearch.probe(s, "srch_cp", "srch_cs", deltaDir,
+        terms, k = 10).queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"compacted probe lost bucket pruning:\n$plan")
+    } finally {
+      Seq("srch_cp", "srch_cs")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("searchIndexAppend keeps the stats additive: one-row table holds " +
     "exact corpus totals after the append") {
     val s = spark

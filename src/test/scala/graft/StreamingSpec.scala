@@ -790,6 +790,59 @@ class StreamingSpec extends SparkTestBase {
     } finally s.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("StreamingTakedown.serve: streamed takedown requests resolved " +
+    "against the persisted band/sets index are row-identical to the " +
+    "batch operator per request batch; offsets commit through the " +
+    "checkpoint (the StreamingKnn parity pattern)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.StreamingTakedown
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared, "en", "src1", 0L),
+      (2L, shared, "en", "src1", 0L),              // exact re-post of 1
+      (3L, shared + " tail", "en", "src2", 0L),    // near-dup mirror of 1
+      (4L, "completely different words here entirely", "en", "src2", 0L),
+      (5L, "another unrelated body of words", "en", "src1", 0L),
+      (11L, shared, "en", "src1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (bands, sets) = ("graft_takedown_serve_b", "graft_takedown_serve_s")
+    s.sql(s"DROP TABLE IF EXISTS $bands")
+    s.sql(s"DROP TABLE IF EXISTS $sets")
+    try {
+      Dedup.nearDupWriteIndex(docs, bands, sets, buckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2))).sorted.toSeq
+      val input = MemoryStream[Long]
+      val perBatch = scala.collection.mutable.Map
+        .empty[Long, Seq[(Long, String, String)]]
+      val q = StreamingTakedown.serve(
+        input.toDF().toDF("doc_id"), docs, bands, sets,
+        tmpDir("takedown_serve"),
+        trigger = Trigger.ProcessingTime(0)) { (res, bid) =>
+        perBatch(bid) = rows(res); ()
+      }
+      input.addData(1L)          // batch 0: tombstone doc 1
+      q.processAllAvailable()
+      input.addData(11L)         // batch 1: a different request set
+      q.processAllAvailable()
+      q.stop()
+      assert(perBatch(0L) ==
+        rows(Dedup.takedownStatus(docs, Seq(1L).toDF("doc_id"))))
+      assert(perBatch(1L) ==
+        rows(Dedup.takedownStatus(docs, Seq(11L).toDF("doc_id"))))
+      // the near-dup propagation really fired through the index path
+      assert(perBatch(0L).count(_._3 != "kept") == 4,
+        "1 direct + exact re-posts 2,11 + mirror 3")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $bands")
+      s.sql(s"DROP TABLE IF EXISTS $sets")
+    }
+  }
+
   test("Sessionize.sessionsNative: session_window merges INCLUSIVELY — " +
     "an exact-gap event joins its session, matching the lag twin's " +
     "`>` split on the boundary; a wider gap splits both") {
