@@ -1033,6 +1033,15 @@ object SparkEntry {
     // >= 3 rare (<= 10-doc) fingerprints, hot-fp guard bounding the blowup
     "doc_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowPairs(t(s, dir, "documents"))),
+    // the same pairing served off the PERSISTED fp-bucketed fingerprint
+    // index: census and both self-join sides read co-located buckets —
+    // shares the inline oracle verbatim (the index-correctness gate)
+    "doc_winnow_pairs_indexed" -> ((s, dir) =>
+      TextAnalysis.winnowPairsIndexed(s, winnowIndexedTable(s, dir))),
+    // index MAINTENANCE gate: built on 9/10, appended with the held-out
+    // tenth — the probe must equal the full build and the inline op
+    "doc_winnow_pairs_appended" -> ((s, dir) =>
+      TextAnalysis.winnowPairsIndexed(s, winnowAppendedTable(s, dir))),
     // DSIR-style importance weights: hashed-unigram log-ratio of the
     // lang='en' target slice vs the raw corpus, micro-integer summed
     "doc_dsir_weights" -> ((s, dir) =>
@@ -2004,6 +2013,26 @@ object SparkEntry {
     (names(0), names(1))
   }
 
+  private def winnowIndexedTable(s: SparkSession, dir: String): String = {
+    val d = t(s, dir, "documents")
+    versionedTables(s, dir, d, Seq("graft_winnow_sel")) { ns =>
+      TextAnalysis.winnowWriteIndex(d, ns(0), buckets = 8)
+    }.head
+  }
+
+  /** Winnow index built on 9/10 of the corpus, then APPENDED with the
+    * held-out tenth — probing it must equal probing a full build (and
+    * the inline op), gated by the shared oracle every round. */
+  private def winnowAppendedTable(s: SparkSession, dir: String): String = {
+    val d = t(s, dir, "documents")
+    versionedTables(s, dir, d, Seq("graft_winnowa_sel")) { ns =>
+      TextAnalysis.winnowWriteIndex(d.filter(col("doc_id") % 10 =!= 0),
+        ns(0), buckets = 8)
+      TextAnalysis.winnowIndexAppend(d.filter(col("doc_id") % 10 === 0),
+        ns(0), buckets = 8)
+    }.head
+  }
+
   private def searchIndexedTables(s: SparkSession,
                                   dir: String): (String, String) = {
     val d = t(s, dir, "documents")
@@ -2159,6 +2188,30 @@ object SparkEntry {
       |SELECT doc_id, lang, source FROM documents
       |WHERE doc_id % 10 = 0
       | AND doc_id NOT IN (SELECT doc_a FROM drops)""".stripMargin
+
+  /** Winnowing match-detection oracle shared VERBATIM by the inline,
+    * indexed, and index-appended queries (the [[Bm25OracleSql]]
+    * discipline): the textbook sliding-window formulation — which also
+    * cross-gates the engine's native deque expression every round. */
+  private val WinnowPairsOracleSql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+      |  FROM documents),
+      | g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gidx,
+      |   md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM d),
+      | wm AS (SELECT doc_id, gidx,
+      |   min(h) OVER (PARTITION BY doc_id ORDER BY gidx
+      |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |   count(*) OVER (PARTITION BY doc_id) AS m FROM g),
+      | sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
+      |  WHERE gidx <= greatest(m - 4, 0)),
+      | eligible AS (SELECT fp FROM sel GROUP BY fp
+      |  HAVING count(*) <= 10),
+      | s AS (SELECT sel.doc_id, sel.fp FROM sel JOIN eligible USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | count(*) AS n_shared
+      |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
 
   /** BM25 oracle shared VERBATIM by the inline, indexed, and
     * index-appended queries: the three plans (corpus re-scan, bucketed
@@ -6283,25 +6336,12 @@ object SparkEntry {
     }.mkString("", "\nUNION ALL\n", ""),
     // winnowing match pairs: selected-fp census gates hot fps, then the
     // fp self-join counts shared selections per ordered pair
-    "doc_winnow_pairs" ->
-      """WITH d AS (SELECT doc_id, text,
-        |   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
-        |  FROM documents),
-        | g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gidx,
-        |   md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM d),
-        | wm AS (SELECT doc_id, gidx,
-        |   min(h) OVER (PARTITION BY doc_id ORDER BY gidx
-        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-        |   count(*) OVER (PARTITION BY doc_id) AS m FROM g),
-        | sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
-        |  WHERE gidx <= greatest(m - 4, 0)),
-        | eligible AS (SELECT fp FROM sel GROUP BY fp
-        |  HAVING count(*) <= 10),
-        | s AS (SELECT sel.doc_id, sel.fp FROM sel JOIN eligible USING (fp))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | count(*) AS n_shared
-        |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    "doc_winnow_pairs" -> WinnowPairsOracleSql,
+    // the indexed probe and the 9/10-build+1/10-append probe must land
+    // on the SAME truth as the inline op — the sharing IS the
+    // index-correctness gate (the Bm25OracleSql discipline)
+    "doc_winnow_pairs_indexed" -> WinnowPairsOracleSql,
+    "doc_winnow_pairs_appended" -> WinnowPairsOracleSql,
     // incremental near-dedup: the doc_ngram_jaccard_lsh chain with the
     // candidate join split across the batch/corpus boundary, then an
     // anti-join of the batch against the >= 0.8 drop list. Shared with the

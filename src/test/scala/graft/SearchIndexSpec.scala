@@ -148,6 +148,43 @@ class SearchIndexSpec extends SparkTestBase {
     }
   }
 
+  test("winnow index lifecycle: the fp-bucketed persisted selection " +
+    "serves winnowPairsIndexed row-identical to the inline op; a " +
+    "9/10-build + 1/10-append equals the full build; the probe joins " +
+    "ride the bucket layout with no fp exchange") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try {
+      TextAnalysis.winnowWriteIndex(docs, "srch_wn", buckets = 8)
+      TextAnalysis.winnowWriteIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "srch_wna", buckets = 8)
+      TextAnalysis.winnowIndexAppend(docs.filter(col("doc_id") % 10 === 0),
+        "srch_wna", buckets = 8)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted.toSeq
+      val inline = rows(TextAnalysis.winnowPairs(docs))
+      assert(inline.nonEmpty, "the corpus must contain winnow matches")
+      val probe = TextAnalysis.winnowPairsIndexed(s, "srch_wn")
+      assert(rows(probe) == inline)
+      assert(rows(TextAnalysis.winnowPairsIndexed(s, "srch_wna"))
+        == inline, "append must equal rebuild")
+      // the fp-keyed census and self-join reuse the bucket layout: the
+      // executed plan carries NO hash exchange on fp (only the final
+      // (doc_a, doc_b) aggregate may shuffle)
+      probe.collect()
+      val plan = graft.operators.Bucketing.fullPlanString(probe)
+      val fpExchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange") && l.contains("fp#"))
+        .toSeq
+      assert(fpExchanges.isEmpty,
+        s"indexed winnow probe shuffles on fp:\n$plan")
+    } finally {
+      Seq("srch_wn", "srch_wna")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("searchIndexAppend keeps the stats additive: one-row table holds " +
     "exact corpus totals after the append") {
     val s = spark
