@@ -1264,6 +1264,30 @@ object SparkEntry {
           .withColumn("text", when(col("doc_id") % 20 === 0,
             concat(col("text"), lit(" v2"))).otherwise(col("text"))))
     }),
+    // per-source provenance manifest: docs, exact UTF-8 bytes, and an
+    // order-independent content checksum (per-doc md5-prefix fold summed
+    // mod 1e18) — what a drop/transfer validation compares instead of
+    // re-diffing 100 TB of documents
+    "corpus_manifest" -> ((s, dir) =>
+      CorpusOps.manifest(t(s, dir, "documents"))),
+    // manifest-vs-manifest drop validation over the version_diff split:
+    // per source, both sides' doc counts + added/removed/changed/
+    // unchanged status — manifest-sized work, the corpus never rescanned
+    "corpus_manifest_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.manifestDiff(
+        CorpusOps.manifest(d.filter(col("doc_id") % 10 =!= 3)),
+        CorpusOps.manifest(d.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text", when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))))
+    }),
+    // JSONL boundary ingest: serialize each doc to a JSON line, truncate
+    // the %13==0 lines (always severs the closing brace), parse back with
+    // PERMISSIVE from_json + a corrupt-record column — quarantined lines
+    // bucket under __QUARANTINE__, survivors must round-trip id+text
+    // byte-exact (the oracle pins n_roundtrip_ok == n_rows per bucket)
+    "corpus_jsonl_quarantine" -> ((s, dir) =>
+      DataQuality.jsonlQuarantine(t(s, dir, "documents"))),
     // corpus token-length profile over fixed integer buckets
     "doc_length_hist" -> ((s, dir) =>
       CorpusOps.lengthHistogram(t(s, dir, "documents"))),
@@ -1895,6 +1919,18 @@ object SparkEntry {
     // (the scd2 run-collapse applied to the is-zero bit)
     "events_gap_report" -> ((s, dir) =>
       Timeseries.gapReport(events(s, dir))),
+    // hour-of-week seasonal baseline on the gap-filled grid: per (type,
+    // epoch-hour mod 168) slot count, event total, and the exact integer
+    // mean — the baseline the trailing-window z-test structurally can't
+    // be (it calls every Monday surge an anomaly because its baseline is
+    // Sunday)
+    "events_seasonal_profile" -> ((s, dir) =>
+      Timeseries.seasonalProfile(events(s, dir))),
+    // the 20 hours that deviate most from their own week-slot baseline,
+    // |residual| desc with a fully deterministic total order — seasonal
+    // anomalies the trailing window hides
+    "events_seasonal_residuals" -> ((s, dir) =>
+      Timeseries.seasonalResiduals(events(s, dir))),
     // long-run activity share per event type: 3 integer-micro power
     // steps over the transition matrix (the doc_pagerank discipline —
     // no rounding contract anywhere)
@@ -1989,6 +2025,11 @@ object SparkEntry {
         (lit(64) + nb % 32).cast("long").as("fake_width"),
         (lit(64) + floor(nb / 32) % 32).cast("long").as("fake_height"))
     }),
+    // cross-modal dup rollup: per (text exact-dup, image phash-dup,
+    // audio fp-dup) membership combination, asset count + first example
+    // — the off-diagonal cells are reposts single-modality dedup ships
+    "multimodal_modality_profile" -> ((s, dir) =>
+      Multimodal.modalityDupProfile(t(s, dir, "documents"))),
   )
 
   /** Build-or-reuse the persisted cell-bucketed IVF index for `dir`'s
@@ -3508,6 +3549,70 @@ object SparkEntry {
         | round(CAST(n_novel AS DOUBLE)
         |   / (SELECT count(*) FROM g2), 4) AS novelty_share
         |FROM nov""".stripMargin,
+    // per-source manifest: the 32-bit md5-prefix fold per doc (hex-digit
+    // positional sum, the dp_counts idiom) summed mod 1e18 — commutative,
+    // so shard/partition order can't move it; one flipped byte does
+    "corpus_manifest" ->
+      """WITH h AS (SELECT source, octet_length(encode(text)) AS nb,
+        |   list_aggregate(list_transform(range(1, 9), j ->
+        |     CAST(strpos('0123456789abcdef', substr(md5(text),
+        |       CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+        |     * (CAST(1 AS BIGINT) << (4 * (8 - CAST(j AS INTEGER))))),
+        |     'sum') AS hv
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nb) AS BIGINT) AS n_bytes,
+        | CAST(sum(CAST(hv AS HUGEINT)) % 1000000000000000000 AS BIGINT)
+        |   AS checksum
+        |FROM h GROUP BY source""".stripMargin,
+    // both versions' manifests full-outer joined on source; status from
+    // checksum+counter equality exactly as the engine computes it
+    "corpus_manifest_diff" ->
+      """WITH d1 AS (SELECT source, text FROM documents
+        |  WHERE doc_id % 10 <> 3),
+        | d2 AS (SELECT source, CASE WHEN doc_id % 20 = 0
+        |    THEN text || ' v2' ELSE text END AS text FROM documents
+        |  WHERE doc_id % 10 <> 7),
+        | h1 AS (SELECT source, octet_length(encode(text)) AS nb,
+        |   list_aggregate(list_transform(range(1, 9), j ->
+        |     CAST(strpos('0123456789abcdef', substr(md5(text),
+        |       CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+        |     * (CAST(1 AS BIGINT) << (4 * (8 - CAST(j AS INTEGER))))),
+        |     'sum') AS hv
+        |  FROM d1),
+        | h2 AS (SELECT source, octet_length(encode(text)) AS nb,
+        |   list_aggregate(list_transform(range(1, 9), j ->
+        |     CAST(strpos('0123456789abcdef', substr(md5(text),
+        |       CAST(j AS INTEGER), 1)) - 1 AS BIGINT)
+        |     * (CAST(1 AS BIGINT) << (4 * (8 - CAST(j AS INTEGER))))),
+        |     'sum') AS hv
+        |  FROM d2),
+        | m1 AS (SELECT source, count(*) AS n_docs, sum(nb) AS n_bytes,
+        |   sum(CAST(hv AS HUGEINT)) % 1000000000000000000 AS checksum
+        |  FROM h1 GROUP BY source),
+        | m2 AS (SELECT source, count(*) AS n_docs, sum(nb) AS n_bytes,
+        |   sum(CAST(hv AS HUGEINT)) % 1000000000000000000 AS checksum
+        |  FROM h2 GROUP BY source)
+        |SELECT coalesce(m1.source, m2.source) AS source,
+        | CAST(coalesce(m1.n_docs, 0) AS BIGINT) AS n_docs_v1,
+        | CAST(coalesce(m2.n_docs, 0) AS BIGINT) AS n_docs_v2,
+        | CASE WHEN m1.source IS NULL THEN 'added'
+        |   WHEN m2.source IS NULL THEN 'removed'
+        |   WHEN m1.checksum = m2.checksum AND m1.n_docs = m2.n_docs
+        |     AND m1.n_bytes = m2.n_bytes THEN 'unchanged'
+        |   ELSE 'changed' END AS status
+        |FROM m1 FULL JOIN m2 ON m1.source = m2.source""".stripMargin,
+    // the quarantine contract is engine-independent by construction
+    // (corruption keyed on doc_id), but n_roundtrip_ok == n_rows per good
+    // bucket pins the ENGINE's parse fidelity: a from_json that corrupts
+    // one surviving text desyncs this hash
+    "corpus_jsonl_quarantine" ->
+      """SELECT CASE WHEN doc_id % 13 = 0 THEN '__QUARANTINE__'
+        |   ELSE source END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_roundtrip_ok
+        |FROM documents GROUP BY 1""".stripMargin,
     // integral-sum quotients only (Σstop/Σtokens etc.) — exact in IEEE
     // regardless of aggregation order, so 4dp rounding is portable
     "corpus_quality_by_source" ->
@@ -7528,6 +7633,30 @@ object SparkEntry {
         | CAST(CASE WHEN s_dn_e6 > h_e6 THEN 1 ELSE 0 END AS BIGINT)
         |   AS alarm_dn
         |FROM s""".stripMargin),
+    // hour-of-week profile on the shared grid: slot = epoch-hour mod 168,
+    // exact integer mean (10^4-scaled floor quotient)
+    "events_seasonal_profile" -> (GapfillOracleCte +
+      """SELECT event_type,
+        | CAST((hour_ms // 3600000) % 168 AS BIGINT) AS week_slot,
+        | CAST(count(*) AS BIGINT) AS n_slots,
+        | CAST(sum(n) AS BIGINT) AS n_events,
+        | CAST((10000 * sum(n)) // count(*) AS BIGINT) AS mean_e4
+        |FROM gf GROUP BY 1, 2""".stripMargin),
+    // top-20 |residual| vs the week-slot baseline, fully ordered ties
+    "events_seasonal_residuals" -> (GapfillOracleCte +
+      """, sp AS (SELECT event_type,
+        |   (hour_ms // 3600000) % 168 AS week_slot,
+        |   (10000 * sum(n)) // count(*) AS mean_e4
+        |  FROM gf GROUP BY 1, 2)
+        |SELECT gf.event_type, gf.hour_ms,
+        | CAST(sp.week_slot AS BIGINT) AS week_slot, gf.n,
+        | CAST(sp.mean_e4 AS BIGINT) AS mean_e4,
+        | CAST(10000 * gf.n - sp.mean_e4 AS BIGINT) AS resid_e4
+        |FROM gf JOIN sp ON gf.event_type = sp.event_type
+        | AND (gf.hour_ms // 3600000) % 168 = sp.week_slot
+        |ORDER BY abs(10000 * gf.n - sp.mean_e4) DESC, gf.event_type,
+        | gf.hour_ms
+        |LIMIT 20""".stripMargin),
     // the same lag-flag -> run-id collapse over the is-zero bit
     "events_gap_report" -> (GapfillOracleCte +
       """, z AS (SELECT event_type, hour_ms,
@@ -7952,5 +8081,78 @@ object SparkEntry {
         | CAST(64 + (octet_length(encode(text)) // 32) % 32 AS BIGINT)
         |   AS fake_height
         |FROM documents""".stripMargin,
+    // Cross-modal rollup: exact-text dup ids + the image pair CTEs
+    // (brute <=3 over analytic aHashes) + the audio pair CTEs (analytic
+    // 63-bit fps) -> per-doc membership flags -> 8-cell group-by
+    "multimodal_modality_profile" ->
+      """WITH tfp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        | tgrp AS (SELECT fp FROM tfp GROUP BY fp HAVING count(*) > 1),
+        | tdup AS (SELECT t.doc_id FROM tfp t JOIN tgrp USING (fp)),
+        | px AS (
+        |  SELECT d.doc_id, t.p,
+        |    least(((d.doc_id % 32) * 73 + t.p * 149) % 251
+        |      + CASE WHEN t.p = d.doc_id % 64 THEN d.doc_id % 7 ELSE 0 END,
+        |      250) AS v
+        |  FROM documents d, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+        | ab AS (SELECT px.doc_id, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id)),
+        | ah AS (SELECT doc_id,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id),
+        | iid AS (SELECT DISTINCT doc_id FROM (
+        |   SELECT a.doc_id FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |    WHERE bit_count(xor(a.h, b.h)) <= 3
+        |   UNION ALL
+        |   SELECT b.doc_id FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |    WHERE bit_count(xor(a.h, b.h)) <= 3)),
+        | wb AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) // 2 AS nn FROM documents),
+        | widx AS (SELECT doc_id, nn, hx, unnest(range(0, nn)) AS i
+        |  FROM wb WHERE nn >= 64),
+        | wv AS (SELECT doc_id, nn, (i * 64) // nn AS f,
+        |   (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+1 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+2 AS INTEGER), 1)) - 1 AS BIGINT)
+        |    + 256 * (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+3 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+4 AS INTEGER), 1)) - 1 AS BIGINT)))
+        |     AS u
+        |  FROM widx),
+        | wen AS (SELECT doc_id, f, sum(abs(
+        |   CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS e
+        |  FROM wv GROUP BY doc_id, f),
+        | wdb AS (SELECT doc_id, f,
+        |   CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |     THEN 1 ELSE 0 END AS bit
+        |  FROM wen),
+        | wfp AS (SELECT doc_id, sum(CAST(bit AS BIGINT) *
+        |    (CAST(1 AS BIGINT) << CAST(62 - f AS INTEGER))) AS h
+        |  FROM wdb WHERE f < 63 GROUP BY doc_id),
+        | aid AS (SELECT DISTINCT doc_id FROM (
+        |   SELECT a.doc_id FROM wfp a JOIN wfp b ON a.doc_id < b.doc_id
+        |    WHERE bit_count(xor(a.h, b.h)) <= 3
+        |   UNION ALL
+        |   SELECT b.doc_id FROM wfp a JOIN wfp b ON a.doc_id < b.doc_id
+        |    WHERE bit_count(xor(a.h, b.h)) <= 3)),
+        | fl AS (SELECT d.doc_id,
+        |   CAST(CASE WHEN td.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |     AS INTEGER) AS text_dup,
+        |   CAST(CASE WHEN ii.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |     AS INTEGER) AS image_dup,
+        |   CAST(CASE WHEN ai.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |     AS INTEGER) AS audio_dup
+        |  FROM documents d
+        |   LEFT JOIN tdup td ON d.doc_id = td.doc_id
+        |   LEFT JOIN iid ii ON d.doc_id = ii.doc_id
+        |   LEFT JOIN aid ai ON d.doc_id = ai.doc_id)
+        |SELECT text_dup, image_dup, audio_dup,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(doc_id) AS BIGINT) AS example_doc
+        |FROM fl GROUP BY 1, 2, 3""".stripMargin,
   )
 }

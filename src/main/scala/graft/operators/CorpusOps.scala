@@ -272,6 +272,57 @@ object CorpusOps {
           lit(0L)).as("n_unchanged"))
   }
 
+  /** Per-source CONTENT MANIFEST — the provenance record a pipeline
+    * stamps on every corpus drop before anything downstream trusts it:
+    * doc count, exact UTF-8 byte volume, and an ORDER-INDEPENDENT
+    * content checksum (each document's md5 prefix folded to a 32-bit
+    * integer, summed per source mod 1e18 — commutative, so shard order,
+    * partitioning, and re-splits can't change it; any single flipped
+    * byte in any document does). Two manifests agree iff the source's
+    * content multiset agrees, which is what a transfer/re-shard/re-
+    * encode validation needs — compare manifests, never re-diff docs.
+    *
+    * Scale shape: one scan, one map-side-combinable aggregate keyed by
+    * source; the manifest is sources-sized. The 32-bit per-doc fold
+    * keeps the running sum inside DECIMAL(38,0) headroom (2^32 per doc
+    * × 1e9 docs ≈ 1e19 « 1e38) before the final mod. */
+  def manifest(docs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    docs.select(col("source"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("nb"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+          .as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bytes"),
+        pmod(sum(col("h").cast(d38)),
+          lit(1000000000000000000L).cast(d38)).cast("long")
+          .as("checksum"))
+  }
+
+  /** Validate a drop against the prior drop's [[manifest]]: one row per
+    * source with both sides' counters and a status — `unchanged`
+    * (checksum AND counts agree), `changed`, `added`, `removed`. This
+    * is manifest-sized work (a full-outer join of two sources-sized
+    * tables); the 100 TB content never gets rescanned to answer "did
+    * anything move". */
+  def manifestDiff(m1: DataFrame, m2: DataFrame): DataFrame = {
+    val a = m1.select(col("source"), col("n_docs").as("n_docs_v1"),
+      col("n_bytes").as("n_bytes_v1"), col("checksum").as("checksum_v1"))
+    val b = m2.select(col("source"), col("n_docs").as("n_docs_v2"),
+      col("n_bytes").as("n_bytes_v2"), col("checksum").as("checksum_v2"))
+    a.join(b, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs_v1"), lit(0L)).as("n_docs_v1"),
+        coalesce(col("n_docs_v2"), lit(0L)).as("n_docs_v2"),
+        when(col("checksum_v1").isNull, "added")
+          .when(col("checksum_v2").isNull, "removed")
+          .when(col("checksum_v1") === col("checksum_v2") &&
+            col("n_docs_v1") === col("n_docs_v2") &&
+            col("n_bytes_v1") === col("n_bytes_v2"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Cross-version N-GRAM NOVELTY — [[corpusDiff]] counts documents;
     * this measures CONTENT: how much of the new drop's n-gram vocabulary
     * the previous version had never seen. The one-row report that
@@ -282,19 +333,24 @@ object CorpusOps {
     * both sides, so a gram repeated a million times counts once; share
     * is a 4dp integral-count quotient.
     *
-    * Scale shape: one gram explode + distinct per side (token-keyed,
-    * map-side partial), one anti join on the gram fingerprint, three
-    * 1-row aggregates broadcast together. Nothing quadratic. */
+    * Scale shape: ONE explode pass per side tagged with its version bit,
+    * ONE shuffle on the gram fingerprint (map-side partial `max` makes
+    * the exchange distinct-gram-sized, not occurrence-sized), and a
+    * single scalar aggregate that reads all three counts off the
+    * membership bits — the earlier anti-join formulation scanned and
+    * exploded each side twice. Nothing quadratic. */
   def ngramNovelty(v1: DataFrame, v2: DataFrame, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
+    def grams(df: DataFrame, side: Int): DataFrame = df
       .select(explode(TextAnalysis.wordNgrams(col("text"), n)).as("g"))
-      .select(md5(col("g")).as("fp")).distinct()
-    val g1 = grams(v1)
-    val g2 = grams(v2)
-    val novel = g2.join(g1, Seq("fp"), "left_anti")
-    g1.agg(count(lit(1)).as("n_grams_v1"))
-      .crossJoin(broadcast(g2.agg(count(lit(1)).as("n_grams_v2"))))
-      .crossJoin(broadcast(novel.agg(count(lit(1)).as("n_novel"))))
+      .select(md5(col("g")).as("fp"),
+        lit(1 - side).as("in1"), lit(side).as("in2"))
+    grams(v1, 0).unionByName(grams(v2, 1))
+      .groupBy("fp")
+      .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+      .agg(sum(col("in1")).as("n_grams_v1"),
+        sum(col("in2")).as("n_grams_v2"),
+        sum(when(col("in2") === 1 && col("in1") === 0, 1L)
+          .otherwise(0L)).as("n_novel"))
       .select(col("n_grams_v1"), col("n_grams_v2"), col("n_novel"),
         round(col("n_novel").cast("double") / col("n_grams_v2"), 4)
           .as("novelty_share"))

@@ -193,4 +193,53 @@ object DataQuality {
       .select(col("col_name"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** JSONL ingest with a corrupt-record QUARANTINE — the boundary every
+    * crawl-fed pipeline actually has: upstream hands over newline-
+    * delimited JSON, some lines are truncated/mangled, and the ingest
+    * must (a) parse what parses, (b) quarantine what doesn't WITHOUT
+    * failing the job, and (c) prove the survivors round-tripped
+    * byte-exact. Spark-first: `from_json` in PERMISSIVE mode with a
+    * declared corrupt-record column — per-row salvage inside codegen,
+    * no job-failing exceptions, no driver involvement.
+    *
+    * This operator exercises the real plumbing on a self-made feed:
+    * each document is serialized to a JSON line, a deterministic subset
+    * (`doc_id % 13 == 0`) is truncated by 3 trailing chars (always
+    * severs the closing brace — unambiguously malformed), and the lines
+    * are parsed back. Output: one row per source bucket (quarantined
+    * lines land in `__QUARANTINE__` regardless of any partially-parsed
+    * fields — a mangled record's field values are NOT trusted) with the
+    * row count and how many survivors round-tripped (id AND text) —
+    * the oracle pins `n_roundtrip_ok == n_rows` per good bucket, so a
+    * parse that silently corrupts text desyncs the hash.
+    *
+    * Scale shape: serialize → corrupt → parse → report is one scan,
+    * one narrow map chain, one source-keyed aggregate; the quarantine
+    * policy is a column expression, so 100 TB of bad lines cost the
+    * same per-byte as good ones. */
+  def jsonlQuarantine(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id").as("orig_id"), col("text").as("orig_text"),
+        to_json(struct(col("doc_id"), col("source"), col("text")))
+          .as("l"))
+      .select(col("orig_id"), col("orig_text"),
+        when(col("orig_id") % 13 === 0,
+          substring(col("l"), lit(1), length(col("l")) - 3))
+          .otherwise(col("l")).as("line"))
+    val schema = "doc_id LONG, source STRING, text STRING, _bad STRING"
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_bad")
+    lines
+      .select(col("orig_id"), col("orig_text"),
+        from_json(col("line"), org.apache.spark.sql.types.StructType
+          .fromDDL(schema), opts).as("j"))
+      .select(
+        when(col("j._bad").isNotNull, lit("__QUARANTINE__"))
+          .otherwise(col("j.source")).as("bucket"),
+        when(col("j._bad").isNull && col("j.doc_id") === col("orig_id") &&
+          col("j.text") === col("orig_text"), 1L).otherwise(0L).as("rt"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("rt")).as("n_roundtrip_ok"))
+  }
 }

@@ -826,4 +826,45 @@ object Multimodal {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** CROSS-MODAL duplication profile — the rollup a takedown/dedup
+    * owner reads when assets carry several modalities: per combination
+    * of (text exact-dup, image perceptual-dup, audio fingerprint-dup)
+    * membership, how many assets sit there and the first-ingested
+    * example. The off-diagonal cells are the operational finding — an
+    * asset whose image is a known near-dup while its text is unique is
+    * a re-captioned repost that TEXT dedup alone ships into training.
+    *
+    * Membership: text = shares an exact content fingerprint with
+    * another doc; image = incident to a confirmed [[phashDupPairs]]
+    * edge; audio = incident to a confirmed [[audioDupPairs]] edge.
+    *
+    * Scale shape: the text side is one fp-keyed aggregate; the
+    * perceptual sides are the band-bounded pair ops; all three id sets
+    * are duplicate-sized (tiny vs corpus) and broadcast into the flag
+    * joins, so the corpus is scanned once per modality and never
+    * shuffled on doc_id. Output is ≤ 8 rows. */
+  def modalityDupProfile(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val dupFp = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("fp")
+    val textIds = fps.join(dupFp, "fp").select("doc_id")
+    def ends(pairs: DataFrame): DataFrame =
+      pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val imgIds = ends(phashDupPairs(synthBmpPayload(docs)))
+    val audIds = ends(audioDupPairs(synthWavPayload(docs)))
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.withColumn(name, lit(1))
+    docs.select(col("doc_id"))
+      .join(broadcast(flag(textIds, "text_dup")), Seq("doc_id"), "left")
+      .join(broadcast(flag(imgIds, "image_dup")), Seq("doc_id"), "left")
+      .join(broadcast(flag(audIds, "audio_dup")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dup"), lit(0)).as("text_dup"),
+        coalesce(col("image_dup"), lit(0)).as("image_dup"),
+        coalesce(col("audio_dup"), lit(0)).as("audio_dup"))
+      .groupBy("text_dup", "image_dup", "audio_dup")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+  }
 }

@@ -196,4 +196,52 @@ object Timeseries {
   def cusum(events: DataFrame, slackDenom: Int = 20,
             threshMul: Int = 2): DataFrame =
     cusumOnGrid(hourlyGapfill(events), slackDenom, threshMul)
+
+  /** HOUR-OF-WEEK seasonal profile over the gap-filled grid — the
+    * baseline [[rateAnomaly]] can't provide: a trailing-24h window
+    * calls every Monday-morning surge an anomaly because its baseline
+    * is Sunday; the seasonal profile compares each hour to ITS OWN
+    * week-slot peers across weeks. Week-slot = epoch-hour mod 168
+    * (slot 0 = Thursday 00:00 UTC — the epoch's own alignment, no
+    * timezone contract). Empty hours participate (the gap-fill
+    * discipline: a feed that is quiet every Sunday 03:00 has a LOW
+    * baseline there, not a missing one). mean_e4 is the exact integer
+    * quotient (10⁴·Σn) div slots — engine-portable, no float path.
+    *
+    * Scale shape: events collapse to the (types × hours) grid first;
+    * the profile is a (types × 168)-row aggregate of that grid. */
+  def seasonalProfileOnGrid(grid: DataFrame): DataFrame =
+    grid
+      .withColumn("week_slot", expr(s"(hour_ms div $HourMs) % 168"))
+      .groupBy(col("event_type"), col("week_slot"))
+      .agg(count(lit(1)).as("n_slots"), sum(col("n")).as("n_events"),
+        expr("(10000 * sum(n)) DIV count(1)").as("mean_e4"))
+
+  /** [[seasonalProfileOnGrid]] over [[hourlyGapfill]]. */
+  def seasonalProfile(events: DataFrame): DataFrame =
+    seasonalProfileOnGrid(hourlyCounts(events)
+      .transform(gapfillFromCounts))
+
+  /** The hours that deviate MOST from their own week-slot baseline —
+    * top `k` by |10⁴·n − mean_e4|, deterministic total order (residual
+    * magnitude desc, then type, then hour). The profile side of the
+    * join is (types × 168) rows — broadcast; the grid never shuffles.
+    * The hour's own count is inside its slot baseline (a profile is a
+    * description of the corpus, not a held-out forecast; the residual
+    * ranking is unaffected because every hour in a slot shares the
+    * same baseline). */
+  def seasonalResiduals(events: DataFrame, k: Int = 20): DataFrame = {
+    val grid = hourlyGapfill(events)
+    val prof = seasonalProfileOnGrid(grid)
+      .select(col("event_type"), col("week_slot"), col("mean_e4"))
+    grid
+      .withColumn("week_slot", expr(s"(hour_ms div $HourMs) % 168"))
+      .join(broadcast(prof), Seq("event_type", "week_slot"))
+      .withColumn("resid_e4", lit(10000L) * col("n") - col("mean_e4"))
+      .orderBy(abs(col("resid_e4")).desc, col("event_type"),
+        col("hour_ms"))
+      .limit(k)
+      .select(col("event_type"), col("hour_ms"), col("week_slot"),
+        col("n"), col("mean_e4"), col("resid_e4"))
+  }
 }

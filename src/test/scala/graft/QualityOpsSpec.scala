@@ -668,4 +668,94 @@ class QualityOpsSpec extends SparkTestBase {
         assert(out(d.toLong)(j) === Similarity.rpSign(j, d + 1),
           s"one-hot $d recovers column ${d + 1} of row $j")))
   }
+
+  test("CorpusOps.manifest: the checksum is order/partition-independent " +
+    "and single-byte-sensitive; n_bytes counts UTF-8 bytes, not chars") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "en", "web"),
+      (2L, "gamma δ", "en", "web"), // δ = 2 UTF-8 bytes
+      (3L, "alpha beta", "en", "wiki")
+    ).toDF("doc_id", "text", "lang", "source")
+    val m = CorpusOps.manifest(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(m("web")._1 === 2L)
+    assert(m("web")._2 === 10L + 8L, "gamma δ is 8 UTF-8 bytes")
+    assert(m("wiki")._1 === 1L)
+    // identical content in a different row order and partitioning
+    val m2 = CorpusOps.manifest(docs.orderBy(col("doc_id").desc)
+      .repartition(7)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m2 === m.map { case (k, v) => k -> v._3 })
+    // one flipped byte in one doc moves exactly that source's checksum
+    val flipped = docs.withColumn("text",
+      when(col("doc_id") === 1L, lit("alpha betb"))
+        .otherwise(col("text")))
+    val m3 = CorpusOps.manifest(flipped).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m3("web") !== m("web")._3)
+    assert(m3("wiki") === m("wiki")._3)
+  }
+
+  test("CorpusOps.manifestDiff: all four statuses land — unchanged needs " +
+    "checksum AND counts to agree; added/removed from one-sided sources") {
+    val s = spark
+    import s.implicits._
+    def d(rows: (Long, String, String)*) = rows.toSeq
+      .map { case (i, t, src) => (i, t, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+    val v1 = d((1L, "same", "keep"), (2L, "old", "edit"), (3L, "x", "gone"))
+    val v2 = d((1L, "same", "keep"), (2L, "new", "edit"), (4L, "y", "born"))
+    val out = CorpusOps.manifestDiff(
+      CorpusOps.manifest(v1), CorpusOps.manifest(v2)).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out === Map("keep" -> "unchanged", "edit" -> "changed",
+      "gone" -> "removed", "born" -> "added"))
+  }
+
+  test("DataQuality.jsonlQuarantine: truncated lines quarantine with " +
+    "zero roundtrips; survivors with quotes/newlines/unicode round-trip " +
+    "byte-exact through the real JSON parse") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (13L, "about to be truncated", "en", "srcA"), // 13 % 13 == 0
+      (1L, "he said \"hi\"\nsecond line", "en", "srcA"),
+      (2L, "café — résumé", "en", "srcB"),
+      (26L, "also truncated", "en", "srcB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = DataQuality.jsonlQuarantine(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("__QUARANTINE__") === ((2L, 0L)))
+    assert(out("srcA") === ((1L, 1L)), "escaped quotes/newline round-trip")
+    assert(out("srcB") === ((1L, 1L)), "non-ASCII round-trips")
+  }
+
+  test("Timeseries.seasonalProfile: the same epoch-hour-mod-168 slot " +
+    "aggregates across weeks with empty hours included; the residual " +
+    "ranking is the exact integer top-k with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000
+    val week = 168 * h
+    // type a: 3 events in hour 0 (week 0), 1 event in hour 168 (week 1)
+    // — slot 0 spans both weeks; every other slot in the grid is empty
+    val events = (Seq.fill(3)(ts(10L)) :+ ts(week + 10L))
+      .map((_, "a")).toDF("ts", "event_type")
+    val prof = Timeseries.seasonalProfile(events).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(prof(0L) === ((2L, 4L, 20000L)),
+      "slot 0: two week-instances, 4 events, mean 2.0000")
+    assert(prof(1L) === ((1L, 0L, 0L)), "interior slots are present, empty")
+    assert(prof.size === 168, "grid spans exactly one week + 1 hour")
+    val res = Timeseries.seasonalResiduals(events, k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5)))
+    // |resid| = 10000 on both slot-0 hours; the tie breaks on hour_ms
+    assert(res.take(2).toSeq === Seq((0L, 20000L, 10000L),
+      (week, 20000L, -10000L)))
+    assert(res(2)._3 === 0L, "everything else sits on its baseline")
+  }
 }
