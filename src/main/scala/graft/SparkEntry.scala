@@ -1065,6 +1065,17 @@ object SparkEntry {
     // dial measured like the dedup/ANN sweeps
     "corpus_token_cms" -> ((s, dir) =>
       TextAnalysis.tokenCmsAccuracy(t(s, dir, "documents"))),
+    // exact heavy hitters: every token with (k+1)*freq > N — the
+    // deterministic membership the MG summary below must contain
+    "corpus_token_heavy" -> ((s, dir) =>
+      TextAnalysis.tokenHeavyExact(t(s, dir, "documents"), k = 30)),
+    // Misra-Gries summary (k=30 counters < the corpus vocabulary, so
+    // per-partition evictions genuinely fire): rows-only + spec-gated —
+    // partition boundaries move which BORDERLINE tokens survive; the
+    // guarantee (heavy tokens present, est in [true-N/(k+1), true]) is
+    // spec-pinned and the exact twin above is the oracle-backed gate
+    "corpus_token_heavy_mg" -> ((s, dir) =>
+      TextAnalysis.mgSummary(t(s, dir, "documents"), k = 30)),
     // Z-order vs single-column layout, data-skipping effectiveness
     // measured from per-file min/max stats — the lakehouse clustering
     // dial (Delta/Iceberg ZORDER BY) as an oracle-checked report
@@ -4606,6 +4617,16 @@ object SparkEntry {
          |FROM top
          |$joins""".stripMargin
     },
+    // exact heavy hitters at the MG threshold: integer-exact test
+    // (k+1)*freq > N, k=30
+    "corpus_token_heavy" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        | c AS (SELECT token, count(*) AS n_exact FROM t GROUP BY token),
+        | n AS (SELECT sum(n_exact) AS n_tokens FROM c)
+        |SELECT c.token, CAST(c.n_exact AS BIGINT) AS n_exact,
+        | CAST(n.n_tokens AS BIGINT) AS n_tokens
+        |FROM c, n WHERE c.n_exact * 31 > n.n_tokens""".stripMargin,
     // z-order skipping: identical quantize → Morton-interleave → top-bits
     // file assignment → per-file min/max → 16-point probe arithmetic
     "corpus_zorder_skipping" -> {

@@ -1218,6 +1218,98 @@ object TextAnalysis {
       .agg(min(coalesce(col("bsum"), lit(0L))).as("n_est"))
   }
 
+  /** Marker row a [[mgSummary]] partition emits to carry its token count
+    * — contains spaces, so no whitespace token can ever collide. */
+  private val MgCountMarker = " __mg_n__ "
+
+  /** MISRA–GRIES heavy hitters — the DETERMINISTIC-GUARANTEE sibling of
+    * the CMS: where the CMS overestimates within ε·N with high
+    * PROBABILITY, an MG summary with k counters (Misra & Gries 1982)
+    * guarantees, with no randomness at all, that every token whose true
+    * frequency exceeds N/(k+1) survives, and every surviving estimate
+    * sits in [true − N/(k+1), true]. The summary is MERGEABLE (Agarwal
+    * et al., PODS 2012): per-partition summaries combine by summing
+    * per-token counters and then subtracting the (k+1)-th largest
+    * combined value from all (dropping non-positives) — the bound adds
+    * up to the same N/(k+1) as a single sequential pass.
+    *
+    * Spark shape: one `mapPartitions` pass runs the classic k-counter
+    * loop per partition (O(k) worst case per overflow, O(1) amortized;
+    * each partition also emits one marker row carrying its token count,
+    * so N rides the same scan), the per-partition summaries —
+    * ≤ partitions·(k+1) rows, corpus-size-independent — are
+    * localCheckpointed once (the winnowPairs lesson: both consumers
+    * read the materialized frame, the corpus is scanned EXACTLY once),
+    * summed per token, and the subtract step prices a rank-1 window
+    * over that tiny frame. Output: surviving (token, est) next to N and
+    * the bound floor(N/(k+1)) — est ≤ true ≤ est + bound for every row,
+    * and no token above the bound is missing.
+    *
+    * Partition boundaries move which BORDERLINE tokens survive (the
+    * guarantee is one-sided), so the op is rows-only + spec-gated like
+    * the other estimators, with [[tokenHeavyExact]] as its oracle-backed
+    * exact twin. */
+  def mgSummary(docs: DataFrame, k: Int = 16): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val partial = docs.select(explode(tokens(col("text"))).as("token"))
+      .as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
+        it.foreach { t =>
+          n += 1
+          m.get(t) match {
+            case Some(c) => m.update(t, c + 1)
+            case None if m.size < k => m.update(t, 1L)
+            case None =>
+              // decrement-all: the textbook O(k) eviction step
+              val dead = m.iterator.collect {
+                case (tok, 1L) => tok
+              }.toList
+              m.mapValuesInPlace((_, c) => c - 1)
+              dead.foreach(m.remove)
+          }
+        }
+        m.iterator.map { case (t, c) => (t, c) } ++
+          Iterator.single((MgCountMarker, n))
+      }.toDF("token", "cnt")
+      .localCheckpoint(eager = false)
+    val nFrame = partial.filter(col("token") === MgCountMarker)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_tokens"))
+    val summed = partial.filter(col("token") =!= MgCountMarker)
+      .groupBy("token").agg(sum(col("cnt")).as("cnt"))
+    // the (k+1)-th largest combined counter (0 when fewer survive) —
+    // a rank-1 window over a partitions·(k+1)-row frame, never data-sized
+    val ranked = summed.withColumn("rk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("token"))))
+    val thr = ranked.agg(coalesce(max(when(col("rk") === k + 1,
+      col("cnt"))), lit(0L)).as("thr"))
+    ranked.crossJoin(broadcast(thr)).crossJoin(broadcast(nFrame))
+      .select(col("token"), (col("cnt") - col("thr")).as("est_count"),
+        col("n_tokens"),
+        expr(s"n_tokens DIV ${k + 1}").as("err_bound"))
+      .filter(col("est_count") > 0)
+  }
+
+  /** The EXACT heavy-hitter twin of [[mgSummary]]: every token whose
+    * true frequency strictly exceeds N/(k+1) (the integer-exact test
+    * (k+1)·freq > N), with its exact count and N — what the MG summary
+    * is guaranteed to contain, and the oracle row that gates it. One
+    * token-keyed aggregate crossed with the broadcast 1-row total. */
+  def tokenHeavyExact(docs: DataFrame, k: Int = 16): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint(eager = false)
+    // N off the vocab-sized count table — the corpus is scanned once
+    val n = counts.agg(coalesce(sum(col("n_exact")), lit(0L))
+      .as("n_tokens"))
+    counts.crossJoin(broadcast(n))
+      .filter(col("n_exact") * (k + 1) > col("n_tokens"))
+      .select(col("token"), col("n_exact"), col("n_tokens"))
+  }
+
   /** Corpus-BIGRAM log-probability scoring — [[unigramLogProb]]'s
     * next-order sibling and a materially sharper perplexity-filter signal:
     * per doc, the mean over consecutive token pairs of

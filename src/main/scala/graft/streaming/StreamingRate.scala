@@ -75,6 +75,23 @@ object StreamingRate {
           col("id").as("alarm_dn")).limit(0)
     }
 
+  /** The hour-of-week seasonal baseline off the SAME maintained state —
+    * [[Timeseries.seasonalProfileOnGrid]] over the identical gap-filled
+    * grid: one (type, hour) count table now serves the point z-test,
+    * the sequential CUSUM, AND the seasonal profile, each row-identical
+    * to its batch twin over the full feed. */
+  def seasonalReport(spark: SparkSession, stateDir: String): DataFrame =
+    MergeableState.current(spark, stateDir) match {
+      case Some((_, dir)) =>
+        Timeseries.seasonalProfileOnGrid(
+          Timeseries.gapfillFromCounts(spark.read.parquet(dir)))
+      case None =>
+        spark.range(0).select(
+          lit("").as("event_type"), col("id").as("week_slot"),
+          col("id").as("n_slots"), col("id").as("n_events"),
+          col("id").as("mean_e4")).limit(0)
+    }
+
   /** Maintain the count state from a streaming `events` frame. */
   def maintain(events: DataFrame, stateDir: String, checkpointDir: String,
                trigger: Trigger = Trigger.ProcessingTime("20 seconds"))

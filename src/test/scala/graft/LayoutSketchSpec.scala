@@ -72,6 +72,43 @@ class LayoutSketchSpec extends SparkTestBase {
       .collect().foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
 
+  test("TextAnalysis.mgSummary: every token above N/(k+1) survives " +
+    "(deterministic membership guarantee), estimates sit in " +
+    "[true - N/(k+1), true], and the merged summary honors the bound " +
+    "across adversarial partitioning; tokenHeavyExact agrees on the " +
+    "threshold test") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: 'hot' 40x, 'warm' 12x, 30 singletons -> N = 82.
+    // k=4: threshold N/5 = 16.4 — hot MUST survive; singletons can't.
+    val toks = Seq.fill(40)("hot") ++ Seq.fill(12)("warm") ++
+      (1 to 30).map(i => s"rare$i")
+    def docs(parts: Int) = toks.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "srcA", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(parts)
+    for (parts <- Seq(1, 3, 7)) {
+      val out = TextAnalysis.mgSummary(docs(parts), k = 4).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      assert(out.contains("hot"), s"hot survives at parts=$parts")
+      val (est, n, bound) = out("hot")
+      assert(n === 82L && bound === 82L / 5)
+      assert(est <= 40L && est + bound >= 40L,
+        s"hot estimate $est within [true-bound, true] at parts=$parts")
+      assert(out.size <= 4, "never more than k survivors")
+      out.foreach { case (tok, (e, _, b)) =>
+        val truth = toks.count(_ == tok).toLong
+        assert(e <= truth && e + b >= truth, s"$tok bound at $parts")
+      }
+    }
+    // exact twin: integer-exact threshold membership
+    val heavy = TextAnalysis.tokenHeavyExact(docs(3), k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(heavy === Set(("hot", 40L, 82L)),
+      "only 'hot' exceeds N/5 = 16.4 exactly")
+  }
+
   test("Similarity.hardNegatives: picks the nearest above-threshold " +
     "positive, the top-k below-threshold negatives in score order, " +
     "skips the dead band, and drops anchors with no positive") {

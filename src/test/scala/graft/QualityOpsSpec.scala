@@ -669,6 +669,70 @@ class QualityOpsSpec extends SparkTestBase {
           s"one-hot $d recovers column ${d + 1} of row $j")))
   }
 
+  test("StreamingManifest: the online manifest off the maintained state " +
+    "is row-identical to the batch manifest over everything ingested — " +
+    "a source split across batches mod-adds its checksum; replay refuses") {
+    import graft.streaming.StreamingManifest
+    val s = spark
+    import s.implicits._
+    val all = Seq(
+      (1L, "alpha beta", "en", "web"), (2L, "gamma delta", "en", "web"),
+      (3L, "epsilon", "en", "wiki"), (4L, "zeta eta", "en", "web"))
+    def df(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("doc_id", "text", "lang", "source")
+    // web straddles the batch boundary: 2 docs in b0, 1 in b1
+    val (b0, b1) = (all.take(3), all.drop(3))
+    val stateDir = tmpDir("manifest_state")
+    assert(StreamingManifest.applyBatch(spark, stateDir, df(b0), 0L))
+    assert(StreamingManifest.applyBatch(spark, stateDir, df(b1), 1L))
+    val live = StreamingManifest.report(spark, stateDir)
+      .orderBy("source").collect().toSeq
+    val full = CorpusOps.manifest(df(all)).orderBy("source")
+      .collect().toSeq
+    assert(live === full, "online manifest ≡ batch manifest")
+    // replay refuses and leaves the state untouched
+    assert(!StreamingManifest.applyBatch(spark, stateDir, df(b1), 1L))
+    assert(StreamingManifest.report(spark, stateDir)
+      .orderBy("source").collect().toSeq === full)
+    // streaming wiring end-to-end over a MemoryStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, String)]
+    val stateDir2 = tmpDir("manifest_state2")
+    val q = StreamingManifest.maintain(
+      in.toDF().toDF("doc_id", "text", "lang", "source"),
+      stateDir2, tmpDir("manifest_ckpt"), Trigger.ProcessingTime(0))
+    in.addData(b0)
+    q.processAllAvailable()
+    in.addData(b1)
+    q.processAllAvailable()
+    q.stop()
+    assert(StreamingManifest.report(spark, stateDir2)
+      .orderBy("source").collect().toSeq === full)
+  }
+
+  test("StreamingRate.seasonalReport: the seasonal profile off the " +
+    "maintained count state is row-identical to batch seasonalProfile " +
+    "over the full feed") {
+    import graft.streaming.StreamingRate
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000
+    val week = 168 * h
+    val all = (Seq.fill(3)(ts(10L)) :+ ts(week + 10L)).map((_, "a"))
+    val (b0, b1) = (all.take(2), all.drop(2))
+    def df(rows: Seq[(java.sql.Timestamp, String)]) =
+      rows.toDF("ts", "event_type")
+    val stateDir = tmpDir("seasonal_state")
+    assert(StreamingRate.applyBatch(spark, stateDir, df(b0), 0L))
+    assert(StreamingRate.applyBatch(spark, stateDir, df(b1), 1L))
+    assert(StreamingRate.seasonalReport(spark, stateDir)
+      .orderBy("event_type", "week_slot").collect().toSeq ===
+      Timeseries.seasonalProfile(df(all))
+        .orderBy("event_type", "week_slot").collect().toSeq)
+  }
+
   test("CorpusOps.manifest: the checksum is order/partition-independent " +
     "and single-byte-sensitive; n_bytes counts UTF-8 bytes, not chars") {
     val s = spark
