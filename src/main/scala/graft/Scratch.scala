@@ -17,47 +17,56 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
 
-    def time(label: String)(df: => DataFrame): Unit = {
-      for (i <- 1 to 2) {
+    def time(label: String, n: Int = 2)(df: => DataFrame): Unit = {
+      for (i <- 1 to n) {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         println(f"SCRATCH $label trial$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
 
-    val gram = 8; val w = 4
-    val mC = greatest(length(col("text")) - (gram - 1), lit(1))
-    def blockArr(b: org.apache.spark.sql.Column) = filter(
-      transform(sequence(b * w + 1, b * w + lit(w)),
-        i => when(i <= mC, md5(col("text").substr(i, lit(gram))))),
-      x => x.isNotNull)
-    val nblk = floor((mC + lit(w - 1)) / lit(w)).cast("int")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    import org.apache.spark.sql.Column
+    val cols: Seq[(String, Column)] = Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_orderdate_ms" -> unix_millis(col("o_orderdate").cast("timestamp")),
+      "o_totalprice_c" ->
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
 
-    // A: digest explode only (the md5 cost floor, 1x per gram)
-    time("A_flat_md5_1x") {
-      docs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), mC),
-          i => md5(col("text").substr(i, lit(gram))))).as(Seq("g", "h")))
+    time("full_profile") {
+      graft.operators.DataQuality.columnProfile(o, cols)
     }
-    // B: block explode with cur only (md5 1x, nested arrays)
-    time("B_blocks_cur_only") {
-      docs.select(col("doc_id"), mC.as("m"),
-        posexplode(transform(sequence(lit(0), nblk - 1), b =>
-          blockArr(b))).as(Seq("blk", "cur")))
+    // how much is the multi-distinct expand?
+    time("six_distinct_only") {
+      o.agg(countDistinct(col("o_orderkey")),
+        countDistinct(col("o_custkey")),
+        countDistinct(col("o_orderstatus")),
+        countDistinct(col("o_orderpriority")),
+        countDistinct(unix_millis(col("o_orderdate").cast("timestamp"))),
+        countDistinct((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")))
     }
-    // C: block explode with cur+nxt (md5 2x)
-    time("C_blocks_pair") {
-      docs.select(col("doc_id"), mC.as("m"),
-        posexplode(transform(sequence(lit(0), nblk - 1), b =>
-          struct(blockArr(b).as("cur"), blockArr(b + 1).as("nxt"))))
-          .as(Seq("blk", "cells")))
+    time("one_distinct") {
+      o.agg(countDistinct(col("o_orderkey")))
     }
-    // D: the full current winnowingSelected
-    time("D_full_selected") {
-      graft.operators.TextAnalysis.winnowingSelected(docs, gram, w)
+    time("minmax_nulls_only") {
+      o.agg(count(lit(1)), cols.flatMap { case (n, c) => Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)), min(c), max(c)) }: _*)
+    }
+    time("split_form", 3) {
+      val base = o.agg(count(lit(1)).as("n_rows"),
+        cols.flatMap { case (n, c) => Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_$n"),
+          min(c).cast("string").as(s"mn_$n"),
+          max(c).cast("string").as(s"mx_$n")) }: _*)
+      cols.foldLeft(base) { case (acc, (n, c)) =>
+        acc.crossJoin(broadcast(
+          o.agg(countDistinct(c).as(s"nd_$n"))))
+      }
     }
     spark.stop()
   }

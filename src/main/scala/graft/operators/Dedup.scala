@@ -1291,7 +1291,11 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame) = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     def occ(d: Column, s: Column): Column = d * lit(1000000000L) + s
-    val wins = spanWindows(docs, spanTokens)
+    // the window stream feeds the census AND the doomed-occurrence join
+    // (and the sweep's n_windows stat): materialize the explode+md5 once
+    // — the winnowPairs lesson; without this Catalyst inlines the
+    // corpus-sized window generation into every consumer
+    val wins = spanWindows(docs, spanTokens).localCheckpoint(eager = false)
     // duplicate census: only fps with >1 occurrence survive the HAVING, so
     // the join's build side is the offender list, not every window
     val dups = wins.groupBy("fp")
