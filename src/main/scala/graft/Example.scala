@@ -364,6 +364,31 @@ object Example {
         .show(3)
     }
 
+    // r13 additions: provenance, ingest boundary, seasonal baseline,
+    // heavy hitters, the portable bloom export, cross-modal rollup
+    {
+      import graft.operators.{CorpusOps, DataQuality, Dedup, TextAnalysis}
+      println("[example] per-source manifest (order-independent checksums):")
+      CorpusOps.manifest(docs).orderBy("source").show(3)
+      println("[example] JSONL quarantine report:")
+      DataQuality.jsonlQuarantine(docs).orderBy("bucket").show(3)
+      println("[example] hour-of-week seasonal residuals (top 5):")
+      SparkEntry.queries("events_seasonal_residuals")(spark, sfDir).show(5)
+      println("[example] Misra-Gries heavy hitters (k=30) vs exact twin:")
+      TextAnalysis.mgSummary(docs, k = 30)
+        .orderBy(col("est_count").desc).show(5)
+      TextAnalysis.tokenHeavyExact(docs, k = 30)
+        .orderBy(col("n_exact").desc).show(5)
+      println("[example] bloom export audit (geometry, load, fp rate):")
+      Dedup.bloomAudit(docs).show()
+      println("[example] cross-modal dup profile:")
+      Multimodal.modalityDupProfile(docs).show()
+      println("[example] stratified split quotas:")
+      TextAnalysis.splitStratified(docs)
+        .groupBy("source", "split").count()
+        .orderBy("source", "split").show(6)
+    }
+
     // streaming sessionization with custom keyed state
     {
       import graft.streaming.Sessionize

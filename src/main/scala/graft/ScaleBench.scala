@@ -54,7 +54,15 @@ object ScaleBench {
     * engine — SemDeDup's scale dial is nlist ∝ √N, per the operator
     * scaladoc), and past `maxCellVecs` the hot-cell guard excludes cells
     * wholesale, so a fixed-config ratio would measure either the quadratic
-    * workload or the guard's refusal — both already spec-documented. */
+    * workload or the guard's refusal — both already spec-documented.
+    * `multimodal_modality_profile` is absent for the same reason in image
+    * space: the synthetic BMP universe has a FIXED 32 motif classes, so
+    * class size grows ∝ corpus/32 and within-class perceptual pairs grow
+    * ×f² until maxBandDocs refuses the buckets outright (measured on an
+    * r13 probe run: ×10 warm 48 s — the quadratic regime just under the
+    * guard — then ×100 warm 17 s as the guard excludes the saturated
+    * buckets; the engine-side band bounding it rides is already priced by
+    * the phash/simhash cells). */
   private val ScaleQueries =
     Seq("doc_lsh_pairs", "doc_dedup_pipeline", "emb_knn_lsh",
       "emb_knn_ivf_indexed", "doc_rolling_fp", "doc_repetition",
@@ -139,7 +147,19 @@ object ScaleBench {
       // with the suffixed words while classes stay fixed; the cell
       // watches the weight-table join and the test-token scoring stay at
       // the corpus explode's linear floor
-      "doc_setsim_join", "doc_nb_langid")
+      "doc_setsim_join", "doc_nb_langid",
+      // r13: the provenance manifest (one source-keyed map-side-combined
+      // aggregate — expected the scan's linear floor; this is the op
+      // whose ONLINE twin makes publish-time validation corpus-free) and
+      // the JSONL quarantine boundary (serialize + PERMISSIVE parse +
+      // source-keyed aggregate in one codegen'd map chain — prices the
+      // real JSON parse at scale, expected linear). The Misra-Gries
+      // summary — one mapPartitions pass with k counters + a
+      // partitions-x-(k+1)-row merge; expected the scan floor with
+      // near-zero shuffle growth (the summary never grows with the
+      // corpus)
+      "corpus_manifest", "corpus_jsonl_quarantine",
+      "corpus_token_heavy_mg")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the

@@ -1076,6 +1076,16 @@ object SparkEntry {
     // spec-pinned and the exact twin above is the oracle-backed gate
     "corpus_token_heavy_mg" -> ((s, dir) =>
       TextAnalysis.mgSummary(t(s, dir, "documents"), k = 30)),
+    // portable bloom-filter export: the corpus fp membership filter as a
+    // (word_idx, bits) table any serving layer loads — md5-fold bit
+    // positions, words as sums of distinct bit powers (= the OR)
+    "corpus_bloom_export" -> ((s, dir) =>
+      Dedup.bloomExport(t(s, dir, "documents")
+        .select(md5(col("text")).as("fp")).distinct())),
+    // the export's shipping audit: geometry, exact popcount load, and
+    // the measured false-positive rate on 4096 disjoint synthetic probes
+    "corpus_bloom_audit" -> ((s, dir) =>
+      Dedup.bloomAudit(t(s, dir, "documents"))),
     // Z-order vs single-column layout, data-skipping effectiveness
     // measured from per-file min/max stats — the lakehouse clustering
     // dial (Delta/Iceberg ZORDER BY) as an oracle-checked report
@@ -1220,6 +1230,12 @@ object SparkEntry {
       TextAnalysis.splitShift(t(s, dir, "documents"))),
     "doc_split_assign" -> ((s, dir) =>
       TextAnalysis.splitAssign(t(s, dir, "documents"))),
+    // stratified split with EXACT per-source quotas (100 permille): each
+    // source's first floor(n/10) docs in deterministic id-hash rank order
+    // are test — the balanced-stratum design the pure hash split only
+    // hits in expectation
+    "doc_split_stratified" -> ((s, dir) =>
+      TextAnalysis.splitStratified(t(s, dir, "documents"))),
     // BM25 keyword search: top-10 docs for a 3-term query — the lexical
     // retrieval primitive (one corpus agg broadcast back, per-row score,
     // global TakeOrdered; the corpus is never shuffled)
@@ -4627,6 +4643,63 @@ object SparkEntry {
         |SELECT c.token, CAST(c.n_exact AS BIGINT) AS n_exact,
         | CAST(n.n_tokens AS BIGINT) AS n_tokens
         |FROM c, n WHERE c.n_exact * 31 > n.n_tokens""".stripMargin,
+    // bloom export: identical md5-fold positions, words rebuilt as
+    // HUGEINT sums of distinct bit powers, wrapped to signed-64
+    "corpus_bloom_export" ->
+      """WITH fps AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+        | pos AS (SELECT DISTINCT p // 64 AS word_idx,
+        |   CAST(p % 64 AS INTEGER) AS bit_idx FROM (
+        |  SELECT list_aggregate(list_transform(range(1, 9), x ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(j || ':' || fp),
+        |      CAST(x AS INTEGER), 1)) - 1 AS BIGINT)
+        |    * (CAST(1 AS BIGINT) << (4 * (8 - CAST(x AS INTEGER))))),
+        |    'sum') % 65536 AS p
+        |  FROM fps, range(0, 4) t(j)) q),
+        | w AS (SELECT word_idx,
+        |   sum(1::HUGEINT << bit_idx) AS s FROM pos GROUP BY word_idx)
+        |SELECT CAST(word_idx AS BIGINT) AS word_idx,
+        | CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |   THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+        |   AS bits
+        |FROM w""".stripMargin,
+    // the audit recomputes the filter, probes 4096 'probe:i' keys with
+    // the HUGEINT (s >> bit) % 2 test, and reads popcount as the
+    // distinct (word, bit) count
+    "corpus_bloom_audit" ->
+      """WITH fps AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+        | pos AS (SELECT DISTINCT p // 64 AS word_idx,
+        |   CAST(p % 64 AS INTEGER) AS bit_idx FROM (
+        |  SELECT list_aggregate(list_transform(range(1, 9), x ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(j || ':' || fp),
+        |      CAST(x AS INTEGER), 1)) - 1 AS BIGINT)
+        |    * (CAST(1 AS BIGINT) << (4 * (8 - CAST(x AS INTEGER))))),
+        |    'sum') % 65536 AS p
+        |  FROM fps, range(0, 4) t(j)) q),
+        | w AS (SELECT word_idx,
+        |   sum(1::HUGEINT << bit_idx) AS s FROM pos GROUP BY word_idx),
+        | probes AS (SELECT md5('probe:' || i) AS fp
+        |  FROM range(0, 4096) t(i)),
+        | ppos AS (SELECT fp, p // 64 AS word_idx,
+        |   CAST(p % 64 AS INTEGER) AS bit_idx FROM (
+        |  SELECT fp, list_aggregate(list_transform(range(1, 9), x ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(j || ':' || fp),
+        |      CAST(x AS INTEGER), 1)) - 1 AS BIGINT)
+        |    * (CAST(1 AS BIGINT) << (4 * (8 - CAST(x AS INTEGER))))),
+        |    'sum') % 65536 AS p
+        |  FROM probes, range(0, 4) t(j)) q),
+        | hit AS (SELECT fp, min(CASE WHEN
+        |    (coalesce(w.s, 0::HUGEINT) >> ppos.bit_idx) % 2 = 1
+        |    THEN 1 ELSE 0 END) AS positive
+        |  FROM ppos LEFT JOIN w ON ppos.word_idx = w.word_idx
+        |  GROUP BY fp)
+        |SELECT CAST(65536 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k,
+        | (SELECT CAST(count(*) AS BIGINT) FROM fps) AS n_keys,
+        | (SELECT CAST(count(*) AS BIGINT) FROM pos) AS bits_set,
+        | CAST(count(*) AS BIGINT) AS n_probes,
+        | CAST(sum(positive) AS BIGINT) AS n_positive,
+        | CAST((10000 * sum(positive)) // count(*) AS BIGINT)
+        |   AS fp_rate_e4
+        |FROM hit""".stripMargin,
     // z-order skipping: identical quantize → Morton-interleave → top-bits
     // file assignment → per-file min/max → 16-point probe arithmetic
     "corpus_zorder_skipping" -> {
@@ -5168,6 +5241,19 @@ object SparkEntry {
         |     < 'fd71' THEN 'val'
         |   ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // exact per-source quotas: identical rank order (hash, then id) and
+    // the integer quota floor(n_src/10)
+    "doc_split_stratified" ->
+      """WITH r AS (SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |     AS rn,
+        |   count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents)
+        |SELECT doc_id, source,
+        | CASE WHEN rn <= (n_src * 100) // 1000 THEN 'test'
+        |   ELSE 'train' END AS split
+        |FROM r""".stripMargin,
     // BM25 with the Lucene idf; k1=1.2, b=0.75. Scores round to 4dp before
     // the ordering, doc_id breaks ties (the tfidf determinism recipe); all
     // scoring inputs (dl, N, df, tf) are integral doubles, so only ln()'s

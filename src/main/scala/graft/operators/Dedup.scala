@@ -842,6 +842,100 @@ object Dedup {
     batch.join(knownHits, Seq("fp"), "left_anti")
   }
 
+  /** The j-th bloom bit position of an `fp` column: the portable
+    * md5-prefix fold (the cmsBucket idiom) mod `mBits` — identical in
+    * any engine that has md5, which is the point of [[bloomExport]]. */
+  private def bloomPos(j: Int, fp: Column, mBits: Long): Column =
+    pmod(conv(substring(md5(concat(lit(s"$j:"), fp)), 1, 8), 16, 10)
+      .cast("long"), lit(mBits))
+
+  /** PORTABLE bloom-filter EXPORT — [[bloomAntiJoinFp]]'s runtime sketch
+    * is Spark-internal (xxhash64 + an opaque binary blob, gone when the
+    * job ends); this materializes the dedup membership filter as a
+    * TABLE any engine or serving layer can load: `mBits` bits as 64-bit
+    * words (only non-zero words materialize), bit positions from the
+    * portable md5-prefix hash family, `k` probes per key. The 100 TB
+    * story: the corpus-side fp universe is huge and lives in the
+    * warehouse, but admission control runs OUTSIDE Spark (an ingest
+    * proxy, a KV store, another engine) — exporting ~mBits/8 bytes of
+    * filter lets that layer reject re-crawled duplicates at the door
+    * and send only probable-new content into the expensive pipeline.
+    *
+    * Word value = Σ of DISTINCT set bits' powers (each bit contributes
+    * once, so the signed-64 sum IS the OR — no overflow possible, and
+    * no engine-specific bit_or needed to rebuild it elsewhere). Exports
+    * from disjoint shards merge with [[bloomMergeWords]] (per-word OR)
+    * — merge ≡ rebuild exactly, spec-proven.
+    *
+    * Scale shape: one scan → k positions per key (map-only explode) →
+    * one distinct on (word, bit) (map-side combined, ≤ mBits rows
+    * survive) → one word-keyed aggregate. The filter is mBits-sized —
+    * corpus-size-independent. */
+  def bloomExport(keys: DataFrame, mBits: Long = 1L << 16,
+                  k: Int = 4): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a multiple of 64")
+    require(k >= 1, "k >= 1")
+    keys.select(explode(array((0 until k).map(j =>
+        bloomPos(j, col("fp"), mBits)): _*)).as("pos"))
+      .select(expr("pos DIV 64").as("word_idx"),
+        expr("CAST(pos % 64 AS INT)").as("bit_idx"))
+      .distinct()
+      .groupBy("word_idx")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit_idx)")).as("bits"))
+  }
+
+  /** Merge per-shard [[bloomExport]] word tables: per-word OR. Merging
+    * shard filters ≡ rebuilding over the shard union, exactly. */
+  def bloomMergeWords(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+
+  /** Probe an exported filter: per probe fp, `positive` = all `k` bit
+    * positions set. The word table broadcasts (mBits/64 rows); probing
+    * is one map-only explode + a broadcast join — the shape the serving
+    * layer reproduces with an array lookup. */
+  def bloomProbeWords(words: DataFrame, probes: DataFrame,
+                      mBits: Long = 1L << 16, k: Int = 4): DataFrame =
+    probes
+      .select(col("fp"), explode(array((0 until k).map(j =>
+        bloomPos(j, col("fp"), mBits)): _*)).as("pos"))
+      .select(col("fp"), expr("pos DIV 64").as("word_idx"),
+        expr("CAST(pos % 64 AS INT)").as("bit_idx"))
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .select(col("fp"),
+        when(coalesce(col("bits"), lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), bit_idx)"))
+          =!= 0, 1L).otherwise(0L).as("hit"))
+      .groupBy("fp")
+      .agg(min(col("hit")).as("positive"))
+
+  /** One-row bloom-export AUDIT: filter geometry, exact load (set-bit
+    * popcount), and the MEASURED false-positive rate on `nProbes`
+    * synthetic keys disjoint from the corpus fp universe — the number a
+    * serving-layer owner reads against the (1−e^{−kn/m})^k theory
+    * before shipping the filter. Every column integer-exact. */
+  def bloomAudit(docs: DataFrame, mBits: Long = 1L << 16, k: Int = 4,
+                 nProbes: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    val keys = docs.select(md5(col("text")).as("fp")).distinct()
+      .localCheckpoint(eager = false)
+    val words = bloomExport(keys, mBits, k)
+      .localCheckpoint(eager = false)
+    val probes = spark.range(nProbes)
+      .select(md5(concat(lit("probe:"), col("id"))).as("fp"))
+    val pos = bloomProbeWords(words, probes, mBits, k)
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("positive")).as("n_positive"))
+    val load = words.agg(sum(bit_count(col("bits"))).as("bits_set"))
+    keys.agg(count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(load))
+      .crossJoin(broadcast(pos))
+      .select(lit(mBits).as("m_bits"), lit(k.toLong).as("k"),
+        col("n_keys"), col("bits_set"), col("n_probes"),
+        col("n_positive"),
+        expr("(10000 * n_positive) DIV n_probes").as("fp_rate_e4"))
+  }
+
   /** C4-style cross-corpus LINE dedup: a line (any `sep`-delimited segment,
     * default newline) whose trimmed form occurs in MORE than `maxDocs`
     * distinct documents is boilerplate (navigation, license headers, cookie

@@ -1249,11 +1249,19 @@ object TextAnalysis {
     * guarantee is one-sided), so the op is rows-only + spec-gated like
     * the other estimators, with [[tokenHeavyExact]] as its oracle-backed
     * exact twin. */
-  def mgSummary(docs: DataFrame, k: Int = 16): DataFrame = {
+  def mgSummary(docs: DataFrame, k: Int = 16): DataFrame =
+    mgFinalize(mgCombine(mgPartials(docs, k), k), k)
+
+  /** Per-partition MG summaries of a document batch, as the STATE form
+    * shared by the batch op and [[graft.streaming.StreamingHeavy]]:
+    * (token, cnt) counter rows per partition plus one marker row per
+    * partition carrying its token count (the total N rides the same
+    * scan — no second pass). */
+  def mgPartials(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val partial = docs.select(explode(tokens(col("text"))).as("token"))
+    docs.select(explode(tokens(col("text"))).as("token"))
       .as[String]
       .mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[String, Long]
@@ -1275,22 +1283,41 @@ object TextAnalysis {
         m.iterator.map { case (t, c) => (t, c) } ++
           Iterator.single((MgCountMarker, n))
       }.toDF("token", "cnt")
-      .localCheckpoint(eager = false)
-    val nFrame = partial.filter(col("token") === MgCountMarker)
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_tokens"))
-    val summed = partial.filter(col("token") =!= MgCountMarker)
+  }
+
+  /** The MERGE of MG partial summaries (Agarwal et al., PODS 2012): sum
+    * per-token counters, subtract the (k+1)-th largest combined value
+    * from all (a rank-1 window over the summaries-sized frame, never
+    * data-sized), drop non-positives — the result is again a ≤k-counter
+    * summary + marker whose error bound adds to N_total/(k+1), for ANY
+    * merge tree (which is what lets a stream maintain it per batch). */
+  def mgCombine(partials: DataFrame, k: Int): DataFrame = {
+    val p = partials.localCheckpoint(eager = false)
+    val nFrame = p.filter(col("token") === MgCountMarker)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"))
+      .select(lit(MgCountMarker).as("token"), col("cnt"))
+    val summed = p.filter(col("token") =!= MgCountMarker)
       .groupBy("token").agg(sum(col("cnt")).as("cnt"))
-    // the (k+1)-th largest combined counter (0 when fewer survive) —
-    // a rank-1 window over a partitions·(k+1)-row frame, never data-sized
     val ranked = summed.withColumn("rk", row_number().over(
       Window.orderBy(col("cnt").desc, col("token"))))
     val thr = ranked.agg(coalesce(max(when(col("rk") === k + 1,
       col("cnt"))), lit(0L)).as("thr"))
-    ranked.crossJoin(broadcast(thr)).crossJoin(broadcast(nFrame))
-      .select(col("token"), (col("cnt") - col("thr")).as("est_count"),
-        col("n_tokens"),
+    ranked.crossJoin(broadcast(thr))
+      .select(col("token"), (col("cnt") - col("thr")).as("cnt"))
+      .filter(col("cnt") > 0)
+      .unionByName(nFrame)
+  }
+
+  /** Render a combined MG state as the reported summary: surviving
+    * (token, est) rows next to N and the bound floor(N/(k+1)). */
+  def mgFinalize(state: DataFrame, k: Int): DataFrame = {
+    val s = state.localCheckpoint(eager = false)
+    val nFrame = s.filter(col("token") === MgCountMarker)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_tokens"))
+    s.filter(col("token") =!= MgCountMarker)
+      .crossJoin(broadcast(nFrame))
+      .select(col("token"), col("cnt").as("est_count"), col("n_tokens"),
         expr(s"n_tokens DIV ${k + 1}").as("err_bound"))
-      .filter(col("est_count") > 0)
   }
 
   /** The EXACT heavy-hitter twin of [[mgSummary]]: every token whose
@@ -1824,6 +1851,40 @@ object TextAnalysis {
       }
     docs.select(col("doc_id"), col("lang"), col("source"),
       assigned.as("split"))
+  }
+
+  /** STRATIFIED split with EXACT per-source quotas — what [[splitAssign]]
+    * structurally can't give: a pure hash threshold lands each source's
+    * test share only in expectation, and a small or skewed source can end
+    * up with an unusably thin (or empty) held-out slice. Here every
+    * source contributes exactly floor(n_src·permille/1000) test
+    * documents: docs are ranked WITHIN their source by the deterministic
+    * id-hash order (`md5("strat:" + doc_id)`, ties by doc_id — no
+    * randomness, so the same corpus always splits identically and the
+    * rank order is engine-portable lexicographic hex), and the first
+    * `quota` ranks are test. Trade-off vs [[splitAssign]], stated
+    * honestly: exact quotas require the per-source rank, so membership
+    * CAN migrate when the source's composition changes (the hash split's
+    * stability is what this op trades for exactness) — use splitAssign
+    * for eval sets that must survive corpus versions, this for balanced
+    * per-stratum experiment design.
+    *
+    * Scale shape: one source-partitioned window (rank + count) — the
+    * honest per-stratum sort; nothing corpus-global, no driver state. */
+  def splitStratified(docs: DataFrame, testPermille: Int = 100)
+  : DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille in [0, 1000], got $testPermille")
+    val bySrc = Window.partitionBy(col("source"))
+    val order = bySrc.orderBy(
+      md5(concat(lit("strat:"), col("doc_id").cast("string"))),
+      col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        row_number().over(order).as("rn"),
+        count(lit(1)).over(bySrc).as("n_src"))
+      .select(col("doc_id"), col("source"),
+        when(col("rn") <= expr(s"(n_src * $testPermille) DIV 1000"),
+          "test").otherwise("train").as("split"))
   }
 
   /** TRAIN/TEST DISTRIBUTION-SHIFT audit — [[splitAssign]]'s statistical

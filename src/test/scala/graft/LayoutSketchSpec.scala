@@ -109,6 +109,40 @@ class LayoutSketchSpec extends SparkTestBase {
       "only 'hot' exceeds N/5 = 16.4 exactly")
   }
 
+  test("StreamingHeavy: the online MG summary honors the guarantee over " +
+    "everything ingested — heavy token present, bounds hold vs exact " +
+    "counts, state stays <= k+1 rows; replay refuses") {
+    import graft.streaming.StreamingHeavy
+    val s = spark
+    import s.implicits._
+    val toks = Seq.fill(40)("hot") ++ Seq.fill(12)("warm") ++
+      (1 to 30).map(i => s"rare$i")
+    def docs(ts: Seq[String]) = ts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "srcA", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stateDir = tmpDir("mg_state")
+    // three uneven batches; 'hot' occurrences straddle all of them
+    val batches = Seq(toks.take(20), toks.slice(20, 55), toks.drop(55))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(StreamingHeavy.applyBatch(spark, stateDir, docs(b), i.toLong,
+        k = 4))
+    }
+    val out = StreamingHeavy.report(spark, stateDir, k = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out.size <= 4, "never more than k survivors")
+    assert(out.contains("hot"), "the heavy token survives the stream")
+    val (est, n, bound) = out("hot")
+    assert(n === 82L && bound === 82L / 5)
+    assert(est >= 40L - bound && est <= 40L, "hot online estimate")
+    out.foreach { case (tok, (e, _, b)) =>
+      val truth = toks.count(_ == tok).toLong
+      assert(e <= truth && e + b >= truth, s"$tok online bound")
+    }
+    assert(!StreamingHeavy.applyBatch(spark, stateDir,
+      docs(batches.last), 2L, k = 4), "replay refuses")
+  }
+
   test("Similarity.hardNegatives: picks the nearest above-threshold " +
     "positive, the top-k below-threshold negatives in score order, " +
     "skips the dead band, and drops anchors with no positive") {

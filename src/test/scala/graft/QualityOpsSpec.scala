@@ -733,6 +733,89 @@ class QualityOpsSpec extends SparkTestBase {
         .orderBy("event_type", "week_slot").collect().toSeq)
   }
 
+  test("TextAnalysis.splitStratified: every source contributes EXACTLY " +
+    "floor(n*permille/1000) test docs; assignment is deterministic " +
+    "under reordering/repartitioning; permille=0 sends everything to " +
+    "train") {
+    import graft.operators.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 10).map(i => (i.toLong, "big")) ++
+      (11 to 15).map(i => (i.toLong, "mid")) ++
+      (16 to 18).map(i => (i.toLong, "tiny")))
+      .map { case (id, src) => (id, s"text $id", "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.splitStratified(docs, testPermille = 200)
+    val quota = out.filter(col("split") === "test")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quota === Map("big" -> 2L, "mid" -> 1L),
+      "exact floor quotas; tiny (floor(3*0.2)=0) contributes none")
+    val a = out.orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.splitStratified(
+      docs.orderBy(col("doc_id").desc).repartition(5), testPermille = 200)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b, "deterministic under reorder/repartition")
+    assert(TextAnalysis.splitStratified(docs, testPermille = 0)
+      .filter(col("split") === "test").count() === 0L)
+  }
+
+  test("StreamingBloom: the online word table is bit-for-bit the batch " +
+    "export over everything ingested — a duplicate fp across batches is " +
+    "invisible (idempotent OR); replay refuses") {
+    import graft.streaming.StreamingBloom
+    val s = spark
+    import s.implicits._
+    val all = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, "alpha"), (5L, "delta")) // doc 4 repeats doc 1's text
+    def df(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => (i, t, "en", "web") }
+        .toDF("doc_id", "text", "lang", "source")
+    val stateDir = tmpDir("bloom_state")
+    val (b0, b1) = (all.take(3), all.drop(3)) // 'alpha' in both batches
+    assert(StreamingBloom.applyBatch(spark, stateDir, df(b0), 0L))
+    assert(StreamingBloom.applyBatch(spark, stateDir, df(b1), 1L))
+    val live = StreamingBloom.report(spark, stateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.bloomExport(
+        df(all).select(md5(col("text")).as("fp")).distinct())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live === full, "online filter ≡ batch export")
+    assert(!StreamingBloom.applyBatch(spark, stateDir, df(b1), 1L))
+    assert(StreamingBloom.report(spark, stateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === full)
+  }
+
+  test("Dedup.bloomExport: no false negatives ever (every inserted key " +
+    "probes positive — theorem), shard-merge == rebuild bit-for-bit, " +
+    "and absent keys mostly miss at a sane load factor") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 1000).map(i => s"key$i").toDF("fp")
+    val m = 4096L
+    val words = Dedup.bloomExport(keys, mBits = m, k = 3)
+    // every inserted key probes positive
+    val selfProbe = Dedup.bloomProbeWords(words, keys, mBits = m, k = 3)
+      .collect()
+    assert(selfProbe.length === 1000)
+    assert(selfProbe.forall(_.getLong(1) === 1L), "no false negatives")
+    // merge of two disjoint shard exports equals the full rebuild
+    val (h1, h2) = ((0 until 500).map(i => s"key$i").toDF("fp"),
+      (500 until 1000).map(i => s"key$i").toDF("fp"))
+    val merged = Dedup.bloomMergeWords(Seq(
+        Dedup.bloomExport(h1, mBits = m, k = 3),
+        Dedup.bloomExport(h2, mBits = m, k = 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = words.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged === full, "merge ≡ rebuild")
+    // absent keys: at n=1000, m=4096, k=3 the theoretical fp rate is
+    // ~13% — most of 500 absent probes must miss, and some may hit
+    val absent = (0 until 500).map(i => s"other$i").toDF("fp")
+    val fpr = Dedup.bloomProbeWords(words, absent, mBits = m, k = 3)
+      .agg(sum(col("positive"))).collect().head.getLong(0)
+    assert(fpr < 150, s"false-positive count $fpr stays near theory")
+  }
+
   test("CorpusOps.manifest: the checksum is order/partition-independent " +
     "and single-byte-sensitive; n_bytes counts UTF-8 bytes, not chars") {
     val s = spark
