@@ -433,7 +433,11 @@ object ScaleBench {
         val trials = (1 to MaintTrials).map { i =>
           spark.sql(s"DROP TABLE IF EXISTS $pT")
           spark.sql(s"DROP TABLE IF EXISTS $sT")
-          val deltaDir = s"/tmp/graft_scale/search_delta_x${f}_$i"
+          // fresh per-trial dir: a reused delta dir makes applyBatch a
+          // replay no-op (batchId already committed) and the cell would
+          // price the refusal, not the commit
+          val deltaDir = Files.createTempDirectory(
+            s"graft_search_delta_x${f}_").toString
           val t0 = System.nanoTime()
           operators.TextAnalysis.searchWriteIndex(docs, pT, sT)
           val tCompact = (System.nanoTime() - t0) / 1e9

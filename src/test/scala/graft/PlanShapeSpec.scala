@@ -58,6 +58,33 @@ class PlanShapeSpec extends SparkTestBase {
       s"the depth×width CMS frame must broadcast, not shuffle:\n$plan")
   }
 
+  test("orders_profile: the r13 split formulation keeps the Expand node " +
+    "out — min/max/nulls on one scan, each distinct count its own " +
+    "broadcast 1-row aggregate") {
+    val (n, plan, _) = ran("orders_profile")
+    assert(n == 6)
+    assert(!plan.contains("Expand"),
+      s"the profile must not re-plan as a multi-distinct Expand " +
+        s"(measured 4x slower at sf0.1):\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"distinct counts must ride broadcast 1-row frames:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"orders_profile plans a cartesian:\n$plan")
+  }
+
+  test("corpus_manifest: one source-keyed aggregate with map-side " +
+    "partials — a single exchange, no joins, no window") {
+    val (n, plan, _) = ran("corpus_manifest")
+    assert(n > 0)
+    assertNoPlanBombs("corpus_manifest", plan)
+    assert(!plan.contains("Window"), s"manifest needs no window:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(
+      plan.replace("BroadcastExchange", "")).length
+    assert(exchanges <= 2,
+      s"manifest should shuffle once (plus AQE read):\n$plan")
+  }
+
   test("q1_agg: single shuffle (partial agg pushed map-side), no joins") {
     val (n, plan, df) = ran("q1_agg")
     assert(n > 0)
