@@ -26,47 +26,19 @@ object Scratch {
       }
     }
 
-    val o = spark.read.parquet(s"$sfDir/orders.parquet")
-    import org.apache.spark.sql.Column
-    val cols: Seq[(String, Column)] = Seq(
-      "o_orderkey" -> col("o_orderkey"),
-      "o_custkey" -> col("o_custkey"),
-      "o_orderstatus" -> col("o_orderstatus"),
-      "o_orderpriority" -> col("o_orderpriority"),
-      "o_orderdate_ms" -> unix_millis(col("o_orderdate").cast("timestamp")),
-      "o_totalprice_c" ->
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import graft.operators.{Dedup, Multimodal}
 
-    time("full_profile") {
-      graft.operators.DataQuality.columnProfile(o, cols)
+    time("pairs_only") {
+      Multimodal.phashDupPairs(Multimodal.synthBmpPayload(docs))
     }
-    // how much is the multi-distinct expand?
-    time("six_distinct_only") {
-      o.agg(countDistinct(col("o_orderkey")),
-        countDistinct(col("o_custkey")),
-        countDistinct(col("o_orderstatus")),
-        countDistinct(col("o_orderpriority")),
-        countDistinct(unix_millis(col("o_orderdate").cast("timestamp"))),
-        countDistinct((col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long")))
+    time("cc_only") {
+      val pairs = Multimodal.phashDupPairs(
+        Multimodal.synthBmpPayload(docs)).localCheckpoint(eager = false)
+      Dedup.clustersFromEdges(pairs.select("doc_a", "doc_b"))
     }
-    time("one_distinct") {
-      o.agg(countDistinct(col("o_orderkey")))
-    }
-    time("minmax_nulls_only") {
-      o.agg(count(lit(1)), cols.flatMap { case (n, c) => Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)), min(c), max(c)) }: _*)
-    }
-    time("split_form", 3) {
-      val base = o.agg(count(lit(1)).as("n_rows"),
-        cols.flatMap { case (n, c) => Seq(
-          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_$n"),
-          min(c).cast("string").as(s"mn_$n"),
-          max(c).cast("string").as(s"mx_$n")) }: _*)
-      cols.foldLeft(base) { case (acc, (n, c)) =>
-        acc.crossJoin(broadcast(
-          o.agg(countDistinct(c).as(s"nd_$n"))))
-      }
+    time("full_clusters") {
+      Multimodal.phashDupClusters(Multimodal.synthBmpPayload(docs))
     }
     spark.stop()
   }

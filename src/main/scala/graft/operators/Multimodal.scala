@@ -665,10 +665,14 @@ object Multimodal {
     import withPayload.sparkSession.implicits._
     val hashes = perceptualHashRaw(withPayload).filter(_.valid)
       .map(h => (h.doc_id, h.ahash)).toDF("doc_id", "ahash")
+    // banded feeds the hot-band census AND both self-join sides:
+    // materialize once or the payload synth + byte parse runs per
+    // consumer (the winnowPairs lesson at the codec boundary)
     val banded = hashes.select(col("doc_id"), col("ahash"),
       posexplode(array((0 to 3).map(b =>
         shiftrightunsigned(col("ahash"), b * 16)
           .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val")))
+      .localCheckpoint(eager = false)
     val eligible = banded.groupBy("band_idx", "band_val")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxBandDocs)
@@ -805,10 +809,13 @@ object Multimodal {
     import withPayload.sparkSession.implicits._
     val fps = audioFingerprintRaw(withPayload).filter(_.valid)
       .map(a => (a.doc_id, a.fp)).toDF("doc_id", "fp")
+    // materialized once for the census + both join sides (see
+    // phashDupPairs) — the WAV chunk walk is per-consumer otherwise
     val banded = fps.select(col("doc_id"), col("fp"),
       posexplode(array((0 to 3).map(b =>
         shiftrightunsigned(col("fp"), b * 16)
           .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val")))
+      .localCheckpoint(eager = false)
     val eligible = banded.groupBy("band_idx", "band_val")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxBandDocs)
