@@ -438,12 +438,21 @@ object ScaleBench {
           // price the refusal, not the commit
           val deltaDir = Files.createTempDirectory(
             s"graft_search_delta_x${f}_").toString
-          val t0 = System.nanoTime()
-          operators.TextAnalysis.searchWriteIndex(docs, pT, sT)
-          val tCompact = (System.nanoTime() - t0) / 1e9
-          val t1 = System.nanoTime()
-          streaming.StreamingSearch.applyBatch(spark, deltaDir, batch, i)
-          (tCompact, (System.nanoTime() - t1) / 1e9)
+          try {
+            val t0 = System.nanoTime()
+            operators.TextAnalysis.searchWriteIndex(docs, pT, sT)
+            val tCompact = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            streaming.StreamingSearch.applyBatch(spark, deltaDir, batch, i)
+            (tCompact, (System.nanoTime() - t1) / 1e9)
+          } finally {
+            // outside both timing windows; the sweep runs many trials —
+            // leaked per-trial delta state (parquet + markers) piles up
+            // in /tmp otherwise
+            org.apache.commons.io.FileUtils
+              .deleteQuietly(new java.io.File(deltaDir))
+            ()
+          }
         }
         (median(trials.map(_._1)), median(trials.map(_._2)))
       } catch {

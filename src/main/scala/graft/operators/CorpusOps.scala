@@ -347,13 +347,17 @@ object CorpusOps {
     grams(v1, 0).unionByName(grams(v2, 1))
       .groupBy("fp")
       .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
-      .agg(sum(col("in1")).as("n_grams_v1"),
-        sum(col("in2")).as("n_grams_v2"),
-        sum(when(col("in2") === 1 && col("in1") === 0, 1L)
-          .otherwise(0L)).as("n_novel"))
+      // coalesce: a sum over ZERO groups (both sides empty) is NULL; the
+      // count-based contract is 0 grams, not unknown grams.
+      .agg(coalesce(sum(col("in1")), lit(0L)).as("n_grams_v1"),
+        coalesce(sum(col("in2")), lit(0L)).as("n_grams_v2"),
+        coalesce(sum(when(col("in2") === 1 && col("in1") === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_novel"))
       .select(col("n_grams_v1"), col("n_grams_v2"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams_v2"), 4)
-          .as("novelty_share"))
+        // try_divide: an empty v2 has no gram universe to be novel
+        // against — the share is undefined (NULL), not an ANSI error
+        round(try_divide(col("n_novel").cast("double"),
+          col("n_grams_v2")), 4).as("novelty_share"))
   }
 
   /** LENGTH-INEQUALITY headline — the Gini coefficient of per-doc token

@@ -250,8 +250,11 @@ object DataQuality {
       .select(
         when(col("j._bad").isNotNull, lit("__QUARANTINE__"))
           .otherwise(col("j.source")).as("bucket"),
-        when(col("j._bad").isNull && col("j.doc_id") === col("orig_id") &&
-          col("j.text") === col("orig_text"), 1L).otherwise(0L).as("rt"))
+        // Null-safe (<=>): to_json omits null fields, so a doc with NULL
+        // text serializes without a text key and parses back as NULL —
+        // that IS a faithful round-trip, and === would veto it with NULL.
+        when(col("j._bad").isNull && (col("j.doc_id") <=> col("orig_id")) &&
+          (col("j.text") <=> col("orig_text")), 1L).otherwise(0L).as("rt"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"), sum(col("rt")).as("n_roundtrip_ok"))
   }

@@ -46,8 +46,16 @@ object MergeableState {
     out.close()
     fs.delete(new Path(root, Current), false)
     fs.rename(tmp, new Path(root, Current))
-    cur.foreach { case (id, _) =>
-      fs.delete(new Path(root, s"state-$id"), true) }
+    // Retain exactly ONE superseded version: a reader that resolved
+    // `current()` just before this commit may still be mid-read on the
+    // previous state parquet — deleting it here would yank the files out
+    // from under that read. Keep {new, just-superseded}, delete anything
+    // older; the dir never holds more than two versions.
+    val keep = cur.map(_._1).toSet + batchId
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("state-") &&
+        !keep.contains(p.getName.stripPrefix("state-").toLong))
+      .foreach(p => fs.delete(p, true))
     true
   }
 

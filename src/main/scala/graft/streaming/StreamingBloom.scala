@@ -25,14 +25,44 @@ object StreamingBloom {
 
   /** Apply one batch of raw documents to the persisted word-table state
     * under `stateDir`; returns false when `batchId` was already applied
-    * (replay no-op). */
+    * (replay no-op).
+    *
+    * The filter geometry (mBits, k) is persisted next to the state on
+    * first apply and ENFORCED on every later one: two filters with
+    * different geometries live in different bit-position spaces, so a
+    * caller who changed either dial between batches would silently OR
+    * incompatible word tables into a filter with FALSE NEGATIVES — the
+    * one failure mode a bloom filter must never have. */
   def applyBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
                  batchId: Long, mBits: Long = 1L << 16,
-                 k: Int = 4): Boolean =
-    MergeableState.applyBatch(spark, stateDir, batchId,
+                 k: Int = 4): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val geomPath = new org.apache.hadoop.fs.Path(root, "GEOMETRY")
+    val geom = s"$mBits,$k"
+    if (fs.exists(geomPath)) {
+      val in = fs.open(geomPath)
+      val existing =
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      require(existing == geom,
+        s"bloom geometry mismatch at $stateDir: state built with " +
+          s"(mBits,k)=($existing), caller passed ($geom) — merging " +
+          "would corrupt the filter with false negatives")
+    }
+    val applied = MergeableState.applyBatch(spark, stateDir, batchId,
       Dedup.bloomExport(
         batch.select(md5(col("text")).as("fp")).distinct(), mBits, k),
       (cur, inc) => Dedup.bloomMergeWords(Seq(cur, inc)))
+    if (applied && !fs.exists(geomPath)) {
+      val tmp = new org.apache.hadoop.fs.Path(root, "GEOMETRY.tmp")
+      val out = fs.create(tmp, true)
+      out.write(geom.getBytes("UTF-8"))
+      out.close()
+      fs.rename(tmp, geomPath)
+    }
+    applied
+  }
 
   /** The live word table off the maintained state — the state IS the
     * export (empty frame with the right schema before the first batch). */

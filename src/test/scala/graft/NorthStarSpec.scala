@@ -1567,6 +1567,19 @@ class NorthStarSpec extends SparkTestBase {
     assert((out.getLong(0), out.getLong(1), out.getLong(2)) ==
       ((2L, 3L, 1L)))
     assert(out.getDouble(3) == 0.3333)
+    // empty-input edge: a sum over zero groups is NULL in SQL; the
+    // count contract is ZERO grams on both sides, never unknown
+    val empty = docsDf(Seq.empty[(Long, String)])
+    val outE = CorpusOps.ngramNovelty(empty, empty).collect().head
+    assert((outE.getLong(0), outE.getLong(1), outE.getLong(2)) ==
+      ((0L, 0L, 0L)))
+    assert(outE.isNullAt(3), "0/0 share is undefined, reported as NULL")
+    // one-sided: v1 empty, v2 has grams → everything is novel
+    val outO = CorpusOps.ngramNovelty(
+      empty, docsDf(Seq(1L -> "a b c d e f"))).collect().head
+    assert((outO.getLong(0), outO.getLong(1), outO.getLong(2)) ==
+      ((0L, 2L, 2L)))
+    assert(outO.getDouble(3) == 1.0)
   }
 
   test("Funnels.attribution: last prior non-conversion touch within the " +

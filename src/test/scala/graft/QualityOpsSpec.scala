@@ -784,6 +784,51 @@ class QualityOpsSpec extends SparkTestBase {
     assert(!StreamingBloom.applyBatch(spark, stateDir, df(b1), 1L))
     assert(StreamingBloom.report(spark, stateDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === full)
+    // geometry is persisted and ENFORCED: a caller who changes mBits or k
+    // between batches would OR bit-position-incompatible filters — the
+    // merge must refuse loudly, not corrupt silently
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingBloom.applyBatch(spark, stateDir, df(b1), 2L,
+        mBits = 1L << 14)
+    }
+    assert(e1.getMessage.contains("geometry mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingBloom.applyBatch(spark, stateDir, df(b1), 2L, k = 7)
+    }
+    assert(e2.getMessage.contains("geometry mismatch"))
+    // matching geometry still applies fine after the refusals
+    assert(StreamingBloom.applyBatch(spark, stateDir,
+      df(Seq((6L, "epsilon"))), 2L))
+  }
+
+  test("MergeableState: the just-superseded version survives one commit " +
+    "(a reader that resolved CURRENT pre-commit can finish its read) and " +
+    "is reaped on the NEXT commit — the dir never holds more than two") {
+    import graft.streaming.MergeableState
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("mstate_retain")
+    def inc(v: Long) = Seq((v, 1L)).toDF("k", "n")
+    def merge(a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame) =
+      a.unionByName(b).groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+    assert(MergeableState.applyBatch(spark, stateDir, 0L, inc(0), merge))
+    val v0Path = MergeableState.current(spark, stateDir).get._2
+    assert(MergeableState.applyBatch(spark, stateDir, 1L, inc(1), merge))
+    // the reader-visible contract: state-0's parquet is STILL readable
+    // after the commit that superseded it
+    assert(spark.read.parquet(v0Path).count() === 1L)
+    assert(MergeableState.applyBatch(spark, stateDir, 2L, inc(2), merge))
+    // …and reaped exactly one commit later
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName).filter(_.startsWith("state-")).sorted.toSeq
+    assert(versions === Seq("state-1", "state-2"))
+    assert(spark.read
+      .parquet(MergeableState.current(spark, stateDir).get._2)
+      .count() === 3L)
   }
 
   test("Dedup.bloomExport: no false negatives ever (every inserted key " +
@@ -878,6 +923,15 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out("__QUARANTINE__") === ((2L, 0L)))
     assert(out("srcA") === ((1L, 1L)), "escaped quotes/newline round-trip")
     assert(out("srcB") === ((1L, 1L)), "non-ASCII round-trips")
+    // NULL text: to_json drops null fields, the line parses back with a
+    // NULL text — a faithful round-trip that the null-safe comparator
+    // must count, not veto (n_roundtrip_ok == n_rows holds on any corpus)
+    val withNull = Seq[(Long, String, String, String)](
+      (3L, null, "en", "srcC"), (4L, "fine", "en", "srcC")
+    ).toDF("doc_id", "text", "lang", "source")
+    val outN = DataQuality.jsonlQuarantine(withNull).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(outN("srcC") === ((2L, 2L)), "null text round-trips as null")
   }
 
   test("Timeseries.seasonalProfile: the same epoch-hour-mod-168 slot " +
