@@ -2032,6 +2032,25 @@ object SparkEntry {
     "multimodal_audio_dup_pairs" -> ((s, dir) =>
       Multimodal.audioDupPairs(
         Multimodal.synthWavPayload(t(s, dir, "documents")))),
+    // keyframe-sampled video fingerprints over a structurally-real MP4
+    // (GRV1 raw grayscale stream in mdat): box walk → 3 timeline slots
+    // at stride n_frames/3 → per-frame aHash; the oracle recomputes
+    // every slot hash analytically from the frame pixel formula
+    "multimodal_video_fp" -> ((s, dir) =>
+      Multimodal.videoFingerprint(
+        Multimodal.synthVideoPayload(t(s, dir, "documents")))),
+    // video near-dup pairs: per-slot banded 4x16 Hamming (pigeonhole-
+    // complete per slot) + the >=2-of-3 vote gate — one coincident
+    // frame cannot alias two videos; oracle brute-forces per slot
+    "multimodal_video_dup_pairs" -> ((s, dir) =>
+      Multimodal.videoDupPairs(
+        Multimodal.synthVideoPayload(t(s, dir, "documents")))),
+    // video near-dup clusters: CC over the vote-gated pair set, medoid
+    // by summed matched-slot hamming — the takedown unit for video
+    "multimodal_video_dup_clusters" -> ((s, dir) =>
+      Multimodal.videoDupClusters(
+        Multimodal.synthVideoPayload(t(s, dir, "documents")))
+        .withColumn("is_rep", col("is_rep").cast("int"))),
     // FLAC STREAMINFO bit-field walk: 20-bit sample rate, 3-bit
     // channels, 36-bit total samples → exact whole-second duration
     "multimodal_decode_flac" -> ((s, dir) =>
@@ -8150,6 +8169,125 @@ object SparkEntry {
         | CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+    // Video keyframe hashes: 3 timeline slots per doc at stride
+    // n_frames//3, the sampled frame's 64-pixel formula recomputed
+    // analytically, aHash packed into 16 lowercase nibbles — the
+    // engine's box walk + GRV1 frame read must land byte-exact
+    "multimodal_video_fp" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, CAST(4 + d.doc_id % 5 AS INTEGER) AS n_frames,
+        |    CAST(s.slot AS INTEGER) AS slot,
+        |    CAST(s.slot * ((4 + d.doc_id % 5) // 3) AS INTEGER)
+        |      AS frame_idx
+        |  FROM documents d, range(0, 3) s(slot)),
+        | px AS (
+        |  SELECT f.doc_id, f.n_frames, f.slot, f.frame_idx, t.p,
+        |    least(((f.doc_id % 32) * 73 + t.p * 149 + f.frame_idx * 31)
+        |        % 251
+        |      + CASE WHEN t.p = f.doc_id % 64 THEN f.doc_id % 7 ELSE 0
+        |        END,
+        |      250) AS v
+        |  FROM fr f, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, slot, sum(v) AS sv FROM px
+        |  GROUP BY doc_id, slot),
+        | ab AS (SELECT px.doc_id, px.n_frames, px.slot, px.frame_idx, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id, slot))
+        |SELECT doc_id, n_frames, slot, frame_idx,
+        | string_agg(substr('0123456789abcdef', CAST(nib AS INTEGER) + 1,
+        |   1), '' ORDER BY i) AS ahash_hex
+        |FROM (SELECT doc_id, n_frames, slot, frame_idx, p // 4 AS i,
+        |        sum(b * (1 << (3 - p % 4))) AS nib
+        |      FROM ab GROUP BY doc_id, n_frames, slot, frame_idx, p // 4)
+        |GROUP BY doc_id, n_frames, slot, frame_idx""".stripMargin,
+    // Video near-dup pairs: per-slot brute <=3-hamming matches over the
+    // analytic slot hashes (HUGEINT xor + popcount), then the >=2-vote
+    // gate — the engine's per-slot banded join is pigeonhole-complete
+    "multimodal_video_dup_pairs" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, s.slot,
+        |    CAST(s.slot * ((4 + d.doc_id % 5) // 3) AS INTEGER)
+        |      AS frame_idx
+        |  FROM documents d, range(0, 3) s(slot)),
+        | px AS (
+        |  SELECT f.doc_id, f.slot, t.p,
+        |    least(((f.doc_id % 32) * 73 + t.p * 149 + f.frame_idx * 31)
+        |        % 251
+        |      + CASE WHEN t.p = f.doc_id % 64 THEN f.doc_id % 7 ELSE 0
+        |        END,
+        |      250) AS v
+        |  FROM fr f, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, slot, sum(v) AS sv FROM px
+        |  GROUP BY doc_id, slot),
+        | ab AS (SELECT px.doc_id, px.slot, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id, slot)),
+        | ah AS (SELECT doc_id, slot,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id, slot),
+        | sm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id AND a.slot = b.slot
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_votes,
+        | CAST(sum(hamming) AS BIGINT) AS ham_sum
+        |FROM sm GROUP BY doc_a, doc_b HAVING count(*) >= 2""".stripMargin,
+    // Video near-dup clusters: the dup_pairs CTEs + recursive reach CC
+    // + medoid by summed matched-slot hamming — bit-for-bit the
+    // engine's consolidation
+    "multimodal_video_dup_clusters" ->
+      """WITH RECURSIVE fr AS (
+        |  SELECT d.doc_id, s.slot,
+        |    CAST(s.slot * ((4 + d.doc_id % 5) // 3) AS INTEGER)
+        |      AS frame_idx
+        |  FROM documents d, range(0, 3) s(slot)),
+        | px AS (
+        |  SELECT f.doc_id, f.slot, t.p,
+        |    least(((f.doc_id % 32) * 73 + t.p * 149 + f.frame_idx * 31)
+        |        % 251
+        |      + CASE WHEN t.p = f.doc_id % 64 THEN f.doc_id % 7 ELSE 0
+        |        END,
+        |      250) AS v
+        |  FROM fr f, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, slot, sum(v) AS sv FROM px
+        |  GROUP BY doc_id, slot),
+        | ab AS (SELECT px.doc_id, px.slot, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id, slot)),
+        | ah AS (SELECT doc_id, slot,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id, slot),
+        | sm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id AND a.slot = b.slot
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+        | pr AS (SELECT doc_a, doc_b, CAST(sum(hamming) AS BIGINT) AS w
+        |  FROM sm GROUP BY doc_a, doc_b HAVING count(*) >= 2),
+        | nbr AS (SELECT doc_a AS s2, doc_b AS d2 FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr),
+        | reach(id, comp) AS (
+        |   SELECT DISTINCT s2, s2 FROM nbr
+        |   UNION
+        |   SELECT n.s2, r.comp FROM nbr n JOIN reach r ON n.d2 = r.id),
+        | cmp AS (SELECT id AS doc_id, min(comp) AS cluster_id
+        |  FROM reach GROUP BY id),
+        | inc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS edge_ham_sum
+        |  FROM (SELECT doc_a AS doc_id, w FROM pr
+        |   UNION ALL SELECT doc_b, w FROM pr) GROUP BY doc_id)
+        |SELECT cluster_id, doc_id, n_members, edge_ham_sum, rep_id,
+        | CAST(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END AS INTEGER)
+        |   AS is_rep
+        |FROM (SELECT c.cluster_id, c.doc_id,
+        |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+        |    AS n_members,
+        |  i.edge_ham_sum,
+        |  first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+        |    ORDER BY i.edge_ham_sum, c.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS rep_id
+        | FROM cmp c JOIN inc i USING (doc_id))""".stripMargin,
     // FLAC: n_bytes = 42-byte header + body; every parsed field equals
     // its synthesis formula, duration an exact whole-second count
     "multimodal_decode_flac" ->
@@ -8246,20 +8384,50 @@ object SparkEntry {
         |   UNION ALL
         |   SELECT b.doc_id FROM wfp a JOIN wfp b ON a.doc_id < b.doc_id
         |    WHERE bit_count(xor(a.h, b.h)) <= 3)),
+        | vfr AS (SELECT d.doc_id, s2.slot,
+        |   CAST(s2.slot * ((4 + d.doc_id % 5) // 3) AS INTEGER)
+        |     AS frame_idx
+        |  FROM documents d, range(0, 3) s2(slot)),
+        | vpx AS (SELECT f.doc_id, f.slot, t.p,
+        |   least(((f.doc_id % 32) * 73 + t.p * 149 + f.frame_idx * 31)
+        |       % 251
+        |     + CASE WHEN t.p = f.doc_id % 64 THEN f.doc_id % 7 ELSE 0
+        |       END,
+        |     250) AS v
+        |  FROM vfr f, range(0, 64) t(p)),
+        | vsu AS (SELECT doc_id, slot, sum(v) AS sv FROM vpx
+        |  GROUP BY doc_id, slot),
+        | vab AS (SELECT vpx.doc_id, vpx.slot, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM vpx JOIN vsu USING (doc_id, slot)),
+        | vah AS (SELECT doc_id, slot,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM vab GROUP BY doc_id, slot),
+        | vpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM vah a JOIN vah b ON a.doc_id < b.doc_id AND a.slot = b.slot
+        |  WHERE bit_count(xor(a.h, b.h)) <= 3
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+        | vid AS (SELECT DISTINCT doc_id FROM (
+        |   SELECT doc_a AS doc_id FROM vpr
+        |   UNION ALL SELECT doc_b FROM vpr)),
         | fl AS (SELECT d.doc_id,
         |   CAST(CASE WHEN td.doc_id IS NOT NULL THEN 1 ELSE 0 END
         |     AS INTEGER) AS text_dup,
         |   CAST(CASE WHEN ii.doc_id IS NOT NULL THEN 1 ELSE 0 END
         |     AS INTEGER) AS image_dup,
         |   CAST(CASE WHEN ai.doc_id IS NOT NULL THEN 1 ELSE 0 END
-        |     AS INTEGER) AS audio_dup
+        |     AS INTEGER) AS audio_dup,
+        |   CAST(CASE WHEN vi.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |     AS INTEGER) AS video_dup
         |  FROM documents d
         |   LEFT JOIN tdup td ON d.doc_id = td.doc_id
         |   LEFT JOIN iid ii ON d.doc_id = ii.doc_id
-        |   LEFT JOIN aid ai ON d.doc_id = ai.doc_id)
-        |SELECT text_dup, image_dup, audio_dup,
+        |   LEFT JOIN aid ai ON d.doc_id = ai.doc_id
+        |   LEFT JOIN vid vi ON d.doc_id = vi.doc_id)
+        |SELECT text_dup, image_dup, audio_dup, video_dup,
         | CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(min(doc_id) AS BIGINT) AS example_doc
-        |FROM fl GROUP BY 1, 2, 3""".stripMargin,
+        |FROM fl GROUP BY 1, 2, 3, 4""".stripMargin,
   )
 }

@@ -638,14 +638,23 @@ object Multimodal {
     * O(log d) label flood, and the medoid/size windows partition by
     * cluster — bounded by cluster sizes, never corpus-wide. */
   def phashDupClusters(withPayload: DataFrame, maxHamming: Int = 3,
-                       maxBandDocs: Int = 2048): DataFrame = {
-    val pairs = phashDupPairs(withPayload, maxHamming, maxBandDocs)
+                       maxBandDocs: Int = 2048): DataFrame =
+    clustersFromWeightedPairs(
+      phashDupPairs(withPayload, maxHamming, maxBandDocs)
+        .withColumnRenamed("hamming", "w"))
+
+  /** Shared consolidation over a weighted pair frame (doc_a, doc_b, w):
+    * CC + medoid (min summed incident weight, ties = first ingested) —
+    * the image and video cluster ops differ only in how pairs and
+    * weights are produced. */
+  private def clustersFromWeightedPairs(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select("doc_a", "doc_b", "w")
       .localCheckpoint(eager = false)
     val comp = graft.operators.Dedup.clustersFromEdges(
       pairs.select("doc_a", "doc_b"))
-    val inc = pairs.select(col("doc_a").as("doc_id"), col("hamming"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("hamming")))
-      .groupBy("doc_id").agg(sum("hamming").as("edge_ham_sum"))
+    val inc = pairs.select(col("doc_a").as("doc_id"), col("w"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("w")))
+      .groupBy("doc_id").agg(sum("w").as("edge_ham_sum"))
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
     comp.join(inc, "doc_id")
@@ -834,6 +843,195 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ───────────────────────────────────────────────────────────────────
+  // Video content dedup — the LAST modality: MP4 containers got header
+  // walks only ([[parseMp4]] never reads `mdat`), so a re-encoded or
+  // re-containered video dupe was invisible. The honest reduction with
+  // no video codec in this container: the `mdat` carries a toy raw
+  // grayscale stream ("GRV1": magic + frame count + n×64-byte 8×8
+  // rasters — the container walk, frame geometry, and sampling are
+  // REAL; a libavcodec decode swaps one function), KEYFRAME SAMPLING
+  // picks 3 frames spread across the timeline (stride n/3 — the
+  // I-frame-sampling idiom), each sampled frame gets the proven 64-bit
+  // aHash, and a pair of videos is a duplicate when ≥`minVotes` of the
+  // 3 timeline slots match within `maxHamming` bits — per-frame votes,
+  // so one coincidentally-similar frame can't alias two videos.
+  // Sketch width is 3×8 bytes per video regardless of duration.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** One sampled-keyframe hash: `slot` is the timeline position
+    * (0/1/2), `frame_idx` the sampled frame. Invalid payloads (bad
+    * container / bad stream magic / truncated frames) carry one
+    * `valid=false` row for the dirty-row census. */
+  case class VideoFrameHash(doc_id: Long, n_frames: Int, slot: Int,
+                            frame_idx: Int, ahash: Long, valid: Boolean)
+
+  implicit val videoFrameHashEnc: Encoder[VideoFrameHash] =
+    Encoders.product[VideoFrameHash]
+
+  /** Attach a `payload` carrying a structurally-real MP4 whose `mdat`
+    * wraps a GRV1 raw grayscale stream: every box declares its true
+    * size ([[videoFpOne]] must walk ftyp→moov→mdat correctly), mvhd
+    * duration = n_frames·timescale (1 fps). Frame pixel formula (the
+    * oracle mirrors it analytically; the [[synthBmpPayload]] family):
+    *   n_frames = 4 + doc_id%5,  motif m = doc_id%32,
+    *   v(f,p) = ((m·73 + p·149 + f·31) mod 251) [+ doc_id%7 at pixel
+    *   p = doc_id%64, clamped ≤ 250]
+    * so same-motif docs share frame CONTENT up to the noise pixel, and
+    * the sampled frame INDEXES agree exactly when the docs share a
+    * stride class (n_frames÷3) — same motif + same stride class → 3
+    * matching slots (a true re-encode), same motif + different stride
+    * class → only slot 0 matches (frame 0 both) and the vote gate
+    * rejects — the dial that makes `minVotes` a real decision. */
+  def synthVideoPayload(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val nFrames = (lit(4) + id % 5).cast("int")
+    def frameHex(f: Column): Column = array_join(
+      transform(sequence(lit(0), lit(63)), p => {
+        val base = (pmod(id, lit(32)) * 73 + p * 149 + f * 31) % 251
+        val v = least(
+          base + when(p === pmod(id, lit(64)), pmod(id, lit(7)))
+            .otherwise(lit(0)),
+          lit(250))
+        lpad(hex(v), 2, "0")
+      }), "")
+    val stream = concat(encode(lit("GRV1"), "UTF-8"),
+      unhex(lpad(hex(nFrames), 2, "0")),
+      unhex(array_join(
+        transform(sequence(lit(0), nFrames - 1), frameHex(_)), "")))
+    val ftyp = bin("000000106674797069736F6D00000000")
+    val timescale = lit(600)
+    val mvhd = concat(
+      bin("0000001C6D766864"),         // size 28, 'mvhd'
+      bin("000000000000000000000000"), // version/flags, ctime, mtime
+      be4(timescale), be4(timescale * nFrames))
+    val moov = concat(bin("000000246D6F6F76"), mvhd) // size 36
+    val mdat = concat(be4(length(stream) + 8),
+      encode(lit("mdat"), "UTF-8"), stream)
+    docs.withColumn("payload", concat(ftyp, moov, mdat))
+  }
+
+  /** Parse one MP4 payload and hash its sampled keyframes. Real walk:
+    * top-level box sizes to `mdat`, GRV1 magic + frame count, stride =
+    * n_frames/3, aHash over each sampled 64-byte raster. */
+  private[graft] def videoFpOne(id: Long,
+                                b: Array[Byte]): Seq[VideoFrameHash] = {
+    def invalid = Seq(VideoFrameHash(id, 0, 0, 0, 0L, valid = false))
+    if (b.length < 16 || ascii(b, 4, 4) != "ftyp") return invalid
+    var mdatOff = -1
+    var mdatEnd = -1
+    var i = 0
+    while (i + 8 <= b.length && mdatOff < 0) {
+      val size = be(b, i, 4)
+      if (size < 8 || i + size > b.length) return invalid
+      if (ascii(b, i + 4, 4) == "mdat") { mdatOff = i + 8; mdatEnd = i + size }
+      i += size
+    }
+    if (mdatOff < 0 || mdatEnd - mdatOff < 5 ||
+      ascii(b, mdatOff, 4) != "GRV1") return invalid
+    val n = b(mdatOff + 4) & 0xff
+    if (n < 1 || mdatEnd - mdatOff - 5 < 64 * n) return invalid
+    val frames0 = mdatOff + 5
+    val stride = n / 3
+    (0 until 3).map { slot =>
+      val fi = slot * stride
+      val off = frames0 + fi * 64
+      val v = new Array[Int](64)
+      var sum = 0
+      var p = 0
+      while (p < 64) { v(p) = b(off + p) & 0xff; sum += v(p); p += 1 }
+      var ah = 0L
+      p = 0
+      while (p < 64) {
+        ah = (ah << 1) | (if (64 * v(p) > sum) 1L else 0L)
+        p += 1
+      }
+      VideoFrameHash(id, n, slot, fi, ah, valid = true)
+    }
+  }
+
+  /** Hash every payload's sampled keyframes — 3 rows per valid video
+    * (the typed form the dup join consumes). Runs inside the same
+    * mapPartitions codec boundary as [[phashOne]]/[[audioFpOne]]. */
+  def videoFingerprintRaw(withPayload: DataFrame): Dataset[VideoFrameHash] =
+    withPayload.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap(r => videoFpOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+
+  /** Report form: one row per (video, timeline slot), hash as a
+    * fixed-width hex string (engine-portable). Invalid payloads are
+    * excluded; [[decodeMeta]] owns the dirty-row census. */
+  def videoFingerprint(withPayload: DataFrame): DataFrame = {
+    import withPayload.sparkSession.implicits._
+    videoFingerprintRaw(withPayload).filter(_.valid)
+      .map(h => (h.doc_id, h.n_frames, h.slot, h.frame_idx,
+        f"${h.ahash}%016x"))
+      .toDF("doc_id", "n_frames", "slot", "frame_idx", "ahash_hex")
+  }
+
+  /** Near-duplicate VIDEO pairs: per timeline slot, the banded 4×16
+    * Hamming candidate join ([[phashDupPairs]] contract — pigeonhole-
+    * complete for hamming ≤ 3, hot-band guarded, exact popcount on
+    * candidates only), then a VOTE gate: the pair survives when
+    * ≥`minVotes` of the 3 slots match. Output: (doc_a, doc_b, n_votes,
+    * ham_sum) — ham_sum the summed hamming over matching slots, the
+    * medoid weight downstream clusters consume.
+    *
+    * Scale shape: 3×8 bytes per video regardless of duration; the join
+    * is equi on (slot, band_idx, band_val); pair volume band-bounded;
+    * the vote aggregate is candidate-sized. */
+  def videoDupPairs(withPayload: DataFrame, maxHamming: Int = 3,
+                    minVotes: Int = 2, maxBandDocs: Int = 2048)
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
+    require(minVotes >= 1 && minVotes <= 3,
+      s"3 sampled slots: minVotes must be 1..3, got $minVotes")
+    import withPayload.sparkSession.implicits._
+    val hashes = videoFingerprintRaw(withPayload).filter(_.valid)
+      .map(h => (h.doc_id, h.slot, h.ahash))
+      .toDF("doc_id", "slot", "ahash")
+    // materialized once for the census + both join sides (the
+    // phashDupPairs lesson — the box walk is per-consumer otherwise)
+    val banded = hashes.select(col("doc_id"), col("slot"), col("ahash"),
+      posexplode(array((0 to 3).map(b =>
+        shiftrightunsigned(col("ahash"), b * 16)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val")))
+      .localCheckpoint(eager = false)
+    val eligible = banded.groupBy("slot", "band_idx", "band_val")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBandDocs)
+      .select("slot", "band_idx", "band_val")
+    val side = banded.join(eligible, Seq("slot", "band_idx", "band_val"))
+    side.as("a").join(side.as("b"),
+        col("a.slot") === col("b.slot") &&
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.slot").as("slot"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct() // several agreeing bands in one slot = one candidate
+      .select(col("slot"), col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_votes"), sum("hamming").as("ham_sum"))
+      .filter(col("n_votes") >= minVotes)
+  }
+
+  /** Near-dup video CLUSTERS: the [[phashDupClusters]] consolidation
+    * (connected components + medoid representative) over the vote-gated
+    * video pair set, weighted by the summed matched-slot hamming. */
+  def videoDupClusters(withPayload: DataFrame, maxHamming: Int = 3,
+                       minVotes: Int = 2, maxBandDocs: Int = 2048)
+      : DataFrame =
+    clustersFromWeightedPairs(
+      videoDupPairs(withPayload, maxHamming, minVotes, maxBandDocs)
+        .withColumnRenamed("ham_sum", "w"))
+
   /** CROSS-MODAL duplication profile — the rollup a takedown/dedup
     * owner reads when assets carry several modalities: per combination
     * of (text exact-dup, image perceptual-dup, audio fingerprint-dup)
@@ -844,34 +1042,41 @@ object Multimodal {
     *
     * Membership: text = shares an exact content fingerprint with
     * another doc; image = incident to a confirmed [[phashDupPairs]]
-    * edge; audio = incident to a confirmed [[audioDupPairs]] edge.
+    * edge; audio = incident to a confirmed [[audioDupPairs]] edge;
+    * video = incident to a vote-gated [[videoDupPairs]] edge.
     *
-    * Scale shape: the text side is one fp-keyed aggregate; the
-    * perceptual sides are the band-bounded pair ops; all three id sets
-    * are duplicate-sized (tiny vs corpus) and broadcast into the flag
-    * joins, so the corpus is scanned once per modality and never
-    * shuffled on doc_id. Output is ≤ 8 rows. */
+    * Scale shape: the text flag is a window count over the content
+    * fingerprint — it never materializes (let alone broadcasts) the
+    * exact-dup id set, which on a real crawl corpus is a double-digit
+    * share of all docs; the perceptual sides stay band-bounded and
+    * duplicate-sized, so those flag joins broadcast safely. The corpus
+    * is shuffled once (on fp) and scanned once per perceptual modality.
+    * Output is ≤ 16 rows. */
   def modalityDupProfile(docs: DataFrame): DataFrame = {
-    val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    val dupFp = fps.groupBy("fp").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("fp")
-    val textIds = fps.join(dupFp, "fp").select("doc_id")
+    val fpWin = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val textFlag = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("text_dup",
+        (count(lit(1)).over(fpWin) > 1).cast("int"))
+      .select("doc_id", "text_dup")
     def ends(pairs: DataFrame): DataFrame =
       pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val imgIds = ends(phashDupPairs(synthBmpPayload(docs)))
     val audIds = ends(audioDupPairs(synthWavPayload(docs)))
+    val vidIds = ends(videoDupPairs(synthVideoPayload(docs)))
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(1))
-    docs.select(col("doc_id"))
-      .join(broadcast(flag(textIds, "text_dup")), Seq("doc_id"), "left")
+    textFlag
       .join(broadcast(flag(imgIds, "image_dup")), Seq("doc_id"), "left")
       .join(broadcast(flag(audIds, "audio_dup")), Seq("doc_id"), "left")
+      .join(broadcast(flag(vidIds, "video_dup")), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("text_dup"), lit(0)).as("text_dup"),
+        col("text_dup"),
         coalesce(col("image_dup"), lit(0)).as("image_dup"),
-        coalesce(col("audio_dup"), lit(0)).as("audio_dup"))
-      .groupBy("text_dup", "image_dup", "audio_dup")
+        coalesce(col("audio_dup"), lit(0)).as("audio_dup"),
+        coalesce(col("video_dup"), lit(0)).as("video_dup"))
+      .groupBy("text_dup", "image_dup", "audio_dup", "video_dup")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
   }
 }
