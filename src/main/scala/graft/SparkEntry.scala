@@ -955,6 +955,17 @@ object SparkEntry {
     // corpus_langid_confusion to see what training buys
     "doc_nb_langid" -> ((s, dir) =>
       Classify.nbLangidConfusion(t(s, dir, "documents"))),
+    // TRAINED quality gate: NB over discretized quality features
+    // (integer-bucketed token count / stopword pairs / mean token
+    // length / 2-gram repetition) against the Gopher rule-gate labels —
+    // the fastText-style learned filter curation stacks run next to the
+    // rules. Per held-out doc: predicted vs actual + the exact integer
+    // confidence margin
+    "doc_quality_classifier" -> ((s, dir) =>
+      Classify.nbQualityScores(t(s, dir, "documents"))),
+    // held-out confusion matrix of the learned gate vs the rule gate
+    "doc_quality_confusion" -> ((s, dir) =>
+      Classify.nbQualityConfusion(t(s, dir, "documents"))),
     "doc_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(t(s, dir, "documents"))),
     // composite Gopher-style gate: per-rule signals + keep verdict
@@ -2242,6 +2253,81 @@ object SparkEntry {
     * join split across the batch/corpus boundary, then an anti-join of the
     * batch against the >= 0.8 drop list. The chain is deterministic, so
     * both paths return identical rows. */
+  /** Shared CTE chain for the learned-quality-gate oracles: discretized
+    * integer feature buckets + Gopher rule-gate labels (the
+    * doc_gopher_filter CTEs verbatim) + the NB fit/serve pipeline
+    * (doc_nb_langid discipline), through the per-doc argmax `pred`. */
+  private val QualityNbSqlPrefix: String =
+    """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ')
+      |   AS words FROM documents),
+      | b AS (SELECT doc_id, n_chars,
+      |   CAST(len(words) AS BIGINT) AS n_tokens,
+      |   CAST(len(list_filter(words, x -> list_contains(
+      |     ['the','a','of','and','to','in','is'], x))) AS BIGINT)
+      |     AS stop_cnt,
+      |   CAST(CASE WHEN len(words) >= 2 THEN len(words) - 1 ELSE 0 END
+      |     AS BIGINT) AS n2,
+      |   CAST(CASE WHEN len(words) >= 2 THEN
+      |     len(list_distinct(list_transform(range(1, len(words)),
+      |       i -> concat(words[i], ' ', words[i+1])))) ELSE 0 END
+      |     AS BIGINT) AS nd2,
+      |   round((n_chars - (len(words) - 1)) / len(words), 4)
+      |     AS mean_tok_len,
+      |   CASE WHEN len(words) >= 2 THEN
+      |     round(1.0 - CAST(len(list_distinct(list_transform(
+      |       range(1, len(words)),
+      |       i -> concat(words[i], ' ', words[i+1])))) AS DOUBLE)
+      |       / (len(words) - 1), 4)
+      |    ELSE 0.0 END AS rep_2gram
+      |  FROM w),
+      | lab AS (SELECT doc_id, CAST(CASE WHEN n_tokens >= 20
+      |   AND n_tokens <= 100000 AND stop_cnt >= 2 AND rep_2gram <= 0.05
+      |   AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+      |   THEN 1 ELSE 0 END AS INTEGER) AS cls FROM b),
+      | ft AS (SELECT b.doc_id, lab.cls, unnest([
+      |    concat('nt:', CAST(least(b.n_tokens // 10, 30) AS VARCHAR)),
+      |    concat('st:', CAST(least(b.stop_cnt // 2, 20) AS VARCHAR)),
+      |    concat('ml:', CAST(CASE WHEN b.n_tokens > 0 THEN
+      |      least(((b.n_chars - (b.n_tokens - 1)) * 10) // b.n_tokens,
+      |        120) ELSE 0 END AS VARCHAR)),
+      |    concat('rp:', CAST(CASE WHEN b.n2 > 0 THEN
+      |      ((b.n2 - b.nd2) * 20) // b.n2 ELSE 0 END AS VARCHAR))])
+      |     AS word
+      |  FROM b JOIN lab USING (doc_id)),
+      | train AS (SELECT cls, word FROM ft WHERE doc_id % 5 <> 0),
+      | test AS (SELECT doc_id, cls AS actual, word FROM ft
+      |  WHERE doc_id % 5 = 0),
+      | c AS (SELECT cls, word, count(*) AS c FROM train
+      |  GROUP BY cls, word),
+      | ct AS (SELECT cls, sum(c) AS ct FROM c GROUP BY cls),
+      | vv AS (SELECT count(DISTINCT word) AS v FROM train),
+      | wt AS (SELECT c.cls AS cand, c.word,
+      |   CAST(round(ln(CAST(c.c + 1 AS DOUBLE) /
+      |     CAST(ct.ct + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS w
+      |  FROM c JOIN ct ON c.cls = ct.cls, vv),
+      | dw AS (SELECT ct.cls AS cand,
+      |   CAST(round(ln(1.0 / CAST(ct.ct + vv.v AS DOUBLE)) * 1e6)
+      |     AS BIGINT) AS dw
+      |  FROM ct, vv),
+      | dtr AS (SELECT cls AS cand, count(*) AS nd FROM lab
+      |  WHERE doc_id % 5 <> 0 GROUP BY cls),
+      | ndt AS (SELECT count(*) AS ndt FROM lab WHERE doc_id % 5 <> 0),
+      | pw AS (SELECT cand,
+      |   CAST(round(ln(CAST(nd AS DOUBLE) / ndt.ndt) * 1e6) AS BIGINT)
+      |     AS pw
+      |  FROM dtr, ndt),
+      | sc AS (SELECT t.doc_id, t.actual, dw.cand,
+      |    sum(coalesce(wt.w, dw.dw)) AS sw
+      |  FROM test t CROSS JOIN dw
+      |   LEFT JOIN wt ON wt.cand = dw.cand AND wt.word = t.word
+      |  GROUP BY t.doc_id, t.actual, dw.cand),
+      | scored AS (SELECT sc.doc_id, sc.actual, sc.cand,
+      |   sc.sw + pw.pw AS score
+      |  FROM sc JOIN pw ON sc.cand = pw.cand),
+      | pred AS (SELECT doc_id, actual, cand, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+      |  FROM scored)""".stripMargin
+
   private val NearDedupOracleSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
       |  FROM documents),
@@ -4403,6 +4489,25 @@ object SparkEntry {
         |  FROM scored)
         |SELECT actual, cand AS predicted, CAST(count(*) AS BIGINT) AS n
         |FROM pred WHERE rk = 1 GROUP BY actual, cand""".stripMargin,
+    // Learned quality gate: the same NB discipline over four integer-
+    // bucketed quality features (DIV buckets — no float boundary can
+    // disagree) against the Gopher rule-gate verdict; margin is the
+    // exact integer micro-log confidence
+    "doc_quality_classifier" ->
+      (QualityNbSqlPrefix +
+        """,
+        | mg AS (SELECT doc_id,
+        |   CAST(max(CASE WHEN cand = 1 THEN score END)
+        |     - max(CASE WHEN cand = 0 THEN score END) AS BIGINT)
+        |     AS margin
+        |  FROM scored GROUP BY doc_id)
+        |SELECT p.doc_id, p.actual, p.cand AS predicted, mg.margin
+        |FROM pred p JOIN mg USING (doc_id) WHERE p.rk = 1""".stripMargin),
+    "doc_quality_confusion" ->
+      (QualityNbSqlPrefix +
+        """
+        |SELECT actual, cand AS predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rk = 1 GROUP BY actual, cand""".stripMargin),
     "doc_quality_filter" ->
       """WITH w AS (SELECT doc_id, lang, source,
         |  string_split(text, ' ') AS words FROM documents),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,50 @@ object Classify {
       explode(filter(split(col("text"), " "), t => length(t) > 0))
         .as("word"))
 
+  private val microLog = (x: Column) => round(log(x) * 1e6).cast("long")
+
+  /** NB fit + serve over generic token relations — the core the langid
+    * and quality classifiers share. `trainTok` = (cls, word) occurrences
+    * (multiplicity kept), `testTok` = (doc_id, actual, word), `clsDocs` =
+    * (cls, nd) training DOC counts for the priors. Returns the scored
+    * frame (doc_id, actual, cand, score) — integer micro-log sums, one
+    * row per (held-out doc, candidate class); callers argmax with the
+    * (score desc, class asc) tie-break. */
+  private def nbScores(trainTok: DataFrame, testTok: DataFrame,
+                       clsDocs: DataFrame): DataFrame = {
+    val c = trainTok.groupBy("cls", "word").agg(count(lit(1)).as("c"))
+    val ct = c.groupBy("cls").agg(sum("c").as("ct"))
+    val vocab = c.select("word").distinct().agg(count(lit(1)).as("v"))
+    val denom = ct.crossJoin(vocab) // (cls, ct, v): L rows
+
+    val w = c.join(denom.select("cls", "ct", "v"), "cls")
+      .select(col("cls").as("cand"), col("word"),
+        microLog((col("c") + 1).cast("double") /
+          (col("ct") + col("v")).cast("double")).as("w"))
+    val dw = denom.select(col("cls").as("cand"),
+      microLog(lit(1.0) / (col("ct") + col("v")).cast("double")).as("dw"))
+    val pw = clsDocs.crossJoin(clsDocs.agg(sum("nd").as("ndt")))
+      .select(col("cls").as("cand"),
+        microLog(col("nd").cast("double") / col("ndt").cast("double"))
+          .as("pw"))
+
+    testTok
+      .crossJoin(broadcast(dw))
+      .join(w, Seq("cand", "word"), "left")
+      .groupBy("doc_id", "actual", "cand")
+      .agg(sum(coalesce(col("w"), col("dw"))).as("sw"))
+      .join(broadcast(pw), "cand")
+      .withColumn("score", col("sw") + col("pw"))
+  }
+
+  /** Deterministic argmax over [[nbScores]] output. */
+  private def argmax(scored: DataFrame): DataFrame = scored
+    .withColumn("rk", row_number().over(
+      Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand"))))
+    .filter(col("rk") === 1)
+    .select(col("doc_id"), col("actual"), col("cand").as("predicted"))
+
   /** Train on doc_id % 5 ≠ 0, predict lang for the held-out fifth, return
     * the labeled confusion matrix (actual, predicted, n). Deterministic
     * end-to-end: integer scores, (score desc, class asc) argmax
@@ -47,45 +91,90 @@ object Classify {
     * see ClassifySpec for the separable-vocabulary proof that the same
     * plan learns when signal exists. */
   def nbLangidConfusion(docs: DataFrame): DataFrame = {
-    val tok = tokens(docs)
+    val tok = tokens(docs).withColumnRenamed("lang", "cls")
     val train = tok.filter(col("doc_id") % 5 =!= 0)
     val test = tok.filter(col("doc_id") % 5 === 0)
-      .withColumnRenamed("lang", "actual")
-
-    val c = train.groupBy("lang", "word").agg(count(lit(1)).as("c"))
-    val ct = c.groupBy("lang").agg(sum("c").as("ct"))
-    val vocab = c.select("word").distinct().agg(count(lit(1)).as("v"))
-    val denom = ct.crossJoin(vocab) // (lang, ct, v): L rows
-
-    val microLog = (x: org.apache.spark.sql.Column) =>
-      round(log(x) * 1e6).cast("long")
-    val w = c.join(denom.select("lang", "ct", "v"), "lang")
-      .select(col("lang").as("cand"), col("word"),
-        microLog((col("c") + 1).cast("double") /
-          (col("ct") + col("v")).cast("double")).as("w"))
-    val dw = denom.select(col("lang").as("cand"),
-      microLog(lit(1.0) / (col("ct") + col("v")).cast("double")).as("dw"))
-
-    val dTrain = docs.filter(col("doc_id") % 5 =!= 0)
-    val pw = dTrain.groupBy("lang").agg(count(lit(1)).as("nd"))
-      .crossJoin(dTrain.agg(count(lit(1)).as("ndt")))
-      .select(col("lang").as("cand"),
-        microLog(col("nd").cast("double") / col("ndt").cast("double"))
-          .as("pw"))
-
-    val scored = test
-      .crossJoin(broadcast(dw))
-      .join(w, Seq("cand", "word"), "left")
-      .groupBy("doc_id", "actual", "cand")
-      .agg(sum(coalesce(col("w"), col("dw"))).as("sw"))
-      .join(broadcast(pw), "cand")
-      .withColumn("score", col("sw") + col("pw"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("cand"))))
-      .filter(col("rk") === 1)
-      .groupBy(col("actual"), col("cand").as("predicted"))
+      .withColumnRenamed("cls", "actual")
+    val clsDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nd"))
+    argmax(nbScores(train, test, clsDocs))
+      .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Per-doc DISCRETIZED quality-feature tokens + the rule-gate label —
+    * the self-supervised setup real curation stacks run: the expensive
+    * composite rule gate ([[TextAnalysis.gopherFilter]]) labels the
+    * corpus, a cheap learned filter is trained to reproduce it from
+    * coarse signals and generalizes where the rules are brittle. Each
+    * doc emits exactly four categorical feature tokens, every bucket an
+    * INTEGER computation (DIV, never float division) so both engines
+    * bucket identically:
+    *   nt: token-count decade (capped 30)  st: stopword pairs (capped 20)
+    *   ml: mean token length in tenths (capped 120)
+    *   rp: duplicated-2-gram share in 5% steps
+    * Label: the gate's keep verdict as int. One scan, pure per-row map. */
+  private def qualityFeatures(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("n_chars"),
+        TextAnalysis.tokens(col("text")).as("words"),
+        TextAnalysis.wordNgrams(col("text"), 2).as("g2"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("words")).cast("long").as("n_tokens"),
+        size(filter(col("words"),
+          w => w.isin(TextAnalysis.enStop.map(lit): _*)))
+          .cast("long").as("stop_cnt"),
+        size(col("g2")).cast("long").as("n2"),
+        size(array_distinct(col("g2"))).cast("long").as("nd2"))
+    base.select(col("doc_id"), explode(array(
+      concat(lit("nt:"),
+        least(expr("n_tokens DIV 10"), lit(30L)).cast("string")),
+      concat(lit("st:"),
+        least(expr("stop_cnt DIV 2"), lit(20L)).cast("string")),
+      concat(lit("ml:"),
+        when(col("n_tokens") > 0,
+          least(expr("((n_chars - (n_tokens - 1)) * 10) DIV n_tokens"),
+            lit(120L))).otherwise(lit(0L)).cast("string")),
+      concat(lit("rp:"),
+        when(col("n2") > 0, expr("((n2 - nd2) * 20) DIV n2"))
+          .otherwise(lit(0L)).cast("string")))).as("word"))
+  }
+
+  private def qualityLabeled(docs: DataFrame): (DataFrame, DataFrame) = {
+    val labels = TextAnalysis.gopherFilter(docs)
+      .select(col("doc_id"), col("keep").cast("int").as("cls"))
+    (qualityFeatures(docs).join(labels, "doc_id"), labels)
+  }
+
+  /** TRAINED quality gate, per-doc serving view: NB fit on 4/5 of the
+    * corpus over the discretized quality features against the rule-gate
+    * labels, served on the held-out fifth. Output per held-out doc:
+    * (doc_id, actual, predicted, margin) — margin = score(keep) −
+    * score(drop), an exact integer micro-log difference; |margin| is the
+    * confidence a curation owner thresholds when routing borderline docs
+    * to review instead of auto-gating. */
+  def nbQualityScores(docs: DataFrame): DataFrame = {
+    val (ft, labels) = qualityLabeled(docs)
+    val train = ft.filter(col("doc_id") % 5 =!= 0).select("cls", "word")
+    val test = ft.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("cls").as("actual"), col("word"))
+    val clsDocs = labels.filter(col("doc_id") % 5 =!= 0)
+      .groupBy("cls").agg(count(lit(1)).as("nd"))
+    val scored = nbScores(train, test, clsDocs)
+      .localCheckpoint(eager = false) // feeds argmax AND the margin agg
+    val margin = scored.groupBy("doc_id").agg(
+      (max(when(col("cand") === 1, col("score"))) -
+        max(when(col("cand") === 0, col("score")))).as("margin"))
+    argmax(scored).join(margin, "doc_id")
+      .select(col("doc_id"), col("actual"), col("predicted"),
+        col("margin"))
+  }
+
+  /** Held-out confusion matrix of the trained quality gate vs the rule
+    * gate — the readout that says whether the learned filter can stand
+    * in for the rules (diagonal mass) and which failure direction it
+    * leans (false-keep vs false-drop). */
+  def nbQualityConfusion(docs: DataFrame): DataFrame =
+    nbQualityScores(docs)
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n"))
 }

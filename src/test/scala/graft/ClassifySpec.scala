@@ -50,4 +50,39 @@ class ClassifySpec extends SparkTestBase {
     // with V=6 vocab, 2·ln(8/12) = −0.81 < ln(3) = 1.10 ⇒ aa wins
     assert(cm == Map(("??", "aa") -> 1L))
   }
+
+  test("nbQualityScores learns the rule gate from separable feature " +
+    "buckets: held-out predictions match, margin sign tracks the " +
+    "prediction, confusion aggregates the per-doc rows") {
+    val s = spark
+    import s.implicits._
+    // two clearly separated populations: 'good' docs are 30 DISTINCT
+    // stopword-led tokens (passes every Gopher rule incl. rep_2gram=0 →
+    // cls 1, nt/st/ml buckets far from the bad ones); 'bad' docs are 5
+    // short tokens (fails min-tokens AND stopword evidence → cls 0).
+    // Train sees both classes; the held-out fifth sees both too.
+    val goodText =
+      (Seq("the", "of", "and") ++ (1 to 27).map(i => s"word$i"))
+        .mkString(" ")
+    val good = (1 to 6).map(_ => goodText)
+    val bad = (1 to 6).map(_ => "x y z w v")
+    val rows = (good ++ bad).zipWithIndex.map { case (t, i) =>
+      (i.toLong, t.trim, "en", "srcA", t.trim.length.toLong)
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Classify.nbQualityScores(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // held-out fifth: ids 0,5 (good), 10 (bad)
+    assert(out.keySet === Set(0L, 5L, 10L))
+    assert(out(0L)._1 === 1 && out(5L)._1 === 1 && out(10L)._1 === 0)
+    out.foreach { case (id, (actual, predicted, margin)) =>
+      assert(predicted === actual, s"doc $id misclassified")
+      assert((margin > 0) === (predicted == 1),
+        s"doc $id margin sign disagrees with the argmax")
+    }
+    val cm = Classify.nbQualityConfusion(d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cm === Map((1, 1) -> 2L, (0, 0) -> 1L))
+  }
 }
