@@ -1216,6 +1216,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 100 === 0),
         chunkTokens = 64, overlap = 8, n = 3)
     }),
+    // per-stage attrition lineage of gate → dedup → decontaminate →
+    // split, each stage's verdict computed on the PREVIOUS stage's
+    // survivors — the sign-off table behind the survivor-reporting
+    // endpoints (a doc dropped by stage 2 never counts against stage 3)
+    "corpus_curation_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.curationFunnel(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0))
+    }),
     // EAGER: label propagation runs jobs at construction (see scaladoc)
     "doc_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(t(s, dir, "documents"), 0.8)),
@@ -5194,6 +5204,107 @@ object SparkEntry {
         | CAST(count(DISTINCT g.gram) AS BIGINT) AS n_contaminated_grams
         |FROM g JOIN ev USING (gram) WHERE g.doc_id % 100 <> 0
         |GROUP BY g.doc_id""".stripMargin,
+    // The funnel composes the PROVEN stage oracles (gopher gate CTEs,
+    // dedup-pipeline drop chain, decontaminate gram probe, stratified
+    // split quota), each scoped to the previous stage's survivors, then
+    // stacks the four attrition rows
+    "corpus_curation_funnel" ->
+      """WITH gd AS (SELECT doc_id, text, source, n_chars FROM documents
+        |  WHERE doc_id % 100 <> 0),
+        | w0 AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words
+        |  FROM gd),
+        | gate AS (SELECT doc_id FROM (SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(words, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS BIGINT)
+        |      AS stop_cnt,
+        |    round((n_chars - (len(words) - 1)) / len(words), 4)
+        |      AS mean_tok_len,
+        |    CASE WHEN len(words) >= 2 THEN
+        |      round(1.0 - CAST(len(list_distinct(list_transform(
+        |        range(1, len(words)),
+        |        i -> concat(words[i], ' ', words[i+1])))) AS DOUBLE)
+        |        / (len(words) - 1), 4)
+        |     ELSE 0.0 END AS rep_2gram
+        |   FROM w0)
+        |  WHERE n_tokens >= 20 AND n_tokens <= 100000 AND stop_cnt >= 2
+        |   AND rep_2gram <= 0.05 AND mean_tok_len >= 3.0
+        |   AND mean_tok_len <= 10.0),
+        | s1 AS (SELECT gd.* FROM gd JOIN gate USING (doc_id)),
+        | fp AS (SELECT doc_id, md5(text) AS fp FROM s1),
+        | exact_drop AS (SELECT a.doc_id AS drop_id FROM fp a JOIN fp b
+        |   ON a.fp = b.fp AND b.doc_id < a.doc_id),
+        | w AS (SELECT doc_id, string_split(text, ' ') AS words FROM s1),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed
+        |  FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | near_drop AS (SELECT c.doc_b AS drop_id
+        |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+        |   JOIN sets b ON b.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+        | s2 AS (SELECT s1.* FROM s1 WHERE doc_id NOT IN
+        |  (SELECT drop_id FROM exact_drop
+        |   UNION SELECT drop_id FROM near_drop)),
+        | evg AS (SELECT DISTINCT unnest(list_transform(
+        |   range(1, len(words) - 1),
+        |   i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+        |    AS gram
+        |  FROM (SELECT string_split(text, ' ') AS words FROM documents
+        |   WHERE doc_id % 100 = 0) WHERE len(words) >= 3),
+        | s2g AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1),
+        |   i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+        |    AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM s2)
+        |  WHERE len(words) >= 3),
+        | cont AS (SELECT DISTINCT s2g.doc_id FROM s2g
+        |  JOIN evg USING (gram)),
+        | s3 AS (SELECT s2.* FROM s2 WHERE doc_id NOT IN
+        |  (SELECT doc_id FROM cont)),
+        | r AS (SELECT doc_id,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |     AS rn,
+        |   count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM s3),
+        | s4 AS (SELECT doc_id FROM r WHERE rn > (n_src * 100) // 1000),
+        | c AS (SELECT (SELECT count(*) FROM gd) AS n0,
+        |   (SELECT count(*) FROM s1) AS n1,
+        |   (SELECT count(*) FROM s2) AS n2,
+        |   (SELECT count(*) FROM s3) AS n3,
+        |   (SELECT count(*) FROM s4) AS n4)
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+        | CAST(docs_in AS BIGINT) AS docs_in,
+        | CAST(docs_dropped AS BIGINT) AS docs_dropped,
+        | CAST(docs_in - docs_dropped AS BIGINT) AS docs_out, reason
+        |FROM (
+        | SELECT 1 AS stage_idx, 'quality_gate' AS stage, n0 AS docs_in,
+        |   n0 - n1 AS docs_dropped, 'gopher_rule_fail' AS reason FROM c
+        | UNION ALL SELECT 2, 'dedup', n1, n1 - n2, 'duplicate' FROM c
+        | UNION ALL SELECT 3, 'decontaminate', n2, n2 - n3,
+        |   'eval_overlap' FROM c
+        | UNION ALL SELECT 4, 'split', n3, n3 - n4, 'test_holdout'
+        |   FROM c)""".stripMargin,
     // same LSH-candidate + Jaccard edge definition as doc_dedup_pipeline,
     // then min-reachable-id per vertex via a recursive CTE — DuckDB's
     // transitive closure vs the engine's iterative label propagation

@@ -671,4 +671,63 @@ object CorpusOps {
         expr("(10000 * mod_n_moved) DIV n_docs").as("moved_share_e4"),
         lit(modTheory).as("theory_moved_e4")))
   }
+
+  /** CURATION-FUNNEL LINEAGE — the attrition table production reviews:
+    * the pipeline endpoints ([[Dedup.dedupPipeline]],
+    * [[TextAnalysis.decontaminate]], [[TextAnalysis.splitStratified]])
+    * report SURVIVORS; an owner signing off a corpus drop reads where
+    * documents went. One row per stage: (stage_idx, stage, docs_in,
+    * docs_dropped, docs_out, reason), composing quality gate → dedup →
+    * decontamination → train/test split in that order.
+    *
+    * Attribution is ORDER-EXACT: each stage's verdicts are computed ON
+    * the previous stage's survivors only, so a doc dropped by the gate
+    * never counts against dedup, and a doc whose only duplicate partner
+    * was gate-dropped is NOT a duplicate (the fixture in QualityOpsSpec
+    * pins both). The split stage's "drop" is the test holdout — docs that
+    * leave the TRAINING corpus; docs_out of stage 4 is what trains.
+    *
+    * Scale shape: each stage is the proven operator's drop/keep rule
+    * (band-bounded near-dup candidates, broadcast eval grams, windowed
+    * quotas); stage outputs are lazily localCheckpoint-ed because every
+    * stage feeds both its successor and a count — the in-engine analog of
+    * the per-stage materialization a 100 TB pipeline does anyway. Counts
+    * are 1-row aggregates crossJoin-broadcast into a 4-row stack. */
+  def curationFunnel(docs: DataFrame, evalDocs: DataFrame,
+                     jaccardThreshold: Double = 0.8, minhashK: Int = 4,
+                     rowsPerBand: Int = 2, n: Int = 3,
+                     testPermille: Int = 100): DataFrame = {
+    val base = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    val gateIds = TextAnalysis.gopherFilter(base)
+      .filter(col("keep")).select("doc_id")
+    val s1 = base.join(gateIds, "doc_id").localCheckpoint(eager = false)
+    val s2Ids = Dedup
+      .dedupPipeline(s1, jaccardThreshold, minhashK, rowsPerBand)
+      .select("doc_id")
+    val s2 = s1.join(s2Ids, "doc_id").localCheckpoint(eager = false)
+    val contIds = TextAnalysis.decontaminate(s2, evalDocs, n)
+      .select("doc_id")
+    val s3 = s2.join(contIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
+    val s4 = TextAnalysis.splitStratified(s3, testPermille)
+      .filter(col("split") === "train")
+    def cnt(df: DataFrame, alias: String) =
+      broadcast(df.agg(count(lit(1)).as(alias)))
+    base.agg(count(lit(1)).as("n0"))
+      .crossJoin(cnt(s1, "n1")).crossJoin(cnt(s2, "n2"))
+      .crossJoin(cnt(s3, "n3")).crossJoin(cnt(s4, "n4"))
+      .select(expr(
+        """stack(4,
+          |1, 'quality_gate',  n0, n0 - n1, 'gopher_rule_fail',
+          |2, 'dedup',         n1, n1 - n2, 'duplicate',
+          |3, 'decontaminate', n2, n2 - n3, 'eval_overlap',
+          |4, 'split',         n3, n3 - n4, 'test_holdout')"""
+          .stripMargin.replace("\n", " "))
+        .as(Seq("stage_idx", "stage", "docs_in", "docs_dropped",
+          "reason")))
+      .select(col("stage_idx"), col("stage"), col("docs_in"),
+        col("docs_dropped"),
+        (col("docs_in") - col("docs_dropped")).as("docs_out"),
+        col("reason"))
+  }
 }

@@ -801,6 +801,50 @@ class QualityOpsSpec extends SparkTestBase {
       df(Seq((6L, "epsilon"))), 2L))
   }
 
+  test("CorpusOps.curationFunnel: attribution is order-exact — a doc " +
+    "dropped by the gate never counts against dedup (its near-dup " +
+    "partner survives), a doc dropped by dedup never counts against " +
+    "decontamination, and the split holdout is the last stage's quota") {
+    val s = spark
+    import s.implicits._
+    def text(stop: Seq[String], words: Seq[String]) =
+      (stop ++ words).mkString(" ")
+    val aTxt = text(Seq("the", "of"), (1 to 18).map(i => f"alpha$i%02d"))
+    val cTxt = text(Seq("the", "of"), (1 to 17).map(i => f"charl$i%02d"))
+    val dTxt = cTxt + " charlie18x" // C + 1 token: 20 tokens, J=17/18
+    val eTxt = text(Seq("the", "of"), (1 to 18).map(i => f"echoo$i%02d"))
+    val uTxt = text(Seq("the", "of"), (1 to 18).map(i => f"unique$i%02d"))
+    val docs = Seq(
+      (1L, aTxt), // passes gate; exact dup of 2; eval-contaminated
+      (2L, aTxt), // exact dup → dropped at dedup (NOT at decontaminate)
+      (3L, cTxt), // 19 tokens → gate-dropped; near-dup partner of 4
+      (4L, dTxt), // passes gate; its ONLY near-dup partner (3) was
+                  // gate-dropped → survives dedup under order-exactness
+      (5L, uTxt), // clean survivor
+      (6L, eTxt)  // passes gate, unique, eval-contaminated
+    ).map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eval = Seq(
+      (100L, "alpha03 alpha04 alpha05"), // contaminates doc 1 (and 2)
+      (200L, "echoo05 echoo06 echoo07")  // contaminates doc 6
+    ).map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // preflight: the C/D pair IS a qualifying near-dup when both are
+    // present — otherwise the order-exactness claim below is vacuous
+    val bothSides = docs.filter(col("doc_id").isin(3L, 4L))
+    assert(Dedup.dedupPipeline(bothSides, 0.8).count() === 1L,
+      "fixture: 3/4 must near-dup when both survive the gate")
+    val out = CorpusOps.curationFunnel(docs, eval, testPermille = 500)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("quality_gate") === ((6L, 1L, 5L)), "only doc 3 gated")
+    assert(out("dedup") === ((5L, 1L, 4L)),
+      "only the exact dup 2 drops: doc 4's partner was already gone")
+    assert(out("decontaminate") === ((4L, 2L, 2L)),
+      "docs 1 and 6 drop; the already-dropped dup 2 is not re-counted")
+    assert(out("split") === ((2L, 1L, 1L)), "500 permille of 2 docs = 1")
+  }
+
   test("MergeableState: the just-superseded version survives one commit " +
     "(a reader that resolved CURRENT pre-commit can finish its read) and " +
     "is reaped on the NEXT commit — the dir never holds more than two") {
