@@ -1053,6 +1053,12 @@ object SparkEntry {
     // tenth — the probe must equal the full build and the inline op
     "doc_winnow_pairs_appended" -> ((s, dir) =>
       TextAnalysis.winnowPairsIndexed(s, winnowAppendedTable(s, dir))),
+    // one-row serving-layer audit of the persisted winnow index: bucket
+    // geometry, fp census, above-guard boilerplate mass, and the
+    // probe-vs-inline pair-count parity sample (the bloomAudit treatment)
+    "corpus_winnow_index_audit" -> ((s, dir) =>
+      TextAnalysis.winnowIndexAudit(s, winnowIndexedTable(s, dir),
+        buckets = 8)),
     // DSIR-style importance weights: hashed-unigram log-ratio of the
     // lang='en' target slice vs the raw corpus, micro-integer summed
     "doc_dsir_weights" -> ((s, dir) =>
@@ -6789,6 +6795,45 @@ object SparkEntry {
     // index-correctness gate (the Bm25OracleSql discipline)
     "doc_winnow_pairs_indexed" -> WinnowPairsOracleSql,
     "doc_winnow_pairs_appended" -> WinnowPairsOracleSql,
+    // the persisted-index audit recomputed analytically: the pairs-oracle
+    // selection CTEs, then the fp census, guard mass, and the same
+    // pair-count the inline/indexed probes are pinned to
+    "corpus_winnow_index_audit" ->
+      """WITH d AS (SELECT doc_id, text,
+        |   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+        |  FROM documents),
+        | g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gidx,
+        |   md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM d),
+        | wm AS (SELECT doc_id, gidx,
+        |   min(h) OVER (PARTITION BY doc_id ORDER BY gidx
+        |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |   count(*) OVER (PARTITION BY doc_id) AS m FROM g),
+        | sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
+        |  WHERE gidx <= greatest(m - 4, 0)),
+        | byfp AS (SELECT fp, count(*) AS n_docs_fp FROM sel
+        |  GROUP BY fp),
+        | fps AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_fp,
+        |   CAST(max(n_docs_fp) AS BIGINT) AS max_fp_docs,
+        |   CAST(sum(CASE WHEN n_docs_fp > 10 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_hot_fp,
+        |   CAST(sum(CASE WHEN n_docs_fp > 10 THEN n_docs_fp ELSE 0 END)
+        |     AS BIGINT) AS hot_rows
+        |  FROM byfp),
+        | vol AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sel),
+        | eligible AS (SELECT fp FROM byfp WHERE n_docs_fp <= 10),
+        | s AS (SELECT sel.doc_id, sel.fp FROM sel
+        |  JOIN eligible USING (fp)),
+        | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        | np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_probe FROM pr)
+        |SELECT CAST(8 AS INTEGER) AS n_buckets, vol.n_docs, vol.n_rows,
+        | fps.n_distinct_fp, fps.max_fp_docs, fps.n_hot_fp,
+        | CAST((10000 * fps.hot_rows) // vol.n_rows AS BIGINT)
+        |   AS hot_row_share_e4,
+        | np.n_pairs_probe
+        |FROM vol, fps, np""".stripMargin,
     // incremental near-dedup: the doc_ngram_jaccard_lsh chain with the
     // candidate join split across the batch/corpus boundary, then an
     // anti-join of the batch against the >= 0.8 drop list. Shared with the

@@ -2143,6 +2143,45 @@ object TextAnalysis {
                          maxFpDocs: Int = 10): DataFrame =
     winnowPairsOn(spark.table(table), minShared, maxFpDocs)
 
+  /** One-row AUDIT of the persisted winnow index — the portability
+    * treatment the bloom export got ([[Dedup.bloomAudit]]): geometry
+    * (bucket count), volume (docs, selected rows, distinct
+    * fingerprints), the hot-fingerprint census the `maxFpDocs` guard
+    * acts on (max bucket, count and row share of above-guard
+    * fingerprints — the boilerplate mass pair probes will EXCLUDE), and
+    * a probe-vs-inline parity sample: the pair count served off the
+    * index under the same dials, which the shared-oracle discipline
+    * pins to the inline op's answer. Every column integer-exact.
+    *
+    * Scale shape: two aggregates over the bucket-co-located index (the
+    * fp census reads buckets with no exchange), the pairing core over
+    * the same layout, three 1-row frames crossJoin-broadcast. */
+  def winnowIndexAudit(spark: org.apache.spark.sql.SparkSession,
+                       table: String, minShared: Int = 3,
+                       maxFpDocs: Int = 10, buckets: Int = 32)
+      : DataFrame = {
+    val sel = spark.table(table)
+    val byFp = sel.groupBy("fp").agg(count(lit(1)).as("n_docs_fp"))
+      .localCheckpoint(eager = false) // feeds all four census aggregates
+    val fpStats = byFp.agg(
+      count(lit(1)).as("n_distinct_fp"),
+      max(col("n_docs_fp")).as("max_fp_docs"),
+      sum(when(col("n_docs_fp") > maxFpDocs, 1L).otherwise(0L))
+        .as("n_hot_fp"),
+      sum(when(col("n_docs_fp") > maxFpDocs, col("n_docs_fp"))
+        .otherwise(0L)).as("hot_rows"))
+    val volume = sel.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    val pairs = winnowPairsOn(sel, minShared, maxFpDocs)
+      .agg(count(lit(1)).as("n_pairs_probe"))
+    volume.crossJoin(broadcast(fpStats)).crossJoin(broadcast(pairs))
+      .select(lit(buckets).as("n_buckets"), col("n_docs"),
+        col("n_rows"), col("n_distinct_fp"), col("max_fp_docs"),
+        col("n_hot_fp"),
+        expr("(10000 * hot_rows) DIV n_rows").as("hot_row_share_e4"),
+        col("n_pairs_probe"))
+  }
+
   def winnowing(docs: DataFrame, gram: Int = 8, window: Int = 4)
       : DataFrame = {
     val stats = winnowingSelected(docs, gram, window)
