@@ -55,14 +55,17 @@ object ScaleBench {
     * scaladoc), and past `maxCellVecs` the hot-cell guard excludes cells
     * wholesale, so a fixed-config ratio would measure either the quadratic
     * workload or the guard's refusal — both already spec-documented.
-    * `multimodal_modality_profile` is absent for the same reason in image
-    * space: the synthetic BMP universe has a FIXED 32 motif classes, so
-    * class size grows ∝ corpus/32 and within-class perceptual pairs grow
-    * ×f² until maxBandDocs refuses the buckets outright (measured on an
-    * r13 probe run: ×10 warm 48 s — the quadratic regime just under the
-    * guard — then ×100 warm 17 s as the guard excludes the saturated
-    * buckets; the engine-side band bounding it rides is already priced by
-    * the phash/simhash cells). */
+    * `multimodal_modality_profile` RE-ENTERED in r14 (verdict item 2):
+    * the synthetic BMP universe has a FIXED 32 motif classes, so class
+    * size grows ∝ corpus/32 — under the old doc-level banding,
+    * within-class perceptual pairs grew ×f² until maxBandDocs refused
+    * the buckets outright (r13 probe: ×10 warm 48 s in the quadratic
+    * regime, ×100 warm 17 s as the guard dropped the pairs — a recall
+    * cliff). The profile now computes incidence VALUE-side
+    * (distinct-sketch banding + per-value doc counts, no doc-pair frame
+    * — Multimodal.sketchDupIncidence/videoDupIncidence), so this cell
+    * watches the duplicate-heaviest universe in the suite stay at the
+    * codec scan's linear floor. */
   private val ScaleQueries =
     Seq("doc_lsh_pairs", "doc_dedup_pipeline", "emb_knn_lsh",
       "emb_knn_ivf_indexed", "doc_rolling_fp", "doc_repetition",
@@ -159,7 +162,10 @@ object ScaleBench {
       // near-zero shuffle growth (the summary never grows with the
       // corpus)
       "corpus_manifest", "corpus_jsonl_quarantine",
-      "corpus_token_heavy_mg")
+      "corpus_token_heavy_mg",
+      // r14: the cross-modal dup profile, re-admitted after the
+      // value-side incidence rewrite (see the exclusion history above)
+      "multimodal_modality_profile")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the

@@ -607,16 +607,19 @@ object Multimodal {
     * within hamming ≤3 must agree on ≥1 whole band (pigeonhole), so the
     * band-bucket equi-join finds ALL qualifying pairs — completeness
     * guaranteed, never an all-pairs scan — and the exact popcount filter
-    * then drops band-collision false positives. `maxBandDocs` is the
-    * hot-bucket guard (the LSH block-size dial): a band value shared by
-    * more docs than this is boilerplate evidence and is excluded before
-    * the self-join bounds its O(n²) contribution.
+    * then drops band-collision false positives. Since r14 the banding
+    * runs over DISTINCT HASH VALUES (see [[nearValuePairs]]): identical
+    * sketches pair through an exact equi-join that no guard can refuse,
+    * and `maxBandDocs` bounds distinct VALUES per band (boilerplate
+    * structure), so a duplicate-heavy corpus can neither saturate a
+    * bucket nor lose pairs to the guard.
     *
     * Scale shape: hash = 8 bytes/image regardless of media size; the
-    * join is equi on (band_idx, band_val), shuffle-partitioned; pair
-    * volume is bounded by bucket sizes. The 100 TB form of "dedup the
-    * images" — constant-width sketches, banded candidates, exact check
-    * on candidates only. */
+    * banded join is equi on (band_idx, band_val) over distinct values;
+    * candidate volume is bounded by distinct-value bucket sizes,
+    * independent of copy counts. The 100 TB form of "dedup the images"
+    * — constant-width sketches, banded candidates, exact check on
+    * candidates only. */
   /** Near-dup media CLUSTERS + representative pick — what a production
     * takedown/dedup job ACTS on: [[phashDupPairs]] emits evidence, this
     * partitions it. Connected components over the confirmed ≤maxHamming
@@ -667,37 +670,108 @@ object Multimodal {
         (col("doc_id") === col("rep_id")).as("is_rep"))
   }
 
+  // ───────────────────────────────────────────────────────────────────
+  // Value-level banding (r13 verdict item 2). The doc-level 4×16 band
+  // join has a failure mode on LOW-DIVERSITY universes: f copies of one
+  // motif all land in the same band bucket, so bucket size grows with
+  // the corpus until `maxBandDocs` refuses the bucket outright — a
+  // silent recall cliff exactly where duplication is worst (measured on
+  // the fixed-32-motif synthetic universe: ×10 warm 48 s in the
+  // quadratic regime, then ×100 17 s as the guard drops the pairs).
+  // The fix is to band DISTINCT SKETCH VALUES, not docs: f identical
+  // copies collapse to ONE band entry, so duplicate mass cannot
+  // saturate a bucket at all — the guard now bounds distinct VALUES per
+  // band (a band value shared by thousands of DIFFERENT sketches is
+  // boilerplate structure, the only thing the guard was ever for) — and
+  // identical-sketch pairs never enter the banded join: they are an
+  // exact equi-join on the full value. Candidate volume becomes
+  // O(distinct-value pairs), independent of how many docs hold each
+  // value.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Near-match VALUE pairs: distinct 64-bit sketch values within
+    * 1..`maxHamming` bits of each other (hamming-0 is the caller's
+    * exact equi-join), banded 4×16 per `grpCols` group (pigeonhole-
+    * complete for ≤3). Input must carry `v` (long) plus `grpCols`;
+    * output: grpCols ++ (va, vb, hamming) with va < vb (plain long
+    * order — any consistent order works for the consumers). */
+  private[graft] def nearValuePairs(values: DataFrame,
+                                    grpCols: Seq[String],
+                                    maxHamming: Int,
+                                    maxBandVals: Int): DataFrame = {
+    val g = grpCols.map(col)
+    // distinct values feed the census AND both join sides: materialize
+    // once (the codec-boundary lesson — upstream is a payload parse)
+    val banded = values.select(g :+ col("v"): _*).distinct()
+      .select(g ++ Seq(col("v"),
+        posexplode(array((0 to 3).map(b =>
+          shiftrightunsigned(col("v"), b * 16)
+            .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val"))): _*)
+      .localCheckpoint(eager = false)
+    val bandKey = grpCols ++ Seq("band_idx", "band_val")
+    val eligible = banded.groupBy(bandKey.map(col): _*)
+      .agg(count(lit(1)).as("n_vals"))
+      .filter(col("n_vals") <= maxBandVals)
+      .select(bandKey.map(col): _*)
+    val side = banded.join(eligible, bandKey)
+    side.as("a").join(side.as("b"),
+        bandKey.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a.v") < col("b.v"))
+      .select(grpCols.map(k => col(s"a.$k")) ++
+        Seq(col("a.v").as("va"), col("b.v").as("vb")): _*)
+      .distinct() // values agreeing on several bands are one candidate
+      .withColumn("hamming",
+        bit_count(col("va").bitwiseXOR(col("vb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Expand value pairs back to doc pairs: hamming-0 from the exact
+    * self-join on the sketch value, 1..maxHamming through the value
+    * pairs. `docs` must carry (doc_id, h) plus `grpCols`. Output:
+    * grpCols ++ (doc_a, doc_b, hamming), doc_a < doc_b. The doc-pair
+    * set is the TRUE duplicate relation — quadratic within a class of
+    * genuine copies because the answer is — but the JOIN machinery is
+    * value-bounded throughout. */
+  private def sketchDocPairs(docs: DataFrame, grpCols: Seq[String],
+                             maxHamming: Int, maxBandVals: Int)
+      : DataFrame = {
+    val g = grpCols.map(col)
+    val exact = docs.as("a").join(docs.as("b"),
+        (grpCols :+ "h").map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
+      .select(grpCols.map(k => col(s"a.$k")) ++
+        Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lit(0L).as("hamming")): _*)
+    val vp = nearValuePairs(
+      docs.select(g :+ col("h").as("v"): _*), grpCols,
+      maxHamming, maxBandVals)
+    val near = vp
+      .join(docs.select(g ++ Seq(col("h").as("va"),
+        col("doc_id").as("ia")): _*), grpCols :+ "va")
+      .join(docs.select(g ++ Seq(col("h").as("vb"),
+        col("doc_id").as("ib")): _*), grpCols :+ "vb")
+      .select(g ++ Seq(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"),
+        col("hamming")): _*)
+    exact.unionByName(near)
+  }
+
+  /** (doc_id, h) image sketch frame, materialized once — the codec
+    * boundary runs once however many consumers read it. */
+  private def perceptualHashBase(withPayload: DataFrame): DataFrame = {
+    import withPayload.sparkSession.implicits._
+    perceptualHashRaw(withPayload).filter(_.valid)
+      .map(h => (h.doc_id, h.ahash)).toDF("doc_id", "h")
+      .localCheckpoint(eager = false)
+  }
+
   def phashDupPairs(withPayload: DataFrame, maxHamming: Int = 3,
                     maxBandDocs: Int = 2048): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
-    import withPayload.sparkSession.implicits._
-    val hashes = perceptualHashRaw(withPayload).filter(_.valid)
-      .map(h => (h.doc_id, h.ahash)).toDF("doc_id", "ahash")
-    // banded feeds the hot-band census AND both self-join sides:
-    // materialize once or the payload synth + byte parse runs per
-    // consumer (the winnowPairs lesson at the codec boundary)
-    val banded = hashes.select(col("doc_id"), col("ahash"),
-      posexplode(array((0 to 3).map(b =>
-        shiftrightunsigned(col("ahash"), b * 16)
-          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val")))
-      .localCheckpoint(eager = false)
-    val eligible = banded.groupBy("band_idx", "band_val")
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") <= maxBandDocs)
-      .select("band_idx", "band_val")
-    val side = banded.join(eligible, Seq("band_idx", "band_val"))
-    side.as("a").join(side.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
-      .distinct() // a pair agreeing on several bands is one candidate
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    sketchDocPairs(perceptualHashBase(withPayload), Nil,
+        maxHamming, maxBandDocs)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   // ───────────────────────────────────────────────────────────────────
@@ -808,39 +882,25 @@ object Multimodal {
 
   /** Near-duplicate AUDIO pairs: fingerprints within `maxHamming` bits,
     * banded 4×16 over the 63-bit fp (the top band carries 15 live bits)
-    * — pigeonhole-complete for hamming ≤ 3, hot-band guarded, exact
-    * popcount on candidates only (the [[phashDupPairs]] contract at
-    * audio width). */
+    * — pigeonhole-complete for hamming ≤ 3, distinct-value banded
+    * (guard bounds band VALUES, identical fps pair via the exact
+    * equi-join — the [[phashDupPairs]] r14 contract at audio width). */
   def audioDupPairs(withPayload: DataFrame, maxHamming: Int = 3,
                     maxBandDocs: Int = 2048): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
+    sketchDocPairs(audioFingerprintBase(withPayload), Nil,
+        maxHamming, maxBandDocs)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** (doc_id, h) audio fingerprint frame, materialized once — the WAV
+    * chunk walk is per-consumer otherwise. */
+  private def audioFingerprintBase(withPayload: DataFrame): DataFrame = {
     import withPayload.sparkSession.implicits._
-    val fps = audioFingerprintRaw(withPayload).filter(_.valid)
-      .map(a => (a.doc_id, a.fp)).toDF("doc_id", "fp")
-    // materialized once for the census + both join sides (see
-    // phashDupPairs) — the WAV chunk walk is per-consumer otherwise
-    val banded = fps.select(col("doc_id"), col("fp"),
-      posexplode(array((0 to 3).map(b =>
-        shiftrightunsigned(col("fp"), b * 16)
-          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val")))
+    audioFingerprintRaw(withPayload).filter(_.valid)
+      .map(a => (a.doc_id, a.fp)).toDF("doc_id", "h")
       .localCheckpoint(eager = false)
-    val eligible = banded.groupBy("band_idx", "band_val")
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") <= maxBandDocs)
-      .select("band_idx", "band_val")
-    val side = banded.join(eligible, Seq("band_idx", "band_val"))
-    side.as("a").join(side.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.fp").as("ha"), col("b.fp").as("hb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
   }
 
   // ───────────────────────────────────────────────────────────────────
@@ -988,38 +1048,22 @@ object Multimodal {
       s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
     require(minVotes >= 1 && minVotes <= 3,
       s"3 sampled slots: minVotes must be 1..3, got $minVotes")
-    import withPayload.sparkSession.implicits._
-    val hashes = videoFingerprintRaw(withPayload).filter(_.valid)
-      .map(h => (h.doc_id, h.slot, h.ahash))
-      .toDF("doc_id", "slot", "ahash")
-    // materialized once for the census + both join sides (the
-    // phashDupPairs lesson — the box walk is per-consumer otherwise)
-    val banded = hashes.select(col("doc_id"), col("slot"), col("ahash"),
-      posexplode(array((0 to 3).map(b =>
-        shiftrightunsigned(col("ahash"), b * 16)
-          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val")))
-      .localCheckpoint(eager = false)
-    val eligible = banded.groupBy("slot", "band_idx", "band_val")
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") <= maxBandDocs)
-      .select("slot", "band_idx", "band_val")
-    val side = banded.join(eligible, Seq("slot", "band_idx", "band_val"))
-    side.as("a").join(side.as("b"),
-        col("a.slot") === col("b.slot") &&
-          col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.slot").as("slot"),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
-      .distinct() // several agreeing bands in one slot = one candidate
-      .select(col("slot"), col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    sketchDocPairs(videoFingerprintBase(withPayload), Seq("slot"),
+        maxHamming, maxBandDocs)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_votes"), sum("hamming").as("ham_sum"))
       .filter(col("n_votes") >= minVotes)
+  }
+
+  /** (doc_id, slot, h) sampled-keyframe hash frame, materialized once
+    * (the phashDupPairs lesson — the box walk is per-consumer
+    * otherwise). */
+  private def videoFingerprintBase(withPayload: DataFrame): DataFrame = {
+    import withPayload.sparkSession.implicits._
+    videoFingerprintRaw(withPayload).filter(_.valid)
+      .map(h => (h.doc_id, h.slot, h.ahash))
+      .toDF("doc_id", "slot", "h")
+      .localCheckpoint(eager = false)
   }
 
   /** Near-dup video CLUSTERS: the [[phashDupClusters]] consolidation
@@ -1031,6 +1075,77 @@ object Multimodal {
     clustersFromWeightedPairs(
       videoDupPairs(withPayload, maxHamming, minVotes, maxBandDocs)
         .withColumnRenamed("ham_sum", "w"))
+
+  /** Per-doc dup INCIDENCE without pair enumeration — the r13 verdict
+    * item 2 scale shape for [[modalityDupProfile]]: a doc is incident
+    * to a ≤maxHamming edge iff the TOTAL number of docs holding its
+    * sketch value or a near value is ≥ 2 (own value's count included —
+    * a second holder of the same value is a hamming-0 partner).
+    * Computed entirely value-side: per-value doc counts + the
+    * [[nearValuePairs]] graph, so a million-copy motif costs one count
+    * row where the pair frame would cost ~10^12 rows. Expects one row
+    * per doc_id; returns the incident doc_ids. */
+  private def sketchDupIncidence(docs: DataFrame, maxHamming: Int = 3,
+                                 maxBandVals: Int = 2048): DataFrame = {
+    val counts = docs.groupBy("h").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val vp = nearValuePairs(counts.select(col("h").as("v")), Nil,
+      maxHamming, maxBandVals)
+    val sym = vp.select(col("va").as("v"), col("vb").as("v2"))
+      .unionByName(vp.select(col("vb").as("v"), col("va").as("v2")))
+    val nbr = sym.join(counts.select(col("h").as("v2"), col("n")), "v2")
+      .groupBy("v").agg(sum("n").as("n_nbr"))
+    val incident = counts
+      .join(nbr.withColumnRenamed("v", "h"), Seq("h"), "left")
+      .filter(col("n") + coalesce(col("n_nbr"), lit(0L)) >= 2)
+      .select("h")
+    docs.join(incident, "h").select("doc_id")
+  }
+
+  /** Vote-gated VIDEO dup incidence without doc pairs. With 3 sampled
+    * slots and the profile's minVotes=2 gate, a qualifying partner
+    * must match on BOTH slots of at least one slot PAIR (pigeonhole:
+    * 2 matches over 3 slots always cover one of the 3 pairs). Per slot
+    * pair (s,t): group docs into (h_s, h_t) combos with counts; a
+    * combo is incident iff the summed doc count over all MATCHING
+    * combos (per-slot value within maxHamming OR equal; own combo
+    * always self-matches) is ≥ 2. Work is combos × per-slot
+    * neighbor-degree², never doc-pair-sized — row-identical to
+    * "incident to a [[videoDupPairs]] (minVotes=2) edge" by the
+    * pigeonhole argument, spec-pinned. */
+  private def videoDupIncidence(hashes: DataFrame,
+                                maxHamming: Int = 3,
+                                maxBandVals: Int = 2048): DataFrame = {
+    val tri = hashes.groupBy("doc_id")
+      .pivot("slot", Seq(0, 1, 2)).agg(first("h"))
+      .toDF("doc_id", "h0", "h1", "h2")
+      .localCheckpoint(eager = false)
+    def matchMap(sCol: String): DataFrame = {
+      val vals = tri.select(col(sCol).as("v")).where(col("v").isNotNull)
+        .distinct()
+      val vp = nearValuePairs(vals, Nil, maxHamming, maxBandVals)
+      vp.select(col("va").as("v"), col("vb").as("v2"))
+        .unionByName(vp.select(col("vb").as("v"), col("va").as("v2")))
+        .unionByName(vals.select(col("v"), col("v").as("v2")))
+    }
+    val slotPairs = Seq(("h0", "h1"), ("h0", "h2"), ("h1", "h2"))
+    slotPairs.map { case (s, t) =>
+      val combos = tri.groupBy(s, t).agg(count(lit(1)).as("n"))
+        .withColumnRenamed(s, "vs").withColumnRenamed(t, "vt")
+        .localCheckpoint(eager = false)
+      val ms = matchMap(s).toDF("vs", "vs2")
+      val mt = matchMap(t).toDF("vt", "vt2")
+      val incident = combos.join(ms, "vs").join(mt, "vt")
+        .join(combos.select(col("vs").as("vs2"), col("vt").as("vt2"),
+          col("n").as("n2")), Seq("vs2", "vt2"))
+        .groupBy("vs", "vt").agg(sum("n2").as("n_matched"))
+        .filter(col("n_matched") >= 2)
+        .select("vs", "vt")
+      tri.join(incident,
+          tri(s) === incident("vs") && tri(t) === incident("vt"))
+        .select("doc_id")
+    }.reduce(_ unionByName _).distinct()
+  }
 
   /** CROSS-MODAL duplication profile — the rollup a takedown/dedup
     * owner reads when assets carry several modalities: per combination
@@ -1045,13 +1160,17 @@ object Multimodal {
     * edge; audio = incident to a confirmed [[audioDupPairs]] edge;
     * video = incident to a vote-gated [[videoDupPairs]] edge.
     *
-    * Scale shape: the text flag is a window count over the content
-    * fingerprint — it never materializes (let alone broadcasts) the
-    * exact-dup id set, which on a real crawl corpus is a double-digit
-    * share of all docs; the perceptual sides stay band-bounded and
-    * duplicate-sized, so those flag joins broadcast safely. The corpus
-    * is shuffled once (on fp) and scanned once per perceptual modality.
-    * Output is ≤ 16 rows. */
+    * Scale shape (r14 — the item that re-entered the scale bench): the
+    * text flag is a window count over the content fingerprint; the
+    * perceptual flags come from [[sketchDupIncidence]] /
+    * [[videoDupIncidence]] — value-side counting, NEVER a doc-pair
+    * frame, so a duplicate-heavy corpus (where incidence is a
+    * double-digit share of all docs — the regime that previously grew
+    * ×f² and then hit the band guard's recall cliff) costs one count
+    * row per distinct sketch. No flag set is broadcast-hinted: on dup-
+    * heavy universes every one of them can be corpus-share-sized; AQE
+    * picks the strategy. The corpus is shuffled once (on fp) and
+    * scanned once per perceptual modality. Output is ≤ 32 rows. */
   def modalityDupProfile(docs: DataFrame): DataFrame = {
     val fpWin = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val textFlag = docs
@@ -1059,18 +1178,18 @@ object Multimodal {
       .withColumn("text_dup",
         (count(lit(1)).over(fpWin) > 1).cast("int"))
       .select("doc_id", "text_dup")
-    def ends(pairs: DataFrame): DataFrame =
-      pairs.select(col("doc_a").as("doc_id"))
-        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val imgIds = ends(phashDupPairs(synthBmpPayload(docs)))
-    val audIds = ends(audioDupPairs(synthWavPayload(docs)))
-    val vidIds = ends(videoDupPairs(synthVideoPayload(docs)))
+    val imgIds = sketchDupIncidence(
+      perceptualHashBase(synthBmpPayload(docs)))
+    val audIds = sketchDupIncidence(
+      audioFingerprintBase(synthWavPayload(docs)))
+    val vidIds = videoDupIncidence(
+      videoFingerprintBase(synthVideoPayload(docs)))
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(1))
     textFlag
-      .join(broadcast(flag(imgIds, "image_dup")), Seq("doc_id"), "left")
-      .join(broadcast(flag(audIds, "audio_dup")), Seq("doc_id"), "left")
-      .join(broadcast(flag(vidIds, "video_dup")), Seq("doc_id"), "left")
+      .join(flag(imgIds, "image_dup"), Seq("doc_id"), "left")
+      .join(flag(audIds, "audio_dup"), Seq("doc_id"), "left")
+      .join(flag(vidIds, "video_dup"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("text_dup"),
         coalesce(col("image_dup"), lit(0)).as("image_dup"),

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Multimodal
+
+/** r13 verdict item 2 — the low-diversity-universe banding fix.
+  *
+  * The doc-level 4×16 band join saturated on duplicate-heavy universes:
+  * f copies of one motif fill one bucket until `maxBandDocs` refuses it
+  * outright — a silent recall cliff exactly where duplication is worst.
+  * The r14 formulation bands DISTINCT SKETCH VALUES (identical sketches
+  * pair through an exact equi-join no guard touches), so these tests pin:
+  *
+  *  1. NO RECALL CLIFF: a duplicate class far larger than the band guard
+  *     still yields its full hamming-0 pair set, and the op remains
+  *     brute-force-equal overall under a guard the OLD formulation would
+  *     have tripped (class size 40 vs guard 4).
+  *  2. INCIDENCE ≡ PAIRS: `modalityDupProfile`'s value-side incidence
+  *     (per-value counting, no doc-pair frame) is row-identical to the
+  *     cell profile derived from the pair operators themselves —
+  *     including the vote-gated video modality, whose pair-free form
+  *     rests on the 2-of-3-slots pigeonhole decomposition.
+  */
+class MultimodalValueBandSpec extends SparkTestBase {
+
+  test("phashDupPairs: a 40-copy identical class pairs completely under " +
+    "maxBandDocs=4 (the old doc-level guard would refuse the bucket), " +
+    "and the output equals brute-force popcount pairs") {
+    val s = spark
+    import s.implicits._
+    // 448 = lcm(32, 64, 7): congruent ids share motif, noise pixel and
+    // noise magnitude — byte-identical BMP payloads, identical aHash.
+    val dupClass = (0 until 40).map(i => 448L * i)
+    val others = Seq(1L, 2L, 3L, 5L, 17L, 33L, 65L) // assorted motifs
+    val docs = (dupClass ++ others).map(d => (d, "unused"))
+      .toDF("doc_id", "text")
+    val payload = Multimodal.synthBmpPayload(docs)
+    val got = Multimodal.phashDupPairs(payload, maxBandDocs = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the identical class alone contributes C(40,2) hamming-0 pairs
+    val classPairs = for {
+      a <- dupClass; b <- dupClass if a < b
+    } yield (a, b)
+    classPairs.foreach { p =>
+      assert(got.get(p).contains(0L), s"identical-class pair $p lost")
+    }
+    // full brute-force equality over the collected hashes
+    val hashes = Multimodal.perceptualHash(payload)
+      .select("doc_id", "ahash_hex").collect()
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(
+        r.getString(1), 16)).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(got === brute,
+      "distinct-value banding must equal brute force under a tiny guard")
+  }
+
+  test("modalityDupProfile: value-side incidence cells equal the cells " +
+    "derived from the pair operators (text window, phash/audio ends, " +
+    "vote-gated video ends) on a motif-rich 300-doc universe") {
+    val s = spark
+    import s.implicits._
+    // 300 sequential ids: ~9-10 docs per BMP motif class with noise
+    // variants (exact AND near pairs in every modality); every 3rd doc
+    // shares one of two texts so text/audio dup cells populate too.
+    // Texts are >=128 bytes so the WAV side stays audio-valid.
+    val sharedA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val sharedB = (1 to 40).map(i => s"gram$i").mkString(" ")
+    def textFor(i: Long): String =
+      if (i % 3 == 0) { if (i % 2 == 0) sharedA else sharedB }
+      else (0 until 40).map(j => "a" * (1 + ((i + j * 7) % 11).toInt))
+        .mkString(" ")
+    val docs = (0L until 300L).map(i => (i, textFor(i)))
+      .toDF("doc_id", "text")
+    def ends(pairs: DataFrame): Set[Long] =
+      pairs.select("doc_a").as[Long].collect().toSet ++
+        pairs.select("doc_b").as[Long].collect().toSet
+    val img = ends(Multimodal.phashDupPairs(Multimodal.synthBmpPayload(docs)))
+    val aud = ends(Multimodal.audioDupPairs(Multimodal.synthWavPayload(docs)))
+    val vid = ends(Multimodal.videoDupPairs(Multimodal.synthVideoPayload(docs)))
+    assert(img.nonEmpty && aud.nonEmpty && vid.nonEmpty,
+      "fixture must exercise every modality")
+    val textDupIds = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(_.map(_._1)).toSet
+    val expected = (0L until 300L).map { d =>
+      (if (textDupIds(d)) 1 else 0, if (img(d)) 1 else 0,
+        if (aud(d)) 1 else 0, if (vid(d)) 1 else 0) -> d
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.size.toLong, v.map(_._2).min))
+    }
+    val got = Multimodal.modalityDupProfile(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected,
+      "pair-free incidence must be row-identical to pair-derived cells")
+  }
+}
