@@ -188,7 +188,14 @@ object Bench {
           (math.max(elapsed, FailurePenaltySec), Some(msg))
       }
     }
+    // Iteration aid (r14): SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run
+    // to the named queries — for settling one query's timing on an idle
+    // host without paying the full suite. The driver never sets it; a
+    // filtered artifact is self-identifying ("only" field + n_queries).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -266,7 +273,9 @@ object Bench {
           s""","failure_penalty_sec":$FailurePenaltySec,"sf":${jsonStr(sfDir)}""" +
           s""","load_avg":$loadAvg,"cpu_idle":$cpuIdleFrac""" +
           s""","n_cpus":${Runtime.getRuntime.availableProcessors}""" +
-          s""","n_retried":${retried.size}"""
+          s""","n_retried":${retried.size}""" +
+          only.map(o => s""","only":${jsonStr(o.toSeq.sorted.mkString(","))}""")
+            .getOrElse("")
       // Per-query per-trial wall times (full artifact only): the r12
       // verdict item 8 — warm_min/warm_max alone can't separate a
       // co-tenancy spike on one pass from a genuine regression.

@@ -164,8 +164,11 @@ object ScaleBench {
       "corpus_manifest", "corpus_jsonl_quarantine",
       "corpus_token_heavy_mg",
       // r14: the cross-modal dup profile, re-admitted after the
-      // value-side incidence rewrite (see the exclusion history above)
-      "multimodal_modality_profile")
+      // value-side incidence rewrite (see the exclusion history above);
+      // and HTML extraction — synth + 9 regex passes + round-trip
+      // compare in one codegen'd map, expected the regex scan's linear
+      // floor (the doc_pii_detect cell's big sibling)
+      "multimodal_modality_profile", "doc_html_extract")
   private val Factors = Seq(1, 10, 100)
   private val WarmTrials = 3
   /** Trials for the index-maintenance cells (median; 2 would report the

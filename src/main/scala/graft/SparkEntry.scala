@@ -966,6 +966,25 @@ object SparkEntry {
     // held-out confusion matrix of the learned gate vs the rule gate
     "doc_quality_confusion" -> ((s, dir) =>
       Classify.nbQualityConfusion(t(s, dir, "documents"))),
+    // margin-calibration curve of the learned gate: held-out docs
+    // bucketed by whole-log-unit margin, empirical keep rate per bucket
+    // — is the margin a usable routing confidence or theater?
+    "doc_quality_calibration" -> ((s, dir) =>
+      Classify.nbQualityCalibration(t(s, dir, "documents"))),
+    // HTML main-content extraction: structurally-real synthetic page
+    // (title/script/style head, nav+footer chrome, linkified <main>),
+    // RE2-safe regex extraction, graded by byte-exact round trip
+    "doc_html_extract" -> ((s, dir) =>
+      WebExtract.htmlExtract(t(s, dir, "documents"))),
+    // per-source publish gate: recovery rate, boilerplate chars saved
+    // by main-selection vs naive stripping, link/tag census
+    "corpus_html_extract_report" -> ((s, dir) =>
+      WebExtract.htmlExtractReport(t(s, dir, "documents"))),
+    // margin-based bitext mining (LASER/CCMatrix ratio criterion):
+    // best cross-side partner per even-id vector, hub-corrected by the
+    // k-NN-mean denominator; integer micro-cos, one rounded division
+    "emb_bitext_margin" -> ((s, dir) =>
+      Similarity.bitextMarginMine(t(s, dir, "embeddings"))),
     "doc_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(t(s, dir, "documents"))),
     // composite Gopher-style gate: per-rule signals + keep verdict
@@ -2273,6 +2292,56 @@ object SparkEntry {
     * integer feature buckets + Gopher rule-gate labels (the
     * doc_gopher_filter CTEs verbatim) + the NB fit/serve pipeline
     * (doc_nb_langid discipline), through the per-doc argmax `pred`. */
+  /** Shared CTE chain for the HTML-extraction oracles: rebuild the
+    * synthetic page byte-for-byte (same literals and linkify rule as
+    * WebExtract.synthHtml), run the SAME RE2 patterns DuckDB-side
+    * (regexp_replace needs the explicit 'g' flag — DuckDB replaces
+    * first-match by default where Spark replaces all), and emit the
+    * per-doc report both queries read. */
+  private val HtmlExtractSqlPrefix: String =
+    """WITH w AS (SELECT doc_id, source, text,
+      |   string_split(text, ' ') AS words FROM documents),
+      | page AS (SELECT doc_id, source, text,
+      |   '<html><head><title>doc ' || doc_id ||
+      |   '</title><script>var t=1;</script>' ||
+      |   '<style>.m{color:#000}</style></head>' ||
+      |   '<body><nav>home about contact login</nav><main>' ||
+      |   array_to_string(list_transform(range(1, len(words) + 1), i ->
+      |     CASE WHEN (i - 1) % 7 = 0
+      |       THEN '<a href="/d/' || doc_id || '/' || i || '">' ||
+      |         words[i] || '</a>'
+      |       ELSE words[i] END), ' ') ||
+      |   '</main><footer>(c) corpus mirror - terms - privacy' ||
+      |   '</footer></body></html>' AS html
+      |  FROM w),
+      | st AS (SELECT doc_id, source, html,
+      |   trim(regexp_replace(regexp_replace(regexp_replace(
+      |     regexp_replace(
+      |       regexp_extract(html, '(?s)<main>(.*)</main>', 1),
+      |       '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |     '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS main_text,
+      |   trim(regexp_replace(regexp_replace(regexp_replace(
+      |     regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ',
+      |       'g'),
+      |     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |     '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS full_text,
+      |   trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_text
+      |  FROM page),
+      | perdoc AS (SELECT doc_id, source,
+      |   CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT)
+      |     AS n_tags,
+      |   CAST(len(regexp_extract_all(html, '<a [^>]*>')) AS BIGINT)
+      |     AS n_links,
+      |   CAST(length(html) AS BIGINT) AS n_chars_html,
+      |   CAST(length(main_text) AS BIGINT) AS n_chars_main,
+      |   CAST(length(full_text) AS BIGINT) AS full_text_len,
+      |   round(CAST(length(main_text) AS DOUBLE) / length(html), 4)
+      |     AS density,
+      |   CAST(CASE WHEN main_text = norm_text THEN 1 ELSE 0 END
+      |     AS INTEGER) AS recovered
+      |  FROM st)""".stripMargin
+
   private val QualityNbSqlPrefix: String =
     """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ')
       |   AS words FROM documents),
@@ -4524,6 +4593,43 @@ object SparkEntry {
         """
         |SELECT actual, cand AS predicted, CAST(count(*) AS BIGINT) AS n
         |FROM pred WHERE rk = 1 GROUP BY actual, cand""".stripMargin),
+    // margin-calibration curve: whole-log-unit buckets (floor of an
+    // exact double division of the integer micro-log margin — both
+    // engines floor identically), empirical vs predicted keep rate
+    "doc_quality_calibration" ->
+      (QualityNbSqlPrefix +
+        """,
+        | mg AS (SELECT doc_id, actual,
+        |   CAST(max(CASE WHEN cand = 1 THEN score END)
+        |     - max(CASE WHEN cand = 0 THEN score END) AS BIGINT)
+        |     AS margin
+        |  FROM scored GROUP BY doc_id, actual),
+        | p1 AS (SELECT doc_id, cand AS predicted FROM pred
+        |  WHERE rk = 1),
+        | bk AS (SELECT least(greatest(
+        |     CAST(floor(mg.margin / 1000000.0) AS BIGINT), -10), 10)
+        |     AS bucket, mg.actual, p1.predicted
+        |  FROM mg JOIN p1 USING (doc_id))
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(actual) AS BIGINT) AS n_keep_actual,
+        |  CAST(sum(predicted) AS BIGINT) AS n_pred_keep,
+        |  round(avg(CAST(actual AS DOUBLE)), 4) AS keep_rate
+        |FROM bk GROUP BY bucket""".stripMargin),
+    "doc_html_extract" -> (HtmlExtractSqlPrefix +
+      """
+      |SELECT doc_id, source, n_tags, n_links, n_chars_html,
+      |  n_chars_main, full_text_len, density, recovered
+      |FROM perdoc""".stripMargin),
+    "corpus_html_extract_report" -> (HtmlExtractSqlPrefix +
+      """
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(recovered) AS BIGINT) AS n_recovered,
+      |  CAST(sum(n_tags) AS BIGINT) AS n_tags,
+      |  CAST(sum(n_links) AS BIGINT) AS n_links,
+      |  round(avg(density), 4) AS avg_density,
+      |  CAST(sum(full_text_len - n_chars_main) AS BIGINT)
+      |    AS boilerplate_chars
+      |FROM perdoc GROUP BY source""".stripMargin),
     "doc_quality_filter" ->
       """WITH w AS (SELECT doc_id, lang, source,
         |  string_split(text, ' ') AS words FROM documents),
@@ -7049,6 +7155,45 @@ object SparkEntry {
         |  embedding::DOUBLE[], x -> x * x), 'sum')), 4) AS l2
         |FROM embeddings""".stripMargin,
     "emb_knn_brute" -> BruteKnnOracleSql,
+    // margin-based bitext mining: integer micro-cos before ranking and
+    // the k-sums (exact in both engines), ONE double division rounded
+    // 4dp, argmax on the rounded margin — the emb_knn determinism
+    // contract extended to the LASER ratio criterion
+    "emb_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        | a AS (SELECT vec_id AS a_id, v AS av FROM e
+        |  WHERE vec_id % 2 = 0),
+        | b AS (SELECT vec_id AS b_id, v AS bv FROM e
+        |  WHERE vec_id % 2 = 1),
+        | s AS (SELECT a_id, b_id, CAST(round(
+        |   list_aggregate(list_transform(range(1, len(av) + 1),
+        |     i -> av[i] * bv[i]), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(range(1, len(av) + 1),
+        |     i -> av[i] * av[i]), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(range(1, len(bv) + 1),
+        |     i -> bv[i] * bv[i]), 'sum'))) * 1e6) AS BIGINT) AS s
+        |  FROM a, b),
+        | ra AS (SELECT a_id, b_id, s, row_number() OVER (
+        |    PARTITION BY a_id ORDER BY s DESC, b_id) AS r FROM s),
+        | rb AS (SELECT a_id, b_id, s, row_number() OVER (
+        |    PARTITION BY b_id ORDER BY s DESC, a_id) AS r FROM s),
+        | sa AS (SELECT a_id, CAST(sum(s) AS BIGINT) AS sum_a,
+        |   CAST(count(*) AS BIGINT) AS cnt_a
+        |  FROM ra WHERE r <= 4 GROUP BY a_id),
+        | sb AS (SELECT b_id, CAST(sum(s) AS BIGINT) AS sum_b,
+        |   CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM rb WHERE r <= 4 GROUP BY b_id),
+        | m AS (SELECT s.a_id, s.b_id, s.s, round(
+        |     s.s * 2.0 * sa.cnt_a * sb.cnt_b /
+        |       (sa.sum_a * sb.cnt_b + sb.sum_b * sa.cnt_a), 4)
+        |     AS margin
+        |  FROM s JOIN sa USING (a_id) JOIN sb USING (b_id)
+        |  WHERE sa.sum_a * sb.cnt_b + sb.sum_b * sa.cnt_a > 0)
+        |SELECT a_id, b_id, s AS cos_micro, margin
+        |FROM (SELECT m.*, row_number() OVER (
+        |   PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn FROM m) t
+        |WHERE rn = 1""".stripMargin,
     // the heap-aggregate form must return EXACTLY what the window form
     // returns — same oracle, byte for byte
     "emb_knn_brute_heap" -> BruteKnnOracleSql,

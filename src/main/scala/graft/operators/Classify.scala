@@ -177,4 +177,31 @@ object Classify {
     nbQualityScores(docs)
       .groupBy("actual", "predicted")
       .agg(count(lit(1)).as("n"))
+
+  /** CALIBRATION curve of the trained quality gate — the audit that
+    * decides whether [[nbQualityScores]]' margin is USABLE as a routing
+    * confidence (auto-gate the extremes, human-review the middle), not
+    * just an argmax: held-out docs bucketed by margin in whole
+    * natural-log units (micro-log DIV 1e6 via floor of an exact double
+    * division — both engines floor identically; clamped to ±10), and
+    * per bucket the empirical keep rate vs the predicted one. A
+    * well-calibrated gate shows keep_rate rising monotonically through
+    * 0; a flat curve says the margin carries no information and
+    * thresholding it is theater. Everything except the final 4dp rate
+    * is exact integer arithmetic.
+    *
+    * Scale shape: the [[nbQualityScores]] plan (two training
+    * aggregates + one vocab-keyed scoring join) and then one ≤21-row
+    * aggregate — nothing new crosses an exchange. */
+  def nbQualityCalibration(docs: DataFrame): DataFrame =
+    nbQualityScores(docs)
+      .withColumn("bucket",
+        least(greatest(floor(col("margin").cast("double") / 1e6)
+          .cast("long"), lit(-10L)), lit(10L)))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("actual").cast("long")).as("n_keep_actual"),
+        sum(col("predicted").cast("long")).as("n_pred_keep"),
+        round(avg(col("actual").cast("double")), 4).as("keep_rate"))
 }

@@ -549,6 +549,72 @@ object Similarity {
     pos.join(neg, "q_id")
   }
 
+  /** Margin-based BITEXT MINING (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * arXiv:1811.01136 — the LASER/CCMatrix criterion): for every vector
+    * on side A (even vec_id — the deterministic stand-in for "source
+    * language"; the driver corpus carries no real language split), the
+    * best side-B partner by the RATIO margin
+    *
+    *   margin(x,y) = cos(x,y) / (½·(avgᵏ_B(x) + avgᵏ_A(y)))
+    *
+    * — raw cosine divided by the mean of each side's k nearest cross-
+    * side cosines, which kills the "hub" vectors that are everyone's
+    * nearest neighbor (raw-cosine mining's dominant failure).
+    *
+    * Numeric discipline: cosines become integer micro-cos (round×1e6 →
+    * BIGINT, the NB micro-log precedent) BEFORE ranking and summing, so
+    * top-k selection (ties on partner id) and the k-sums are exact
+    * integer work in both engines; the margin is ONE double division of
+    * exact integers, rounded 4dp, and the final argmax ranks on the
+    * ROUNDED margin (ties on b_id) — deterministic end-to-end.
+    * Output: (a_id, b_id, cos_micro, margin), one row per A vector that
+    * has ≥1 positive-denominator candidate (a side with no positive
+    * neighborhood mines nothing — the honest behavior).
+    *
+    * Scale shape: the A×B scoring here is the brute candidate generator
+    * (query side at test SF); at 100 TB the candidates come from
+    * [[knnLsh]]/[[knnIvfIndexed]] buckets exactly like
+    * [[hardNegativesLsh]] swaps [[hardNegatives]]'s scorer — the margin
+    * statistics are per-key aggregates over the candidate frame and the
+    * final argmax is a per-a_id window over candidates only; nothing in
+    * the margin math itself is corpus-quadratic. */
+  def bitextMarginMine(emb: DataFrame, k: Int = 4): DataFrame = {
+    def side(par: Int, id: String, v: String, n: String): DataFrame =
+      emb.filter(col("vec_id") % 2 === par)
+        .select(col("vec_id").as(id), col("embedding").as(v),
+          l2(col("embedding")).as(n))
+    // scored feeds BOTH direction-wise top-k stats and the margin join
+    val scored = side(0, "a_id", "av", "an")
+      .crossJoin(side(1, "b_id", "bv", "bn"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")) * 1e6)
+          .cast("long").as("s"))
+      .localCheckpoint(eager = false)
+    def kStats(key: String, other: String): DataFrame =
+      scored.withColumn("r", row_number().over(
+          Window.partitionBy(key).orderBy(col("s").desc, col(other))))
+        .filter(col("r") <= k)
+        .groupBy(key).agg(sum("s").as(s"sum_$key"),
+          count(lit(1)).as(s"cnt_$key"))
+    val m = scored
+      .join(kStats("a_id", "b_id"), "a_id")
+      .join(kStats("b_id", "a_id"), "b_id")
+      .withColumn("denom",
+        col("sum_a_id") * col("cnt_b_id") +
+          col("sum_b_id") * col("cnt_a_id"))
+      .filter(col("denom") > 0)
+      .withColumn("margin", round(
+        col("s") * 2.0 * col("cnt_a_id") * col("cnt_b_id") /
+          col("denom"), 4))
+    m.withColumn("rn", row_number().over(
+        Window.partitionBy("a_id")
+          .orderBy(col("margin").desc, col("b_id"))))
+      .filter(col("rn") === 1)
+      .select(col("a_id"), col("b_id"), col("s").as("cos_micro"),
+        col("margin"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: distinct (a < b) pairs sharing
     * ANY band's sign-bucket (banded multi-probe, same tables as [[knnLsh]])
     * with cosine above `threshold`. */

@@ -84,5 +84,28 @@ class ClassifySpec extends SparkTestBase {
     val cm = Classify.nbQualityConfusion(d).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(cm === Map((1, 1) -> 2L, (0, 0) -> 1L))
+
+    // calibration curve over the same held-out set: buckets partition
+    // the docs, counters reconcile with the per-doc rows, the rate is
+    // the exact bucket mean, and on this separable fixture the keep
+    // docs sit in strictly higher margin buckets than the drop doc
+    val cal = Classify.nbQualityCalibration(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(cal.values.map(_._1).sum === 3L, "buckets partition held-out")
+    assert(cal.values.map(_._2).sum === 2L, "actual keeps reconcile")
+    assert(cal.values.map(_._3).sum === 2L, "predicted keeps reconcile")
+    cal.foreach { case (b, (n, keep, _, rate)) =>
+      assert(b >= -10L && b <= 10L)
+      assert(rate ===
+        BigDecimal(keep.toDouble / n).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"bucket $b rate must be the exact mean")
+    }
+    val keepBuckets = cal.filter(_._2._2 > 0).keys
+    val dropBuckets = cal.filter { case (_, (n, k, _, _)) => k < n }.keys
+    assert(keepBuckets.min > dropBuckets.max,
+      "separable fixture: keep buckets sit above drop buckets")
   }
 }
