@@ -985,6 +985,14 @@ object SparkEntry {
     // k-NN-mean denominator; integer micro-cos, one rounded division
     "emb_bitext_margin" -> ((s, dir) =>
       Similarity.bitextMarginMine(t(s, dir, "embeddings"))),
+    // the LSH-candidates scale form (the hard_negatives_lsh swap):
+    // pairs and margin denominators over bucket-sharing candidates only
+    "emb_bitext_margin_lsh" -> ((s, dir) =>
+      Similarity.bitextMarginMineLsh(t(s, dir, "embeddings"))),
+    // mining precision vs the embeddings' ground-truth class labels +
+    // mean mined margin split by correctness
+    "emb_bitext_eval" -> ((s, dir) =>
+      Similarity.bitextMarginEval(t(s, dir, "embeddings"))),
     "doc_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(t(s, dir, "documents"))),
     // composite Gopher-style gate: per-rule signals + keep verdict
@@ -2790,6 +2798,83 @@ object SparkEntry {
   /** Shared by `emb_knn_brute` (window top-k) and `emb_knn_brute_heap`
     * (native TypedImperativeAggregate top-k): the two formulations differ
     * only in physical plan, so they are held to the same oracle. */
+  /** Candidate head for the brute bitext oracle: every cross-side pair
+    * scored as integer micro-cos. Ends defining s(a_id, b_id, s). */
+  private val BitextBruteHead: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      | a AS (SELECT vec_id AS a_id, v AS av FROM e
+      |  WHERE vec_id % 2 = 0),
+      | b AS (SELECT vec_id AS b_id, v AS bv FROM e
+      |  WHERE vec_id % 2 = 1),
+      | s AS (SELECT a_id, b_id, CAST(round(
+      |   list_aggregate(list_transform(range(1, len(av) + 1),
+      |     i -> av[i] * bv[i]), 'sum') /
+      |   (sqrt(list_aggregate(list_transform(range(1, len(av) + 1),
+      |     i -> av[i] * av[i]), 'sum')) *
+      |    sqrt(list_aggregate(list_transform(range(1, len(bv) + 1),
+      |     i -> bv[i] * bv[i]), 'sum'))) * 1e6) AS BIGINT) AS s
+      |  FROM a, b)""".stripMargin
+
+  /** Candidate head for the LSH bitext oracle: only bucket-sharing
+    * cross-side pairs (the emb_hard_negatives_lsh band/bucket CTE —
+    * 4 bands × 8 sign bits at stride 16). */
+  private val BitextLshHead: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      | bb AS (SELECT vec_id, v, band,
+      |   list_aggregate(list_transform(range(0, 8), j ->
+      |     CASE WHEN v[band * 16 + j + 1] >= 0
+      |       THEN 1 << j ELSE 0 END), 'sum') AS bucket
+      |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+      | a AS (SELECT vec_id AS a_id, v AS av, band, bucket FROM bb
+      |  WHERE vec_id % 2 = 0),
+      | b AS (SELECT vec_id AS b_id, v AS bv, band, bucket FROM bb
+      |  WHERE vec_id % 2 = 1),
+      | s AS (SELECT DISTINCT a_id, b_id, CAST(round(
+      |   list_aggregate(list_transform(range(1, len(av) + 1),
+      |     i -> av[i] * bv[i]), 'sum') /
+      |   (sqrt(list_aggregate(list_transform(range(1, len(av) + 1),
+      |     i -> av[i] * av[i]), 'sum')) *
+      |    sqrt(list_aggregate(list_transform(range(1, len(bv) + 1),
+      |     i -> bv[i] * bv[i]), 'sum'))) * 1e6) AS BIGINT) AS s
+      |  FROM a JOIN b ON a.band = b.band AND a.bucket = b.bucket)"""
+      .stripMargin
+
+  /** The shared margin-selection suffix over a candidate head ending in
+    * s(a_id, b_id, s) — mirrors Similarity.bitextMarginOn. With
+    * `asCte` the mined set becomes a CTE named `mined` for further
+    * composition instead of the terminal SELECT. */
+  private def BitextMinedSql(head: String, asCte: Boolean = false)
+      : String = {
+    val chain =
+      """,
+        | ra AS (SELECT a_id, b_id, s, row_number() OVER (
+        |    PARTITION BY a_id ORDER BY s DESC, b_id) AS r FROM s),
+        | rb AS (SELECT a_id, b_id, s, row_number() OVER (
+        |    PARTITION BY b_id ORDER BY s DESC, a_id) AS r FROM s),
+        | sa AS (SELECT a_id, CAST(sum(s) AS BIGINT) AS sum_a,
+        |   CAST(count(*) AS BIGINT) AS cnt_a
+        |  FROM ra WHERE r <= 4 GROUP BY a_id),
+        | sb AS (SELECT b_id, CAST(sum(s) AS BIGINT) AS sum_b,
+        |   CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM rb WHERE r <= 4 GROUP BY b_id),
+        | m AS (SELECT s.a_id, s.b_id, s.s, round(
+        |     s.s * 2.0 * sa.cnt_a * sb.cnt_b /
+        |       (sa.sum_a * sb.cnt_b + sb.sum_b * sa.cnt_a), 4)
+        |     AS margin
+        |  FROM s JOIN sa USING (a_id) JOIN sb USING (b_id)
+        |  WHERE sa.sum_a * sb.cnt_b + sb.sum_b * sa.cnt_a > 0)"""
+        .stripMargin
+    val sel =
+      """SELECT a_id, b_id, s AS cos_micro, margin
+        |FROM (SELECT m.*, row_number() OVER (
+        |   PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn FROM m) t
+        |WHERE rn = 1""".stripMargin
+    if (asCte) head + chain + ",\n mined AS (" + sel + ")"
+    else head + chain + "\n" + sel
+  }
+
   private val BruteKnnOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
@@ -7159,41 +7244,30 @@ object SparkEntry {
     // the k-sums (exact in both engines), ONE double division rounded
     // 4dp, argmax on the rounded margin — the emb_knn determinism
     // contract extended to the LASER ratio criterion
-    "emb_bitext_margin" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        | a AS (SELECT vec_id AS a_id, v AS av FROM e
-        |  WHERE vec_id % 2 = 0),
-        | b AS (SELECT vec_id AS b_id, v AS bv FROM e
-        |  WHERE vec_id % 2 = 1),
-        | s AS (SELECT a_id, b_id, CAST(round(
-        |   list_aggregate(list_transform(range(1, len(av) + 1),
-        |     i -> av[i] * bv[i]), 'sum') /
-        |   (sqrt(list_aggregate(list_transform(range(1, len(av) + 1),
-        |     i -> av[i] * av[i]), 'sum')) *
-        |    sqrt(list_aggregate(list_transform(range(1, len(bv) + 1),
-        |     i -> bv[i] * bv[i]), 'sum'))) * 1e6) AS BIGINT) AS s
-        |  FROM a, b),
-        | ra AS (SELECT a_id, b_id, s, row_number() OVER (
-        |    PARTITION BY a_id ORDER BY s DESC, b_id) AS r FROM s),
-        | rb AS (SELECT a_id, b_id, s, row_number() OVER (
-        |    PARTITION BY b_id ORDER BY s DESC, a_id) AS r FROM s),
-        | sa AS (SELECT a_id, CAST(sum(s) AS BIGINT) AS sum_a,
-        |   CAST(count(*) AS BIGINT) AS cnt_a
-        |  FROM ra WHERE r <= 4 GROUP BY a_id),
-        | sb AS (SELECT b_id, CAST(sum(s) AS BIGINT) AS sum_b,
-        |   CAST(count(*) AS BIGINT) AS cnt_b
-        |  FROM rb WHERE r <= 4 GROUP BY b_id),
-        | m AS (SELECT s.a_id, s.b_id, s.s, round(
-        |     s.s * 2.0 * sa.cnt_a * sb.cnt_b /
-        |       (sa.sum_a * sb.cnt_b + sb.sum_b * sa.cnt_a), 4)
-        |     AS margin
-        |  FROM s JOIN sa USING (a_id) JOIN sb USING (b_id)
-        |  WHERE sa.sum_a * sb.cnt_b + sb.sum_b * sa.cnt_a > 0)
-        |SELECT a_id, b_id, s AS cos_micro, margin
-        |FROM (SELECT m.*, row_number() OVER (
-        |   PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn FROM m) t
-        |WHERE rn = 1""".stripMargin,
+    "emb_bitext_margin" -> BitextMinedSql(BitextBruteHead),
+    // the LSH-candidate scale form: pairs AND the margin's k-NN-mean
+    // denominators both computed over the bucket-sharing candidate set
+    "emb_bitext_margin_lsh" -> BitextMinedSql(BitextLshHead),
+    // mining precision against the corpus's own class labels + mean
+    // mined margin split by correctness (margins as exact 1e4 micros)
+    "emb_bitext_eval" ->
+      (BitextMinedSql(BitextBruteHead, asCte = true) +
+        """,
+        | ev AS (SELECT mined.*,
+        |   CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS ok,
+        |   CAST(round(margin * 1e4) AS BIGINT) AS me4
+        |  FROM mined
+        |   JOIN embeddings la ON la.vec_id = mined.a_id
+        |   JOIN embeddings lb ON lb.vec_id = mined.b_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_mined,
+        |  CAST(sum(ok) AS BIGINT) AS n_label_match,
+        |  round(CAST(sum(ok) AS DOUBLE) / count(*), 4)
+        |    AS label_precision,
+        |  round(CAST(sum(CASE WHEN ok = 1 THEN me4 END) AS DOUBLE) /
+        |    (sum(ok) * 1e4), 4) AS mean_margin_match,
+        |  round(CAST(sum(CASE WHEN ok = 0 THEN me4 END) AS DOUBLE) /
+        |    ((count(*) - sum(ok)) * 1e4), 4) AS mean_margin_mismatch
+        |FROM ev""".stripMargin),
     // the heap-aggregate form must return EXACTLY what the window form
     // returns — same oracle, byte for byte
     "emb_knn_brute_heap" -> BruteKnnOracleSql,

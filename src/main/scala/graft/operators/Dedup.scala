@@ -1027,32 +1027,47 @@ object Dedup {
     * distance exact. The completeness guarantee is spec-gated: a pair
     * at distance exactly `maxHamming` ≤ bands−1 is always found.
     *
-    * Scale shape: the banded explode is ×4, the self-join is equi on
-    * (band, key) with hot-byte bucket sizes bounding the pair blowup
-    * (the LSH-band contract), distinct() dedupes multi-band agreement,
-    * and the Hamming test is integer bit math in whole-stage codegen. */
+    * Scale shape (r14 — the Multimodal distinct-value-banding fix
+    * applied at text width, and doubly needed here: the band universe
+    * is 8-bit, so a mere 256 DISTINCT byte values saturate a band —
+    * doc-level buckets on a dup-heavy corpus went quadratic in copy
+    * count): identical fingerprints pair through an exact equi-join on
+    * the full 32-bit value; the ×4 banded explode and the (band, key)
+    * self-join run over DISTINCT fingerprint VALUES only, so candidate
+    * volume is bounded by distinct-value bucket sizes, independent of
+    * how many docs share each fingerprint; doc pairs are rebuilt by two
+    * value-keyed joins; the Hamming test is integer bit math in
+    * whole-stage codegen. Output unchanged (the same oracle row). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band completeness holds for maxHamming <= 3")
-    val fps = simhash(docs)
-    val banded = fps.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(0xff)
-            .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    // feeds the exact self-join sides, the value universe and the two
+    // doc-rebuild joins: materialize the token-vote aggregate once
+    val fps = simhash(docs).localCheckpoint(eager = false)
+    val exact = fps.as("a").join(fps.as("b"),
+        col("a.simhash") === col("b.simhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
-      .distinct()
-      .withColumn("hamming",
-        expr("bit_count(fp_a ^ fp_b)").cast("long"))
+        lit(0L).as("hamming"))
+    val banded = fps.select(col("simhash").as("v")).distinct()
+      .select(col("v"), posexplode(array((0 until 4).map(b =>
+        shiftright(col("v"), b * 8).bitwiseAND(0xff)): _*))
+        .as(Seq("band", "key")))
+    val vp = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.v") < col("b.v"))
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct() // values agreeing on several bands are one candidate
+      .withColumn("hamming", expr("bit_count(va ^ vb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val near = vp
+      .join(fps.select(col("simhash").as("va"),
+        col("doc_id").as("ia")), "va")
+      .join(fps.select(col("simhash").as("vb"),
+        col("doc_id").as("ib")), "vb")
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
+    exact.unionByName(near)
   }
 
   /** Cross-split contamination audit: near-duplicate pairs whose members

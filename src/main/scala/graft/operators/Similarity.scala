@@ -584,13 +584,45 @@ object Similarity {
       emb.filter(col("vec_id") % 2 === par)
         .select(col("vec_id").as(id), col("embedding").as(v),
           l2(col("embedding")).as(n))
-    // scored feeds BOTH direction-wise top-k stats and the margin join
     val scored = side(0, "a_id", "av", "an")
       .crossJoin(side(1, "b_id", "bv", "bn"))
       .select(col("a_id"), col("b_id"),
         round(dot(col("av"), col("bv")) / (col("an") * col("bn")) * 1e6)
           .cast("long").as("s"))
-      .localCheckpoint(eager = false)
+    bitextMarginOn(scored, k)
+  }
+
+  /** [[bitextMarginMine]] with the scorer swapped for the banded
+    * sign-LSH candidate chain — the production form of the brute
+    * miner's own scale claim, exactly as [[hardNegativesLsh]] swaps
+    * [[hardNegatives]]'s scorer: only bucket-sharing cross-side pairs
+    * are scored, and BOTH the mined pair and the margin's k-NN-mean
+    * denominators are computed over that candidate set (degraded
+    * statistics are the honest LSH tradeoff — a hub absent from the
+    * candidate frame can't be demoted by it, and a side with no
+    * candidates mines nothing). */
+  def bitextMarginMineLsh(emb: DataFrame, k: Int = 4, bits: Int = 8,
+                          nBands: Int = 4, stride: Int = 16): DataFrame = {
+    val banded = bandedBuckets(emb, lshBandDims(nBands, bits, stride))
+    def side(par: Int, id: String, v: String, n: String): DataFrame =
+      banded.filter(col("vec_id") % 2 === par)
+        .select(col("vec_id").as(id), col("embedding").as(v),
+          col("nrm").as(n), col("band"), col("bucket"))
+    val scored = side(0, "a_id", "av", "an")
+      .join(side(1, "b_id", "bv", "bn"), Seq("band", "bucket"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")) * 1e6)
+          .cast("long").as("s"))
+      .distinct() // several shared bands = one candidate
+    bitextMarginOn(scored, k)
+  }
+
+  /** The shared margin selection over a scored (a_id, b_id, s) cross
+    * frame — integer micro-cos in, (a_id, b_id, cos_micro, margin)
+    * argmax out; see [[bitextMarginMine]] for the numeric contract. */
+  private def bitextMarginOn(scoredRaw: DataFrame, k: Int): DataFrame = {
+    // scored feeds BOTH direction-wise top-k stats and the margin join
+    val scored = scoredRaw.localCheckpoint(eager = false)
     def kStats(key: String, other: String): DataFrame =
       scored.withColumn("r", row_number().over(
           Window.partitionBy(key).orderBy(col("s").desc, col(other))))
@@ -613,6 +645,48 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("a_id"), col("b_id"), col("s").as("cos_micro"),
         col("margin"))
+  }
+
+  /** Mining-quality evaluation against the corpus's own class labels —
+    * the accuracy readout the ANN recall queries give search and the
+    * confusion matrices give the classifiers, applied to the miner: a
+    * mined (a, b) pair COUNTS as correct when both vectors carry the
+    * same `label` (the embeddings table's ground-truth class). One row:
+    * pairs mined, label matches, precision, and mean mined margin split
+    * by correctness — a healthy miner shows matched pairs carrying the
+    * higher mean margin, i.e. the margin ORDERS truth (margins summed
+    * as exact 1e4-micro integers, one division each, 4dp).
+    *
+    * Honest readout on the driver's synthetic corpus: the 10 labels
+    * are near-uniform and carry NO geometric signal, so mining
+    * precision reads 0.084 ≈ the 0.1 chance floor and the margin split
+    * is flat — exactly the audit a mining run needs BEFORE its pairs
+    * feed training (the nbLangidConfusion unlearnability precedent);
+    * the spec proves the separable direction with label-aligned
+    * partners mining at precision 1. */
+  def bitextMarginEval(emb: DataFrame, k: Int = 4): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label"))
+    val mined = bitextMarginMine(emb, k)
+      .join(lab.select(col("vec_id").as("a_id"),
+        col("label").as("label_a")), "a_id")
+      .join(lab.select(col("vec_id").as("b_id"),
+        col("label").as("label_b")), "b_id")
+      .withColumn("ok",
+        (col("label_a") === col("label_b")).cast("long"))
+      .withColumn("margin_e4",
+        round(col("margin") * 1e4).cast("long"))
+    mined.agg(
+      count(lit(1)).as("n_mined"),
+      sum("ok").as("n_label_match"),
+      round(sum("ok").cast("double") / count(lit(1)), 4)
+        .as("label_precision"),
+      round(sum(when(col("ok") === 1, col("margin_e4")))
+        .cast("double") / (sum("ok") * 1e4), 4)
+        .as("mean_margin_match"),
+      round(sum(when(col("ok") === 0, col("margin_e4")))
+        .cast("double") /
+        ((count(lit(1)) - sum("ok")) * 1e4), 4)
+        .as("mean_margin_mismatch"))
   }
 
   /** Embedding-cosine near-duplicate pairs: distinct (a < b) pairs sharing

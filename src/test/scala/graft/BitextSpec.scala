@@ -50,6 +50,42 @@ class BitextSpec extends SparkTestBase {
     }
   }
 
+  test("bitextMarginEval: label-aligned partners mine at precision 1 " +
+    "with the matched margin above the mismatched; LSH variant mines " +
+    "a subset of brute pairs") {
+    val s = spark
+    import s.implicits._
+    val r3 = 0.57735f
+    // the hub fixture with labels: each dedicated partner shares its
+    // A vector's label; the hub carries a label no A vector has
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 10),
+      (2L, Array(0f, 1f, 0f, 0f), 20),
+      (4L, Array(0f, 0f, 1f, 0f), 30),
+      (1L, Array(r3, r3, r3, 0f), 99),
+      (3L, Array(0.55f, 0f, 0f, 0.83516f), 10),
+      (5L, Array(0f, 0.55f, 0f, 0.83516f), 20),
+      (7L, Array(0f, 0f, 0.55f, 0.83516f), 30)
+    ).toDF("vec_id", "embedding", "label")
+    val ev = Similarity.bitextMarginEval(emb).collect().head
+    assert(ev.getAs[Long]("n_mined") === 3L)
+    assert(ev.getAs[Long]("n_label_match") === 3L)
+    assert(ev.getAs[Double]("label_precision") === 1.0)
+    assert(ev.isNullAt(ev.fieldIndex("mean_margin_mismatch")),
+      "no mismatched pairs -> null mean, never a division blowup")
+    assert(ev.getAs[Double]("mean_margin_match") > 1.0)
+    // the LSH form mines only bucket-sharing candidates: every mined
+    // pair must be a (a_id, b_id) the brute form could also see, and
+    // margins stay deterministic
+    val brutePairs = Similarity.bitextMarginMine(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.bitextMarginMineLsh(emb).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a % 2 === 0L && b % 2 === 1L)
+      assert(brutePairs.contains(a), s"LSH mined unknown anchor $a")
+    }
+  }
+
   test("bitextMarginMine: degenerate side with no positive " +
     "neighborhood mines nothing instead of dividing by zero") {
     val s = spark
