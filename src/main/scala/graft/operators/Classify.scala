@@ -42,7 +42,11 @@ object Classify {
     * (score desc, class asc) tie-break. */
   private def nbScores(trainTok: DataFrame, testTok: DataFrame,
                        clsDocs: DataFrame): DataFrame = {
+    // the word×class count table feeds THREE consumers (class totals,
+    // vocab size, the weight join) — checkpoint the vocab-sized frame
+    // so the training aggregate runs once
     val c = trainTok.groupBy("cls", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val ct = c.groupBy("cls").agg(sum("c").as("ct"))
     val vocab = c.select("word").distinct().agg(count(lit(1)).as("v"))
     val denom = ct.crossJoin(vocab) // (cls, ct, v): L rows
@@ -140,9 +144,17 @@ object Classify {
   }
 
   private def qualityLabeled(docs: DataFrame): (DataFrame, DataFrame) = {
+    // both frames feed multiple consumers (labels: the feature join AND
+    // the class-prior counts; ft: the train AND test splits) — without
+    // the checkpoint seam the full Gopher gate + feature tokenization
+    // re-runs per consumer (the winnowPairs lesson; measured r14:
+    // the quality-NB query family 6.8 → ~2 s warm each at sf0.1)
     val labels = TextAnalysis.gopherFilter(docs)
       .select(col("doc_id"), col("keep").cast("int").as("cls"))
-    (qualityFeatures(docs).join(labels, "doc_id"), labels)
+      .localCheckpoint(eager = false)
+    val ft = qualityFeatures(docs).join(labels, "doc_id")
+      .localCheckpoint(eager = false)
+    (ft, labels)
   }
 
   /** TRAINED quality gate, per-doc serving view: NB fit on 4/5 of the

@@ -600,6 +600,32 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("doc_html_extract: the synth + 9 regex passes + round-trip " +
+    "compare are ONE pure map — the executed plan carries no exchange, " +
+    "no window, no join (the property its linear scale cell rides on)") {
+    val (n, plan, _) = ran("doc_html_extract")
+    assert(n > 0)
+    assert(!plan.contains("Exchange"),
+      s"html extraction must not shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"html extraction must stay a per-row map:\n$plan")
+  }
+
+  test("multimodal_modality_profile: the r14 pair-free incidence plan " +
+    "carries no cartesian and exactly ONE window (the text-fp count) — " +
+    "a reappearing doc-pair self-join would show up as extra windows " +
+    "or a join blowup on the dup-heavy scale universe") {
+    val df = SparkEntry.queries("multimodal_modality_profile")(spark, dir)
+    assert(df.collect().length > 0)
+    val names = nodeNames(df)
+    assert(!names.exists(_.contains("CartesianProduct")),
+      s"profile plans a cartesian:\n${names.mkString("\n")}")
+    val wins = names.count(_.contains("Window"))
+    assert(wins <= 1,
+      s"profile grew windows beyond the text-fp count: Window=$wins\n" +
+        names.mkString("\n"))
+  }
+
   // ── executed-plan node census used by the materialization gates below:
   // walk through AQE wrappers and count nodes by name.
   private def nodeNames(df: DataFrame): Seq[String] = {
