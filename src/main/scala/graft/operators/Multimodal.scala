@@ -694,7 +694,22 @@ object Multimodal {
     * exact equi-join), banded 4×16 per `grpCols` group (pigeonhole-
     * complete for ≤3). Input must carry `v` (long) plus `grpCols`;
     * output: grpCols ++ (va, vb, hamming) with va < vb (plain long
-    * order — any consistent order works for the consumers). */
+    * order — any consistent order works for the consumers).
+    *
+    * SATURATED bands CASCADE instead of dropping (the r13 verdict's
+    * LSH-cascade idiom, completing the distinct-value fix): a band
+    * value shared by more than `maxBandVals` distinct sketches is
+    * boilerplate STRUCTURE — but a qualifying pair whose only
+    * agreement is that band would be lost if the bucket were simply
+    * refused. Since every member of the bucket agrees on those 16
+    * bits, all ≤3 differing bits sit in the OTHER 48: re-key the
+    * bucket's members by 4×12-bit sub-bands of those 48 bits
+    * (pigeonhole again — 3 diffs cannot touch all 4 sub-bands) and
+    * equi-join within (band, sub-band). Sub-buckets are guarded by the
+    * same `maxBandVals`; only a DOUBLY-saturated bucket (more than
+    * maxBandVals distinct values agreeing on 28 bits) still refuses —
+    * by then the agreement itself is the boilerplate evidence the
+    * guard exists for. */
   private[graft] def nearValuePairs(values: DataFrame,
                                     grpCols: Seq[String],
                                     maxHamming: Int,
@@ -709,17 +724,51 @@ object Multimodal {
             .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_val"))): _*)
       .localCheckpoint(eager = false)
     val bandKey = grpCols ++ Seq("band_idx", "band_val")
-    val eligible = banded.groupBy(bandKey.map(col): _*)
+    // one census read two ways: ≤ guard joins, > guard cascades
+    val census = banded.groupBy(bandKey.map(col): _*)
       .agg(count(lit(1)).as("n_vals"))
-      .filter(col("n_vals") <= maxBandVals)
-      .select(bandKey.map(col): _*)
-    val side = banded.join(eligible, bandKey)
-    side.as("a").join(side.as("b"),
-        bandKey.map(k => col(s"a.$k") === col(s"b.$k"))
-          .reduce(_ && _) && col("a.v") < col("b.v"))
-      .select(grpCols.map(k => col(s"a.$k")) ++
-        Seq(col("a.v").as("va"), col("b.v").as("vb")): _*)
-      .distinct() // values agreeing on several bands are one candidate
+      .localCheckpoint(eager = false)
+    def pairsOn(sideIn: DataFrame, key: Seq[String]): DataFrame =
+      sideIn.as("a").join(sideIn.as("b"),
+          key.map(k => col(s"a.$k") === col(s"b.$k"))
+            .reduce(_ && _) && col("a.v") < col("b.v"))
+        .select(grpCols.map(k => col(s"a.$k")) ++
+          Seq(col("a.v").as("va"), col("b.v").as("vb")): _*)
+    val side = banded.join(
+      census.filter(col("n_vals") <= maxBandVals)
+        .select(bandKey.map(col): _*), bandKey)
+    val cand0 = pairsOn(side, bandKey)
+    // ── cascade level 1: pack the 48 bits outside the saturated band
+    // (shift-by-64 is a no-op in JVM semantics, so band 3 is the
+    // explicit low-48 mask), then 4×12-bit sub-band keys
+    val packed = Seq(
+      0 -> shiftrightunsigned(col("v"), 16),
+      1 -> col("v").bitwiseAND(lit(0xffffL)).bitwiseOR(
+        shiftleft(shiftrightunsigned(col("v"), 32), 16)),
+      2 -> col("v").bitwiseAND(lit(0xffffffffL)).bitwiseOR(
+        shiftleft(shiftrightunsigned(col("v"), 48), 32)),
+      3 -> col("v").bitwiseAND(lit(0xffffffffffffL)))
+      .foldLeft(lit(0L)) { case (acc, (b, e)) =>
+        when(col("band_idx") === b, e).otherwise(acc)
+      }
+    val subKey = bandKey ++ Seq("sub_idx", "sub_val")
+    val sub = banded.join(
+        census.filter(col("n_vals") > maxBandVals)
+          .select(bandKey.map(col): _*), bandKey)
+      .withColumn("packed", packed)
+      .select(bandKey.map(col) ++ Seq(col("v"),
+        posexplode(array((0 to 3).map(j =>
+          shiftrightunsigned(col("packed"), j * 12)
+            .bitwiseAND(lit(0xfffL))): _*)).as(Seq("sub_idx", "sub_val"))): _*)
+      .localCheckpoint(eager = false) // feeds its census AND both sides
+    val subSide = sub.join(
+      sub.groupBy(subKey.map(col): _*)
+        .agg(count(lit(1)).as("n_sub"))
+        .filter(col("n_sub") <= maxBandVals)
+        .select(subKey.map(col): _*), subKey)
+    val cand1 = pairsOn(subSide, subKey)
+    cand0.unionByName(cand1)
+      .distinct() // values agreeing on several (sub-)bands pair once
       .withColumn("hamming",
         bit_count(col("va").bitwiseXOR(col("vb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

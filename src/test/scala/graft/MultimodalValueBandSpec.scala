@@ -59,6 +59,38 @@ class MultimodalValueBandSpec extends SparkTestBase {
       "distinct-value banding must equal brute force under a tiny guard")
   }
 
+  test("nearValuePairs: a boilerplate band (more distinct values than " +
+    "maxBandVals sharing band 0) CASCADES into 12-bit sub-bands " +
+    "instead of dropping — pairs agreeing on NO unsaturated band are " +
+    "still found, and the cascade is a no-op when nothing saturates") {
+    val s = spark
+    import s.implicits._
+    // 6 (base, partner) pairs, all 12 values sharing band 0 (the
+    // boilerplate low 16 bits); each partner differs from its base in
+    // exactly 3 bits, ONE PER band 1/2/3 — so every pair agrees ONLY
+    // on band 0. Bases carry distinctive bits, so bands 1-3 are all
+    // singleton buckets (pairless) and cross-pair hammings are > 3.
+    val low = 0x1234L
+    val bases = (0 until 6).map(p =>
+      low | (1L << (17 + p)) | (1L << (33 + p)) | (1L << (49 + p)))
+    val partners = bases.map(_ ^ (1L << 30) ^ (1L << 46) ^ (1L << 62))
+    val vals = (bases ++ partners).toDF("v")
+    val expected = bases.zip(partners)
+      .map { case (a, b) => (a, b, 3L) }.toSet
+    // band-0 bucket holds 12 distinct values > guard 8: the OLD
+    // formulation dropped it and found nothing; the cascade re-splits
+    // by the 48 outside bits and every pair meets again in sub-band 0
+    val got = Multimodal.nearValuePairs(vals, Nil, 3, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === expected, "cascade must recover boilerplate-band pairs")
+    // with the guard relaxed nothing saturates — same answer
+    val relaxed = Multimodal.nearValuePairs(vals, Nil, 3, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(relaxed === expected, "cascade ≡ plain banding when idle")
+  }
+
   test("modalityDupProfile: value-side incidence cells equal the cells " +
     "derived from the pair operators (text window, phash/audio ends, " +
     "vote-gated video ends) on a motif-rich 300-doc universe") {
