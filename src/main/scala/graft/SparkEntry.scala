@@ -2128,6 +2128,20 @@ object SparkEntry {
     // cross-modal dup rollup: per (text exact-dup, image phash-dup,
     // audio fp-dup) membership combination, asset count + first example
     // — the off-diagonal cells are reposts single-modality dedup ships
+    // media takedown off the persisted perceptual index: request
+    // payloads hashed once, banded value-level against the index's
+    // distinct sketches, popcount-confirmed, mapped back to holders
+    "multimodal_takedown_status" -> ((s, dir) =>
+      Multimodal.mediaTakedownStatus(s, phashIndexedTable(s, dir),
+        Multimodal.synthBmpPayload(
+          t(s, dir, "documents").filter(col("doc_id") % 13 === 0)))),
+    // index MAINTENANCE gate: built on 9/10, appended with the held-out
+    // tenth — probing it must equal probing the full build (shared
+    // oracle verbatim, the winnow/near-dup discipline)
+    "multimodal_takedown_appended" -> ((s, dir) =>
+      Multimodal.mediaTakedownStatus(s, phashAppendedTable(s, dir),
+        Multimodal.synthBmpPayload(
+          t(s, dir, "documents").filter(col("doc_id") % 13 === 0)))),
     "multimodal_modality_profile" -> ((s, dir) =>
       Multimodal.modalityDupProfile(t(s, dir, "documents"))),
   )
@@ -2152,6 +2166,29 @@ object SparkEntry {
         ns(0), ns(1), buckets = 8)
     }
     (names(0), names(1))
+  }
+
+  private def phashIndexedTable(s: SparkSession, dir: String): String = {
+    val d = t(s, dir, "documents")
+    versionedTables(s, dir, d, Seq("graft_phash_idx")) { ns =>
+      Multimodal.phashWriteIndex(Multimodal.synthBmpPayload(d), ns(0),
+        buckets = 8)
+    }.head
+  }
+
+  /** Perceptual index built on 9/10 of the corpus, then APPENDED with
+    * the held-out tenth — probing it must equal probing a full build
+    * (shared oracle). */
+  private def phashAppendedTable(s: SparkSession, dir: String): String = {
+    val d = t(s, dir, "documents")
+    versionedTables(s, dir, d, Seq("graft_phasha_idx")) { ns =>
+      Multimodal.phashWriteIndex(
+        Multimodal.synthBmpPayload(d.filter(col("doc_id") % 10 =!= 0)),
+        ns(0), buckets = 8)
+      Multimodal.phashIndexAppend(
+        Multimodal.synthBmpPayload(d.filter(col("doc_id") % 10 === 0)),
+        ns(0), buckets = 8)
+    }.head
   }
 
   private def winnowIndexedTable(s: SparkSession, dir: String): String = {
@@ -2800,6 +2837,31 @@ object SparkEntry {
     * only in physical plan, so they are held to the same oracle. */
   /** Candidate head for the brute bitext oracle: every cross-side pair
     * scored as integer micro-cos. Ends defining s(a_id, b_id, s). */
+  /** Shared oracle for the media-takedown pair (`_status` and
+    * `_appended`): analytic aHash of every doc (the multimodal_dup_pairs
+    * CTEs), requests = the doc_id %13 slice, matches = brute popcount
+    * ≤ 3 — self-matches at hamming 0 included (a request that is in
+    * the library IS its own first match). */
+  private val MediaTakedownOracleSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, t.p,
+      |    least(((d.doc_id % 32) * 73 + t.p * 149) % 251
+      |      + CASE WHEN t.p = d.doc_id % 64 THEN d.doc_id % 7 ELSE 0 END,
+      |      250) AS v
+      |  FROM documents d, range(0, 64) t(p)),
+      | s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+      | ab AS (SELECT px.doc_id, p,
+      |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+      |  FROM px JOIN s USING (doc_id)),
+      | ah AS (SELECT doc_id,
+      |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+      |     AS h
+      |  FROM ab GROUP BY doc_id)
+      |SELECT q.doc_id AS req_id, c.doc_id,
+      |  CAST(bit_count(xor(q.h, c.h)) AS BIGINT) AS hamming
+      |FROM (SELECT * FROM ah WHERE doc_id % 13 = 0) q, ah c
+      |WHERE bit_count(xor(q.h, c.h)) <= 3""".stripMargin
+
   private val BitextBruteHead: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
       |  FROM embeddings),
@@ -8517,6 +8579,13 @@ object SparkEntry {
     // analytic aHashes (HUGEINT xor + popcount). The Spark side's banded
     // candidate join is COMPLETE for hamming<=3 (4x16 pigeonhole) and
     // its hot-band guard never fires at gate scale, so banded == brute
+    // media takedown: brute popcount between the %13 request slice's
+    // analytic hashes and every library hash — banded serve ≡ brute is
+    // exactly the pigeonhole-completeness claim under oracle
+    "multimodal_takedown_status" -> MediaTakedownOracleSql,
+    // the appended index must serve the identical answer (append ≡
+    // rebuild, the winnow/near-dup index discipline)
+    "multimodal_takedown_appended" -> MediaTakedownOracleSql,
     "multimodal_dup_pairs" ->
       """WITH px AS (
         |  SELECT d.doc_id, t.p,

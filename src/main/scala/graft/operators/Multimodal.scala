@@ -1125,6 +1125,72 @@ object Multimodal {
       videoDupPairs(withPayload, maxHamming, minVotes, maxBandDocs)
         .withColumnRenamed("ham_sum", "w"))
 
+  // ───────────────────────────────────────────────────────────────────
+  // Persisted PERCEPTUAL index + media takedown serve — the lifecycle
+  // every other retrieval structure here already has (winnow/near-dup/
+  // IVF/search: persist at ingest, append increments, probe at serve):
+  // at 100 TB the codec walk + hash runs ONCE when an asset lands, and
+  // a takedown/dedup request against the library must never rescan the
+  // media bytes. The index is the 8-bytes-per-asset sketch table,
+  // bucketed by the sketch value, so the exact-duplicate join and the
+  // distinct-value extraction both ride the bucket layout with no
+  // corpus exchange.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Persist the image sketch table (doc_id, h) bucketed by `h`. */
+  def phashWriteIndex(withPayload: DataFrame, table: String,
+                      buckets: Int = 16): Unit =
+    Bucketing.writeBucketed(perceptualHashBase(withPayload), table,
+      "h", buckets)
+
+  /** Index MAINTENANCE: hash and append a new batch's sketches, bucket
+    * layout preserved — O(batch), never a media-library rewrite. */
+  def phashIndexAppend(newPayload: DataFrame, table: String,
+                       buckets: Int = 16): Unit =
+    Bucketing.appendBucketed(perceptualHashBase(newPayload), table,
+      "h", buckets)
+
+  /** MEDIA TAKEDOWN served off the persisted index: hash the request
+    * payloads (the only codec work in the whole query), band the
+    * request sketches, broadcast them onto the index's DISTINCT-value
+    * band frame (value-level like every r14 banded join — a
+    * million-copy asset is one band entry), popcount-confirm, then map
+    * matched values back to holders through the bucketed index. Output
+    * one row per (req_id, doc_id) match with the exact hamming — a
+    * request that is itself in the library matches itself at 0, the
+    * honest answer to "remove every near-copy of THIS".
+    *
+    * Scale shape: the index is scanned once for distinct values
+    * (exchange-free — the scan is already hash-bucketed by `h`) and
+    * once for the holder join; requests are serve-batch-sized and ride
+    * broadcasts; nothing recomputes media bytes for library assets. */
+  def mediaTakedownStatus(spark: org.apache.spark.sql.SparkSession,
+                          table: String, requests: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
+    import spark.implicits._
+    val idx = spark.table(table)
+    def bandsOf(c: Column) = posexplode(array((0 to 3).map(b =>
+      shiftrightunsigned(c, b * 16).bitwiseAND(lit(0xffffL))): _*))
+    val corpusBands = idx.select(col("h").as("v")).distinct()
+      .select(col("v"), bandsOf(col("v")).as(Seq("band_idx", "band_val")))
+    val req = perceptualHashRaw(requests).filter(_.valid)
+      .map(h => (h.doc_id, h.ahash)).toDF("req_id", "rh")
+      .localCheckpoint(eager = false) // request codec runs once
+    val reqBands = req.select(col("req_id"), col("rh"),
+      bandsOf(col("rh")).as(Seq("band_idx", "band_val")))
+    val matched = corpusBands
+      .join(broadcast(reqBands), Seq("band_idx", "band_val"))
+      .select(col("req_id"), col("rh"), col("v"))
+      .distinct() // several agreeing bands = one candidate
+      .withColumn("hamming",
+        bit_count(col("rh").bitwiseXOR(col("v"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    idx.join(matched.withColumnRenamed("v", "h"), "h")
+      .select(col("req_id"), col("doc_id"), col("hamming"))
+  }
+
   /** Per-doc dup INCIDENCE without pair enumeration — the r13 verdict
     * item 2 scale shape for [[modalityDupProfile]]: a doc is incident
     * to a ≤maxHamming edge iff the TOTAL number of docs holding its

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Multimodal
 
@@ -89,6 +90,49 @@ class MultimodalValueBandSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(relaxed === expected, "cascade ≡ plain banding when idle")
+  }
+
+  test("mediaTakedownStatus: banded serve off the persisted index " +
+    "equals brute popcount over the hashes (self-matches at 0 " +
+    "included), and an appended index serves the identical answer") {
+    val s = spark
+    import s.implicits._
+    // 60 sequential ids: ~2 docs per BMP motif class with noise
+    // variants — exact and near matches both exercised
+    val docs = (0L until 60L).map(i => (i, "unused"))
+      .toDF("doc_id", "text")
+    val payload = Multimodal.synthBmpPayload(docs)
+    Multimodal.phashWriteIndex(payload, "graft_test_phidx", buckets = 4)
+    val requests = Multimodal.synthBmpPayload(
+      docs.filter(col("doc_id") % 7 === 0))
+    val got = Multimodal
+      .mediaTakedownStatus(s, "graft_test_phidx", requests)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val hashes = Multimodal.perceptualHash(payload)
+      .select("doc_id", "ahash_hex").collect()
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(
+        r.getString(1), 16)).toMap
+    val brute = (for {
+      q <- hashes.keys if q % 7 == 0
+      c <- hashes.keys
+      h = java.lang.Long.bitCount(hashes(q) ^ hashes(c)) if h <= 3
+    } yield (q, c, h.toLong)).toSet
+    assert(got === brute, "banded serve must equal brute popcount")
+    assert(brute.exists { case (q, c, h) => q == c && h == 0 },
+      "a library request matches itself at hamming 0")
+    // append ≡ rebuild: build on evens, append odds, same answers
+    Multimodal.phashWriteIndex(
+      Multimodal.synthBmpPayload(docs.filter(col("doc_id") % 2 === 0)),
+      "graft_test_phidx_a", buckets = 4)
+    Multimodal.phashIndexAppend(
+      Multimodal.synthBmpPayload(docs.filter(col("doc_id") % 2 === 1)),
+      "graft_test_phidx_a", buckets = 4)
+    val gotAppended = Multimodal
+      .mediaTakedownStatus(s, "graft_test_phidx_a", requests)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(gotAppended === got, "append must serve what rebuild serves")
   }
 
   test("modalityDupProfile: value-side incidence cells equal the cells " +
