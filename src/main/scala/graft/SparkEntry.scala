@@ -2128,6 +2128,13 @@ object SparkEntry {
     // cross-modal dup rollup: per (text exact-dup, image phash-dup,
     // audio fp-dup) membership combination, asset count + first example
     // — the off-diagonal cells are reposts single-modality dedup ships
+    // video takedown off the persisted keyframe index: per-slot banded
+    // value match + popcount + >=2-of-3 vote gate — "remove every
+    // re-encode of this clip" with one box walk over the requests
+    "multimodal_video_takedown" -> ((s, dir) =>
+      Multimodal.videoTakedownStatus(s, videoIndexedTable(s, dir),
+        Multimodal.synthVideoPayload(
+          t(s, dir, "documents").filter(col("doc_id") % 13 === 0)))),
     // media takedown off the persisted perceptual index: request
     // payloads hashed once, banded value-level against the index's
     // distinct sketches, popcount-confirmed, mapped back to holders
@@ -2188,6 +2195,14 @@ object SparkEntry {
       Multimodal.phashIndexAppend(
         Multimodal.synthBmpPayload(d.filter(col("doc_id") % 10 === 0)),
         ns(0), buckets = 8)
+    }.head
+  }
+
+  private def videoIndexedTable(s: SparkSession, dir: String): String = {
+    val d = t(s, dir, "documents")
+    versionedTables(s, dir, d, Seq("graft_video_idx")) { ns =>
+      Multimodal.videoWriteIndex(Multimodal.synthVideoPayload(d), ns(0),
+        buckets = 8)
     }.head
   }
 
@@ -8583,6 +8598,40 @@ object SparkEntry {
     // analytic hashes and every library hash — banded serve ≡ brute is
     // exactly the pigeonhole-completeness claim under oracle
     "multimodal_takedown_status" -> MediaTakedownOracleSql,
+    // video takedown: the video_dup_pairs analytic per-slot hashes,
+    // requests = the %13 slice, brute per-slot popcount <= 3 + the
+    // 2-of-3 vote gate (self-matches vote 3/3 at ham_sum 0)
+    "multimodal_video_takedown" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, s.slot,
+        |    CAST(s.slot * ((4 + d.doc_id % 5) // 3) AS INTEGER)
+        |      AS frame_idx
+        |  FROM documents d, range(0, 3) s(slot)),
+        | px AS (
+        |  SELECT f.doc_id, f.slot, t.p,
+        |    least(((f.doc_id % 32) * 73 + t.p * 149 + f.frame_idx * 31)
+        |        % 251
+        |      + CASE WHEN t.p = f.doc_id % 64 THEN f.doc_id % 7 ELSE 0
+        |        END,
+        |      250) AS v
+        |  FROM fr f, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, slot, sum(v) AS sv FROM px
+        |  GROUP BY doc_id, slot),
+        | ab AS (SELECT px.doc_id, px.slot, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id, slot)),
+        | ah AS (SELECT doc_id, slot,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id, slot),
+        | sm AS (SELECT q.doc_id AS req_id, c.doc_id,
+        |   CAST(bit_count(xor(q.h, c.h)) AS BIGINT) AS hamming
+        |  FROM (SELECT * FROM ah WHERE doc_id % 13 = 0) q
+        |   JOIN ah c ON q.slot = c.slot
+        |  WHERE bit_count(xor(q.h, c.h)) <= 3)
+        |SELECT req_id, doc_id, CAST(count(*) AS BIGINT) AS n_votes,
+        | CAST(sum(hamming) AS BIGINT) AS ham_sum
+        |FROM sm GROUP BY req_id, doc_id HAVING count(*) >= 2""".stripMargin,
     // the appended index must serve the identical answer (append ≡
     // rebuild, the winnow/near-dup index discipline)
     "multimodal_takedown_appended" -> MediaTakedownOracleSql,

@@ -1191,6 +1191,64 @@ object Multimodal {
       .select(col("req_id"), col("doc_id"), col("hamming"))
   }
 
+  /** Persist the video keyframe-sketch table (doc_id, slot, h)
+    * bucketed by `h` — 24 bytes per video, hashed once at ingest. */
+  def videoWriteIndex(withPayload: DataFrame, table: String,
+                      buckets: Int = 16): Unit =
+    Bucketing.writeBucketed(videoFingerprintBase(withPayload), table,
+      "h", buckets)
+
+  /** Index MAINTENANCE: sample + hash a new batch's keyframes and
+    * append, bucket layout preserved — O(batch). */
+  def videoIndexAppend(newPayload: DataFrame, table: String,
+                       buckets: Int = 16): Unit =
+    Bucketing.appendBucketed(videoFingerprintBase(newPayload), table,
+      "h", buckets)
+
+  /** VIDEO takedown served off the persisted index — the
+    * [[mediaTakedownStatus]] serve at video semantics: per timeline
+    * slot, request keyframe hashes band value-level against the
+    * index's distinct (slot, h) sketches, popcount confirms per slot,
+    * the bucketed index maps matched values back to holders, and the
+    * VOTE gate keeps (req, doc) pairs matching on ≥`minVotes` of the 3
+    * slots — "remove every re-encode of THIS clip", one box walk over
+    * the request payloads and zero media bytes re-read for the
+    * library. Output: (req_id, doc_id, n_votes, ham_sum); a request
+    * that is itself in the library votes 3/3 at ham_sum 0. */
+  def videoTakedownStatus(spark: org.apache.spark.sql.SparkSession,
+                          table: String, requests: DataFrame,
+                          maxHamming: Int = 3, minVotes: Int = 2)
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
+    require(minVotes >= 1 && minVotes <= 3,
+      s"3 sampled slots: minVotes must be 1..3, got $minVotes")
+    import spark.implicits._
+    val idx = spark.table(table)
+    def bandsOf(c: Column) = posexplode(array((0 to 3).map(b =>
+      shiftrightunsigned(c, b * 16).bitwiseAND(lit(0xffffL))): _*))
+    val corpusBands = idx.select(col("slot"), col("h").as("v")).distinct()
+      .select(col("slot"), col("v"),
+        bandsOf(col("v")).as(Seq("band_idx", "band_val")))
+    val req = videoFingerprintRaw(requests).filter(_.valid)
+      .map(h => (h.doc_id, h.slot, h.ahash))
+      .toDF("req_id", "slot", "rh")
+      .localCheckpoint(eager = false) // request box walk runs once
+    val reqBands = req.select(col("req_id"), col("slot"), col("rh"),
+      bandsOf(col("rh")).as(Seq("band_idx", "band_val")))
+    val matched = corpusBands
+      .join(broadcast(reqBands), Seq("slot", "band_idx", "band_val"))
+      .select(col("req_id"), col("slot"), col("rh"), col("v"))
+      .distinct() // several agreeing bands in one slot = one candidate
+      .withColumn("hamming",
+        bit_count(col("rh").bitwiseXOR(col("v"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    idx.join(matched.withColumnRenamed("v", "h"), Seq("slot", "h"))
+      .groupBy("req_id", "doc_id")
+      .agg(count(lit(1)).as("n_votes"), sum("hamming").as("ham_sum"))
+      .filter(col("n_votes") >= minVotes)
+  }
+
   /** Per-doc dup INCIDENCE without pair enumeration — the r13 verdict
     * item 2 scale shape for [[modalityDupProfile]]: a doc is incident
     * to a ≤maxHamming edge iff the TOTAL number of docs holding its

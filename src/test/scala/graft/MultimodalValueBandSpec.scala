@@ -135,6 +135,45 @@ class MultimodalValueBandSpec extends SparkTestBase {
     assert(gotAppended === got, "append must serve what rebuild serves")
   }
 
+  test("videoTakedownStatus: per-slot banded serve off the persisted " +
+    "keyframe index equals brute per-slot popcount + the 2-of-3 vote " +
+    "gate; a library request votes 3/3 at ham_sum 0 for itself") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 60L).map(i => (i, "unused"))
+      .toDF("doc_id", "text")
+    Multimodal.videoWriteIndex(Multimodal.synthVideoPayload(docs),
+      "graft_test_vidx", buckets = 4)
+    val requests = Multimodal.synthVideoPayload(
+      docs.filter(col("doc_id") % 7 === 0))
+    val got = Multimodal
+      .videoTakedownStatus(s, "graft_test_vidx", requests)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // brute: per-slot hashes from the report form
+    val bySlot = Multimodal
+      .videoFingerprint(Multimodal.synthVideoPayload(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> java.lang.Long
+        .parseUnsignedLong(r.getString(4), 16)).toMap
+    val ids = (0L until 60L)
+    val brute = (for {
+      q <- ids if q % 7 == 0
+      c <- ids
+      votes = (0 to 2).flatMap { sl =>
+        val h = java.lang.Long.bitCount(
+          bySlot((q, sl)) ^ bySlot((c, sl)))
+        if (h <= 3) Some(h.toLong) else None
+      }
+      if votes.size >= 2
+    } yield (q, c) -> ((votes.size.toLong, votes.sum))).toMap
+    assert(got === brute, "banded vote serve must equal brute votes")
+    (0L until 60L).filter(_ % 7 == 0).foreach { q =>
+      assert(got((q, q)) === ((3L, 0L)), s"self-match of $q")
+    }
+  }
+
   test("modalityDupProfile: value-side incidence cells equal the cells " +
     "derived from the pair operators (text window, phash/audio ends, " +
     "vote-gated video ends) on a motif-rich 300-doc universe") {
