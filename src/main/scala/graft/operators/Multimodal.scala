@@ -1170,6 +1170,10 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < 4,
       s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
     import spark.implicits._
+    // an online maintainer may have appended since this session last
+    // read the table: drop the cached file-list snapshot so the serve
+    // answers against the CURRENT index (metadata-only, not a rescan)
+    spark.catalog.refreshTable(table)
     val idx = spark.table(table)
     def bandsOf(c: Column) = posexplode(array((0 to 3).map(b =>
       shiftrightunsigned(c, b * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -1224,6 +1228,7 @@ object Multimodal {
     require(minVotes >= 1 && minVotes <= 3,
       s"3 sampled slots: minVotes must be 1..3, got $minVotes")
     import spark.implicits._
+    spark.catalog.refreshTable(table) // see mediaTakedownStatus
     val idx = spark.table(table)
     def bandsOf(c: Column) = posexplode(array((0 to 3).map(b =>
       shiftrightunsigned(c, b * 16).bitwiseAND(lit(0xffffL))): _*))
