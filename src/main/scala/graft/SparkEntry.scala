@@ -2128,6 +2128,13 @@ object SparkEntry {
     // cross-modal dup rollup: per (text exact-dup, image phash-dup,
     // audio fp-dup) membership combination, asset count + first example
     // — the off-diagonal cells are reposts single-modality dedup ships
+    // one-row serving audit of the perceptual index: geometry, copy
+    // census (the dup-share canary), serve-vs-brute parity sample
+    "multimodal_phash_index_audit" -> ((s, dir) =>
+      Multimodal.phashIndexAudit(s, phashIndexedTable(s, dir),
+        Multimodal.synthBmpPayload(
+          t(s, dir, "documents").filter(col("doc_id") % 13 === 0)),
+        buckets = 8)),
     // video takedown off the persisted keyframe index: per-slot banded
     // value match + popcount + >=2-of-3 vote gate — "remove every
     // re-encode of this clip" with one box walk over the requests
@@ -8598,6 +8605,38 @@ object SparkEntry {
     // analytic hashes and every library hash — banded serve ≡ brute is
     // exactly the pigeonhole-completeness claim under oracle
     "multimodal_takedown_status" -> MediaTakedownOracleSql,
+    // the index audit: analytic-hash census + the brute match count of
+    // the %13 request slice as the serve parity sample
+    "multimodal_phash_index_audit" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.p,
+        |    least(((d.doc_id % 32) * 73 + t.p * 149) % 251
+        |      + CASE WHEN t.p = d.doc_id % 64 THEN d.doc_id % 7 ELSE 0 END,
+        |      250) AS v
+        |  FROM documents d, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+        | ab AS (SELECT px.doc_id, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id)),
+        | ah AS (SELECT doc_id,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id),
+        | byh AS (SELECT h, count(*) AS n FROM ah GROUP BY h),
+        | cen AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_sketches,
+        |   CAST(max(n) AS BIGINT) AS max_copies,
+        |   CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |     AS dup_assets
+        |  FROM byh),
+        | vol AS (SELECT CAST(count(*) AS BIGINT) AS n_assets FROM ah),
+        | par AS (SELECT CAST(count(*) AS BIGINT) AS n_serve_matches
+        |  FROM (SELECT * FROM ah WHERE doc_id % 13 = 0) q, ah c
+        |  WHERE bit_count(xor(q.h, c.h)) <= 3)
+        |SELECT CAST(8 AS BIGINT) AS n_buckets, vol.n_assets,
+        |  cen.n_distinct_sketches, cen.max_copies, cen.dup_assets,
+        |  (10000 * cen.dup_assets) // vol.n_assets AS dup_share_e4,
+        |  par.n_serve_matches
+        |FROM vol, cen, par""".stripMargin,
     // video takedown: the video_dup_pairs analytic per-slot hashes,
     // requests = the %13 slice, brute per-slot popcount <= 3 + the
     // 2-of-3 vote gate (self-matches vote 3/3 at ham_sum 0)

@@ -1195,6 +1195,42 @@ object Multimodal {
       .select(col("req_id"), col("doc_id"), col("hamming"))
   }
 
+  /** One-row AUDIT of the persisted perceptual index — the serving-
+    * layer treatment the winnow index and bloom export get: geometry
+    * (bucket count), volume (assets, distinct sketches), the COPY
+    * census takedown work scales with (max copies of one sketch, the
+    * asset share holding a duplicated sketch — a spiking dup share
+    * means the ingest dedup upstream stopped doing its job), and a
+    * serve parity sample: the match count for the caller's request
+    * slice served off the index, pinned to the brute answer by the
+    * shared-oracle discipline. Every column integer-exact.
+    *
+    * Scale shape: one bucketed-scan aggregate for the sketch census
+    * (exchange-free — the table is hash-bucketed by `h`), one count,
+    * the serve probe, three 1-row frames crossJoin-broadcast. */
+  def phashIndexAudit(spark: org.apache.spark.sql.SparkSession,
+                      table: String, requests: DataFrame,
+                      buckets: Int = 16): DataFrame = {
+    spark.catalog.refreshTable(table)
+    val idx = spark.table(table)
+    val byH = idx.groupBy("h").agg(count(lit(1)).as("n_docs_h"))
+      .localCheckpoint(eager = false) // feeds all three census aggs
+    val sketchStats = byH.agg(
+      count(lit(1)).as("n_distinct_sketches"),
+      max(col("n_docs_h")).as("max_copies"),
+      sum(when(col("n_docs_h") > 1, col("n_docs_h")).otherwise(0L))
+        .as("dup_assets"))
+    val volume = idx.agg(count(lit(1)).as("n_assets"))
+    val parity = mediaTakedownStatus(spark, table, requests)
+      .agg(count(lit(1)).as("n_serve_matches"))
+    volume.crossJoin(broadcast(sketchStats)).crossJoin(broadcast(parity))
+      .select(lit(buckets).cast("long").as("n_buckets"),
+        col("n_assets"), col("n_distinct_sketches"), col("max_copies"),
+        col("dup_assets"),
+        expr("(10000 * dup_assets) DIV n_assets").as("dup_share_e4"),
+        col("n_serve_matches"))
+  }
+
   /** Persist the video keyframe-sketch table (doc_id, slot, h)
     * bucketed by `h` — 24 bytes per video, hashed once at ingest. */
   def videoWriteIndex(withPayload: DataFrame, table: String,
