@@ -2128,6 +2128,12 @@ object SparkEntry {
     // cross-modal dup rollup: per (text exact-dup, image phash-dup,
     // audio fp-dup) membership combination, asset count + first example
     // — the off-diagonal cells are reposts single-modality dedup ships
+    // audio takedown off the persisted fingerprint index — the image
+    // serve at fingerprint width, one chunk walk over the requests
+    "multimodal_audio_takedown" -> ((s, dir) =>
+      Multimodal.audioTakedownStatus(s, audioIndexedTable(s, dir),
+        Multimodal.synthWavPayload(
+          t(s, dir, "documents").filter(col("doc_id") % 13 === 0)))),
     // one-row serving audit of the perceptual index: geometry, copy
     // census (the dup-share canary), serve-vs-brute parity sample
     "multimodal_phash_index_audit" -> ((s, dir) =>
@@ -2202,6 +2208,14 @@ object SparkEntry {
       Multimodal.phashIndexAppend(
         Multimodal.synthBmpPayload(d.filter(col("doc_id") % 10 === 0)),
         ns(0), buckets = 8)
+    }.head
+  }
+
+  private def audioIndexedTable(s: SparkSession, dir: String): String = {
+    val d = t(s, dir, "documents")
+    versionedTables(s, dir, d, Seq("graft_audio_idx")) { ns =>
+      Multimodal.audioWriteIndex(Multimodal.synthWavPayload(d), ns(0),
+        buckets = 8)
     }.head
   }
 
@@ -8776,6 +8790,38 @@ object SparkEntry {
     // Audio near-dup pairs: the same 63 delta bits packed into a BIGINT
     // (top bit 0), brute <=3-hamming set — the engine's banded 4x16
     // candidate join is pigeonhole-complete for hamming<=3
+    // audio takedown: the audio_dup_pairs analytic fingerprints,
+    // requests = the %13 slice, brute popcount <= 3 (self-match at 0)
+    "multimodal_audio_takedown" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) // 2 AS n FROM documents),
+        | idx AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i
+        |  FROM b WHERE n >= 64),
+        | v AS (SELECT doc_id, n, (i * 64) // n AS f,
+        |   (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+1 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+2 AS INTEGER), 1)) - 1 AS BIGINT)
+        |    + 256 * (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+3 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+4 AS INTEGER), 1)) - 1 AS BIGINT)))
+        |     AS u
+        |  FROM idx),
+        | en AS (SELECT doc_id, f, sum(abs(
+        |   CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS e
+        |  FROM v GROUP BY doc_id, f),
+        | db AS (SELECT doc_id, f,
+        |   CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |     THEN 1 ELSE 0 END AS bit
+        |  FROM en),
+        | fp AS (SELECT doc_id, sum(CAST(bit AS BIGINT) *
+        |    (CAST(1 AS BIGINT) << CAST(62 - f AS INTEGER))) AS h
+        |  FROM db WHERE f < 63 GROUP BY doc_id)
+        |SELECT q.doc_id AS req_id, c.doc_id,
+        | CAST(bit_count(xor(q.h, c.h)) AS BIGINT) AS hamming
+        |FROM (SELECT * FROM fp WHERE doc_id % 13 = 0) q, fp c
+        |WHERE bit_count(xor(q.h, c.h)) <= 3""".stripMargin,
     "multimodal_audio_dup_pairs" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
         |   octet_length(encode(text)) // 2 AS n FROM documents),

@@ -1167,9 +1167,48 @@ object Multimodal {
   def mediaTakedownStatus(spark: org.apache.spark.sql.SparkSession,
                           table: String, requests: DataFrame,
                           maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    sketchTakedown(spark, table,
+      perceptualHashRaw(requests).filter(_.valid)
+        .map(h => (h.doc_id, h.ahash)).toDF("req_id", "rh"),
+      maxHamming)
+  }
+
+  /** AUDIO takedown — [[mediaTakedownStatus]] at fingerprint width:
+    * "remove every re-encode of this clip" off the persisted
+    * [[audioWriteIndex]] table, one chunk walk over the request
+    * payloads. */
+  def audioTakedownStatus(spark: org.apache.spark.sql.SparkSession,
+                          table: String, requests: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    sketchTakedown(spark, table,
+      audioFingerprintRaw(requests).filter(_.valid)
+        .map(a => (a.doc_id, a.fp)).toDF("req_id", "rh"),
+      maxHamming)
+  }
+
+  /** Persist the audio fingerprint table (doc_id, h) bucketed by `h`. */
+  def audioWriteIndex(withPayload: DataFrame, table: String,
+                      buckets: Int = 16): Unit =
+    Bucketing.writeBucketed(audioFingerprintBase(withPayload), table,
+      "h", buckets)
+
+  /** Index MAINTENANCE: fingerprint and append a new batch, bucket
+    * layout preserved — O(batch). */
+  def audioIndexAppend(newPayload: DataFrame, table: String,
+                       buckets: Int = 16): Unit =
+    Bucketing.appendBucketed(audioFingerprintBase(newPayload), table,
+      "h", buckets)
+
+  /** The shared single-sketch takedown serve: request hashes band
+    * value-level against the index's distinct sketches, popcount
+    * confirms, the bucketed index maps matches back to holders. */
+  private def sketchTakedown(spark: org.apache.spark.sql.SparkSession,
+                             table: String, reqHashes: DataFrame,
+                             maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
-    import spark.implicits._
     // an online maintainer may have appended since this session last
     // read the table: drop the cached file-list snapshot so the serve
     // answers against the CURRENT index (metadata-only, not a rescan)
@@ -1179,9 +1218,7 @@ object Multimodal {
       shiftrightunsigned(c, b * 16).bitwiseAND(lit(0xffffL))): _*))
     val corpusBands = idx.select(col("h").as("v")).distinct()
       .select(col("v"), bandsOf(col("v")).as(Seq("band_idx", "band_val")))
-    val req = perceptualHashRaw(requests).filter(_.valid)
-      .map(h => (h.doc_id, h.ahash)).toDF("req_id", "rh")
-      .localCheckpoint(eager = false) // request codec runs once
+    val req = reqHashes.localCheckpoint(eager = false) // codec runs once
     val reqBands = req.select(col("req_id"), col("rh"),
       bandsOf(col("rh")).as(Seq("band_idx", "band_val")))
     val matched = corpusBands

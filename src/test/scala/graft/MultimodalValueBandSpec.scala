@@ -135,6 +135,43 @@ class MultimodalValueBandSpec extends SparkTestBase {
     assert(gotAppended === got, "append must serve what rebuild serves")
   }
 
+  test("audioTakedownStatus: banded serve off the persisted " +
+    "fingerprint index equals brute popcount over the WAV " +
+    "energy-delta fingerprints") {
+    val s = spark
+    import s.implicits._
+    // >=128-byte texts so every clip is audio-valid; doc 0 and doc 9
+    // share a text (identical PCM -> hamming-0 partners)
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val texts = (0 until 10).map { i =>
+      if (i == 0 || i == 9) shared
+      else (0 until 40).map(j => "a" * (1 + ((i + j * 7) % 11)))
+        .mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val payload = Multimodal.synthWavPayload(docs)
+    Multimodal.audioWriteIndex(payload, "graft_test_audx", buckets = 4)
+    val requests = Multimodal.synthWavPayload(
+      docs.filter(col("doc_id") % 9 === 0)) // docs 0 and 9
+    val got = Multimodal
+      .audioTakedownStatus(s, "graft_test_audx", requests)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val fps = Multimodal.audioFingerprint(payload)
+      .select("doc_id", "fp_hex").collect()
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(
+        r.getString(1), 16)).toMap
+    val brute = (for {
+      q <- fps.keys if q % 9 == 0
+      c <- fps.keys
+      h = java.lang.Long.bitCount(fps(q) ^ fps(c)) if h <= 3
+    } yield (q, c, h.toLong)).toSet
+    assert(got === brute, "audio serve must equal brute popcount")
+    assert(got.contains((0L, 9L, 0L)) && got.contains((9L, 0L, 0L)),
+      "identical-PCM partners match at hamming 0 in both directions")
+  }
+
   test("videoTakedownStatus: per-slot banded serve off the persisted " +
     "keyframe index equals brute per-slot popcount + the 2-of-3 vote " +
     "gate; a library request votes 3/3 at ham_sum 0 for itself") {
