@@ -389,6 +389,35 @@ object Example {
         .orderBy("source", "split").show(6)
     }
 
+    // round-14 additions: the ingest-side extraction stage, the learned
+    // gate's calibration audit, margin-based bitext mining with its
+    // label eval, keyframe video dedup, and the persisted perceptual
+    // index serving a media takedown
+    {
+      import graft.operators.{Classify, Similarity, WebExtract}
+      println("[example] HTML extraction publish gate (round-trip " +
+        "recovery + boilerplate saved by main-selection):")
+      WebExtract.htmlExtractReport(docs).show(3)
+      println("[example] learned-gate margin calibration (keep rate " +
+        "should rise through bucket 0):")
+      Classify.nbQualityCalibration(docs).orderBy("bucket").show()
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      println("[example] bitext mining eval (precision ~chance on " +
+        "geometry-free labels = the unlearnability audit):")
+      Similarity.bitextMarginEval(emb).show()
+      println("[example] video dup pairs (per-slot votes over sampled " +
+        "keyframes):")
+      Multimodal.videoDupPairs(Multimodal.synthVideoPayload(docs)).show(3)
+      Multimodal.phashWriteIndex(Multimodal.synthBmpPayload(docs),
+        "graft_example_phidx", buckets = 4)
+      val req = Multimodal.synthBmpPayload(
+        docs.filter(col("doc_id") % 13 === 0))
+      println("[example] media takedown off the persisted sketch index " +
+        "(self-match at hamming 0 = 'remove every near-copy of THIS'):")
+      Multimodal.mediaTakedownStatus(spark, "graft_example_phidx", req)
+        .orderBy("req_id", "hamming", "doc_id").show(5)
+    }
+
     // streaming sessionization with custom keyed state
     {
       import graft.streaming.Sessionize
