@@ -418,6 +418,47 @@ object Example {
         .orderBy("req_id", "hamming", "doc_id").show(5)
     }
 
+    // round-15 additions: the incremental curation funnel (the
+    // per-increment attrition a continuous crawl pipeline emits), its
+    // per-source triage split, the learned gate's threshold sweep, and
+    // ONE takedown request fanned across every modality
+    {
+      import graft.operators.{Classify, CorpusOps, Dedup}
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      println("[example] incremental curation funnel (new batch vs " +
+        "corpus: gate -> exact -> near -> span scrub):")
+      CorpusOps.curationFunnelIncremental(batch, corpus).show()
+      println("[example] per-source funnel attrition (which source " +
+        "bleeds at which stage):")
+      CorpusOps.curationFunnelBySource(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          docs.filter(col("doc_id") % 100 === 0))
+        .orderBy("stage_idx", "source").show(8)
+      println("[example] learned-gate threshold sweep (the " +
+        "precision/recall frontier; t=0 is the argmax point):")
+      Classify.nbQualityRoc(docs).orderBy("threshold").show(21)
+      Dedup.nearDupWriteIndex(docs, "graft_example_tb",
+        "graft_example_ts", buckets = 4)
+      Multimodal.audioWriteIndex(Multimodal.synthWavPayload(docs),
+        "graft_example_aidx", buckets = 4)
+      Multimodal.videoWriteIndex(Multimodal.synthVideoPayload(docs),
+        "graft_example_vidx", buckets = 4)
+      println("[example] unified takedown (one id list vs text + " +
+        "image + audio + video; per-modality statuses):")
+      Multimodal.takedownUnified(spark, docs,
+          docs.filter(col("doc_id") % 10 === 8).select("doc_id"),
+          "graft_example_tb", "graft_example_ts", "graft_example_phidx",
+          "graft_example_aidx", "graft_example_vidx")
+        .groupBy("modality", "status").count()
+        .orderBy("modality", "status").show()
+      println("[example] video index serving audit (per-slot census + " +
+        "cascade refusal counters):")
+      Multimodal.videoIndexAudit(spark, "graft_example_vidx",
+        Multimodal.synthVideoPayload(
+          docs.filter(col("doc_id") % 13 === 0)), buckets = 4).show()
+    }
+
     // streaming sessionization with custom keyed state
     {
       import graft.streaming.Sessionize

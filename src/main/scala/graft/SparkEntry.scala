@@ -971,6 +971,12 @@ object SparkEntry {
     // — is the margin a usable routing confidence or theater?
     "doc_quality_calibration" -> ((s, dir) =>
       Classify.nbQualityCalibration(t(s, dir, "documents"))),
+    // decision-threshold sweep of the learned gate: the confusion matrix
+    // is one operating point (argmax = margin > 0); this is the whole
+    // precision/recall frontier over the exact integer margins — the
+    // quality twin of the dedup threshold sweep
+    "doc_quality_roc" -> ((s, dir) =>
+      Classify.nbQualityRoc(t(s, dir, "documents"))),
     // HTML main-content extraction: structurally-real synthetic page
     // (title/script/style head, nav+footer chrome, linkified <main>),
     // RE2-safe regex extraction, graded by byte-exact round trip
@@ -1258,6 +1264,30 @@ object SparkEntry {
       CorpusOps.curationFunnel(
         d.filter(col("doc_id") % 100 =!= 0),
         d.filter(col("doc_id") % 100 === 0))
+    }),
+    // the same stage frames split BY SOURCE — the triage view production
+    // curation reads first: which source bleeds at which stage
+    "corpus_curation_funnel_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.curationFunnelBySource(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0))
+    }),
+    // INCREMENTAL funnel — the per-increment attrition a continuous crawl
+    // pipeline emits: the new-batch split (every 10th doc) judged against
+    // the corpus through gate → exact dedup (10-token-prefix fp, the
+    // loose key this dup-free corpus needs to exercise the drop path) →
+    // near dedup (cross-frame LSH) → span scrub (20-novel-token floor);
+    // each stage on the previous stage's survivors only, never rescanning
+    // the corpus side more than its one state-derivation pass
+    "corpus_curation_funnel_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.curationFunnelIncremental(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0),
+        fp = md5(concat_ws(" ",
+          slice(split(col("text"), " ", -1), 1, 10))),
+        estimatedItems = 1L << 16, numBits = 1L << 19)
     }),
     // EAGER: label propagation runs jobs at construction (see scaladoc)
     "doc_dup_clusters" -> ((s, dir) =>
@@ -2135,12 +2165,23 @@ object SparkEntry {
         Multimodal.synthWavPayload(
           t(s, dir, "documents").filter(col("doc_id") % 13 === 0)))),
     // one-row serving audit of the perceptual index: geometry, copy
-    // census (the dup-share canary), serve-vs-brute parity sample
+    // census (the dup-share canary), serve-vs-brute parity sample, and
+    // the cascade-refusal pair (no-silent-caps) — maxBandVals dialed to
+    // 4 so the census genuinely exercises both cascade levels on this
+    // corpus's motif-heavy sketch universe
     "multimodal_phash_index_audit" -> ((s, dir) =>
       Multimodal.phashIndexAudit(s, phashIndexedTable(s, dir),
         Multimodal.synthBmpPayload(
           t(s, dir, "documents").filter(col("doc_id") % 13 === 0)),
-        buckets = 8)),
+        buckets = 8, maxBandVals = 4)),
+    // the video keyframe index gets the same serving audit: per-slot
+    // census rows (the index bands per slot), global vote-gated serve
+    // parity + cascade refusals repeated on each row
+    "multimodal_video_index_audit" -> ((s, dir) =>
+      Multimodal.videoIndexAudit(s, videoIndexedTable(s, dir),
+        Multimodal.synthVideoPayload(
+          t(s, dir, "documents").filter(col("doc_id") % 13 === 0)),
+        buckets = 8, maxBandVals = 4)),
     // video takedown off the persisted keyframe index: per-slot banded
     // value match + popcount + >=2-of-3 vote gate — "remove every
     // re-encode of this clip" with one box walk over the requests
@@ -2164,6 +2205,18 @@ object SparkEntry {
           t(s, dir, "documents").filter(col("doc_id") % 13 === 0)))),
     "multimodal_modality_profile" -> ((s, dir) =>
       Multimodal.modalityDupProfile(t(s, dir, "documents"))),
+    // UNIFIED takedown: ONE tombstone list (ids ending in 8) fanned
+    // across the text band/sets index and the image/audio/video sketch
+    // indexes — per (library member, modality) status; request content
+    // is index-looked-up, nothing re-decoded or re-shingled
+    "takedown_unified" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (bands, sets) = takedownIndexedTables(s, dir)
+      Multimodal.takedownUnified(s, d,
+        d.filter(col("doc_id") % 10 === 8).select("doc_id"),
+        bands, sets, phashIndexedTable(s, dir),
+        audioIndexedTable(s, dir), videoIndexedTable(s, dir))
+    }),
   )
 
   /** Build-or-reuse the persisted cell-bucketed IVF index for `dir`'s
@@ -2184,6 +2237,19 @@ object SparkEntry {
       Seq("graft_neardup_bands", "graft_neardup_sets")) { ns =>
       Dedup.nearDupWriteIndex(d.filter(col("doc_id") % 10 =!= 0),
         ns(0), ns(1), buckets = 8)
+    }
+    (names(0), names(1))
+  }
+
+  /** Whole-corpus near-dup band/sets index for the takedown serves
+    * (unlike [[nearDupIndexedTables]], which indexes the 9/10 corpus
+    * split the incremental probes judge against). */
+  private def takedownIndexedTables(s: SparkSession,
+                                    dir: String): (String, String) = {
+    val d = t(s, dir, "documents")
+    val names = versionedTables(s, dir, d,
+      Seq("graft_takedown_bands", "graft_takedown_sets")) { ns =>
+      Dedup.nearDupWriteIndex(d, ns(0), ns(1), buckets = 8)
     }
     (names(0), names(1))
   }
@@ -2527,6 +2593,94 @@ object SparkEntry {
       |SELECT doc_id, lang, source FROM documents
       |WHERE doc_id % 10 = 0
       | AND doc_id NOT IN (SELECT doc_a FROM drops)""".stripMargin
+
+  /** Shared CTE chain for the batch curation-funnel oracles (global and
+    * by-source): the PROVEN stage oracles (gopher gate CTEs,
+    * dedup-pipeline drop chain, decontaminate gram probe, stratified
+    * split quota), each scoped to the previous stage's survivors,
+    * through the stage-4 train split — `source` rides the whole chain so
+    * the by-source variant can count per stratum. */
+  private val CurationFunnelSqlPrefix: String =
+    """WITH gd AS (SELECT doc_id, text, source, n_chars FROM documents
+      |  WHERE doc_id % 100 <> 0),
+      | w0 AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words
+      |  FROM gd),
+      | gate AS (SELECT doc_id FROM (SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(words, x -> list_contains(
+      |      ['the','a','of','and','to','in','is'], x))) AS BIGINT)
+      |      AS stop_cnt,
+      |    round((n_chars - (len(words) - 1)) / len(words), 4)
+      |      AS mean_tok_len,
+      |    CASE WHEN len(words) >= 2 THEN
+      |      round(1.0 - CAST(len(list_distinct(list_transform(
+      |        range(1, len(words)),
+      |        i -> concat(words[i], ' ', words[i+1])))) AS DOUBLE)
+      |        / (len(words) - 1), 4)
+      |     ELSE 0.0 END AS rep_2gram
+      |   FROM w0)
+      |  WHERE n_tokens >= 20 AND n_tokens <= 100000 AND stop_cnt >= 2
+      |   AND rep_2gram <= 0.05 AND mean_tok_len >= 3.0
+      |   AND mean_tok_len <= 10.0),
+      | s1 AS (SELECT gd.* FROM gd JOIN gate USING (doc_id)),
+      | fp AS (SELECT doc_id, md5(text) AS fp FROM s1),
+      | exact_drop AS (SELECT a.doc_id AS drop_id FROM fp a JOIN fp b
+      |   ON a.fp = b.fp AND b.doc_id < a.doc_id),
+      | w AS (SELECT doc_id, string_split(text, ' ') AS words FROM s1),
+      | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+      | sh AS (SELECT doc_id, unnest(list_transform(
+      |   range(1, len(words) - 1), i ->
+      |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+      |  FROM g),
+      | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed
+      |  FROM sh),
+      | mh AS (SELECT doc_id, seed,
+      |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+      |  FROM sd GROUP BY doc_id, seed),
+      | banded AS (SELECT doc_id, seed // 2 AS band,
+      |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+      |  FROM mh GROUP BY doc_id, seed // 2),
+      | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |   ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id),
+      | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+      |   range(1, len(words) - 1), i ->
+      |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+      |  FROM g),
+      | near_drop AS (SELECT c.doc_b AS drop_id
+      |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+      |   JOIN sets b ON b.doc_id = c.doc_b
+      |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+      |   (len(a.sset) + len(b.sset) -
+      |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+      | s2 AS (SELECT s1.* FROM s1 WHERE doc_id NOT IN
+      |  (SELECT drop_id FROM exact_drop
+      |   UNION SELECT drop_id FROM near_drop)),
+      | evg AS (SELECT DISTINCT unnest(list_transform(
+      |   range(1, len(words) - 1),
+      |   i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+      |    AS gram
+      |  FROM (SELECT string_split(text, ' ') AS words FROM documents
+      |   WHERE doc_id % 100 = 0) WHERE len(words) >= 3),
+      | s2g AS (SELECT doc_id, unnest(list_transform(
+      |   range(1, len(words) - 1),
+      |   i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+      |    AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM s2)
+      |  WHERE len(words) >= 3),
+      | cont AS (SELECT DISTINCT s2g.doc_id FROM s2g
+      |  JOIN evg USING (gram)),
+      | s3 AS (SELECT s2.* FROM s2 WHERE doc_id NOT IN
+      |  (SELECT doc_id FROM cont)),
+      | r AS (SELECT doc_id, source,
+      |   row_number() OVER (PARTITION BY source
+      |     ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |     AS rn,
+      |   count(*) OVER (PARTITION BY source) AS n_src
+      |  FROM s3),
+      | s4 AS (SELECT doc_id, source FROM r
+      |  WHERE rn > (n_src * 100) // 1000)""".stripMargin
 
   /** Winnowing match-detection oracle shared VERBATIM by the inline,
     * indexed, and index-appended queries (the [[Bm25OracleSql]]
@@ -4779,6 +4933,39 @@ object SparkEntry {
     // margin-calibration curve: whole-log-unit buckets (floor of an
     // exact double division of the integer micro-log margin — both
     // engines floor identically), empirical vs predicted keep rate
+    // threshold sweep over the exact integer micro-log margins: predict
+    // keep iff margin > t*1e6 (t = 0 IS the argmax point — ties go to
+    // drop), counts exact, rates 4dp, precision NULL at empty predictions
+    "doc_quality_roc" ->
+      (QualityNbSqlPrefix +
+        """,
+        | mg AS (SELECT doc_id, actual,
+        |   CAST(max(CASE WHEN cand = 1 THEN score END)
+        |     - max(CASE WHEN cand = 0 THEN score END) AS BIGINT)
+        |     AS margin
+        |  FROM scored GROUP BY doc_id, actual),
+        | th AS (SELECT unnest(range(-10, 11)) AS threshold),
+        | p AS (SELECT CAST(th.threshold AS BIGINT) AS threshold,
+        |   mg.actual,
+        |   CASE WHEN mg.margin > th.threshold * 1000000 THEN 1 ELSE 0 END
+        |     AS pred
+        |  FROM th CROSS JOIN mg),
+        | cm AS (SELECT threshold,
+        |   CAST(sum(CASE WHEN actual = 1 AND pred = 1 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS tp,
+        |   CAST(sum(CASE WHEN actual = 0 AND pred = 1 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS fp,
+        |   CAST(sum(CASE WHEN actual = 1 AND pred = 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS fn,
+        |   CAST(sum(CASE WHEN actual = 0 AND pred = 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS tn
+        |  FROM p GROUP BY threshold)
+        |SELECT threshold, tp, fp, fn, tn,
+        | CASE WHEN tp + fp > 0
+        |   THEN round(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS precision,
+        | CASE WHEN tp + fn > 0
+        |   THEN round(CAST(tp AS DOUBLE) / (tp + fn), 4) END AS recall
+        |FROM cm""".stripMargin),
     "doc_quality_calibration" ->
       (QualityNbSqlPrefix +
         """,
@@ -5503,11 +5690,64 @@ object SparkEntry {
     // dedup-pipeline drop chain, decontaminate gram probe, stratified
     // split quota), each scoped to the previous stage's survivors, then
     // stacks the four attrition rows
-    "corpus_curation_funnel" ->
-      """WITH gd AS (SELECT doc_id, text, source, n_chars FROM documents
-        |  WHERE doc_id % 100 <> 0),
+    "corpus_curation_funnel" -> (CurationFunnelSqlPrefix +
+      """,
+        | c AS (SELECT (SELECT count(*) FROM gd) AS n0,
+        |   (SELECT count(*) FROM s1) AS n1,
+        |   (SELECT count(*) FROM s2) AS n2,
+        |   (SELECT count(*) FROM s3) AS n3,
+        |   (SELECT count(*) FROM s4) AS n4)
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+        | CAST(docs_in AS BIGINT) AS docs_in,
+        | CAST(docs_dropped AS BIGINT) AS docs_dropped,
+        | CAST(docs_in - docs_dropped AS BIGINT) AS docs_out, reason
+        |FROM (
+        | SELECT 1 AS stage_idx, 'quality_gate' AS stage, n0 AS docs_in,
+        |   n0 - n1 AS docs_dropped, 'gopher_rule_fail' AS reason FROM c
+        | UNION ALL SELECT 2, 'dedup', n1, n1 - n2, 'duplicate' FROM c
+        | UNION ALL SELECT 3, 'decontaminate', n2, n2 - n3,
+        |   'eval_overlap' FROM c
+        | UNION ALL SELECT 4, 'split', n3, n3 - n4, 'test_holdout'
+        |   FROM c)""".stripMargin),
+    // the same stage CTEs, counted per source: left joins off the stage-0
+    // census (every source appears there), absent downstream counts
+    // coalesce to 0
+    "corpus_curation_funnel_by_source" -> (CurationFunnelSqlPrefix +
+      """,
+        | c0 AS (SELECT source, count(*) AS n0 FROM gd GROUP BY source),
+        | c1 AS (SELECT source, count(*) AS n1 FROM s1 GROUP BY source),
+        | c2 AS (SELECT source, count(*) AS n2 FROM s2 GROUP BY source),
+        | c3 AS (SELECT source, count(*) AS n3 FROM s3 GROUP BY source),
+        | c4 AS (SELECT source, count(*) AS n4 FROM s4 GROUP BY source),
+        | j AS (SELECT c0.source, n0, coalesce(n1, 0) AS n1,
+        |   coalesce(n2, 0) AS n2, coalesce(n3, 0) AS n3,
+        |   coalesce(n4, 0) AS n4
+        |  FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+        |   LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source))
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, source,
+        | CAST(docs_in AS BIGINT) AS docs_in,
+        | CAST(docs_dropped AS BIGINT) AS docs_dropped,
+        | CAST(docs_in - docs_dropped AS BIGINT) AS docs_out, reason
+        |FROM (
+        | SELECT source, 1 AS stage_idx, 'quality_gate' AS stage,
+        |   n0 AS docs_in, n0 - n1 AS docs_dropped,
+        |   'gopher_rule_fail' AS reason FROM j
+        | UNION ALL SELECT source, 2, 'dedup', n1, n1 - n2, 'duplicate'
+        |   FROM j
+        | UNION ALL SELECT source, 3, 'decontaminate', n2, n2 - n3,
+        |   'eval_overlap' FROM j
+        | UNION ALL SELECT source, 4, 'split', n3, n3 - n4,
+        |   'test_holdout' FROM j)""".stripMargin),
+    // INCREMENTAL funnel: gate CTE on the new-batch split, then the
+    // proven incremental stage oracles each scoped to the previous
+    // stage's survivors — the doc_dedup_incremental prefix-fp anti-join,
+    // the NearDedupOracleSql cross-frame LSH chain, the doc_span_scrub
+    // window-census scrub with the 20-novel-token floor
+    "corpus_curation_funnel_incremental" ->
+      """WITH nd AS (SELECT doc_id, text, source, n_chars FROM documents
+        |  WHERE doc_id % 10 = 0),
         | w0 AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words
-        |  FROM gd),
+        |  FROM nd),
         | gate AS (SELECT doc_id FROM (SELECT doc_id,
         |    CAST(len(words) AS BIGINT) AS n_tokens,
         |    CAST(len(list_filter(words, x -> list_contains(
@@ -5525,65 +5765,72 @@ object SparkEntry {
         |  WHERE n_tokens >= 20 AND n_tokens <= 100000 AND stop_cnt >= 2
         |   AND rep_2gram <= 0.05 AND mean_tok_len >= 3.0
         |   AND mean_tok_len <= 10.0),
-        | s1 AS (SELECT gd.* FROM gd JOIN gate USING (doc_id)),
-        | fp AS (SELECT doc_id, md5(text) AS fp FROM s1),
-        | exact_drop AS (SELECT a.doc_id AS drop_id FROM fp a JOIN fp b
-        |   ON a.fp = b.fp AND b.doc_id < a.doc_id),
-        | w AS (SELECT doc_id, string_split(text, ' ') AS words FROM s1),
-        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
-        | sh AS (SELECT doc_id, unnest(list_transform(
+        | s1 AS (SELECT nd.* FROM nd JOIN gate USING (doc_id)),
+        | kf AS (SELECT DISTINCT md5(array_to_string(
+        |   list_slice(string_split(text, ' '), 1, 10), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        | s2 AS (SELECT s1.* FROM s1
+        |  WHERE md5(array_to_string(
+        |   list_slice(string_split(text, ' '), 1, 10), ' '))
+        |   NOT IN (SELECT fp FROM kf)),
+        | wa AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | ga AS (SELECT doc_id, words FROM wa WHERE len(words) >= 3),
+        | sha AS (SELECT doc_id, unnest(list_transform(
         |   range(1, len(words) - 1), i ->
         |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
-        |  FROM g),
-        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed
-        |  FROM sh),
-        | mh AS (SELECT doc_id, seed,
+        |  FROM ga),
+        | sda AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed
+        |  FROM sha),
+        | mha AS (SELECT doc_id, seed,
         |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
-        |  FROM sd GROUP BY doc_id, seed),
-        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |  FROM sda GROUP BY doc_id, seed),
+        | bnd AS (SELECT doc_id, seed // 2 AS band,
         |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
-        |  FROM mh GROUP BY doc_id, seed // 2),
-        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b
+        |  FROM mha GROUP BY doc_id, seed // 2),
+        | cnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bnd a JOIN bnd b
         |   ON a.band = b.band AND a.bucket = b.bucket
-        |    AND a.doc_id < b.doc_id),
-        | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |  WHERE a.doc_id IN (SELECT doc_id FROM s2)
+        |   AND b.doc_id % 10 <> 0),
+        | seta AS (SELECT doc_id, list_sort(list_distinct(list_transform(
         |   range(1, len(words) - 1), i ->
         |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
-        |  FROM g),
-        | near_drop AS (SELECT c.doc_b AS drop_id
-        |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
-        |   JOIN sets b ON b.doc_id = c.doc_b
+        |  FROM ga),
+        | ndrop AS (SELECT DISTINCT c.doc_a AS drop_id
+        |  FROM cnd c JOIN seta a ON a.doc_id = c.doc_a
+        |   JOIN seta b ON b.doc_id = c.doc_b
         |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
         |   (len(a.sset) + len(b.sset) -
         |    len(list_intersect(a.sset, b.sset))) >= 0.8),
-        | s2 AS (SELECT s1.* FROM s1 WHERE doc_id NOT IN
-        |  (SELECT drop_id FROM exact_drop
-        |   UNION SELECT drop_id FROM near_drop)),
-        | evg AS (SELECT DISTINCT unnest(list_transform(
-        |   range(1, len(words) - 1),
-        |   i -> array_to_string(list_slice(words, i, i + 2), ' ')))
-        |    AS gram
-        |  FROM (SELECT string_split(text, ' ') AS words FROM documents
-        |   WHERE doc_id % 100 = 0) WHERE len(words) >= 3),
-        | s2g AS (SELECT doc_id, unnest(list_transform(
-        |   range(1, len(words) - 1),
-        |   i -> array_to_string(list_slice(words, i, i + 2), ' ')))
-        |    AS gram
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM s2)
-        |  WHERE len(words) >= 3),
-        | cont AS (SELECT DISTINCT s2g.doc_id FROM s2g
-        |  JOIN evg USING (gram)),
         | s3 AS (SELECT s2.* FROM s2 WHERE doc_id NOT IN
-        |  (SELECT doc_id FROM cont)),
-        | r AS (SELECT doc_id,
-        |   row_number() OVER (PARTITION BY source
-        |     ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
-        |     AS rn,
-        |   count(*) OVER (PARTITION BY source) AS n_src
-        |  FROM s3),
-        | s4 AS (SELECT doc_id FROM r WHERE rn > (n_src * 100) // 1000),
-        | c AS (SELECT (SELECT count(*) FROM gd) AS n0,
+        |  (SELECT drop_id FROM ndrop)),
+        | ta AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        | wi AS (SELECT doc_id, toks,
+        |   unnest(range(1, len(toks) - 8 + 2)) AS i
+        |  FROM ta WHERE len(toks) >= 8),
+        | win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+        |   md5(array_to_string(toks[i:i+7], ' ')) AS fp FROM wi),
+        | known AS (SELECT DISTINCT fp FROM win WHERE doc_id % 10 <> 0),
+        | ds AS (SELECT w.doc_id, w.start AS pos FROM win w
+        |  WHERE w.doc_id IN (SELECT doc_id FROM s3) AND EXISTS
+        |   (SELECT 1 FROM known k WHERE k.fp = w.fp)),
+        | ti AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |  FROM ta WHERE doc_id IN (SELECT doc_id FROM s3)),
+        | tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos FROM ti),
+        | flagged AS (SELECT tok.doc_id, tok.pos,
+        |   CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END AS dsf
+        |  FROM tok LEFT JOIN ds
+        |   ON tok.doc_id = ds.doc_id AND tok.pos = ds.pos),
+        | rem AS (SELECT doc_id, pos,
+        |   max(dsf) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS removed
+        |  FROM flagged),
+        | surv AS (SELECT doc_id FROM rem GROUP BY doc_id
+        |  HAVING count(*) - sum(removed) >= 20),
+        | s4 AS (SELECT s3.* FROM s3 JOIN surv USING (doc_id)),
+        | c AS (SELECT (SELECT count(*) FROM nd) AS n0,
         |   (SELECT count(*) FROM s1) AS n1,
         |   (SELECT count(*) FROM s2) AS n2,
         |   (SELECT count(*) FROM s3) AS n3,
@@ -5595,11 +5842,12 @@ object SparkEntry {
         |FROM (
         | SELECT 1 AS stage_idx, 'quality_gate' AS stage, n0 AS docs_in,
         |   n0 - n1 AS docs_dropped, 'gopher_rule_fail' AS reason FROM c
-        | UNION ALL SELECT 2, 'dedup', n1, n1 - n2, 'duplicate' FROM c
-        | UNION ALL SELECT 3, 'decontaminate', n2, n2 - n3,
-        |   'eval_overlap' FROM c
-        | UNION ALL SELECT 4, 'split', n3, n3 - n4, 'test_holdout'
-        |   FROM c)""".stripMargin,
+        | UNION ALL SELECT 2, 'exact_dedup', n1, n1 - n2,
+        |   'exact_duplicate' FROM c
+        | UNION ALL SELECT 3, 'near_dedup', n2, n2 - n3,
+        |   'near_duplicate' FROM c
+        | UNION ALL SELECT 4, 'span_scrub', n3, n3 - n4,
+        |   'recycled_content' FROM c)""".stripMargin,
     // same LSH-candidate + Jaccard edge definition as doc_dedup_pipeline,
     // then min-reachable-id per vertex via a recursive CTE — DuckDB's
     // transitive closure vs the engine's iterative label propagation
@@ -7228,6 +7476,103 @@ object SparkEntry {
     // exact-fp copy channel; per-doc compliance status
     "doc_takedown_status" ->
       (TakedownOracleCte + "SELECT doc_id, source, status FROM st"),
+    // unified takedown: the text takedown chain + the three media
+    // fingerprint chains (image aHash / audio energy-delta / video
+    // keyframe votes), each modality's statuses over its own library,
+    // requests = ids ending in 8 looked up in the same relations
+    "takedown_unified" ->
+      (TakedownOracleCte +
+        """, px AS (
+        |  SELECT d.doc_id, t.p,
+        |    least(((d.doc_id % 32) * 73 + t.p * 149) % 251
+        |      + CASE WHEN t.p = d.doc_id % 64 THEN d.doc_id % 7 ELSE 0 END,
+        |      250) AS v
+        |  FROM documents d, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+        | ab AS (SELECT px.doc_id, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id)),
+        | ah AS (SELECT doc_id,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id),
+        | img_m AS (SELECT DISTINCT c.doc_id FROM ah q JOIN ah c
+        |   ON bit_count(xor(q.h, c.h)) <= 3
+        |  WHERE q.doc_id % 10 = 8),
+        | img_st AS (SELECT doc_id, 'image' AS modality,
+        |   CASE WHEN doc_id % 10 = 8 THEN 'removed_direct'
+        |        WHEN doc_id IN (SELECT doc_id FROM img_m)
+        |          THEN 'removed_copy'
+        |        ELSE 'kept' END AS status FROM ah),
+        | wb AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) // 2 AS n FROM documents),
+        | widx AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i
+        |  FROM wb WHERE n >= 64),
+        | wv AS (SELECT doc_id, n, (i * 64) // n AS f,
+        |   (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+1 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+2 AS INTEGER), 1)) - 1 AS BIGINT)
+        |    + 256 * (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+3 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+4 AS INTEGER), 1)) - 1 AS BIGINT)))
+        |     AS u
+        |  FROM widx),
+        | wen AS (SELECT doc_id, f, sum(abs(
+        |   CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS e
+        |  FROM wv GROUP BY doc_id, f),
+        | wdb AS (SELECT doc_id, f,
+        |   CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |     THEN 1 ELSE 0 END AS bit
+        |  FROM wen),
+        | afp AS (SELECT doc_id, sum(CAST(bit AS BIGINT) *
+        |    (CAST(1 AS BIGINT) << CAST(62 - f AS INTEGER))) AS h
+        |  FROM wdb WHERE f < 63 GROUP BY doc_id),
+        | aud_m AS (SELECT DISTINCT c.doc_id FROM afp q JOIN afp c
+        |   ON bit_count(xor(q.h, c.h)) <= 3
+        |  WHERE q.doc_id % 10 = 8),
+        | aud_st AS (SELECT doc_id, 'audio' AS modality,
+        |   CASE WHEN doc_id % 10 = 8 THEN 'removed_direct'
+        |        WHEN doc_id IN (SELECT doc_id FROM aud_m)
+        |          THEN 'removed_copy'
+        |        ELSE 'kept' END AS status FROM afp),
+        | fr AS (
+        |  SELECT d.doc_id, sl.slot,
+        |    CAST(sl.slot * ((4 + d.doc_id % 5) // 3) AS INTEGER)
+        |      AS frame_idx
+        |  FROM documents d, range(0, 3) sl(slot)),
+        | vpx AS (
+        |  SELECT f.doc_id, f.slot, t.p,
+        |    least(((f.doc_id % 32) * 73 + t.p * 149 + f.frame_idx * 31)
+        |        % 251
+        |      + CASE WHEN t.p = f.doc_id % 64 THEN f.doc_id % 7 ELSE 0
+        |        END,
+        |      250) AS v
+        |  FROM fr f, range(0, 64) t(p)),
+        | vsum AS (SELECT doc_id, slot, sum(v) AS sv FROM vpx
+        |  GROUP BY doc_id, slot),
+        | vab AS (SELECT vpx.doc_id, vpx.slot, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM vpx JOIN vsum USING (doc_id, slot)),
+        | vah AS (SELECT doc_id, slot,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM vab GROUP BY doc_id, slot),
+        | vid_m AS (SELECT DISTINCT c.doc_id FROM vah q
+        |   JOIN vah c ON q.slot = c.slot
+        |  WHERE q.doc_id % 10 = 8 AND bit_count(xor(q.h, c.h)) <= 3
+        |  GROUP BY q.doc_id, c.doc_id HAVING count(*) >= 2),
+        | vid_st AS (SELECT doc_id, 'video' AS modality,
+        |   CASE WHEN doc_id % 10 = 8 THEN 'removed_direct'
+        |        WHEN doc_id IN (SELECT doc_id FROM vid_m)
+        |          THEN 'removed_copy'
+        |        ELSE 'kept' END AS status
+        |  FROM (SELECT DISTINCT doc_id FROM vah))
+        |SELECT doc_id, 'text' AS modality, status FROM st
+        |UNION ALL SELECT * FROM img_st
+        |UNION ALL SELECT * FROM aud_st
+        |UNION ALL SELECT * FROM vid_st""".stripMargin),
     "corpus_takedown_audit" ->
       (TakedownOracleCte +
         """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -8645,12 +8990,113 @@ object SparkEntry {
         | vol AS (SELECT CAST(count(*) AS BIGINT) AS n_assets FROM ah),
         | par AS (SELECT CAST(count(*) AS BIGINT) AS n_serve_matches
         |  FROM (SELECT * FROM ah WHERE doc_id % 13 = 0) q, ah c
-        |  WHERE bit_count(xor(q.h, c.h)) <= 3)
+        |  WHERE bit_count(xor(q.h, c.h)) <= 3),
+        | vals AS (SELECT DISTINCT h AS v FROM ah),
+        | bands AS (SELECT v, b.band_idx,
+        |   (v >> (16 * b.band_idx)) & 65535 AS band_val
+        |  FROM vals, (SELECT unnest(range(0, 4)) AS band_idx) b),
+        | satur AS (SELECT band_idx, band_val FROM bands
+        |  GROUP BY 1, 2 HAVING count(*) > 4),
+        | subm AS (SELECT bands.v, bands.band_idx, bands.band_val,
+        |   CASE bands.band_idx
+        |     WHEN 0 THEN bands.v >> 16
+        |     WHEN 1 THEN (bands.v & 65535) | ((bands.v >> 32) << 16)
+        |     WHEN 2 THEN (bands.v & 4294967295)
+        |       | ((bands.v >> 48) << 32)
+        |     ELSE bands.v & 281474976710655 END AS packed
+        |  FROM bands JOIN satur USING (band_idx, band_val)),
+        | subb AS (SELECT v, band_idx, band_val, sb.sub_idx,
+        |   (packed >> (12 * sb.sub_idx)) & 4095 AS sub_val
+        |  FROM subm, (SELECT unnest(range(0, 4)) AS sub_idx) sb),
+        | ref AS (SELECT band_idx, band_val, sub_idx, sub_val FROM subb
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) > 4),
+        | refb AS (SELECT CAST(count(*) AS BIGINT) AS refused_buckets
+        |  FROM ref),
+        | refv AS (SELECT CAST(count(DISTINCT v) AS BIGINT)
+        |   AS refused_vals
+        |  FROM subb JOIN ref USING (band_idx, band_val, sub_idx,
+        |   sub_val))
         |SELECT CAST(8 AS BIGINT) AS n_buckets, vol.n_assets,
         |  cen.n_distinct_sketches, cen.max_copies, cen.dup_assets,
         |  (10000 * cen.dup_assets) // vol.n_assets AS dup_share_e4,
-        |  par.n_serve_matches
-        |FROM vol, cen, par""".stripMargin,
+        |  par.n_serve_matches, refb.refused_buckets, refv.refused_vals
+        |FROM vol, cen, par, refb, refv""".stripMargin,
+    // video index audit: the video fp CTEs, per-slot copy census, the
+    // vote-gated takedown count as the global parity column, and the
+    // per-slot cascade-refusal census (band → saturated → 12-bit
+    // sub-band → doubly-saturated) at the same maxBandVals = 4 dial
+    "multimodal_video_index_audit" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, s.slot,
+        |    CAST(s.slot * ((4 + d.doc_id % 5) // 3) AS INTEGER)
+        |      AS frame_idx
+        |  FROM documents d, range(0, 3) s(slot)),
+        | px AS (
+        |  SELECT f.doc_id, f.slot, t.p,
+        |    least(((f.doc_id % 32) * 73 + t.p * 149 + f.frame_idx * 31)
+        |        % 251
+        |      + CASE WHEN t.p = f.doc_id % 64 THEN f.doc_id % 7 ELSE 0
+        |        END,
+        |      250) AS v
+        |  FROM fr f, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, slot, sum(v) AS sv FROM px
+        |  GROUP BY doc_id, slot),
+        | ab AS (SELECT px.doc_id, px.slot, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id, slot)),
+        | ah AS (SELECT doc_id, slot,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id, slot),
+        | byh AS (SELECT slot, h, count(*) AS n FROM ah GROUP BY 1, 2),
+        | cen AS (SELECT slot,
+        |   CAST(count(*) AS BIGINT) AS n_distinct_sketches,
+        |   CAST(max(n) AS BIGINT) AS max_copies,
+        |   CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |     AS dup_assets,
+        |   CAST(sum(n) AS BIGINT) AS n_assets
+        |  FROM byh GROUP BY slot),
+        | sm AS (SELECT q.doc_id AS req_id, c.doc_id,
+        |   CAST(bit_count(xor(q.h, c.h)) AS BIGINT) AS hamming
+        |  FROM (SELECT * FROM ah WHERE doc_id % 13 = 0) q
+        |   JOIN ah c ON q.slot = c.slot
+        |  WHERE bit_count(xor(q.h, c.h)) <= 3),
+        | par AS (SELECT CAST(count(*) AS BIGINT) AS n_serve_matches
+        |  FROM (SELECT req_id, doc_id FROM sm GROUP BY req_id, doc_id
+        |   HAVING count(*) >= 2)),
+        | vals AS (SELECT DISTINCT slot, h AS v FROM ah),
+        | bands AS (SELECT slot, v, b.band_idx,
+        |   (v >> (16 * b.band_idx)) & 65535 AS band_val
+        |  FROM vals, (SELECT unnest(range(0, 4)) AS band_idx) b),
+        | satur AS (SELECT slot, band_idx, band_val FROM bands
+        |  GROUP BY 1, 2, 3 HAVING count(*) > 4),
+        | subm AS (SELECT bands.slot, bands.v, bands.band_idx,
+        |   bands.band_val,
+        |   CASE bands.band_idx
+        |     WHEN 0 THEN bands.v >> 16
+        |     WHEN 1 THEN (bands.v & 65535) | ((bands.v >> 32) << 16)
+        |     WHEN 2 THEN (bands.v & 4294967295)
+        |       | ((bands.v >> 48) << 32)
+        |     ELSE bands.v & 281474976710655 END AS packed
+        |  FROM bands JOIN satur USING (slot, band_idx, band_val)),
+        | subb AS (SELECT slot, v, band_idx, band_val, sb.sub_idx,
+        |   (packed >> (12 * sb.sub_idx)) & 4095 AS sub_val
+        |  FROM subm, (SELECT unnest(range(0, 4)) AS sub_idx) sb),
+        | ref AS (SELECT slot, band_idx, band_val, sub_idx, sub_val
+        |  FROM subb
+        |  GROUP BY 1, 2, 3, 4, 5 HAVING count(*) > 4),
+        | refb AS (SELECT CAST(count(*) AS BIGINT) AS refused_buckets
+        |  FROM ref),
+        | refv AS (SELECT CAST(count(*) AS BIGINT) AS refused_vals
+        |  FROM (SELECT DISTINCT slot, v FROM subb
+        |   JOIN ref USING (slot, band_idx, band_val, sub_idx,
+        |    sub_val)))
+        |SELECT CAST(cen.slot AS BIGINT) AS slot,
+        |  CAST(8 AS BIGINT) AS n_buckets, cen.n_assets,
+        |  cen.n_distinct_sketches, cen.max_copies, cen.dup_assets,
+        |  (10000 * cen.dup_assets) // cen.n_assets AS dup_share_e4,
+        |  par.n_serve_matches, refb.refused_buckets, refv.refused_vals
+        |FROM cen, par, refb, refv""".stripMargin,
     // video takedown: the video_dup_pairs analytic per-slot hashes,
     // requests = the %13 slice, brute per-slot popcount <= 3 + the
     // 2-of-3 vote gate (self-matches vote 3/3 at ham_sum 0)

@@ -157,6 +157,26 @@ object Classify {
     (ft, labels)
   }
 
+  /** The quality-NB scored frame every consumer reads — (doc_id, actual,
+    * cand, score), checkpointed once (it feeds argmax, the margin agg,
+    * and the ROC sweep; run-once-read-many). */
+  private def qualityScored(docs: DataFrame): DataFrame = {
+    val (ft, labels) = qualityLabeled(docs)
+    val train = ft.filter(col("doc_id") % 5 =!= 0).select("cls", "word")
+    val test = ft.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("cls").as("actual"), col("word"))
+    val clsDocs = labels.filter(col("doc_id") % 5 =!= 0)
+      .groupBy("cls").agg(count(lit(1)).as("nd"))
+    nbScores(train, test, clsDocs).localCheckpoint(eager = false)
+  }
+
+  /** margin = score(keep) − score(drop) per held-out doc, exact integer
+    * micro-logs: (doc_id, actual, margin). */
+  private def qualityMargin(scored: DataFrame): DataFrame =
+    scored.groupBy("doc_id", "actual").agg(
+      (max(when(col("cand") === 1, col("score"))) -
+        max(when(col("cand") === 0, col("score")))).as("margin"))
+
   /** TRAINED quality gate, per-doc serving view: NB fit on 4/5 of the
     * corpus over the discretized quality features against the rule-gate
     * labels, served on the held-out fifth. Output per held-out doc:
@@ -165,18 +185,9 @@ object Classify {
     * confidence a curation owner thresholds when routing borderline docs
     * to review instead of auto-gating. */
   def nbQualityScores(docs: DataFrame): DataFrame = {
-    val (ft, labels) = qualityLabeled(docs)
-    val train = ft.filter(col("doc_id") % 5 =!= 0).select("cls", "word")
-    val test = ft.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), col("cls").as("actual"), col("word"))
-    val clsDocs = labels.filter(col("doc_id") % 5 =!= 0)
-      .groupBy("cls").agg(count(lit(1)).as("nd"))
-    val scored = nbScores(train, test, clsDocs)
-      .localCheckpoint(eager = false) // feeds argmax AND the margin agg
-    val margin = scored.groupBy("doc_id").agg(
-      (max(when(col("cand") === 1, col("score"))) -
-        max(when(col("cand") === 0, col("score")))).as("margin"))
-    argmax(scored).join(margin, "doc_id")
+    val scored = qualityScored(docs)
+    argmax(scored)
+      .join(qualityMargin(scored).select("doc_id", "margin"), "doc_id")
       .select(col("doc_id"), col("actual"), col("predicted"),
         col("margin"))
   }
@@ -184,11 +195,58 @@ object Classify {
   /** Held-out confusion matrix of the trained quality gate vs the rule
     * gate — the readout that says whether the learned filter can stand
     * in for the rules (diagonal mass) and which failure direction it
-    * leans (false-keep vs false-drop). */
+    * leans (false-keep vs false-drop). Reads the argmax over the shared
+    * scored frame directly — the margin aggregate+join the per-doc
+    * serving view pays is irrelevant to a 2×2 count and is skipped. */
   def nbQualityConfusion(docs: DataFrame): DataFrame =
-    nbQualityScores(docs)
+    argmax(qualityScored(docs))
       .groupBy("actual", "predicted")
       .agg(count(lit(1)).as("n"))
+
+  /** Decision-threshold SWEEP of the trained quality gate — the tuning
+    * table the dedup side already has three of (threshold/band/width):
+    * the confusion matrix fixes ONE operating point (argmax ⇔ margin >
+    * 0); a curation owner setting an auto-keep bar wants the whole
+    * precision/recall frontier. For each threshold t (whole natural-log
+    * units over the integer micro-log margin), predict keep iff
+    * margin > t·1e6 — at t = 0 this reproduces the argmax operating
+    * point exactly (score ties argmax to class 0, and margin > 0 is
+    * false on a tie). Output per threshold: (threshold, tp, fp, fn, tn,
+    * precision, recall) — counts exact, rates 4dp, precision NULL where
+    * nothing is predicted keep.
+    *
+    * Scale shape: the scoring chain runs ONCE (the shared checkpointed
+    * frame); the sweep is a |thresholds| × |held-out docs| conditional
+    * aggregate over a broadcast thresholds frame — the
+    * [[Dedup.thresholdSweep]] discipline. */
+  def nbQualityRoc(docs: DataFrame,
+                   thresholds: Seq[Long] = -10L to 10L): DataFrame = {
+    require(thresholds.nonEmpty, "nbQualityRoc: at least one threshold")
+    val margin = qualityMargin(qualityScored(docs))
+    val th = docs.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val p = broadcast(th).crossJoin(margin)
+      .withColumn("pred",
+        (col("margin") > col("threshold") * 1000000L).cast("int"))
+    p.groupBy("threshold")
+      .agg(
+        sum(when(col("actual") === 1 && col("pred") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("actual") === 0 && col("pred") === 1, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("actual") === 1 && col("pred") === 0, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("actual") === 0 && col("pred") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4))
+          .as("recall"))
+  }
 
   /** CALIBRATION curve of the trained quality gate — the audit that
     * decides whether [[nbQualityScores]]' margin is USABLE as a routing

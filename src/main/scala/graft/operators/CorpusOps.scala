@@ -697,6 +697,37 @@ object CorpusOps {
                      jaccardThreshold: Double = 0.8, minhashK: Int = 4,
                      rowsPerBand: Int = 2, n: Int = 3,
                      testPermille: Int = 100): DataFrame = {
+    val st = funnelStages(docs, evalDocs, jaccardThreshold, minhashK,
+      rowsPerBand, n, testPermille)
+    globalAttrition(st, BatchStageSpecs)
+  }
+
+  /** [[curationFunnel]]'s attrition split BY SOURCE — the triage view a
+    * curation review reads FIRST: the global 4 rows say how much the
+    * pipeline dropped, this says WHICH source is bleeding at which stage
+    * (one crawl source failing the gate at 80% is a crawler bug, not a
+    * corpus property). Same stage frames, same order-exact attribution;
+    * one (stage_idx × source) row per combination, keyed counts instead
+    * of 1-row aggregates. Sources can die out mid-funnel — downstream
+    * stage counts coalesce to 0, never drop the source row. */
+  def curationFunnelBySource(docs: DataFrame, evalDocs: DataFrame,
+                             jaccardThreshold: Double = 0.8,
+                             minhashK: Int = 4, rowsPerBand: Int = 2,
+                             n: Int = 3,
+                             testPermille: Int = 100): DataFrame = {
+    val st = funnelStages(docs, evalDocs, jaccardThreshold, minhashK,
+      rowsPerBand, n, testPermille)
+    bySourceAttrition(st, BatchStageSpecs)
+  }
+
+  /** The batch funnel's stage frames, order-exact (each stage's verdicts
+    * on the previous stage's survivors only), every intermediate lazily
+    * localCheckpoint-ed because it feeds both its successor and one-or-two
+    * count consumers. */
+  private def funnelStages(docs: DataFrame, evalDocs: DataFrame,
+                           jaccardThreshold: Double, minhashK: Int,
+                           rowsPerBand: Int, n: Int,
+                           testPermille: Int): Seq[DataFrame] = {
     val base = docs.select("doc_id", "text", "lang", "source", "n_chars")
     val gateIds = TextAnalysis.gopherFilter(base)
       .filter(col("keep")).select("doc_id")
@@ -711,23 +742,177 @@ object CorpusOps {
       .localCheckpoint(eager = false)
     val s4 = TextAnalysis.splitStratified(s3, testPermille)
       .filter(col("split") === "train")
+    Seq(base, s1, s2, s3, s4)
+  }
+
+  private val BatchStageSpecs: Seq[(String, String)] = Seq(
+    "quality_gate" -> "gopher_rule_fail",
+    "dedup" -> "duplicate",
+    "decontaminate" -> "eval_overlap",
+    "split" -> "test_holdout")
+
+  private val IncrementalStageSpecs: Seq[(String, String)] = Seq(
+    "quality_gate" -> "gopher_rule_fail",
+    "exact_dedup" -> "exact_duplicate",
+    "near_dedup" -> "near_duplicate",
+    "span_scrub" -> "recycled_content")
+
+  /** The 4-row global attrition frame from 5 stage frames: counts as
+    * broadcast 1-row crossJoins stacked into (stage_idx, stage, docs_in,
+    * docs_dropped, docs_out, reason). */
+  private def globalAttrition(st: Seq[DataFrame],
+                              specs: Seq[(String, String)]): DataFrame = {
     def cnt(df: DataFrame, alias: String) =
       broadcast(df.agg(count(lit(1)).as(alias)))
-    base.agg(count(lit(1)).as("n0"))
-      .crossJoin(cnt(s1, "n1")).crossJoin(cnt(s2, "n2"))
-      .crossJoin(cnt(s3, "n3")).crossJoin(cnt(s4, "n4"))
-      .select(expr(
-        """stack(4,
-          |1, 'quality_gate',  n0, n0 - n1, 'gopher_rule_fail',
-          |2, 'dedup',         n1, n1 - n2, 'duplicate',
-          |3, 'decontaminate', n2, n2 - n3, 'eval_overlap',
-          |4, 'split',         n3, n3 - n4, 'test_holdout')"""
-          .stripMargin.replace("\n", " "))
-        .as(Seq("stage_idx", "stage", "docs_in", "docs_dropped",
-          "reason")))
+    val stackSql = specs.zipWithIndex.map { case ((stage, reason), i) =>
+      s"${i + 1}, '$stage', n$i, n$i - n${i + 1}, '$reason'"
+    }.mkString(s"stack(${specs.size}, ", ", ", ")")
+    st.head.agg(count(lit(1)).as("n0"))
+      .crossJoin(cnt(st(1), "n1")).crossJoin(cnt(st(2), "n2"))
+      .crossJoin(cnt(st(3), "n3")).crossJoin(cnt(st(4), "n4"))
+      .select(expr(stackSql).as(Seq("stage_idx", "stage", "docs_in",
+        "docs_dropped", "reason")))
       .select(col("stage_idx"), col("stage"), col("docs_in"),
         col("docs_dropped"),
         (col("docs_in") - col("docs_dropped")).as("docs_out"),
         col("reason"))
+  }
+
+  /** The (stage_idx × source) attrition frame: per-source keyed counts
+    * per stage, left-joined off stage 0 (every source appears there by
+    * construction) with absent downstream counts coalesced to 0. */
+  private def bySourceAttrition(st: Seq[DataFrame],
+                                specs: Seq[(String, String)]): DataFrame = {
+    def cnt(df: DataFrame, alias: String) =
+      df.groupBy("source").agg(count(lit(1)).as(alias))
+    val joined = st.zipWithIndex.map { case (df, i) => cnt(df, s"n$i") }
+      .reduce(_.join(_, Seq("source"), "left"))
+      .na.fill(0L, (1 to 4).map(i => s"n$i"))
+    val stackSql = specs.zipWithIndex.map { case ((stage, reason), i) =>
+      s"${i + 1}, '$stage', n$i, n$i - n${i + 1}, '$reason'"
+    }.mkString(s"stack(${specs.size}, ", ", ", ")")
+    joined
+      .select(col("source"), expr(stackSql).as(Seq("stage_idx", "stage",
+        "docs_in", "docs_dropped", "reason")))
+      .select(col("stage_idx"), col("stage"), col("source"),
+        col("docs_in"), col("docs_dropped"),
+        (col("docs_in") - col("docs_dropped")).as("docs_out"),
+        col("reason"))
+  }
+
+  /** INCREMENTAL curation funnel — the attrition table a CONTINUOUS
+    * crawl pipeline emits per increment, where the batch funnel
+    * ([[curationFunnel]]) is the one-shot corpus sign-off: a NEW batch
+    * of documents is judged against the EXISTING corpus (never against
+    * itself, never rescanning the corpus), through gate → exact dedup →
+    * near dedup → span scrub, order-exact like the batch op. Stages:
+    *   1 quality_gate   Gopher rule gate (corpus-free)
+    *   2 exact_dedup    [[Dedup.incrementalDedup]]'s bloom-prefiltered
+    *                    fp anti-join vs the corpus fp universe
+    *   3 near_dedup     [[Dedup.incrementalNearDedup]]'s cross-frame LSH
+    *                    probe + exact Jaccard vs the corpus band index
+    *   4 span_scrub     [[Dedup.spanScrubKnown]] vs the corpus window
+    *                    census; a doc is dropped when fewer than
+    *                    `minNovelTokens` of its tokens survive the scrub
+    *                    (mostly-recycled content — novel-prose floor)
+    * Output: the same 4-row (stage_idx, stage, docs_in, docs_dropped,
+    * docs_out, reason) frame per increment.
+    *
+    * Scale shape: every stage is increment-sized against pre-reducible
+    * corpus state (fp set, band/sets index, distinct span census) — this
+    * inline form derives that state from `corpusDocs` one pass each; the
+    * production form probes it PERSISTED
+    * ([[curationFunnelIncrementalIndexed]] /
+    * [[graft.streaming.StreamingFunnel.curationServe]]). */
+  def curationFunnelIncremental(newDocs: DataFrame, corpusDocs: DataFrame,
+                                fp: Column = md5(col("text")),
+                                jaccardThreshold: Double = 0.8,
+                                minhashK: Int = 4, rowsPerBand: Int = 2,
+                                spanTokens: Int = 8,
+                                minNovelTokens: Long = 20,
+                                estimatedItems: Long = 1L << 16,
+                                numBits: Long = 1L << 19): DataFrame =
+    globalAttrition(
+      incrementalStages(newDocs,
+        corpusDocs.select(fp.as("fp")),
+        Dedup.bandTable(Dedup.minhash(corpusDocs, minhashK), rowsPerBand),
+        Dedup.shingleSets(corpusDocs),
+        Dedup.spanWindows(corpusDocs, spanTokens).select("fp").distinct(),
+        fp, jaccardThreshold, minhashK, rowsPerBand, spanTokens,
+        minNovelTokens, estimatedItems, numBits),
+      IncrementalStageSpecs)
+
+  /** [[curationFunnelIncremental]] against PERSISTED corpus state — the
+    * four relations [[funnelWriteState]] materializes once per corpus
+    * version. Per-increment work is the increment's own signatures plus
+    * probes of stored relations; the corpus is not touched. Same
+    * parameters ⇒ identical rows to the inline variant (the chain is
+    * deterministic — the incrementalNearDedupIndexed contract). */
+  def curationFunnelIncrementalIndexed(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      fpTable: String, bandsTable: String, setsTable: String,
+      spanFpTable: String, fp: Column = md5(col("text")),
+      jaccardThreshold: Double = 0.8, minhashK: Int = 4,
+      rowsPerBand: Int = 2, spanTokens: Int = 8,
+      minNovelTokens: Long = 20, estimatedItems: Long = 1L << 16,
+      numBits: Long = 1L << 19): DataFrame =
+    globalAttrition(
+      incrementalStages(newDocs, spark.table(fpTable),
+        spark.table(bandsTable), spark.table(setsTable),
+        spark.table(spanFpTable), fp, jaccardThreshold, minhashK,
+        rowsPerBand, spanTokens, minNovelTokens, estimatedItems, numBits),
+      IncrementalStageSpecs)
+
+  /** Materialize the incremental funnel's corpus state for one corpus
+    * version: the exact-dedup fp universe (bucketed by fp — the probe's
+    * join key), the near-dup band + sets index
+    * ([[Dedup.nearDupWriteIndex]]), and the distinct span-window census
+    * (bucketed by fp for the semi-join probe). ONE signature pass over
+    * the corpus per version, amortized over every increment — the
+    * ivfWriteIndex discipline. EAGER: runs the write jobs at call time. */
+  def funnelWriteState(docs: DataFrame, fpTable: String,
+                       bandsTable: String, setsTable: String,
+                       spanFpTable: String,
+                       fp: Column = md5(col("text")), minhashK: Int = 4,
+                       rowsPerBand: Int = 2, spanTokens: Int = 8,
+                       buckets: Int = 32): Unit = {
+    Bucketing.writeBucketed(docs.select(fp.as("fp")), fpTable, "fp",
+      buckets)
+    Dedup.nearDupWriteIndex(docs, bandsTable, setsTable, minhashK,
+      rowsPerBand, buckets)
+    Bucketing.writeBucketed(
+      Dedup.spanWindows(docs, spanTokens).select("fp").distinct(),
+      spanFpTable, "fp", buckets)
+  }
+
+  /** The incremental funnel's stage frames — order-exact against the
+    * supplied corpus state relations. Stage outputs lazily
+    * localCheckpoint-ed (each feeds its successor AND a count; s1
+    * additionally anchors [[Dedup.bloomAntiJoinFp]]'s twice-evaluated
+    * batch contract). */
+  private def incrementalStages(newDocs: DataFrame, knownFps: DataFrame,
+                                knownBands: DataFrame,
+                                knownSets: DataFrame,
+                                knownSpanFps: DataFrame, fp: Column,
+                                jaccardThreshold: Double, minhashK: Int,
+                                rowsPerBand: Int, spanTokens: Int,
+                                minNovelTokens: Long, estimatedItems: Long,
+                                numBits: Long): Seq[DataFrame] = {
+    val base = newDocs.select("doc_id", "text", "lang", "source",
+      "n_chars")
+    val gateIds = TextAnalysis.gopherFilter(base)
+      .filter(col("keep")).select("doc_id")
+    val s1 = base.join(gateIds, "doc_id").localCheckpoint(eager = false)
+    val s2Ids = Dedup.bloomAntiJoinFp(s1.withColumn("fp", fp), knownFps,
+      estimatedItems, numBits).select("doc_id")
+    val s2 = s1.join(s2Ids, "doc_id").localCheckpoint(eager = false)
+    val s3Ids = Dedup.nearDedupProbe(s2, knownBands, knownSets,
+      jaccardThreshold, minhashK, rowsPerBand).select("doc_id")
+    val s3 = s2.join(s3Ids, "doc_id").localCheckpoint(eager = false)
+    val s4Ids = Dedup.spanScrubKnown(s3, knownSpanFps, spanTokens)
+      .filter(col("n_tokens") - col("n_removed") >= minNovelTokens)
+      .select("doc_id")
+    val s4 = s3.join(s4Ids, "doc_id")
+    Seq(base, s1, s2, s3, s4)
   }
 }

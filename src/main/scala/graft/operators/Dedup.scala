@@ -341,7 +341,7 @@ object Dedup {
 
   /** (doc_id, sset) — each doc's sorted distinct 3-shingle set, the
     * scoring-side relation of every exact-Jaccard variant. */
-  private def shingleSets(d: DataFrame): DataFrame =
+  private[operators] def shingleSets(d: DataFrame): DataFrame =
     shingles(d).select(col("doc_id"),
       array_sort(array_distinct(col("shingle_arr"))).as("sset"))
 
@@ -434,7 +434,8 @@ object Dedup {
     * batch bands join known bands (band, bucket) → candidates; exact
     * Jaccard on candidates via the known-side shingle sets; anti-join the
     * drop list. */
-  private def nearDedupProbe(newDocs: DataFrame, knownBands: DataFrame,
+  private[operators] def nearDedupProbe(newDocs: DataFrame,
+                             knownBands: DataFrame,
                              knownSets: DataFrame, jaccardThreshold: Double,
                              minhashK: Int, rowsPerBand: Int): DataFrame = {
     val bNew = bandTable(minhash(newDocs, minhashK), rowsPerBand)
@@ -1366,7 +1367,8 @@ object Dedup {
 
   /** `spanTokens`-token window fingerprints of every doc with at least
     * that many tokens: (doc_id, start, fp). */
-  private def spanWindows(docs: DataFrame, spanTokens: Int): DataFrame =
+  private[operators] def spanWindows(docs: DataFrame,
+                                     spanTokens: Int): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " ", -1))
       .withColumn("n", size(col("toks")))
@@ -1438,9 +1440,20 @@ object Dedup {
     * re-shuffled per batch), then the [[spanDedup]] coverage pass runs
     * over the BATCH only. */
   def spanScrub(batch: DataFrame, corpus: DataFrame,
-                spanTokens: Int = 8): DataFrame = {
+                spanTokens: Int = 8): DataFrame =
+    spanScrubKnown(batch,
+      spanWindows(corpus, spanTokens).select(col("fp")).distinct(),
+      spanTokens)
+
+  /** [[spanScrub]] against a PRE-BUILT distinct window-fingerprint
+    * relation (`knownFps`: one `fp` column) — the form a continuous
+    * pipeline runs: the corpus side's fingerprint census is built once
+    * per corpus version (and persisted like the near-dup band index),
+    * each increment pays only its own windows + the semi-join probe. */
+  def spanScrubKnown(batch: DataFrame, knownFps: DataFrame,
+                     spanTokens: Int = 8): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
-    val known = spanWindows(corpus, spanTokens).select(col("fp")).distinct()
+    val known = knownFps.select(col("fp"))
     val doomed = spanWindows(batch, spanTokens)
       .join(known, Seq("fp"), "left_semi")
       .select(col("doc_id"), col("start").as("pos"))

@@ -738,24 +738,11 @@ object Multimodal {
       census.filter(col("n_vals") <= maxBandVals)
         .select(bandKey.map(col): _*), bandKey)
     val cand0 = pairsOn(side, bandKey)
-    // ── cascade level 1: pack the 48 bits outside the saturated band
-    // (shift-by-64 is a no-op in JVM semantics, so band 3 is the
-    // explicit low-48 mask), then 4×12-bit sub-band keys
-    val packed = Seq(
-      0 -> shiftrightunsigned(col("v"), 16),
-      1 -> col("v").bitwiseAND(lit(0xffffL)).bitwiseOR(
-        shiftleft(shiftrightunsigned(col("v"), 32), 16)),
-      2 -> col("v").bitwiseAND(lit(0xffffffffL)).bitwiseOR(
-        shiftleft(shiftrightunsigned(col("v"), 48), 32)),
-      3 -> col("v").bitwiseAND(lit(0xffffffffffffL)))
-      .foldLeft(lit(0L)) { case (acc, (b, e)) =>
-        when(col("band_idx") === b, e).otherwise(acc)
-      }
     val subKey = bandKey ++ Seq("sub_idx", "sub_val")
     val sub = banded.join(
         census.filter(col("n_vals") > maxBandVals)
           .select(bandKey.map(col): _*), bandKey)
-      .withColumn("packed", packed)
+      .withColumn("packed", packOutsideBand)
       .select(bandKey.map(col) ++ Seq(col("v"),
         posexplode(array((0 to 3).map(j =>
           shiftrightunsigned(col("packed"), j * 12)
@@ -772,6 +759,74 @@ object Multimodal {
       .withColumn("hamming",
         bit_count(col("va").bitwiseXOR(col("vb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Pack the 48 bits of `v` OUTSIDE the current 16-bit band (row must
+    * carry `v` and `band_idx`) — the cascade's sub-band domain.
+    * Shift-by-64 is a no-op in JVM semantics, so band 3 is the explicit
+    * low-48 mask. Shared by the cascade join and the refusal census. */
+  private def packOutsideBand: Column = Seq(
+    0 -> shiftrightunsigned(col("v"), 16),
+    1 -> col("v").bitwiseAND(lit(0xffffL)).bitwiseOR(
+      shiftleft(shiftrightunsigned(col("v"), 32), 16)),
+    2 -> col("v").bitwiseAND(lit(0xffffffffL)).bitwiseOR(
+      shiftleft(shiftrightunsigned(col("v"), 48), 32)),
+    3 -> col("v").bitwiseAND(lit(0xffffffffffffL)))
+    .foldLeft(lit(0L)) { case (acc, (b, e)) =>
+      when(col("band_idx") === b, e).otherwise(acc)
+    }
+
+  /** REFUSAL census of the cascade — the observability the no-silent-
+    * caps rule demands for [[nearValuePairs]]'s one remaining refusal
+    * path: a DOUBLY-saturated bucket (> `maxBandVals` distinct values
+    * agreeing on a 16-bit band AND one of its 12-bit sub-bands — 28
+    * agreeing bits) silently drops its pairs; this counts those buckets
+    * and the distinct sketch values stranded in them, so a recall cliff
+    * on a pathological universe shows up in the index audits instead of
+    * nowhere. One row: (refused_buckets, refused_vals), zeros on a
+    * healthy universe. `refused_vals` is the honest UPPER-BOUND lens: a
+    * stranded value may still pair through another unsaturated (sub-)
+    * band — the column flags exposure, the pair loss itself is bounded
+    * by it.
+    *
+    * Same chain as the pair join (distinct values → band census →
+    * cascade re-key → sub census), aggregated instead of joined —
+    * values-sized throughout, nothing touches doc rows. */
+  private[graft] def bandRefusalCensus(values: DataFrame,
+                                       grpCols: Seq[String],
+                                       maxBandVals: Int): DataFrame = {
+    val g = grpCols.map(col)
+    val banded = values.select(g :+ col("v"): _*).distinct()
+      .select(g ++ Seq(col("v"),
+        posexplode(array((0 to 3).map(b =>
+          shiftrightunsigned(col("v"), b * 16)
+            .bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band_idx", "band_val"))): _*)
+      .localCheckpoint(eager = false) // feeds the census AND the re-key
+    val bandKey = grpCols ++ Seq("band_idx", "band_val")
+    val saturated = banded.groupBy(bandKey.map(col): _*)
+      .agg(count(lit(1)).as("n_vals"))
+      .filter(col("n_vals") > maxBandVals)
+      .select(bandKey.map(col): _*)
+    val subKey = bandKey ++ Seq("sub_idx", "sub_val")
+    val sub = banded.join(saturated, bandKey)
+      .withColumn("packed", packOutsideBand)
+      .select(bandKey.map(col) ++ Seq(col("v"),
+        posexplode(array((0 to 3).map(j =>
+          shiftrightunsigned(col("packed"), j * 12)
+            .bitwiseAND(lit(0xfffL))): _*))
+          .as(Seq("sub_idx", "sub_val"))): _*)
+      .localCheckpoint(eager = false) // feeds its census AND the strand
+    val refused = sub.groupBy(subKey.map(col): _*)
+      .agg(count(lit(1)).as("n_sub"))
+      .filter(col("n_sub") > maxBandVals)
+      .select(subKey.map(col): _*)
+      .localCheckpoint(eager = false) // bucket count AND stranded join
+    val buckets = refused.agg(count(lit(1)).as("refused_buckets"))
+    val vals = sub.join(refused, subKey)
+      .select(g :+ col("v"): _*).distinct()
+      .agg(count(lit(1)).as("refused_vals"))
+    buckets.crossJoin(broadcast(vals))
   }
 
   /** Expand value pairs back to doc pairs: hamming-0 from the exact
@@ -1247,7 +1302,8 @@ object Multimodal {
     * the serve probe, three 1-row frames crossJoin-broadcast. */
   def phashIndexAudit(spark: org.apache.spark.sql.SparkSession,
                       table: String, requests: DataFrame,
-                      buckets: Int = 16): DataFrame = {
+                      buckets: Int = 16,
+                      maxBandVals: Int = 2048): DataFrame = {
     spark.catalog.refreshTable(table)
     val idx = spark.table(table)
     val byH = idx.groupBy("h").agg(count(lit(1)).as("n_docs_h"))
@@ -1260,12 +1316,20 @@ object Multimodal {
     val volume = idx.agg(count(lit(1)).as("n_assets"))
     val parity = mediaTakedownStatus(spark, table, requests)
       .agg(count(lit(1)).as("n_serve_matches"))
+    // the no-silent-caps column pair: how many doubly-saturated cascade
+    // buckets the near-dup banding would refuse over THIS index's value
+    // universe, and the values they strand (byH already holds the
+    // distinct sketches — reuse it as the census input)
+    val refusals = bandRefusalCensus(byH.select(col("h").as("v")), Nil,
+      maxBandVals)
     volume.crossJoin(broadcast(sketchStats)).crossJoin(broadcast(parity))
+      .crossJoin(broadcast(refusals))
       .select(lit(buckets).cast("long").as("n_buckets"),
         col("n_assets"), col("n_distinct_sketches"), col("max_copies"),
         col("dup_assets"),
         expr("(10000 * dup_assets) DIV n_assets").as("dup_share_e4"),
-        col("n_serve_matches"))
+        col("n_serve_matches"), col("refused_buckets"),
+        col("refused_vals"))
   }
 
   /** Persist the video keyframe-sketch table (doc_id, slot, h)
@@ -1296,11 +1360,41 @@ object Multimodal {
                           table: String, requests: DataFrame,
                           maxHamming: Int = 3, minVotes: Int = 2)
       : DataFrame = {
+    import spark.implicits._
+    videoSketchTakedown(spark, table,
+      videoFingerprintRaw(requests).filter(_.valid)
+        .map(h => (h.doc_id, h.slot, h.ahash))
+        .toDF("req_id", "slot", "rh")
+        .localCheckpoint(eager = false), // request box walk runs once
+      maxHamming, minVotes)
+  }
+
+  /** [[videoTakedownStatus]] for requests that are LIBRARY doc_ids: the
+    * request keyframe sketches are LOOKED UP in the index — zero codec
+    * work anywhere (the [[graft.operators.Dedup.takedownStatusIndexed]]
+    * discipline at video width). An id absent from the library simply
+    * matches nothing. */
+  def videoTakedownStatusByIds(spark: org.apache.spark.sql.SparkSession,
+                               table: String, tombstoneIds: DataFrame,
+                               maxHamming: Int = 3, minVotes: Int = 2)
+      : DataFrame = {
+    spark.catalog.refreshTable(table)
+    videoSketchTakedown(spark, table,
+      spark.table(table).join(tombstoneIds.select("doc_id"), "doc_id")
+        .select(col("doc_id").as("req_id"), col("slot"),
+          col("h").as("rh")),
+      maxHamming, minVotes)
+  }
+
+  /** The slot-aware serve core shared by the payload and by-ids request
+    * forms: per-slot banded value match + popcount + the vote gate. */
+  private def videoSketchTakedown(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      req: DataFrame, maxHamming: Int, minVotes: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"4x16 banding is complete only for maxHamming<=3, got $maxHamming")
     require(minVotes >= 1 && minVotes <= 3,
       s"3 sampled slots: minVotes must be 1..3, got $minVotes")
-    import spark.implicits._
     spark.catalog.refreshTable(table) // see mediaTakedownStatus
     val idx = spark.table(table)
     def bandsOf(c: Column) = posexplode(array((0 to 3).map(b =>
@@ -1308,10 +1402,6 @@ object Multimodal {
     val corpusBands = idx.select(col("slot"), col("h").as("v")).distinct()
       .select(col("slot"), col("v"),
         bandsOf(col("v")).as(Seq("band_idx", "band_val")))
-    val req = videoFingerprintRaw(requests).filter(_.valid)
-      .map(h => (h.doc_id, h.slot, h.ahash))
-      .toDF("req_id", "slot", "rh")
-      .localCheckpoint(eager = false) // request box walk runs once
     val reqBands = req.select(col("req_id"), col("slot"), col("rh"),
       bandsOf(col("rh")).as(Seq("band_idx", "band_val")))
     val matched = corpusBands
@@ -1325,6 +1415,117 @@ object Multimodal {
       .groupBy("req_id", "doc_id")
       .agg(count(lit(1)).as("n_votes"), sum("hamming").as("ham_sum"))
       .filter(col("n_votes") >= minVotes)
+  }
+
+  /** [[mediaTakedownStatus]] for requests that are LIBRARY doc_ids:
+    * request sketches looked up in the index, no codec work. Shared by
+    * the image and audio tables (both are (doc_id, h) sketch indexes). */
+  def mediaTakedownStatusByIds(spark: org.apache.spark.sql.SparkSession,
+                               table: String, tombstoneIds: DataFrame,
+                               maxHamming: Int = 3): DataFrame = {
+    spark.catalog.refreshTable(table)
+    sketchTakedown(spark, table,
+      spark.table(table).join(tombstoneIds.select("doc_id"), "doc_id")
+        .select(col("doc_id").as("req_id"), col("h").as("rh")),
+      maxHamming)
+  }
+
+  /** UNIFIED takedown — one request, EVERYTHING: a real compliance
+    * request is one doc_id list, not four per-modality tickets. Fans the
+    * tombstone list across the text band/sets index
+    * ([[graft.operators.Dedup.takedownStatusIndexed]]) and the image /
+    * audio / video sketch indexes (the by-ids serves — request content
+    * is looked up, never re-decoded), and returns one
+    * (doc_id, modality, status) row per library member per modality,
+    * status ∈ removed_direct | removed_copy | kept. Each modality's
+    * library is its own index's doc set (a doc too short to carry an
+    * audio fingerprint has no audio row — absence is the honest
+    * answer); `removed_copy` means THAT modality's content near-matches
+    * a tombstoned doc's, so a repost that reuses the image but rewrites
+    * the caption reads removed_copy/image + kept/text — exactly what a
+    * reviewer needs to see.
+    *
+    * Scale shape: four index-probe-bounded serves (each the proven
+    * per-modality core), one distinct-id frame per library, statuses by
+    * two left joins against request-sized frames; the media bytes and
+    * the corpus text are never rescanned. */
+  def takedownUnified(spark: org.apache.spark.sql.SparkSession,
+                      docs: DataFrame, tombstoneIds: DataFrame,
+                      bandsTable: String, setsTable: String,
+                      imageTable: String, audioTable: String,
+                      videoTable: String, jaccardThreshold: Double = 0.8,
+                      maxHamming: Int = 3, minVotes: Int = 2)
+      : DataFrame = {
+    val ids = tombstoneIds.select("doc_id")
+      .localCheckpoint(eager = false) // request-sized, read 8 ways
+    val text = graft.operators.Dedup.takedownStatusIndexed(spark, docs,
+        ids, bandsTable, setsTable, jaccardThreshold)
+      .select(col("doc_id"), lit("text").as("modality"), col("status"))
+    def mediaStatus(table: String, modality: String,
+                    matches: DataFrame): DataFrame = {
+      val lib = spark.table(table).select("doc_id").distinct()
+      val copies = matches.select(col("doc_id").as("copy_id")).distinct()
+      lib
+        .join(ids.select(col("doc_id").as("tomb_id")),
+          col("doc_id") === col("tomb_id"), "left")
+        .join(copies, col("doc_id") === col("copy_id"), "left")
+        .select(col("doc_id"), lit(modality).as("modality"),
+          when(col("tomb_id").isNotNull, lit("removed_direct"))
+            .when(col("copy_id").isNotNull, lit("removed_copy"))
+            .otherwise(lit("kept")).as("status"))
+    }
+    text
+      .unionByName(mediaStatus(imageTable, "image",
+        mediaTakedownStatusByIds(spark, imageTable, ids, maxHamming)))
+      .unionByName(mediaStatus(audioTable, "audio",
+        mediaTakedownStatusByIds(spark, audioTable, ids, maxHamming)))
+      .unionByName(mediaStatus(videoTable, "video",
+        videoTakedownStatusByIds(spark, videoTable, ids, maxHamming,
+          minVotes)))
+  }
+
+  /** AUDIT of the persisted video keyframe index — the
+    * [[phashIndexAudit]] treatment at video semantics: one row PER
+    * TIMELINE SLOT (the index's banding group — a slot-0 copy census
+    * says nothing about slot 2) with the slot's asset/sketch/copy
+    * census, plus the global columns repeated on every row: bucket
+    * geometry, the vote-gated serve-parity match count for the
+    * caller's request slice ([[videoTakedownStatus]], inherently
+    * cross-slot), and the cascade refusal pair counted over the
+    * PER-SLOT value universes (the same grouping [[videoDupPairs]]
+    * bands with — the no-silent-caps columns). Every column
+    * integer-exact.
+    *
+    * Scale shape: one bucketed-scan census per slot group (the table is
+    * hash-bucketed by `h`), the serve probe, the values-sized refusal
+    * census; globals ride broadcast crossJoins onto the ≤3 slot rows. */
+  def videoIndexAudit(spark: org.apache.spark.sql.SparkSession,
+                      table: String, requests: DataFrame,
+                      buckets: Int = 16,
+                      maxBandVals: Int = 2048): DataFrame = {
+    spark.catalog.refreshTable(table)
+    val idx = spark.table(table)
+    val byH = idx.groupBy("slot", "h").agg(count(lit(1)).as("n_docs_h"))
+      .localCheckpoint(eager = false) // slot census AND refusal input
+    val perSlot = byH.groupBy("slot").agg(
+        count(lit(1)).as("n_distinct_sketches"),
+        max(col("n_docs_h")).as("max_copies"),
+        sum(when(col("n_docs_h") > 1, col("n_docs_h")).otherwise(0L))
+          .as("dup_assets"),
+        sum(col("n_docs_h")).as("n_assets"))
+    val parity = videoTakedownStatus(spark, table, requests)
+      .agg(count(lit(1)).as("n_serve_matches"))
+    val refusals = bandRefusalCensus(
+      byH.select(col("slot"), col("h").as("v")), Seq("slot"),
+      maxBandVals)
+    perSlot.crossJoin(broadcast(parity)).crossJoin(broadcast(refusals))
+      .select(col("slot").cast("long").as("slot"),
+        lit(buckets).cast("long").as("n_buckets"),
+        col("n_assets"), col("n_distinct_sketches"), col("max_copies"),
+        col("dup_assets"),
+        expr("(10000 * dup_assets) DIV n_assets").as("dup_share_e4"),
+        col("n_serve_matches"), col("refused_buckets"),
+        col("refused_vals"))
   }
 
   /** Per-doc dup INCIDENCE without pair enumeration — the r13 verdict

@@ -2,8 +2,11 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions.{col, md5}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.CorpusOps
 
 /** Streaming twin of [[graft.operators.Funnels.funnel]] — a per-user
   * step tracker via `flatMapGroupsWithState`, completing the events family
@@ -120,4 +123,54 @@ object StreamingFunnel {
           }
       }
   }
+
+  /** CURATION funnel served ONLINE — the live form of
+    * [[CorpusOps.curationFunnelIncremental]]: a production crawl pipeline
+    * doesn't ask "what did curation drop" once per corpus version, it
+    * asks it PER INCREMENT, as the increments arrive. Each micro-batch of
+    * documents runs gate → exact dedup → near dedup → span scrub against
+    * the PERSISTED corpus state ([[CorpusOps.funnelWriteState]]'s fp
+    * universe, band/sets index, and span census — the corpus itself is
+    * never rescanned), and `deliver` receives the batch's 4-row
+    * order-exact attrition frame plus the batch id — row-identical to
+    * the batch operator on the same increment and state (spec-proven in
+    * StreamingSpec, the [[StreamingTakedown.serve]] parity pattern).
+    *
+    * `foreachBatch` for the StreamingTakedown reasons: the stages are
+    * joins against CATALOG tables plus candidate-bounded scoring —
+    * shapes the streaming planner can't run incrementally — and the
+    * delivery target (the attrition dashboard, the admission log) is
+    * caller-supplied. Source offsets commit through
+    * `checkpointLocation`: each increment is judged exactly once, and a
+    * replayed batch re-emits the same deterministic frame (idempotent
+    * delivery by batchId, the FtpLikeSink discipline).
+    *
+    * ADMISSION is the maintenance path, not this op: survivors should
+    * enter the corpus via the index-append operators
+    * ([[graft.operators.Dedup.nearDupIndexAppend]] et al.), and the next
+    * batch's `spark.table` resolves the grown state transparently — the
+    * same contract StreamingTakedown documents for takedown appends. */
+  def curationServe(docs: DataFrame, fpTable: String, bandsTable: String,
+                    setsTable: String, spanFpTable: String,
+                    checkpointDir: String,
+                    fp: Column = md5(col("text")),
+                    jaccardThreshold: Double = 0.8, minhashK: Int = 4,
+                    rowsPerBand: Int = 2, spanTokens: Int = 8,
+                    minNovelTokens: Long = 20,
+                    estimatedItems: Long = 1L << 16,
+                    numBits: Long = 1L << 19,
+                    trigger: Trigger =
+                      Trigger.ProcessingTime("20 seconds"))
+                   (deliver: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val res = CorpusOps.curationFunnelIncrementalIndexed(
+          batch.sparkSession, batch, fpTable, bandsTable, setsTable,
+          spanFpTable, fp, jaccardThreshold, minhashK, rowsPerBand,
+          spanTokens, minNovelTokens, estimatedItems, numBits)
+        deliver(res, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Multimodal}
 
 /** Takedown served ONLINE — the compliance op a production pipeline runs
   * continuously, not quarterly: takedown / right-to-be-forgotten requests
@@ -44,6 +44,35 @@ object StreamingTakedown {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val res = Dedup.takedownStatusIndexed(batch.sparkSession, docs,
           batch, bandsTable, setsTable, jaccardThreshold)
+        deliver(res, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** UNIFIED takedown served online — ONE request stream against
+    * EVERYTHING: each micro-batch of doc_ids is fanned across the text
+    * band/sets index and the image/audio/video sketch indexes via
+    * [[Multimodal.takedownUnified]], and `deliver` receives the batch's
+    * full (doc_id, modality, status) frame — row-identical to the batch
+    * operator per request batch (spec-proven, the [[serve]] parity
+    * pattern). All [[serve]] contracts carry over: foreachBatch because
+    * the probes are catalog-table joins, exactly-once offsets through
+    * the checkpoint, deterministic re-emission on replay, index appends
+    * picked up by the next batch. */
+  def serveUnified(requests: DataFrame, docs: DataFrame,
+                   bandsTable: String, setsTable: String,
+                   imageTable: String, audioTable: String,
+                   videoTable: String, checkpointDir: String,
+                   jaccardThreshold: Double = 0.8, maxHamming: Int = 3,
+                   minVotes: Int = 2,
+                   trigger: Trigger = Trigger.ProcessingTime("20 seconds"))
+                  (deliver: (DataFrame, Long) => Unit): StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val res = Multimodal.takedownUnified(batch.sparkSession, docs,
+          batch, bandsTable, setsTable, imageTable, audioTable,
+          videoTable, jaccardThreshold, maxHamming, minVotes)
         deliver(res, batchId)
       }
       .option("checkpointLocation", checkpointDir)

@@ -107,5 +107,25 @@ class ClassifySpec extends SparkTestBase {
     val dropBuckets = cal.filter { case (_, (n, k, _, _)) => k < n }.keys
     assert(keepBuckets.min > dropBuckets.max,
       "separable fixture: keep buckets sit above drop buckets")
+
+    // ROC sweep over the same scored frame: one row per threshold, the
+    // four counters partition the held-out set everywhere, predicted-keep
+    // mass is non-increasing in the threshold, and t = 0 reproduces the
+    // argmax confusion matrix exactly (ties go to drop)
+    val roc = Classify.nbQualityRoc(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(roc.keySet === (-10L to 10L).toSet)
+    roc.values.foreach { case (tp, fp, fn, tn) =>
+      assert(tp + fp + fn + tn === 3L, "counters partition held-out")
+    }
+    (-10L to 9L).foreach { t =>
+      val lo = roc(t); val hi = roc(t + 1)
+      assert(hi._1 <= lo._1 && hi._2 <= lo._2,
+        s"predicted keeps must not grow from t=$t to ${t + 1}")
+    }
+    assert(roc(0L) === ((2L, 0L, 0L, 1L)),
+      "t=0 is the argmax operating point")
   }
 }

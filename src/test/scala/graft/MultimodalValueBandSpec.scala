@@ -92,6 +92,48 @@ class MultimodalValueBandSpec extends SparkTestBase {
     assert(relaxed === expected, "cascade ≡ plain banding when idle")
   }
 
+  test("bandRefusalCensus: a DOUBLY-saturated universe (values agreeing " +
+    "on 28 bits beyond the guard) reports its refused buckets and " +
+    "stranded values — the pairs nearValuePairs silently loses are now " +
+    "countable; a merely-saturated universe that cascades cleanly " +
+    "reports 0, and grouping scopes the census per group") {
+    val s = spark
+    import s.implicits._
+    // 4 values agreeing on band 0 (low 16), on band-0's sub-band 0
+    // (bits 16-27), and on bands 2/3 (zeros) — differing ONLY at bits
+    // 28-29. Under guard 2: band 0/2/3 buckets all saturate (4 > 2),
+    // and each cascade re-key leaves >2 values agreeing on some 12-bit
+    // sub-band → doubly-saturated. Worked census: band 0 refuses subs
+    // {0,2,3}, bands 2 and 3 refuse 3 subs each → 9 buckets, all 4
+    // values stranded.
+    val vals = (0L to 3L).map(k => (k << 28) | 0x0123456L).toDF("v")
+    val census = Multimodal.bandRefusalCensus(vals, Nil, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(census === ((9L, 4L)), "9 doubly-saturated buckets strand 4")
+    // ...and the pair loss the census makes visible is real: these are
+    // genuine hamming-2 neighbours, yet every agreeing (sub-)bucket is
+    // refused, so the banded join finds nothing
+    assert(Multimodal.nearValuePairs(vals, Nil, 3, 2).count() === 0L)
+    // the cascade fixture from the test above (12 values saturating
+    // band 0 but resolving in singleton-ish sub-buckets) refuses NOTHING
+    val low = 0x1234L
+    val bases = (0 until 6).map(p =>
+      low | (1L << (17 + p)) | (1L << (33 + p)) | (1L << (49 + p)))
+    val partners = bases.map(_ ^ (1L << 30) ^ (1L << 46) ^ (1L << 62))
+    val healthy = Multimodal.bandRefusalCensus(
+        (bases ++ partners).toDF("v"), Nil, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(healthy === ((0L, 0L)), "a cascading universe refuses nothing")
+    // grouped census: the same 4 values split 2-per-slot never reach
+    // the guard — saturation is judged within a group, like the
+    // per-slot video banding
+    val grouped = Multimodal.bandRefusalCensus(
+        (0L to 3L).map(k => (k % 2, (k << 28) | 0x0123456L))
+          .toDF("slot", "v"), Seq("slot"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(grouped === ((0L, 0L)), "census is per group")
+  }
+
   test("mediaTakedownStatus: banded serve off the persisted index " +
     "equals brute popcount over the hashes (self-matches at 0 " +
     "included), and an appended index serves the identical answer") {

@@ -845,6 +845,114 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out("split") === ((2L, 1L, 1L)), "500 permille of 2 docs = 1")
   }
 
+  test("CorpusOps.curationFunnelBySource: the per-source split carries " +
+    "each stage's attrition to the right stratum — a source that dies " +
+    "out mid-funnel keeps its zero rows; rows reconcile with the global " +
+    "funnel") {
+    val s = spark
+    import s.implicits._
+    def tx(prefix: String, n: Int) =
+      (Seq("the", "of") ++ (1 to n).map(i => f"$prefix$i%02d"))
+        .mkString(" ")
+    val docs = Seq(
+      (1L, tx("alpha", 18), "srcA"), // clean survivor
+      (2L, tx("gated", 15), "srcA"), // 17 tokens → gate-dropped
+      (3L, tx("bravo", 18), "srcB"),
+      (4L, tx("bravo", 18), "srcB"), // exact dup of 3 → dedup drop
+      (5L, tx("leaky", 18), "srcB"), // eval-contaminated
+      (6L, tx("clean", 18), "srcB")  // clean survivor
+    ).map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eval = Seq((100L, "leaky03 leaky04 leaky05"))
+      .map { case (i, t) => (i, t, "en", "srcE", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.curationFunnelBySource(docs, eval,
+        testPermille = 500)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size === 8, "4 stages × 2 sources")
+    assert(out(("quality_gate", "srcA")) === ((2L, 1L, 1L)))
+    assert(out(("quality_gate", "srcB")) === ((4L, 0L, 4L)))
+    assert(out(("dedup", "srcA")) === ((1L, 0L, 1L)))
+    assert(out(("dedup", "srcB")) === ((4L, 1L, 3L)))
+    assert(out(("decontaminate", "srcA")) === ((1L, 0L, 1L)))
+    assert(out(("decontaminate", "srcB")) === ((3L, 1L, 2L)))
+    // split quota is per source: floor(1*500/1000)=0 for A, 1 for B
+    assert(out(("split", "srcA")) === ((1L, 0L, 1L)))
+    assert(out(("split", "srcB")) === ((2L, 1L, 1L)))
+    // the by-source rows SUM to the global funnel's rows
+    val glob = CorpusOps.curationFunnel(docs, eval, testPermille = 500)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    Seq("quality_gate", "dedup", "decontaminate", "split").foreach { st =>
+      val (i1, d1, o1) = out((st, "srcA")); val (i2, d2, o2) = out((st, "srcB"))
+      assert(glob(st) === ((i1 + i2, d1 + d2, o1 + o2)),
+        s"stage $st: by-source rows must reconcile with the global row")
+    }
+  }
+
+  test("CorpusOps.curationFunnelIncremental: order-exact against the " +
+    "corpus — a gate-dropped doc never counts against exact dedup, an " +
+    "exact dup never counts against near dedup, and the span-scrub " +
+    "novel-token floor drops mostly-recycled docs only; the indexed " +
+    "variant returns identical rows off the persisted state") {
+    val s = spark
+    import s.implicits._
+    def tx(toks: Seq[String]) = (Seq("the", "of") ++ toks).mkString(" ")
+    val kTxt = tx((1 to 18).map(i => f"kappa$i%02d"))  // 20 tokens
+    val t19 = tx((1 to 17).map(i => f"quer$i%02d"))    // 19 tokens
+    val cTxt = tx((1 to 17).map(i => f"charl$i%02d"))  // 19 tokens
+    val dTxt = cTxt + " charl18x"                      // near-dup of C
+    val sToks = (1 to 30).map(i => f"scopy$i%02d")
+    val sTxt = tx(sToks)                               // 32 tokens
+    val copied = sToks.slice(2, 22)                    // s03..s22 run
+    val b5Txt = tx(copied ++ (1 to 10).map(i => f"novel$i%02d")) // 12 novel
+    val b6Txt = tx(copied ++ (1 to 18).map(i => f"fresh$i%02d")) // 20 novel
+    val uTxt = tx((1 to 18).map(i => f"uniq$i%02d"))
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = df(Seq(
+      (101L, kTxt),  // exact twin of batch 1
+      (102L, t19),   // exact twin of gate-dropped batch 2
+      (103L, cTxt),  // near partner of batch 3
+      (104L, sTxt))) // span source for batch 5/6
+    val batch = df(Seq(
+      (1L, kTxt),  // passes gate; exact corpus dup → exact_dedup drop
+      (2L, t19),   // 19 tokens → gate drop (exact twin NOT re-counted)
+      (3L, dTxt),  // near-dup of corpus C → near_dedup drop
+      (5L, b5Txt), // scrubbed to 12 novel tokens < 20 → span drop
+      (6L, b6Txt), // scrubbed to exactly 20 novel tokens → survives
+      (7L, uTxt))) // clean survivor
+    // preflight: d/C IS a qualifying cross-frame near-dup
+    assert(Dedup.incrementalNearDedup(df(Seq((3L, dTxt))), corpus)
+      .count() === 0L, "fixture: batch 3 must near-dup corpus C")
+    def rows(dfm: org.apache.spark.sql.DataFrame) = dfm.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1).toSeq
+    val out = CorpusOps.curationFunnelIncremental(batch, corpus)
+    val got = rows(out)
+    assert(got.map(t => (t._2, (t._3, t._4, t._5))) === Seq(
+      "quality_gate" -> ((6L, 1L, 5L)),
+      "exact_dedup" -> ((5L, 1L, 4L)),
+      "near_dedup" -> ((4L, 1L, 3L)),
+      "span_scrub" -> ((3L, 1L, 2L))))
+    assert(got.map(_._6) === Seq("gopher_rule_fail", "exact_duplicate",
+      "near_duplicate", "recycled_content"))
+    // the persisted-state path is row-identical (the
+    // incrementalNearDedupIndexed determinism contract)
+    val tbls = Seq("graft_test_fun_fps", "graft_test_fun_bands",
+      "graft_test_fun_sets", "graft_test_fun_spans")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      CorpusOps.funnelWriteState(corpus, tbls(0), tbls(1), tbls(2),
+        tbls(3), buckets = 4)
+      val idx = CorpusOps.curationFunnelIncrementalIndexed(s, batch,
+        tbls(0), tbls(1), tbls(2), tbls(3))
+      assert(rows(idx) === got, "indexed state ≡ inline corpus")
+    } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("MergeableState: the just-superseded version survives one commit " +
     "(a reader that resolved CURRENT pre-commit can finish its read) and " +
     "is reaped on the NEXT commit — the dir never holds more than two") {

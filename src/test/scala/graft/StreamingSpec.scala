@@ -843,6 +843,142 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("StreamingTakedown.serveUnified: one streamed id list fans " +
+    "across the text + image/audio/video indexes, per-batch frames " +
+    "row-identical to the batch unified operator; cross-modal reposts " +
+    "surface in exactly the modality that copied") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+    import graft.streaming.StreamingTakedown
+    val shared = (1 to 30).map(i => s"word$i xx").mkString(" ")
+    val docs = Seq(
+      (8L, shared),                                   // the tombstone
+      (2L, shared),                                   // text+audio repost
+      (456L, (1 to 30).map(i => s"img$i yy").mkString(" ")), // 456 ≡ 8
+                        // mod lcm(32,64,7): image-identical, text fresh
+      (5L, (1 to 30).map(i => s"other$i zz").mkString(" ")))
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tbls = Seq("graft_uni_b", "graft_uni_s", "graft_uni_img",
+      "graft_uni_aud", "graft_uni_vid")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Dedup.nearDupWriteIndex(docs, tbls(0), tbls(1), buckets = 4)
+      Multimodal.phashWriteIndex(Multimodal.synthBmpPayload(docs),
+        tbls(2), buckets = 4)
+      Multimodal.audioWriteIndex(Multimodal.synthWavPayload(docs),
+        tbls(3), buckets = 4)
+      Multimodal.videoWriteIndex(Multimodal.synthVideoPayload(docs),
+        tbls(4), buckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2))).sorted.toSeq
+      def batchOp(ids: Seq[Long]) = rows(Multimodal.takedownUnified(s,
+        docs, ids.toDF("doc_id"), tbls(0), tbls(1), tbls(2), tbls(3),
+        tbls(4)))
+      val input = MemoryStream[Long]
+      val perBatch = scala.collection.mutable.Map
+        .empty[Long, Seq[(Long, String, String)]]
+      val q = StreamingTakedown.serveUnified(
+        input.toDF().toDF("doc_id"), docs, tbls(0), tbls(1), tbls(2),
+        tbls(3), tbls(4), tmpDir("unified_serve"),
+        trigger = Trigger.ProcessingTime(0)) { (res, bid) =>
+        perBatch(bid) = rows(res); ()
+      }
+      input.addData(8L)
+      q.processAllAvailable()
+      input.addData(5L)
+      q.processAllAvailable()
+      q.stop()
+      assert(perBatch(0L) === batchOp(Seq(8L)))
+      assert(perBatch(1L) === batchOp(Seq(5L)))
+      // the cross-modal story really fired: the text repost leaves via
+      // text AND audio (the fingerprint is text-derived), the id-456
+      // mirror leaves via image ONLY, the bystander keeps everything
+      val st0 = perBatch(0L).map(t => (t._1, t._2) -> t._3).toMap
+      assert(st0((8L, "text")) === "removed_direct")
+      assert(st0((8L, "image")) === "removed_direct")
+      assert(st0((2L, "text")) === "removed_copy")
+      assert(st0((2L, "audio")) === "removed_copy")
+      assert(st0((2L, "image")) === "kept")
+      assert(st0((456L, "image")) === "removed_copy")
+      assert(st0((456L, "text")) === "kept")
+      assert(st0((5L, "text")) === "kept")
+      assert(perBatch(1L).count(_._3 != "kept") === 4,
+        "request 5 has no copies anywhere: 4 direct rows only")
+    } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("StreamingFunnel.curationServe: each micro-batch's 4-row " +
+    "attrition frame off the persisted corpus state is row-identical " +
+    "to the batch incremental funnel on the same increment; offsets " +
+    "commit through the checkpoint (the StreamingTakedown parity " +
+    "pattern)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.CorpusOps
+    import graft.streaming.StreamingFunnel
+    def tx(toks: Seq[String]) = (Seq("the", "of") ++ toks).mkString(" ")
+    val kTxt = tx((1 to 18).map(i => f"kappa$i%02d"))
+    val cTxt = tx((1 to 17).map(i => f"charl$i%02d"))
+    val corpus = Seq((101L, kTxt), (103L, cTxt))
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // batch 0: one exact corpus dup + one clean doc; batch 1: one
+    // near-dup of corpus C + one gate-failing doc
+    val b0 = Seq(
+      (1L, kTxt),
+      (2L, tx((1 to 18).map(i => f"uniq$i%02d"))))
+    val b1 = Seq(
+      (3L, cTxt + " charl18x"),
+      (4L, tx((1 to 15).map(i => f"short$i%02d")))) // 17 tokens
+    val tbls = Seq("graft_serve_fun_fps", "graft_serve_fun_bands",
+      "graft_serve_fun_sets", "graft_serve_fun_spans")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      CorpusOps.funnelWriteState(corpus, tbls(0), tbls(1), tbls(2),
+        tbls(3), buckets = 4)
+      def df(rows: Seq[(Long, String)]) = rows
+        .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def rows(dfm: org.apache.spark.sql.DataFrame) = dfm.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, String, String, String, Long)]
+      val perBatch = scala.collection.mutable.Map
+        .empty[Long, Seq[(Int, String, Long, Long, Long, String)]]
+      val q = StreamingFunnel.curationServe(
+        input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        tbls(0), tbls(1), tbls(2), tbls(3), tmpDir("curation_serve"),
+        trigger = Trigger.ProcessingTime(0)) { (res, bid) =>
+        perBatch(bid) = rows(res); ()
+      }
+      input.addData(b0.map { case (i, t) =>
+        (i, t, "en", "srcA", t.length.toLong) })
+      q.processAllAvailable()
+      input.addData(b1.map { case (i, t) =>
+        (i, t, "en", "srcA", t.length.toLong) })
+      q.processAllAvailable()
+      q.stop()
+      assert(perBatch(0L) === rows(
+        CorpusOps.curationFunnelIncrementalIndexed(s, df(b0), tbls(0),
+          tbls(1), tbls(2), tbls(3))))
+      assert(perBatch(1L) === rows(
+        CorpusOps.curationFunnelIncrementalIndexed(s, df(b1), tbls(0),
+          tbls(1), tbls(2), tbls(3))))
+      // the stages really fired through the serve path
+      assert(perBatch(0L).map(t => (t._3, t._4)) ===
+        Seq((2L, 0L), (2L, 1L), (1L, 0L), (1L, 0L)),
+        "batch 0: the exact corpus dup drops at stage 2")
+      assert(perBatch(1L).map(t => (t._3, t._4)) ===
+        Seq((2L, 1L), (1L, 0L), (1L, 1L), (0L, 0L)),
+        "batch 1: one gate drop, then the near-dup mirror drops")
+    } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("Sessionize.sessionsNative: session_window merges INCLUSIVELY — " +
     "an exact-gap event joins its session, matching the lag twin's " +
     "`>` split on the boundary; a wider gap splits both") {
