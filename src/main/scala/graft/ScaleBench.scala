@@ -478,6 +478,53 @@ object ScaleBench {
     val searchMaint: Seq[(Int, (Double, Double))] =
       Factors.map(f => f -> searchMaintCell(f))
 
+    // The INCREMENTAL CURATION FUNNEL lifecycle (r15): STATE BUILD =
+    // funnelWriteState over the x<f> corpus (fp universe + band/sets
+    // index + span census — grows with the corpus, once per version),
+    // PROBE = curationFunnelIncrementalIndexed of a base-corpus-sized
+    // batch against the persisted state (the per-increment serve a
+    // continuous crawl pipeline pays — the claim under measure is
+    // ~flat across factors), ADMIT = funnelStateAppend of the batch
+    // (~flat, O(increment)). Batch ids remapped clear of every copy
+    // stride, as in the other maintenance cells.
+    def funnelMaintCell(f: Int): (Double, Double, Double) = {
+      val ts = Seq(s"scale_fun_fps_x$f", s"scale_fun_bands_x$f",
+        s"scale_fun_sets_x$f", s"scale_fun_spans_x$f")
+      try {
+        val docs = spark.read.parquet(s"${scaledDir(f)}/documents.parquet")
+        val batch = spark.read.parquet(s"$baseDir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(IdStride * 1000))
+        val trials = (1 to MaintTrials).map { _ =>
+          ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          val t0 = System.nanoTime()
+          operators.CorpusOps.funnelWriteState(docs, ts(0), ts(1), ts(2),
+            ts(3))
+          val tState = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          operators.CorpusOps.curationFunnelIncrementalIndexed(spark,
+              batch, ts(0), ts(1), ts(2), ts(3))
+            .write.format("noop").mode("overwrite").save()
+          val tProbe = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          operators.CorpusOps.funnelStateAppend(batch, ts(0), ts(1),
+            ts(2), ts(3))
+          (tState, tProbe, (System.nanoTime() - t2) / 1e9)
+        }
+        (median(trials.map(_._1)), median(trials.map(_._2)),
+          median(trials.map(_._3)))
+      } catch {
+        case e: Throwable =>
+          maintErrs += (s"x$f:funnel_maintenance" ->
+            (s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(300)))
+          (-1.0, -1.0, -1.0)
+      } finally {
+        ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
+    val funnelMaint: Seq[(Int, (Double, Double, Double))] =
+      Factors.map(f => f -> funnelMaintCell(f))
+
     // ── PQ recall vs ksub (trained codebooks), x10 corpus ──────────────
     // The registered `emb_knn_pq_recall` honestly reports its toy ksub=16
     // number; the pqDecoded scaladoc claims the dial that matters is ksub.
@@ -669,6 +716,15 @@ object ScaleBench {
         "StreamingSearch.applyBatch of a base-corpus-sized delta batch " +
         "(~flat per micro-batch). base+delta ≡ compacted is spec-gated " +
         "bit-identical in SearchIndexSpec."),
+      "maintenance_funnel" -> obj(funnelMaint.map { case (f, (s, p, a)) =>
+        s"x$f" -> s"""{"state_build":$s,"probe":$p,"admit":$a}""" }),
+      "maintenance_funnel_note" -> jsonStr("incremental curation-funnel " +
+        "lifecycle, median-of-" + MaintTrials + " trials: " +
+        "funnelWriteState over the x<f> corpus (grows with the corpus, " +
+        "once per version) vs curationFunnelIncrementalIndexed of a " +
+        "constant base-corpus-sized batch against the persisted state " +
+        "(the per-increment serve — claim: ~flat) vs funnelStateAppend " +
+        "of the batch (admission — ~flat, O(increment))."),
       "pq_recall_x10" -> obj(pq.map { case (k, v) => k -> v.toString }),
       "pq_recall_note" -> jsonStr("mean recall@3 over the 8 base probes " +
         "on the x10 corpus (20k vectors), brute search in PQ-decoded " +

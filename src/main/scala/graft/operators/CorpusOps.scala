@@ -751,7 +751,7 @@ object CorpusOps {
     "decontaminate" -> "eval_overlap",
     "split" -> "test_holdout")
 
-  private val IncrementalStageSpecs: Seq[(String, String)] = Seq(
+  private[graft] val IncrementalStageSpecs: Seq[(String, String)] = Seq(
     "quality_gate" -> "gopher_rule_fail",
     "exact_dedup" -> "exact_duplicate",
     "near_dedup" -> "near_duplicate",
@@ -760,7 +760,7 @@ object CorpusOps {
   /** The 4-row global attrition frame from 5 stage frames: counts as
     * broadcast 1-row crossJoins stacked into (stage_idx, stage, docs_in,
     * docs_dropped, docs_out, reason). */
-  private def globalAttrition(st: Seq[DataFrame],
+  private[graft] def globalAttrition(st: Seq[DataFrame],
                               specs: Seq[(String, String)]): DataFrame = {
     def cnt(df: DataFrame, alias: String) =
       broadcast(df.agg(count(lit(1)).as(alias)))
@@ -857,11 +857,54 @@ object CorpusOps {
       minNovelTokens: Long = 20, estimatedItems: Long = 1L << 16,
       numBits: Long = 1L << 19): DataFrame =
     globalAttrition(
-      incrementalStages(newDocs, spark.table(fpTable),
-        spark.table(bandsTable), spark.table(setsTable),
-        spark.table(spanFpTable), fp, jaccardThreshold, minhashK,
-        rowsPerBand, spanTokens, minNovelTokens, estimatedItems, numBits),
+      incrementalStagesIndexed(spark, newDocs, fpTable, bandsTable,
+        setsTable, spanFpTable, fp, jaccardThreshold, minhashK,
+        rowsPerBand, spanTokens, minNovelTokens, estimatedItems,
+        numBits),
       IncrementalStageSpecs)
+
+  /** The indexed stage frames against the CURRENT catalog state — the
+    * tables are refresh(ed) first so a maintainer's appends from the
+    * same session (the admission path) are visible, the
+    * mediaTakedownStatus discipline. */
+  private[graft] def incrementalStagesIndexed(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      fpTable: String, bandsTable: String, setsTable: String,
+      spanFpTable: String, fp: Column, jaccardThreshold: Double,
+      minhashK: Int, rowsPerBand: Int, spanTokens: Int,
+      minNovelTokens: Long, estimatedItems: Long,
+      numBits: Long): Seq[DataFrame] = {
+    Seq(fpTable, bandsTable, setsTable, spanFpTable)
+      .foreach(spark.catalog.refreshTable)
+    incrementalStages(newDocs, spark.table(fpTable),
+      spark.table(bandsTable), spark.table(setsTable),
+      spark.table(spanFpTable), fp, jaccardThreshold, minhashK,
+      rowsPerBand, spanTokens, minNovelTokens, estimatedItems, numBits)
+  }
+
+  /** ADMIT an increment into the funnel's persisted corpus state — the
+    * maintenance half the serve contracts point at: one append per
+    * relation, each O(increment), bucket layouts preserved. All four
+    * relations are DUPLICATE-TOLERANT by construction (the fp universe
+    * and span census are probed by anti/semi joins, band/sets
+    * duplicates only re-produce candidates the scoring join dedups), so
+    * an at-least-once replay degrades cost, never correctness — but
+    * admit each increment once; key deliveries by batchId (the
+    * StreamingMedia ingest contract). */
+  def funnelStateAppend(docs: DataFrame, fpTable: String,
+                        bandsTable: String, setsTable: String,
+                        spanFpTable: String,
+                        fp: Column = md5(col("text")), minhashK: Int = 4,
+                        rowsPerBand: Int = 2, spanTokens: Int = 8,
+                        buckets: Int = 32): Unit = {
+    Bucketing.appendBucketed(docs.select(fp.as("fp")), fpTable, "fp",
+      buckets)
+    Dedup.nearDupIndexAppend(docs, bandsTable, setsTable, minhashK,
+      rowsPerBand, buckets)
+    Bucketing.appendBucketed(
+      Dedup.spanWindows(docs, spanTokens).select("fp").distinct(),
+      spanFpTable, "fp", buckets)
+  }
 
   /** Materialize the incremental funnel's corpus state for one corpus
     * version: the exact-dedup fp universe (bucketed by fp — the probe's

@@ -150,6 +150,53 @@ object StreamingFunnel {
     * ([[graft.operators.Dedup.nearDupIndexAppend]] et al.), and the next
     * batch's `spark.table` resolves the grown state transparently — the
     * same contract StreamingTakedown documents for takedown appends. */
+  /** [[curationServe]] WITH ADMISSION — the closed loop a live crawl
+    * pipeline actually runs: each micro-batch is judged against the
+    * current corpus state (same order-exact 4-row frame to `deliver`),
+    * and the batch's SURVIVORS are then appended into all four state
+    * relations ([[CorpusOps.funnelStateAppend]]) — so batch N+1's
+    * duplicates of batch N's admitted docs are caught as duplicates,
+    * not re-admitted (spec-proven: a near-copy of an earlier-batch
+    * survivor drops at near_dedup in the later batch).
+    *
+    * Evaluation discipline: the survivor frame is EAGERLY
+    * localCheckpoint-ed before anything is delivered or appended — one
+    * evaluation, pinned against the PRE-append state (the appends
+    * would otherwise race their own input: the span append reads the
+    * span census the scrub stage probes), and the attrition counts
+    * read the same pinned rows the appends write. Replay contract as
+    * [[CorpusOps.funnelStateAppend]] documents: state appends are
+    * duplicate-tolerant, so an at-least-once replay degrades probe
+    * cost, never verdicts; deliveries stay keyed by batchId. */
+  def curationAdmit(docs: DataFrame, fpTable: String, bandsTable: String,
+                    setsTable: String, spanFpTable: String,
+                    checkpointDir: String,
+                    fp: Column = md5(col("text")),
+                    jaccardThreshold: Double = 0.8, minhashK: Int = 4,
+                    rowsPerBand: Int = 2, spanTokens: Int = 8,
+                    minNovelTokens: Long = 20,
+                    estimatedItems: Long = 1L << 16,
+                    numBits: Long = 1L << 19, buckets: Int = 32,
+                    trigger: Trigger =
+                      Trigger.ProcessingTime("20 seconds"))
+                   (deliver: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val st = CorpusOps.incrementalStagesIndexed(batch.sparkSession,
+          batch, fpTable, bandsTable, setsTable, spanFpTable, fp,
+          jaccardThreshold, minhashK, rowsPerBand, spanTokens,
+          minNovelTokens, estimatedItems, numBits)
+        val survivors = st.last.localCheckpoint() // eager — see scaladoc
+        deliver(CorpusOps.globalAttrition(st.init :+ survivors,
+          CorpusOps.IncrementalStageSpecs), batchId)
+        CorpusOps.funnelStateAppend(survivors, fpTable, bandsTable,
+          setsTable, spanFpTable, fp, minhashK, rowsPerBand, spanTokens,
+          buckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def curationServe(docs: DataFrame, fpTable: String, bandsTable: String,
                     setsTable: String, spanFpTable: String,
                     checkpointDir: String,

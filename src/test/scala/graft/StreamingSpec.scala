@@ -979,6 +979,71 @@ class StreamingSpec extends SparkTestBase {
     } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("StreamingFunnel.curationAdmit: survivors enter the corpus state " +
+    "per batch — a later batch's exact copy, near-copy, and " +
+    "span-recycle of EARLIER-BATCH admitted docs all drop at their " +
+    "stages, each vs state that grew through the stream") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.CorpusOps
+    import graft.streaming.StreamingFunnel
+    def tx(toks: Seq[String]) = (Seq("the", "of") ++ toks).mkString(" ")
+    val corpus = Seq(
+      (900L, tx((1 to 18).map(i => f"corp$i%02d"))))
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val uToks = (1 to 30).map(i => f"ubase$i%02d")
+    val uTxt = tx(uToks)                                  // 32 tokens
+    val vTxt = tx((1 to 18).map(i => f"vbase$i%02d"))     // 20 tokens
+    val b0 = Seq((10L, uTxt), (11L, vTxt))
+    val b1 = Seq(
+      (20L, uTxt),                       // exact copy of ADMITTED 10
+      (21L, vTxt + " vbase19x"),         // near-copy of ADMITTED 11
+      (22L, tx(uToks.slice(2, 22) ++     // 20 tokens recycled from 10
+        (1 to 10).map(i => f"nvl$i%02d"))), // + 12 novel < 20 → drop
+      (23L, tx((1 to 18).map(i => f"fresh$i%02d")))) // clean
+    val tbls = Seq("graft_admit_fps", "graft_admit_bands",
+      "graft_admit_sets", "graft_admit_spans")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      CorpusOps.funnelWriteState(corpus, tbls(0), tbls(1), tbls(2),
+        tbls(3), buckets = 4)
+      val input = MemoryStream[(Long, String, String, String, Long)]
+      val perBatch = scala.collection.mutable.Map
+        .empty[Long, Map[String, (Long, Long, Long)]]
+      val q = StreamingFunnel.curationAdmit(
+        input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        tbls(0), tbls(1), tbls(2), tbls(3), tmpDir("curation_admit"),
+        buckets = 4, trigger = Trigger.ProcessingTime(0)) { (res, bid) =>
+        perBatch(bid) = res.collect().map(r => r.getString(1) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        ()
+      }
+      input.addData(b0.map { case (i, t) =>
+        (i, t, "en", "srcA", t.length.toLong) })
+      q.processAllAvailable()
+      input.addData(b1.map { case (i, t) =>
+        (i, t, "en", "srcA", t.length.toLong) })
+      q.processAllAvailable()
+      q.stop()
+      // batch 0: nothing collides with the initial corpus — all admitted
+      assert(perBatch(0L)("quality_gate") === ((2L, 0L, 2L)))
+      assert(perBatch(0L)("span_scrub") === ((2L, 0L, 2L)))
+      // batch 1: every drop is against state ADMITTED by batch 0
+      assert(perBatch(1L)("quality_gate") === ((4L, 0L, 4L)))
+      assert(perBatch(1L)("exact_dedup") === ((4L, 1L, 3L)),
+        "the exact copy of admitted doc 10 must drop")
+      assert(perBatch(1L)("near_dedup") === ((3L, 1L, 2L)),
+        "the near-copy of admitted doc 11 must drop")
+      assert(perBatch(1L)("span_scrub") === ((2L, 1L, 1L)),
+        "the span-recycle of admitted doc 10 must drop")
+      // the state really grew: the fp universe holds corpus + admitted
+      // batch-0 survivors + the one batch-1 survivor
+      assert(s.table(tbls(0)).count() === 4L)
+    } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("Sessionize.sessionsNative: session_window merges INCLUSIVELY — " +
     "an exact-gap event joins its session, matching the lag twin's " +
     "`>` split on the boundary; a wider gap splits both") {
