@@ -1289,6 +1289,17 @@ object SparkEntry {
           slice(split(col("text"), " ", -1), 1, 10))),
         estimatedItems = 1L << 16, numBits = 1L << 19)
     }),
+    // the increment's attrition per source — crawl triage at increment
+    // granularity, not corpus-sign-off granularity
+    "corpus_curation_funnel_incremental_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.curationFunnelIncrementalBySource(
+        d.filter(col("doc_id") % 10 === 0),
+        d.filter(col("doc_id") % 10 =!= 0),
+        fp = md5(concat_ws(" ",
+          slice(split(col("text"), " ", -1), 1, 10))),
+        estimatedItems = 1L << 16, numBits = 1L << 19)
+    }),
     // EAGER: label propagation runs jobs at construction (see scaladoc)
     "doc_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(t(s, dir, "documents"), 0.8)),
@@ -1413,6 +1424,12 @@ object SparkEntry {
     // temperature-scaled (T=2, sqrt) per-source sampling weights
     "corpus_mix_weights" -> ((s, dir) =>
       CorpusOps.mixtureWeights(t(s, dir, "documents"))),
+    // the epoch PLAN those weights imply under a fixed token budget
+    // with the 4-epoch repeat ceiling: what the budget buys of each
+    // source, how many times it repeats, what the cap forfeits
+    "corpus_mix_plan" -> ((s, dir) =>
+      CorpusOps.mixPlan(t(s, dir, "documents"),
+        budgetTokens = 1L << 19)),
     // IVF index health: per-cell occupancy + corpus share (seeded centroids
     // so the whole chain is SQL-checkable, like emb_knn_ivf)
     "emb_ivf_stats" -> ((s, dir) => {
@@ -5848,6 +5865,120 @@ object SparkEntry {
         |   'near_duplicate' FROM c
         | UNION ALL SELECT 4, 'span_scrub', n3, n3 - n4,
         |   'recycled_content' FROM c)""".stripMargin,
+    // the incremental chain counted per source (the by-source funnel
+    // suffix on the increment CTEs)
+    "corpus_curation_funnel_incremental_by_source" ->
+      """WITH nd AS (SELECT doc_id, text, source, n_chars FROM documents
+        |  WHERE doc_id % 10 = 0),
+        | w0 AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words
+        |  FROM nd),
+        | gate AS (SELECT doc_id FROM (SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(words, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS BIGINT)
+        |      AS stop_cnt,
+        |    round((n_chars - (len(words) - 1)) / len(words), 4)
+        |      AS mean_tok_len,
+        |    CASE WHEN len(words) >= 2 THEN
+        |      round(1.0 - CAST(len(list_distinct(list_transform(
+        |        range(1, len(words)),
+        |        i -> concat(words[i], ' ', words[i+1])))) AS DOUBLE)
+        |        / (len(words) - 1), 4)
+        |     ELSE 0.0 END AS rep_2gram
+        |   FROM w0)
+        |  WHERE n_tokens >= 20 AND n_tokens <= 100000 AND stop_cnt >= 2
+        |   AND rep_2gram <= 0.05 AND mean_tok_len >= 3.0
+        |   AND mean_tok_len <= 10.0),
+        | s1 AS (SELECT nd.* FROM nd JOIN gate USING (doc_id)),
+        | kf AS (SELECT DISTINCT md5(array_to_string(
+        |   list_slice(string_split(text, ' '), 1, 10), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        | s2 AS (SELECT s1.* FROM s1
+        |  WHERE md5(array_to_string(
+        |   list_slice(string_split(text, ' '), 1, 10), ' '))
+        |   NOT IN (SELECT fp FROM kf)),
+        | wa AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | ga AS (SELECT doc_id, words FROM wa WHERE len(words) >= 3),
+        | sha AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM ga),
+        | sda AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed
+        |  FROM sha),
+        | mha AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sda GROUP BY doc_id, seed),
+        | bnd AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mha GROUP BY doc_id, seed // 2),
+        | cnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bnd a JOIN bnd b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id IN (SELECT doc_id FROM s2)
+        |   AND b.doc_id % 10 <> 0),
+        | seta AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM ga),
+        | ndrop AS (SELECT DISTINCT c.doc_a AS drop_id
+        |  FROM cnd c JOIN seta a ON a.doc_id = c.doc_a
+        |   JOIN seta b ON b.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+        | s3 AS (SELECT s2.* FROM s2 WHERE doc_id NOT IN
+        |  (SELECT drop_id FROM ndrop)),
+        | ta AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        | wi AS (SELECT doc_id, toks,
+        |   unnest(range(1, len(toks) - 8 + 2)) AS i
+        |  FROM ta WHERE len(toks) >= 8),
+        | win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+        |   md5(array_to_string(toks[i:i+7], ' ')) AS fp FROM wi),
+        | known AS (SELECT DISTINCT fp FROM win WHERE doc_id % 10 <> 0),
+        | ds AS (SELECT w.doc_id, w.start AS pos FROM win w
+        |  WHERE w.doc_id IN (SELECT doc_id FROM s3) AND EXISTS
+        |   (SELECT 1 FROM known k WHERE k.fp = w.fp)),
+        | ti AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |  FROM ta WHERE doc_id IN (SELECT doc_id FROM s3)),
+        | tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos FROM ti),
+        | flagged AS (SELECT tok.doc_id, tok.pos,
+        |   CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END AS dsf
+        |  FROM tok LEFT JOIN ds
+        |   ON tok.doc_id = ds.doc_id AND tok.pos = ds.pos),
+        | rem AS (SELECT doc_id, pos,
+        |   max(dsf) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS removed
+        |  FROM flagged),
+        | surv AS (SELECT doc_id FROM rem GROUP BY doc_id
+        |  HAVING count(*) - sum(removed) >= 20),
+        | s4 AS (SELECT s3.* FROM s3 JOIN surv USING (doc_id)),
+        | c0 AS (SELECT source, count(*) AS n0 FROM nd GROUP BY source),
+        | c1 AS (SELECT source, count(*) AS n1 FROM s1 GROUP BY source),
+        | c2 AS (SELECT source, count(*) AS n2 FROM s2 GROUP BY source),
+        | c3 AS (SELECT source, count(*) AS n3 FROM s3 GROUP BY source),
+        | c4 AS (SELECT source, count(*) AS n4 FROM s4 GROUP BY source),
+        | j AS (SELECT c0.source, n0, coalesce(n1, 0) AS n1,
+        |   coalesce(n2, 0) AS n2, coalesce(n3, 0) AS n3,
+        |   coalesce(n4, 0) AS n4
+        |  FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+        |   LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source))
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, source,
+        | CAST(docs_in AS BIGINT) AS docs_in,
+        | CAST(docs_dropped AS BIGINT) AS docs_dropped,
+        | CAST(docs_in - docs_dropped AS BIGINT) AS docs_out, reason
+        |FROM (
+        | SELECT source, 1 AS stage_idx, 'quality_gate' AS stage,
+        |   n0 AS docs_in, n0 - n1 AS docs_dropped,
+        |   'gopher_rule_fail' AS reason FROM j
+        | UNION ALL SELECT source, 2, 'exact_dedup', n1, n1 - n2,
+        |   'exact_duplicate' FROM j
+        | UNION ALL SELECT source, 3, 'near_dedup', n2, n2 - n3,
+        |   'near_duplicate' FROM j
+        | UNION ALL SELECT source, 4, 'span_scrub', n3, n3 - n4,
+        |   'recycled_content' FROM j)""".stripMargin,
+
     // same LSH-candidate + Jaccard edge definition as doc_dedup_pipeline,
     // then min-reachable-id per vertex via a recursive CTE — DuckDB's
     // transitive closure vs the engine's iterative label propagation
@@ -7637,6 +7768,28 @@ object SparkEntry {
         | round(sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT z FROM z), 4)
         |   AS weight
         |FROM g""".stripMargin,
+    // epoch plan under the 2^19-token budget + 4-epoch cap: the proven
+    // 4dp weight re-enters as round(weight*1e4) — never a float->int
+    // truncation — then pure integer DIV
+    "corpus_mix_plan" ->
+      """WITH g AS (SELECT source,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        | z AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM g),
+        | w AS (SELECT source, n_tokens,
+        |   CAST(round(round(sqrt(CAST(n_tokens AS DOUBLE))
+        |     / (SELECT z FROM z), 4) * 10000) AS BIGINT) AS weight_e4
+        |  FROM g),
+        | e AS (SELECT source, n_tokens, weight_e4,
+        |   (524288 * weight_e4) // 10000 AS alloc_tokens FROM w),
+        | f AS (SELECT *, (10000 * alloc_tokens) // n_tokens AS epochs_e4
+        |  FROM e)
+        |SELECT source, n_tokens, weight_e4, alloc_tokens, epochs_e4,
+        | epochs_e4 > 40000 AS capped,
+        | CAST(CASE WHEN epochs_e4 > 40000
+        |   THEN (n_tokens * 40000) // 10000
+        |   ELSE alloc_tokens END AS BIGINT) AS final_tokens
+        |FROM f""".stripMargin,
     // same chain as doc_dedup_pipeline, reduced to the one-row summary
     "doc_dedup_report" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -50,6 +50,45 @@ object CorpusOps {
         round(col("n_tokens").cast("double") / col("total"), 4)
           .as("token_share"))
 
+  /** Mixture EPOCH PLAN — the table a pipeline owner reads AFTER
+    * [[mixtureWeights]]: weights say the target mix, this says what a
+    * fixed TOKEN BUDGET buys of each source and how many times each
+    * source repeats (its epoch count) to deliver it — the decision
+    * surface of data-constrained training (small sources get upweighted
+    * by temperature scaling, but repeating data has diminishing returns,
+    * so plans CAP epochs and report what the cap forfeits). Per source:
+    * (source, n_tokens, weight_e4, alloc_tokens, epochs_e4, capped,
+    * final_tokens) where alloc = the budget share the weight asks for,
+    * epochs_e4 = 1e4·alloc/n_tokens, and final_tokens applies
+    * `maxEpochsE4` (default 4 epochs — the practical repeat ceiling
+    * published for data-constrained scaling) — a capped source's
+    * forfeited tokens are visible as alloc_tokens − final_tokens, which
+    * is exactly the budget the owner must re-spend elsewhere or shrink.
+    *
+    * Portability: the one float (the temperature weight) enters as the
+    * PROVEN 4dp-rounded value re-expressed as an integer via
+    * round(weight·1e4) — never a float→int truncation, which would be
+    * representation-dependent; everything downstream is integer DIV.
+    * Scale shape: the [[mixtureWeights]] aggregate (one corpus scan)
+    * plus |sources| rows of arithmetic. */
+  def mixPlan(docs: DataFrame, budgetTokens: Long = 1L << 20,
+              maxEpochsE4: Long = 40000): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
+    require(maxEpochsE4 > 0, s"maxEpochsE4 must be > 0: $maxEpochsE4")
+    mixtureWeights(docs)
+      .select(col("source"), col("n_tokens"),
+        round(col("weight") * 10000).cast("long").as("weight_e4"))
+      .withColumn("alloc_tokens",
+        expr(s"(${budgetTokens}L * weight_e4) DIV 10000"))
+      .withColumn("epochs_e4",
+        expr("(10000 * alloc_tokens) DIV n_tokens"))
+      .withColumn("capped", col("epochs_e4") > maxEpochsE4)
+      .withColumn("final_tokens",
+        when(col("capped"),
+          expr(s"(n_tokens * ${maxEpochsE4}L) DIV 10000"))
+          .otherwise(col("alloc_tokens")))
+  }
+
   /** Deterministic offset-bin sequence packing: within each source, docs are
     * laid end-to-end in doc_id order and each doc is assigned the
     * `maxTokens`-sized bin its FIRST token falls in — the stride-packing
@@ -833,14 +872,44 @@ object CorpusOps {
                                 estimatedItems: Long = 1L << 16,
                                 numBits: Long = 1L << 19): DataFrame =
     globalAttrition(
-      incrementalStages(newDocs,
-        corpusDocs.select(fp.as("fp")),
-        Dedup.bandTable(Dedup.minhash(corpusDocs, minhashK), rowsPerBand),
-        Dedup.shingleSets(corpusDocs),
-        Dedup.spanWindows(corpusDocs, spanTokens).select("fp").distinct(),
-        fp, jaccardThreshold, minhashK, rowsPerBand, spanTokens,
-        minNovelTokens, estimatedItems, numBits),
+      inlineIncrementalStages(newDocs, corpusDocs, fp, jaccardThreshold,
+        minhashK, rowsPerBand, spanTokens, minNovelTokens,
+        estimatedItems, numBits),
       IncrementalStageSpecs)
+
+  /** [[curationFunnelIncremental]]'s attrition split BY SOURCE — the
+    * triage lens the batch funnel already has
+    * ([[curationFunnelBySource]]), on the per-increment path: a crawl
+    * increment whose one new source fails the gate at 80% is a crawler
+    * bug caught THIS increment, not at the next corpus sign-off. Same
+    * stage frames, keyed counts, (stage_idx × source) rows. */
+  def curationFunnelIncrementalBySource(
+      newDocs: DataFrame, corpusDocs: DataFrame,
+      fp: Column = md5(col("text")), jaccardThreshold: Double = 0.8,
+      minhashK: Int = 4, rowsPerBand: Int = 2, spanTokens: Int = 8,
+      minNovelTokens: Long = 20, estimatedItems: Long = 1L << 16,
+      numBits: Long = 1L << 19): DataFrame =
+    bySourceAttrition(
+      inlineIncrementalStages(newDocs, corpusDocs, fp, jaccardThreshold,
+        minhashK, rowsPerBand, spanTokens, minNovelTokens,
+        estimatedItems, numBits),
+      IncrementalStageSpecs)
+
+  /** The incremental stage frames with corpus state DERIVED INLINE from
+    * `corpusDocs` (one pass per relation) — the bench-scale form; the
+    * production form probes the persisted relations instead. */
+  private def inlineIncrementalStages(
+      newDocs: DataFrame, corpusDocs: DataFrame, fp: Column,
+      jaccardThreshold: Double, minhashK: Int, rowsPerBand: Int,
+      spanTokens: Int, minNovelTokens: Long, estimatedItems: Long,
+      numBits: Long): Seq[DataFrame] =
+    incrementalStages(newDocs,
+      corpusDocs.select(fp.as("fp")),
+      Dedup.bandTable(Dedup.minhash(corpusDocs, minhashK), rowsPerBand),
+      Dedup.shingleSets(corpusDocs),
+      Dedup.spanWindows(corpusDocs, spanTokens).select("fp").distinct(),
+      fp, jaccardThreshold, minhashK, rowsPerBand, spanTokens,
+      minNovelTokens, estimatedItems, numBits)
 
   /** [[curationFunnelIncremental]] against PERSISTED corpus state — the
     * four relations [[funnelWriteState]] materializes once per corpus

@@ -891,6 +891,31 @@ class QualityOpsSpec extends SparkTestBase {
     }
   }
 
+  test("CorpusOps.mixPlan: the temperature weight buys each source its " +
+    "budget share, the repeat cap bites exactly where epochs exceed it, " +
+    "and a capped source's forfeited tokens are visible") {
+    val s = spark
+    import s.implicits._
+    // source A: one 900-token doc; source B: one 9-token doc.
+    // sqrt weights: 30/33 -> 0.9091, 3/33 -> 0.0909 (4dp-exact).
+    val docs = Seq(
+      (1L, (1 to 900).map(i => s"a$i").mkString(" "), "en", "srcA"),
+      (2L, (1 to 9).map(i => s"b$i").mkString(" "), "en", "srcB"))
+      .map { case (i, t, l, src) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.mixPlan(docs, budgetTokens = 3000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getLong(6)))).toMap
+    // A: alloc = 3000*9091 DIV 1e4 = 2727; epochs_e4 = 2727e4 DIV 900 =
+    // 30300 (3.03 epochs) — under the 4-epoch cap, final = alloc
+    assert(out("srcA") === ((900L, 9091L, 2727L, 30300L, false, 2727L)))
+    // B: alloc = 3000*909 DIV 1e4 = 272; epochs_e4 = 272e4 DIV 9 =
+    // 302222 (30 epochs!) — capped at 4 epochs, final = 9*4 = 36;
+    // the plan forfeits 272-36 tokens the owner must re-spend
+    assert(out("srcB") === ((9L, 909L, 272L, 302222L, true, 36L)))
+  }
+
   test("CorpusOps.curationFunnelIncremental: order-exact against the " +
     "corpus — a gate-dropped doc never counts against exact dedup, an " +
     "exact dup never counts against near dedup, and the span-scrub " +
@@ -922,8 +947,10 @@ class QualityOpsSpec extends SparkTestBase {
       (2L, t19),   // 19 tokens → gate drop (exact twin NOT re-counted)
       (3L, dTxt),  // near-dup of corpus C → near_dedup drop
       (5L, b5Txt), // scrubbed to 12 novel tokens < 20 → span drop
-      (6L, b6Txt), // scrubbed to exactly 20 novel tokens → survives
-      (7L, uTxt))) // clean survivor
+      (6L, b6Txt)  // scrubbed to exactly 20 novel tokens → survives
+    )).unionByName(Seq((7L, uTxt, "en", "srcB", uTxt.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      // doc 7: clean survivor, under its OWN source for the by-source split
     // preflight: d/C IS a qualifying cross-frame near-dup
     assert(Dedup.incrementalNearDedup(df(Seq((3L, dTxt))), corpus)
       .count() === 0L, "fixture: batch 3 must near-dup corpus C")
@@ -939,6 +966,19 @@ class QualityOpsSpec extends SparkTestBase {
       "span_scrub" -> ((3L, 1L, 2L))))
     assert(got.map(_._6) === Seq("gopher_rule_fail", "exact_duplicate",
       "near_duplicate", "recycled_content"))
+    // the by-source split carries each drop to the right stratum and
+    // srcB's clean bystander rides through untouched
+    val bySrc = CorpusOps.curationFunnelIncrementalBySource(batch, corpus)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(bySrc.size === 8, "4 stages × 2 sources")
+    assert(bySrc(("quality_gate", "srcA")) === ((5L, 1L, 4L)))
+    assert(bySrc(("exact_dedup", "srcA")) === ((4L, 1L, 3L)))
+    assert(bySrc(("near_dedup", "srcA")) === ((3L, 1L, 2L)))
+    assert(bySrc(("span_scrub", "srcA")) === ((2L, 1L, 1L)))
+    Seq("quality_gate", "exact_dedup", "near_dedup", "span_scrub")
+      .foreach(st => assert(bySrc((st, "srcB")) === ((1L, 0L, 1L)),
+        s"srcB bystander must ride through $st"))
     // the persisted-state path is row-identical (the
     // incrementalNearDedupIndexed determinism contract)
     val tbls = Seq("graft_test_fun_fps", "graft_test_fun_bands",
