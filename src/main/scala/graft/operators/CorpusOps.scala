@@ -89,6 +89,46 @@ object CorpusOps {
           .otherwise(col("alloc_tokens")))
   }
 
+  /** [[mixPlan]] with the cap's FORFEIT RE-SPENT — the plan an owner
+    * actually executes: pass 1 is [[mixPlan]]; the tokens capped sources
+    * forfeit (Σ alloc − final) are then redistributed ONCE to the
+    * uncapped sources in proportion to their weights (integer DIV over
+    * the uncapped weight mass — the temperature ratios preserved among
+    * the sources that can still absorb budget), and a source the
+    * redistribution pushes PAST the ceiling is re-clamped and flagged
+    * `recapped` (deliberately single-pass, not a fixpoint: the second-
+    * order residue is visible as budget − Σ final2 and a re-run with a
+    * smaller budget is the owner's call — an iterative waterfall would
+    * hide that decision inside the op). Per source: (source, n_tokens,
+    * weight_e4, final_tokens, extra_tokens, final2_tokens, epochs2_e4,
+    * recapped). All-capped corpora redistribute nothing (guarded
+    * division). Same portability contract as [[mixPlan]]: integer
+    * arithmetic off the proven 4dp weight. */
+  def mixPlanRebalanced(docs: DataFrame, budgetTokens: Long = 1L << 20,
+                        maxEpochsE4: Long = 40000): DataFrame = {
+    val p1 = mixPlan(docs, budgetTokens, maxEpochsE4)
+      .localCheckpoint(eager = false) // feeds the mass aggs AND the rows
+    val mass = broadcast(p1.agg(
+      sum(when(!col("capped"), col("weight_e4")).otherwise(0L))
+        .as("w_uncapped"),
+      (lit(budgetTokens) - sum(col("final_tokens"))).as("leftover")))
+    p1.crossJoin(mass)
+      .withColumn("extra_tokens",
+        when(col("capped") || col("w_uncapped") <= 0L, lit(0L))
+          .otherwise(expr("(leftover * weight_e4) DIV w_uncapped")))
+      .withColumn("f2_raw", col("final_tokens") + col("extra_tokens"))
+      .withColumn("recapped", !col("capped") &&
+        expr("(10000 * f2_raw) DIV n_tokens") > maxEpochsE4)
+      .withColumn("final2_tokens",
+        when(col("recapped"),
+          expr(s"(n_tokens * ${maxEpochsE4}L) DIV 10000"))
+          .otherwise(col("f2_raw")))
+      .select(col("source"), col("n_tokens"), col("weight_e4"),
+        col("final_tokens"), col("extra_tokens"), col("final2_tokens"),
+        expr("(10000 * final2_tokens) DIV n_tokens").as("epochs2_e4"),
+        col("recapped"))
+  }
+
   /** Deterministic offset-bin sequence packing: within each source, docs are
     * laid end-to-end in doc_id order and each doc is assigned the
     * `maxTokens`-sized bin its FIRST token falls in — the stride-packing

@@ -914,6 +914,34 @@ class QualityOpsSpec extends SparkTestBase {
     // 302222 (30 epochs!) — capped at 4 epochs, final = 9*4 = 36;
     // the plan forfeits 272-36 tokens the owner must re-spend
     assert(out("srcB") === ((9L, 909L, 272L, 302222L, true, 36L)))
+
+    // rebalance: leftover = 3000-2727-36 = 237 goes entirely to the one
+    // uncapped source (w_uncapped = its own weight), no re-clamp
+    val reb = CorpusOps.mixPlanRebalanced(docs, budgetTokens = 3000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getBoolean(7)))).toMap
+    assert(reb("srcA") === ((2727L, 237L, 2964L, 32933L, false)))
+    assert(reb("srcB") === ((36L, 0L, 36L, 40000L, false)))
+
+    // re-clamp case: one big source near the ceiling + two tiny capped
+    // forfeiters — the redistribution would push A past 4 epochs, so it
+    // re-clamps (flagged) and the residue stays visible to the owner
+    val docs3 = Seq(
+      (1L, (1 to 900).map(i => s"a$i").mkString(" "), "en", "srcA"),
+      (2L, (1 to 9).map(i => s"b$i").mkString(" "), "en", "srcB"),
+      (3L, (1 to 9).map(i => s"c$i").mkString(" "), "en", "srcC"))
+      .map { case (i, t, l, src) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val reb3 = CorpusOps.mixPlanRebalanced(docs3, budgetTokens = 4200L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getBoolean(7)))).toMap
+    // A: pass1 3499 (38877 e4, uncapped); +629 leftover → 4128 would be
+    // 45866 e4 → re-clamped to exactly 4 epochs = 3600 tokens
+    assert(reb3("srcA") === ((3499L, 629L, 3600L, 40000L, true)))
+    assert(reb3("srcB") === ((36L, 0L, 36L, 40000L, false)))
+    assert(reb3("srcC") === ((36L, 0L, 36L, 40000L, false)))
   }
 
   test("CorpusOps.curationFunnelIncremental: order-exact against the " +
