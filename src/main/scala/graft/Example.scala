@@ -457,6 +457,12 @@ object Example {
       Multimodal.videoIndexAudit(spark, "graft_example_vidx",
         Multimodal.synthVideoPayload(
           docs.filter(col("doc_id") % 13 === 0)), buckets = 4).show()
+      println("[example] mixture epoch plan under a token budget " +
+        "(4-epoch repeat cap), then the forfeit re-spent:")
+      CorpusOps.mixPlan(docs, budgetTokens = 1L << 19)
+        .orderBy("source").show(5)
+      CorpusOps.mixPlanRebalanced(docs, budgetTokens = 1L << 19)
+        .orderBy("source").show(5)
     }
 
     // streaming sessionization with custom keyed state
