@@ -2191,7 +2191,11 @@ object SparkEntry {
     // census (the dup-share canary), serve-vs-brute parity sample, and
     // the cascade-refusal pair (no-silent-caps) — maxBandVals dialed to
     // 4 so the census genuinely exercises both cascade levels on this
-    // corpus's motif-heavy sketch universe
+    // corpus's motif-heavy sketch universe. That dial is a DEMO operating
+    // point: the pair-serving ops (nearValuePairs/videoDupPairs) run at
+    // the default guard of 2048, where this corpus refuses nothing —
+    // refused_buckets/refused_vals here read the guard's mechanics, not
+    // production refusal volume
     "multimodal_phash_index_audit" -> ((s, dir) =>
       Multimodal.phashIndexAudit(s, phashIndexedTable(s, dir),
         Multimodal.synthBmpPayload(
@@ -2199,7 +2203,9 @@ object SparkEntry {
         buckets = 8, maxBandVals = 4)),
     // the video keyframe index gets the same serving audit: per-slot
     // census rows (the index bands per slot), global vote-gated serve
-    // parity + cascade refusals repeated on each row
+    // parity + cascade refusals repeated on each row (maxBandVals=4 is
+    // the same demo dial as the phash audit — production pair serving
+    // runs at 2048 and refuses nothing on this corpus)
     "multimodal_video_index_audit" -> ((s, dir) =>
       Multimodal.videoIndexAudit(s, videoIndexedTable(s, dir),
         Multimodal.synthVideoPayload(
@@ -2237,6 +2243,24 @@ object SparkEntry {
       val (bands, sets) = takedownIndexedTables(s, dir)
       Multimodal.takedownUnified(s, d,
         d.filter(col("doc_id") % 10 === 8).select("doc_id"),
+        bands, sets, phashIndexedTable(s, dir),
+        audioIndexedTable(s, dir), videoIndexedTable(s, dir))
+    }),
+    // CONTENT-ADDRESSED unified takedown: the request is the CONTENT of
+    // the %13 doc slice (text + synthesized image/audio/video bytes),
+    // presented WITHOUT ids — each modality's content is sketched once
+    // and served through the content-request cores against the same four
+    // persisted indexes; statuses are removed_copy|kept only (content
+    // names no ids, so there is no direct leg)
+    "takedown_unified_content" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (bands, sets) = takedownIndexedTables(s, dir)
+      val reqDocs = d.filter(col("doc_id") % 13 === 0)
+      Multimodal.takedownUnifiedContent(s, d,
+        reqDocs.select(col("doc_id").as("req_id"), col("text")),
+        Multimodal.synthBmpPayload(reqDocs),
+        Multimodal.synthWavPayload(reqDocs),
+        Multimodal.synthVideoPayload(reqDocs),
         bands, sets, phashIndexedTable(s, dir),
         audioIndexedTable(s, dir), videoIndexedTable(s, dir))
     }),
@@ -7710,6 +7734,134 @@ object SparkEntry {
         |UNION ALL SELECT * FROM img_st
         |UNION ALL SELECT * FROM aud_st
         |UNION ALL SELECT * FROM vid_st""".stripMargin),
+    // content-addressed unified takedown: the same four analytic chains,
+    // but the REQUEST side is the %13 slice's CONTENT (its text re-
+    // shingled, its synthetic payload sketches recomputed) matched against
+    // every library member — no id leg, so statuses are removed_copy|kept
+    "takedown_unified_content" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents),
+        | g AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+        | sh AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle
+        |  FROM g),
+        | sd AS (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS seed
+        |  FROM sh),
+        | mh AS (SELECT doc_id, seed,
+        |   min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+        |  FROM sd GROUP BY doc_id, seed),
+        | banded AS (SELECT doc_id, seed // 2 AS band,
+        |   md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+        |  FROM mh GROUP BY doc_id, seed // 2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE b.doc_id % 13 = 0),
+        | sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |   range(1, len(words) - 1), i ->
+        |   concat(words[i], ' ', words[i+1], ' ', words[i+2])))) AS sset
+        |  FROM g),
+        | nearc AS (SELECT DISTINCT c.doc_a AS copy_id FROM cand c
+        |  JOIN sets a ON c.doc_a = a.doc_id
+        |  JOIN sets b ON c.doc_b = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+        |   (len(a.sset) + len(b.sset) -
+        |    len(list_intersect(a.sset, b.sset))) >= 0.8),
+        | exactc AS (SELECT DISTINCT d.doc_id AS copy_id FROM documents d
+        |  JOIN (SELECT DISTINCT md5(text) AS fp FROM documents
+        |    WHERE doc_id % 13 = 0) t ON md5(d.text) = t.fp),
+        | copies AS (SELECT copy_id FROM nearc
+        |  UNION SELECT copy_id FROM exactc),
+        | st AS (SELECT doc_id,
+        |   CASE WHEN doc_id IN (SELECT copy_id FROM copies)
+        |     THEN 'removed_copy' ELSE 'kept' END AS status
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, t.p,
+        |    least(((d.doc_id % 32) * 73 + t.p * 149) % 251
+        |      + CASE WHEN t.p = d.doc_id % 64 THEN d.doc_id % 7 ELSE 0 END,
+        |      250) AS v
+        |  FROM documents d, range(0, 64) t(p)),
+        | s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+        | ab AS (SELECT px.doc_id, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN s USING (doc_id)),
+        | ah AS (SELECT doc_id,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM ab GROUP BY doc_id),
+        | img_m AS (SELECT DISTINCT c.doc_id FROM ah q JOIN ah c
+        |   ON bit_count(xor(q.h, c.h)) <= 3
+        |  WHERE q.doc_id % 13 = 0),
+        | img_st AS (SELECT doc_id, 'image' AS modality,
+        |   CASE WHEN doc_id IN (SELECT doc_id FROM img_m)
+        |     THEN 'removed_copy' ELSE 'kept' END AS status FROM ah),
+        | wb AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) // 2 AS n FROM documents),
+        | widx AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i
+        |  FROM wb WHERE n >= 64),
+        | wv AS (SELECT doc_id, n, (i * 64) // n AS f,
+        |   (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+1 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+2 AS INTEGER), 1)) - 1 AS BIGINT)
+        |    + 256 * (CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+3 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+        |    + CAST(strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(4*i+4 AS INTEGER), 1)) - 1 AS BIGINT)))
+        |     AS u
+        |  FROM widx),
+        | wen AS (SELECT doc_id, f, sum(abs(
+        |   CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS e
+        |  FROM wv GROUP BY doc_id, f),
+        | wdb AS (SELECT doc_id, f,
+        |   CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |     THEN 1 ELSE 0 END AS bit
+        |  FROM wen),
+        | afp AS (SELECT doc_id, sum(CAST(bit AS BIGINT) *
+        |    (CAST(1 AS BIGINT) << CAST(62 - f AS INTEGER))) AS h
+        |  FROM wdb WHERE f < 63 GROUP BY doc_id),
+        | aud_m AS (SELECT DISTINCT c.doc_id FROM afp q JOIN afp c
+        |   ON bit_count(xor(q.h, c.h)) <= 3
+        |  WHERE q.doc_id % 13 = 0),
+        | aud_st AS (SELECT doc_id, 'audio' AS modality,
+        |   CASE WHEN doc_id IN (SELECT doc_id FROM aud_m)
+        |     THEN 'removed_copy' ELSE 'kept' END AS status FROM afp),
+        | fr AS (
+        |  SELECT d.doc_id, sl.slot,
+        |    CAST(sl.slot * ((4 + d.doc_id % 5) // 3) AS INTEGER)
+        |      AS frame_idx
+        |  FROM documents d, range(0, 3) sl(slot)),
+        | vpx AS (
+        |  SELECT f.doc_id, f.slot, t.p,
+        |    least(((f.doc_id % 32) * 73 + t.p * 149 + f.frame_idx * 31)
+        |        % 251
+        |      + CASE WHEN t.p = f.doc_id % 64 THEN f.doc_id % 7 ELSE 0
+        |        END,
+        |      250) AS v
+        |  FROM fr f, range(0, 64) t(p)),
+        | vsum AS (SELECT doc_id, slot, sum(v) AS sv FROM vpx
+        |  GROUP BY doc_id, slot),
+        | vab AS (SELECT vpx.doc_id, vpx.slot, p,
+        |   CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS b
+        |  FROM vpx JOIN vsum USING (doc_id, slot)),
+        | vah AS (SELECT doc_id, slot,
+        |   sum(CAST(b AS HUGEINT) * (1::HUGEINT << CAST(63 - p AS INTEGER)))
+        |     AS h
+        |  FROM vab GROUP BY doc_id, slot),
+        | vid_m AS (SELECT DISTINCT c.doc_id FROM vah q
+        |   JOIN vah c ON q.slot = c.slot
+        |  WHERE q.doc_id % 13 = 0 AND bit_count(xor(q.h, c.h)) <= 3
+        |  GROUP BY q.doc_id, c.doc_id HAVING count(*) >= 2),
+        | vid_st AS (SELECT doc_id, 'video' AS modality,
+        |   CASE WHEN doc_id IN (SELECT doc_id FROM vid_m)
+        |     THEN 'removed_copy' ELSE 'kept' END AS status
+        |  FROM (SELECT DISTINCT doc_id FROM vah))
+        |SELECT doc_id, 'text' AS modality, status FROM st
+        |UNION ALL SELECT * FROM img_st
+        |UNION ALL SELECT * FROM aud_st
+        |UNION ALL SELECT * FROM vid_st""".stripMargin,
     "corpus_takedown_audit" ->
       (TakedownOracleCte +
         """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -7820,7 +7972,8 @@ object SparkEntry {
         | m AS (SELECT
         |   CAST(sum(CASE WHEN capped THEN 0 ELSE weight_e4 END)
         |     AS BIGINT) AS w_uncapped,
-        |   CAST(524288 - sum(final_tokens) AS BIGINT) AS leftover
+        |   CAST(greatest(0, 524288 - sum(final_tokens)) AS BIGINT)
+        |     AS leftover
         |  FROM p1),
         | r AS (SELECT p1.*, m.w_uncapped, m.leftover,
         |   CAST(CASE WHEN capped OR m.w_uncapped <= 0 THEN 0

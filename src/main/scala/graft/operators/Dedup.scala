@@ -1552,6 +1552,60 @@ object Dedup {
     takedownCore(docs, tombstoneIds, spark.table(bandsTable),
       spark.table(setsTable), jaccardThreshold)
 
+  /** CONTENT-ADDRESSED takedown — the request arrives as TEXT, not as a
+    * library doc_id: a real DMCA/RTBF ticket quotes the content to remove,
+    * which may not be in the corpus under any id at all. Each request text
+    * is re-shingled and re-minhashed ONCE (requests are ticket-sized; this
+    * is the only signature work in the query), its bands probe the
+    * PERSISTED corpus band index cross-frame and exact Jaccard confirms
+    * against the stored shingle sets — the [[incrementalNearDedup]] probe
+    * shape with the request as the batch side — plus a direct
+    * full-text-fingerprint equi-join for exact copies (covers sub-shingle
+    * short requests). Per corpus document: status ∈ {'removed_copy'
+    * (exact fp match or Jaccard ≥ threshold against ANY request text),
+    * 'kept'} — there is no 'removed_direct' because a content request
+    * names no ids; a corpus doc whose text IS the request content matches
+    * itself exactly and reads removed_copy, the honest answer.
+    *
+    * `requests`: (req_id, text). Scale shape: request-side signatures are
+    * request-sized and ride broadcasts; the corpus side is two probes of
+    * the stored [[nearDupWriteIndex]] relations plus one column-pruned
+    * (doc_id, source, md5(text)) scan for the exact leg and the status
+    * projection — no corpus re-shingling, ever. */
+  def takedownStatusContent(spark: org.apache.spark.sql.SparkSession,
+                            docs: DataFrame, requests: DataFrame,
+                            bandsTable: String, setsTable: String,
+                            jaccardThreshold: Double = 0.8,
+                            minhashK: Int = 4,
+                            rowsPerBand: Int = 2): DataFrame = {
+    // an online maintainer may have appended since this session last read
+    // the tables (the mediaTakedownStatus discipline)
+    Seq(bandsTable, setsTable).foreach(spark.catalog.refreshTable)
+    val req = requests.select(col("req_id").as("doc_id"), col("text"))
+      .localCheckpoint(eager = false) // request signatures computed once
+    val bReq = bandTable(minhash(req, minhashK), rowsPerBand)
+      .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val bLib = spark.table(bandsTable)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val cands = bLib.join(broadcast(bReq), Seq("band", "bucket"))
+      .select("doc_a", "doc_b").distinct()
+    val nearCopies =
+      jaccardOnSets(spark.table(setsTable), shingleSets(req), cands)
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select(col("doc_a").as("copy_id"))
+    val exactCopies = docs
+      .select(col("doc_id").as("copy_id"), md5(col("text")).as("fp"))
+      .join(broadcast(req.select(md5(col("text")).as("fp")).distinct()),
+        "fp")
+      .select("copy_id")
+    val copies = nearCopies.unionByName(exactCopies).distinct()
+    docs
+      .join(copies, col("doc_id") === col("copy_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("copy_id").isNotNull, lit("removed_copy"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Shared takedown core over ANY (bands, sets) pair — built inline by
     * the batch op, read from the persisted index by the indexed/streaming
     * form. Banding is deterministic per doc, so whole-corpus relations

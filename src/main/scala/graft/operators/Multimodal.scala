@@ -1484,6 +1484,63 @@ object Multimodal {
           minVotes)))
   }
 
+  /** CONTENT-ADDRESSED unified takedown — [[takedownUnified]] for the
+    * request a compliance team actually receives: quoted TEXT plus media
+    * BYTES, possibly absent from the library under any id. Each modality's
+    * request content is sketched ONCE (the only codec/shingle work in the
+    * whole query — requests are ticket-sized) and served through the
+    * existing content-request cores: text via
+    * [[graft.operators.Dedup.takedownStatusContent]] (re-shingle → band
+    * probe of the persisted index → exact-Jaccard confirm + exact-fp leg),
+    * image/audio via [[mediaTakedownStatus]]/[[audioTakedownStatus]]
+    * (sketch → banded value match → popcount), video via
+    * [[videoTakedownStatus]] (per-slot sketches + the ≥`minVotes` gate).
+    * One (doc_id, modality, status) row per library member per modality,
+    * status ∈ removed_copy | kept — no removed_direct, because content
+    * names no ids; a library asset the request was copied FROM matches
+    * itself at hamming 0 / Jaccard 1 and reads removed_copy. An
+    * off-library near-copy request still scrubs every library holder
+    * within the match radius (spec-pinned in MultimodalSpec).
+    *
+    * Request frames: `textReq` = (req_id, text); `imageReq`/`audioReq`/
+    * `videoReq` = payload frames in the ingest shape (doc_id = request id,
+    * payload bytes) — exactly what the per-modality serves accept.
+    * Scale shape: four index-probe-bounded serves; request sketches ride
+    * broadcasts; library media bytes and corpus text are never rescanned
+    * (the text exact-fp leg is one column-pruned scan — persist the fp
+    * column next to the index at 100 TB and that leg is index-only too). */
+  def takedownUnifiedContent(spark: org.apache.spark.sql.SparkSession,
+                             docs: DataFrame, textReq: DataFrame,
+                             imageReq: DataFrame, audioReq: DataFrame,
+                             videoReq: DataFrame, bandsTable: String,
+                             setsTable: String, imageTable: String,
+                             audioTable: String, videoTable: String,
+                             jaccardThreshold: Double = 0.8,
+                             maxHamming: Int = 3, minVotes: Int = 2)
+      : DataFrame = {
+    val text = graft.operators.Dedup.takedownStatusContent(spark, docs,
+        textReq, bandsTable, setsTable, jaccardThreshold)
+      .select(col("doc_id"), lit("text").as("modality"), col("status"))
+    def mediaStatus(table: String, modality: String,
+                    matches: DataFrame): DataFrame = {
+      val lib = spark.table(table).select("doc_id").distinct()
+      val copies = matches.select(col("doc_id").as("copy_id")).distinct()
+      lib
+        .join(copies, col("doc_id") === col("copy_id"), "left")
+        .select(col("doc_id"), lit(modality).as("modality"),
+          when(col("copy_id").isNotNull, lit("removed_copy"))
+            .otherwise(lit("kept")).as("status"))
+    }
+    text
+      .unionByName(mediaStatus(imageTable, "image",
+        mediaTakedownStatus(spark, imageTable, imageReq, maxHamming)))
+      .unionByName(mediaStatus(audioTable, "audio",
+        audioTakedownStatus(spark, audioTable, audioReq, maxHamming)))
+      .unionByName(mediaStatus(videoTable, "video",
+        videoTakedownStatus(spark, videoTable, videoReq, maxHamming,
+          minVotes)))
+  }
+
   /** AUDIT of the persisted video keyframe index — the
     * [[phashIndexAudit]] treatment at video semantics: one row PER
     * TIMELINE SLOT (the index's banding group — a slot-0 copy census

@@ -124,32 +124,6 @@ object StreamingFunnel {
       }
   }
 
-  /** CURATION funnel served ONLINE — the live form of
-    * [[CorpusOps.curationFunnelIncremental]]: a production crawl pipeline
-    * doesn't ask "what did curation drop" once per corpus version, it
-    * asks it PER INCREMENT, as the increments arrive. Each micro-batch of
-    * documents runs gate → exact dedup → near dedup → span scrub against
-    * the PERSISTED corpus state ([[CorpusOps.funnelWriteState]]'s fp
-    * universe, band/sets index, and span census — the corpus itself is
-    * never rescanned), and `deliver` receives the batch's 4-row
-    * order-exact attrition frame plus the batch id — row-identical to
-    * the batch operator on the same increment and state (spec-proven in
-    * StreamingSpec, the [[StreamingTakedown.serve]] parity pattern).
-    *
-    * `foreachBatch` for the StreamingTakedown reasons: the stages are
-    * joins against CATALOG tables plus candidate-bounded scoring —
-    * shapes the streaming planner can't run incrementally — and the
-    * delivery target (the attrition dashboard, the admission log) is
-    * caller-supplied. Source offsets commit through
-    * `checkpointLocation`: each increment is judged exactly once, and a
-    * replayed batch re-emits the same deterministic frame (idempotent
-    * delivery by batchId, the FtpLikeSink discipline).
-    *
-    * ADMISSION is the maintenance path, not this op: survivors should
-    * enter the corpus via the index-append operators
-    * ([[graft.operators.Dedup.nearDupIndexAppend]] et al.), and the next
-    * batch's `spark.table` resolves the grown state transparently — the
-    * same contract StreamingTakedown documents for takedown appends. */
   /** [[curationServe]] WITH ADMISSION — the closed loop a live crawl
     * pipeline actually runs: each micro-batch is judged against the
     * current corpus state (same order-exact 4-row frame to `deliver`),
@@ -197,6 +171,32 @@ object StreamingFunnel {
       .trigger(trigger)
       .start()
 
+  /** CURATION funnel served ONLINE — the live form of
+    * [[CorpusOps.curationFunnelIncremental]]: a production crawl pipeline
+    * doesn't ask "what did curation drop" once per corpus version, it
+    * asks it PER INCREMENT, as the increments arrive. Each micro-batch of
+    * documents runs gate → exact dedup → near dedup → span scrub against
+    * the PERSISTED corpus state ([[CorpusOps.funnelWriteState]]'s fp
+    * universe, band/sets index, and span census — the corpus itself is
+    * never rescanned), and `deliver` receives the batch's 4-row
+    * order-exact attrition frame plus the batch id — row-identical to
+    * the batch operator on the same increment and state (spec-proven in
+    * StreamingSpec, the [[StreamingTakedown.serve]] parity pattern).
+    *
+    * `foreachBatch` for the StreamingTakedown reasons: the stages are
+    * joins against CATALOG tables plus candidate-bounded scoring —
+    * shapes the streaming planner can't run incrementally — and the
+    * delivery target (the attrition dashboard, the admission log) is
+    * caller-supplied. Source offsets commit through
+    * `checkpointLocation`: each increment is judged exactly once, and a
+    * replayed batch re-emits the same deterministic frame (idempotent
+    * delivery by batchId, the FtpLikeSink discipline).
+    *
+    * ADMISSION is the maintenance path, not this op: survivors should
+    * enter the corpus via the index-append operators
+    * ([[graft.operators.Dedup.nearDupIndexAppend]] et al.), and the next
+    * batch's `spark.table` resolves the grown state transparently — the
+    * same contract StreamingTakedown documents for takedown appends. */
   def curationServe(docs: DataFrame, fpTable: String, bandsTable: String,
                     setsTable: String, spanFpTable: String,
                     checkpointDir: String,
