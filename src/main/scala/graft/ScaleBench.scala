@@ -478,51 +478,97 @@ object ScaleBench {
     val searchMaint: Seq[(Int, (Double, Double))] =
       Factors.map(f => f -> searchMaintCell(f))
 
-    // The INCREMENTAL CURATION FUNNEL lifecycle (r15): STATE BUILD =
-    // funnelWriteState over the x<f> corpus (fp universe + band/sets
-    // index + span census — grows with the corpus, once per version),
-    // PROBE = curationFunnelIncrementalIndexed of a base-corpus-sized
-    // batch against the persisted state (the per-increment serve a
-    // continuous crawl pipeline pays — the claim under measure is
-    // ~flat across factors), ADMIT = funnelStateAppend of the batch
-    // (~flat, O(increment)). Batch ids remapped clear of every copy
-    // stride, as in the other maintenance cells.
-    def funnelMaintCell(f: Int): (Double, Double, Double) = {
+    // The INCREMENTAL CURATION FUNNEL lifecycle (r15, reworked r16):
+    // STATE BUILD = funnelWriteState over the x<f> corpus (fp universe +
+    // band/sets index + span census — grows with the corpus, once per
+    // version), PROBE = curationFunnelIncrementalIndexed of a constant
+    // base-corpus-sized batch against the persisted state (the
+    // per-increment serve a continuous crawl pipeline pays — the claim
+    // under measure is ~flat across factors), ADMIT = funnelStateAppend
+    // of the batch (~flat, O(increment)). Batch ids remapped clear of
+    // every copy stride, as in the other maintenance cells.
+    //
+    // The probe batch is PERTURBED per doc (r16, advisor finding: the
+    // r15 batch was the base corpus verbatim, which every scaled corpus
+    // contains as copy 0 — so with fp = md5(text) every gate survivor
+    // died at exact_dedup and the near-dup/span stages probed ~empty
+    // frames; the published "probe ~flat" never actually exercised the
+    // grown band index). Now one third replays verbatim (the exact-dedup
+    // leg measured WITH hits), one third drops its first token (a
+    // high-Jaccard near-dup of its copy-0 original — the band-index
+    // probe + exact scoring measured with real candidates against the
+    // grown index), one third word-suffixes "_b" (novel text — survives
+    // to and exercises the span-census probe).
+    //
+    // r16 also prices the REPLAY-RECLAIM pair the compaction op closes:
+    // after admit, the same batch is force-replayed twice more
+    // (duplicate-tolerant appends — the at-least-once worst case), the
+    // probe is re-measured on the bloated state, funnelStateCompact
+    // rewrites the four relations distinct, and the probe is measured
+    // once more — the claim: probe_compacted returns to probe while
+    // compact itself is corpus-sized (the scheduled batch job, like
+    // search compaction).
+    def funnelMaintCell(f: Int)
+        : (Double, Double, Double, Double, Double, Double) = {
       val ts = Seq(s"scale_fun_fps_x$f", s"scale_fun_bands_x$f",
         s"scale_fun_sets_x$f", s"scale_fun_spans_x$f")
       try {
         val docs = spark.read.parquet(s"${scaledDir(f)}/documents.parquet")
         val batch = spark.read.parquet(s"$baseDir/documents.parquet")
           .withColumn("doc_id", col("doc_id") + lit(IdStride * 1000))
+          .withColumn("text",
+            when(col("doc_id") % 3 === 0, col("text"))
+              .when(col("doc_id") % 3 === 1,
+                regexp_replace(col("text"), lit("^\\S+\\s+"), lit("")))
+              .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+                lit("$1_b"))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .localCheckpoint() // perturbation outside every timing window
+        def probeOnce(): Double = {
+          val t = System.nanoTime()
+          operators.CorpusOps.curationFunnelIncrementalIndexed(spark,
+              batch, ts(0), ts(1), ts(2), ts(3))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
         val trials = (1 to MaintTrials).map { _ =>
           ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
           val t0 = System.nanoTime()
           operators.CorpusOps.funnelWriteState(docs, ts(0), ts(1), ts(2),
             ts(3))
           val tState = (System.nanoTime() - t0) / 1e9
-          val t1 = System.nanoTime()
-          operators.CorpusOps.curationFunnelIncrementalIndexed(spark,
-              batch, ts(0), ts(1), ts(2), ts(3))
-            .write.format("noop").mode("overwrite").save()
-          val tProbe = (System.nanoTime() - t1) / 1e9
+          val tProbe = probeOnce()
           val t2 = System.nanoTime()
           operators.CorpusOps.funnelStateAppend(batch, ts(0), ts(1),
             ts(2), ts(3))
-          (tState, tProbe, (System.nanoTime() - t2) / 1e9)
+          val tAdmit = (System.nanoTime() - t2) / 1e9
+          // at-least-once torture: the SAME increment replayed twice more
+          (1 to 2).foreach { _ =>
+            operators.CorpusOps.funnelStateAppend(batch, ts(0), ts(1),
+              ts(2), ts(3))
+          }
+          val tProbeBloated = probeOnce()
+          val t3 = System.nanoTime()
+          operators.CorpusOps.funnelStateCompact(spark, ts(0), ts(1),
+            ts(2), ts(3))
+          val tCompact = (System.nanoTime() - t3) / 1e9
+          (tState, tProbe, tAdmit, tProbeBloated, tCompact, probeOnce())
         }
         (median(trials.map(_._1)), median(trials.map(_._2)),
-          median(trials.map(_._3)))
+          median(trials.map(_._3)), median(trials.map(_._4)),
+          median(trials.map(_._5)), median(trials.map(_._6)))
       } catch {
         case e: Throwable =>
           maintErrs += (s"x$f:funnel_maintenance" ->
             (s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(300)))
-          (-1.0, -1.0, -1.0)
+          (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       } finally {
         ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
     }
-    val funnelMaint: Seq[(Int, (Double, Double, Double))] =
+    val funnelMaint
+        : Seq[(Int, (Double, Double, Double, Double, Double, Double))] =
       Factors.map(f => f -> funnelMaintCell(f))
 
     // ── PQ recall vs ksub (trained codebooks), x10 corpus ──────────────
@@ -716,15 +762,26 @@ object ScaleBench {
         "StreamingSearch.applyBatch of a base-corpus-sized delta batch " +
         "(~flat per micro-batch). base+delta ≡ compacted is spec-gated " +
         "bit-identical in SearchIndexSpec."),
-      "maintenance_funnel" -> obj(funnelMaint.map { case (f, (s, p, a)) =>
-        s"x$f" -> s"""{"state_build":$s,"probe":$p,"admit":$a}""" }),
+      "maintenance_funnel" ->
+        obj(funnelMaint.map { case (f, (s, p, a, pb, c, pc)) =>
+          s"x$f" -> (s"""{"state_build":$s,"probe":$p,"admit":$a""" +
+            s""","probe_bloated":$pb,"compact":$c""" +
+            s""","probe_compacted":$pc}""") }),
       "maintenance_funnel_note" -> jsonStr("incremental curation-funnel " +
         "lifecycle, median-of-" + MaintTrials + " trials: " +
         "funnelWriteState over the x<f> corpus (grows with the corpus, " +
         "once per version) vs curationFunnelIncrementalIndexed of a " +
         "constant base-corpus-sized batch against the persisted state " +
         "(the per-increment serve — claim: ~flat) vs funnelStateAppend " +
-        "of the batch (admission — ~flat, O(increment))."),
+        "of the batch (admission — ~flat, O(increment)). The probe " +
+        "batch is perturbed per doc_id%3 (verbatim / first-token-drop " +
+        "near-dup / word-suffixed novel) so every stage sees real work " +
+        "against the grown state. probe_bloated re-measures the probe " +
+        "after the batch is replay-appended twice more (at-least-once " +
+        "torture), compact is funnelStateCompact's distinct-rewrite of " +
+        "the four relations (corpus-sized, the scheduled job), " +
+        "probe_compacted is the probe on the reclaimed state — claim: " +
+        "back to ~probe."),
       "pq_recall_x10" -> obj(pq.map { case (k, v) => k -> v.toString }),
       "pq_recall_note" -> jsonStr("mean recall@3 over the 8 base probes " +
         "on the x10 corpus (20k vectors), brute search in PQ-decoded " +

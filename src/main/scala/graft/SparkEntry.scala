@@ -1436,6 +1436,12 @@ object SparkEntry {
     "corpus_mix_plan_rebalanced" -> ((s, dir) =>
       CorpusOps.mixPlanRebalanced(t(s, dir, "documents"),
         budgetTokens = 1L << 19)),
+    // ...and the plan MATERIALIZED: the (doc, epoch) training roster —
+    // whole passes per source plus a hash-ordered partial last epoch
+    // that spends exactly the rebalanced remainder
+    "corpus_mix_plan_apply" -> ((s, dir) =>
+      CorpusOps.mixPlanApply(t(s, dir, "documents"),
+        budgetTokens = 1L << 19)),
     // IVF index health: per-cell occupancy + corpus share (seeded centroids
     // so the whole chain is SQL-checkable, like emb_knn_ivf)
     "emb_ivf_stats" -> ((s, dir) => {
@@ -7995,6 +8001,66 @@ object SparkEntry {
         | CAST((10000 * final2_tokens) // n_tokens AS BIGINT)
         |   AS epochs2_e4, recapped
         |FROM r3""".stripMargin,
+    // the rebalanced plan's CTE chain verbatim, then the md5(doc_id)-
+    // ordered cumulative take: full passes = final2 DIV n, the partial
+    // last epoch = the hash-ordered prefix fitting the remainder
+    "corpus_mix_plan_apply" ->
+      """WITH g AS (SELECT source,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        | z AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM g),
+        | w AS (SELECT source, n_tokens,
+        |   CAST(round(round(sqrt(CAST(n_tokens AS DOUBLE))
+        |     / (SELECT z FROM z), 4) * 10000) AS BIGINT) AS weight_e4
+        |  FROM g),
+        | e AS (SELECT source, n_tokens, weight_e4,
+        |   (524288 * weight_e4) // 10000 AS alloc_tokens FROM w),
+        | f AS (SELECT *, (10000 * alloc_tokens) // n_tokens AS epochs_e4
+        |  FROM e),
+        | p1 AS (SELECT source, n_tokens, weight_e4,
+        |   epochs_e4 > 40000 AS capped,
+        |   CAST(CASE WHEN epochs_e4 > 40000
+        |     THEN (n_tokens * 40000) // 10000
+        |     ELSE alloc_tokens END AS BIGINT) AS final_tokens
+        |  FROM f),
+        | m AS (SELECT
+        |   CAST(sum(CASE WHEN capped THEN 0 ELSE weight_e4 END)
+        |     AS BIGINT) AS w_uncapped,
+        |   CAST(greatest(0, 524288 - sum(final_tokens)) AS BIGINT)
+        |     AS leftover
+        |  FROM p1),
+        | r AS (SELECT p1.*, m.w_uncapped, m.leftover,
+        |   CAST(CASE WHEN capped OR m.w_uncapped <= 0 THEN 0
+        |     ELSE (m.leftover * weight_e4) // m.w_uncapped END AS BIGINT)
+        |     AS extra_tokens
+        |  FROM p1, m),
+        | r2 AS (SELECT *, final_tokens + extra_tokens AS f2_raw,
+        |   NOT capped AND
+        |    (10000 * (final_tokens + extra_tokens)) // n_tokens > 40000
+        |     AS recapped
+        |  FROM r),
+        | pl AS (SELECT source, n_tokens AS src_tokens,
+        |   CAST(CASE WHEN recapped THEN (n_tokens * 40000) // 10000
+        |     ELSE f2_raw END AS BIGINT) AS final2_tokens
+        |  FROM r2),
+        | pl2 AS (SELECT source, src_tokens, final2_tokens,
+        |   final2_tokens // src_tokens AS full_epochs,
+        |   final2_tokens % src_tokens AS partial_tokens FROM pl),
+        | tk AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |   md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        | c AS (SELECT doc_id, source, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY source
+        |     ORDER BY ord, doc_id) AS cum
+        |  FROM tk),
+        | take AS (SELECT c.doc_id, c.source, c.n_tokens,
+        |   pl2.full_epochs + CASE WHEN c.cum <= pl2.partial_tokens
+        |     THEN 1 ELSE 0 END AS n_epochs
+        |  FROM c JOIN pl2 USING (source))
+        |SELECT doc_id, source, n_tokens,
+        | CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
+        |FROM take WHERE n_epochs > 0""".stripMargin,
     // same chain as doc_dedup_pipeline, reduced to the one-row summary
     "doc_dedup_report" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),

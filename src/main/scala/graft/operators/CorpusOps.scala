@@ -139,6 +139,62 @@ object CorpusOps {
         col("recapped"))
   }
 
+  /** MATERIALIZE the rebalanced mixture plan — the op that closes the
+    * planning loop: [[mixPlanRebalanced]] says what the budget buys of
+    * each source; this emits the actual training-epoch roster
+    * (doc_id, source, n_tokens, epoch) that delivers it. Per source,
+    * `final2_tokens` is spent as `final2 DIV n_tokens` FULL passes over
+    * every document (epochs 1..k — repeating data in whole passes, the
+    * data-constrained recipe) plus one PARTIAL last epoch holding the
+    * deterministic hash-ordered prefix (md5(doc_id) order — the
+    * [[tokenBudgetSample]] contract: unbiased w.r.t. corpus order, stable
+    * across engines/retries/speculation) whose cumulative token count
+    * fits the remainder. A source capped at exactly the epoch ceiling
+    * therefore appears exactly ⌈epochs2_e4 / 1e4⌉ times — whole passes,
+    * no partial (spec-pinned) — and per-source emitted tokens reconcile
+    * with the plan: full·n_tokens + (partial prefix ≤ remainder), with
+    * the next hash-ordered doc overflowing it.
+    *
+    * Scale shape: the plan is |sources| rows riding a broadcast; the
+    * cumulative take is [[tokenBudgetSample]]'s salt-and-fold-back prefix
+    * sum (no dominant-source serialization); the epoch fan-out is a
+    * per-row `sequence`/`explode` bounded by the epoch cap — output is
+    * O(corpus · max epochs), the roster's true size. */
+  def mixPlanApply(docs: DataFrame, budgetTokens: Long = 1L << 20,
+                   maxEpochsE4: Long = 40000,
+                   saltChars: Int = 1): DataFrame = {
+    require(saltChars >= 1 && saltChars <= 8,
+      s"saltChars must be in [1, 8], got $saltChars")
+    val plan = mixPlanRebalanced(docs, budgetTokens, maxEpochsE4)
+      .select(col("source"), col("n_tokens").as("src_tokens"),
+        col("final2_tokens"))
+      .withColumn("full_epochs", expr("final2_tokens DIV src_tokens"))
+      .withColumn("partial_tokens",
+        col("final2_tokens") - col("full_epochs") * col("src_tokens"))
+    // the tokenBudgetSample salted global prefix sum, in md5(doc_id) order
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .withColumn("salt", substring(col("ord"), 1, saltChars))
+    val wIn = Window.partitionBy("source", "salt").orderBy("ord", "doc_id")
+    val cum = toks.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val wBase = Window.partitionBy("source").orderBy("salt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = cum.groupBy("source", "salt")
+      .agg(max(col("cum_in")).as("salt_total"))
+      .select(col("source"), col("salt"),
+        coalesce(sum(col("salt_total")).over(wBase), lit(0L)).as("base"))
+    cum.join(broadcast(bases), Seq("source", "salt"))
+      .join(broadcast(plan), "source")
+      .withColumn("n_epochs", col("full_epochs") +
+        when(col("base") + col("cum_in") <= col("partial_tokens"), 1L)
+          .otherwise(0L))
+      .filter(col("n_epochs") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+  }
+
   /** Deterministic offset-bin sequence packing: within each source, docs are
     * laid end-to-end in doc_id order and each doc is assigned the
     * `maxTokens`-sized bin its FIRST token falls in — the stride-packing
@@ -1066,6 +1122,45 @@ object CorpusOps {
     Bucketing.writeBucketed(
       Dedup.spanWindows(docs, spanTokens).select("fp").distinct(),
       spanFpTable, "fp", buckets)
+  }
+
+  /** COMPACT the funnel's persisted corpus state — the reclaim half of
+    * the [[funnelStateAppend]] replay contract: admission appends are
+    * DUPLICATE-TOLERANT by construction (a replay degrades probe cost,
+    * never verdicts), but nothing in the append path ever reclaims that
+    * cost — replayed band/sets/fp/span rows accumulate forever, exactly
+    * the LSM story the search index closes with delta-commit +
+    * compaction ([[TextAnalysis.searchWriteIndex]]) and the funnel state
+    * did not. One distinct-rewrite per relation, bucket layout preserved
+    * (same key, same bucket count — probe joins stay co-located after
+    * the rewrite), run on the maintenance cadence replays warrant.
+    *
+    * Probe-equivalence contract: every relation is a SET under its probe
+    * (fp/span by anti/semi join, bands by candidate generation whose
+    * duplicates the scoring join dedups, sets keyed by doc_id), so
+    * distinct() changes no query answer — spec-pinned by a duplicated-
+    * append torture sequence probing identically before and after, with
+    * the row counts restored to the fresh-build state.
+    *
+    * The distinct rows are pinned (eager localCheckpoint) BEFORE the
+    * overwrite because [[Bucketing.writeBucketed]] drops the table first
+    * — writing a frame that still lazily reads the table being dropped
+    * would read nothing. At 100 TB, write to a sibling table and swap
+    * names instead of pinning state-sized rows in the block manager; the
+    * in-place form is the bench-scale expression of the same rewrite. */
+  def funnelStateCompact(spark: org.apache.spark.sql.SparkSession,
+                         fpTable: String, bandsTable: String,
+                         setsTable: String, spanFpTable: String,
+                         buckets: Int = 32): Unit = {
+    def rewrite(table: String, key: String): Unit = {
+      spark.catalog.refreshTable(table) // see incrementalStagesIndexed
+      val rows = spark.table(table).distinct().localCheckpoint(eager = true)
+      Bucketing.writeBucketed(rows, table, key, buckets)
+    }
+    rewrite(fpTable, "fp")
+    rewrite(bandsTable, "bucket")
+    rewrite(setsTable, "doc_id")
+    rewrite(spanFpTable, "fp")
   }
 
   /** The incremental funnel's stage frames — order-exact against the

@@ -944,6 +944,50 @@ class QualityOpsSpec extends SparkTestBase {
     assert(reb3("srcC") === ((36L, 0L, 36L, 40000L, false)))
   }
 
+  test("CorpusOps.mixPlanApply: a capped source repeats in exactly " +
+    "ceil(epochs2_e4/1e4) whole passes; the partial last epoch is the " +
+    "md5-ordered prefix that fits the remainder; per-source emitted " +
+    "tokens reconcile with the rebalanced plan") {
+    val s = spark
+    import s.implicits._
+    // srcA: 9 docs x 100 tokens (900 total); srcB: 1 doc x 9 tokens —
+    // the proven mixPlan fixture totals, so under budget 3000 the
+    // rebalanced plan reads srcA final2 = 2964, srcB final2 = 36
+    val docs = ((1 to 9).map(d =>
+      (d.toLong, (1 to 100).map(i => s"a${d}x$i").mkString(" "), "srcA"))
+      :+ ((20L, (1 to 9).map(i => s"b$i").mkString(" "), "srcB")))
+      .map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.mixPlanApply(docs, budgetTokens = 3000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // srcB is capped at the 4-epoch ceiling: final2 = 4 * 9 exactly —
+    // whole passes only, the one doc appears exactly 4 times
+    val bEpochs = out.filter(_._2 == "srcB").map(_._4).sorted
+    assert(bEpochs === Seq(1L, 2L, 3L, 4L))
+    // srcA: full = 2964 DIV 900 = 3 passes of all 9 docs, partial
+    // remainder 264 → the first TWO docs in md5(doc_id) order (cum 100,
+    // 200 <= 264; the third would hit 300)
+    val aByDoc = out.filter(_._2 == "srcA")
+      .groupBy(_._1).view.mapValues(_.map(_._4).sorted).toMap
+    assert(aByDoc.size === 9, "every srcA doc rides the 3 full passes")
+    def md5hex(v: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(v.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val hashOrder = (1 to 9).map(_.toLong).sortBy(md5hex)
+    val partial = hashOrder.take(2).toSet
+    aByDoc.foreach { case (id, eps) =>
+      val want = if (partial(id)) Seq(1L, 2L, 3L, 4L) else Seq(1L, 2L, 3L)
+      assert(eps === want, s"epochs for srcA doc $id")
+    }
+    // token reconciliation: emitted <= final2, and the NEXT hash-ordered
+    // doc would overflow the remainder
+    val aTokens = out.filter(_._2 == "srcA").map(_._3).sum
+    assert(aTokens === 3L * 900L + 200L)
+    assert(aTokens <= 2964L && aTokens + 100L > 2964L)
+    assert(out.filter(_._2 == "srcB").map(_._3).sum === 36L)
+  }
+
   test("CorpusOps.curationFunnelIncremental: order-exact against the " +
     "corpus — a gate-dropped doc never counts against exact dedup, an " +
     "exact dup never counts against near dedup, and the span-scrub " +
@@ -1019,6 +1063,72 @@ class QualityOpsSpec extends SparkTestBase {
         tbls(0), tbls(1), tbls(2), tbls(3))
       assert(rows(idx) === got, "indexed state ≡ inline corpus")
     } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("CorpusOps.funnelStateCompact: a replayed append bloats the state " +
+    "relations but never verdicts; compaction restores fresh-build row " +
+    "counts, keeps the bucket layout, and probes identically") {
+    val s = spark
+    import s.implicits._
+    def tx(toks: Seq[String]) = (Seq("the", "of") ++ toks).mkString(" ")
+    val kTxt = tx((1 to 18).map(i => f"kappa$i%02d"))
+    val cTxt = tx((1 to 17).map(i => f"charl$i%02d"))
+    val dTxt = cTxt + " charl18x" // near-dup of C
+    val mTxt = tx((1 to 18).map(i => f"mike$i%02d"))
+    val uTxt = tx((1 to 18).map(i => f"uniq$i%02d"))
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = df(Seq((101L, kTxt), (103L, cTxt)))
+    val inc = df(Seq((201L, mTxt))) // the admitted increment
+    val probe = df(Seq((1L, kTxt), (3L, dTxt), (7L, uTxt)))
+    val tA = Seq("graft_cmp_fps", "graft_cmp_bands", "graft_cmp_sets",
+      "graft_cmp_spans")
+    val tB = tA.map(_ + "_ref")
+    (tA ++ tB).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    def rows(dfm: org.apache.spark.sql.DataFrame) = dfm.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1).toSeq
+    def counts(ts: Seq[String]) = ts.map(t => s.table(t).count())
+    try {
+      CorpusOps.funnelWriteState(corpus, tA(0), tA(1), tA(2), tA(3),
+        buckets = 4)
+      // an at-least-once replay: the same increment admitted TWICE
+      (1 to 2).foreach { _ =>
+        CorpusOps.funnelStateAppend(inc, tA(0), tA(1), tA(2), tA(3),
+          buckets = 4)
+      }
+      // the reference: a fresh build over the same logical corpus
+      CorpusOps.funnelWriteState(corpus.unionByName(inc), tB(0), tB(1),
+        tB(2), tB(3), buckets = 4)
+      val ref = rows(CorpusOps.curationFunnelIncrementalIndexed(s, probe,
+        tB(0), tB(1), tB(2), tB(3)))
+      // duplicate-tolerant: the bloated state already answers correctly
+      assert(rows(CorpusOps.curationFunnelIncrementalIndexed(s, probe,
+        tA(0), tA(1), tA(2), tA(3))) === ref)
+      // ...but the replay cost is real: every relation carries extra rows
+      val bloated = counts(tA)
+      val fresh = counts(tB)
+      assert(bloated.zip(fresh).forall { case (a, b) => a > b },
+        s"replayed append must bloat every relation: $bloated vs $fresh")
+      CorpusOps.funnelStateCompact(s, tA(0), tA(1), tA(2), tA(3),
+        buckets = 4)
+      assert(counts(tA) === fresh,
+        "compaction must restore fresh-build row counts")
+      assert(rows(CorpusOps.curationFunnelIncrementalIndexed(s, probe,
+        tA(0), tA(1), tA(2), tA(3))) === ref,
+        "probe-equivalence after compaction")
+      // sanity on the verdicts themselves: exact dup, near dup, survivor
+      assert(ref.map(t => (t._2, (t._3, t._4, t._5))) === Seq(
+        "quality_gate" -> ((3L, 0L, 3L)),
+        "exact_dedup" -> ((3L, 1L, 2L)),
+        "near_dedup" -> ((2L, 1L, 1L)),
+        "span_scrub" -> ((1L, 0L, 1L))))
+      // bucket layout preserved through the rewrite
+      val desc = s.sql(s"DESCRIBE FORMATTED ${tA(0)}").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(desc.get("Num Buckets").map(_.trim) === Some("4"))
+    } finally (tA ++ tB).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("MergeableState: the just-superseded version survives one commit " +
