@@ -44,9 +44,13 @@ object Classify {
                        clsDocs: DataFrame): DataFrame = {
     // the word×class count table feeds THREE consumers (class totals,
     // vocab size, the weight join) — checkpoint the vocab-sized frame
-    // so the training aggregate runs once
+    // so the training aggregate runs once. EAGER (r16): a lazy
+    // checkpoint read by concurrent consumers inside one job can race
+    // the first materialization and recompute partitions — the funnel
+    // idle-spread finding; eagerness pins the aggregate to exactly one
+    // run
     val c = trainTok.groupBy("cls", "word").agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val ct = c.groupBy("cls").agg(sum("c").as("ct"))
     val vocab = c.select("word").distinct().agg(count(lit(1)).as("v"))
     val denom = ct.crossJoin(vocab) // (cls, ct, v): L rows
@@ -151,9 +155,9 @@ object Classify {
     // the quality-NB query family 6.8 → ~2 s warm each at sf0.1)
     val labels = TextAnalysis.gopherFilter(docs)
       .select(col("doc_id"), col("keep").cast("int").as("cls"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true) // eager: see nbScores' race note
     val ft = qualityFeatures(docs).join(labels, "doc_id")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     (ft, labels)
   }
 
@@ -167,7 +171,7 @@ object Classify {
       .select(col("doc_id"), col("cls").as("actual"), col("word"))
     val clsDocs = labels.filter(col("doc_id") % 5 =!= 0)
       .groupBy("cls").agg(count(lit(1)).as("nd"))
-    nbScores(train, test, clsDocs).localCheckpoint(eager = false)
+    nbScores(train, test, clsDocs).localCheckpoint(eager = true)
   }
 
   /** margin = score(keep) − score(drop) per held-out doc, exact integer
