@@ -465,6 +465,47 @@ object Example {
         .orderBy("source").show(5)
     }
 
+    // round-16 additions: the plan MATERIALIZED as a training roster,
+    // a CONTENT-addressed compliance request (no ids), and the funnel
+    // state's replay-reclaim compaction
+    {
+      import graft.operators.{CorpusOps, Multimodal}
+      println("[example] mix plan applied — the (doc, epoch) roster " +
+        "(whole passes + a hash-ordered partial last epoch):")
+      CorpusOps.mixPlanApply(docs, budgetTokens = 1L << 19)
+        .groupBy("source", "epoch").count()
+        .orderBy("source", "epoch").show(10)
+      val reqDocs = docs.filter(col("doc_id") % 13 === 0)
+      println("[example] content-addressed unified takedown (quoted " +
+        "text + media bytes, no ids — removed_copy|kept only):")
+      Multimodal.takedownUnifiedContent(spark, docs,
+          reqDocs.select(col("doc_id").as("req_id"), col("text")),
+          Multimodal.synthBmpPayload(reqDocs),
+          Multimodal.synthWavPayload(reqDocs),
+          Multimodal.synthVideoPayload(reqDocs),
+          "graft_example_tb", "graft_example_ts", "graft_example_phidx",
+          "graft_example_aidx", "graft_example_vidx")
+        .groupBy("modality", "status").count()
+        .orderBy("modality", "status").show()
+      CorpusOps.funnelWriteState(docs.filter(col("doc_id") % 10 =!= 0),
+        "graft_example_ffp", "graft_example_fb", "graft_example_fs",
+        "graft_example_fsp", buckets = 4)
+      val inc = docs.filter(col("doc_id") % 10 === 0)
+      // an at-least-once replay: the same increment admitted twice
+      (1 to 2).foreach { _ =>
+        CorpusOps.funnelStateAppend(inc, "graft_example_ffp",
+          "graft_example_fb", "graft_example_fs", "graft_example_fsp",
+          buckets = 4)
+      }
+      val bloated = spark.table("graft_example_ffp").count()
+      CorpusOps.funnelStateCompact(spark, "graft_example_ffp",
+        "graft_example_fb", "graft_example_fs", "graft_example_fsp",
+        buckets = 4)
+      println(s"[example] funnel-state compaction: fp universe $bloated" +
+        s" rows bloated by the replay -> " +
+        s"${spark.table("graft_example_ffp").count()} after compact")
+    }
+
     // streaming sessionization with custom keyed state
     {
       import graft.streaming.Sessionize
