@@ -504,6 +504,14 @@ object Example {
       println(s"[example] funnel-state compaction: fp universe $bloated" +
         s" rows bloated by the replay -> " +
         s"${spark.table("graft_example_ffp").count()} after compact")
+      val beforeForget = spark.table("graft_example_phidx").count()
+      Multimodal.mediaIndexForget(spark, "graft_example_phidx",
+        docs.filter(col("doc_id") % 10 === 8).select("doc_id"),
+        buckets = 4)
+      println(s"[example] index forget (RTBF lifecycle): phash index " +
+        s"$beforeForget assets -> " +
+        s"${spark.table("graft_example_phidx").count()} after the " +
+        "%10==8 tombstones leave the serving index")
     }
 
     // streaming sessionization with custom keyed state

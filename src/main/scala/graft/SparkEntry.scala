@@ -2238,6 +2238,15 @@ object SparkEntry {
       Multimodal.mediaTakedownStatus(s, phashAppendedTable(s, dir),
         Multimodal.synthBmpPayload(
           t(s, dir, "documents").filter(col("doc_id") % 13 === 0)))),
+    // the forget gate (RTBF lifecycle completion): full build, then the
+    // %10==8 tombstone slice FORGOTTEN — serving must equal an index
+    // that never held those assets (holders restricted in the oracle);
+    // the removed docs' content can still arrive as REQUESTS, it just
+    // can't be matched as a holder
+    "multimodal_takedown_forgotten" -> ((s, dir) =>
+      Multimodal.mediaTakedownStatus(s, phashForgottenTable(s, dir),
+        Multimodal.synthBmpPayload(
+          t(s, dir, "documents").filter(col("doc_id") % 13 === 0)))),
     "multimodal_modality_profile" -> ((s, dir) =>
       Multimodal.modalityDupProfile(t(s, dir, "documents"))),
     // UNIFIED takedown: ONE tombstone list (ids ending in 8) fanned
@@ -2312,6 +2321,20 @@ object SparkEntry {
     versionedTables(s, dir, d, Seq("graft_phash_idx")) { ns =>
       Multimodal.phashWriteIndex(Multimodal.synthBmpPayload(d), ns(0),
         buckets = 8)
+    }.head
+  }
+
+  /** Perceptual index built on the full corpus, then the ids-ending-in-8
+    * tombstone slice FORGOTTEN — probing it must equal probing an index
+    * that never held those assets (the oracle restricts holders to
+    * doc_id % 10 ≠ 8; requests are unrestricted content). */
+  private def phashForgottenTable(s: SparkSession, dir: String): String = {
+    val d = t(s, dir, "documents")
+    versionedTables(s, dir, d, Seq("graft_phashf_idx")) { ns =>
+      Multimodal.phashWriteIndex(Multimodal.synthBmpPayload(d), ns(0),
+        buckets = 8)
+      Multimodal.mediaIndexForget(s, ns(0),
+        d.filter(col("doc_id") % 10 === 8).select("doc_id"), buckets = 8)
     }.head
   }
 
@@ -9558,6 +9581,13 @@ object SparkEntry {
     // the appended index must serve the identical answer (append ≡
     // rebuild, the winnow/near-dup index discipline)
     "multimodal_takedown_appended" -> MediaTakedownOracleSql,
+    // the forget gate: the same brute chain with HOLDERS restricted to
+    // the unforgotten slice — requests stay unrestricted content
+    "multimodal_takedown_forgotten" ->
+      (MediaTakedownOracleSql.replace(
+        "FROM (SELECT * FROM ah WHERE doc_id % 13 = 0) q, ah c",
+        "FROM (SELECT * FROM ah WHERE doc_id % 13 = 0) q,\n" +
+          " (SELECT * FROM ah WHERE doc_id % 10 <> 8) c")),
     "multimodal_dup_pairs" ->
       """WITH px AS (
         |  SELECT d.doc_id, t.p,

@@ -416,6 +416,39 @@ object Dedup {
     Bucketing.writeBucketed(shingleSets(docs), setsTable, "doc_id", buckets)
   }
 
+  /** FORGET — remove documents from the persisted near-dup index: the
+    * text half of the compliance step [[Multimodal.mediaIndexForget]]
+    * closes for the sketch indexes. After a takedown the corpus store
+    * drops the removed docs' rows, but the band/sets relations still
+    * carry their signatures — later probes keep matching ghosts, and the
+    * shingle sets literally CONTAIN the removed text (for RTBF they must
+    * go, not just stop matching). One anti-join rewrite per relation
+    * against the tombstone ids, bucket layouts preserved. Index-sized,
+    * never a corpus re-shingle; batch removals to the compaction
+    * cadence. Round-trip spec: build(A ∪ B) then forget(B) equals
+    * build(A) row-for-row, and a probe that near-duplicates ONLY a
+    * forgotten doc survives afterwards.
+    *
+    * The funnel's CONTENT-keyed relations (fp universe, span census)
+    * cannot forget by id — they carry no doc attribution, and an fp
+    * shared with a surviving doc must stay — so their forget path is the
+    * once-per-version [[graft.operators.CorpusOps.funnelWriteState]]
+    * rebuild over the post-removal corpus (documented contract). */
+  def nearDupIndexForget(spark: org.apache.spark.sql.SparkSession,
+                         bandsTable: String, setsTable: String,
+                         tombstoneIds: DataFrame,
+                         buckets: Int = 32): Unit = {
+    val ids = tombstoneIds.select("doc_id")
+    def rewrite(table: String, key: String): Unit = {
+      spark.catalog.refreshTable(table)
+      val kept = spark.table(table).join(ids, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true) // pinned before the drop+overwrite
+      Bucketing.writeBucketed(kept, table, key, buckets)
+    }
+    rewrite(bandsTable, "bucket")
+    rewrite(setsTable, "doc_id")
+  }
+
   /** [[incrementalNearDedup]] against a PERSISTED index
     * ([[nearDupWriteIndex]] output) — query-time work is the increment's
     * own signature chain plus two joins against stored relations; the

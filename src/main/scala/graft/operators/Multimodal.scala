@@ -1332,6 +1332,34 @@ object Multimodal {
         col("refused_vals"))
   }
 
+  /** FORGET — remove library members from a persisted sketch index: the
+    * compliance step takedown LEAVES OPEN. [[mediaTakedownStatus]] says
+    * which assets must go and the corpus store deletes their rows, but
+    * the serving index still carries the removed docs' sketches — every
+    * later probe keeps matching ghosts, and for RTBF the sketch itself
+    * is derived data that must go. One anti-join rewrite of the index
+    * against the tombstone ids, bucket layout preserved (same key, same
+    * count — serves stay co-located). Shared by the image, audio, AND
+    * video tables (all bucketed by `h`; extra columns ride along).
+    *
+    * Cost is index-sized, not corpus-sized — no media bytes are ever
+    * re-read — and it batches: collect a day's removals, forget once
+    * (the compaction cadence). The kept rows are pinned (eager
+    * localCheckpoint) before the overwrite because writeBucketed drops
+    * the table first; at 100 TB write a sibling table and swap names
+    * (the funnelStateCompact note). Round-trip contract, spec-pinned:
+    * build(A ∪ B) then forget(B) holds exactly build(A)'s rows, and a
+    * request identical to a forgotten asset matches nothing. */
+  def mediaIndexForget(spark: org.apache.spark.sql.SparkSession,
+                       table: String, tombstoneIds: DataFrame,
+                       buckets: Int = 16): Unit = {
+    spark.catalog.refreshTable(table)
+    val kept = spark.table(table)
+      .join(tombstoneIds.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    Bucketing.writeBucketed(kept, table, "h", buckets)
+  }
+
   /** Persist the video keyframe-sketch table (doc_id, slot, h)
     * bucketed by `h` — 24 bytes per video, hashed once at ingest. */
   def videoWriteIndex(withPayload: DataFrame, table: String,

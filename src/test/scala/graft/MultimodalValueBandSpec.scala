@@ -175,6 +175,21 @@ class MultimodalValueBandSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(gotAppended === got, "append must serve what rebuild serves")
+    // forget ≡ never-held: drop the %5==0 assets from the full index;
+    // serving must equal an index built without them (requests keep
+    // their content — a forgotten asset can still ASK, it just can't
+    // be matched as a holder), and the brute answer restricted to the
+    // surviving holder set confirms no ghost rows linger
+    Multimodal.mediaIndexForget(s, "graft_test_phidx_a",
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"), buckets = 4)
+    val gotForgot = Multimodal
+      .mediaTakedownStatus(s, "graft_test_phidx_a", requests)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(gotForgot === brute.filter(_._2 % 5 != 0),
+      "forget must serve exactly the never-held answer")
+    assert(!gotForgot.exists { case (q, c, _) => q == 0L && c == 0L },
+      "the forgotten asset no longer matches even its own request")
   }
 
   test("audioTakedownStatus: banded serve off the persisted " +

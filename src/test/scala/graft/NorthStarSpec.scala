@@ -1282,6 +1282,35 @@ class NorthStarSpec extends SparkTestBase {
     assert(viaAppend == Set(32L))
   }
 
+  test("Dedup.nearDupIndexForget: forgetting a doc equals an index that " +
+    "never held it — row-for-row and through the probe; content " +
+    "near-duplicating ONLY the forgotten doc re-enters afterwards") {
+    val s = spark
+    val keepDoc = docsDf(Seq(
+      2L -> "completely different words about spark catalyst physical plans"))
+    val removed = docsDf(Seq(1L -> dupText))
+    Dedup.nearDupWriteIndex(keepDoc.unionByName(removed),
+      "test_ndf_bands", "test_ndf_sets", buckets = 2)
+    // probe near-dups the soon-forgotten doc ONLY: dropped pre-forget
+    val probe = docsDf(Seq(40L -> (dupText + " slightly")))
+    assert(Dedup.incrementalNearDedupIndexed(s, probe,
+      "test_ndf_bands", "test_ndf_sets").count() === 0L,
+      "pre-forget: the near-dup of doc 1 must drop")
+    Dedup.nearDupIndexForget(s, "test_ndf_bands", "test_ndf_sets",
+      removed.select("doc_id"), buckets = 2)
+    assert(Dedup.incrementalNearDedupIndexed(s, probe,
+      "test_ndf_bands", "test_ndf_sets")
+      .collect().map(_.getLong(0)).toSet === Set(40L),
+      "post-forget: the content can re-enter — no ghost matches")
+    // row-for-row: the forgotten index IS the never-held index
+    Dedup.nearDupWriteIndex(keepDoc, "test_ndf_bands_ref",
+      "test_ndf_sets_ref", buckets = 2)
+    def rows(t: String) = s.table(t).collect()
+      .map(_.toString).sorted.toSeq
+    assert(rows("test_ndf_bands") === rows("test_ndf_bands_ref"))
+    assert(rows("test_ndf_sets") === rows("test_ndf_sets_ref"))
+  }
+
   test("TextAnalysis.bm25Search: multi-term matches outrank single-term, " +
     "term-free docs are excluded, k caps the result") {
     val docs = docsDf(Seq(
