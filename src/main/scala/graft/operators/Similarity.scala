@@ -1414,6 +1414,26 @@ object Similarity {
     Bucketing.appendBucketed(ivfAssign(emb, centroids), table, "cell",
       buckets, sortBy = Some("vec_id"))
 
+  /** FORGET — remove vectors from the persisted IVF index (the
+    * [[graft.operators.Multimodal.mediaIndexForget]] step at embedding
+    * width — for RTBF the embedding itself is derived data that must
+    * go): one anti-join rewrite on vec_id, cell-bucketed layout
+    * preserved. Assignment is per-vector deterministic under the fixed
+    * centroids, so the forgotten index IS the never-held index
+    * row-for-row (spec-pinned) and later [[knnIvfIndexed]] probes can
+    * never return a removed vector. Centroids are NOT refit — same
+    * contract as [[ivfIndexAppend]]; refit+rebuild once [[ivfStats]]
+    * occupancy drifts. */
+  def ivfIndexForget(spark: SparkSession, table: String,
+                     tombstoneIds: DataFrame, buckets: Int = 32): Unit = {
+    spark.catalog.refreshTable(table)
+    val kept = spark.table(table)
+      .join(tombstoneIds.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    Bucketing.writeBucketed(kept, table, "cell", buckets,
+      sortBy = Some("vec_id"))
+  }
+
   /** IVF ANN query: `nprobe` nearest cells per query (tiny |Q| × nlist
     * broadcast cross), exact cosine + top-k inside the probed cells.
     * Centroids: pass `Some(...)` (e.g. [[ivfSeedCentroids]] or a persisted

@@ -1686,6 +1686,34 @@ object TextAnalysis {
     Bucketing.writePlain(searchStats(docs), statsTable)
   }
 
+  /** FORGET — remove documents from the persisted search index: the
+    * [[graft.operators.Multimodal.mediaIndexForget]] compliance step at
+    * search width, and the one with the sharpest RTBF teeth — the
+    * postings literally enumerate the removed documents' tokens. One
+    * anti-join rewrite of the postings (bucket layout preserved), and the
+    * stats sidecar is RE-DERIVED from the kept postings (every doc
+    * carries its dl on each posting row, so n_docs/sum_dl recompute
+    * exactly — stats can never drift from what the postings serve; BM25
+    * idf and length norms shift accordingly, exactly as a never-held
+    * build would read). Index-sized, never a corpus re-tokenize.
+    * Round-trip spec: build(A ∪ B) then forget(B) serves bit-identically
+    * to build(A). */
+  def searchIndexForget(spark: org.apache.spark.sql.SparkSession,
+                        postingsTable: String, statsTable: String,
+                        tombstoneIds: DataFrame,
+                        buckets: Int = 32): Unit = {
+    spark.catalog.refreshTable(postingsTable)
+    val kept = spark.table(postingsTable)
+      .join(tombstoneIds.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true) // pinned before the drop+overwrite
+    Bucketing.writeBucketed(kept, postingsTable, "token", buckets,
+      sortBy = Some("token"))
+    Bucketing.writePlain(
+      kept.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+      statsTable)
+  }
+
   /** The postings rows for `docs` — shared by build, append, and the
     * streaming delta maintainer. */
   private[graft] def searchPostings(docs: DataFrame): DataFrame = {
@@ -2133,6 +2161,23 @@ object TextAnalysis {
                         window: Int = 4, buckets: Int = 32): Unit =
     Bucketing.appendBucketed(winnowingSelected(newDocs, gram, window),
       table, "fp", buckets)
+
+  /** FORGET — remove documents from the persisted winnow index (the
+    * [[graft.operators.Multimodal.mediaIndexForget]] step at fingerprint
+    * width): one anti-join rewrite on doc_id, fp-bucketed layout
+    * preserved. The selection is per-doc deterministic, so the forgotten
+    * index IS the never-held index row-for-row (spec-pinned), and later
+    * [[winnowPairsIndexed]] probes can never pair against a removed
+    * doc's fingerprints. */
+  def winnowIndexForget(spark: org.apache.spark.sql.SparkSession,
+                        table: String, tombstoneIds: DataFrame,
+                        buckets: Int = 32): Unit = {
+    spark.catalog.refreshTable(table)
+    val kept = spark.table(table)
+      .join(tombstoneIds.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    Bucketing.writeBucketed(kept, table, "fp", buckets)
+  }
 
   /** [[winnowPairs]] served OFF THE INDEX: same pairing core, same
     * output contract, same DuckDB oracle — but each of the three plan

@@ -78,4 +78,45 @@ object StreamingTakedown {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** CONTENT-ADDRESSED unified takedown served online — the intake a
+    * compliance desk actually runs: tickets stream in as
+    * (req_id, text, payload) rows, the quoted text plus ONE media
+    * attachment whose format is whatever the requester sent. Each
+    * micro-batch fans through [[Multimodal.takedownUnifiedContent]] with
+    * the SAME payload frame offered to all three media serves — each
+    * sketcher keeps only payloads of its own container format (a WAV
+    * attachment is invalid to the image hasher and silently drops
+    * there), so modality routing is format sniffing, not a caller-
+    * supplied tag — and `deliver` receives the batch's full
+    * (doc_id, modality, removed_copy|kept) frame, row-identical to the
+    * batch operator on the same ticket content (spec-proven, the
+    * [[serve]] parity pattern). The batch is checkpointed once per
+    * trigger so the ticket text/bytes are evaluated once, fanned four
+    * ways. All [[serve]] contracts carry over. */
+  def serveUnifiedContent(requests: DataFrame, docs: DataFrame,
+                          bandsTable: String, setsTable: String,
+                          imageTable: String, audioTable: String,
+                          videoTable: String, checkpointDir: String,
+                          jaccardThreshold: Double = 0.8,
+                          maxHamming: Int = 3, minVotes: Int = 2,
+                          trigger: Trigger =
+                            Trigger.ProcessingTime("20 seconds"))
+                         (deliver: (DataFrame, Long) => Unit)
+      : StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint() // tickets evaluated once, read 4x
+        val payload = b.select(
+          org.apache.spark.sql.functions.col("req_id").as("doc_id"),
+          org.apache.spark.sql.functions.col("payload"))
+        val res = Multimodal.takedownUnifiedContent(batch.sparkSession,
+          docs, b.select("req_id", "text"), payload, payload, payload,
+          bandsTable, setsTable, imageTable, audioTable, videoTable,
+          jaccardThreshold, maxHamming, minVotes)
+        deliver(res, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

@@ -2073,6 +2073,35 @@ class NorthStarSpec extends SparkTestBase {
     }
   }
 
+  test("Similarity.ivfIndexForget: forgetting a vector slice equals an " +
+    "index that never held it — row-for-row under the fixed centroids, " +
+    "and probes can never return a removed vector") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfSeedCentroids(emb, 8)
+    Similarity.ivfWriteIndex(emb, cents, "ivf_idx_fgt", buckets = 8)
+    Similarity.ivfIndexForget(spark, "ivf_idx_fgt",
+      emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), buckets = 8)
+    Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0), cents,
+      "ivf_idx_fref", buckets = 8)
+    try {
+      def rows(t: String) = spark.table(t).collect()
+        .map(_.toString).sorted.toSeq
+      assert(rows("ivf_idx_fgt") === rows("ivf_idx_fref"),
+        "forgotten IVF index must equal the never-held build")
+      val got = Similarity.knnIvfIndexed(spark, "ivf_idx_fgt", cents,
+        col("vec_id") < 4, k = 3, nprobe = 2).collect()
+      val ref = Similarity.knnIvfIndexed(spark, "ivf_idx_fref", cents,
+        col("vec_id") < 4, k = 3, nprobe = 2).collect()
+      assert(got.toSet == ref.toSet)
+      assert(got.nonEmpty && got.forall(_.getLong(1) % 2 == 0),
+        "no forgotten vector may surface as a neighbor")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_fgt")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_fref")
+    }
+  }
+
   test("Dedup.resolveSplitLeakage: train-wins — the non-train member of a " +
     "cross-split near-dup pair is quarantined, everything else keeps its " +
     "assigned split") {

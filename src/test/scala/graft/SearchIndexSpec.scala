@@ -185,6 +185,50 @@ class SearchIndexSpec extends SparkTestBase {
     }
   }
 
+  test("index FORGET: search and winnow indexes forget a doc slice and " +
+    "serve bit-identically to never-held builds — postings row-for-row, " +
+    "stats re-derived, BM25 scores shifted exactly as a rebuild would") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try {
+      // search: full build, forget the %10==0 slice ≡ build without it
+      TextAnalysis.searchWriteIndex(docs, "srch_fp", "srch_fs",
+        buckets = 8)
+      TextAnalysis.searchIndexForget(s, "srch_fp", "srch_fs",
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"),
+        buckets = 8)
+      TextAnalysis.searchWriteIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "srch_rp", "srch_rs", buckets = 8)
+      val got = TextAnalysis.bm25Indexed(s, terms, "srch_fp", "srch_fs",
+        k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val ref = TextAnalysis.bm25Indexed(s, terms, "srch_rp", "srch_rs",
+        k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == ref, "forgotten index must serve the never-held BM25")
+      assert(got.nonEmpty && got.forall(_._1 % 10 != 0))
+      assert(s.table("srch_fs").collect().head.toString ===
+        s.table("srch_rs").collect().head.toString,
+        "stats must re-derive to the never-held totals")
+      // winnow: same round trip, row-for-row through the pair probe
+      TextAnalysis.winnowWriteIndex(docs, "srch_fw", buckets = 8)
+      TextAnalysis.winnowIndexForget(s, "srch_fw",
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"),
+        buckets = 8)
+      TextAnalysis.winnowWriteIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "srch_rw", buckets = 8)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted.toSeq
+      assert(rows(TextAnalysis.winnowPairsIndexed(s, "srch_fw")) ==
+        rows(TextAnalysis.winnowPairsIndexed(s, "srch_rw")))
+      assert(s.table("srch_fw").collect().map(_.toString).sorted.toSeq ===
+        s.table("srch_rw").collect().map(_.toString).sorted.toSeq,
+        "forgotten winnow index must equal the never-held build")
+    } finally {
+      Seq("srch_fp", "srch_fs", "srch_rp", "srch_rs", "srch_fw",
+        "srch_rw").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("searchIndexAppend keeps the stats additive: one-row table holds " +
     "exact corpus totals after the append") {
     val s = spark

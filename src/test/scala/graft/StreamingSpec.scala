@@ -911,6 +911,94 @@ class StreamingSpec extends SparkTestBase {
     } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("StreamingTakedown.serveUnifiedContent: streamed tickets " +
+    "(quoted text + ONE attachment, no ids) resolve per batch " +
+    "row-identical to the batch content operator; modality routing is " +
+    "format sniffing — a BMP attachment scrubs images, a WAV scrubs " +
+    "audio, and neither leaks into the other modality") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+    import graft.streaming.StreamingTakedown
+    val shared = (1 to 30).map(i => s"word$i xx").mkString(" ")
+    val docs = Seq(
+      (8L, shared),                                        // the original
+      (2L, shared),                                        // text+audio twin
+      (456L, (1 to 30).map(i => s"img$i yy").mkString(" ")), // 456 ≡ 8
+                        // under the image synth moduli: image-identical
+      (5L, (1 to 30).map(i => s"other$i zz").mkString(" ")))
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tbls = Seq("graft_unic_sv_b", "graft_unic_sv_s", "graft_unic_sv_i",
+      "graft_unic_sv_a", "graft_unic_sv_v")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Dedup.nearDupWriteIndex(docs, tbls(0), tbls(1), buckets = 4)
+      Multimodal.phashWriteIndex(Multimodal.synthBmpPayload(docs),
+        tbls(2), buckets = 4)
+      Multimodal.audioWriteIndex(Multimodal.synthWavPayload(docs),
+        tbls(3), buckets = 4)
+      Multimodal.videoWriteIndex(Multimodal.synthVideoPayload(docs),
+        tbls(4), buckets = 4)
+      def payloadOf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+        df.collect().head.getAs[Array[Byte]]("payload")
+      // ticket A: near-dup text of docs 8/2 + a BMP attachment whose
+      // synth id 2248 ≡ 8 under every image modulus (an off-library
+      // exact image copy under a fresh id)
+      val tickA = (2248L, shared + " tail",
+        payloadOf(Multimodal.synthBmpPayload(Seq((2248L, "x"))
+          .toDF("doc_id", "text"))))
+      // ticket B: unrelated text + a WAV attachment carrying docs 8/2's
+      // text-derived audio signal
+      val tickB = (950L, (1 to 30).map(i => s"fresh$i qq").mkString(" "),
+        payloadOf(Multimodal.synthWavPayload(Seq((950L, shared))
+          .toDF("doc_id", "text"))))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2))).sorted.toSeq
+      def batchOp(t: (Long, String, Array[Byte])) = {
+        val pay = Seq((t._1, t._3)).toDF("doc_id", "payload")
+        rows(Multimodal.takedownUnifiedContent(s, docs,
+          Seq((t._1, t._2)).toDF("req_id", "text"), pay, pay, pay,
+          tbls(0), tbls(1), tbls(2), tbls(3), tbls(4)))
+      }
+      val input = MemoryStream[(Long, String, Array[Byte])]
+      val perBatch = scala.collection.mutable.Map
+        .empty[Long, Seq[(Long, String, String)]]
+      val q = StreamingTakedown.serveUnifiedContent(
+        input.toDF().toDF("req_id", "text", "payload"), docs, tbls(0),
+        tbls(1), tbls(2), tbls(3), tbls(4),
+        tmpDir("unified_content_serve"),
+        trigger = Trigger.ProcessingTime(0)) { (res, bid) =>
+        perBatch(bid) = rows(res); ()
+      }
+      input.addData(tickA)
+      q.processAllAvailable()
+      input.addData(tickB)
+      q.processAllAvailable()
+      q.stop()
+      assert(perBatch(0L) === batchOp(tickA))
+      assert(perBatch(1L) === batchOp(tickB))
+      val st0 = perBatch(0L).map(t => (t._1, t._2) -> t._3).toMap
+      assert(st0((8L, "text")) === "removed_copy")
+      assert(st0((2L, "text")) === "removed_copy")
+      assert(st0((8L, "image")) === "removed_copy")
+      assert(st0((456L, "image")) === "removed_copy")
+      assert(st0((8L, "audio")) === "kept",
+        "a BMP attachment must not leak into the audio modality")
+      assert(st0((8L, "video")) === "kept")
+      val st1 = perBatch(1L).map(t => (t._1, t._2) -> t._3).toMap
+      assert(st1((8L, "audio")) === "removed_copy")
+      assert(st1((2L, "audio")) === "removed_copy")
+      assert(st1((8L, "text")) === "kept")
+      assert(st1((8L, "image")) === "kept",
+        "a WAV attachment must not leak into the image modality")
+      assert((perBatch(0L) ++ perBatch(1L)).map(_._3).toSet
+        .subsetOf(Set("removed_copy", "kept")))
+    } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("StreamingFunnel.curationServe: each micro-batch's 4-row " +
     "attrition frame off the persisted corpus state is row-identical " +
     "to the batch incremental funnel on the same increment; offsets " +
