@@ -1086,6 +1086,11 @@ object SparkEntry {
     // tenth — the probe must equal the full build and the inline op
     "doc_winnow_pairs_appended" -> ((s, dir) =>
       TextAnalysis.winnowPairsIndexed(s, winnowAppendedTable(s, dir))),
+    // the FORGET gate: full build, the %10==0 slice forgotten — pairs
+    // must equal an index that never held those docs (the oracle runs
+    // the same chain over the filtered corpus); no ghost fingerprints
+    "doc_winnow_pairs_forgotten" -> ((s, dir) =>
+      TextAnalysis.winnowPairsIndexed(s, winnowForgottenTable(s, dir))),
     // one-row serving-layer audit of the persisted winnow index: bucket
     // geometry, fp census, above-guard boilerplate mass, and the
     // probe-vs-inline pair-count parity sample (the bloomAudit treatment)
@@ -2373,6 +2378,18 @@ object SparkEntry {
     val d = t(s, dir, "documents")
     versionedTables(s, dir, d, Seq("graft_winnow_sel")) { ns =>
       TextAnalysis.winnowWriteIndex(d, ns(0), buckets = 8)
+    }.head
+  }
+
+  /** Winnow index built on the full corpus, then the %10==0 slice
+    * FORGOTTEN — probing it must equal probing an index that never held
+    * those docs (oracle = the shared chain over the filtered corpus). */
+  private def winnowForgottenTable(s: SparkSession, dir: String): String = {
+    val d = t(s, dir, "documents")
+    versionedTables(s, dir, d, Seq("graft_winnowf_sel")) { ns =>
+      TextAnalysis.winnowWriteIndex(d, ns(0), buckets = 8)
+      TextAnalysis.winnowIndexForget(s, ns(0),
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), buckets = 8)
     }.head
   }
 
@@ -7522,6 +7539,11 @@ object SparkEntry {
     // index-correctness gate (the Bm25OracleSql discipline)
     "doc_winnow_pairs_indexed" -> WinnowPairsOracleSql,
     "doc_winnow_pairs_appended" -> WinnowPairsOracleSql,
+    // forget gate: the same chain over the corpus MINUS the forgotten
+    // slice — the forgotten index must serve the never-held truth
+    "doc_winnow_pairs_forgotten" ->
+      WinnowPairsOracleSql.replace("FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 0)"),
     // the persisted-index audit recomputed analytically: the pairs-oracle
     // selection CTEs, then the fp census, guard mass, and the same
     // pair-count the inline/indexed probes are pinned to
