@@ -19,6 +19,17 @@ object Bucketing {
                     buckets: Int = 32,
                     sortBy: Option[String] = None): Unit = {
     val spark = df.sparkSession
+    // An in-place REWRITE (forget/compact) must not lose the build-param
+    // sidecar ([[setTableParams]]) across the drop+recreate — carry any
+    // existing graft.* properties over to the new incarnation.
+    val carried: Map[String, String] =
+      if (!spark.catalog.tableExists(table)) Map.empty
+      else try {
+        spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+          .filter(_.getString(0).startsWith("graft."))
+          .map(r => r.getString(0).stripPrefix("graft.") -> r.getString(1))
+          .toMap
+      } catch { case _: Throwable => Map.empty }
     // drop any previous table AND its location: a stale warehouse dir from
     // a dead session makes CREATE TABLE fail with LOCATION_ALREADY_EXISTS
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -29,6 +40,7 @@ object Bucketing {
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
     sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+    if (carried.nonEmpty) setTableParams(spark, table, carried)
   }
 
   /** Write a small UNBUCKETED side table with the same
@@ -70,6 +82,54 @@ object Bucketing {
       .bucketBy(buckets, key)
     sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** The bucket count of an existing catalog table, if it is bucketed.
+    * The in-place index rewrites (forget/compact) resolve their bucket
+    * count from HERE rather than trusting a caller-supplied parameter: a
+    * mismatched parameter would silently recreate the table with a
+    * different bucket count, breaking the exchange-free co-location every
+    * probe relies on, with no error anywhere (r16 advisor finding). */
+  def tableBuckets(spark: SparkSession, table: String): Option[Int] =
+    try {
+      spark.sessionState.catalog
+        .getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .bucketSpec.map(_.numBuckets)
+    } catch { case _: Throwable => None }
+
+  /** Persist build parameters on a table as TBLPROPERTIES — the sidecar
+    * that lets probe-time entry points validate they were called with the
+    * SAME parameters the index was built with (a mismatched probe matches
+    * nothing and silently reads 'kept'/'novel' — a compliance false
+    * negative with no error; r16 advisor finding). Keys are namespaced
+    * `graft.*`. */
+  def setTableParams(spark: SparkSession, table: String,
+                     params: Map[String, String]): Unit = {
+    val kvs = params.map { case (k, v) => s"'graft.$k'='$v'" }
+      .mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kvs)")
+  }
+
+  /** Read back a `graft.*` table parameter written by [[setTableParams]];
+    * None for tables that predate the sidecar (legacy indexes validate
+    * nothing — the documented fallback). */
+  def getTableParam(spark: SparkSession, table: String,
+                    key: String): Option[String] =
+    try {
+      spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .find(_.getString(0) == s"graft.$key").map(_.getString(1))
+    } catch { case _: Throwable => None }
+
+  /** Require that the caller's parameter matches the table's persisted
+    * build parameter, when one exists. */
+  def requireTableParam(spark: SparkSession, table: String, key: String,
+                        expected: String): Unit =
+    getTableParam(spark, table, key).foreach { v =>
+      require(v == expected,
+        s"$table was built with graft.$key=$v but probed with $expected " +
+          "— a parameter-mismatched probe matches nothing and would " +
+          "silently report every document as kept/novel")
+    }
 
   /** Join two bucketed tables on their bucket key. When both sides share the
     * same bucket count, the physical plan has NO Exchange under the join —

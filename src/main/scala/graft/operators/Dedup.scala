@@ -414,6 +414,27 @@ object Dedup {
     Bucketing.writeBucketed(bandTable(minhash(docs, minhashK), rowsPerBand),
       bandsTable, "bucket", buckets)
     Bucketing.writeBucketed(shingleSets(docs), setsTable, "doc_id", buckets)
+    // Persist the banding geometry ON the index: a probe re-banding request
+    // content with DIFFERENT (minhashK, rowsPerBand) matches nothing and
+    // silently reads every near-copy as 'kept' — a compliance false
+    // negative with no error anywhere. Probe entry points require() a
+    // match against this sidecar (r16 advisor finding).
+    Bucketing.setTableParams(docs.sparkSession, bandsTable, Map(
+      "minhash_k" -> minhashK.toString,
+      "rows_per_band" -> rowsPerBand.toString))
+  }
+
+  /** Validate a probe's banding parameters against the persisted index's
+    * build sidecar ([[nearDupWriteIndex]]); legacy indexes without the
+    * sidecar validate nothing. Shared by every content-rebanding probe of
+    * a stored band table. */
+  private[graft] def requireBandParams(
+      spark: org.apache.spark.sql.SparkSession, bandsTable: String,
+      minhashK: Int, rowsPerBand: Int): Unit = {
+    Bucketing.requireTableParam(spark, bandsTable, "minhash_k",
+      minhashK.toString)
+    Bucketing.requireTableParam(spark, bandsTable, "rows_per_band",
+      rowsPerBand.toString)
   }
 
   /** FORGET — remove documents from the persisted near-dup index: the
@@ -443,7 +464,11 @@ object Dedup {
       spark.catalog.refreshTable(table)
       val kept = spark.table(table).join(ids, Seq("doc_id"), "left_anti")
         .localCheckpoint(eager = true) // pinned before the drop+overwrite
-      Bucketing.writeBucketed(kept, table, key, buckets)
+      // bucket count from the CATALOG, not the parameter — a mismatched
+      // caller value would silently recreate the table with a different
+      // layout and break probe co-location (r16 advisor finding)
+      Bucketing.writeBucketed(kept, table, key,
+        Bucketing.tableBuckets(spark, table).getOrElse(buckets))
     }
     rewrite(bandsTable, "bucket")
     rewrite(setsTable, "doc_id")
@@ -459,9 +484,11 @@ object Dedup {
                                   setsTable: String,
                                   jaccardThreshold: Double = 0.8,
                                   minhashK: Int = 4,
-                                  rowsPerBand: Int = 2): DataFrame =
+                                  rowsPerBand: Int = 2): DataFrame = {
+    requireBandParams(spark, bandsTable, minhashK, rowsPerBand)
     nearDedupProbe(newDocs, spark.table(bandsTable), spark.table(setsTable),
       jaccardThreshold, minhashK, rowsPerBand)
+  }
 
   /** Probe stage shared by the inline and indexed near-dedup variants:
     * batch bands join known bands (band, bucket) → candidates; exact
@@ -1614,6 +1641,9 @@ object Dedup {
     // an online maintainer may have appended since this session last read
     // the tables (the mediaTakedownStatus discipline)
     Seq(bandsTable, setsTable).foreach(spark.catalog.refreshTable)
+    // request content is RE-banded here — mismatched geometry vs the
+    // index's build would silently report every near-copy as 'kept'
+    requireBandParams(spark, bandsTable, minhashK, rowsPerBand)
     val req = requests.select(col("req_id").as("doc_id"), col("text"))
       .localCheckpoint(eager = false) // request signatures computed once
     val bReq = bandTable(minhash(req, minhashK), rowsPerBand)

@@ -1357,7 +1357,11 @@ object Multimodal {
     val kept = spark.table(table)
       .join(tombstoneIds.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true)
-    Bucketing.writeBucketed(kept, table, "h", buckets)
+    // bucket count from the CATALOG (r16 advisor finding): a mismatched
+    // caller value would silently recreate the table with a different
+    // layout and break serve co-location
+    Bucketing.writeBucketed(kept, table, "h",
+      Bucketing.tableBuckets(spark, table).getOrElse(buckets))
   }
 
   /** Persist the video keyframe-sketch table (doc_id, slot, h)

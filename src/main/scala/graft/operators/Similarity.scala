@@ -1430,7 +1430,10 @@ object Similarity {
     val kept = spark.table(table)
       .join(tombstoneIds.select("vec_id"), Seq("vec_id"), "left_anti")
       .localCheckpoint(eager = true)
-    Bucketing.writeBucketed(kept, table, "cell", buckets,
+    // bucket count from the CATALOG (r16 advisor finding) — see
+    // Dedup.nearDupIndexForget
+    Bucketing.writeBucketed(kept, table, "cell",
+      Bucketing.tableBuckets(spark, table).getOrElse(buckets),
       sortBy = Some("vec_id"))
   }
 

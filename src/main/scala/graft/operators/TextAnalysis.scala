@@ -1706,11 +1706,19 @@ object TextAnalysis {
     val kept = spark.table(postingsTable)
       .join(tombstoneIds.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true) // pinned before the drop+overwrite
-    Bucketing.writeBucketed(kept, postingsTable, "token", buckets,
+    // bucket count from the CATALOG (r16 advisor finding) — see
+    // Dedup.nearDupIndexForget
+    Bucketing.writeBucketed(kept, postingsTable, "token",
+      Bucketing.tableBuckets(spark, postingsTable).getOrElse(buckets),
       sortBy = Some("token"))
+    // coalesce: a tombstone set covering EVERY indexed doc leaves an empty
+    // kept frame, and sum over an empty group is NULL — a (0, NULL) stats
+    // row would null-poison the avgdl/idf arithmetic downstream instead of
+    // serving the honest empty index (r16 advisor finding)
     Bucketing.writePlain(
       kept.groupBy("doc_id").agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl")),
       statsTable)
   }
 
@@ -1792,10 +1800,14 @@ object TextAnalysis {
                                     k1: Double = 1.2,
                                     b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: at least one query term")
+    // n_docs = 0 (a fully-forgotten index) short-circuits to the empty
+    // result declaratively: the stats frame is 1-row broadcast, so the
+    // filter costs nothing and the avgdl division can never see 0/NULL
+    val statsGuarded = stats.filter(col("n_docs") > lit(0))
     val p = postings.filter(col("token").isin(terms: _*))
     val dfs = p.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
     val rows = p.join(broadcast(dfs), "token")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(statsGuarded))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
       (col("df") + 0.5) + 1)
@@ -2176,7 +2188,10 @@ object TextAnalysis {
     val kept = spark.table(table)
       .join(tombstoneIds.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true)
-    Bucketing.writeBucketed(kept, table, "fp", buckets)
+    // bucket count from the CATALOG (r16 advisor finding) — see
+    // Dedup.nearDupIndexForget
+    Bucketing.writeBucketed(kept, table, "fp",
+      Bucketing.tableBuckets(spark, table).getOrElse(buckets))
   }
 
   /** [[winnowPairs]] served OFF THE INDEX: same pairing core, same

@@ -107,9 +107,17 @@ object StreamingTakedown {
     requests.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint() // tickets evaluated once, read 4x
-        val payload = b.select(
-          org.apache.spark.sql.functions.col("req_id").as("doc_id"),
-          org.apache.spark.sql.functions.col("payload"))
+        // A text-only ticket ships a NULL payload; the media sketchers
+        // (phashOne / audioFingerprintRaw / decodeOne) dereference
+        // bytes.length and would NPE — and a foreachBatch failure replays
+        // the micro-batch from the checkpoint forever, so one attachment-
+        // less ticket would poison-pill the whole compliance stream.
+        // Filter nulls here: such tickets flow through the text leg only.
+        val payload = b
+          .filter(org.apache.spark.sql.functions.col("payload").isNotNull)
+          .select(
+            org.apache.spark.sql.functions.col("req_id").as("doc_id"),
+            org.apache.spark.sql.functions.col("payload"))
         val res = Multimodal.takedownUnifiedContent(batch.sparkSession,
           docs, b.select("req_id", "text"), payload, payload, payload,
           bandsTable, setsTable, imageTable, audioTable, videoTable,
