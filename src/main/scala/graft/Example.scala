@@ -504,6 +504,19 @@ object Example {
       println(s"[example] funnel-state compaction: fp universe $bloated" +
         s" rows bloated by the replay -> " +
         s"${spark.table("graft_example_ffp").count()} after compact")
+      // RTBF lifecycle on the funnel state itself: forget is one
+      // O(tombstones) ledger append (ghosts stop matching immediately);
+      // the next compact physically purges the retired rows
+      CorpusOps.funnelStateForget(spark, inc.select("doc_id"),
+        "graft_example_ffp", "graft_example_fb", "graft_example_fs",
+        "graft_example_fsp")
+      CorpusOps.funnelStateCompact(spark, "graft_example_ffp",
+        "graft_example_fb", "graft_example_fs", "graft_example_fsp",
+        buckets = 4)
+      println(s"[example] funnel-state RTBF: the replayed increment's " +
+        s"ids tombstoned -> fp universe " +
+        s"${spark.table("graft_example_ffp").count()} rows after the " +
+        "purge compact (back to the pre-admit corpus)")
       val beforeForget = spark.table("graft_example_phidx").count()
       Multimodal.mediaIndexForget(spark, "graft_example_phidx",
         docs.filter(col("doc_id") % 10 === 8).select("doc_id"),

@@ -501,15 +501,26 @@ object ScaleBench {
     // to and exercises the span-census probe).
     //
     // r16 also prices the REPLAY-RECLAIM pair the compaction op closes:
-    // after admit, the same batch is force-replayed twice more
-    // (duplicate-tolerant appends — the at-least-once worst case), the
+    // after admit, the same batch is force-replayed EIGHT more times
+    // (duplicate-tolerant appends — an at-least-once worst case; r16
+    // used 2 and the bloat never rose above the warm-order noise floor,
+    // so probe_bloated read FASTER than probe at every factor and the
+    // cell proved nothing — r16 verdict item 4: raise the replay count
+    // until the penalty is measurable; 9 copies of the batch's bands
+    // multiply the probe's verbatim/near-dup candidate rows ~9x), the
     // probe is re-measured on the bloated state, funnelStateCompact
     // rewrites the four relations distinct, and the probe is measured
     // once more — the claim: probe_compacted returns to probe while
     // compact itself is corpus-sized (the scheduled batch job, like
     // search compaction).
-    def funnelMaintCell(f: Int)
-        : (Double, Double, Double, Double, Double, Double) = {
+    //
+    // r17 closes the lifecycle with RTBF: funnelStateForget of the
+    // admitted batch's ids (ONE O(tombstones) ledger append — the claim
+    // under measure: ~flat in corpus factor, the O(index) rebuild this
+    // op replaces) and probe_forgotten on the tombstoned state (the
+    // ledger anti-joins ride the probe — claim: ~probe).
+    def funnelMaintCell(f: Int): (Double, Double, Double, Double, Double,
+        Double, Double, Double) = {
       val ts = Seq(s"scale_fun_fps_x$f", s"scale_fun_bands_x$f",
         s"scale_fun_sets_x$f", s"scale_fun_spans_x$f")
       try {
@@ -532,7 +543,8 @@ object ScaleBench {
           (System.nanoTime() - t) / 1e9
         }
         val trials = (1 to MaintTrials).map { _ =>
-          ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          (ts :+ (ts(0) + "_dead"))
+            .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
           val t0 = System.nanoTime()
           operators.CorpusOps.funnelWriteState(docs, ts(0), ts(1), ts(2),
             ts(3))
@@ -542,8 +554,8 @@ object ScaleBench {
           operators.CorpusOps.funnelStateAppend(batch, ts(0), ts(1),
             ts(2), ts(3))
           val tAdmit = (System.nanoTime() - t2) / 1e9
-          // at-least-once torture: the SAME increment replayed twice more
-          (1 to 2).foreach { _ =>
+          // at-least-once torture: the SAME increment replayed 8x more
+          (1 to 8).foreach { _ =>
             operators.CorpusOps.funnelStateAppend(batch, ts(0), ts(1),
               ts(2), ts(3))
           }
@@ -552,23 +564,32 @@ object ScaleBench {
           operators.CorpusOps.funnelStateCompact(spark, ts(0), ts(1),
             ts(2), ts(3))
           val tCompact = (System.nanoTime() - t3) / 1e9
-          (tState, tProbe, tAdmit, tProbeBloated, tCompact, probeOnce())
+          val tProbeCompacted = probeOnce()
+          // RTBF: tombstone the admitted batch — one ledger append
+          val t4 = System.nanoTime()
+          operators.CorpusOps.funnelStateForget(spark,
+            batch.select("doc_id"), ts(0), ts(1), ts(2), ts(3))
+          val tForget = (System.nanoTime() - t4) / 1e9
+          (tState, tProbe, tAdmit, tProbeBloated, tCompact,
+            tProbeCompacted, tForget, probeOnce())
         }
         (median(trials.map(_._1)), median(trials.map(_._2)),
           median(trials.map(_._3)), median(trials.map(_._4)),
-          median(trials.map(_._5)), median(trials.map(_._6)))
+          median(trials.map(_._5)), median(trials.map(_._6)),
+          median(trials.map(_._7)), median(trials.map(_._8)))
       } catch {
         case e: Throwable =>
           maintErrs += (s"x$f:funnel_maintenance" ->
             (s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(300)))
-          (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+          (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       } finally {
-        ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        (ts :+ (ts(0) + "_dead"))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
     }
-    val funnelMaint
-        : Seq[(Int, (Double, Double, Double, Double, Double, Double))] =
+    val funnelMaint: Seq[(Int, (Double, Double, Double, Double, Double,
+        Double, Double, Double))] =
       Factors.map(f => f -> funnelMaintCell(f))
 
     // ── PQ recall vs ksub (trained codebooks), x10 corpus ──────────────
@@ -763,10 +784,11 @@ object ScaleBench {
         "(~flat per micro-batch). base+delta ≡ compacted is spec-gated " +
         "bit-identical in SearchIndexSpec."),
       "maintenance_funnel" ->
-        obj(funnelMaint.map { case (f, (s, p, a, pb, c, pc)) =>
+        obj(funnelMaint.map { case (f, (s, p, a, pb, c, pc, fg, pf)) =>
           s"x$f" -> (s"""{"state_build":$s,"probe":$p,"admit":$a""" +
             s""","probe_bloated":$pb,"compact":$c""" +
-            s""","probe_compacted":$pc}""") }),
+            s""","probe_compacted":$pc,"forget":$fg""" +
+            s""","probe_forgotten":$pf}""") }),
       "maintenance_funnel_note" -> jsonStr("incremental curation-funnel " +
         "lifecycle, median-of-" + MaintTrials + " trials: " +
         "funnelWriteState over the x<f> corpus (grows with the corpus, " +
@@ -777,11 +799,18 @@ object ScaleBench {
         "batch is perturbed per doc_id%3 (verbatim / first-token-drop " +
         "near-dup / word-suffixed novel) so every stage sees real work " +
         "against the grown state. probe_bloated re-measures the probe " +
-        "after the batch is replay-appended twice more (at-least-once " +
-        "torture), compact is funnelStateCompact's distinct-rewrite of " +
-        "the four relations (corpus-sized, the scheduled job), " +
-        "probe_compacted is the probe on the reclaimed state — claim: " +
-        "back to ~probe."),
+        "after the batch is replay-appended 8x more (at-least-once " +
+        "torture — 9 band copies multiply the verbatim/near-dup " +
+        "candidate rows ~9x; r16's 2 replays never rose above the " +
+        "warm-order noise floor), compact is funnelStateCompact's " +
+        "distinct-rewrite of the four relations (corpus-sized, the " +
+        "scheduled job), probe_compacted is the probe on the reclaimed " +
+        "state — claim: back to ~probe. forget is funnelStateForget of " +
+        "the admitted batch's ids (ONE tombstone-ledger append — " +
+        "claim: ~flat in corpus factor, O(tombstones), vs the " +
+        "O(corpus) rebuild it replaces), probe_forgotten the probe on " +
+        "the tombstoned state (ledger anti-joins ride it — claim: " +
+        "~probe)."),
       "pq_recall_x10" -> obj(pq.map { case (k, v) => k -> v.toString }),
       "pq_recall_note" -> jsonStr("mean recall@3 over the 8 base probes " +
         "on the x10 corpus (20k vectors), brute search in PQ-decoded " +

@@ -1359,6 +1359,15 @@ object SparkEntry {
       TextAnalysis.bm25Indexed(s, Seq("hash", "join", "window"), p, st,
         k = 10)
     }),
+    // RTBF gate (r16 verdict item 3): full build, then searchIndexForget
+    // tombstones the %10==0 slice — serving the forgotten index must
+    // equal the never-held oracle over the filtered corpus, idf/avgdl
+    // shifts included (a ghost posting or stale stats row hash-fails)
+    "doc_search_bm25_forgotten" -> ((s, dir) => {
+      val (p, st) = searchForgottenTables(s, dir)
+      TextAnalysis.bm25Indexed(s, Seq("hash", "join", "window"), p, st,
+        k = 10)
+    }),
     // hybrid retrieval: BM25 top-20 fused with brute-cosine top-20 (query
     // vec 0) by reciprocal-rank fusion — rank-based, so the two score
     // scales never need calibration; fusion work is pool-bounded
@@ -2432,6 +2441,28 @@ object SparkEntry {
     (names(0), names(1))
   }
 
+  /** Index built over the FULL corpus, then RTBF-forgotten down to the
+    * %10!=0 slice ([[TextAnalysis.searchIndexForget]]) — the
+    * doc_search_bm25_forgotten gate's fixture. Staged under `__bld`
+    * names and renamed only after the forget completes (the
+    * ivfAppendedTable discipline): the final names must never exist
+    * half-forgotten, or the exists-guard would serve ghosts forever. */
+  private def searchForgottenTables(s: SparkSession,
+                                    dir: String): (String, String) = {
+    val d = t(s, dir, "documents")
+    val names = versionedTables(s, dir, d,
+      Seq("graft_searchf_post", "graft_searchf_stats")) { ns =>
+      val bld = ns.map(_ + "__bld")
+      bld.foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      TextAnalysis.searchWriteIndex(d, bld(0), bld(1), buckets = 8)
+      TextAnalysis.searchIndexForget(s, bld(0), bld(1),
+        d.filter(col("doc_id") % 10 === 0).select("doc_id"), buckets = 8)
+      s.sql(s"ALTER TABLE ${bld(0)} RENAME TO ${ns(0)}")
+      s.sql(s"ALTER TABLE ${bld(1)} RENAME TO ${ns(1)}")
+    }
+    (names(0), names(1))
+  }
+
   private def ivfIndexedTable(s: SparkSession,
                               dir: String): (String, DataFrame) = {
     val e = t(s, dir, "embeddings")
@@ -2802,11 +2833,15 @@ object SparkEntry {
   /** BM25 oracle shared VERBATIM by the inline, indexed, and
     * index-appended queries: the three plans (corpus re-scan, bucketed
     * postings probe, appended postings probe) must all land on this one
-    * truth — that sharing IS the index-correctness gate. */
-  private val Bm25OracleSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-      |  FROM documents),
-      | t AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl,
+    * truth — that sharing IS the index-correctness gate. The FORGOTTEN
+    * variant is the same chain over the post-RTBF corpus slice — a
+    * never-held oracle: if `searchIndexForget` left any ghost posting or
+    * a stale stats row, idf/avgdl (computed here from the filtered
+    * corpus only) would disagree and the row hash-fails. */
+  private def bm25OracleSqlOver(corpus: String): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM $corpus),""".stripMargin + "\n" +
+    """ t AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl,
       |   CAST(len(list_filter(words, x -> x = 'hash')) AS DOUBLE) AS tf0,
       |   CAST(len(list_filter(words, x -> x = 'join')) AS DOUBLE) AS tf1,
       |   CAST(len(list_filter(words, x -> x = 'window')) AS DOUBLE) AS tf2
@@ -2828,6 +2863,13 @@ object SparkEntry {
       |WHERE tf0 + tf1 + tf2 > 0
       |ORDER BY score DESC, doc_id ASC
       |LIMIT 10""".stripMargin
+
+  private val Bm25OracleSql: String = bm25OracleSqlOver("documents")
+
+  /** Never-held oracle for the post-forget index: the full BM25 chain
+    * over the corpus RESTRICTED to the un-forgotten slice. */
+  private val Bm25ForgottenOracleSql: String = bm25OracleSqlOver(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0) live")
 
   /** Gap-filled hourly grid oracle CTE (`gf`), shared by
     * `events_hourly_gapfill` and `events_rate_anomaly`. */
@@ -6246,6 +6288,7 @@ object SparkEntry {
     "doc_search_bm25" -> Bm25OracleSql,
     "doc_search_bm25_indexed" -> Bm25OracleSql,
     "doc_search_bm25_appended" -> Bm25OracleSql,
+    "doc_search_bm25_forgotten" -> Bm25ForgottenOracleSql,
     // RRF fusion of the BM25 top-20 and the brute-cosine top-20 for query
     // vector 0. Selection inside the semantic arm ranks unrounded cos
     // (mirroring knnBrute, proven by emb_knn_brute); the FUSED ranks are

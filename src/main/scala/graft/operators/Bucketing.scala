@@ -57,6 +57,18 @@ object Bucketing {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Append `df` to an EXISTING plain table created by [[writePlain]] —
+    * the ledger-maintenance path (e.g. the funnel's RTBF tombstone
+    * ledger): O(batch) appends to a small side table. Same
+    * existence-require discipline as [[appendBucketed]]: appending to a
+    * mistyped name must fail loudly, not register a fragment. */
+  def appendPlain(df: DataFrame, table: String): Unit = {
+    require(df.sparkSession.catalog.tableExists(table),
+      s"appendPlain: table '$table' does not exist — build it with " +
+        "writePlain first")
+    df.write.mode("append").format("parquet").saveAsTable(table)
+  }
+
   /** Append `df` to an EXISTING bucketed table created by [[writeBucketed]],
     * preserving the bucket layout: each appended file set is hashed into the
     * same `buckets` buckets on `key`, so readers keep

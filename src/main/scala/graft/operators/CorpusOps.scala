@@ -1062,7 +1062,14 @@ object CorpusOps {
   /** The indexed stage frames against the CURRENT catalog state — the
     * tables are refresh(ed) first so a maintainer's appends from the
     * same session (the admission path) are visible, the
-    * mediaTakedownStatus discipline. */
+    * mediaTakedownStatus discipline. Every relation is filtered by the
+    * RTBF tombstone ledger when one exists ([[funnelStateForget]]): a
+    * retired holder's rows stop matching IMMEDIATELY, before the next
+    * [[funnelStateCompact]] physically removes them. The ledger is
+    * cumulative-tombstone-sized (tiny vs the state), so the anti-joins
+    * broadcast it; the probe also validates its banding geometry against
+    * the index's build sidecar. A pre-r17 state (no ledger table, no
+    * doc_id column on fp/span) probes exactly as before. */
   private[graft] def incrementalStagesIndexed(
       spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
       fpTable: String, bandsTable: String, setsTable: String,
@@ -1072,9 +1079,18 @@ object CorpusOps {
       numBits: Long): Seq[DataFrame] = {
     Seq(fpTable, bandsTable, setsTable, spanFpTable)
       .foreach(spark.catalog.refreshTable)
-    incrementalStages(newDocs, spark.table(fpTable),
-      spark.table(bandsTable), spark.table(setsTable),
-      spark.table(spanFpTable), fp, jaccardThreshold, minhashK,
+    Dedup.requireBandParams(spark, bandsTable, minhashK, rowsPerBand)
+    val deadT = funnelDeadTable(fpTable)
+    val live: DataFrame => DataFrame =
+      if (!spark.catalog.tableExists(deadT)) identity
+      else {
+        spark.catalog.refreshTable(deadT)
+        val dead = broadcast(spark.table(deadT).distinct())
+        rel => rel.join(dead, Seq("doc_id"), "left_anti")
+      }
+    incrementalStages(newDocs, live(spark.table(fpTable)),
+      live(spark.table(bandsTable)), live(spark.table(setsTable)),
+      live(spark.table(spanFpTable)), fp, jaccardThreshold, minhashK,
       rowsPerBand, spanTokens, minNovelTokens, estimatedItems, numBits)
   }
 
@@ -1093,54 +1109,114 @@ object CorpusOps {
                         fp: Column = md5(col("text")), minhashK: Int = 4,
                         rowsPerBand: Int = 2, spanTokens: Int = 8,
                         buckets: Int = 32): Unit = {
-    Bucketing.appendBucketed(docs.select(fp.as("fp")), fpTable, "fp",
-      buckets)
+    Bucketing.appendBucketed(docs.select(col("doc_id"), fp.as("fp")),
+      fpTable, "fp", buckets)
     Dedup.nearDupIndexAppend(docs, bandsTable, setsTable, minhashK,
       rowsPerBand, buckets)
     Bucketing.appendBucketed(
-      Dedup.spanWindows(docs, spanTokens).select("fp").distinct(),
+      Dedup.spanWindows(docs, spanTokens).select("doc_id", "fp")
+        .distinct(),
       spanFpTable, "fp", buckets)
   }
 
+  /** The funnel state's RTBF tombstone ledger — one table per state,
+    * derived from the fp-universe table's name. */
+  private[graft] def funnelDeadTable(fpTable: String): String =
+    fpTable + "_dead"
+
+  /** FORGET documents from the funnel's persisted corpus state in
+    * O(tombstones) — the last index family whose RTBF path was an
+    * O(corpus) rebuild (r16 verdict item 2). The fp universe and span
+    * census are CONTENT-keyed, and an fp shared with a surviving doc
+    * must keep matching — so as of r17 both relations are DOC-ATTRIBUTED
+    * ((doc_id, fp) rows; the "refcount sidecar" in unary, which unlike an
+    * integer counter stays correct under at-least-once replay: a set is
+    * its own refcount), and forget is ONE append of the tombstone ids to
+    * a dead-doc ledger next to the state. Probes anti-join the ledger,
+    * so a shared fp keeps matching through its surviving holder while an
+    * fp held only by tombstoned docs stops matching IMMEDIATELY —
+    * probe-identical to a never-held build (spec-pinned, including the
+    * shared-fp fixture).
+    *
+    * LSM bargain, stated: forget is LOGICAL (ghosts stop matching now);
+    * the removed docs' fps/bands/shingle-sets physically leave storage at
+    * the next [[funnelStateCompact]] — schedule compaction inside the
+    * RTBF erasure SLA. Tombstoned doc_ids are PERMANENTLY retired (the
+    * ledger survives compaction as a fence against late at-least-once
+    * admit replays resurrecting a forgotten doc); re-entry of the same
+    * CONTENT under a fresh ingest id is fully supported (spec-pinned).
+    * Replay-tolerant: the ledger is a set — forgetting twice is
+    * forgetting once. */
+  def funnelStateForget(spark: org.apache.spark.sql.SparkSession,
+                        tombstoneIds: DataFrame, fpTable: String,
+                        bandsTable: String, setsTable: String,
+                        spanFpTable: String): Unit = {
+    // the ledger fences all four relations; requiring them up front turns
+    // a mistyped state name into a loud error instead of a ledger that
+    // fences nothing
+    Seq(fpTable, bandsTable, setsTable, spanFpTable).foreach { t =>
+      require(spark.catalog.tableExists(t),
+        s"funnelStateForget: state table '$t' does not exist")
+    }
+    Bucketing.appendPlain(tombstoneIds.select("doc_id"),
+      funnelDeadTable(fpTable))
+  }
+
   /** Materialize the incremental funnel's corpus state for one corpus
-    * version: the exact-dedup fp universe (bucketed by fp — the probe's
-    * join key), the near-dup band + sets index
-    * ([[Dedup.nearDupWriteIndex]]), and the distinct span-window census
-    * (bucketed by fp for the semi-join probe). ONE signature pass over
-    * the corpus per version, amortized over every increment — the
-    * ivfWriteIndex discipline. EAGER: runs the write jobs at call time. */
+    * version: the exact-dedup fp universe ((doc_id, fp), bucketed by fp —
+    * the probe's join key), the near-dup band + sets index
+    * ([[Dedup.nearDupWriteIndex]]), the per-doc-distinct span-window
+    * census ((doc_id, fp), bucketed by fp for the semi-join probe), and
+    * an empty RTBF tombstone ledger ([[funnelStateForget]]). The fp and
+    * span relations carry doc_id (r17) so forget can retire a holder in
+    * O(tombstones): the probe reads them as fp SETS (anti-join the
+    * ledger, project fp), so the attribution column costs one long per
+    * row and changes no verdict. ONE signature pass over the corpus per
+    * version, amortized over every increment — the ivfWriteIndex
+    * discipline. EAGER: runs the write jobs at call time. */
   def funnelWriteState(docs: DataFrame, fpTable: String,
                        bandsTable: String, setsTable: String,
                        spanFpTable: String,
                        fp: Column = md5(col("text")), minhashK: Int = 4,
                        rowsPerBand: Int = 2, spanTokens: Int = 8,
                        buckets: Int = 32): Unit = {
-    Bucketing.writeBucketed(docs.select(fp.as("fp")), fpTable, "fp",
-      buckets)
+    Bucketing.writeBucketed(docs.select(col("doc_id"), fp.as("fp")),
+      fpTable, "fp", buckets)
     Dedup.nearDupWriteIndex(docs, bandsTable, setsTable, minhashK,
       rowsPerBand, buckets)
     Bucketing.writeBucketed(
-      Dedup.spanWindows(docs, spanTokens).select("fp").distinct(),
+      Dedup.spanWindows(docs, spanTokens).select("doc_id", "fp")
+        .distinct(),
       spanFpTable, "fp", buckets)
+    Bucketing.writePlain(docs.select("doc_id").limit(0),
+      funnelDeadTable(fpTable))
   }
 
   /** COMPACT the funnel's persisted corpus state — the reclaim half of
-    * the [[funnelStateAppend]] replay contract: admission appends are
-    * DUPLICATE-TOLERANT by construction (a replay degrades probe cost,
-    * never verdicts), but nothing in the append path ever reclaims that
-    * cost — replayed band/sets/fp/span rows accumulate forever, exactly
-    * the LSM story the search index closes with delta-commit +
-    * compaction ([[TextAnalysis.searchWriteIndex]]) and the funnel state
-    * did not. One distinct-rewrite per relation, bucket layout preserved
-    * (same key, same bucket count — probe joins stay co-located after
-    * the rewrite), run on the maintenance cadence replays warrant.
+    * BOTH maintenance contracts: admission appends are DUPLICATE-TOLERANT
+    * (a replay degrades probe cost, never verdicts) but accumulate
+    * forever, exactly the LSM story the search index closes with
+    * delta-commit + compaction ([[TextAnalysis.searchWriteIndex]]); and
+    * [[funnelStateForget]] is LOGICAL (the dead ledger stops ghosts
+    * matching immediately) but the retired docs' fps, bands, and shingle
+    * sets — for RTBF, content-bearing derived data — physically leave
+    * storage HERE. One distinct+anti-join rewrite per relation, bucket
+    * layout preserved (key and count read from the CATALOG — a stale
+    * caller parameter can't silently change the layout; r16 advisor
+    * finding), run on the maintenance cadence; schedule it inside the
+    * RTBF erasure SLA. The ledger itself is rewritten distinct and KEPT:
+    * it fences late at-least-once admit replays of retired docs (see
+    * funnelStateForget's re-entry contract).
     *
     * Probe-equivalence contract: every relation is a SET under its probe
     * (fp/span by anti/semi join, bands by candidate generation whose
-    * duplicates the scoring join dedups, sets keyed by doc_id), so
-    * distinct() changes no query answer — spec-pinned by a duplicated-
-    * append torture sequence probing identically before and after, with
-    * the row counts restored to the fresh-build state.
+    * duplicates the scoring join dedups, sets keyed by doc_id), and the
+    * probe already anti-joins the ledger — so distinct() plus physical
+    * removal of ledgered rows changes no query answer. Spec-pinned by a
+    * duplicated-append torture sequence probing identically before and
+    * after (row counts restored to the fresh-build state) and by the
+    * forget round-trip (compacted state row-equal to a never-held
+    * build).
     *
     * The distinct rows are pinned (eager localCheckpoint) BEFORE the
     * overwrite because [[Bucketing.writeBucketed]] drops the table first
@@ -1152,15 +1228,27 @@ object CorpusOps {
                          fpTable: String, bandsTable: String,
                          setsTable: String, spanFpTable: String,
                          buckets: Int = 32): Unit = {
+    val deadT = funnelDeadTable(fpTable)
+    val dead: Option[DataFrame] =
+      if (!spark.catalog.tableExists(deadT)) None
+      else {
+        spark.catalog.refreshTable(deadT)
+        Some(spark.table(deadT).distinct()
+          .localCheckpoint(eager = true)) // pinned: read 5x + rewritten
+      }
     def rewrite(table: String, key: String): Unit = {
       spark.catalog.refreshTable(table) // see incrementalStagesIndexed
-      val rows = spark.table(table).distinct().localCheckpoint(eager = true)
-      Bucketing.writeBucketed(rows, table, key, buckets)
+      val live = dead.fold(spark.table(table))(d =>
+        spark.table(table).join(d, Seq("doc_id"), "left_anti"))
+      val rows = live.distinct().localCheckpoint(eager = true)
+      Bucketing.writeBucketed(rows, table, key,
+        Bucketing.tableBuckets(spark, table).getOrElse(buckets))
     }
     rewrite(fpTable, "fp")
     rewrite(bandsTable, "bucket")
     rewrite(setsTable, "doc_id")
     rewrite(spanFpTable, "fp")
+    dead.foreach(d => Bucketing.writePlain(d, deadT))
   }
 
   /** The incremental funnel's stage frames — order-exact against the

@@ -451,10 +451,12 @@ object Dedup {
     * forgotten doc survives afterwards.
     *
     * The funnel's CONTENT-keyed relations (fp universe, span census)
-    * cannot forget by id — they carry no doc attribution, and an fp
-    * shared with a surviving doc must stay — so their forget path is the
-    * once-per-version [[graft.operators.CorpusOps.funnelWriteState]]
-    * rebuild over the post-removal corpus (documented contract). */
+    * forget through [[graft.operators.CorpusOps.funnelStateForget]]'s
+    * tombstone ledger (r17): both relations are doc-attributed, probes
+    * anti-join the ledger (a shared fp keeps matching through its
+    * surviving holder), and the next
+    * [[graft.operators.CorpusOps.funnelStateCompact]] physically purges
+    * the retired rows — O(tombstones) to forget, no corpus rebuild. */
   def nearDupIndexForget(spark: org.apache.spark.sql.SparkSession,
                          bandsTable: String, setsTable: String,
                          tombstoneIds: DataFrame,

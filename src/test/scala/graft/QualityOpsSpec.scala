@@ -1055,14 +1055,15 @@ class QualityOpsSpec extends SparkTestBase {
     // incrementalNearDedupIndexed determinism contract)
     val tbls = Seq("graft_test_fun_fps", "graft_test_fun_bands",
       "graft_test_fun_sets", "graft_test_fun_spans")
-    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val tblsAll = tbls :+ (tbls(0) + "_dead")
+    tblsAll.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     try {
       CorpusOps.funnelWriteState(corpus, tbls(0), tbls(1), tbls(2),
         tbls(3), buckets = 4)
       val idx = CorpusOps.curationFunnelIncrementalIndexed(s, batch,
         tbls(0), tbls(1), tbls(2), tbls(3))
       assert(rows(idx) === got, "indexed state ≡ inline corpus")
-    } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally tblsAll.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("CorpusOps.funnelStateCompact: a replayed append bloats the state " +
@@ -1085,7 +1086,8 @@ class QualityOpsSpec extends SparkTestBase {
     val tA = Seq("graft_cmp_fps", "graft_cmp_bands", "graft_cmp_sets",
       "graft_cmp_spans")
     val tB = tA.map(_ + "_ref")
-    (tA ++ tB).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val tABAll = tA ++ tB ++ Seq(tA(0) + "_dead", tB(0) + "_dead")
+    tABAll.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     def rows(dfm: org.apache.spark.sql.DataFrame) = dfm.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getString(5))).sortBy(_._1).toSeq
@@ -1128,7 +1130,107 @@ class QualityOpsSpec extends SparkTestBase {
       val desc = s.sql(s"DESCRIBE FORMATTED ${tA(0)}").collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
       assert(desc.get("Num Buckets").map(_.trim) === Some("4"))
-    } finally (tA ++ tB).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally tABAll.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("CorpusOps.funnelStateForget: O(tombstones) RTBF — forget(B) " +
+    "probes identically to a never-held build(A) across all four " +
+    "stages, a tombstoned doc's fp SHARED with a survivor keeps " +
+    "matching, forget is replay-tolerant, relations are untouched " +
+    "until compact physically purges them, and the same CONTENT " +
+    "re-enters under a fresh id") {
+    val s = spark
+    import s.implicits._
+    def tx(toks: Seq[String]) = (Seq("the", "of") ++ toks).mkString(" ")
+    val kTxt = tx((1 to 18).map(i => f"kappa$i%02d"))
+    val cTxt = tx((1 to 18).map(i => f"charl$i%02d"))
+    val sTxt = tx((1 to 18).map(i => f"share$i%02d")) // held by a3 AND b2
+    val mTxt = tx((1 to 18).map(i => f"mike$i%02d"))  // held ONLY by b1
+    val zTxt = tx((1 to 18).map(i => f"zeta$i%02d"))  // clean probe
+    def df(rows: Seq[(Long, String)]) = rows
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = df(Seq((101L, kTxt), (102L, cTxt), (103L, sTxt)))
+    val b = df(Seq((201L, mTxt), (202L, sTxt)))
+    // probe: exact copy of forgotten-only mTxt; near-dup of mTxt; a doc
+    // recycling all of mTxt's spans + 12 novel tokens; exact copy of the
+    // SHARED sTxt; one clean doc
+    val probe = df(Seq(
+      (1L, mTxt),
+      (2L, mTxt + " mike19x"),
+      (3L, mTxt + " " + (1 to 12).map(i => f"nvl$i%02d").mkString(" ")),
+      (4L, sTxt),
+      (5L, zTxt)))
+    val tF = Seq("graft_fgt_fps", "graft_fgt_bands", "graft_fgt_sets",
+      "graft_fgt_spans")
+    val tN = tF.map(_ + "_nh") // the never-held reference build(A)
+    val all = tF ++ tN ++ Seq(tF(0) + "_dead", tN(0) + "_dead")
+    all.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    def rows(dfm: org.apache.spark.sql.DataFrame) = dfm.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1).toSeq
+    def counts(ts: Seq[String]) = ts.map(t => s.table(t).count())
+    def probeF() = rows(CorpusOps.curationFunnelIncrementalIndexed(s,
+      probe, tF(0), tF(1), tF(2), tF(3)))
+    try {
+      CorpusOps.funnelWriteState(a.unionByName(b), tF(0), tF(1), tF(2),
+        tF(3), buckets = 4)
+      CorpusOps.funnelWriteState(a, tN(0), tN(1), tN(2), tN(3),
+        buckets = 4)
+      val neverHeld = rows(CorpusOps.curationFunnelIncrementalIndexed(s,
+        probe, tN(0), tN(1), tN(2), tN(3)))
+      // pre-forget: the full state drops every B-colliding probe doc
+      val full = probeF()
+      assert(full.map(t => (t._2, t._4)) === Seq(
+        "quality_gate" -> 0L, "exact_dedup" -> 2L, "near_dedup" -> 1L,
+        "span_scrub" -> 1L),
+        "fixture: probes 1+4 die exact, 2 near, 3 span against A∪B")
+      val preForget = counts(tF)
+      CorpusOps.funnelStateForget(s, b.select("doc_id"), tF(0), tF(1),
+        tF(2), tF(3))
+      // forget is a ledger append: the four relations are UNTOUCHED
+      assert(counts(tF) === preForget,
+        "forget must not rewrite any state relation")
+      assert(s.table(tF(0) + "_dead").count() === 2L)
+      // ...but ghosts stop matching immediately: probe ≡ never-held,
+      // including the shared-fp fixture (probe 4 must STILL drop — a3
+      // survives as sTxt's holder; probes 1-3 must now survive)
+      val forgotten = probeF()
+      assert(forgotten === neverHeld, "forget(B) ≡ never-held build(A)")
+      assert(forgotten.map(t => (t._2, t._4)) === Seq(
+        "quality_gate" -> 0L, "exact_dedup" -> 1L, "near_dedup" -> 0L,
+        "span_scrub" -> 0L),
+        "only the SHARED-text probe still drops after forget")
+      // replay-tolerant: forgetting the same batch twice changes nothing
+      CorpusOps.funnelStateForget(s, b.select("doc_id"), tF(0), tF(1),
+        tF(2), tF(3))
+      assert(probeF() === neverHeld, "forget is idempotent under replay")
+      // compact physically purges the retired rows: every relation's row
+      // count equals the never-held build's, probes unchanged, and the
+      // ledger survives (distinct) as the late-replay fence
+      CorpusOps.funnelStateCompact(s, tF(0), tF(1), tF(2), tF(3),
+        buckets = 4)
+      assert(counts(tF) === counts(tN),
+        "post-compact state must be row-count-equal to never-held")
+      assert(probeF() === neverHeld, "probe-equivalence after the purge")
+      assert(s.table(tF(0) + "_dead").count() === 2L,
+        "the ledger survives compaction, distinct")
+      // content re-entry: mTxt under a FRESH id is admitted (survives all
+      // four stages), and once admitted a second copy drops again
+      val reentry = df(Seq((501L, mTxt)))
+      val admitted = CorpusOps.curationFunnelIncrementalIndexed(s,
+        reentry, tF(0), tF(1), tF(2), tF(3))
+      assert(rows(admitted).map(_._4).sum === 0L,
+        "forgotten content must be admittable under a fresh id")
+      CorpusOps.funnelStateAppend(reentry, tF(0), tF(1), tF(2), tF(3),
+        buckets = 4)
+      val second = rows(CorpusOps.curationFunnelIncrementalIndexed(s,
+        df(Seq((502L, mTxt))), tF(0), tF(1), tF(2), tF(3)))
+      assert(second.map(t => (t._2, t._4)) === Seq(
+        "quality_gate" -> 0L, "exact_dedup" -> 1L, "near_dedup" -> 0L,
+        "span_scrub" -> 0L),
+        "re-admitted content must dedup future copies again")
+    } finally all.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("MergeableState: the just-superseded version survives one commit " +

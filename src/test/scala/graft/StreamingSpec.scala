@@ -1025,7 +1025,8 @@ class StreamingSpec extends SparkTestBase {
       (4L, tx((1 to 15).map(i => f"short$i%02d")))) // 17 tokens
     val tbls = Seq("graft_serve_fun_fps", "graft_serve_fun_bands",
       "graft_serve_fun_sets", "graft_serve_fun_spans")
-    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val tblsAll = tbls :+ (tbls(0) + "_dead")
+    tblsAll.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     try {
       CorpusOps.funnelWriteState(corpus, tbls(0), tbls(1), tbls(2),
         tbls(3), buckets = 4)
@@ -1064,7 +1065,7 @@ class StreamingSpec extends SparkTestBase {
       assert(perBatch(1L).map(t => (t._3, t._4)) ===
         Seq((2L, 1L), (1L, 0L), (1L, 1L), (0L, 0L)),
         "batch 1: one gate drop, then the near-dup mirror drops")
-    } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally tblsAll.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("StreamingFunnel.curationAdmit: survivors enter the corpus state " +
@@ -1093,7 +1094,8 @@ class StreamingSpec extends SparkTestBase {
       (23L, tx((1 to 18).map(i => f"fresh$i%02d")))) // clean
     val tbls = Seq("graft_admit_fps", "graft_admit_bands",
       "graft_admit_sets", "graft_admit_spans")
-    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val tblsAll = tbls :+ (tbls(0) + "_dead")
+    tblsAll.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     try {
       CorpusOps.funnelWriteState(corpus, tbls(0), tbls(1), tbls(2),
         tbls(3), buckets = 4)
@@ -1129,7 +1131,7 @@ class StreamingSpec extends SparkTestBase {
       // the state really grew: the fp universe holds corpus + admitted
       // batch-0 survivors + the one batch-1 survivor
       assert(s.table(tbls(0)).count() === 4L)
-    } finally tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally tblsAll.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("Sessionize.sessionsNative: session_window merges INCLUSIVELY — " +
