@@ -1311,6 +1311,50 @@ class NorthStarSpec extends SparkTestBase {
     assert(rows("test_ndf_sets") === rows("test_ndf_sets_ref"))
   }
 
+  test("Dedup band-index build params: persisted as TBLPROPERTIES at " +
+    "build, a geometry-mismatched probe fails LOUDLY (pre-r17 it " +
+    "matched nothing and read every near-copy as 'kept'), the sidecar " +
+    "survives the in-place forget rewrite, and the rewrite keeps the " +
+    "CATALOG bucket count even under a wrong caller parameter") {
+    val s = spark
+    import graft.operators.Bucketing
+    val docs = docsDf(Seq(1L -> dupText,
+      2L -> "completely different words about spark catalyst plans"))
+    Dedup.nearDupWriteIndex(docs, "test_bp_bands", "test_bp_sets",
+      minhashK = 4, rowsPerBand = 2, buckets = 2)
+    try {
+      assert(Bucketing.getTableParam(s, "test_bp_bands", "minhash_k")
+        === Some("4"))
+      assert(Bucketing.getTableParam(s, "test_bp_bands", "rows_per_band")
+        === Some("2"))
+      // mismatched geometry on a content probe: loud, not silent
+      val req = docsDf(Seq(99L -> dupText))
+        .select(col("doc_id").as("req_id"), col("text"))
+      val e = intercept[IllegalArgumentException] {
+        Dedup.takedownStatusContent(s, docs, req, "test_bp_bands",
+          "test_bp_sets", minhashK = 8, rowsPerBand = 2).collect()
+      }
+      assert(e.getMessage.contains("minhash_k"))
+      intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDedupIndexed(s, docsDf(Seq(50L -> dupText)),
+          "test_bp_bands", "test_bp_sets", rowsPerBand = 4).collect()
+      }
+      // in-place forget rewrite: sidecar carried, catalog bucket count
+      // wins over a WRONG caller parameter
+      Dedup.nearDupIndexForget(s, "test_bp_bands", "test_bp_sets",
+        docsDf(Seq(1L -> "x")).select("doc_id"), buckets = 16)
+      assert(Bucketing.getTableParam(s, "test_bp_bands", "minhash_k")
+        === Some("4"), "the params sidecar must survive the rewrite")
+      assert(Bucketing.tableBuckets(s, "test_bp_bands") === Some(2),
+        "the rewrite must keep the catalog layout, not the caller's 16")
+      // and the matched-params probe still works end-to-end post-rewrite
+      assert(Dedup.incrementalNearDedupIndexed(s,
+        docsDf(Seq(51L -> dupText)), "test_bp_bands", "test_bp_sets")
+        .count() === 1L, "doc 1 forgotten: its dup re-enters")
+    } finally Seq("test_bp_bands", "test_bp_sets")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("TextAnalysis.bm25Search: multi-term matches outrank single-term, " +
     "term-free docs are excluded, k caps the result") {
     val docs = docsDf(Seq(

@@ -229,6 +229,33 @@ class SearchIndexSpec extends SparkTestBase {
     }
   }
 
+  test("searchIndexForget with a FULL tombstone set (r17, advisor fix): " +
+    "stats re-derive to exact (0, 0) — not (0, NULL), which " +
+    "null-poisoned the avgdl/idf arithmetic — and the BM25 probe " +
+    "serves the honest empty result") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "hash join window"), (2L, "hash other words"))
+      .map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    try {
+      TextAnalysis.searchWriteIndex(docs, "srch_ep", "srch_es",
+        buckets = 2)
+      TextAnalysis.searchIndexForget(s, "srch_ep", "srch_es",
+        docs.select("doc_id"), buckets = 2)
+      val st = s.table("srch_es").collect().head
+      assert(st.getLong(0) === 0L && !st.isNullAt(1) &&
+        st.getLong(1) === 0L, "stats must read (0, 0), never (0, NULL)")
+      assert(s.table("srch_ep").count() === 0L)
+      assert(TextAnalysis.bm25Indexed(s, terms, "srch_ep", "srch_es",
+        k = 10).count() === 0L,
+        "a fully-forgotten index serves empty, not null-poisoned rows")
+    } finally {
+      Seq("srch_ep", "srch_es")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("searchIndexAppend keeps the stats additive: one-row table holds " +
     "exact corpus totals after the append") {
     val s = spark

@@ -977,9 +977,30 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       input.addData(tickB)
       q.processAllAvailable()
+      // ticket C (r17, advisor fix): TEXT-ONLY — a NULL attachment. The
+      // pre-fix serve fanned the null payload into the byte-dereferencing
+      // sketchers, NPE'd, and the checkpoint replayed the failed batch
+      // forever — one attachment-less ticket poison-pilled the whole
+      // compliance stream. Now it flows through the text leg only.
+      val tickC = (951L, shared + " tail2", null: Array[Byte])
+      input.addData(tickC)
+      q.processAllAvailable()
       q.stop()
       assert(perBatch(0L) === batchOp(tickA))
       assert(perBatch(1L) === batchOp(tickB))
+      // the text-only batch equals the batch op offered NO media payloads
+      val st2 = {
+        val noPay = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+        rows(Multimodal.takedownUnifiedContent(s, docs,
+          Seq((tickC._1, tickC._2)).toDF("req_id", "text"), noPay, noPay,
+          noPay, tbls(0), tbls(1), tbls(2), tbls(3), tbls(4)))
+      }
+      assert(perBatch(2L) === st2,
+        "a null-attachment ticket must serve through the text leg only")
+      val st2m = perBatch(2L).map(t => (t._1, t._2) -> t._3).toMap
+      assert(st2m((8L, "text")) === "removed_copy")
+      assert(st2m((8L, "image")) === "kept")
+      assert(st2m((8L, "audio")) === "kept")
       val st0 = perBatch(0L).map(t => (t._1, t._2) -> t._3).toMap
       assert(st0((8L, "text")) === "removed_copy")
       assert(st0((2L, "text")) === "removed_copy")
