@@ -225,6 +225,13 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The maintenance cells eagerly localCheckpoint stage frames; their
+      // blocks are only reclaimed after a JVM GC lets ContextCleaner see
+      // the dead RDDs, and the default periodicGC.interval (30min) is
+      // longer than this whole run — blocks from earlier cells piled up
+      // until the x100 funnel compact OOM'd the heap (r17). A 1-minute
+      // forced GC keeps block reclamation ahead of allocation.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same rationale as Bench: the bounded-window queries under measure
@@ -520,7 +527,7 @@ object ScaleBench {
     // op replaces) and probe_forgotten on the tombstoned state (the
     // ledger anti-joins ride the probe — claim: ~probe).
     def funnelMaintCell(f: Int): (Double, Double, Double, Double, Double,
-        Double, Double, Double) = {
+        Double, Double, Double, Long, Long) = {
       val ts = Seq(s"scale_fun_fps_x$f", s"scale_fun_bands_x$f",
         s"scale_fun_sets_x$f", s"scale_fun_spans_x$f")
       try {
@@ -542,6 +549,18 @@ object ScaleBench {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t) / 1e9
         }
+        // Steady-state probe measure (r17, verdict item 4's order-control
+        // half): the FIRST probe against a just-rewritten state pays
+        // one-time costs — codegen/JIT on the probe plan, file listing,
+        // page-cache fill for the fresh table files — that swamp the
+        // band-bloat delta under measure. That order bias is why r16's
+        // probe_bloated (always a LATER probe) read FASTER than probe
+        // (always the first) at every factor, even at 8 replays. One
+        // untimed warm-up probe before every timed one makes all four
+        // probe cells steady-state and mutually comparable — which is
+        // also the deployed shape: a scheduled incremental pipeline
+        // probes continuously, not once-after-rebuild.
+        def probeSteady(): Double = { probeOnce(); probeOnce() }
         val trials = (1 to MaintTrials).map { _ =>
           (ts :+ (ts(0) + "_dead"))
             .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -549,7 +568,7 @@ object ScaleBench {
           operators.CorpusOps.funnelWriteState(docs, ts(0), ts(1), ts(2),
             ts(3))
           val tState = (System.nanoTime() - t0) / 1e9
-          val tProbe = probeOnce()
+          val tProbe = probeSteady()
           val t2 = System.nanoTime()
           operators.CorpusOps.funnelStateAppend(batch, ts(0), ts(1),
             ts(2), ts(3))
@@ -559,37 +578,46 @@ object ScaleBench {
             operators.CorpusOps.funnelStateAppend(batch, ts(0), ts(1),
               ts(2), ts(3))
           }
-          val tProbeBloated = probeOnce()
+          val tProbeBloated = probeSteady()
+          // What compaction actually buys here is STORAGE, so size it:
+          // total rows across the four relations before/after (outside
+          // every timing window). Deterministic per factor — the append
+          // is a blind dup-tolerant write, so bloat = 9x the batch's
+          // relation rows regardless of corpus factor.
+          val rowsBloated = ts.map(t => spark.table(t).count()).sum
           val t3 = System.nanoTime()
           operators.CorpusOps.funnelStateCompact(spark, ts(0), ts(1),
             ts(2), ts(3))
           val tCompact = (System.nanoTime() - t3) / 1e9
-          val tProbeCompacted = probeOnce()
+          val rowsCompacted = ts.map(t => spark.table(t).count()).sum
+          val tProbeCompacted = probeSteady()
           // RTBF: tombstone the admitted batch — one ledger append
           val t4 = System.nanoTime()
           operators.CorpusOps.funnelStateForget(spark,
             batch.select("doc_id"), ts(0), ts(1), ts(2), ts(3))
           val tForget = (System.nanoTime() - t4) / 1e9
           (tState, tProbe, tAdmit, tProbeBloated, tCompact,
-            tProbeCompacted, tForget, probeOnce())
+            tProbeCompacted, tForget, probeSteady(), rowsBloated,
+            rowsCompacted)
         }
         (median(trials.map(_._1)), median(trials.map(_._2)),
           median(trials.map(_._3)), median(trials.map(_._4)),
           median(trials.map(_._5)), median(trials.map(_._6)),
-          median(trials.map(_._7)), median(trials.map(_._8)))
+          median(trials.map(_._7)), median(trials.map(_._8)),
+          trials.head._9, trials.head._10)
       } catch {
         case e: Throwable =>
           maintErrs += (s"x$f:funnel_maintenance" ->
             (s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(300)))
-          (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+          (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1L, -1L)
       } finally {
         (ts :+ (ts(0) + "_dead"))
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
     }
     val funnelMaint: Seq[(Int, (Double, Double, Double, Double, Double,
-        Double, Double, Double))] =
+        Double, Double, Double, Long, Long))] =
       Factors.map(f => f -> funnelMaintCell(f))
 
     // ── PQ recall vs ksub (trained codebooks), x10 corpus ──────────────
@@ -784,11 +812,13 @@ object ScaleBench {
         "(~flat per micro-batch). base+delta ≡ compacted is spec-gated " +
         "bit-identical in SearchIndexSpec."),
       "maintenance_funnel" ->
-        obj(funnelMaint.map { case (f, (s, p, a, pb, c, pc, fg, pf)) =>
-          s"x$f" -> (s"""{"state_build":$s,"probe":$p,"admit":$a""" +
-            s""","probe_bloated":$pb,"compact":$c""" +
-            s""","probe_compacted":$pc,"forget":$fg""" +
-            s""","probe_forgotten":$pf}""") }),
+        obj(funnelMaint.map {
+          case (f, (s, p, a, pb, c, pc, fg, pf, rb, rc)) =>
+            s"x$f" -> (s"""{"state_build":$s,"probe":$p,"admit":$a""" +
+              s""","probe_bloated":$pb,"compact":$c""" +
+              s""","probe_compacted":$pc,"forget":$fg""" +
+              s""","probe_forgotten":$pf""" +
+              s""","rows_bloated":$rb,"rows_compacted":$rc}""") }),
       "maintenance_funnel_note" -> jsonStr("incremental curation-funnel " +
         "lifecycle, median-of-" + MaintTrials + " trials: " +
         "funnelWriteState over the x<f> corpus (grows with the corpus, " +
@@ -798,11 +828,28 @@ object ScaleBench {
         "of the batch (admission — ~flat, O(increment)). The probe " +
         "batch is perturbed per doc_id%3 (verbatim / first-token-drop " +
         "near-dup / word-suffixed novel) so every stage sees real work " +
-        "against the grown state. probe_bloated re-measures the probe " +
+        "against the grown state. Every probe cell is STEADY-STATE: one " +
+        "untimed warm-up probe runs before each timed one, because the " +
+        "first probe after a state rewrite pays one-time costs (codegen, " +
+        "file listing, page cache) that swamped the bloat delta and made " +
+        "r16's probe_bloated read faster than probe at every factor. " +
+        "probe_bloated re-measures the probe " +
         "after the batch is replay-appended 8x more (at-least-once " +
         "torture — 9 band copies multiply the verbatim/near-dup " +
         "candidate rows ~9x; r16's 2 replays never rose above the " +
-        "warm-order noise floor), compact is funnelStateCompact's " +
+        "warm-order noise floor). FINDING (r17, measured twice — once " +
+        "with 8x replays alone, once with steady-state probes too): " +
+        "band/sets duplication does NOT slow this probe shape. The " +
+        "probe's cost is dominated by constant per-increment work (the " +
+        "four stage plans + their eager checkpoints); and because the " +
+        "replayed batch is base-corpus-sized, the relative bloat at " +
+        "factor f is 9/f of the corpus rows — 9x at x1 where absolute " +
+        "cost is too small to surface it, 9% at x100 where it drowns. " +
+        "What compaction buys is STORAGE + bounded rebuild derivatives, " +
+        "sized by rows_bloated vs rows_compacted (total rows across the " +
+        "four relations before/after; compact restores fresh-build " +
+        "counts exactly, spec-pinned in QualityOpsSpec). compact is " +
+        "funnelStateCompact's " +
         "distinct-rewrite of the four relations (corpus-sized, the " +
         "scheduled job), probe_compacted is the probe on the reclaimed " +
         "state — claim: back to ~probe. forget is funnelStateForget of " +
