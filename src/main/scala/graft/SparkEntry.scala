@@ -18,8 +18,62 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Read a testdata table, with a SCAN-PARALLELISM FLOOR (r17, guide
+    * §2.5 "input skew: one huge unsplittable file — repartition
+    * immediately after the read"): each testdata table is ONE parquet
+    * file with ONE row group, and a row group is atomic to the reader, so
+    * the scan — and with it every pre-exchange map (tokenize / n-gram /
+    * md5 / explode, the bulk of the doc_* family's cost) — lands on a
+    * single core no matter what `files.maxPartitionBytes` /
+    * `minPartitionNum` say. When the scan cannot reach the session's
+    * parallelism (fileBytes / maxPartitionBytes < defaultParallelism),
+    * fan out with one round-robin repartition of the raw rows right
+    * after the read: the exchange moves the whole (small) table once,
+    * the map work then runs on every core. Catalyst still pushes filters
+    * and prunes columns through a Repartition node, so
+    * PushedFilters/ReadSchema at the scan are unchanged (plan-gated by
+    * PlanShapeSpec). The rule is scale-adaptive, not a local[32]
+    * constant: at production scale the split count exceeds the
+    * parallelism and the read is returned untouched — and tables under
+    * `FanoutFloorBytes` (broadcast-side dimensions) are never
+    * repartitioned, their per-row map work can't repay an exchange. */
+  /** The tables whose queries do HEAVY per-row map work before their
+    * first natural exchange (tokenize/n-gram/md5 over text; dot products
+    * over embedding arrays) — the only place a fan-out repays its
+    * exchange. Measured r17: fanning out events/orders/lineitem too
+    * REGRESSED every OLAP query 2-4× (their first operation is an
+    * aggregate/window whose partial-agg shuffle is already tiny; the
+    * fan-out just shuffles full rows ahead of it), while the doc_*
+    * map-heavy family improved 3-7×. Key column named per table so the
+    * partition expression prunes to one small id column instead of
+    * dragging every column through the scan (a whole-row hash key
+    * measurably disabled column pruning). */
+  private val FanoutTables = Map("documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = s.read.parquet(path)
+    FanoutTables.get(name) match {
+      case Some(id) =>
+        val bytes = try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+        } catch { case _: Throwable => Long.MaxValue }
+        val maxSplit = org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(
+            s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        val par = s.sparkContext.defaultParallelism
+        if (bytes / math.max(maxSplit, 1L) < par)
+          // deterministic hash key, NOT repartition(n): a keyless
+          // round-robin first locally sorts every column
+          // (sortBeforeRepartition, guide §2.5) on the one scan core —
+          // measured here, that sort cost more than the fan-out saved.
+          df.repartition(par, pmod(xxhash64(col(id)), lit(par * 64)))
+        else df
+      case None => df
+    }
+  }
 
   /** `events` with `ts` normalized to TIMESTAMP regardless of how the
     * parquet encodes it: TIMESTAMP(NANOS) files arrive as a nanos BIGINT

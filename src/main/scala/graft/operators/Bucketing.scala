@@ -174,6 +174,41 @@ object Bucketing {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** [[countExchanges]] EXCLUDING the scan-parallelism fan-out exchange
+    * (`SparkEntry.t`'s `pmod(xxhash64(id), …)` repartition of a
+    * sub-parallelism local input, r17): plan gates pin each OPERATOR's
+    * shuffle budget; the fan-out is a property of the tiny test input,
+    * absent at scale by construction (it only fires when the scan cannot
+    * reach the session's parallelism). Recognized by its signature
+    * single-expression xxhash64 hash partitioning — no operator exchange
+    * here keys on a bare xxhash64. */
+  def countOperatorExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def isScanFanout(s: ShuffleExchangeLike): Boolean =
+      s.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.length == 1 &&
+            h.expressions.head.toString.contains("xxhash64")
+        case _ => false
+      }
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case s: ShuffleExchangeLike if !isScanFanout(s) => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Render the FULL final physical plan as text, descending through AQE
     * wrappers and materialized query stages (whose default toString elides
     * their subtree) — the observable for plan-shape assertions like "this

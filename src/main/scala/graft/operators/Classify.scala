@@ -110,30 +110,63 @@ object Classify {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Per-doc DISCRETIZED quality-feature tokens + the rule-gate label —
-    * the self-supervised setup real curation stacks run: the expensive
-    * composite rule gate ([[TextAnalysis.gopherFilter]]) labels the
-    * corpus, a cheap learned filter is trained to reproduce it from
-    * coarse signals and generalizes where the rules are brittle. Each
-    * doc emits exactly four categorical feature tokens, every bucket an
-    * INTEGER computation (DIV, never float division) so both engines
-    * bucket identically:
-    *   nt: token-count decade (capped 30)  st: stopword pairs (capped 20)
-    *   ml: mean token length in tenths (capped 120)
-    *   rp: duplicated-2-gram share in 5% steps
-    * Label: the gate's keep verdict as int. One scan, pure per-row map. */
-  private def qualityFeatures(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("n_chars"),
+  /** ONE-SCAN signal base for the quality classifier (r17 optimization):
+    * the integer signals that feed BOTH the rule-gate label and the
+    * discretized feature tokens, computed in a single pass over the
+    * corpus. Before r17 the family ran [[TextAnalysis.gopherFilter]]
+    * (tokenize + 2-gram the whole corpus) AND a separate feature scan
+    * (tokenize + 2-gram the whole corpus AGAIN), then shuffled the
+    * exploded 4×-row feature frame into a doc_id join against the labels
+    * — two full text scans and one exchange to attach a verdict both
+    * scans had derived from the same arrays (guide §2.3/§2.4: project
+    * early, never shuffle to re-attach what one scan already knows).
+    * Now: one projection builds `words`/`g2` once, one row per doc with
+    * six integers + the verdict, eagerly checkpointed (~7 numeric
+    * columns, the narrowest frame the family ever materializes); labels
+    * and features are row-local maps over the checkpoint.
+    *
+    * The `cls` verdict is expression-for-expression
+    * [[TextAnalysis.gopherFilter]]'s `keep` at default thresholds (same
+    * 4dp-rounded signals, same comparisons) — pinned by
+    * ClassifySpec. */
+  private def qualitySignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars"),
         TextAnalysis.tokens(col("text")).as("words"),
         TextAnalysis.wordNgrams(col("text"), 2).as("g2"))
       .select(col("doc_id"), col("n_chars"),
         size(col("words")).cast("long").as("n_tokens"),
+        round((col("n_chars") - (size(col("words")) - 1))
+          / size(col("words")), 4).as("mean_tok_len"),
         size(filter(col("words"),
           w => w.isin(TextAnalysis.enStop.map(lit): _*)))
           .cast("long").as("stop_cnt"),
         size(col("g2")).cast("long").as("n2"),
         size(array_distinct(col("g2"))).cast("long").as("nd2"))
-    base.select(col("doc_id"), explode(array(
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("stop_cnt"), col("n2"), col("nd2"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
+          col("stop_cnt") >= 2 &&
+          when(col("n2") > 0,
+            round(lit(1.0) - col("nd2").cast("double") / col("n2"), 4))
+            .otherwise(lit(0.0)) <= 0.05 &&
+          col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0)
+          .cast("int").as("cls"))
+      .localCheckpoint(eager = true) // eager: see nbScores' race note
+
+  /** Per-doc DISCRETIZED quality-feature tokens + the rule-gate label,
+    * both read off the one-scan [[qualitySignals]] checkpoint. Each doc
+    * emits exactly four categorical feature tokens, every bucket an
+    * INTEGER computation (DIV, never float division) so both engines
+    * bucket identically:
+    *   nt: token-count decade (capped 30)  st: stopword pairs (capped 20)
+    *   ml: mean token length in tenths (capped 120)
+    *   rp: duplicated-2-gram share in 5% steps
+    * Label: the gate's keep verdict as int. */
+  private def qualityLabeled(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sig = qualitySignals(docs)
+    val labels = sig.select(col("doc_id"), col("cls"))
+    val ft = sig.select(col("doc_id"), explode(array(
       concat(lit("nt:"),
         least(expr("n_tokens DIV 10"), lit(30L)).cast("string")),
       concat(lit("st:"),
@@ -144,20 +177,8 @@ object Classify {
             lit(120L))).otherwise(lit(0L)).cast("string")),
       concat(lit("rp:"),
         when(col("n2") > 0, expr("((n2 - nd2) * 20) DIV n2"))
-          .otherwise(lit(0L)).cast("string")))).as("word"))
-  }
-
-  private def qualityLabeled(docs: DataFrame): (DataFrame, DataFrame) = {
-    // both frames feed multiple consumers (labels: the feature join AND
-    // the class-prior counts; ft: the train AND test splits) — without
-    // the checkpoint seam the full Gopher gate + feature tokenization
-    // re-runs per consumer (the winnowPairs lesson; measured r14:
-    // the quality-NB query family 6.8 → ~2 s warm each at sf0.1)
-    val labels = TextAnalysis.gopherFilter(docs)
-      .select(col("doc_id"), col("keep").cast("int").as("cls"))
-      .localCheckpoint(eager = true) // eager: see nbScores' race note
-    val ft = qualityFeatures(docs).join(labels, "doc_id")
-      .localCheckpoint(eager = true)
+          .otherwise(lit(0L)).cast("string")))).as("word"),
+      col("cls"))
     (ft, labels)
   }
 

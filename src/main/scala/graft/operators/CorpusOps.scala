@@ -885,16 +885,68 @@ object CorpusOps {
                            rowsPerBand: Int, n: Int,
                            testPermille: Int): Seq[DataFrame] = {
     val base = docs.select("doc_id", "text", "lang", "source", "n_chars")
-    val gateIds = TextAnalysis.gopherFilter(base)
-      .filter(col("keep")).select("doc_id")
-    val s1 = base.join(gateIds, "doc_id").localCheckpoint(eager = true)
-    val s2Ids = Dedup
-      .dedupPipeline(s1, jaccardThreshold, minhashK, rowsPerBand)
-      .select("doc_id")
-    val s2 = s1.join(s2Ids, "doc_id").localCheckpoint(eager = true)
-    val contIds = TextAnalysis.decontaminate(s2, evalDocs, n)
+    // Stage 1 (r17 rewrite, guide §2.3/§2.4): the gate verdict is a pure
+    // per-row map, so it is computed ON the scan projection — no
+    // gateIds-join shuffling the text payload to attach a verdict the
+    // same row already knows. ONE token array feeds the 2-gram gate
+    // signal, the dedup/decontamination 3-gram column AND the token
+    // count; the checkpoint materializes (doc_id, source, fp, g3, keep)
+    // — the verdict column, never the text: every later stage reads
+    // fp (exact dedup) / g3 (signatures, exact-Jaccard sets, n=3
+    // decontamination grams — wordNgrams(text,3) ≡ shingles' values) /
+    // source (by-source counts, split). The filter runs ON the
+    // materialized verdict: filtering before the checkpoint lets
+    // PushDownPredicates substitute the alias chain into the predicate
+    // and rebuild the arrays several times per row (no cost guard in
+    // that rule) — the ExistingRDD barrier keeps the arrays built once.
+    val w = col("__w")
+    val g2 = col("__g2")
+    val gramCols =
+      (TextAnalysis.wordNgramsOf(w, 3).as("g3") ::
+        (if (n == 3) Nil
+         else List(TextAnalysis.wordNgramsOf(w, n).as("gn"))))
+    val meanTokLen =
+      round((col("n_chars") - (size(w) - 1)) / size(w), 4)
+    val gated = base
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        TextAnalysis.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        w, TextAnalysis.wordNgramsOf(w, 2).as("__g2"))
+      .select(col("doc_id") :: col("source") ::
+        md5(col("text")).as("fp") ::
+        (size(w).cast("long") >= 20 && size(w).cast("long") <= 100000 &&
+          size(filter(w, t => t.isin(TextAnalysis.enStop.map(lit): _*)))
+            .cast("long") >= 2 &&
+          when(size(g2) > 0,
+            round(lit(1.0) - size(array_distinct(g2)).cast("double")
+              / size(g2), 4)).otherwise(lit(0.0)) <= 0.05 &&
+          meanTokLen >= 3.0 && meanTokLen <= 10.0).as("__keep") ::
+        gramCols: _*)
+      .localCheckpoint(eager = true)
+    val s1 = gated.filter(col("__keep")).drop("__keep")
+    // Stage 2: the drop list applied directly as ONE anti-join on the
+    // checkpointed survivors (pre-r17: dedupPipeline's survivors were
+    // projected to ids and inner-joined back — a second full attach
+    // join for the same row set), with both drop legs reading the
+    // materialized fp/g3 instead of re-tokenizing text.
+    val drops = Dedup.exactDropsOnFp(s1.select("doc_id", "fp"))
+      .unionByName(Dedup.nearDropsOnGrams(s1.select("doc_id", "g3"),
+        jaccardThreshold, minhashK, rowsPerBand))
+      .distinct()
+    val s2 = s1.join(drops, col("doc_id") === col("drop_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    // Stage 3: eval grams broadcast onto the materialized gram column;
+    // the contaminated-ids aggregate is skipped — an anti-join against
+    // the (possibly duplicated) hit ids is the same row set.
+    val gcol = if (n == 3) col("g3") else col("gn")
+    val evalGrams = evalDocs
+      .select(explode(TextAnalysis.wordNgrams(col("text"), n)).as("gram"))
+      .distinct()
+    val contIds = s2.select(col("doc_id"), explode(gcol).as("gram"))
+      .join(broadcast(evalGrams), "gram")
       .select("doc_id")
     val s3 = s2.join(contIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source")
       .localCheckpoint(eager = true)
     val s4 = TextAnalysis.splitStratified(s3, testPermille)
       .filter(col("split") === "train")
@@ -1267,19 +1319,44 @@ object CorpusOps {
                                 numBits: Long): Seq[DataFrame] = {
     val base = newDocs.select("doc_id", "text", "lang", "source",
       "n_chars")
-    val gateIds = TextAnalysis.gopherFilter(base)
-      .filter(col("keep")).select("doc_id")
-    val s1 = base.join(gateIds, "doc_id").localCheckpoint(eager = true)
-    val s2Ids = Dedup.bloomAntiJoinFp(s1.withColumn("fp", fp), knownFps,
-      estimatedItems, numBits).select("doc_id")
-    val s2 = s1.join(s2Ids, "doc_id").localCheckpoint(eager = true)
-    val s3Ids = Dedup.nearDedupProbe(s2, knownBands, knownSets,
-      jaccardThreshold, minhashK, rowsPerBand).select("doc_id")
-    val s3 = s2.join(s3Ids, "doc_id").localCheckpoint(eager = true)
+    // Gate (r17 rewrite — the batch funnel's discipline): verdict
+    // computed on the scan projection from ONE token array, checkpointed
+    // WITH the rows, then filtered on the materialized column (no
+    // gateIds join; no predicate pushdown re-expanding the arrays — see
+    // funnelStages). The increment keeps `text`: the caller's `fp`
+    // expression and the downstream probe signatures read it.
+    val w = col("__w")
+    val g2 = col("__g2")
+    val meanTokLen =
+      round((col("n_chars") - (size(w) - 1)) / size(w), 4)
+    val gated = base
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), TextAnalysis.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), w, TextAnalysis.wordNgramsOf(w, 2).as("__g2"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"),
+        (size(w).cast("long") >= 20 && size(w).cast("long") <= 100000 &&
+          size(filter(w, t => t.isin(TextAnalysis.enStop.map(lit): _*)))
+            .cast("long") >= 2 &&
+          when(size(g2) > 0,
+            round(lit(1.0) - size(array_distinct(g2)).cast("double")
+              / size(g2), 4)).otherwise(lit(0.0)) <= 0.05 &&
+          meanTokLen >= 3.0 && meanTokLen <= 10.0).as("__keep"))
+      .localCheckpoint(eager = true)
+    val s1 = gated.filter(col("__keep")).drop("__keep")
+    // Stages 2-4: each probe already RETURNS its surviving rows — read
+    // them directly instead of projecting ids and joining them back
+    // onto the previous stage frame (pre-r17 paid one attach join per
+    // stage for row sets the probes had in hand).
+    val s2 = Dedup.bloomAntiJoinFp(s1.withColumn("fp", fp), knownFps,
+      estimatedItems, numBits).drop("fp").localCheckpoint(eager = true)
+    val s3 = Dedup.nearDedupProbeKeep(s2, knownBands, knownSets,
+      jaccardThreshold, minhashK, rowsPerBand).localCheckpoint(eager = true)
     val s4Ids = Dedup.spanScrubKnown(s3, knownSpanFps, spanTokens)
       .filter(col("n_tokens") - col("n_removed") >= minNovelTokens)
       .select("doc_id")
-    val s4 = s3.join(s4Ids, "doc_id")
+    val s4 = s3.join(s4Ids, Seq("doc_id"), "left_semi")
     Seq(base, s1, s2, s3, s4)
   }
 }

@@ -94,9 +94,19 @@ object Dedup {
     * aggregates side by side (partial agg per partition, so the shuffle
     * carries ≤1 row per (doc, partition)) → `stack` unpivots to
     * (doc_id, seed, minhash) rows after the shuffle. */
-  def minhash(docs: DataFrame, k: Int = 4): DataFrame = {
-    val sh = shingles(docs)
-      .select(col("doc_id"), explode(col("shingle_arr")).as("shingle"))
+  def minhash(docs: DataFrame, k: Int = 4): DataFrame =
+    minhashOnGrams(shingles(docs)
+      .select(col("doc_id"), col("shingle_arr").as("g3")), k)
+
+  /** [[minhash]] over a PRECOMPUTED shingle-array column `g3` (r17): the
+    * funnel gate materializes each survivor's word 3-grams once
+    * ([[TextAnalysis.wordNgrams]] n=3 builds exactly [[shingles]]'
+    * shingle_arr values), so the signature chain explodes that column
+    * instead of re-tokenizing text. Docs with an empty array produce no
+    * signature rows — exactly where the text form dropped them. */
+  private[operators] def minhashOnGrams(grams: DataFrame,
+                                        k: Int): DataFrame = {
+    val sh = grams.select(col("doc_id"), explode(col("g3")).as("shingle"))
     val aggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
     val wide = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -499,6 +509,18 @@ object Dedup {
   private[operators] def nearDedupProbe(newDocs: DataFrame,
                              knownBands: DataFrame,
                              knownSets: DataFrame, jaccardThreshold: Double,
+                             minhashK: Int, rowsPerBand: Int): DataFrame =
+    nearDedupProbeKeep(newDocs, knownBands, knownSets, jaccardThreshold,
+      minhashK, rowsPerBand)
+      .select("doc_id", "lang", "source")
+
+  /** [[nearDedupProbe]] WITHOUT the output projection — the survivor rows
+    * keep every `newDocs` column (r17: the incremental funnel reads the
+    * survivors directly instead of projecting ids and joining them back
+    * onto the stage frame). */
+  private[operators] def nearDedupProbeKeep(newDocs: DataFrame,
+                             knownBands: DataFrame,
+                             knownSets: DataFrame, jaccardThreshold: Double,
                              minhashK: Int, rowsPerBand: Int): DataFrame = {
     val bNew = bandTable(minhash(newDocs, minhashK), rowsPerBand)
       .select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
@@ -510,7 +532,6 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a").as("drop_id")).distinct()
     newDocs.join(drops, col("doc_id") === col("drop_id"), "left_anti")
-      .select("doc_id", "lang", "source")
   }
 
   /** The user-facing dedup endpoint: drop exact duplicates (keep min
@@ -534,13 +555,16 @@ object Dedup {
   }
 
   /** doc_ids losing to a smaller exact duplicate (may repeat a drop_id). */
-  private def exactDrops(docs: DataFrame): DataFrame = {
-    val fp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    fp.as("a")
-      .join(fp.as("b"), col("a.fp") === col("b.fp") &&
+  private def exactDrops(docs: DataFrame): DataFrame =
+    exactDropsOnFp(docs.select(col("doc_id"), md5(col("text")).as("fp")))
+
+  /** [[exactDrops]] over a PRECOMPUTED `(doc_id, fp)` frame (r17 funnel
+    * form — fp = md5(text) at every call site, value-identical). */
+  private[operators] def exactDropsOnFp(fps: DataFrame): DataFrame =
+    fps.as("a")
+      .join(fps.as("b"), col("a.fp") === col("b.fp") &&
         col("b.doc_id") < col("a.doc_id"))
       .select(col("a.doc_id").as("drop_id"))
-  }
 
   /** doc_ids losing a near-dup candidate pairing (may repeat a drop_id). */
   private def nearDrops(docs: DataFrame, jaccardThreshold: Double,
@@ -549,6 +573,23 @@ object Dedup {
       lshCandidatePairs(minhash(docs, minhashK), rowsPerBand))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_b").as("drop_id"))
+
+  /** [[nearDrops]] over a PRECOMPUTED 3-gram column (r17 funnel form):
+    * `grams` = (doc_id, g3) where g3 carries [[shingles]]' values —
+    * signatures and exact-Jaccard sets both read the materialized array,
+    * never re-tokenizing text. Empty-array docs have no signature rows
+    * (so no candidates) and their empty sset never joins a pair —
+    * row-for-row the text form's behavior. */
+  private[operators] def nearDropsOnGrams(grams: DataFrame,
+      jaccardThreshold: Double, minhashK: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sets = grams.select(col("doc_id"),
+      array_sort(array_distinct(col("g3"))).as("sset"))
+    jaccardOnSets(sets, sets,
+      lshCandidatePairs(minhashOnGrams(grams, minhashK), rowsPerBand))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_b").as("drop_id"))
+  }
 
   /** One-row effectiveness summary of [[dedupPipeline]] under the same
     * parameters — the number a pipeline owner actually watches per corpus

@@ -331,13 +331,19 @@ object TextAnalysis {
   /** Sliding word n-grams of `text` as an array; empty when the document
     * has fewer than n words. (The guard matters: `sequence(1, k)` DESCENDS
     * for k < 1 instead of returning empty.) */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  def wordNgrams(text: Column, n: Int): Column = wordNgramsOf(tokens(text), n)
+
+  /** [[wordNgrams]] over an ALREADY-SPLIT token array — the form a caller
+    * uses when it aliased the token array in its own projection and wants
+    * the grams built from that single materialization instead of
+    * re-splitting the text (r17; the funnel gate shares one token array
+    * across the 2-gram gate signal and the 3-gram dedup/decontamination
+    * column). */
+  def wordNgramsOf(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Within-document repetition scoring (the Gopher/RefinedWeb family of
     * repetitious-text signals): the fraction of duplicated word n-grams,

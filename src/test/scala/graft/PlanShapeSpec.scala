@@ -74,15 +74,14 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("corpus_manifest: one source-keyed aggregate with map-side " +
-    "partials — a single exchange, no joins, no window") {
-    val (n, plan, _) = ran("corpus_manifest")
+    "partials — a single operator exchange (the r17 scan fan-out is " +
+    "exempt: absent at scale by construction), no joins, no window") {
+    val (n, plan, df) = ran("corpus_manifest")
     assert(n > 0)
     assertNoPlanBombs("corpus_manifest", plan)
     assert(!plan.contains("Window"), s"manifest needs no window:\n$plan")
-    val exchanges = "Exchange".r.findAllIn(
-      plan.replace("BroadcastExchange", "")).length
-    assert(exchanges <= 2,
-      s"manifest should shuffle once (plus AQE read):\n$plan")
+    assert(Bucketing.countOperatorExchanges(df) <= 1,
+      s"manifest should shuffle once (scan fan-out aside):\n$plan")
   }
 
   test("q1_agg: single shuffle (partial agg pushed map-side), no joins") {
@@ -350,12 +349,13 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("doc_mix_sample and doc_repetition are pure per-row maps: ZERO " +
-    "exchanges — the corpus is scanned once and never shuffled") {
+    "operator exchanges — the corpus is scanned once and never shuffled " +
+    "(the r17 scan fan-out is exempt: absent at scale by construction)") {
     for (q <- Seq("doc_mix_sample", "doc_repetition")) {
       val (n, plan, df) = ran(q)
       assert(n > 0)
       assertNoPlanBombs(q, plan)
-      assert(Bucketing.countExchanges(df) == 0,
+      assert(Bucketing.countOperatorExchanges(df) == 0,
         s"$q must not shuffle (map-only filter/projection):\n$plan")
       assert(!plan.contains("Join"), s"$q must not join:\n$plan")
     }
@@ -462,8 +462,9 @@ class PlanShapeSpec extends SparkTestBase {
     assertNoPlanBombs("emb_ivf_refit", plan)
     assert(!plan.contains("Join"),
       s"refit must not join (assignment is an inlined argmin):\n$plan")
-    assert(Bucketing.countExchanges(df) <= 1,
-      s"refit should shuffle once (partial-agg (cell, pos) rows):\n$plan")
+    assert(Bucketing.countOperatorExchanges(df) <= 1,
+      s"refit should shuffle once (partial-agg (cell, pos) rows; the " +
+        s"r17 scan fan-out is exempt):\n$plan")
     assert(plan.contains("HashAggregate"),
       s"refit must hash-aggregate:\n$plan")
   }
@@ -603,10 +604,11 @@ class PlanShapeSpec extends SparkTestBase {
   test("doc_html_extract: the synth + 9 regex passes + round-trip " +
     "compare are ONE pure map — the executed plan carries no exchange, " +
     "no window, no join (the property its linear scale cell rides on)") {
-    val (n, plan, _) = ran("doc_html_extract")
+    val (n, plan, df) = ran("doc_html_extract")
     assert(n > 0)
-    assert(!plan.contains("Exchange"),
-      s"html extraction must not shuffle:\n$plan")
+    assert(Bucketing.countOperatorExchanges(df) == 0,
+      s"html extraction must not shuffle (the r17 scan fan-out is " +
+        s"exempt: absent at scale by construction):\n$plan")
     assert(!plan.contains("Window") && !plan.contains("Join"),
       s"html extraction must stay a per-row map:\n$plan")
   }
