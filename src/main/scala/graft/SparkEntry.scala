@@ -50,9 +50,16 @@ object SparkEntry {
     * measurably disabled column pruning). */
   private val FanoutTables = Map("documents" -> "doc_id",
     "embeddings" -> "vec_id")
+  /** A/B dial for the fan-out (measurement aid; default on — the driver
+    * never sets it): SPARK_GRAFT_SCAN_FANOUT=off disables the repartition
+    * so a suspected per-query regression can be settled in one binary
+    * under identical host conditions. */
+  private val fanoutEnabled =
+    !sys.env.get("SPARK_GRAFT_SCAN_FANOUT").exists(_ == "off")
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val df = s.read.parquet(path)
+    if (!fanoutEnabled) return df
     FanoutTables.get(name) match {
       case Some(id) =>
         val bytes = try {

@@ -707,11 +707,21 @@ object Dedup {
     var converged = false
     while (!converged && it < maxIters) {
       // each edge forwards its source's current label to its destination;
-      // a vertex keeps the min of its own and all incoming labels
+      // a vertex keeps the min of its own and all incoming labels. The
+      // vertex's OWN previous label rides along (`prev` — non-null on
+      // exactly its own comp row, max() picks it out of the group), so
+      // the convergence check below reads a materialized column instead
+      // of paying a (next ⋈ comp) shuffle join per round (r17: one
+      // exchange fewer per iteration, and the check itself is an
+      // exchange-free scan of local checkpoint blocks).
       val msgs = nbr.join(comp.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
-      val propagated = comp.unionByName(msgs)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .select(col("dst").as("id"), col("comp"),
+          lit(null).cast(comp.schema("comp").dataType).as("prev"))
+      val propagated = comp.select(col("id"), col("comp"),
+          col("comp").as("prev"))
+        .unionByName(msgs)
+        .groupBy("id").agg(min(col("comp")).as("comp"),
+          max(col("prev")).as("prev"))
       val next = (if (!shortcut) propagated
         else {
           // pointer jump: follow the label one hop — comp(comp(v)) — and
@@ -722,12 +732,10 @@ object Dedup {
           propagated.join(byId, col("comp") === col("cid"), "left")
             .select(col("id"),
               least(col("comp"), coalesce(col("ccomp"), col("comp")))
-                .as("comp"))
+                .as("comp"), col("prev"))
         }).localCheckpoint()
-      converged = next
-        .join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).isEmpty
-      comp = next
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      comp = next.select("id", "comp")
       it += 1
     }
     if (!converged)
