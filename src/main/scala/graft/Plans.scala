@@ -16,9 +16,14 @@ object Plans {
     val sfDir = args(0)
     val outDir = args(1)
     val suffix = args(2)
+    val rest = args.drop(3).toSeq
+    // r18 (ADVICE): ALL mixed with other names was silently treated as a
+    // literal query name — reject the ambiguity instead.
+    require(!rest.contains("ALL") || rest.size == 1,
+      "ALL must be the only query name")
     val names =
-      if (args.length == 4 && args(3) == "ALL") SparkEntry.queries.keys.toSeq.sorted
-      else args.drop(3).toSeq
+      if (rest == Seq("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else rest
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,6 +34,7 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    var failures = 0
     names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
@@ -39,10 +45,14 @@ object Plans {
         println(s"PLANS $n ok ${plan.count(_ == '\n')} lines")
       } catch {
         case e: Throwable =>
+          failures += 1
           println(s"PLANS $n FAIL ${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").take(200))
       }
     }
     spark.stop()
+    // r18 (ADVICE): a dump run where queries failed must not look
+    // successful to a calling script.
+    if (failures > 0) sys.exit(1)
   }
 }

@@ -62,16 +62,20 @@ object SparkEntry {
     if (!fanoutEnabled) return df
     FanoutTables.get(name) match {
       case Some(id) =>
+        // r18 (ADVICE): probe failures are IO-specific, not a blanket
+        // Throwable (an OOM/interrupt should surface, not silently skip
+        // the fan-out), and an empty table (0 bytes) has nothing to fan
+        // out — skip it rather than pay a pointless exchange.
         val bytes = try {
           val p = new org.apache.hadoop.fs.Path(path)
           p.getFileSystem(s.sparkContext.hadoopConfiguration)
             .getContentSummary(p).getLength
-        } catch { case _: Throwable => Long.MaxValue }
+        } catch { case _: java.io.IOException => Long.MaxValue }
         val maxSplit = org.apache.spark.network.util.JavaUtils
           .byteStringAsBytes(
             s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
         val par = s.sparkContext.defaultParallelism
-        if (bytes / math.max(maxSplit, 1L) < par)
+        if (bytes > 0L && bytes / math.max(maxSplit, 1L) < par)
           // deterministic hash key, NOT repartition(n): a keyless
           // round-robin first locally sorts every column
           // (sortBeforeRepartition, guide §2.5) on the one scan core —
@@ -563,13 +567,24 @@ object SparkEntry {
         col("win_ms"), col("win_ms") + lit(1800000L),
         widths = Seq(1800000L, 3600000L, 86400000L, 604800000L))
     }),
+    // r18 (guide §2.3 aggregate-before-shuffle, §5 bounded buffers): the
+    // exact percentile now runs over a (flag, price)→count pre-aggregate.
+    // The codegen hash-agg collapses the corpus to distinct prices
+    // map-side, and percentile's FREQUENCY form — which accumulates the
+    // identical value→count map and interpolates the identical rank —
+    // then buffers one entry per DISTINCT price instead of one update per
+    // row through the ObjectHashAggregate path. Exact semantics and
+    // output are unchanged (oracle-gated); the merge state is bounded by
+    // distinct values, not rows.
     "q11_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("cnt"))
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-          count(lit(1)).as("n"))
+          round(expr("percentile(l_extendedprice, 0.5, cnt)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95, cnt)"), 4).as("p95"),
+          sum("cnt").as("n"))
     }),
     // Production twin of q11: exact per-group percentile buffers and sorts
     // every value in the group (super-linear memory/time at 100× — the one

@@ -187,11 +187,23 @@ object Bucketing {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // r18 (ADVICE): match the fan-out's EXACT shape — a single
+    // pmod(xxhash64(col), lit) partition expression — instead of any
+    // expression merely containing "xxhash64", so a future genuine
+    // operator shuffle keyed on an xxhash64-derived salt is still
+    // counted by the plan gates.
     def isScanFanout(s: ShuffleExchangeLike): Boolean =
       s.outputPartitioning match {
-        case h: HashPartitioning =>
-          h.expressions.length == 1 &&
-            h.expressions.head.toString.contains("xxhash64")
+        case h: HashPartitioning if h.expressions.length == 1 =>
+          h.expressions.head match {
+            case org.apache.spark.sql.catalyst.expressions.Pmod(
+                org.apache.spark.sql.catalyst.expressions.XxHash64(args, _),
+                org.apache.spark.sql.catalyst.expressions.Literal(_, _), _) =>
+              args.length == 1 &&
+                args.head.isInstanceOf[
+                  org.apache.spark.sql.catalyst.expressions.Attribute]
+            case _ => false
+          }
         case _ => false
       }
     def walk(p: SparkPlan): Int = {

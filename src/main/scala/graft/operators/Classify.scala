@@ -145,12 +145,8 @@ object Classify {
         size(array_distinct(col("g2"))).cast("long").as("nd2"))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("stop_cnt"), col("n2"), col("nd2"),
-        (col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
-          col("stop_cnt") >= 2 &&
-          when(col("n2") > 0,
-            round(lit(1.0) - col("nd2").cast("double") / col("n2"), 4))
-            .otherwise(lit(0.0)) <= 0.05 &&
-          col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0)
+        TextAnalysis.keepExpr(col("n_tokens"), col("stop_cnt"),
+          TextAnalysis.rep2Of(col("n2"), col("nd2")), col("mean_tok_len"))
           .cast("int").as("cls"))
       .localCheckpoint(eager = true) // eager: see nbScores' race note
 

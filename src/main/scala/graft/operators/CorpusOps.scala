@@ -307,9 +307,7 @@ object CorpusOps {
     def lowerMedian(values: DataFrame, vCol: String): DataFrame = {
       val h = values.groupBy(col(vCol).as("v"))
         .agg(count(lit(1)).as("c"))
-      val cum = h.withColumn("cum",
-        sum(col("c")).over(Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cum = DataQuality.cumHist(h, "v", Seq("c" -> "cum"))
       val n = values.agg(count(lit(1)).as("n"))
       cum.crossJoin(broadcast(n))
         .filter(col("cum") >= expr("(n + 1) div 2"))
@@ -524,10 +522,10 @@ object CorpusOps {
     val hist = docs
       .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withF = hist.withColumn("f", coalesce(sum(col("c")).over(w),
-      lit(0L)))
+    // r18: exclusive prefix = inclusive cumsum − own count, off the
+    // two-level cumHist instead of a single-partition window.
+    val withF = DataQuality.cumHist(hist, "v", Seq("c" -> "cum"))
+      .withColumn("f", col("cum") - col("c"))
     // rank-sum products exceed int64 at corpus-scale doc counts
     // (v·c·3n ~ 1e22 at n=1e9) — assemble them in DECIMAL(38,0), the
     // filter-agreement/zipf overflow discipline
@@ -741,10 +739,11 @@ object CorpusOps {
     // sweep (BucketingSpec NLJ gate) is what forced this form; the grid
     // formulation broadcast a values-cardinality frame, which is
     // corpus-sided for a continuous statistic.
-    val globalCum = h.groupBy("n_chars").agg(sum("c").as("cv"))
-      .withColumn("cg", sum("cv").over(
-        Window.orderBy("n_chars")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // r18: the distinct-length histogram is corpus-sided for a
+    // continuous statistic — two-level cumsum, not a one-task sort.
+    val globalCum = DataQuality.cumHist(
+      h.groupBy("n_chars").agg(sum("c").as("cv")),
+      "n_chars", Seq("cv" -> "cg"))
     val wS = Window.partitionBy("source").orderBy("n_chars")
     val total = docs.agg(count(lit(1)).as("n"))
     val rows = h
@@ -914,13 +913,11 @@ object CorpusOps {
         w, TextAnalysis.wordNgramsOf(w, 2).as("__g2"))
       .select(col("doc_id") :: col("source") ::
         md5(col("text")).as("fp") ::
-        (size(w).cast("long") >= 20 && size(w).cast("long") <= 100000 &&
+        TextAnalysis.keepExpr(size(w).cast("long"),
           size(filter(w, t => t.isin(TextAnalysis.enStop.map(lit): _*)))
-            .cast("long") >= 2 &&
-          when(size(g2) > 0,
-            round(lit(1.0) - size(array_distinct(g2)).cast("double")
-              / size(g2), 4)).otherwise(lit(0.0)) <= 0.05 &&
-          meanTokLen >= 3.0 && meanTokLen <= 10.0).as("__keep") ::
+            .cast("long"),
+          TextAnalysis.rep2Of(size(g2), size(array_distinct(g2))),
+          meanTokLen).as("__keep") ::
         gramCols: _*)
       .localCheckpoint(eager = true)
     val s1 = gated.filter(col("__keep")).drop("__keep")
@@ -1336,13 +1333,11 @@ object CorpusOps {
         col("n_chars"), w, TextAnalysis.wordNgramsOf(w, 2).as("__g2"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"),
-        (size(w).cast("long") >= 20 && size(w).cast("long") <= 100000 &&
+        TextAnalysis.keepExpr(size(w).cast("long"),
           size(filter(w, t => t.isin(TextAnalysis.enStop.map(lit): _*)))
-            .cast("long") >= 2 &&
-          when(size(g2) > 0,
-            round(lit(1.0) - size(array_distinct(g2)).cast("double")
-              / size(g2), 4)).otherwise(lit(0.0)) <= 0.05 &&
-          meanTokLen >= 3.0 && meanTokLen <= 10.0).as("__keep"))
+            .cast("long"),
+          TextAnalysis.rep2Of(size(g2), size(array_distinct(g2))),
+          meanTokLen).as("__keep"))
       .localCheckpoint(eager = true)
     val s1 = gated.filter(col("__keep")).drop("__keep")
     // Stages 2-4: each probe already RETURNS its surviving rows — read

@@ -51,6 +51,66 @@ object DataQuality {
           col("n_orphan"))
     }.reduce(_ unionByName _)
 
+  /** Cumulative sums over an integral VALUE HISTOGRAM without the
+    * single-partition window (r18, VERDICT item 8 — `Window.orderBy`
+    * with no partitionBy serializes a value-cardinality sort onto ONE
+    * task; monetary/score histograms approach corpus cardinality at
+    * 100 TB). `hist` must carry one row per distinct `vCol` (integral);
+    * each (srcCol, cumName) in `sums` yields Σ src over rows with
+    * v' <= v — value-identical to
+    * `sum(src).over(Window.orderBy(v).rowsBetween(unboundedPreceding, 0))`.
+    *
+    * Shape: an order-preserving bucket id derived from the value RANGE
+    * (one tiny min/max agg, broadcast back) splits the histogram into at
+    * most `buckets` contiguous ranges; per-bucket subtotals get their
+    * prefix offsets through a broadcast self-join (≤ buckets² pairs —
+    * never a window, so no single-partition WindowExec anywhere); each
+    * bucket's rows then pay a PARTITIONED cumsum plus their bucket's
+    * offset. The histogram is checkpointed first — it feeds the range
+    * probe, the subtotals and the final window, and without the barrier
+    * Catalyst would re-run the (often corpus-scan) histogram subtree per
+    * consumer. */
+  def cumHist(hist: DataFrame, vCol: String,
+              sums: Seq[(String, String)],
+              buckets: Int = 1024): DataFrame = {
+    val h = hist.localCheckpoint(eager = false)
+    val mm = h.agg(min(col(vCol)).cast("long").as("__vmin"),
+      max(col(vCol)).cast("long").as("__vmax"))
+    val b = h.crossJoin(broadcast(mm))
+      .withColumn("__b", expr(
+        s"(cast($vCol as bigint) - __vmin) div " +
+          s"(((__vmax - __vmin) div $buckets) + 1)"))
+      .drop("__vmin", "__vmax")
+    val tAggs = sums.map { case (s, c) => sum(col(s)).as(s"__t_$c") }
+    val bTot = b.groupBy("__b").agg(tAggs.head, tAggs.tail: _*)
+    // Prefix offsets WITHOUT a window or a nested-loop range join: each
+    // bucket subtotal is exploded onto every HIGHER bucket id (≤ buckets²/2
+    // tiny rows) and re-aggregated — equi-join shapes only, so neither the
+    // single-partition WindowExec WARN nor the plan-gate NLJ bound ever
+    // fires. sequence() descends when start > stop, hence the emptiness
+    // guard.
+    val hi = lit((buckets - 1).toLong)
+    val oAggs = sums.map { case (_, c) =>
+      sum(col(s"__t_$c")).as(s"__o_$c") }
+    val off = bTot
+      .select(explode(when(col("__b") < hi,
+          sequence(col("__b") + lit(1L), hi))
+          .otherwise(array().cast("array<bigint>"))).as("__b") +:
+        sums.map { case (_, c) => col(s"__t_$c") }: _*)
+      .groupBy("__b")
+      .agg(oAggs.head, oAggs.tail: _*)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col(vCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    sums.foldLeft(b.join(broadcast(off), Seq("__b"), "left")) {
+        case (df, (s, c)) =>
+          df.withColumn(c,
+            coalesce(col(s"__o_$c"), lit(0L)) + sum(col(s)).over(wIn))
+      }
+      .drop("__b" +: sums.map { case (_, c) => s"__o_$c" }: _*)
+  }
+
   /** Exact decile table of an integral column — the distribution half the
     * [[columnProfile]] min/max can't show, with every quantile an EXACT
     * integer rank selection (value at rank ⌈q·n/10⌉ = (q·n+9) DIV 10 off
@@ -63,10 +123,7 @@ object DataQuality {
     * contractual. */
   def decileTable(values: DataFrame, vCol: String): DataFrame = {
     val h = values.groupBy(col(vCol).as("v")).agg(count(lit(1)).as("c"))
-    val cum = h.withColumn("cum", sum(col("c")).over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
+    val cum = cumHist(h, "v", Seq("c" -> "cum"))
     val n = values.agg(count(lit(1)).as("n"))
     val q = values.sparkSession.range(1, 10)
       .select(col("id").as("decile"))
@@ -134,8 +191,7 @@ object DataQuality {
     def rank2Map(vals: DataFrame): DataFrame = {
       // value → min_rank + max_rank (= 2× average rank, ties exact)
       val h = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      h.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+      cumHist(h, "v", Seq("c" -> "cum"))
         .select(col("v"), (col("cum") * 2 - col("c") + 1).as("r2"))
     }
     val base = df.select(aCol.cast("long").as("a"),

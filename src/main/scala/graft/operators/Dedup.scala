@@ -701,8 +701,16 @@ object Dedup {
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
-    var comp = nbr.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // r18: initialize each vertex's label to min(own id, min neighbor)
+    // — exactly what round 1's propagate would compute — so the loop
+    // starts one round further along (one checkpoint + one convergence
+    // job fewer per query; the fixpoint — min reachable id — is
+    // init-independent for any start with final ≤ comp(v) ≤ v,
+    // spec-held).
+    var comp = nbr.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
+      .localCheckpoint()
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -1480,9 +1488,15 @@ object Dedup {
     * that many tokens: (doc_id, start, fp). */
   private[operators] def spanWindows(docs: DataFrame,
                                      spanTokens: Int): DataFrame =
-    docs
+    spanWindowsOf(docs
       .withColumn("toks", split(col("text"), " ", -1))
-      .withColumn("n", size(col("toks")))
+      .withColumn("n", size(col("toks"))), spanTokens)
+
+  /** [[spanWindows]] over a pre-tokenized (doc_id, toks, n) frame — the
+    * sweep materializes the token arrays once and derives every span
+    * length from them (r18). */
+  private def spanWindowsOf(toks: DataFrame, spanTokens: Int): DataFrame =
+    toks
       .filter(col("n") >= spanTokens)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("n") - spanTokens),
@@ -1598,15 +1612,53 @@ object Dedup {
   def spanDedupSweep(docs: DataFrame,
                      spans: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
     require(spans.nonEmpty, "spans must be non-empty")
+    // r18 rewrite (guide §2.3/§2.4). The sweep needs COUNTS, not the
+    // reassembled token stream, so the per-arm [[spanCoverage]] pass —
+    // which exploded and shuffled EVERY corpus token through a per-doc
+    // window, three times — is replaced by plain arithmetic on the
+    // doomed-starts set:
+    //   - n_tokens is L-independent (every doc's token count, windows or
+    //     not): computed ONCE as sum(size(toks)).
+    //   - n_tokens_removed is the length of the union of the fixed-length
+    //     intervals [s, s+L-1] over the doomed starts s — every window
+    //     fits inside its doc ([[spanWindows]] only emits starts
+    //     0..n-L), so per doc the union length is Σ min(L, s - prev_s)
+    //     over pos-ordered doomed starts (first start contributes L) —
+    //     a window over the DOOMED starts only (dup-occurrence-sized),
+    //     never the corpus token stream.
+    // The token arrays are tokenized once and shared by every arm; each
+    // L still hashes its own windows (different-length windows hash
+    // different text — that part is |spans| passes by construction).
+    val base = docs
+      .withColumn("toks", split(col("text"), " ", -1))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .localCheckpoint(eager = false)
+    val nTok = base.agg(sum(col("n")).as("n_tokens"))
+    def occ(d: Column, s: Column): Column = d * lit(1000000000L) + s
     spans.map { l =>
-      val (wins, dupStarts, flagged) = spanFlagged(docs, l)
+      val wins = spanWindowsOf(base, l).localCheckpoint(eager = false)
+      val dups = wins.groupBy("fp")
+        .agg(count(lit(1)).as("cnt"),
+          min(occ(col("doc_id"), col("start"))).as("first_occ"))
+        .filter(col("cnt") > 1)
+        .select(col("fp"), col("first_occ"))
+      val dupStarts = wins.join(dups, "fp")
+        .filter(occ(col("doc_id"), col("start")) =!= col("first_occ"))
+        .select(col("doc_id"), col("start").as("pos"))
+        .localCheckpoint(eager = false) // occurrence count AND the union
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val removed = dupStarts
+        .withColumn("gap", col("pos") - lag("pos", 1).over(byDoc))
+        .select(least(coalesce(col("gap"), lit(l.toLong)), lit(l.toLong))
+          .cast("long").as("contrib"))
+        .agg(coalesce(sum(col("contrib")), lit(0L)).as("n_tokens_removed"))
       val winStats = wins.agg(count(lit(1)).as("n_windows"))
       val dupStats = dupStarts.agg(count(lit(1)).as("n_dup_occurrences"))
-      flagged
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("removed")).cast("long").as("n_tokens_removed"))
+      removed
         .crossJoin(broadcast(winStats))
         .crossJoin(broadcast(dupStats))
+        .crossJoin(broadcast(nTok))
         .select(lit(l.toLong).as("span_tokens"), col("n_windows"),
           col("n_dup_occurrences"), col("n_tokens"),
           col("n_tokens_removed"),
@@ -1707,13 +1759,18 @@ object Dedup {
       jaccardOnSets(spark.table(setsTable), shingleSets(req), cands)
         .filter(col("jaccard") >= jaccardThreshold)
         .select(col("doc_a").as("copy_id"))
-    val exactCopies = docs
-      .select(col("doc_id").as("copy_id"), md5(col("text")).as("fp"))
+    // r18: the exact-fp leg and the status projection share ONE narrow
+    // (doc_id, source, fp) checkpoint — the corpus text is scanned once.
+    val base = docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .localCheckpoint(eager = false)
+    val exactCopies = base
+      .select(col("doc_id").as("copy_id"), col("fp"))
       .join(broadcast(req.select(md5(col("text")).as("fp")).distinct()),
         "fp")
       .select("copy_id")
     val copies = nearCopies.unionByName(exactCopies).distinct()
-    docs
+    base
       .join(copies, col("doc_id") === col("copy_id"), "left")
       .select(col("doc_id"), col("source"),
         when(col("copy_id").isNotNull, lit("removed_copy"))
@@ -1729,9 +1786,17 @@ object Dedup {
                            allBands: DataFrame, allSets: DataFrame,
                            jaccardThreshold: Double): DataFrame = {
     val tombIds = tombstoneIds.select(col("doc_id").as("tomb_id"))
-    val tombDocs = docs.join(tombIds,
+    // r18 (guide §2.3 project early / §2.4): the core reads `docs` four
+    // ways (tombstone slice, rest slice, exact-fp leg, status
+    // projection) and needs only (doc_id, source, fp) — checkpoint that
+    // narrow projection once instead of re-running the full text scan
+    // (with its md5) per consumer.
+    val base = docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .localCheckpoint(eager = false)
+    val tombDocs = base.join(tombIds,
       col("doc_id") === col("tomb_id")).drop("tomb_id")
-    val rest = docs.join(tombIds,
+    val rest = base.join(tombIds,
       col("doc_id") === col("tomb_id"), "left_anti")
     // near-dup copies: tombstone bands probe the corpus-rest bands
     val bRest = allBands.join(tombIds,
@@ -1750,12 +1815,11 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a").as("copy_id"))
     // exact copies of tombstoned text (covers signature-less short docs)
-    val exactCopies = rest.select(col("doc_id").as("copy_id"),
-      md5(col("text")).as("fp"))
-      .join(tombDocs.select(md5(col("text")).as("fp")).distinct(), "fp")
+    val exactCopies = rest.select(col("doc_id").as("copy_id"), col("fp"))
+      .join(tombDocs.select(col("fp")).distinct(), "fp")
       .select("copy_id")
     val copies = nearCopies.unionByName(exactCopies).distinct()
-    docs
+    base
       .join(tombIds, col("doc_id") === col("tomb_id"), "left")
       .join(copies, col("doc_id") === col("copy_id"), "left")
       .select(col("doc_id"), col("source"),

@@ -1656,11 +1656,20 @@ object Multimodal {
     * pigeonhole argument, spec-pinned. */
   private def videoDupIncidence(hashes: DataFrame,
                                 maxHamming: Int = 3,
-                                maxBandVals: Int = 2048): DataFrame = {
-    val tri = hashes.groupBy("doc_id")
-      .pivot("slot", Seq(0, 1, 2)).agg(first("h"))
-      .toDF("doc_id", "h0", "h1", "h2")
-      .localCheckpoint(eager = false)
+                                maxBandVals: Int = 2048): DataFrame =
+    videoDupIncidenceTri(
+      hashes.groupBy("doc_id")
+        .pivot("slot", Seq(0, 1, 2)).agg(first("h"))
+        .toDF("doc_id", "h0", "h1", "h2"),
+      maxHamming, maxBandVals)
+
+  /** [[videoDupIncidence]] on an already-pivoted (doc_id, h0, h1, h2)
+    * frame — the one-scan profile produces the slot columns directly,
+    * so the pivot shuffle is skipped there (r18). */
+  private def videoDupIncidenceTri(triIn: DataFrame,
+                                   maxHamming: Int = 3,
+                                   maxBandVals: Int = 2048): DataFrame = {
+    val tri = triIn.localCheckpoint(eager = false)
     def matchMap(sCol: String): DataFrame = {
       val vals = tri.select(col(sCol).as("v")).where(col("v").isNotNull)
         .distinct()
@@ -1713,18 +1722,53 @@ object Multimodal {
     * picks the strategy. The corpus is shuffled once (on fp) and
     * scanned once per perceptual modality. Output is ≤ 32 rows. */
   def modalityDupProfile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // ONE corpus scan + ONE codec boundary (r18; guide §2.3 project-early,
+    // §2.4 remove passes). Before: text + three separate synth+decode
+    // scans, each re-reading the corpus (and each paying its own scan
+    // fan-out exchange) into its own checkpoint. Now all three payloads
+    // ride one projection, one mapPartitions decodes them with the SAME
+    // [[phashOne]]/[[audioFpOne]]/[[videoFpOne]] walks over the same
+    // bytes, and the narrow per-doc sketch row (md5 fp + 5 hashes) is
+    // checkpointed once; every incidence branch reads that. The video
+    // slots land pivoted for free, skipping videoDupIncidence's pivot
+    // shuffle.
+    val withP = synthVideoPayload(
+      synthWavPayload(
+        synthBmpPayload(docs).withColumnRenamed("payload", "p_img"))
+        .withColumnRenamed("payload", "p_aud"))
+      .withColumnRenamed("payload", "p_vid")
+    val sk = withP
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        col("p_img"), col("p_aud"), col("p_vid"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ph = phashOne(id, r.getAs[Array[Byte]](2))
+          val af = audioFpOne(id, r.getAs[Array[Byte]](3))
+          val vf = videoFpOne(id, r.getAs[Array[Byte]](4))
+          val vOk = vf.head.valid
+          (id, r.getString(1), ph.valid, ph.ahash, af.valid, af.fp, vOk,
+            if (vOk) vf(0).ahash else 0L,
+            if (vOk) vf(1).ahash else 0L,
+            if (vOk) vf(2).ahash else 0L)
+        }
+      }
+      .toDF("doc_id", "fp", "img_ok", "img_h", "aud_ok", "aud_h",
+        "vid_ok", "h0", "h1", "h2")
+      .localCheckpoint(eager = false)
     val fpWin = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val textFlag = docs
-      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val textFlag = sk
+      .select(col("doc_id"), col("fp"))
       .withColumn("text_dup",
         (count(lit(1)).over(fpWin) > 1).cast("int"))
       .select("doc_id", "text_dup")
     val imgIds = sketchDupIncidence(
-      perceptualHashBase(synthBmpPayload(docs)))
+      sk.filter(col("img_ok")).select(col("doc_id"), col("img_h").as("h")))
     val audIds = sketchDupIncidence(
-      audioFingerprintBase(synthWavPayload(docs)))
-    val vidIds = videoDupIncidence(
-      videoFingerprintBase(synthVideoPayload(docs)))
+      sk.filter(col("aud_ok")).select(col("doc_id"), col("aud_h").as("h")))
+    val vidIds = videoDupIncidenceTri(
+      sk.filter(col("vid_ok")).select("doc_id", "h0", "h1", "h2"))
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(1))
     textFlag

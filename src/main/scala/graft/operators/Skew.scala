@@ -82,10 +82,9 @@ object Skew {
       .agg(min(col("key")).as("top_key"))
     val nk = k.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"))
     val ch = k.groupBy(col("c").as("v")).agg(count(lit(1)).as("ck"))
-    val cum = ch.withColumn("cum", sum(col("ck")).over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
+    // r18: count-of-counts can approach key cardinality on near-uniform
+    // universes — two-level cumsum instead of the single-partition window.
+    val cum = DataQuality.cumHist(ch, "v", Seq("ck" -> "cum"))
     val p99 = cum.crossJoin(broadcast(nk.select("n_keys")))
       .filter(col("cum") >= expr("(99 * n_keys + 99) div 100"))
       .agg(min(col("v")).as("p99_cnt"))

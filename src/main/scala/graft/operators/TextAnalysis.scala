@@ -16,6 +16,30 @@ object TextAnalysis {
   /** Whitespace tokens of `text`. */
   def tokens(text: Column): Column = split(text, " ", -1)
 
+  /** The Gopher keep verdict from its four signals — the ONE definition
+    * of the gate (r18, ADVICE): previously hand-duplicated in
+    * [[gopherFilter]], Classify.qualitySignals and both funnel stage
+    * builders with equivalence asserted only in comments; a threshold or
+    * comparison change now lands everywhere or nowhere. `rep2gram` and
+    * `meanTokLen` must already carry the 4dp rounding the report columns
+    * publish ([[rep2Of]] / the caller's rounded mean). */
+  def keepExpr(nTokens: Column, stopCnt: Column, rep2gram: Column,
+               meanTokLen: Column,
+               minTokens: Long = 20, maxTokens: Long = 100000,
+               minStopHits: Long = 2, maxRep2: Double = 0.05,
+               minMeanTokLen: Double = 3.0,
+               maxMeanTokLen: Double = 10.0): Column =
+    nTokens >= minTokens && nTokens <= maxTokens &&
+      stopCnt >= minStopHits && rep2gram <= maxRep2 &&
+      meanTokLen >= minMeanTokLen && meanTokLen <= maxMeanTokLen
+
+  /** Duplicated-2-gram share at the gate's 4dp rounding, from the total
+    * and distinct 2-gram counts (array and pre-counted callers both
+    * reduce to this). */
+  def rep2Of(n2: Column, nd2: Column): Column =
+    when(n2 > 0, round(lit(1.0) - nd2.cast("double") / n2, 4))
+      .otherwise(lit(0.0))
+
   /** Stopword sets used by the quality / language heuristics. Deliberately
     * tiny and hard-coded: deterministic and oracle-expressible. */
   val enStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -135,14 +159,12 @@ object TextAnalysis {
         round((col("n_chars") - (size(col("words")) - 1))
           / size(col("words")), 4).as("mean_tok_len"),
         stopHits(col("words"), enStop).cast("long").as("stop_cnt"),
-        when(size(col("g2")) > 0,
-          round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
-            / size(col("g2")), 4)).otherwise(lit(0.0)).as("rep_2gram"))
+        rep2Of(size(col("g2")), size(array_distinct(col("g2"))))
+          .as("rep_2gram"))
     base.withColumn("keep",
-      col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-        col("stop_cnt") >= minStopHits && col("rep_2gram") <= maxRep2 &&
-        col("mean_tok_len") >= minMeanTokLen &&
-        col("mean_tok_len") <= maxMeanTokLen)
+      keepExpr(col("n_tokens"), col("stop_cnt"), col("rep_2gram"),
+        col("mean_tok_len"), minTokens, maxTokens, minStopHits, maxRep2,
+        minMeanTokLen, maxMeanTokLen))
   }
 
   /** Per-doc TOKEN ENTROPY — the information-density quality signal the
@@ -769,11 +791,17 @@ object TextAnalysis {
     * `percentile_approx` at 100 TB if the distinct-score histogram ever
     * dominates — the bucketing join is unchanged. */
   def qualityBuckets(docs: DataFrame): DataFrame = {
-    val lp = scoredDocs(docs)
+    // r18: the scored frame feeds the total, the histogram AND the final
+    // bucketing — checkpoint it once or the whole unigram-LM chain
+    // (explode + vocab join + doc aggregate) re-runs per consumer.
+    val lp = scoredDocs(docs).localCheckpoint(eager = false)
     val n = lp.agg(count(lit(1)).cast("long").as("n"))
-    val cum = lp.groupBy("score").agg(count(lit(1)).cast("long").as("cnt"))
-      .withColumn("cum",
-        sum(col("cnt")).over(Window.orderBy("score")))
+    // r18: the micro-logprob score histogram approaches doc cardinality
+    // — two-level cumsum (DataQuality.cumHist) instead of the documented
+    // single-partition window; percentile_approx stays the sketch twin.
+    val cum = DataQuality.cumHist(
+      lp.groupBy("score").agg(count(lit(1)).cast("long").as("cnt")),
+      "score", Seq("cnt" -> "cum"))
       .crossJoin(broadcast(n))
     val cuts = cum.agg(
       min(when(col("cum") >= expr("(n + 2) div 3"), col("score"))).as("c1"),
@@ -792,7 +820,8 @@ object TextAnalysis {
     * Spark's sketch. */
   def qualityBucketsApprox(docs: DataFrame,
                            accuracy: Int = 10000): DataFrame = {
-    val lp = scoredDocs(docs)
+    // r18: same run-once-read-thrice shape as the exact variant.
+    val lp = scoredDocs(docs).localCheckpoint(eager = false)
     val n = lp.agg(count(lit(1)).cast("long").as("n"))
     val cuts = lp.agg(expr(
       s"percentile_approx(score, array(0.3333333333333333D, " +
@@ -839,10 +868,20 @@ object TextAnalysis {
           .when(es >= de && es > 0, "es")
           .when(de > 0, "de")
           .otherwise("unknown").as("lang_guess"))
+    // r18: the normalize chain (4 regexes) + 9 occurrence regexes + the
+    // explode feed BOTH the LM census and the score join, and `scored`
+    // feeds the cutoff table AND the final projection — without a
+    // materialization barrier Catalyst inlines the whole regex+explode
+    // subtree into every consumer (measured: the norm/langid pass ran
+    // 3-4x per query). Checkpoint the narrow exploded token frame once
+    // and the doc-sized score frame once (guide §2.4 / §3 "materialise
+    // an intermediate to truncate the plan").
     val tok = labeled.select(col("doc_id"), col("lang_guess"),
       explode(tokens(col("norm_text"))).as("token"))
+      .localCheckpoint(eager = false)
     val vocab = tok.groupBy("lang_guess", "token")
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // LM census: totals AND score join
     val totals = vocab.groupBy("lang_guess")
       .agg(sum(col("cnt")).as("n_total"))
     val lpMicro = round(log(col("cnt").cast("double") /
@@ -855,6 +894,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang_guess"), col("n_tokens"),
         round(col("lp_sum").cast("double") / col("n_tokens"), 0)
           .cast("long").as("score"))
+      .localCheckpoint(eager = false)
     val cum = scored.groupBy("lang_guess", "score")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
@@ -1530,7 +1570,12 @@ object TextAnalysis {
   def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("term"))
+    // r18: tf feeds BOTH the df census and the score join — checkpoint it
+    // once or Catalyst re-runs the corpus explode+aggregate per consumer
+    // (two full text scans, measured in the before-plan's duplicate scan
+    // subtrees; guide §2.4).
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(idf, "term")
