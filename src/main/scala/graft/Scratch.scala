@@ -29,16 +29,19 @@ object Scratch {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     import graft.operators.{Dedup, Multimodal}
 
-    time("pairs_only") {
-      Multimodal.phashDupPairs(Multimodal.synthBmpPayload(docs))
+    time("video_fp_only") {
+      Multimodal.videoFingerprint(Multimodal.synthVideoPayload(docs))
     }
-    time("cc_only") {
-      val pairs = Multimodal.phashDupPairs(
-        Multimodal.synthBmpPayload(docs)).localCheckpoint(eager = false)
+    time("video_pairs_only") {
+      Multimodal.videoDupPairs(Multimodal.synthVideoPayload(docs))
+    }
+    time("video_cc_only") {
+      val pairs = Multimodal.videoDupPairs(
+        Multimodal.synthVideoPayload(docs)).localCheckpoint(eager = false)
       Dedup.clustersFromEdges(pairs.select("doc_a", "doc_b"))
     }
-    time("full_clusters") {
-      Multimodal.phashDupClusters(Multimodal.synthBmpPayload(docs))
+    time("video_full_clusters") {
+      Multimodal.videoDupClusters(Multimodal.synthVideoPayload(docs))
     }
     spark.stop()
   }

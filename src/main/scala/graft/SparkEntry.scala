@@ -56,6 +56,28 @@ object SparkEntry {
     * under identical host conditions. */
   private val fanoutEnabled =
     !sys.env.get("SPARK_GRAFT_SCAN_FANOUT").exists(_ == "off")
+
+  /** [[t]] WITHOUT the scan-parallelism fan-out — the r18 consumer gate
+    * (verdict item 1): the fan-out is a per-CONSUMER trade, not a
+    * per-table one. It repays its exchange only where heavy per-row map
+    * work follows the scan (tokenize/n-gram/rolling hashes — measured
+    * 2-10× there). Consumers whose first operation aggregates/joins the
+    * rows away, or that feed a long chain of tiny value-side stages off
+    * a checkpointed frame, instead pay (a) the full-row exchange with
+    * nothing to amortize it and (b) a 32-block checkpoint that widens
+    * every downstream micro-stage (measured idle-host A/B, fan-out
+    * on/off warm medians: takedown_unified 3.50→1.97,
+    * takedown_unified_content 3.61→2.31, multimodal_dup_clusters
+    * 3.79→2.43, doc_quality_buckets 2.20→1.44, doc_nb_langid 2.20→1.68,
+    * doc_tfidf_topk 1.41→1.12, multimodal_phash_index_audit 1.26→0.98,
+    * doc_length_outliers regressed likewise — while map-heavy consumers
+    * KEEP the fan-out: doc_rolling_fp 0.24 vs 2.36 off, doc_repetition
+    * 0.31 vs 2.05, doc_gopher_filter 0.46 vs 1.75). At production scale
+    * both paths read identically — the fan-out is a no-op there by
+    * construction. */
+  private def tNoFan(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val df = s.read.parquet(path)
@@ -1030,7 +1052,7 @@ object SparkEntry {
     // argmax is engine-portable; compare with the heuristic
     // corpus_langid_confusion to see what training buys
     "doc_nb_langid" -> ((s, dir) =>
-      Classify.nbLangidConfusion(t(s, dir, "documents"))),
+      Classify.nbLangidConfusion(tNoFan(s, dir, "documents"))),
     // TRAINED quality gate: NB over discretized quality features
     // (integer-bucketed token count / stopword pairs / mean token
     // length / 2-gram repetition) against the Gopher rule-gate labels —
@@ -1127,7 +1149,7 @@ object SparkEntry {
     // medians exact integer rank selections off value histograms — the
     // outlier-proof twin of the z-score ops
     "doc_length_outliers" -> ((s, dir) =>
-      CorpusOps.lengthOutliersMad(t(s, dir, "documents"))),
+      CorpusOps.lengthOutliersMad(tNoFan(s, dir, "documents"))),
     // Flesch-Kincaid grade from exact integer word/sentence/vowel-group
     // counts — the edu-quality proxy, pure per-row map
     "doc_readability" -> ((s, dir) =>
@@ -1260,7 +1282,7 @@ object SparkEntry {
       TextAnalysis.zipfFit(t(s, dir, "documents"))),
     // CCNet-style head/middle/tail tertiles by unigram-logprob score
     "doc_quality_buckets" -> ((s, dir) =>
-      TextAnalysis.qualityBuckets(t(s, dir, "documents"))),
+      TextAnalysis.qualityBuckets(tNoFan(s, dir, "documents"))),
     // the full CCNet composite: normalize → langid → per-LANGUAGE LM
     // tertiles → per-doc keep gate (Wenzek et al. 2020)
     "doc_ccnet_pipeline" -> ((s, dir) =>
@@ -1268,7 +1290,7 @@ object SparkEntry {
     // production twin: sketch cutoffs (no oracle — spec-gated vs exact,
     // same pattern as q11_percentile_approx)
     "doc_quality_buckets_approx" -> ((s, dir) =>
-      TextAnalysis.qualityBucketsApprox(t(s, dir, "documents"))),
+      TextAnalysis.qualityBucketsApprox(tNoFan(s, dir, "documents"))),
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2)),
     // top bigram collocations by PMI (minCount=5, k=20): tokenizer-merge /
@@ -1276,7 +1298,7 @@ object SparkEntry {
     "corpus_pmi_bigrams" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(t(s, dir, "documents"))),
     "doc_tfidf_topk" -> ((s, dir) =>
-      TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 5)),
+      TextAnalysis.tfidfTopK(tNoFan(s, dir, "documents"), k = 5)),
     "doc_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 64,
         overlap = 8)),
@@ -1851,7 +1873,7 @@ object SparkEntry {
     // smaller vec_id; returns the KEPT rows (threshold matches
     // emb_near_dup's boundary-safe precedent on this corpus)
     "emb_semantic_dedup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = tNoFan(s, dir, "embeddings")
       Similarity.semanticDedup(e, Similarity.ivfSeedCentroids(e, 16),
         threshold = 0.4)
     }),
@@ -2222,7 +2244,7 @@ object SparkEntry {
     // (min summed hamming over incident edges, ties = first ingested)
     "multimodal_dup_clusters" -> ((s, dir) =>
       Multimodal.phashDupClusters(
-        Multimodal.synthBmpPayload(t(s, dir, "documents")))
+        Multimodal.synthBmpPayload(tNoFan(s, dir, "documents")))
         .withColumn("is_rep", col("is_rep").cast("int"))),
     // chromaprint-shaped audio fingerprint: real WAV chunk walk to the
     // PCM16 data, 64 equal frames, 63 energy-delta bits — the oracle
@@ -2295,7 +2317,7 @@ object SparkEntry {
     "multimodal_phash_index_audit" -> ((s, dir) =>
       Multimodal.phashIndexAudit(s, phashIndexedTable(s, dir),
         Multimodal.synthBmpPayload(
-          t(s, dir, "documents").filter(col("doc_id") % 13 === 0)),
+          tNoFan(s, dir, "documents").filter(col("doc_id") % 13 === 0)),
         buckets = 8, maxBandVals = 4)),
     // the video keyframe index gets the same serving audit: per-slot
     // census rows (the index bands per slot), global vote-gated serve
@@ -2338,13 +2360,13 @@ object SparkEntry {
         Multimodal.synthBmpPayload(
           t(s, dir, "documents").filter(col("doc_id") % 13 === 0)))),
     "multimodal_modality_profile" -> ((s, dir) =>
-      Multimodal.modalityDupProfile(t(s, dir, "documents"))),
+      Multimodal.modalityDupProfile(tNoFan(s, dir, "documents"))),
     // UNIFIED takedown: ONE tombstone list (ids ending in 8) fanned
     // across the text band/sets index and the image/audio/video sketch
     // indexes — per (library member, modality) status; request content
     // is index-looked-up, nothing re-decoded or re-shingled
     "takedown_unified" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tNoFan(s, dir, "documents")
       val (bands, sets) = takedownIndexedTables(s, dir)
       Multimodal.takedownUnified(s, d,
         d.filter(col("doc_id") % 10 === 8).select("doc_id"),
@@ -2358,7 +2380,7 @@ object SparkEntry {
     // persisted indexes; statuses are removed_copy|kept only (content
     // names no ids, so there is no direct leg)
     "takedown_unified_content" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tNoFan(s, dir, "documents")
       val (bands, sets) = takedownIndexedTables(s, dir)
       val reqDocs = d.filter(col("doc_id") % 13 === 0)
       Multimodal.takedownUnifiedContent(s, d,

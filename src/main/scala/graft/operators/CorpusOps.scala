@@ -305,9 +305,15 @@ object CorpusOps {
     * when exactness is not contractual. */
   def lengthOutliersMad(docs: DataFrame, mult: Int = 3): DataFrame = {
     def lowerMedian(values: DataFrame, vCol: String): DataFrame = {
+      // Char-count / deviation histograms are bounded by the longest
+      // document, not the corpus (r18: measured DataQuality.cumHist here
+      // and reverted — the two extra cumsum levels cost more than the
+      // bounded window on both SFs).
       val h = values.groupBy(col(vCol).as("v"))
         .agg(count(lit(1)).as("c"))
-      val cum = DataQuality.cumHist(h, "v", Seq("c" -> "cum"))
+      val cum = h.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val n = values.agg(count(lit(1)).as("n"))
       cum.crossJoin(broadcast(n))
         .filter(col("cum") >= expr("(n + 1) div 2"))
@@ -519,13 +525,16 @@ object CorpusOps {
     * Zero-length docs participate (they are what inequality looks
     * like); an all-equal corpus reads exactly 0. */
   def lengthGini(docs: DataFrame): DataFrame = {
+    // Token-length histogram: bounded by the longest document (r18:
+    // measured DataQuality.cumHist here and reverted — extra stages cost
+    // more than this bounded window; see cumHist for corpus-sided sites).
     val hist = docs
       .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
-    // r18: exclusive prefix = inclusive cumsum − own count, off the
-    // two-level cumHist instead of a single-partition window.
-    val withF = DataQuality.cumHist(hist, "v", Seq("c" -> "cum"))
-      .withColumn("f", col("cum") - col("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withF = hist.withColumn("f", coalesce(sum(col("c")).over(w),
+      lit(0L)))
     // rank-sum products exceed int64 at corpus-scale doc counts
     // (v·c·3n ~ 1e22 at n=1e9) — assemble them in DECIMAL(38,0), the
     // filter-agreement/zipf overflow discipline
@@ -739,11 +748,13 @@ object CorpusOps {
     // sweep (BucketingSpec NLJ gate) is what forced this form; the grid
     // formulation broadcast a values-cardinality frame, which is
     // corpus-sided for a continuous statistic.
-    // r18: the distinct-length histogram is corpus-sided for a
-    // continuous statistic — two-level cumsum, not a one-task sort.
-    val globalCum = DataQuality.cumHist(
-      h.groupBy("n_chars").agg(sum("c").as("cv")),
-      "n_chars", Seq("cv" -> "cg"))
+    // Distinct-n_chars histogram: bounded by the longest document (r18:
+    // measured DataQuality.cumHist here and reverted — extra stages cost
+    // more than this bounded window).
+    val globalCum = h.groupBy("n_chars").agg(sum("c").as("cv"))
+      .withColumn("cg", sum("cv").over(
+        Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wS = Window.partitionBy("source").orderBy("n_chars")
     val total = docs.agg(count(lit(1)).as("n"))
     val rows = h

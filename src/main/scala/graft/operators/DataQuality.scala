@@ -66,14 +66,15 @@ object DataQuality {
     * prefix offsets through a broadcast self-join (≤ buckets² pairs —
     * never a window, so no single-partition WindowExec anywhere); each
     * bucket's rows then pay a PARTITIONED cumsum plus their bucket's
-    * offset. The histogram is checkpointed first — it feeds the range
-    * probe, the subtotals and the final window, and without the barrier
-    * Catalyst would re-run the (often corpus-scan) histogram subtree per
-    * consumer. */
+    * offset. */
   def cumHist(hist: DataFrame, vCol: String,
               sums: Seq[(String, String)],
-              buckets: Int = 1024): DataFrame = {
-    val h = hist.localCheckpoint(eager = false)
+              buckets: Int = 128): DataFrame = {
+    // (hist is evaluated twice — range probe + main path. Callers whose
+    // histogram derives from an expensive subtree should checkpoint it
+    // themselves; the converted call sites all feed cheap aggregates and
+    // measured faster without a forced checkpoint here.)
+    val h = hist
     val mm = h.agg(min(col(vCol)).cast("long").as("__vmin"),
       max(col(vCol)).cast("long").as("__vmax"))
     val b = h.crossJoin(broadcast(mm))
@@ -189,9 +190,14 @@ object DataQuality {
   def spearman(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def rank2Map(vals: DataFrame): DataFrame = {
-      // value → min_rank + max_rank (= 2× average rank, ties exact)
+      // value → min_rank + max_rank (= 2× average rank, ties exact).
+      // Both callers rank naturally-bounded integral domains (char/token
+      // counts); r18 measured the two-level cumHist here and reverted it
+      // (+0.5 s of extra stages for a bounded window) — use [[cumHist]]
+      // if a corpus-sided domain ever feeds this.
       val h = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      cumHist(h, "v", Seq("c" -> "cum"))
+      h.withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("v"), (col("cum") * 2 - col("c") + 1).as("r2"))
     }
     val base = df.select(aCol.cast("long").as("a"),

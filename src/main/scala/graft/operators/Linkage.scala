@@ -229,7 +229,11 @@ object Linkage {
       col("matched_name").as("doc_b")).distinct()
     val comp = Dedup.clustersFromEdges(edges)
       .select(col("doc_id").as("q_name"), col("cluster_id").as("entity_id"))
+    // r18: members feeds the name pool, the size aggregate AND one mode
+    // aggregate per field — checkpoint the (small, match-output-sized)
+    // join once instead of re-shuffling it per consumer.
     val members = matched.join(comp, "q_name")
+      .localCheckpoint(eager = false)
     val wName = Window.partitionBy("entity_id")
       .orderBy(length(col("nm")).desc, col("nm"))
     val canonical = members
@@ -264,8 +268,13 @@ object Linkage {
     * sf0.01: blocking 1536 pairs → 10000 e4; snm_1pass 622 → 5240 — the
     * head-edit mangle jumps the sort window, SNM's documented failure
     * mode; the reverse-key second pass buys the misses back.) */
-  def methodCompare(queries: DataFrame, dictionary: DataFrame,
+  def methodCompare(queriesIn: DataFrame, dictionaryIn: DataFrame,
                     window: Int = 8, maxLev: Int = 3): DataFrame = {
+    // r18 (guide §2.4): the query feed (scan + mangle expression) is read
+    // five ways (count, blocking link, both SNM links, the SNM universe)
+    // and the dictionary three — checkpoint each once.
+    val queries = queriesIn.localCheckpoint(eager = false)
+    val dictionary = dictionaryIn.localCheckpoint(eager = false)
     val nq = queries.agg(count(lit(1)).as("n_queries"))
     def yieldRow(method: String, pairs: DataFrame, matched: DataFrame) =
       pairs.agg(count(lit(1)).as("n_compare_pairs"))

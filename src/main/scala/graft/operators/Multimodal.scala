@@ -505,32 +505,60 @@ object Multimodal {
     * any mean-shift bit flips) — the hamming-1..2 tail that makes the
     * dup-pair query exercise genuine near-dup detection, not just
     * exact-hash grouping. */
-  def synthBmpPayload(docs: DataFrame): DataFrame = {
-    val id = col("doc_id")
-    // header is all-constant for a fixed 8×8 24bpp layout:
-    // "BM" size=246 reserved offset=54 | ihdr=40 w=8 h=8 planes=1 bpp=24
-    // compression=0 imagesize=192 ppm=0,0 colors=0,0   (all LE)
-    val headerHex =
-      "424D" + "F6000000" + "00000000" + "36000000" +
-        "28000000" + "08000000" + "08000000" + "0100" + "1800" +
-        "00000000" + "C0000000" + "00000000" + "00000000" +
-        "00000000" + "00000000"
-    // file order is bottom-up: file pixel pf maps to logical
-    // p = (7 − pf÷8)·8 + pf%8; each grayscale v emits 3 equal bytes (BGR)
-    val pixelsHex = array_join(
-      transform(sequence(lit(0), lit(63)), pf => {
-        // Column `/` is double division — floor+cast keeps this integral
-        val p = (lit(7) - floor(pf / 8).cast("int")) * 8 + pf % 8
-        val base = (pmod(id, lit(32)) * 73 + p * 149) % 251
-        val v = least(
-          base + when(p === pmod(id, lit(64)), pmod(id, lit(7)))
-            .otherwise(lit(0)),
-          lit(250))
-        repeat(lpad(hex(v), 2, "0"), 3)
-      }), "")
-    docs.withColumn("payload",
-      concat(unhex(lit(headerHex)), unhex(pixelsHex)))
+  /** One grayscale pixel of the synthetic motif image/video frame —
+    * v(f,p) = ((m·73 + p·149 + f·31) mod 251) with the doc's noise pixel
+    * bumped by doc_id%7, clamped ≤ 250 (f = 0 for stills). The formula
+    * the oracle mirrors analytically. */
+  private def synthPixel(id: Long, f: Int, p: Int): Byte = {
+    val base = ((id % 32) * 73 + p * 149 + f * 31) % 251
+    val v = base + (if (p == id % 64) id % 7 else 0L)
+    math.min(v, 250L).toByte
   }
+
+  private def unhexStr(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  // header is all-constant for a fixed 8×8 24bpp layout:
+  // "BM" size=246 reserved offset=54 | ihdr=40 w=8 h=8 planes=1 bpp=24
+  // compression=0 imagesize=192 ppm=0,0 colors=0,0   (all LE)
+  private val BmpHeader: Array[Byte] = unhexStr(
+    "424D" + "F6000000" + "00000000" + "36000000" +
+      "28000000" + "08000000" + "08000000" + "0100" + "1800" +
+      "00000000" + "C0000000" + "00000000" + "00000000" +
+      "00000000" + "00000000")
+
+  /** The complete BMP bytes for one doc — byte-identical to the pre-r18
+    * Catalyst-expression builder (file order bottom-up: file pixel pf
+    * maps to logical p = (7 − pf÷8)·8 + pf%8; each grayscale v emits 3
+    * equal BGR bytes). Runs as ONE tight JVM call per row: the previous
+    * nested `transform(sequence(0,63), …)` higher-order expression was
+    * evaluated INTERPRETED per pixel (HOFs have no codegen), the
+    * dominant per-row cost of every image-sketch query. */
+  private[graft] def bmpBytes(id: Long): Array[Byte] = {
+    val out = new Array[Byte](54 + 192)
+    System.arraycopy(BmpHeader, 0, out, 0, 54)
+    var pf = 0
+    while (pf < 64) {
+      val p = (7 - pf / 8) * 8 + pf % 8
+      val v = synthPixel(id, 0, p)
+      val o = 54 + pf * 3
+      out(o) = v; out(o + 1) = v; out(o + 2) = v
+      pf += 1
+    }
+    out
+  }
+
+  private val bmpPayloadUdf = udf((id: Long) => bmpBytes(id))
+
+  def synthBmpPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", bmpPayloadUdf(col("doc_id")))
 
   /** Parse one BMP payload and hash its pixels. Real parse: magic,
     * pixel-data offset (bytes 10..13 LE), dimensions, bpp, bottom-up row
@@ -1047,33 +1075,41 @@ object Multimodal {
     * matching slots (a true re-encode), same motif + different stride
     * class → only slot 0 matches (frame 0 both) and the vote gate
     * rejects — the dial that makes `minVotes` a real decision. */
-  def synthVideoPayload(docs: DataFrame): DataFrame = {
-    val id = col("doc_id")
-    val nFrames = (lit(4) + id % 5).cast("int")
-    def frameHex(f: Column): Column = array_join(
-      transform(sequence(lit(0), lit(63)), p => {
-        val base = (pmod(id, lit(32)) * 73 + p * 149 + f * 31) % 251
-        val v = least(
-          base + when(p === pmod(id, lit(64)), pmod(id, lit(7)))
-            .otherwise(lit(0)),
-          lit(250))
-        lpad(hex(v), 2, "0")
-      }), "")
-    val stream = concat(encode(lit("GRV1"), "UTF-8"),
-      unhex(lpad(hex(nFrames), 2, "0")),
-      unhex(array_join(
-        transform(sequence(lit(0), nFrames - 1), frameHex(_)), "")))
-    val ftyp = bin("000000106674797069736F6D00000000")
-    val timescale = lit(600)
-    val mvhd = concat(
-      bin("0000001C6D766864"),         // size 28, 'mvhd'
-      bin("000000000000000000000000"), // version/flags, ctime, mtime
-      be4(timescale), be4(timescale * nFrames))
-    val moov = concat(bin("000000246D6F6F76"), mvhd) // size 36
-    val mdat = concat(be4(length(stream) + 8),
-      encode(lit("mdat"), "UTF-8"), stream)
-    docs.withColumn("payload", concat(ftyp, moov, mdat))
+  /** The complete MP4/GRV1 bytes for one doc — byte-identical to the
+    * pre-r18 Catalyst-expression builder (ftyp + moov{mvhd ts=600,
+    * dur=600·n} + mdat{GRV1, n, n×64-byte rasters}); ONE tight JVM call
+    * per row instead of the interpreted per-pixel `transform(sequence)`
+    * trees (up to 8 frames × 64 pixels of HOF evals per row — measured
+    * as the dominant cost of the video-sketch family). */
+  private[graft] def videoBytes(id: Long): Array[Byte] = {
+    val n = (4 + id % 5).toInt
+    val streamLen = 4 + 1 + 64 * n
+    val mdatLen = 8 + streamLen
+    val bb = java.nio.ByteBuffer.allocate(16 + 36 + mdatLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(unhexStr("000000106674797069736F6D00000000")) // ftyp
+    bb.put(unhexStr("000000246D6F6F76"))                 // moov, size 36
+    bb.put(unhexStr("0000001C6D766864"))                 // mvhd, size 28
+    bb.put(new Array[Byte](12)) // version/flags, ctime, mtime
+    bb.putInt(600)              // timescale
+    bb.putInt(600 * n)          // duration = timescale · n_frames (1 fps)
+    bb.putInt(mdatLen)
+    bb.put("mdat".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("GRV1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put(n.toByte)
+    var f = 0
+    while (f < n) {
+      var p = 0
+      while (p < 64) { bb.put(synthPixel(id, f, p)); p += 1 }
+      f += 1
+    }
+    bb.array()
   }
+
+  private val videoPayloadUdf = udf((id: Long) => videoBytes(id))
+
+  def synthVideoPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", videoPayloadUdf(col("doc_id")))
 
   /** Parse one MP4 payload and hash its sampled keyframes. Real walk:
     * top-level box sizes to `mdat`, GRV1 magic + frame count, stride =

@@ -55,12 +55,16 @@ object Rfm {
         count(lit(1)).as("frequency"),
         sum((col("o_totalprice").cast("decimal(18,2)") *
           lit(100).cast("decimal(3,0)")).cast("long")).as("monetary_c"))
+    // r18: the per-customer aggregate feeds three value histograms, each
+    // histogram's cut frame AND the final scoring pass — checkpoint it
+    // once instead of re-running the orders aggregate per consumer.
+    val baseCk = base.localCheckpoint(eager = false)
     def hist(c: String): DataFrame =
-      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+      baseCk.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
     val rCuts = ascCuts(hist("recency_days"))
     val fCuts = ascCuts(hist("frequency"))
     val mCuts = ascCuts(hist("monetary_c"))
-    val scored = base
+    val scored = baseCk
       .crossJoin(broadcast(rCuts))
       .withColumn("r_score",
         (lit(6) - scoreAsc(col("recency_days"))).cast("long"))
