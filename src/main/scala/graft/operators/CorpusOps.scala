@@ -1089,14 +1089,33 @@ object CorpusOps {
       newDocs: DataFrame, corpusDocs: DataFrame, fp: Column,
       jaccardThreshold: Double, minhashK: Int, rowsPerBand: Int,
       spanTokens: Int, minNovelTokens: Long, estimatedItems: Long,
-      numBits: Long): Seq[DataFrame] =
+      numBits: Long): Seq[DataFrame] = {
+    // r18 (the batch funnel's r17 single-materialization discipline
+    // applied to the INLINE corpus side): the fp set, the minhash bands
+    // and the shingle sets previously each re-tokenized the known corpus
+    // from scratch. ONE projection now materializes (doc_id, fp, g3) —
+    // wordNgrams(text,3) is value-identical to shingles' shingle_arr,
+    // and minhashOnGrams/sets read the materialized array (empty g3 ⇒ no
+    // signature rows ⇒ exactly where the text form dropped the doc).
+    // The span-window fp pass keeps its own tokenize: its window hashes
+    // need the raw token stream, nothing to share.
+    val ck = corpusDocs
+      .select(col("doc_id"), fp.as("fp"),
+        TextAnalysis.wordNgramsOf(
+          TextAnalysis.tokens(col("text")), 3).as("g3"))
+      .localCheckpoint(eager = false)
     incrementalStages(newDocs,
-      corpusDocs.select(fp.as("fp")),
-      Dedup.bandTable(Dedup.minhash(corpusDocs, minhashK), rowsPerBand),
-      Dedup.shingleSets(corpusDocs),
+      ck.select("fp"),
+      Dedup.bandTable(
+        Dedup.minhashOnGrams(ck.select(col("doc_id"), col("g3")),
+          minhashK), rowsPerBand),
+      ck.filter(size(col("g3")) > 0)
+        .select(col("doc_id"),
+          array_sort(array_distinct(col("g3"))).as("sset")),
       Dedup.spanWindows(corpusDocs, spanTokens).select("fp").distinct(),
       fp, jaccardThreshold, minhashK, rowsPerBand, spanTokens,
       minNovelTokens, estimatedItems, numBits)
+  }
 
   /** [[curationFunnelIncremental]] against PERSISTED corpus state — the
     * four relations [[funnelWriteState]] materializes once per corpus
